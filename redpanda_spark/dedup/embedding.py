@@ -1,0 +1,99 @@
+"""Embedding-cosine near-duplicate detection.
+
+Exact variant: block-nested self-join with cosine filter (for modest n or
+as the verify stage). Scale variant: random-hyperplane LSH — sign-bit
+sketch via JVM expressions, bucket join, cosine verify on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.vectors import as_double, cosine
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — exact O(n²)/blocked.
+
+    Use only for ≤ ~10⁵ vectors per blocking group, or as the verify stage
+    after LSH blocking (`lsh_near_dup_pairs`).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def hyperplane_sketch(vec, planes: list[list[float]]):
+    """Sign-bit sketch: bit i = 1 iff dot(vec, plane_i) > 0. JVM fold."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in planes
+    ]
+    packed = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        packed = packed.bitwiseOR(F.shiftleft(b, i))
+    return packed
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact cosine verify on candidates."""
+    n_bits = len(planes)
+    sk = emb.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        hyperplane_sketch(as_double(vec_col), planes).alias("sk"),
+    )
+    n_bands = max(1, n_bits // band_bits)
+    mask = (1 << band_bits) - 1
+    banded = sk.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sk"), i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select("band", "band_val", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = banded.select("band", "band_val", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,86 @@
+"""SimHash near-duplicate fingerprints — JVM-side expression folds.
+
+Each token contributes its xxhash64 bit pattern; per bit, +1 if set else −1;
+the sign vector packs into a 60-bit fingerprint (60 = 4 bands × 15 bits,
+keeping clear of the int64 sign bit so all packing stays in non-negative
+bigint range under ANSI arithmetic). Near-dups = fingerprints within a small
+Hamming distance, blocked by exact-band match: with 4 bands, any pair within
+Hamming distance 3 shares at least one band (pigeonhole), so the self-join
+is on band equality — never a cross product.
+
+Everything is `transform`/`aggregate` folds over token arrays (whole-stage
+codegen); no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.text import tokens
+
+SIMHASH_BITS = 60
+BAND_BITS = 15
+N_BANDS = SIMHASH_BITS // BAND_BITS
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of the whitespace tokens of ``col`` (bigint, low ``bits`` used)."""
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # counts[i] = Σ_tokens (bit i set ? +1 : -1); bit_get accepts a column pos
+    counts = F.transform(
+        bit_idx,
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1),
+        ),
+    )
+    # pack sign bits MSB-first: acc = acc*2 + (count>0); max value < 2^60
+    return F.aggregate(
+        F.reverse(counts),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * F.lit(2) + F.when(c > 0, 1).otherwise(0),
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs within ``max_hamming`` bits."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    mask = (1 << BAND_BITS) - 1
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), i * BAND_BITS).bitwiseAND(F.lit(mask))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_val"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_val"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -1,0 +1,775 @@
+"""Query catalog: every implemented operator as a (spark, sf_dir) -> DataFrame
+callable plus a DuckDB oracle SQL string (SURVEY.md §2 coverage).
+
+Cross-engine determinism conventions (driver hash-compares values):
+- money/float aggregates: cast to DECIMAL(18,4) first (exact, order-free
+  sums), cast the result to double, round(…, 6)
+- every ranking has a unique-key tiebreak
+- int widths cast explicitly on both sides (Spark row_number is int,
+  DuckDB's is bigint, etc.)
+
+The log operators run over the ``events`` table adapted to the canonical
+topic/partition/offset shape (sources.tables.topic_view); idempotence /
+group-commit / transaction inputs are deterministic simulations derived
+from event columns, mirrored exactly in the oracle CTEs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_spark.dedup.exact import exact_dedup_ids
+from redpanda_spark.dedup.minhash import near_dup_pairs
+from redpanda_spark.dedup.ngram import ngram_jaccard_pairs
+from redpanda_spark.dedup.simhash import simhash_near_dups
+from redpanda_spark.functions import text as TXT
+from redpanda_spark.functions.vectors import as_double, cosine
+from redpanda_spark.operators import log as LOG
+from redpanda_spark.operators.compaction import compact_keep_latest
+from redpanda_spark.operators.groups import group_lag, offset_fetch
+from redpanda_spark.operators.transactions import idempotent_dedup, read_committed
+from redpanda_spark.similarity.ann import (
+    brute_force_topk,
+    fit_ivf_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+from redpanda_spark.sources.tables import load_table, topic_view, topic_view_oracle_sql
+
+NUM_PARTITIONS = 8
+TIMEQUERY_TS = "2024-01-15 00:00:00"
+RETENTION_CUTOFF = "2024-01-10 00:00:00"
+DELETE_RECORDS_STARTS = {0: 50, 1: 100, 2: 150, 3: 200}
+
+LOG_CTE = f"log AS ({topic_view_oracle_sql(NUM_PARTITIONS)})"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Log-storage operators (SURVEY.md §2.1–2.2)
+# --------------------------------------------------------------------------
+
+
+def q_log_fetch(spark, sf_dir):
+    """Fetch RPC: offset-range scan of one partition (fetch.cc:300)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    return LOG.fetch(log, partition=3, start_offset=100, end_offset=300).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("event_id").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+    )
+
+
+SQL_LOG_FETCH = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition, CAST("offset" AS BIGINT) AS "offset",
+       event_id, event_type
+FROM log WHERE partition = 3 AND "offset" >= 100 AND "offset" < 300
+"""
+
+
+def q_log_list_offsets(spark, sf_dir):
+    """ListOffsets earliest/latest specials (list_offsets.cc:100-132)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    return LOG.list_offsets(log).select(
+        F.col("partition").cast("int"),
+        F.col("earliest_offset").cast("long"),
+        F.col("latest_offset").cast("long"),
+    )
+
+
+SQL_LOG_LIST_OFFSETS = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST(MIN("offset") AS BIGINT) AS earliest_offset,
+       CAST(MAX("offset") + 1 AS BIGINT) AS latest_offset
+FROM log GROUP BY partition
+"""
+
+
+def q_log_timequery(spark, sf_dir):
+    """ListOffsets timequery: first offset with ts >= T (disk_log_impl.cc:2545)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).withColumnRenamed("ts", "timestamp")
+    return LOG.timequery(log, F.to_timestamp(F.lit(TIMEQUERY_TS))).select(
+        F.col("partition").cast("int"), F.col("offset").cast("long")
+    )
+
+
+SQL_LOG_TIMEQUERY = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST(MIN("offset") AS BIGINT) AS "offset"
+FROM log WHERE ts >= TIMESTAMP '{TIMEQUERY_TS}' GROUP BY partition
+"""
+
+
+def q_log_retention_time(spark, sf_dir):
+    """Time-retention GC survivors (disk_log_impl.cc:260-366)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).withColumnRenamed("ts", "timestamp")
+    kept = LOG.retain_by_time(log, F.to_timestamp(F.lit(RETENTION_CUTOFF)))
+    return kept.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_kept"),
+        F.min("offset").cast("long").alias("first_kept_offset"),
+    )
+
+
+SQL_LOG_RETENTION_TIME = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition, COUNT(*) AS n_kept,
+       CAST(MIN("offset") AS BIGINT) AS first_kept_offset
+FROM log WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}' GROUP BY partition
+"""
+
+
+def q_log_delete_records(spark, sf_dir):
+    """DeleteRecords prefix truncation (delete_records.cc:115-172)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    kept = LOG.delete_records(log, DELETE_RECORDS_STARTS)
+    return kept.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_kept"), F.min("offset").cast("long").alias("log_start_offset")
+    )
+
+
+_starts_case = " ".join(
+    f"WHEN {p} THEN {o}" for p, o in DELETE_RECORDS_STARTS.items()
+)
+SQL_LOG_DELETE_RECORDS = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition, COUNT(*) AS n_kept,
+       CAST(MIN("offset") AS BIGINT) AS log_start_offset
+FROM log WHERE "offset" >= (CASE partition {_starts_case} ELSE 0 END)
+GROUP BY partition
+"""
+
+
+def q_log_compact(spark, sf_dir):
+    """Keep-latest key compaction (disk_log_impl.cc:560-700, key_offset_map.h)."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).select(
+        "partition", "offset", "event_id", "user_id", "event_type", "value"
+    )
+    out = compact_keep_latest(log, ["partition", "user_id"], order_col="offset")
+    return out.select(
+        F.col("partition").cast("int"),
+        F.col("user_id"),
+        F.col("offset").cast("long"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+
+
+SQL_LOG_COMPACT = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition, user_id,
+       CAST("offset" AS BIGINT) AS "offset", event_id, event_type
+FROM log
+QUALIFY ROW_NUMBER() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
+"""
+
+
+def q_log_idempotent_dedup(spark, sf_dir):
+    """Idempotent-produce dedup on (pid, epoch, seq) (rm_stm.h:67-73).
+
+    Simulated producer metadata: producer_id=user_id, epoch=0,
+    base_sequence=event_id/2 (adjacent events collide → duplicates)."""
+    log = (
+        topic_view(spark, sf_dir, NUM_PARTITIONS)
+        .withColumn("producer_id", F.col("user_id"))
+        .withColumn("producer_epoch", F.lit(0).cast("short"))
+        .withColumn("base_sequence", F.expr("event_id div 2").cast("int"))
+        .select("partition", "offset", "producer_id", "producer_epoch", "base_sequence")
+    )
+    out = idempotent_dedup(log)
+    return out.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_after_dedup"),
+        F.max("offset").cast("long").alias("max_offset"),
+    )
+
+
+SQL_LOG_IDEMPOTENT_DEDUP = f"""
+WITH {LOG_CTE},
+deduped AS (
+  SELECT partition, "offset"
+  FROM log
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY partition, user_id, CAST(event_id // 2 AS INTEGER)
+    ORDER BY "offset") = 1
+)
+SELECT CAST(partition AS INTEGER) AS partition, COUNT(*) AS n_after_dedup,
+       CAST(MAX("offset") AS BIGINT) AS max_offset
+FROM deduped GROUP BY partition
+"""
+
+
+# --------------------------------------------------------------------------
+# Consumer groups (SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+
+def _sim_commits(spark, sf_dir):
+    """Deterministic commit log derived from events: each event is an
+    offset-commit by group=event_type for its partition."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    return log.select(
+        F.col("event_type").alias("group_id"),
+        F.lit("events").alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("committed_offset"),
+        F.lit(0).alias("leader_epoch"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.col("event_id").alias("commit_seq"),
+        (F.col("event_id") % 97 == 0).alias("deleted"),
+    )
+
+
+_SIM_COMMITS_CTE = f"""
+commits AS (
+  SELECT event_type AS group_id, 'events' AS topic,
+         CAST(partition AS INTEGER) AS partition,
+         CAST("offset" AS BIGINT) AS committed_offset,
+         0 AS leader_epoch, NULL AS metadata,
+         event_id AS commit_seq, (event_id % 97 = 0) AS deleted
+  FROM log
+)
+"""
+
+
+def q_group_offset_fetch(spark, sf_dir):
+    """OffsetFetch: latest non-tombstoned commit per (group, partition)
+    (group_metadata.h:71,121; compacted __consumer_offsets replay)."""
+    commits = _sim_commits(spark, sf_dir)
+    return offset_fetch(commits).select("group_id", "partition", "committed_offset")
+
+
+SQL_GROUP_OFFSET_FETCH = f"""
+WITH {LOG_CTE}, {_SIM_COMMITS_CTE},
+latest AS (
+  SELECT * FROM commits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY group_id, topic, partition
+                             ORDER BY commit_seq DESC) = 1
+)
+SELECT group_id, partition, committed_offset FROM latest WHERE NOT deleted
+"""
+
+
+def q_group_lag(spark, sf_dir):
+    """Per-group lag = high watermark − committed offset."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    commits = _sim_commits(spark, sf_dir)
+    ends = LOG.high_watermark(log).select(
+        F.lit("events").alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("high_watermark").cast("long"),
+    )
+    return group_lag(commits, ends).select(
+        "group_id", "partition", F.col("lag").cast("long")
+    )
+
+
+SQL_GROUP_LAG = f"""
+WITH {LOG_CTE}, {_SIM_COMMITS_CTE},
+latest AS (
+  SELECT * FROM commits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY group_id, topic, partition
+                             ORDER BY commit_seq DESC) = 1
+),
+ends AS (
+  SELECT CAST(partition AS INTEGER) AS partition,
+         CAST(MAX("offset") + 1 AS BIGINT) AS hwm
+  FROM log GROUP BY partition
+)
+SELECT l.group_id, l.partition, CAST(e.hwm - l.committed_offset AS BIGINT) AS lag
+FROM latest l JOIN ends e USING (partition) WHERE NOT l.deleted
+"""
+
+
+# --------------------------------------------------------------------------
+# Transactions / read_committed (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+
+def _sim_txlog(spark, sf_dir):
+    log = (
+        topic_view(spark, sf_dir, NUM_PARTITIONS)
+        .withColumn("producer_id", F.col("user_id"))
+        .withColumn("is_transactional", F.col("event_type") == "purchase")
+        .withColumn("is_control", F.col("event_id") % 101 == 0)
+    )
+    first_purchase = (
+        log.where(F.col("is_transactional"))
+        .groupBy("partition", "producer_id")
+        .agg(F.min("offset").alias("first_offset"))
+    )
+    tx_ranges = first_purchase.select(
+        F.lit("events").alias("topic"),
+        "partition",
+        "producer_id",
+        "first_offset",
+        (F.col("first_offset") + 20).alias("last_offset"),
+        F.when(F.col("producer_id") % 3 == 0, "aborted")
+        .when(F.col("producer_id") % 3 == 1, "committed")
+        .otherwise("open")
+        .alias("outcome"),
+    )
+    return log, tx_ranges
+
+
+_SIM_TX_CTE = """
+txlog AS (
+  SELECT *, user_id AS producer_id,
+         (event_type = 'purchase') AS is_transactional,
+         (event_id % 101 = 0) AS is_control
+  FROM log
+),
+tx_ranges AS (
+  SELECT partition, producer_id, MIN("offset") AS first_offset,
+         MIN("offset") + 20 AS last_offset,
+         CASE CAST(producer_id % 3 AS INTEGER) WHEN 0 THEN 'aborted'
+              WHEN 1 THEN 'committed' ELSE 'open' END AS outcome
+  FROM txlog WHERE is_transactional GROUP BY partition, producer_id
+),
+lso AS (
+  SELECT h.partition,
+         LEAST(COALESCE(o.open_first, h.hwm), h.hwm) AS lso
+  FROM (SELECT partition, MAX("offset") + 1 AS hwm FROM log GROUP BY partition) h
+  LEFT JOIN (SELECT partition, MIN(first_offset) AS open_first
+             FROM tx_ranges WHERE outcome = 'open' GROUP BY partition) o
+  USING (partition)
+)
+"""
+
+
+def q_tx_read_committed(spark, sf_dir):
+    """read_committed fetch view: drop control rows, aborted ranges, rows ≥ LSO
+    (fetch.cc:116-187,341-399)."""
+    log, tx_ranges = _sim_txlog(spark, sf_dir)
+    vis = read_committed(log, tx_ranges)
+    return vis.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_visible"), F.max("offset").cast("long").alias("max_offset")
+    )
+
+
+SQL_TX_READ_COMMITTED = f"""
+WITH {LOG_CTE}, {_SIM_TX_CTE}
+SELECT CAST(t.partition AS INTEGER) AS partition, COUNT(*) AS n_visible,
+       CAST(MAX(t."offset") AS BIGINT) AS max_offset
+FROM txlog t
+JOIN lso USING (partition)
+WHERE NOT t.is_control AND t."offset" < lso.lso
+  AND NOT EXISTS (
+    SELECT 1 FROM tx_ranges a
+    WHERE a.outcome = 'aborted' AND a.partition = t.partition
+      AND a.producer_id = t.producer_id AND t.is_transactional
+      AND t."offset" BETWEEN a.first_offset AND a.last_offset)
+GROUP BY t.partition
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytics layer: TPC-H-style aggregations/joins over the star schema
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
+                6,
+            ).alias("sum_disc_price"),
+            F.round(
+                (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Revenue per nation (supplier-side), region-filtered broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    dims = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q5ISH = """
+SELECT r_name, n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    """Streaming-analytics analog: per-type daily counts + exact value sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"), F.to_date(F.col("ts")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: text analysis + dedup + similarity
+# --------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.char_count("text").cast("long").alias("n_chars_computed"),
+        F.round(TXT.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TXT.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN)
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_computed,
+  ROUND(CASE WHEN length(text) > 0
+    THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+    ELSE 0.0 END, 6) AS punct_ratio,
+  ROUND(CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) > 0
+    THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> lower(t) IN ({_SW}))) AS DOUBLE)
+         / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))
+    ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id("text").alias("lang_pred"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in TXT.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"t -> lower(t) IN ({markers})))"
+    )
+
+
+# argmax with ties → higher language code wins (matches Spark's struct
+# (score, lang) array_max): first match in code-descending order whose score
+# is positive and >= all others.
+_langs_desc = sorted(TXT.LANG_MARKERS, reverse=True)
+_lang_case = "CASE "
+for lang in _langs_desc:
+    all_ge = " AND ".join(f"s_{lang} >= s_{o}" for o in _langs_desc if o != lang)
+    _lang_case += f"WHEN s_{lang} > 0 AND {all_ge} THEN '{lang}' "
+_lang_case += "ELSE 'und' END"
+
+_lang_scores_select = ", ".join(
+    f"{_lang_score_sql(lang)} AS s_{lang}" for lang in TXT.LANG_MARKERS
+)
+SQL_DOC_LANG_ID = f"""
+WITH scored AS (SELECT doc_id, {_lang_scores_select} FROM documents)
+SELECT doc_id, {_lang_case} AS lang_pred FROM scored
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TXT.fingerprint("text").cast("long").alias("fp")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, CAST(list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''),
+                   t -> CAST(length(t) * 97 + ascii(t) AS BIGINT))),
+  (acc, x) -> (acc * 31 + x) % {TXT.FP_MOD}) AS BIGINT) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_ids(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_ngram(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.3)
+
+
+SQL_DEDUP_NGRAM = """
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(range(len(toks) - 1),
+      i -> toks[i + 1] || ' ' || toks[i + 2]))) AS s
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id AS id, list_aggregate(toks, 'string_agg', ' ') AS s
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) < 2
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup (xxhash64 signatures — no SQL oracle; verified
+    rows-only + by unit tests against exact Jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup (xxhash64-based — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 20."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    corpus = emb
+    return brute_force_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos"
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, c.v) /
+          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM q JOIN e c ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (driver-fit centroids — rows-only check;
+    recall vs brute force asserted in unit tests)."""
+    spark_ = spark
+    emb = _t(spark_, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, n_cells=16, sample_fraction=1.0)
+    corpus = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(corpus, queries, cents, k=10, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# Catalog
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "log_fetch": q_log_fetch,
+    "log_list_offsets": q_log_list_offsets,
+    "log_timequery": q_log_timequery,
+    "log_retention_time": q_log_retention_time,
+    "log_delete_records": q_log_delete_records,
+    "log_compact": q_log_compact,
+    "log_idempotent_dedup": q_log_idempotent_dedup,
+    "group_offset_fetch": q_group_offset_fetch,
+    "group_lag": q_group_lag,
+    "tx_read_committed": q_tx_read_committed,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5ish": q_tpch_q5ish,
+    "events_daily": q_events_daily,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_near_dup": q_emb_near_dup,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLES: dict[str, str] = {
+    "log_fetch": SQL_LOG_FETCH,
+    "log_list_offsets": SQL_LOG_LIST_OFFSETS,
+    "log_timequery": SQL_LOG_TIMEQUERY,
+    "log_retention_time": SQL_LOG_RETENTION_TIME,
+    "log_delete_records": SQL_LOG_DELETE_RECORDS,
+    "log_compact": SQL_LOG_COMPACT,
+    "log_idempotent_dedup": SQL_LOG_IDEMPOTENT_DEDUP,
+    "group_offset_fetch": SQL_GROUP_OFFSET_FETCH,
+    "group_lag": SQL_GROUP_LAG,
+    "tx_read_committed": SQL_TX_READ_COMMITTED,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5ish": SQL_TPCH_Q5ISH,
+    "events_daily": SQL_EVENTS_DAILY,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram": SQL_DEDUP_NGRAM,
+    "emb_near_dup": SQL_EMB_NEAR_DUP,
+    "ann_topk": SQL_ANN_TOPK,
+    # dedup_minhash / dedup_simhash / ann_ivf: intentionally no oracle
+    # (xxhash64 signatures / sampled centroids aren't SQL-expressible);
+    # unit tests assert their agreement with exact methods instead.
+}

@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+cross-join against the corpus, window top-k per query. The corpus side
+never shuffles (queries are broadcast) and the top-k is a partial
+aggregation, so this scales to the full corpus size linearly.
+
+Scale path: IVF — k-means-style coarse centroids (sampled, driver-fit via
+numpy), assign each corpus vector to its nearest centroid once, and probe
+only ``nprobe`` cells per query: the cross-join shrinks by ~n_cells/nprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.vectors import as_double, cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cos).
+
+    Ties broken by neighbor id (deterministic, oracle-matchable).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    joined = c.join(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.2,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mini k-means on a sample (driver-side numpy on ≤ ~100k sampled rows).
+
+    At 100 TB the sample fraction drops accordingly — centroid fitting cost
+    is independent of corpus size.
+    """
+    sample = (
+        emb.select(as_double(vec_col).alias("v"))
+        .sample(fraction=sample_fraction, seed=seed)
+        .limit(100_000)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample])
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d = x @ cents.T
+        assign = d.argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cents[c] = v / (np.linalg.norm(v) + 1e-12)
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Attach ``cell`` = argmax-dot centroid id. One pass, JVM fold per centroid."""
+    v = as_double(vec_col)
+    scores = F.array(
+        *[
+            F.struct(
+                dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cell", F.array_max(scores)["cell"])
+
+
+def ivf_topk(
+    corpus_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: probe the nprobe closest cells per query, exact rerank."""
+    q = ivf_probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
+    c = corpus_with_cells.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+    )
+    joined = c.join(F.broadcast(q), "cell").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(k))
+        .select("query_id", "neighbor_id", "rank", "cos")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    v = as_double(vec_col)
+    scores = F.array(
+        *[
+            F.struct(
+                dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        v.alias("qv"),
+        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
+    )

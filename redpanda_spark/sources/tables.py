@@ -1,0 +1,80 @@
+"""Table loaders + topic-view builders.
+
+``topic_view`` adapts the driver's synthetic ``events`` table into the
+canonical topic/partition/offset log shape (SURVEY.md §1.4): the topic is a
+partitioned, offset-indexed record table, exactly how the reference models a
+Kafka topic (`src/v/model/fundamental.h:299` topic_partition,
+`src/v/model/record.h:151` record).
+
+Scale notes:
+- ``partition`` is derived with ``pmod`` (hash-partitioner analog); at ingest
+  time the real path assigns it via the murmur2 partitioner
+  (functions.hashes.murmur2_partition) for byte-compat with Kafka clients.
+- ``offset`` here is derived with a per-partition window ordered by the
+  monotonic event id. This is a *view adapter for pre-generated testdata
+  only*: a real append path assigns offsets at write time (see
+  operators/log.py::assign_offsets) so no global sort is ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from redpanda_spark.datamodel import TESTDATA_TABLES
+
+DEFAULT_NUM_PARTITIONS = 8
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Some testdata files carry TIMESTAMP(NANOS) columns, which Spark's
+    # reader rejects; read them as int64 nanos and truncate to micros.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def topic_view(
+    spark: SparkSession,
+    sf_dir: str,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> DataFrame:
+    """events table → canonical log columns.
+
+    Output: partition INT, offset BIGINT (contiguous per partition from 0),
+    timestamp, key (user_id), event_type, value, props, event_id.
+
+    The window shuffle here is one repartition-by-partition + local sort —
+    the same distribution every downstream per-partition operator needs, so
+    Catalyst reuses the exchange. At 100 TB the real table is written
+    pre-partitioned and offsets are already materialized; this adapter only
+    exists for the read-only testdata.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    part = F.pmod(F.col("user_id"), F.lit(num_partitions)).cast("int")
+    w = Window.partitionBy("partition").orderBy("event_id")
+    return (
+        ev.withColumn("partition", part)
+        .withColumn("offset", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+
+
+# DuckDB-equivalent SQL for topic_view, used to build oracle queries that the
+# driver cross-checks. Keep in lock-step with topic_view().
+def topic_view_oracle_sql(num_partitions: int = DEFAULT_NUM_PARTITIONS) -> str:
+    return f"""
+    SELECT *,
+           CAST(user_id % {num_partitions} AS INTEGER) AS partition,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id % {num_partitions}
+                                   ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+    FROM events
+    """

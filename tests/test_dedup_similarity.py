@@ -1,0 +1,97 @@
+"""Dedup + similarity tests: exact vs approximate agreement, recall bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.dedup.exact import dup_groups, exact_dedup
+from redpanda_spark.dedup.minhash import jaccard_pairs, near_dup_pairs
+from redpanda_spark.dedup.ngram import ngram_jaccard_pairs
+from redpanda_spark.dedup.simhash import simhash_near_dups
+from redpanda_spark.similarity.ann import (
+    brute_force_topk,
+    fit_ivf_centroids,
+    ivf_assign,
+    ivf_topk,
+)
+from redpanda_spark.sources.tables import load_table
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_exact_dedup(spark):
+    docs = docs_df(spark, ["hello world", "foo bar", "hello world", "baz"])
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [0, 1, 3]
+    groups = dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every day"
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),  # near-dup of 0
+        "completely different content about spark dataframes and shuffles here",
+        base,  # exact dup of 0
+    ]
+    docs = docs_df(spark, texts)
+    pairs = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(docs, threshold=0.4).collect()}
+    assert (0, 3) in pairs
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_candidates_agree_with_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = near_dup_pairs(docs, threshold=0.5).collect()
+    for r in out:
+        assert r["jaccard"] >= 0.5  # verified stage is exact
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = docs_df(spark, ["a b c d", "a b c e", "x y z w"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.0).collect()}
+    # doc0 bigrams {ab,bc,cd}, doc1 {ab,bc,ce}: inter=2, union=4 → 0.5
+    assert out[(0, 1)] == 0.5
+    assert (0, 2) not in out or out[(0, 2)] == 0.0
+
+
+def test_simhash_near_dups(spark):
+    base = ("spark structured streaming processes records with exactly once "
+            "semantics using checkpoints and write ahead logs for recovery")
+    texts = [base, base.replace("records", "events"), "totally unrelated short text"]
+    docs = docs_df(spark, texts)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dups(docs, max_hamming=12).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_brute_force_topk_self_is_nearest_when_included(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    queries = emb.where(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    out = brute_force_topk(emb, queries, k=3, include_self=True).collect()
+    best = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    for q, n in best.items():
+        assert q == n  # cosine(v, v) = 1 is always rank 1
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = fit_ivf_centroids(emb, n_cells=8, sample_fraction=1.0)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(ivf_assign(emb, cents), queries, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

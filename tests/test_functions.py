@@ -1,0 +1,103 @@
+"""Scalar-kernel tests: murmur2 byte-compat, text analysis, vector math."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions import text as TXT
+from redpanda_spark.functions.hashes import murmur2, murmur2_partition, murmur2_partition_udf
+from redpanda_spark.functions.vectors import as_double, cosine, dot
+
+
+# Golden values from Apache Kafka's Utils.murmur2 (public test vectors:
+# kafka clients ConsumerRecordTest / Utils murmur2 of well-known strings).
+KAFKA_MURMUR2_GOLDEN = {
+    b"21": -973932308 & 0xFFFFFFFF,
+    b"foobar": -790332482 & 0xFFFFFFFF,
+    b"a-little-bit-long-string": -985981536 & 0xFFFFFFFF,
+    b"a-little-bit-longer-string": -1486304829 & 0xFFFFFFFF,
+    b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971 & 0xFFFFFFFF,
+}
+
+
+def test_murmur2_kafka_golden_vectors():
+    for k, expected in KAFKA_MURMUR2_GOLDEN.items():
+        assert murmur2(k) == expected, k
+
+
+def test_murmur2_partition_range():
+    for key in [b"", b"x", b"hello", bytes(range(256))]:
+        p = murmur2_partition(key, 12)
+        assert 0 <= p < 12
+
+
+def test_murmur2_udf_matches_python(spark):
+    keys = [b"foobar", b"21", b"abc", None, b"\x00\x01\x02"]
+    df = spark.createDataFrame([Row(key=k) for k in keys])
+    out = df.select(murmur2_partition_udf(16)(F.col("key")).alias("p")).collect()
+    for k, r in zip(keys, out):
+        expected = -1 if k is None else murmur2_partition(k, 16)
+        assert r["p"] == expected
+
+
+def test_token_count_and_ratios(spark):
+    df = spark.createDataFrame([Row(text="The cat, and the dog!"), Row(text="   "), Row(text="")])
+    out = df.select(
+        TXT.token_count("text").alias("n"),
+        F.round(TXT.stopword_ratio("text"), 4).alias("sw"),
+        F.round(TXT.punct_ratio("text"), 4).alias("p"),
+    ).collect()
+    assert out[0]["n"] == 5
+    assert out[0]["sw"] == 0.6  # 'The', 'and', 'the' of 5 (case-insensitive)
+    assert out[0]["p"] == round(2 / 21, 4)
+    assert out[1]["n"] == 0 and out[2]["n"] == 0
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([Row(text="hello world42!")])
+    # hello, world, 42, ! → 4
+    assert df.select(TXT.bpe_token_count("text").alias("n")).collect()[0]["n"] == 4
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat and the dog is in that house"),
+            Row(text="der hund und die katze ist nicht da"),
+            Row(text="le chat et la maison est une belle"),
+            Row(text="xyzzy qwerty plugh"),
+        ]
+    )
+    out = [r["l"] for r in df.select(TXT.lang_id("text").alias("l")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([Row(text="a b c"), Row(text="c b a"), Row(text="a b c")])
+    out = [r["fp"] for r in df.select(TXT.fingerprint("text").alias("fp")).collect()]
+    assert out[0] == out[2]
+    assert out[0] != out[1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d"), Row(text="a b")])
+    out = df.select(TXT.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == ["a b c", "b c d"]
+    assert out[1]["sh"] == ["a b"]  # shorter than n → whole doc as one shingle
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert r["d"] == 32.0
+    expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(r["c"] - expected) < 1e-12
