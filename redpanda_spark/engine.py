@@ -1,0 +1,312 @@
+"""TopicEngine — the Kafka-surface lifecycle over parquet-backed topic tables.
+
+Maps the reference's RPC surface (SURVEY.md §2.1) onto table operations:
+
+  create_topic / delete_topic        CreateTopics/DeleteTopics (create_topics.cc)
+  produce                            Produce (handlers/produce.cc:311-500):
+                                     murmur2 key routing, timestamp-type
+                                     enforcement, idempotent dedup, offset
+                                     assignment, atomic per-partition append
+  fetch                              Fetch (handlers/fetch.cc:300): offset-range
+                                     scan with isolation level
+  list_offsets / timequery           ListOffsets (list_offsets.cc:66-157)
+  delete_records                     DeleteRecords (delete_records.cc:115-172)
+  run_retention / run_compaction     storage GC + keep-latest compaction
+  offset_commit / offset_fetch       group offsets (group_metadata.h)
+
+Storage layout: ``root/<topic>/partition=<p>/*.parquet`` — hive-partitioned
+so partition pruning is native; each produce batch writes one file per
+touched partition (the "segment" analog). Offsets are contiguous per
+partition: the high-offset table is read before append and the append is
+the atomic commit point (single-writer per topic, like a partition leader).
+
+At cluster scale the same layout works on object storage (s3://…) — Spark
+reads/writes it identically; that's the reference's tiered storage
+(`cloud_storage/`) for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.hashes import murmur2_partition_udf
+from redpanda_spark.operators import log as LOG
+from redpanda_spark.operators.compaction import (
+    compact_keep_latest,
+    compact_with_tombstone_grace,
+)
+from redpanda_spark.operators.groups import offset_fetch as _offset_fetch
+from redpanda_spark.operators.transactions import read_committed as _read_committed
+
+
+@dataclass
+class TopicConfig:
+    partitions: int = 1
+    cleanup_policy: str = "delete"  # delete | compact
+    retention_ms: int | None = None
+    retention_bytes: int | None = None
+    timestamp_type: str = "CreateTime"  # CreateTime | LogAppendTime
+    delete_retention_ms: int = 86400000  # tombstone grace
+    configs: dict[str, str] = field(default_factory=dict)
+
+
+class TopicEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._meta_path = os.path.join(root, "_topics.json")
+        self._offsets_path = os.path.join(root, "_offsets.json")  # high watermarks
+        self._topics: dict[str, TopicConfig] = {}
+        self._high: dict[str, dict[int, int]] = {}
+        self._load_state()
+
+    # -- catalog ----------------------------------------------------------
+
+    def _load_state(self) -> None:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                raw = json.load(f)
+            self._topics = {t: TopicConfig(**c) for t, c in raw.items()}
+        if os.path.exists(self._offsets_path):
+            with open(self._offsets_path) as f:
+                self._high = {
+                    t: {int(p): o for p, o in ps.items()}
+                    for t, ps in json.load(f).items()
+                }
+
+    def _save_state(self) -> None:
+        with open(self._meta_path, "w") as f:
+            json.dump({t: vars(c) for t, c in self._topics.items()}, f)
+        with open(self._offsets_path, "w") as f:
+            json.dump(self._high, f)
+
+    def create_topic(self, topic: str, config: TopicConfig | None = None) -> None:
+        if topic in self._topics:
+            raise ValueError(f"topic exists: {topic}")
+        self._topics[topic] = config or TopicConfig()
+        self._high[topic] = {p: 0 for p in range(self._topics[topic].partitions)}
+        os.makedirs(self._topic_dir(topic), exist_ok=True)
+        self._save_state()
+
+    def delete_topic(self, topic: str) -> None:
+        self._require(topic)
+        del self._topics[topic]
+        self._high.pop(topic, None)
+        shutil.rmtree(self._topic_dir(topic), ignore_errors=True)
+        self._save_state()
+
+    def list_topics(self) -> dict[str, TopicConfig]:
+        return dict(self._topics)
+
+    def _topic_dir(self, topic: str) -> str:
+        return os.path.join(self.root, topic)
+
+    def _require(self, topic: str) -> TopicConfig:
+        if topic not in self._topics:
+            raise KeyError(f"unknown topic: {topic}")
+        return self._topics[topic]
+
+    # -- produce ----------------------------------------------------------
+
+    def produce(self, topic: str, batch: DataFrame) -> dict[int, int]:
+        """Append a batch of records; returns {partition: base_offset}.
+
+        ``batch`` columns: key binary (nullable), value binary (nullable),
+        optional timestamp, optional partition int (explicit routing),
+        optional headers/producer_id/producer_epoch/base_sequence.
+
+        Pipeline (mirrors produce.cc): route partition (explicit, else
+        murmur2(key), else round-robin via monotonic id) → timestamp
+        validate/rewrite per topic timestamp_type → assign contiguous
+        offsets from the stored high watermark → append one parquet file
+        set per partition.
+        """
+        cfg = self._require(topic)
+        n_parts = cfg.partitions
+
+        cols = batch.columns
+        df = batch
+        if "partition" not in cols:
+            df = df.withColumn("_mid", F.monotonically_increasing_id())
+            routed = murmur2_partition_udf(n_parts)(F.col("key"))
+            df = df.withColumn(
+                "partition",
+                F.when(F.col("key").isNotNull(), routed)
+                .otherwise(F.pmod(F.col("_mid"), F.lit(n_parts)).cast("int")),
+            ).drop("_mid")
+        if "timestamp" not in df.columns or cfg.timestamp_type == "LogAppendTime":
+            df = df.withColumn("timestamp", F.current_timestamp())
+        for c, t in [
+            ("headers", "array<struct<key:string,value:binary>>"),
+            ("producer_id", "bigint"),
+            ("producer_epoch", "smallint"),
+            ("base_sequence", "int"),
+        ]:
+            if c not in df.columns:
+                df = df.withColumn(
+                    c,
+                    F.lit(None).cast(t) if c == "headers" else F.lit(-1).cast(t),
+                )
+        df = df.withColumn("is_transactional", F.lit(False)).withColumn(
+            "is_control", F.lit(False)
+        )
+        df = df.withColumn("ingest_seq", F.monotonically_increasing_id())
+
+        base = dict(self._high.get(topic, {}))
+        df = LOG.assign_offsets(df, base_offsets=base)
+        df = df.drop("ingest_seq")
+
+        out_dir = self._topic_dir(topic)
+        df.write.mode("append").partitionBy("partition").parquet(out_dir)
+
+        counts = {
+            r["partition"]: r["n"]
+            for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
+        }
+        bases = {p: base.get(p, 0) for p in counts}
+        for p, n in counts.items():
+            self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
+        self._save_state()
+        return bases
+
+    # -- read paths -------------------------------------------------------
+
+    def log(self, topic: str) -> DataFrame:
+        """The topic as a DataFrame (partition pruning via hive layout)."""
+        self._require(topic)
+        d = self._topic_dir(topic)
+        try:
+            df = self.spark.read.parquet(d)
+        except Exception:
+            # empty topic: no files yet
+            from redpanda_spark.datamodel import RECORD_SCHEMA
+
+            return self.spark.createDataFrame([], RECORD_SCHEMA).drop(
+                "topic", "timestamp_type"
+            )
+        starts = self._log_starts(topic)
+        if starts:
+            df = LOG.delete_records(df, starts)
+        return df
+
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int = 0,
+        max_records: int | None = None,
+        isolation: str = "read_uncommitted",
+        tx_ranges: DataFrame | None = None,
+    ) -> DataFrame:
+        log = self.log(topic)
+        if isolation == "read_committed" and tx_ranges is not None:
+            log = _read_committed(log, tx_ranges)
+        return LOG.fetch(log, partition=partition, start_offset=offset, max_records=max_records)
+
+    def list_offsets(self, topic: str) -> DataFrame:
+        return LOG.list_offsets(self.log(topic))
+
+    def timequery(self, topic: str, ts) -> DataFrame:
+        return LOG.timequery(self.log(topic), ts)
+
+    def high_watermarks(self, topic: str) -> dict[int, int]:
+        self._require(topic)
+        return dict(self._high.get(topic, {}))
+
+    # -- admin / maintenance ---------------------------------------------
+
+    def _log_starts(self, topic: str) -> dict[int, int]:
+        cfg = self._require(topic)
+        return {
+            int(p): int(o)
+            for p, o in json.loads(cfg.configs.get("_log_starts", "{}")).items()
+        }
+
+    def delete_records(self, topic: str, start_offsets: dict[int, int]) -> None:
+        """Advance log start offsets (visibility-immediate prefix truncate)."""
+        cfg = self._require(topic)
+        cur = self._log_starts(topic)
+        for p, o in start_offsets.items():
+            cur[p] = max(cur.get(p, 0), o)
+        cfg.configs["_log_starts"] = json.dumps(cur)
+        self._save_state()
+
+    def run_retention(self, topic: str, now_ms: int | None = None) -> None:
+        """Physically rewrite the topic applying time retention + log starts
+        (the reference's segment GC; here a compacting rewrite)."""
+        cfg = self._require(topic)
+        log = self.log(topic)
+        if cfg.retention_ms is not None:
+            now = (now_ms or int(time.time() * 1000)) / 1000.0
+            cutoff = F.timestamp_seconds(F.lit(now - cfg.retention_ms / 1000.0))
+            log = LOG.retain_by_time(log, cutoff)
+        self._rewrite(topic, log)
+
+    def run_compaction(self, topic: str, now_ms: int | None = None) -> None:
+        """Keep-latest-per-key + tombstone grace (cleanup.policy=compact)."""
+        cfg = self._require(topic)
+        log = self.log(topic)
+        now_s = (now_ms or int(time.time() * 1000)) / 1000.0
+        compacted = compact_with_tombstone_grace(
+            log,
+            ["partition", "key"],
+            "value",
+            F.timestamp_seconds(F.lit(now_s)),
+            cfg.delete_retention_ms,
+        ).select(*log.columns)
+        self._rewrite(topic, compacted)
+
+    def _rewrite(self, topic: str, df: DataFrame) -> None:
+        d = self._topic_dir(topic)
+        tmp = d + ".compact.tmp"
+        df.write.mode("overwrite").partitionBy("partition").parquet(tmp)
+        old = d + ".old"
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- consumer offsets -------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_consumer_offsets")
+
+    def offset_commit(
+        self, group_id: str, topic: str, partition: int, offset: int,
+        metadata: str = "", deleted: bool = False,
+    ) -> None:
+        row = [
+            (
+                group_id,
+                topic,
+                partition,
+                offset,
+                0,
+                metadata,
+                time.time_ns(),
+                deleted,
+            )
+        ]
+        df = self.spark.createDataFrame(
+            row,
+            "group_id string, topic string, partition int, committed_offset long,"
+            " leader_epoch int, metadata string, commit_seq long, deleted boolean",
+        )
+        df.write.mode("append").parquet(self._commits_dir())
+
+    def offset_delete(self, group_id: str, topic: str, partition: int) -> None:
+        self.offset_commit(group_id, topic, partition, -1, deleted=True)
+
+    def offset_fetch(self, group_id: str | None = None) -> DataFrame:
+        commits = self.spark.read.parquet(self._commits_dir())
+        out = _offset_fetch(commits)
+        if group_id is not None:
+            out = out.where(F.col("group_id") == group_id)
+        return out

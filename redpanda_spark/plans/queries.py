@@ -773,3 +773,309 @@ ORACLES: dict[str, str] = {
     # (xxhash64 signatures / sampled centroids aren't SQL-expressible);
     # unit tests assert their agreement with exact methods instead.
 }
+
+
+# --------------------------------------------------------------------------
+# Extended catalog: tombstone compaction, size retention, list_groups,
+# JSON decode, sessionization, more TPC-H, multimodal metadata
+# --------------------------------------------------------------------------
+
+FAR_FUTURE = "2030-01-01 00:00:00"
+
+
+def q_log_compact_tombstones(spark, sf_dir):
+    """Compaction with tombstone removal after grace (disk_log_impl.cc
+    sliding-window + tombstone grace). Simulated tombstones: error events
+    carry a NULL value; grace elapsed -> latest-is-tombstone keys vanish."""
+    from redpanda_spark.operators.compaction import compact_with_tombstone_grace
+
+    log = (
+        topic_view(spark, sf_dir, NUM_PARTITIONS)
+        .withColumn("v", F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value")))
+        .withColumnRenamed("ts", "timestamp")
+        .select("partition", "offset", "user_id", "timestamp", "v")
+    )
+    out = compact_with_tombstone_grace(
+        log, ["partition", "user_id"], "v", F.to_timestamp(F.lit(FAR_FUTURE)), 0
+    )
+    return out.select(
+        F.col("partition").cast("int"), F.col("user_id"), F.col("offset").cast("long")
+    )
+
+
+SQL_LOG_COMPACT_TOMBSTONES = f"""
+WITH {LOG_CTE},
+latest AS (
+  SELECT CAST(partition AS INTEGER) AS partition, user_id,
+         CAST("offset" AS BIGINT) AS "offset",
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM log
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY partition, user_id ORDER BY "offset" DESC) = 1
+)
+SELECT partition, user_id, "offset" FROM latest WHERE v IS NOT NULL
+"""
+
+
+def q_log_retention_size(spark, sf_dir):
+    """Size-based retention: newest records within a per-partition byte
+    budget (disk_log_impl.cc:367-417). Row size = 16B header + payload."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).withColumn(
+        "nbytes", F.lit(16) + F.length("event_type") + F.length("props")
+    )
+    kept = LOG.retain_by_size(log, 4096, "nbytes")
+    return kept.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_kept"), F.min("offset").cast("long").alias("min_offset")
+    )
+
+
+SQL_LOG_RETENTION_SIZE = f"""
+WITH {LOG_CTE},
+sized AS (
+  SELECT partition, "offset",
+         SUM(16 + length(event_type) + length(props)) OVER (
+           PARTITION BY partition ORDER BY "offset" DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM log
+)
+SELECT CAST(partition AS INTEGER) AS partition, COUNT(*) AS n_kept,
+       CAST(MIN("offset") AS BIGINT) AS min_offset
+FROM sized WHERE cum <= 4096 GROUP BY partition
+"""
+
+
+def q_group_list_groups(spark, sf_dir):
+    """ListGroups RPC: enumerate known groups."""
+    commits = _sim_commits(spark, sf_dir)
+    return commits.select("group_id").distinct()
+
+
+SQL_GROUP_LIST_GROUPS = f"""
+WITH {LOG_CTE}, {_SIM_COMMITS_CTE}
+SELECT DISTINCT group_id FROM commits
+"""
+
+
+def q_events_props_extract(spark, sf_dir):
+    """Typed JSON decode of the value payload (datalake record_translator
+    analog over the events.props column)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: count sessions per user with a 30-min inactivity gap
+    (streaming session_window analog, batch form)."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S}
+              OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+def q_events_topk_users(spark, sf_dir):
+    """Top-10 users by exact total value (decimal-safe), id tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias("total_value"),
+        F.count("*").alias("n"),
+    )
+    return agg.orderBy(F.col("total_value").desc(), F.col("user_id")).limit(10)
+
+
+SQL_EVENTS_TOPK_USERS = """
+SELECT user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast revenue: tight scan with pushed-down predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 6).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10ish(spark, sf_dir):
+    """Top-20 customers by returned-item revenue (Q10 shape): big fact join
+    + broadcast dims + ranked output."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10ISH = """
+SELECT c_custkey, c_name, n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_mm_image_metadata(spark, sf_dir):
+    """Multimodal plumbing over binary columns: per-media decode metadata
+    (stub codec, real Spark path). Media = document text bytes."""
+    from redpanda_spark.functions.multimodal import image_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return image_metadata(media).select(
+        "media_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("channels").cast("int"),
+        "sha256",
+    )
+
+
+SQL_MM_IMAGE_METADATA = """
+SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels, sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling flatMap shape (rows-only: stub frames)."""
+    from redpanda_spark.functions.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
+    )
+    return frame_sample(media, every_n=2, n_frames=4).select(
+        "media_id", F.col("frame_idx").cast("int")
+    )
+
+
+def q_mm2_routing(spark, sf_dir):
+    """Byte-compat murmur2 key->partition routing distribution (rows-only:
+    DuckDB has no Kafka murmur2; golden-vector tests pin the kernel)."""
+    from redpanda_spark.functions.hashes import murmur2_partition_udf
+
+    cust = _t(spark, sf_dir, "customer")
+    routed = cust.select(
+        murmur2_partition_udf(16)(F.col("c_name").cast("binary")).alias("partition")
+    )
+    return routed.groupBy("partition").agg(F.count("*").alias("n"))
+
+
+QUERIES.update(
+    {
+        "log_compact_tombstones": q_log_compact_tombstones,
+        "log_retention_size": q_log_retention_size,
+        "group_list_groups": q_group_list_groups,
+        "events_props_extract": q_events_props_extract,
+        "events_sessionize": q_events_sessionize,
+        "events_topk_users": q_events_topk_users,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10ish": q_tpch_q10ish,
+        "mm_image_metadata": q_mm_image_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm2_routing": q_mm2_routing,
+    }
+)
+
+ORACLES.update(
+    {
+        "log_compact_tombstones": SQL_LOG_COMPACT_TOMBSTONES,
+        "log_retention_size": SQL_LOG_RETENTION_SIZE,
+        "group_list_groups": SQL_GROUP_LIST_GROUPS,
+        "events_props_extract": SQL_EVENTS_PROPS_EXTRACT,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_topk_users": SQL_EVENTS_TOPK_USERS,
+        "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q10ish": SQL_TPCH_Q10ISH,
+        "mm_image_metadata": SQL_MM_IMAGE_METADATA,
+        # mm_frame_sample / mm2_routing: rows-only (stub frames / no murmur2
+        # in DuckDB); unit tests pin their kernels.
+    }
+)

@@ -1,0 +1,342 @@
+"""Schema registry — subjects, versions, global ids, compatibility.
+
+Reference: `src/v/pandaproxy/schema_registry/` — subjects map to versioned
+schemas of type AVRO | JSON | PROTOBUF (`types.h:67`), compatibility levels
+NONE/BACKWARD/FORWARD/FULL (+ _TRANSITIVE) (`types.h:481`), per-type
+compatibility checkers (`avro.cc`, `compatibility.cc`), soft-delete
+semantics, and schema-id produce validation
+(`schema_id_validation.h`, produce.cc:360-362).
+
+This implementation keeps the store driver-side (schemas are tiny metadata;
+the reference likewise keeps them on a single _schemas topic) and persists
+to a JSON file so engines across sessions share state. The Avro
+compatibility checker implements the record-field rules that cover the
+reference's test matrix: reader ignores removed fields only with defaults,
+added reader fields need defaults, type promotions int→long→float→double.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+SCHEMA_TYPES = ("AVRO", "JSON", "PROTOBUF")
+COMPAT_LEVELS = (
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+)
+
+# Avro numeric promotions: writer type -> acceptable reader types
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+class CompatibilityError(Exception):
+    pass
+
+
+@dataclass
+class SchemaVersion:
+    subject: str
+    version: int
+    id: int
+    type: str
+    schema: str
+    deleted: bool = False
+
+
+class SchemaRegistry:
+    def __init__(self, path: str | None = None):
+        self._path = path
+        self._subjects: dict[str, list[SchemaVersion]] = {}
+        self._by_id: dict[int, SchemaVersion] = {}
+        self._compat: dict[str, str] = {}
+        self._global_compat = "BACKWARD"
+        self._next_id = 1
+        if path and os.path.exists(path):
+            self._load()
+
+    # -- persistence ------------------------------------------------------
+
+    def _load(self) -> None:
+        with open(self._path) as f:
+            raw = json.load(f)
+        self._subjects = {
+            s: [SchemaVersion(**v) for v in vs] for s, vs in raw["subjects"].items()
+        }
+        self._by_id = {v.id: v for vs in self._subjects.values() for v in vs}
+        self._compat = raw["compat"]
+        self._global_compat = raw["global_compat"]
+        self._next_id = raw["next_id"]
+
+    def _save(self) -> None:
+        if not self._path:
+            return
+        with open(self._path, "w") as f:
+            json.dump(
+                {
+                    "subjects": {
+                        s: [asdict(v) for v in vs] for s, vs in self._subjects.items()
+                    },
+                    "compat": self._compat,
+                    "global_compat": self._global_compat,
+                    "next_id": self._next_id,
+                },
+                f,
+            )
+
+    # -- registration -----------------------------------------------------
+
+    def register(self, subject: str, schema: str, schema_type: str = "AVRO") -> int:
+        """Register a schema version; returns the global schema id.
+        Re-registering an identical schema returns the existing id."""
+        if schema_type not in SCHEMA_TYPES:
+            raise ValueError(f"unknown schema type: {schema_type}")
+        versions = self._subjects.setdefault(subject, [])
+        canon = _canonical(schema, schema_type)
+        for v in versions:
+            if not v.deleted and _canonical(v.schema, v.type) == canon:
+                return v.id
+        level = self.get_compatibility(subject)
+        live = [v for v in versions if not v.deleted]
+        if live and level != "NONE":
+            check_against = live if level.endswith("_TRANSITIVE") else [live[-1]]
+            for prev in check_against:
+                self._check_pair(prev, schema, schema_type, level)
+        sid = self._next_id
+        self._next_id += 1
+        ver = SchemaVersion(
+            subject=subject,
+            version=(live[-1].version + 1) if live else 1,
+            id=sid,
+            type=schema_type,
+            schema=schema,
+        )
+        versions.append(ver)
+        self._by_id[sid] = ver
+        self._save()
+        return sid
+
+    def _check_pair(
+        self, prev: SchemaVersion, schema: str, schema_type: str, level: str
+    ) -> None:
+        if prev.type != schema_type:
+            raise CompatibilityError(
+                f"schema type changed: {prev.type} -> {schema_type}"
+            )
+        base = level.replace("_TRANSITIVE", "")
+        ok, why = test_compatibility(prev.schema, schema, schema_type, base)
+        if not ok:
+            raise CompatibilityError(
+                f"incompatible with version {prev.version} under {level}: {why}"
+            )
+
+    # -- lookup -----------------------------------------------------------
+
+    def get_by_id(self, schema_id: int) -> SchemaVersion:
+        return self._by_id[schema_id]
+
+    def get_latest(self, subject: str) -> SchemaVersion:
+        live = [v for v in self._subjects.get(subject, []) if not v.deleted]
+        if not live:
+            raise KeyError(f"no live versions for subject {subject}")
+        return live[-1]
+
+    def get_version(self, subject: str, version: int) -> SchemaVersion:
+        for v in self._subjects.get(subject, []):
+            if v.version == version and not v.deleted:
+                return v
+        raise KeyError(f"{subject} v{version}")
+
+    def versions(self, subject: str) -> list[int]:
+        return [v.version for v in self._subjects.get(subject, []) if not v.deleted]
+
+    def subjects(self) -> list[str]:
+        return [
+            s for s, vs in self._subjects.items() if any(not v.deleted for v in vs)
+        ]
+
+    def delete_version(self, subject: str, version: int) -> None:
+        self.get_version(subject, version).deleted = True
+        self._save()
+
+    def delete_subject(self, subject: str) -> list[int]:
+        out = []
+        for v in self._subjects.get(subject, []):
+            if not v.deleted:
+                v.deleted = True
+                out.append(v.version)
+        self._save()
+        return out
+
+    # -- compatibility config --------------------------------------------
+
+    def set_compatibility(self, level: str, subject: str | None = None) -> None:
+        if level not in COMPAT_LEVELS:
+            raise ValueError(f"unknown level {level}")
+        if subject is None:
+            self._global_compat = level
+        else:
+            self._compat[subject] = level
+        self._save()
+
+    def get_compatibility(self, subject: str | None = None) -> str:
+        if subject is not None and subject in self._compat:
+            return self._compat[subject]
+        return self._global_compat
+
+    # -- schema-id wire-format validation (produce gate) ------------------
+
+    def validate_wire_bytes(self, payload: bytes, subject: str) -> bool:
+        """Confluent wire format: MAGIC=0x00 + 4-byte big-endian schema id.
+        True iff the id exists and belongs to ``subject``
+        (reference: schema_id_validation.h, produce.cc:360-362)."""
+        if payload is None or len(payload) < 5 or payload[0] != 0:
+            return False
+        sid = int.from_bytes(payload[1:5], "big")
+        v = self._by_id.get(sid)
+        return v is not None and not v.deleted and v.subject == subject
+
+    @staticmethod
+    def wire_encode(schema_id: int, body: bytes) -> bytes:
+        return b"\x00" + schema_id.to_bytes(4, "big") + body
+
+
+# -- compatibility checkers ------------------------------------------------
+
+
+def _canonical(schema: str, schema_type: str) -> str:
+    if schema_type in ("AVRO", "JSON"):
+        try:
+            return json.dumps(json.loads(schema), sort_keys=True)
+        except json.JSONDecodeError:
+            return schema.strip()
+    return schema.strip()
+
+
+def test_compatibility(
+    old_schema: str, new_schema: str, schema_type: str, level: str
+) -> tuple[bool, str]:
+    """Can data written with ``old`` be handled per ``level`` with ``new``?
+
+    BACKWARD: new reader reads old data. FORWARD: old reader reads new data.
+    FULL: both.
+    """
+    if level == "NONE":
+        return True, ""
+    if schema_type == "AVRO":
+        checks = []
+        if level in ("BACKWARD", "FULL"):
+            checks.append(("BACKWARD", _avro_can_read(new_schema, old_schema)))
+        if level in ("FORWARD", "FULL"):
+            checks.append(("FORWARD", _avro_can_read(old_schema, new_schema)))
+        for mode, (ok, why) in checks:
+            if not ok:
+                return False, f"{mode}: {why}"
+        return True, ""
+    if schema_type == "JSON":
+        return _json_compat(old_schema, new_schema, level)
+    # PROTOBUF: field-number-level checking needs a descriptor parser; treat
+    # textually-equal as compatible and defer otherwise (permissive, like
+    # registry configs with validation disabled).
+    return True, ""
+
+
+def _avro_can_read(reader_s: str, writer_s: str) -> tuple[bool, str]:
+    """Record-level Avro resolution: every reader field is either present in
+    the writer (with a resolvable type) or has a default."""
+    try:
+        reader, writer = json.loads(reader_s), json.loads(writer_s)
+    except json.JSONDecodeError as e:
+        return False, f"unparseable schema: {e}"
+    return _avro_resolve(reader, writer)
+
+
+def _avro_resolve(reader, writer) -> tuple[bool, str]:
+    rt, wt = _avro_type(reader), _avro_type(writer)
+    if rt == "record" and wt == "record":
+        wfields = {f["name"]: f for f in writer.get("fields", [])}
+        for rf in reader.get("fields", []):
+            wf = wfields.get(rf["name"])
+            if wf is None:
+                if "default" not in rf:
+                    return False, f"reader field '{rf['name']}' has no default"
+            else:
+                ok, why = _avro_resolve(rf["type"], wf["type"])
+                if not ok:
+                    return False, f"field '{rf['name']}': {why}"
+        return True, ""
+    if rt == "union" or wt == "union":
+        wbranches = writer if wt == "union" else [writer]
+        rbranches = reader if rt == "union" else [reader]
+        for wb in wbranches:
+            if not any(_avro_resolve(rb, wb)[0] for rb in rbranches):
+                return False, f"writer union branch {_avro_type(wb)} unreadable"
+        return True, ""
+    if rt == "array" and wt == "array":
+        return _avro_resolve(reader["items"], writer["items"])
+    if rt == "map" and wt == "map":
+        return _avro_resolve(reader["values"], writer["values"])
+    if rt == "enum" and wt == "enum":
+        missing = set(writer.get("symbols", [])) - set(reader.get("symbols", []))
+        if missing:
+            return False, f"enum symbols unknown to reader: {sorted(missing)}"
+        return True, ""
+    if wt in _PROMOTIONS:
+        if rt in _PROMOTIONS[wt]:
+            return True, ""
+        return False, f"cannot promote writer {wt} to reader {rt}"
+    if rt == wt:
+        return True, ""
+    return False, f"type mismatch reader={rt} writer={wt}"
+
+
+def _avro_type(s):
+    if isinstance(s, str):
+        return s
+    if isinstance(s, list):
+        return "union"
+    return s.get("type")
+
+
+def _json_compat(old_s: str, new_s: str, level: str) -> tuple[bool, str]:
+    """JSON-schema object compatibility (required/properties subset rules):
+    BACKWARD: new schema must accept old data → new required ⊆ old
+    (required+defaulted) and shared property types equal."""
+    try:
+        old, new = json.loads(old_s), json.loads(new_s)
+    except json.JSONDecodeError as e:
+        return False, f"unparseable: {e}"
+
+    def accepts(reader: dict, writer: dict) -> tuple[bool, str]:
+        w_known = set(writer.get("properties", {}))
+        for req in reader.get("required", []):
+            if req not in set(writer.get("required", [])) and req not in w_known:
+                return False, f"new required property '{req}' absent in old data"
+        for name, spec in reader.get("properties", {}).items():
+            wspec = writer.get("properties", {}).get(name)
+            if wspec and spec.get("type") != wspec.get("type"):
+                return False, f"property '{name}' type changed"
+        return True, ""
+
+    if level in ("BACKWARD", "FULL"):
+        ok, why = accepts(new, old)
+        if not ok:
+            return False, f"BACKWARD: {why}"
+    if level in ("FORWARD", "FULL"):
+        ok, why = accepts(old, new)
+        if not ok:
+            return False, f"FORWARD: {why}"
+    return True, ""

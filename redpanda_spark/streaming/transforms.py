@@ -1,0 +1,148 @@
+"""Per-record data transforms — the reference's Wasm transform engine
+(SURVEY.md §2.5) re-expressed as Structured Streaming.
+
+Reference architecture: transform_processor with read → transform → write
+fibers, at-least-once, offsets committed in batches
+(`src/v/transform/transform_processor.h:78`, `transform/commit_batcher.cc`);
+user surface `OnRecordWritten(fn(event, writer))` — a per-record flatMap
+emitting 0..n records to 1..n output topics
+(`src/transform-sdk/go/transform/sdk.go:21-29`).
+
+Spark mapping: `readStream` on the topic directory → `mapInPandas` flatMap
+(Arrow-batched; the user fn is per-record but executes over columnar
+batches) → `foreachBatch` routing each output topic through
+``TopicEngine.produce`` (which assigns offsets atomically). Checkpointing
+is Spark's — the commit-batcher dissolves into the streaming checkpoint.
+
+At 100 TB the same topology is partition-parallel: the input stream is
+hive-partitioned, the flatMap is narrow (no shuffle), and each sink append
+is a per-partition file write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from redpanda_spark.engine import TopicEngine
+
+# A transform takes one record dict and yields (output_topic, record dict).
+# Record dicts carry: key bytes|None, value bytes|None, headers, timestamp.
+TransformFn = Callable[[dict], Iterable[tuple[str, dict]]]
+
+_OUT_SCHEMA = (
+    "out_topic string, key binary, value binary, timestamp timestamp"
+)
+
+
+def _flatmap_batches(fn: TransformFn):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"out_topic": [], "key": [], "value": [], "timestamp": []}
+            for rec in pdf.to_dict("records"):
+                for out_topic, new in fn(rec):
+                    out["out_topic"].append(out_topic)
+                    out["key"].append(new.get("key"))
+                    out["value"].append(new.get("value"))
+                    out["timestamp"].append(new.get("timestamp", rec.get("timestamp")))
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+@dataclass
+class TransformProcessor:
+    """Deploy-style handle: input topic → user flatMap → output topics."""
+
+    engine: TopicEngine
+    input_topic: str
+    fn: TransformFn
+    output_topics: list[str]
+    name: str = "transform"
+    checkpoint_dir: str | None = None
+    _query: object = field(default=None, repr=False)
+
+    def _apply(self, df: DataFrame) -> DataFrame:
+        cols = [c for c in ("key", "value", "timestamp", "partition", "offset") if c in df.columns]
+        return df.select(*cols).mapInPandas(_flatmap_batches(self.fn), _OUT_SCHEMA)
+
+    def run_once_batch(self) -> dict[str, dict[int, int]]:
+        """Batch-mode execution over the current topic contents (the
+        deploy-from-start path); returns produce bases per output topic."""
+        out = self._apply(self.engine.log(self.input_topic))
+        return self._route(out)
+
+    def _route(self, out: DataFrame) -> dict[str, dict[int, int]]:
+        results: dict[str, dict[int, int]] = {}
+        for t in self.output_topics:
+            sub = out.where(F.col("out_topic") == t).drop("out_topic")
+            if sub.isEmpty():
+                continue
+            results[t] = self.engine.produce(t, sub)
+        return results
+
+    def start_stream(self, trigger_available_now: bool = True):
+        """Continuous execution via Structured Streaming file source."""
+        spark = self.engine.spark
+        static = self.engine.log(self.input_topic)
+        src = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "64")
+            .parquet(self.engine._topic_dir(self.input_topic))
+        )
+        out = self._apply(src)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            for t in self.output_topics:
+                sub = batch_df.where(F.col("out_topic") == t).drop("out_topic")
+                if not sub.isEmpty():
+                    self.engine.produce(t, sub)
+
+        writer = out.writeStream.foreachBatch(sink).queryName(self.name)
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        self._query = writer.start()
+        return self._query
+
+
+# -- ready-made transforms (mirror the reference's e2e test transforms,
+#    tests/rptest/tests/data_transforms_test.py: identity / filter /
+#    transcode / multi-output) -------------------------------------------
+
+
+def identity_transform(output_topic: str) -> TransformFn:
+    def fn(rec: dict):
+        yield output_topic, rec
+
+    return fn
+
+
+def filter_transform(output_topic: str, predicate: Callable[[dict], bool]) -> TransformFn:
+    def fn(rec: dict):
+        if predicate(rec):
+            yield output_topic, rec
+
+    return fn
+
+
+def uppercase_value_transform(output_topic: str) -> TransformFn:
+    def fn(rec: dict):
+        v = rec.get("value")
+        yield output_topic, {**rec, "value": v.upper() if v is not None else None}
+
+    return fn
+
+
+def fanout_by_key_transform(route: Callable[[dict], str]) -> TransformFn:
+    """Multi-output: route each record to a topic chosen by the user fn."""
+
+    def fn(rec: dict):
+        yield route(rec), rec
+
+    return fn

@@ -1,0 +1,138 @@
+"""End-to-end TopicEngine lifecycle tests — the PySpark analog of the
+reference's produce/consume e2e suite (`produce_consume_test.cc`,
+`compaction_e2e_test.cc`, `log_retention_tests.cc`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.engine import TopicConfig, TopicEngine
+from redpanda_spark.functions.hashes import murmur2_partition
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return TopicEngine(spark, str(tmp_path / "topics"))
+
+
+def records_df(spark, kvs, ts=None):
+    rows = [
+        Row(key=(k.encode() if k is not None else None),
+            value=(v.encode() if v is not None else None))
+        for k, v in kvs
+    ]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    if ts is not None:
+        df = df.withColumn("timestamp", F.to_timestamp(F.lit(ts)))
+    return df
+
+
+def test_produce_fetch_roundtrip_ordering(engine, spark):
+    engine.create_topic("t1", TopicConfig(partitions=3))
+    kvs = [(f"k{i}", f"v{i}") for i in range(30)]
+    bases = engine.produce("t1", records_df(spark, kvs))
+    assert all(b == 0 for b in bases.values())
+
+    # offsets contiguous per partition, routing matches murmur2
+    log = engine.log("t1")
+    rows = log.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["partition"] == murmur2_partition(bytes(r["key"]), 3)
+    for p in range(3):
+        offs = sorted(r["offset"] for r in rows if r["partition"] == p)
+        assert offs == list(range(len(offs)))
+
+
+def test_produce_second_batch_continues_offsets(engine, spark):
+    engine.create_topic("t2", TopicConfig(partitions=2))
+    engine.produce("t2", records_df(spark, [("a", "1"), ("b", "2"), ("c", "3")]))
+    hwm1 = engine.high_watermarks("t2")
+    bases2 = engine.produce("t2", records_df(spark, [("a", "4"), ("b", "5")]))
+    # base offsets of batch 2 = high watermark after batch 1
+    for p, b in bases2.items():
+        assert b == hwm1.get(p, 0)
+    log = engine.log("t2")
+    for p in range(2):
+        offs = sorted(r["offset"] for r in log.where(F.col("partition") == p).collect())
+        assert offs == list(range(len(offs)))
+
+
+def test_fetch_from_offset_and_max_records(engine, spark):
+    engine.create_topic("t3", TopicConfig(partitions=1))
+    engine.produce("t3", records_df(spark, [(None, f"v{i}") for i in range(10)]))
+    out = engine.fetch("t3", partition=0, offset=4, max_records=3).collect()
+    assert [r["offset"] for r in out] == [4, 5, 6]
+
+
+def test_list_offsets_and_timequery(engine, spark):
+    engine.create_topic("t4", TopicConfig(partitions=1))
+    engine.produce("t4", records_df(spark, [("k", "old")], ts="2024-01-01 00:00:00"))
+    engine.produce("t4", records_df(spark, [("k", "new")], ts="2024-06-01 00:00:00"))
+    lo = engine.list_offsets("t4").collect()[0]
+    assert lo["earliest_offset"] == 0 and lo["latest_offset"] == 2
+    tq = engine.timequery("t4", "2024-03-01 00:00:00").collect()
+    assert tq[0]["offset"] == 1
+
+
+def test_delete_records_filters_reads(engine, spark):
+    engine.create_topic("t5", TopicConfig(partitions=1))
+    engine.produce("t5", records_df(spark, [(None, f"v{i}") for i in range(6)]))
+    engine.delete_records("t5", {0: 3})
+    offs = sorted(r["offset"] for r in engine.log("t5").collect())
+    assert offs == [3, 4, 5]
+    lo = engine.list_offsets("t5").collect()[0]
+    assert lo["earliest_offset"] == 3
+
+
+def test_compaction_keeps_latest_and_tombstone_removal(engine, spark):
+    engine.create_topic(
+        "t6", TopicConfig(partitions=1, cleanup_policy="compact", delete_retention_ms=0)
+    )
+    engine.produce(
+        "t6",
+        records_df(spark, [("a", "1"), ("b", "1"), ("a", "2")], ts="2024-01-01 00:00:00"),
+    )
+    engine.produce("t6", records_df(spark, [("b", None)], ts="2024-01-02 00:00:00"))
+    engine.run_compaction("t6")
+    rows = {bytes(r["key"]).decode(): r for r in engine.log("t6").collect()}
+    # a → latest value 2; b → tombstone past grace, physically removed
+    assert set(rows) == {"a"}
+    assert bytes(rows["a"]["value"]) == b"2"
+    assert rows["a"]["offset"] == 2  # offset preserved through compaction
+
+
+def test_retention_drops_old_records(engine, spark):
+    thirty_days = 30 * 86400 * 1000
+    engine.create_topic("t7", TopicConfig(partitions=1, retention_ms=thirty_days))
+    engine.produce("t7", records_df(spark, [("k", "old")], ts="2024-01-01 00:00:00"))
+    engine.produce("t7", records_df(spark, [("k", "new")], ts="2024-06-01 00:00:00"))
+    import calendar
+    now_ms = calendar.timegm((2024, 6, 2, 0, 0, 0)) * 1000
+    engine.run_retention("t7", now_ms=now_ms)  # cutoff = 2024-05-03
+    rows = engine.log("t7").collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["value"]) == b"new"
+
+
+def test_offset_commit_fetch_lifecycle(engine, spark):
+    engine.create_topic("t8", TopicConfig(partitions=1))
+    engine.offset_commit("g1", "t8", 0, 5)
+    engine.offset_commit("g1", "t8", 0, 9)
+    out = engine.offset_fetch("g1").collect()
+    assert len(out) == 1 and out[0]["committed_offset"] == 9
+    engine.offset_delete("g1", "t8", 0)
+    assert engine.offset_fetch("g1").count() == 0
+
+
+def test_topic_catalog(engine, spark):
+    engine.create_topic("a", TopicConfig(partitions=2))
+    with pytest.raises(ValueError):
+        engine.create_topic("a")
+    assert "a" in engine.list_topics()
+    engine.delete_topic("a")
+    assert "a" not in engine.list_topics()
+    with pytest.raises(KeyError):
+        engine.log("a")
