@@ -1,0 +1,188 @@
+"""Admin surface — the config/topology/introspection RPCs (SURVEY.md §2.1
+rows 4, 17-21, 26-31, 36-41) over the TopicEngine catalog.
+
+Reference handlers: metadata.cc, describe_configs.cc, alter_configs.cc,
+incremental_alter_configs.cc, create_partitions.cc, init_producer_id.h →
+cluster/id_allocator_stm.cc, describe_log_dirs.cc, client_quotas.cc +
+enforcement kafka/server/quota_manager.h:101-112.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from redpanda_spark.engine import TopicConfig, TopicEngine
+
+# Topic configs that map to TopicConfig attributes (Kafka config names).
+_ATTR_CONFIGS = {
+    "cleanup.policy": "cleanup_policy",
+    "retention.ms": "retention_ms",
+    "retention.bytes": "retention_bytes",
+    "message.timestamp.type": "timestamp_type",
+    "delete.retention.ms": "delete_retention_ms",
+}
+_INT_CONFIGS = {"retention.ms", "retention.bytes", "delete.retention.ms"}
+
+
+class AdminClient:
+    def __init__(self, engine: TopicEngine):
+        self.engine = engine
+        self._producer_ids = _ProducerIdAllocator(
+            os.path.join(engine.root, "_producer_ids.json")
+        )
+        self.quotas: dict[str, dict[str, float]] = {}
+
+    # -- Metadata (api key 3) ---------------------------------------------
+
+    def metadata(self, topics: list[str] | None = None) -> dict:
+        """Cluster metadata: topics, partition counts, 'leadership' (trivial
+        single-node), start/high offsets."""
+        cat = self.engine.list_topics()
+        names = topics if topics is not None else sorted(cat)
+        out = {"cluster_id": "redpanda-spark", "topics": {}}
+        for t in names:
+            if t not in cat:
+                out["topics"][t] = {"error": "UNKNOWN_TOPIC_OR_PARTITION"}
+                continue
+            cfg = cat[t]
+            hwm = self.engine.high_watermarks(t)
+            out["topics"][t] = {
+                "partitions": {
+                    p: {"leader": 0, "high_watermark": hwm.get(p, 0)}
+                    for p in range(cfg.partitions)
+                }
+            }
+        return out
+
+    # -- DescribeConfigs / AlterConfigs (32, 33, 44) ----------------------
+
+    def describe_configs(self, topic: str) -> dict[str, str]:
+        cfg = self.engine._require(topic)
+        out = {k: str(getattr(cfg, attr)) for k, attr in _ATTR_CONFIGS.items()}
+        out.update({k: v for k, v in cfg.configs.items() if not k.startswith("_")})
+        return out
+
+    def alter_configs(self, topic: str, changes: dict[str, str | None]) -> None:
+        """Incremental alter: None deletes (resets) a key."""
+        cfg = self.engine._require(topic)
+        for k, v in changes.items():
+            if k in _ATTR_CONFIGS:
+                if v is None:
+                    setattr(cfg, _ATTR_CONFIGS[k], TopicConfig().__getattribute__(_ATTR_CONFIGS[k]))
+                else:
+                    setattr(cfg, _ATTR_CONFIGS[k], int(v) if k in _INT_CONFIGS else v)
+            elif v is None:
+                cfg.configs.pop(k, None)
+            else:
+                cfg.configs[k] = v
+        self.engine._save_state()
+
+    # -- CreatePartitions (37) --------------------------------------------
+
+    def create_partitions(self, topic: str, new_count: int) -> None:
+        """Raise the partition count (never lowers — same as Kafka)."""
+        cfg = self.engine._require(topic)
+        if new_count <= cfg.partitions:
+            raise ValueError(
+                f"new partition count {new_count} must exceed {cfg.partitions}"
+            )
+        for p in range(cfg.partitions, new_count):
+            self.engine._high.setdefault(topic, {})[p] = 0
+        cfg.partitions = new_count
+        self.engine._save_state()
+
+    # -- InitProducerId (22) ----------------------------------------------
+
+    def init_producer_id(self, transactional_id: str | None = None) -> tuple[int, int]:
+        """Allocate (producer_id, epoch). Re-initializing a transactional id
+        bumps its epoch (fencing); non-transactional gets a fresh id."""
+        return self._producer_ids.allocate(transactional_id)
+
+    # -- DescribeLogDirs (35) ---------------------------------------------
+
+    def describe_log_dirs(self) -> dict[str, dict]:
+        out = {}
+        for t in self.engine.list_topics():
+            d = self.engine._topic_dir(t)
+            size = 0
+            n_files = 0
+            for root, _dirs, files in os.walk(d):
+                for fname in files:
+                    size += os.path.getsize(os.path.join(root, fname))
+                    n_files += 1
+            out[t] = {"size_bytes": size, "n_files": n_files, "path": d}
+        return out
+
+    # -- Client quotas (48, 49) -------------------------------------------
+
+    def alter_client_quota(self, client_id: str, key: str, value: float | None) -> None:
+        q = self.quotas.setdefault(client_id, {})
+        if value is None:
+            q.pop(key, None)
+        else:
+            q[key] = value
+
+    def describe_client_quotas(self) -> dict[str, dict[str, float]]:
+        return {c: dict(q) for c, q in self.quotas.items()}
+
+    def throttle(self, client_id: str, bytes_requested: int, window_s: float = 1.0) -> float:
+        """Token-bucket produce throttle (quota_manager.h:101-112): returns
+        the delay in seconds the caller should wait. 0 = no throttling."""
+        limit = self.quotas.get(client_id, {}).get("producer_byte_rate")
+        if not limit:
+            return 0.0
+        bucket = self.quotas.setdefault(client_id, {}).setdefault("_bucket", limit)
+        now = time.monotonic()
+        last = self.quotas[client_id].get("_last", now)
+        bucket = min(limit, bucket + (now - last) * limit / window_s)
+        delay = 0.0
+        if bytes_requested > bucket:
+            delay = (bytes_requested - bucket) / (limit / window_s)
+            bucket = 0.0
+        else:
+            bucket -= bytes_requested
+        self.quotas[client_id]["_bucket"] = bucket
+        self.quotas[client_id]["_last"] = now
+        return delay
+
+
+@dataclass
+class _ProducerIdAllocator:
+    """Monotonic id allocation + epoch fencing (cluster/id_allocator_stm.cc,
+    rm_stm epoch bump). Persisted so ids survive restarts."""
+
+    path: str
+    next_id: int = 0
+    tx_ids: dict[str, tuple[int, int]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        import json
+
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                raw = json.load(f)
+            self.next_id = raw["next_id"]
+            self.tx_ids = {k: tuple(v) for k, v in raw["tx_ids"].items()}
+
+    def allocate(self, transactional_id: str | None) -> tuple[int, int]:
+        if transactional_id is None:
+            pid = self.next_id
+            self.next_id += 1
+            self._save()
+            return pid, 0
+        if transactional_id in self.tx_ids:
+            pid, epoch = self.tx_ids[transactional_id]
+            self.tx_ids[transactional_id] = (pid, epoch + 1)
+        else:
+            self.tx_ids[transactional_id] = (self.next_id, 0)
+            self.next_id += 1
+        self._save()
+        return self.tx_ids[transactional_id]
+
+    def _save(self):
+        import json
+
+        with open(self.path, "w") as f:
+            json.dump({"next_id": self.next_id, "tx_ids": self.tx_ids}, f)

@@ -1,0 +1,316 @@
+"""Consumer-group coordinator — the rebalance state machine.
+
+Reference: `src/v/kafka/server/group.cc` (3617 LoC) / `group.h:90-104`.
+States: Empty → PreparingRebalance → CompletingRebalance → Stable → Dead.
+Join admits members and picks a protocol by member vote
+(`group.cc:497-560`); the leader (first joiner) computes assignments and
+distributes them via SyncGroup (`group.cc:562-612`); heartbeats keep
+sessions alive; expiry or membership change triggers a new generation.
+
+This is coordination logic, not a data-plane operator: it runs driver-side
+over in-memory state (the reference likewise runs it on the coordinator
+shard, persisting via the __consumer_offsets log — our persistence is the
+TopicEngine offset-commit path). Assignment strategies (range /
+roundrobin) are pure functions, mirroring Kafka's client-side assignors.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class GroupState(str, Enum):
+    EMPTY = "Empty"
+    PREPARING_REBALANCE = "PreparingRebalance"
+    COMPLETING_REBALANCE = "CompletingRebalance"
+    STABLE = "Stable"
+    DEAD = "Dead"
+
+
+class CoordinatorError(Exception):
+    def __init__(self, code: str):
+        super().__init__(code)
+        self.code = code
+
+
+@dataclass
+class Member:
+    member_id: str
+    protocols: dict[str, list[str]]  # protocol name -> subscribed topics
+    session_timeout_s: float = 30.0
+    last_heartbeat: float = field(default_factory=time.monotonic)
+    assignment: dict[str, list[int]] = field(default_factory=dict)
+
+
+def range_assign(
+    members: dict[str, list[str]], topic_partitions: dict[str, int]
+) -> dict[str, dict[str, list[int]]]:
+    """Kafka RangeAssignor: per topic, sort members, split the partition
+    space into contiguous ranges (first members get the remainder)."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    topics = sorted({t for subs in members.values() for t in subs})
+    for topic in topics:
+        n_parts = topic_partitions.get(topic, 0)
+        subs = sorted(m for m, ts in members.items() if topic in ts)
+        if not subs or n_parts == 0:
+            continue
+        per, extra = divmod(n_parts, len(subs))
+        start = 0
+        for i, m in enumerate(subs):
+            n = per + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = list(range(start, start + n))
+            start += n
+    return out
+
+
+def roundrobin_assign(
+    members: dict[str, list[str]], topic_partitions: dict[str, int]
+) -> dict[str, dict[str, list[int]]]:
+    """Kafka RoundRobinAssignor: all (topic, partition) pairs sorted, dealt
+    one at a time to eligible members in member-sorted order."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    pairs = [
+        (t, p)
+        for t in sorted(topic_partitions)
+        for p in range(topic_partitions[t])
+    ]
+    ring = sorted(members)
+    i = 0
+    for t, p in pairs:
+        for _ in range(len(ring)):
+            m = ring[i % len(ring)]
+            i += 1
+            if t in members[m]:
+                out[m].setdefault(t, []).append(p)
+                break
+    return out
+
+
+ASSIGNORS = {"range": range_assign, "roundrobin": roundrobin_assign}
+
+
+class GroupCoordinator:
+    """One group's FSM. API mirrors the RPC surface:
+    join_group / sync_group / heartbeat / leave_group / describe."""
+
+    def __init__(self, group_id: str, topic_partitions: dict[str, int]):
+        self.group_id = group_id
+        self.topic_partitions = dict(topic_partitions)
+        self.state = GroupState.EMPTY
+        self.generation = 0
+        self.leader: str | None = None
+        self.protocol: str | None = None
+        self.members: dict[str, Member] = {}
+        self._next_member = 0
+        self._pending_sync: set[str] = set()
+
+    # -- join -------------------------------------------------------------
+
+    def join_group(
+        self,
+        member_id: str | None,
+        protocols: dict[str, list[str]],
+        session_timeout_s: float = 30.0,
+    ) -> dict:
+        """Admit/rejoin a member; moves the group to PreparingRebalance and,
+        once all known members have (re)joined, to CompletingRebalance.
+
+        Returns {member_id, generation, leader, protocol, is_leader,
+        members (leader only)}.
+        """
+        if self.state == GroupState.DEAD:
+            raise CoordinatorError("COORDINATOR_NOT_AVAILABLE")
+        # Reject joiners whose protocol list can't intersect the group's
+        # (the reference rejects at join, not at completion: group.cc vote).
+        others = [
+            set(m.protocols)
+            for mid, m in self.members.items()
+            if mid != member_id
+        ]
+        if others and not set.intersection(set(protocols), *others):
+            raise CoordinatorError("INCONSISTENT_GROUP_PROTOCOL")
+        if not member_id:
+            member_id = f"{self.group_id}-member-{self._next_member}"
+            self._next_member += 1
+        m = self.members.get(member_id)
+        if m is None:
+            m = Member(member_id, protocols, session_timeout_s)
+            self.members[member_id] = m
+            if self.leader is None:
+                self.leader = member_id
+        else:
+            m.protocols = protocols
+        m.last_heartbeat = time.monotonic()
+
+        if self.state in (GroupState.EMPTY, GroupState.STABLE, GroupState.COMPLETING_REBALANCE):
+            self._start_rebalance()
+        self._pending_sync.discard(member_id)
+
+        joined = set(self.members) - self._pending_sync
+        if joined == set(self.members):
+            self._complete_join()
+        return self._join_response(member_id)
+
+    def _start_rebalance(self) -> None:
+        self.state = GroupState.PREPARING_REBALANCE
+        # every current member must rejoin before the generation advances
+        self._pending_sync = set(self.members)
+
+    def _complete_join(self) -> None:
+        self.generation += 1
+        self.protocol = self._vote_protocol()
+        self.state = GroupState.COMPLETING_REBALANCE
+        self._pending_sync = set(self.members)
+
+    def _vote_protocol(self) -> str:
+        """Protocol selection by member vote (group.cc:516-560): pick the
+        first protocol (in the leader's preference order) supported by all."""
+        if not self.members:
+            raise CoordinatorError("UNKNOWN_MEMBER_ID")
+        candidate_sets = [set(m.protocols) for m in self.members.values()]
+        common = set.intersection(*candidate_sets)
+        if not common:
+            raise CoordinatorError("INCONSISTENT_GROUP_PROTOCOL")
+        leader_order = list(self.members[self.leader].protocols)
+        for p in leader_order:
+            if p in common:
+                return p
+        return sorted(common)[0]
+
+    def _join_response(self, member_id: str) -> dict:
+        resp = {
+            "member_id": member_id,
+            "generation": self.generation,
+            "leader": self.leader,
+            "protocol": self.protocol,
+            "is_leader": member_id == self.leader,
+            "state": self.state.value,
+        }
+        if member_id == self.leader and self.state == GroupState.COMPLETING_REBALANCE:
+            resp["members"] = {
+                mid: m.protocols.get(self.protocol, []) for mid, m in self.members.items()
+            }
+        return resp
+
+    # -- sync -------------------------------------------------------------
+
+    def sync_group(
+        self,
+        member_id: str,
+        generation: int,
+        assignments: dict[str, dict[str, list[int]]] | None = None,
+    ) -> dict[str, list[int]]:
+        """Leader supplies assignments (or None → coordinator runs the voted
+        assignor, our convenience extension); followers fetch theirs. Group
+        becomes Stable when the leader has synced."""
+        self._check_member(member_id, generation)
+        if self.state != GroupState.COMPLETING_REBALANCE and self.state != GroupState.STABLE:
+            raise CoordinatorError("REBALANCE_IN_PROGRESS")
+        if self.state == GroupState.COMPLETING_REBALANCE:
+            if member_id == self.leader:
+                if assignments is None:
+                    subs = {
+                        mid: m.protocols.get(self.protocol, [])
+                        for mid, m in self.members.items()
+                    }
+                    assignments = ASSIGNORS[self.protocol or "range"](
+                        subs, self.topic_partitions
+                    )
+                for mid, a in assignments.items():
+                    if mid in self.members:
+                        self.members[mid].assignment = a
+                self.state = GroupState.STABLE
+            else:
+                raise CoordinatorError("REBALANCE_IN_PROGRESS")
+        return dict(self.members[member_id].assignment)
+
+    # -- liveness ---------------------------------------------------------
+
+    def heartbeat(self, member_id: str, generation: int) -> str:
+        self._check_member(member_id, generation)
+        self.members[member_id].last_heartbeat = time.monotonic()
+        if self.state == GroupState.PREPARING_REBALANCE:
+            return "REBALANCE_IN_PROGRESS"
+        return "NONE"
+
+    def leave_group(self, member_id: str) -> None:
+        if member_id not in self.members:
+            raise CoordinatorError("UNKNOWN_MEMBER_ID")
+        del self.members[member_id]
+        self._pending_sync.discard(member_id)
+        if not self.members:
+            self.state = GroupState.EMPTY
+            self.leader = None
+            self.protocol = None
+        else:
+            if self.leader == member_id:
+                self.leader = sorted(self.members)[0]
+            self._start_rebalance()
+
+    def expire_members(self, now: float | None = None) -> list[str]:
+        """Session-timeout sweep (the reference's heartbeat timer wheel)."""
+        now = time.monotonic() if now is None else now
+        dead = [
+            mid
+            for mid, m in self.members.items()
+            if now - m.last_heartbeat > m.session_timeout_s
+        ]
+        for mid in dead:
+            self.leave_group(mid)
+        return dead
+
+    def _check_member(self, member_id: str, generation: int) -> None:
+        if member_id not in self.members:
+            raise CoordinatorError("UNKNOWN_MEMBER_ID")
+        if generation != self.generation:
+            raise CoordinatorError("ILLEGAL_GENERATION")
+
+    # -- introspection ----------------------------------------------------
+
+    def describe(self) -> dict:
+        return {
+            "group_id": self.group_id,
+            "state": self.state.value,
+            "generation": self.generation,
+            "protocol": self.protocol,
+            "leader": self.leader,
+            "members": {
+                mid: {
+                    "subscriptions": m.protocols.get(self.protocol or "", []),
+                    "assignment": m.assignment,
+                }
+                for mid, m in self.members.items()
+            },
+        }
+
+
+class GroupManager:
+    """All groups on this coordinator (FindCoordinator is trivial single-
+    node: every group maps here; multi-node would hash group→partition)."""
+
+    def __init__(self, topic_partitions: dict[str, int]):
+        self.topic_partitions = topic_partitions
+        self.groups: dict[str, GroupCoordinator] = {}
+
+    def get(self, group_id: str) -> GroupCoordinator:
+        if group_id not in self.groups:
+            self.groups[group_id] = GroupCoordinator(group_id, self.topic_partitions)
+        return self.groups[group_id]
+
+    def list_groups(self) -> list[dict]:
+        return [
+            {"group_id": g.group_id, "state": g.state.value}
+            for g in self.groups.values()
+        ]
+
+    def delete_group(self, group_id: str) -> None:
+        g = self.groups.get(group_id)
+        if g is None:
+            raise CoordinatorError("GROUP_ID_NOT_FOUND")
+        if g.members:
+            raise CoordinatorError("NON_EMPTY_GROUP")
+        g.state = GroupState.DEAD
+        del self.groups[group_id]

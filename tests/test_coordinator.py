@@ -1,0 +1,139 @@
+"""Group-coordinator FSM tests mirroring the reference's group_test.cc and
+consumer_group_test.py scenarios: join/sync lifecycle, generation bumps,
+protocol vote, leader failover, session expiry, assignor correctness."""
+
+from __future__ import annotations
+
+import pytest
+
+from redpanda_spark.operators.coordinator import (
+    ASSIGNORS,
+    CoordinatorError,
+    GroupCoordinator,
+    GroupManager,
+    GroupState,
+    range_assign,
+    roundrobin_assign,
+)
+
+TP = {"t1": 6, "t2": 3}
+
+
+def test_range_assignor_contiguous_split():
+    members = {"m1": ["t1"], "m2": ["t1"]}
+    out = range_assign(members, {"t1": 5})
+    assert out["m1"]["t1"] == [0, 1, 2]  # first member gets the remainder
+    assert out["m2"]["t1"] == [3, 4]
+
+
+def test_roundrobin_assignor_deals_alternately():
+    members = {"m1": ["t1", "t2"], "m2": ["t1"]}
+    out = roundrobin_assign(members, {"t1": 4, "t2": 2})
+    all_pairs = {(t, p) for a in out.values() for t, ps in a.items() for p in ps}
+    assert all_pairs == {("t1", 0), ("t1", 1), ("t1", 2), ("t1", 3), ("t2", 0), ("t2", 1)}
+    assert out["m2"].get("t2") is None  # m2 never gets unsubscribed topics
+
+
+def test_full_join_sync_lifecycle():
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"]})
+    assert r1["is_leader"] and r1["generation"] == 1
+    assert g.state == GroupState.COMPLETING_REBALANCE
+    assign = g.sync_group(r1["member_id"], 1)
+    assert g.state == GroupState.STABLE
+    assert assign == {"t1": [0, 1, 2, 3, 4, 5]}  # sole member owns everything
+
+
+def test_second_member_triggers_rebalance_and_split():
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"]})
+    g.sync_group(r1["member_id"], 1)
+    # new joiner → PreparingRebalance; old member must rejoin
+    r2 = g.join_group(None, {"range": ["t1"]})
+    assert g.state == GroupState.PREPARING_REBALANCE
+    assert g.heartbeat(r1["member_id"], 1) == "REBALANCE_IN_PROGRESS"
+    r1b = g.join_group(r1["member_id"], {"range": ["t1"]})
+    assert r1b["generation"] == 2
+    a1 = g.sync_group(r1["member_id"], 2)
+    a2 = g.sync_group(r2["member_id"], 2)
+    owned = sorted(a1.get("t1", []) + a2.get("t1", []))
+    assert owned == [0, 1, 2, 3, 4, 5]  # disjoint cover
+    assert set(a1["t1"]).isdisjoint(a2["t1"])
+
+
+def test_protocol_vote_intersection():
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"], "roundrobin": ["t1"]})
+    g.join_group(None, {"roundrobin": ["t1"]})
+    g.join_group(r1["member_id"], {"range": ["t1"], "roundrobin": ["t1"]})
+    assert g.protocol == "roundrobin"  # only protocol all members support
+
+
+def test_no_common_protocol_rejected():
+    g = GroupCoordinator("g", TP)
+    g.join_group(None, {"range": ["t1"]})
+    with pytest.raises(CoordinatorError) as e:
+        g.join_group(None, {"sticky": ["t1"]})
+    assert e.value.code == "INCONSISTENT_GROUP_PROTOCOL"
+
+
+def test_illegal_generation_and_unknown_member():
+    g = GroupCoordinator("g", TP)
+    r = g.join_group(None, {"range": ["t1"]})
+    with pytest.raises(CoordinatorError) as e:
+        g.heartbeat(r["member_id"], 99)
+    assert e.value.code == "ILLEGAL_GENERATION"
+    with pytest.raises(CoordinatorError) as e:
+        g.sync_group("ghost", 1)
+    assert e.value.code == "UNKNOWN_MEMBER_ID"
+
+
+def test_leader_failover_on_leave():
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"]})
+    g.sync_group(r1["member_id"], 1)
+    r2 = g.join_group(None, {"range": ["t1"]})
+    g.join_group(r1["member_id"], {"range": ["t1"]})
+    g.sync_group(r1["member_id"], 2)
+    g.leave_group(r1["member_id"])
+    assert g.leader == r2["member_id"]
+    assert g.state == GroupState.PREPARING_REBALANCE
+    r2b = g.join_group(r2["member_id"], {"range": ["t1"]})
+    assert r2b["generation"] == 3
+    a = g.sync_group(r2["member_id"], 3)
+    assert a["t1"] == [0, 1, 2, 3, 4, 5]
+
+
+def test_session_expiry_sweep():
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"]}, session_timeout_s=0.01)
+    g.sync_group(r1["member_id"], 1)
+    import time
+
+    time.sleep(0.05)
+    dead = g.expire_members()
+    assert dead == [r1["member_id"]]
+    assert g.state == GroupState.EMPTY and g.generation == 1
+
+
+def test_group_manager_lifecycle():
+    mgr = GroupManager(TP)
+    g = mgr.get("g1")
+    r = g.join_group(None, {"range": ["t1"]})
+    assert mgr.list_groups() == [{"group_id": "g1", "state": "CompletingRebalance"}]
+    with pytest.raises(CoordinatorError) as e:
+        mgr.delete_group("g1")
+    assert e.value.code == "NON_EMPTY_GROUP"
+    g.leave_group(r["member_id"])
+    mgr.delete_group("g1")
+    assert mgr.list_groups() == []
+
+
+def test_empty_group_rejoin_after_death():
+    mgr = GroupManager(TP)
+    g = mgr.get("g1")
+    r = g.join_group(None, {"range": ["t1"]})
+    g.leave_group(r["member_id"])
+    mgr.delete_group("g1")
+    g2 = mgr.get("g1")  # recreated fresh
+    assert g2.state == GroupState.EMPTY
