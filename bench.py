@@ -58,6 +58,9 @@ def main():
         timings[name] = dt
         total += dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+        # Queries that persist intermediates (LSH band frames) must not
+        # bleed cache/GC pressure into the next query's measurement.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

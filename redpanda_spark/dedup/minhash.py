@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from redpanda_spark.functions.text import word_shingles
+from redpanda_spark.sources.tables import parallelize_narrow
 
 _MAX_LONG = (1 << 63) - 1
 
@@ -127,6 +128,7 @@ def near_dup_pairs(
     **kwargs,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs above the Jaccard threshold."""
+    docs = parallelize_narrow(docs)
     pairs = candidate_pairs(docs, **kwargs)
     shingle_n = kwargs.get("shingle_n", 3)
     text_col = kwargs.get("text_col", "text")

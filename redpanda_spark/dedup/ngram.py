@@ -1,17 +1,48 @@
-"""Exact n-gram Jaccard similarity via token-posting self-join.
+"""Exact n-gram Jaccard similarity via blocked set-intersection matmul.
 
-SQL-expressible (and oracle-checkable): explode distinct shingles →
-self-join on shingle → count common → Jaccard. The join fans out only over
-shared shingles, so cost is Σ posting-list², not n² — at 100 TB you cap
-hot shingles (document-frequency filter) exactly like stop-word removal.
+Semantics (oracle-checkable in plain SQL): for every unordered doc pair,
+jaccard = |A ∩ B| / |A ∪ B| over the docs' distinct word n-gram shingle
+sets; emit pairs with jaccard >= threshold.
+
+Plan — why not a shingle posting-list self-join: on corpora whose shingle
+document-frequency is high (small vocabularies, templated text), the
+posting join materializes Σ df² intermediate rows and then hash-aggregates
+~n²/2 candidate groups — at sf0.1 that is 36M join rows into a 10M-group
+aggregation (~25 s). Instead we compute intersections as a blocked binary
+matrix product:
+
+  1. per doc: sorted array of distinct shingle hashes (all built-in exprs);
+  2. docs are hashed into B = ceil(n / block_docs) blocks; every block pair
+     (bi <= bj) becomes one Arrow-batched `applyInPandas` task;
+  3. each task re-indexes only its LOCAL shingle vocabulary (memory is
+     bounded by the two blocks' content, never the global vocab), builds
+     two dense {0,1} float32 matrices, and computes all intersections in
+     one BLAS matmul — |A ∩ B| = A · Bᵀ for binary rows.
+
+Scale notes: exact all-pairs is inherently O(n²) — at 100 TB this kernel
+is the *verifier* that runs inside LSH candidate buckets
+([minhash](minhash.py) generates the buckets); standalone it handles
+bounded corpora (n ≲ 10⁶ → B² tasks, embarrassingly parallel, no shuffle
+beyond one groupBy). Work per task is block_docs² · V_local multiply-adds
+in C, and the B² task fan-out spreads evenly over executors regardless of
+key skew — hot shingles cost nothing extra, unlike the posting join.
+
+Reference parity: the reference has no similarity operator; this is part
+of the training-data-pipeline layer mandated alongside it (key compaction
+dedup is `storage/disk_log_impl.cc:560-700` — see exact.py).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from redpanda_spark.functions.text import word_shingles
+from redpanda_spark.sources.tables import parallelize_narrow
 
 
 def ngram_jaccard_pairs(
@@ -21,35 +52,98 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     threshold: float = 0.3,
     max_df: int | None = None,
+    block_docs: int = 1024,
 ) -> DataFrame:
-    """(id_a < id_b, jaccard) for all pairs ≥ threshold, computed exactly."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("s"),
-    )
-    if max_df is not None:
+    """(id_a < id_b, jaccard) for all pairs >= threshold, computed exactly.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stop-shingle removal) *before* set sizes are taken, matching the
+    oracle that applies the same df filter.  ``block_docs`` caps per-task
+    memory: each task holds <= 2*block_docs docs and their local vocab.
+    """
+    docs = parallelize_narrow(docs)
+    if max_df is None:
+        # Shuffle-free featurization: per-row distinct shingle hashes.
+        feat = docs.select(
+            F.col(id_col).alias("id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+                )
+            ).alias("hs"),
+        ).withColumn("sz", F.size("hs"))
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("s"),
+        )
         dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
         keep = dfreq.where(F.col("df") <= F.lit(max_df)).select("s")
         sh = sh.join(F.broadcast(keep), "s", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "s")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
+        feat = (
+            sh.select("id", F.xxhash64("s").alias("h"))
+            .groupBy("id")
+            .agg(F.collect_list("h").alias("hs"), F.count("*").alias("sz"))
         )
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "jaccard")
+
+    n_docs = docs.select(id_col).count()
+    n_blocks = max(1, math.ceil(n_docs / block_docs))
+    feat = feat.withColumn("blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)))
+
+    # One pass: a doc in block b is the Left side of pairs (b, j>=b) and the
+    # Right side of pairs (i<=b, b) — explode both roles from a single scan.
+    roles = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                F.col("blk").alias("bi"), j.alias("bj"), F.lit("L").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda i: F.struct(
+                i.alias("bi"), F.col("blk").alias("bj"), F.lit("R").alias("side")
+            ),
+        ),
     )
+    tagged = feat.select(F.explode(roles).alias("r"), "id", "hs", "sz").select(
+        "r.bi", "r.bj", "r.side", "id", "hs", "sz"
+    )
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    thr = float(threshold)
+
+    def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = pdf[pdf["side"] == "R"]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        lh = list(lhs["hs"])
+        rh = list(rhs["hs"])
+        vocab = np.unique(np.concatenate([np.concatenate(lh), np.concatenate(rh)]))
+
+        def matrix(hlists):
+            m = np.zeros((len(hlists), len(vocab)), dtype=np.float32)
+            for r, hs in enumerate(hlists):
+                m[r, np.searchsorted(vocab, np.asarray(hs, dtype=np.int64))] = 1.0
+            return m
+
+        inter = matrix(lh) @ matrix(rh).T
+        sz_l = lhs["sz"].to_numpy(dtype=np.float64)
+        sz_r = rhs["sz"].to_numpy(dtype=np.float64)
+        union = sz_l[:, None] + sz_r[None, :] - inter
+        jac = np.divide(inter, union, out=np.zeros_like(union), where=union > 0)
+        ids_l = lhs["id"].to_numpy()
+        ids_r = rhs["id"].to_numpy()
+        ia, ib = np.nonzero(jac >= thr)
+        a, b = ids_l[ia], ids_r[ib]
+        keep = a < b if bi == bj else a != b  # same block: upper triangle only
+        a, b, j = a[keep], b[keep], jac[ia, ib][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "jaccard": j})
+
+    pairs = tagged.groupBy("bi", "bj").applyInPandas(block_pairs, out_schema)
+    # Round JVM-side: F.round is HALF_UP like the SQL oracle (np.round is half-even).
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

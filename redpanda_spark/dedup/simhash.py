@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from redpanda_spark.sources.tables import parallelize_narrow
 from redpanda_spark.functions.text import tokens
 
 SIMHASH_BITS = 60
@@ -25,17 +26,24 @@ N_BANDS = SIMHASH_BITS // BAND_BITS
 
 
 def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash of the whitespace tokens of ``col`` (bigint, low ``bits`` used)."""
+    """SimHash of the whitespace tokens of ``col`` (bigint, low ``bits`` used).
+
+    One fold over the token-hash array with an array<int> accumulator:
+    counts[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Aggregating
+    over the pre-hashed array binds each hash to a lambda variable, so the
+    tokenizer and hash run once per token — not once per (token, bit).
+    """
     toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    # counts[i] = Σ_tokens (bit i set ? +1 : -1); bit_get accepts a column pos
-    counts = F.transform(
-        bit_idx,
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1),
+    counts = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx, lambda i: F.when(F.bit_get(h, i) == 1, 1).otherwise(-1)
+            ),
+            lambda a, s: a + s,
         ),
     )
     # pack sign bits MSB-first: acc = acc*2 + (count>0); max value < 2^60
@@ -57,8 +65,11 @@ def simhash_near_dups(
     max_hamming: int = 3,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs within ``max_hamming`` bits."""
+    docs = parallelize_narrow(docs)
     sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     mask = (1 << BAND_BITS) - 1
+    # Persisted: the LSH self-join below reads both sides from cache instead
+    # of recomputing the signature fold per side.
     banded = sh.select(
         "id",
         "sh",
@@ -70,7 +81,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("band", "band_val"),
-    )
+    ).persist()
     a = banded.select(
         F.col("band"), F.col("band_val"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
     )

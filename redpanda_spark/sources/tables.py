@@ -43,6 +43,23 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+def parallelize_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a too-narrow input so per-row-heavy stages use every core.
+
+    A small parquet table often arrives as ONE split, so expensive per-row
+    expression work (shingling, k-way hashing, vector math) runs on a single
+    task while 31 cores idle. The round-robin shuffle moves each raw row
+    once — negligible next to the compute it parallelizes. No-op when the
+    input already has enough splits (any real table at scale), so this never
+    adds a shuffle on the 100 TB path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def topic_view(
     spark: SparkSession,
     sf_dir: str,
