@@ -1079,3 +1079,180 @@ ORACLES.update(
         # in DuckDB); unit tests pin their kernels.
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Catalog 3: document quality scoring + wider TPC-H shapes (Q4/Q14/Q18)
+# --------------------------------------------------------------------------
+
+
+def q_doc_quality(spark, sf_dir):
+    """Composite document quality heuristic (length / stopword / punctuation)
+    — the filter stage of a training-data pipeline; all JVM-side exprs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in TXT.STOPWORDS_EN)
+SQL_DOC_QUALITY = f"""
+WITH feats AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) AS n_tok,
+    CASE WHEN length(text) > 0
+      THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+      ELSE 0.0 END AS punct_r,
+    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) > 0
+      THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> lower(t) IN ({_SW_SQL}))) AS DOUBLE)
+           / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))
+      ELSE 0.0 END AS sw_r
+  FROM documents)
+SELECT doc_id,
+  ROUND((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+       + least(sw_r * 4.0, 1.0)
+       + greatest(1.0 - punct_r * 4.0, 0.0)) / 3.0, 6) AS quality
+FROM feats
+"""
+
+
+def q_tpch_q4ish(spark, sf_dir):
+    """Q4 shape: order-priority census via EXISTS → left-semi join.
+
+    (The testdata lacks l_commitdate/l_receiptdate, so "late" =
+    shipped > 60 days after the order date.) Catalyst plans the semi join
+    with the equi-key on l_orderkey and the inequality as a join filter —
+    no fact-side shuffle duplication."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4ISH = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 promo revenue: fact scan + broadcast part join + conditional agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    joined = li.where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double")
+            ),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT ROUND(
+    100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+    6) AS promo_revenue_pct,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+Q18_QTY = 120
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 large-volume orders: pre-aggregate the fact on its natural key
+    (map-side partials), then join orders+customer only for survivors."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 6).alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey"),
+            F.col("o_orderdate"),
+            F.col("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > {Q18_QTY}
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+QUERIES.update(
+    {
+        "doc_quality": q_doc_quality,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+    }
+)
+
+ORACLES.update(
+    {
+        "doc_quality": SQL_DOC_QUALITY,
+        "tpch_q4ish": SQL_TPCH_Q4ISH,
+        "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q18": SQL_TPCH_Q18,
+    }
+)
