@@ -1256,3 +1256,126 @@ ORACLES.update(
         "tpch_q18": SQL_TPCH_Q18,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Catalog 4: Structured Streaming queries surfaced through the batch gate.
+# Each runs a real availableNow stream (file source → stateful op → memory
+# sink) and returns the drained result, so the oracle checks streaming
+# semantics against plain SQL.
+# --------------------------------------------------------------------------
+
+import uuid as _uuid
+
+
+def _stream_events(spark, sf_dir):
+    """readStream over events.parquet with the same nanos→micros adaption
+    as load_table (streaming sources need an explicit schema)."""
+    _t(spark, sf_dir, "events")  # side effect: sets nanosAsLong conf
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        # the file source wants a directory; select just the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(spark, out, mode="complete"):
+    name = "q" + _uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def q_stream_window_stats(spark, sf_dir):
+    """Watermarked tumbling-window throughput per event_type — the
+    quota/metrics surface (quota_manager.h:101-112) as a streaming agg."""
+    ev = _stream_events(spark, sf_dir)
+    out = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("props")).alias("props_bytes"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "props_bytes",
+        )
+    )
+    return _drain(spark, out)
+
+
+SQL_STREAM_WINDOW_STATS = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
+       event_type, COUNT(*) AS n,
+       SUM(length(props)) AS props_bytes
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming session_window per user (30-min gap), drained to a static
+    frame. Session = [min ts, max ts + gap); Spark starts a new session
+    when the gap is >= 30 min, which the oracle replicates."""
+    from redpanda_spark.streaming.stateful import streaming_sessionize
+
+    ev = _stream_events(spark, sf_dir)
+    out = streaming_sessionize(ev, ts_col="ts", user_col="user_id", gap="30 minutes")
+    sess = _drain(spark, out)
+    return sess.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_s"),
+        F.unix_timestamp("session_end").alias("end_s"),
+        "n_events",
+    )
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(MAX(ts)) + 1800) AS BIGINT) AS end_s,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+QUERIES.update(
+    {
+        "stream_window_stats": q_stream_window_stats,
+        "stream_sessionize": q_stream_sessionize,
+    }
+)
+
+ORACLES.update(
+    {
+        "stream_window_stats": SQL_STREAM_WINDOW_STATS,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
+    }
+)

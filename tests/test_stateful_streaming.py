@@ -1,0 +1,145 @@
+"""Stateful streaming operators: idempotent dedup (rm_stm analog), windowed
+partition stats, session windows. Streams run from temp parquet dirs with
+Trigger.AvailableNow into memory sinks."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_spark.streaming.stateful import (
+    idempotent_dedup_stream,
+    streaming_sessionize,
+    windowed_partition_stats,
+)
+
+RECORD_SCHEMA = (
+    "producer_id long, producer_epoch int, base_sequence long, "
+    "partition int, offset long, key binary, value binary"
+)
+
+
+def _run_stream(out, spark, name, mode="append"):
+    # Aggregation tests use "complete": with a bounded input the watermark
+    # never passes the tail windows, so "append" would withhold them.
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _mem_name():
+    return "m" + uuid.uuid4().hex[:12]
+
+
+def test_idempotent_dedup_stream(spark, tmp_path):
+    rows = [
+        # producer 1, epoch 0: seqs 0,1,1(dup),2, then regression 1(dup)
+        (1, 0, 0, 0, 0, None, b"a"),
+        (1, 0, 1, 0, 1, None, b"b"),
+        (1, 0, 1, 0, 2, None, b"b-dup"),
+        (1, 0, 2, 0, 3, None, b"c"),
+        (1, 0, 1, 0, 4, None, b"b-replay"),
+        # producer 1, epoch 1: fencing bump; seq window resets
+        (1, 1, 0, 0, 5, None, b"d"),
+        # producer 1, epoch 0 again after bump: fenced out entirely
+        (1, 0, 9, 0, 6, None, b"stale"),
+        # producer 2 independent
+        (2, 0, 0, 1, 0, None, b"x"),
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, RECORD_SCHEMA).coalesce(1).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(RECORD_SCHEMA).parquet(src_dir)
+    )
+    out = idempotent_dedup_stream(stream)
+    name = _mem_name()
+    got = _run_stream(out, spark, name)
+    vals = sorted(bytes(r["value"]).decode() for r in got.collect())
+    assert vals == ["a", "b", "c", "d", "x"]
+
+
+def test_idempotent_dedup_stream_cross_batch(spark, tmp_path):
+    """State persists across micro-batches via the checkpoint."""
+    src_dir = tmp_path / "src"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src_dir.mkdir()
+
+    def run_batch(rows):
+        df = spark.createDataFrame(rows, RECORD_SCHEMA).coalesce(1)
+        df.write.mode("append").parquet(str(src_dir))
+        stream = spark.readStream.schema(RECORD_SCHEMA).parquet(str(src_dir))
+        out = idempotent_dedup_stream(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 0, 0, 0, 0, None, b"a"), (1, 0, 1, 0, 1, None, b"b")])
+    # second batch replays seq 0-1 (dup) and adds 2
+    run_batch([(1, 0, 0, 0, 2, None, b"a-dup"), (1, 0, 2, 0, 3, None, b"c")])
+    vals = sorted(
+        bytes(r["value"]).decode() for r in spark.read.parquet(out_dir).collect()
+    )
+    assert vals == ["a", "b", "c"]
+
+
+def test_windowed_partition_stats(spark, tmp_path):
+    rows = [
+        (0, "2024-01-01 00:00:10", b"aaaa"),
+        (0, "2024-01-01 00:00:50", b"bb"),
+        (0, "2024-01-01 00:01:10", b"c"),
+        (1, "2024-01-01 00:00:30", None),
+    ]
+    df = spark.createDataFrame(rows, "partition int, ts_s string, value binary").select(
+        "partition", F.to_timestamp("ts_s").alias("timestamp"), "value"
+    )
+    src = str(tmp_path / "win_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = windowed_partition_stats(stream)
+    name = _mem_name()
+    got = _run_stream(out, spark, name, mode="complete")
+    by_key = {
+        (r["window_start"].minute, r["partition"]): (r["n_records"], r["n_bytes"])
+        for r in got.collect()
+    }
+    assert by_key[(0, 0)] == (2, 6)
+    assert by_key[(1, 0)] == (1, 1)
+    assert by_key[(0, 1)] == (1, 0)
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    rows = [
+        ("u1", "2024-01-01 00:00:00"),
+        ("u1", "2024-01-01 00:10:00"),   # same session (gap 10m < 30m)
+        ("u1", "2024-01-01 01:00:00"),   # new session (gap 50m)
+        ("u2", "2024-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_sessionize(stream)
+    name = _mem_name()
+    got = _run_stream(out, spark, name, mode="complete")
+    sess = {(r["user_id"], r["session_start"].hour): r["n_events"] for r in got.collect()}
+    assert sess[("u1", 0)] == 2
+    assert sess[("u1", 1)] == 1
+    assert sess[("u2", 0)] == 1
