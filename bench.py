@@ -40,6 +40,79 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_omb(spark) -> dict:
+    """OMB CommonWorkload analog (BASELINE.md): keyed 1-KiB messages over
+    100 partitions, committed (durable parquet) produce, consume from
+    earliest. Reports nominal-payload MB/s like OMB does.
+
+    Reference gate: sustained 75k msg/s x 1 KiB (~73 MiB/s) produce on a
+    3-broker cluster (tests/rptest/perf/openmessaging_perf_test.py:31-66).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    n_msgs = int(os.environ.get("SPARK_GRAFT_OMB_MSGS", "200000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_OMB_BATCHES", "2"))
+    msg_bytes = 1024
+    root = tempfile.mkdtemp(prefix="omb_")
+    try:
+        engine = TopicEngine(spark, root)
+        engine.create_topic("omb", TopicConfig(partitions=100))
+        per_batch = n_msgs // n_batches
+        # 1 KiB pseudo-random payload: 16 x 64-hex-char row-unique digests.
+        # Batches are materialized (cached + counted) BEFORE the timer: OMB
+        # measures the broker, not the load generator — the timed section is
+        # routing + offset assignment + committed write, i.e. the engine.
+        payload = F.concat(
+            *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")), 256) for i in range(16)]
+        ).cast("binary")
+        batches = []
+        for b in range(n_batches):
+            batch = (
+                spark.range(b * per_batch, (b + 1) * per_batch)
+                .select(
+                    F.col("id").cast("string").cast("binary").alias("key"),
+                    payload.alias("value"),
+                )
+                .persist()
+            )
+            batch.count()
+            batches.append(batch)
+        # OMB workloads run a warmup phase before measurement; ours spins up
+        # the Arrow/Python UDF workers + shuffle machinery on a scratch topic.
+        engine.create_topic("omb_warm", TopicConfig(partitions=100))
+        engine.produce("omb_warm", batches[0].limit(20000))
+        t0 = time.time()
+        for batch in batches:
+            engine.produce("omb", batch)
+        produce_s = time.time() - t0
+        for batch in batches:
+            batch.unpersist()
+        t0 = time.time()
+        consumed = engine.log("omb").agg(
+            F.count("*").alias("n"), F.sum(F.length("value")).alias("nbytes")
+        ).collect()[0]
+        consume_s = time.time() - t0
+        assert consumed["n"] == per_batch * n_batches, consumed
+        mb = per_batch * n_batches * msg_bytes / 1e6
+        return {
+            "workload": "omb_common_1KiB_100part",
+            "msgs": per_batch * n_batches,
+            "msg_bytes": msg_bytes,
+            "produce_s": round(produce_s, 3),
+            "consume_s": round(consume_s, 3),
+            "produce_mb_s": round(mb / produce_s, 1),
+            "consume_mb_s": round(mb / consume_s, 1),
+            "produce_msg_s": round(per_batch * n_batches / produce_s),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -62,6 +135,9 @@ def main():
         # bleed cache/GC pressure into the next query's measurement.
         spark.catalog.clearCache()
 
+    omb = bench_omb(spark)
+    print(f"# omb: {omb}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -70,6 +146,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "omb": omb,
             }
         )
     )

@@ -165,12 +165,18 @@ class TopicEngine:
         df = df.drop("ingest_seq")
 
         out_dir = self._topic_dir(topic)
-        df.write.mode("append").partitionBy("partition").parquet(out_dir)
-
+        # Count-first, then write. The count job runs only routing (cheap);
+        # the write job re-runs routing + the offset window. Caching the
+        # routed frame instead costs more than the recompute (100 MB/s-class
+        # batches serialize slower than they route). Routing is
+        # deterministic for keyed records (murmur2); round-robin null-key
+        # rows rely on a deterministic input plan, which produce() callers
+        # provide (materialized micro-batches).
         counts = {
             r["partition"]: r["n"]
             for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
         }
+        df.write.mode("append").partitionBy("partition").parquet(out_dir)
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
