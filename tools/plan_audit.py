@@ -1,0 +1,99 @@
+"""Physical-plan audit for the headline queries.
+
+For each query: capture `.explain("formatted")` and flag scale smells —
+ - parquet scans with no pushed filters where the query clearly filters,
+ - scans reading every column (no pruning) for narrow projections,
+ - CartesianProduct / BroadcastNestedLoopJoin,
+ - sort-merge joins whose build side is a tiny dim table (should broadcast),
+ - missing WholeStageCodegen spans (expression fell out of codegen).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Prints one line per query: OK or the list of flags; exits non-zero if any
+query has a flag marked severe (cartesian / nested-loop).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from redpanda_spark.plans.queries import QUERIES
+from redpanda_spark.session import get_spark
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# Queries whose plans legitimately contain an "expensive" operator: the
+# brute-force ANN paths are *intentional* bounded cross products (the small
+# query set is broadcast against the corpus — that IS the baseline design).
+EXPECTED = {
+    "ann_topk": {"nested-loop-join"},
+    "ann_ivf": {"nested-loop-join"},
+    "emb_near_dup": {"nested-loop-join"},
+}
+
+
+def audit(name: str, df) -> list[str]:
+    txt = plan_text(df)
+    flags: list[str] = []
+    expected = EXPECTED.get(name, set())
+
+    def flag(kind: str):
+        if kind in expected:
+            flags.append(f"note:expected-{kind}")
+        else:
+            flags.append(f"SEVERE:{kind}")
+
+    if "CartesianProduct" in txt:
+        flag("cartesian-product")
+    if "BroadcastNestedLoopJoin" in txt:
+        flag("nested-loop-join")
+    if "PushedFilters: []" in txt and re.search(r"\(\d+\) Filter", txt):
+        # note only: some filters (UDF, post-shuffle) legitimately can't push
+        flags.append("note:unpushed-filter")
+    # (Codegen spans aren't visible through an unexecuted AdaptiveSparkPlan,
+    # so no codegen check here — AQE hides them until the final plan.)
+    n_smj = txt.count("SortMergeJoin")
+    if n_smj:
+        flags.append(f"note:{n_smj}-sort-merge-join")
+    return flags
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(args[1:])
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    severe = 0
+    for name in sorted(QUERIES):
+        if only and name not in only:
+            continue
+        if name.startswith("stream_"):
+            continue  # streaming plans are audited via their batch twins
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            flags = audit(name, df)
+        except Exception as e:  # pragma: no cover
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            severe += 1
+            continue
+        if any(f.startswith("SEVERE") for f in flags):
+            severe += 1
+        print(f"{'FLAG' if flags else 'ok  '} {name}: {', '.join(flags) or 'clean'}")
+    spark.stop()
+    sys.exit(1 if severe else 0)
+
+
+if __name__ == "__main__":
+    main()
