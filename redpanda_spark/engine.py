@@ -155,9 +155,9 @@ class TopicEngine:
                     c,
                     F.lit(None).cast(t) if c == "headers" else F.lit(-1).cast(t),
                 )
-        df = df.withColumn("is_transactional", F.lit(False)).withColumn(
-            "is_control", F.lit(False)
-        )
+        for flag in ("is_transactional", "is_control"):
+            if flag not in df.columns:
+                df = df.withColumn(flag, F.lit(False))
         df = df.withColumn("ingest_seq", F.monotonically_increasing_id())
 
         base = dict(self._high.get(topic, {}))
@@ -213,8 +213,9 @@ class TopicEngine:
         tx_ranges: DataFrame | None = None,
     ) -> DataFrame:
         log = self.log(topic)
-        if isolation == "read_committed" and tx_ranges is not None:
-            log = _read_committed(log, tx_ranges)
+        if isolation == "read_committed":
+            ranges = tx_ranges if tx_ranges is not None else self.tx_ranges()
+            log = _read_committed(log, ranges)
         return LOG.fetch(log, partition=partition, start_offset=offset, max_records=max_records)
 
     def list_offsets(self, topic: str) -> DataFrame:
@@ -279,6 +280,26 @@ class TopicEngine:
         os.rename(tmp, d)
         shutil.rmtree(old, ignore_errors=True)
 
+    # -- transaction ranges (rm_stm aborted/committed tx metadata) --------
+
+    def _tx_ranges_dir(self) -> str:
+        return os.path.join(self.root, "_tx_ranges")
+
+    def append_tx_ranges(self, df: DataFrame) -> None:
+        """Record transaction outcomes (one row per (topic, partition,
+        producer, offset-range)). Appended by the TxCoordinator at EndTxn;
+        read_committed fetches anti-join the aborted rows."""
+        df.write.mode("append").parquet(self._tx_ranges_dir())
+
+    def tx_ranges(self) -> DataFrame:
+        from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+        d = self._tx_ranges_dir()
+        try:
+            return self.spark.read.parquet(d)
+        except Exception:
+            return self.spark.createDataFrame([], TX_RANGE_SCHEMA)
+
     # -- consumer offsets -------------------------------------------------
 
     def _commits_dir(self) -> str:
@@ -311,7 +332,15 @@ class TopicEngine:
         self.offset_commit(group_id, topic, partition, -1, deleted=True)
 
     def offset_fetch(self, group_id: str | None = None) -> DataFrame:
-        commits = self.spark.read.parquet(self._commits_dir())
+        try:
+            commits = self.spark.read.parquet(self._commits_dir())
+        except Exception:
+            # no commits yet
+            commits = self.spark.createDataFrame(
+                [],
+                "group_id string, topic string, partition int, committed_offset long,"
+                " leader_epoch int, metadata string, commit_seq long, deleted boolean",
+            )
         out = _offset_fetch(commits)
         if group_id is not None:
             out = out.where(F.col("group_id") == group_id)

