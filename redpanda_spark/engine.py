@@ -215,6 +215,8 @@ class TopicEngine:
         log = self.log(topic)
         if isolation == "read_committed":
             ranges = tx_ranges if tx_ranges is not None else self.tx_ranges()
+            if "topic" in ranges.columns:
+                ranges = ranges.where(F.col("topic") == topic)
             log = _read_committed(log, ranges)
         return LOG.fetch(log, partition=partition, start_offset=offset, max_records=max_records)
 
@@ -292,13 +294,22 @@ class TopicEngine:
         df.write.mode("append").parquet(self._tx_ranges_dir())
 
     def tx_ranges(self) -> DataFrame:
+        """Live tx metadata: final (committed/aborted) rows plus open rows
+        not yet superseded by an EndTxn row for the same (topic, partition,
+        producer, first_offset). Tiny table — the anti-join broadcasts."""
         from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
 
         d = self._tx_ranges_dir()
         try:
-            return self.spark.read.parquet(d)
+            raw = self.spark.read.parquet(d)
         except Exception:
             return self.spark.createDataFrame([], TX_RANGE_SCHEMA)
+        final = raw.where(F.col("outcome") != "open")
+        keys = ["topic", "partition", "producer_id", "first_offset"]
+        live_open = raw.where(F.col("outcome") == "open").join(
+            F.broadcast(final.select(*keys)), keys, "left_anti"
+        )
+        return final.unionByName(live_open)
 
     # -- consumer offsets -------------------------------------------------
 

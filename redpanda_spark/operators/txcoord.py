@@ -149,12 +149,35 @@ class TxCoordinator:
         bases = self.engine.produce(topic, df)
         highs = self.engine.high_watermarks(topic)
         scope = st.partitions.setdefault(topic, {})
+        new_open = []
         for p, base in bases.items():
             last = highs[p] - 1
             if p in scope:
                 scope[p] = (scope[p][0], last)
             else:
                 scope[p] = (base, last)
+                new_open.append((p, base))
+        # Record the transaction as OPEN from its first offset in each
+        # partition: the LSO gate (last_stable_offset) holds read_committed
+        # readers below it until EndTxn supersedes these rows
+        # (fetch.cc:341-399 read-bound semantics).
+        if new_open:
+            self.engine.append_tx_ranges(
+                self.spark.createDataFrame(
+                    [
+                        Row(
+                            topic=topic,
+                            partition=p,
+                            producer_id=st.producer_id,
+                            first_offset=base,
+                            last_offset=2**62,
+                            outcome="open",
+                        )
+                        for p, base in new_open
+                    ],
+                    TX_RANGE_SCHEMA,
+                )
+            )
         self._save()
         return bases
 

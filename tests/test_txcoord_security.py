@@ -37,13 +37,26 @@ def test_commit_makes_data_visible(spark, engine):
     tc = TxCoordinator(engine)
     pid, epoch = tc.init_producer_id("txA")
     tc.produce("txA", "t", _batch(spark, ["a", "b"]))
-    # read_committed hides the open transaction's rows? In the reference the
-    # LSO gates them; our _tx_ranges model exposes only ended transactions,
-    # so pre-commit the rows are absent from _tx_ranges and thus visible
-    # only via read_uncommitted semantics below. After commit they appear.
+    # While the transaction is open, the LSO (min first offset of open
+    # txns) gates read_committed readers below it (fetch.cc:341-399).
+    assert _committed_values(engine, "t") == []
     tc.commit("txA")
     assert _committed_values(engine, "t") == ["a", "b"]
     assert tc.describe_transaction("txA")["state"] == "Committed"
+
+
+def test_lso_gates_nontransactional_rows_behind_open_txn(spark, engine):
+    """Rows appended after an open transaction's first offset are held
+    back for read_committed readers even if they are not transactional."""
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    engine.produce("t", _batch(spark, ["before"]))          # offset 0
+    tc.produce("txA", "t", _batch(spark, ["txrow"]))        # offset 1, open
+    engine.produce("t", _batch(spark, ["after"]))           # offset 2
+    assert _committed_values(engine, "t") == ["before"]     # LSO = 1
+    tc.commit("txA")
+    assert _committed_values(engine, "t") == ["after", "before", "txrow"]
 
 
 def test_abort_hides_data_from_read_committed(spark, engine):
