@@ -93,6 +93,27 @@ class AdminClient:
         cfg.partitions = new_count
         self.engine._save_state()
 
+    # -- ApiVersions (18) -------------------------------------------------
+
+    def api_versions(self) -> dict[str, int]:
+        """Capability negotiation: the operation surface this engine
+        supports, keyed by the reference's API names
+        (`handlers/handlers.h:70-112`). Version = 1 (single supported
+        revision — semantic versioning happens in this repo, not the wire)."""
+        ops = [
+            "Produce", "Fetch", "ListOffsets", "Metadata", "OffsetCommit",
+            "OffsetFetch", "FindCoordinator", "JoinGroup", "Heartbeat",
+            "LeaveGroup", "SyncGroup", "DescribeGroups", "ListGroups",
+            "ApiVersions", "CreateTopics", "DeleteTopics", "DeleteRecords",
+            "InitProducerId", "AddPartitionsToTxn", "AddOffsetsToTxn",
+            "EndTxn", "TxnOffsetCommit", "DescribeAcls", "CreateAcls",
+            "DeleteAcls", "DescribeConfigs", "AlterConfigs",
+            "IncrementalAlterConfigs", "CreatePartitions", "OffsetDelete",
+            "DescribeLogDirs", "AlterClientQuotas", "DescribeClientQuotas",
+            "DescribeProducers", "DescribeTransactions", "ListTransactions",
+        ]
+        return {op: 1 for op in ops}
+
     # -- InitProducerId (22) ----------------------------------------------
 
     def init_producer_id(self, transactional_id: str | None = None) -> tuple[int, int]:

@@ -157,6 +157,42 @@ def frame_sample(
     return media.select(id_col, bin_col).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, width int, height int, pixels binary"
+
+
+def image_resize(
+    media: DataFrame,
+    width: int = 4,
+    height: int = 4,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → raw pixel bytes, Arrow-batched.
+
+    The resize kernel is pure numpy (index-grid sampling) on the decoded
+    array, so the same code path serves the real decoder; production swaps
+    `_decode_image` and (optionally) a higher-quality interpolator. Output
+    pixels are C-order uint8 HxWxC bytes — the tensor-ready layout a
+    training pipeline shuffles into batches.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    continue
+                arr = _decode_image(bytes(payload))
+                h0, w0 = arr.shape[:2]
+                yi = (np.arange(height) * h0 // height).astype(np.int64)
+                xi = (np.arange(width) * w0 // width).astype(np.int64)
+                out = arr[yi][:, xi]
+                rows.append((int(mid), width, height, out.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "pixels"])
+
+    return media.select(id_col, bin_col).mapInPandas(gen, RESIZE_SCHEMA)
+
+
 def _sniff_format(b: bytes) -> str:
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"

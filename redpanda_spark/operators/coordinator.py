@@ -306,6 +306,41 @@ class GroupManager:
             for g in self.groups.values()
         ]
 
+    def describe_groups(self, group_ids: list[str] | None = None) -> list[dict]:
+        """DescribeGroups (15): dump group state + membership
+        (`handlers/describe_groups.h` → group state dump)."""
+        gs = (
+            [self.groups[g] for g in group_ids if g in self.groups]
+            if group_ids is not None
+            else list(self.groups.values())
+        )
+        return [
+            {
+                "group_id": g.group_id,
+                "state": g.state.value,
+                "generation": g.generation,
+                "protocol": g.protocol,
+                "leader": g.leader,
+                "members": [
+                    {
+                        "member_id": m.member_id,
+                        "protocols": {p: sorted(ts) for p, ts in m.protocols.items()},
+                        "assignment": {t: sorted(ps) for t, ps in m.assignment.items()},
+                    }
+                    for m in g.members.values()
+                ],
+            }
+            for g in gs
+        ]
+
+    def find_coordinator(self, group_id: str, n_coordinators: int = 1) -> int:
+        """FindCoordinator (10): hash(group) → coordinator index. Single
+        driver ⇒ always 0 unless a multi-coordinator layout is simulated."""
+        import hashlib as _hl
+
+        h = int.from_bytes(_hl.sha256(group_id.encode()).digest()[:4], "big")
+        return h % n_coordinators
+
     def delete_group(self, group_id: str) -> None:
         g = self.groups.get(group_id)
         if g is None:

@@ -137,3 +137,22 @@ def test_empty_group_rejoin_after_death():
     mgr.delete_group("g1")
     g2 = mgr.get("g1")  # recreated fresh
     assert g2.state == GroupState.EMPTY
+
+
+def test_describe_groups_and_find_coordinator():
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    mgr = GroupManager({"t": 4})
+    g = mgr.get("g1")
+    r1 = g.join_group(None, {"range": ["t"]})
+    r2 = g.join_group(None, {"range": ["t"]})
+    r1b = g.join_group(r1["member_id"], {"range": ["t"]})
+    g.sync_group(r1["member_id"], r1b["generation"])
+    g.sync_group(r2["member_id"], r1b["generation"])
+    desc = mgr.describe_groups(["g1", "missing"])
+    assert len(desc) == 1
+    d = desc[0]
+    assert d["group_id"] == "g1" and d["state"] == "Stable"
+    assert {m["member_id"] for m in d["members"]} == {r1["member_id"], r2["member_id"]}
+    assert mgr.find_coordinator("g1") == 0
+    assert 0 <= mgr.find_coordinator("g1", n_coordinators=8) < 8

@@ -100,3 +100,19 @@ def test_datalake_translation_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 8
     assert "_hour" in back.columns  # partition column survives
+
+
+def test_image_resize_layout(spark):
+    from redpanda_spark.functions.multimodal import image_resize
+
+    df = media_df(spark)
+    out = image_resize(df, width=4, height=4).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 4
+        assert len(bytes(r["pixels"])) == 4 * 4 * 3  # HxWxC uint8
+    # deterministic
+    again = image_resize(df, width=4, height=4).collect()
+    assert sorted(bytes(r["pixels"]) for r in out) == sorted(
+        bytes(r["pixels"]) for r in again
+    )
