@@ -1,0 +1,177 @@
+"""Property-based verification (hypothesis) — the randomized-workload
+analog of the reference's kgo-verifier / compat corpus (SURVEY.md §5).
+
+Pure-Python kernels (murmur2, ACL algebra, assignors) get hundreds of
+random examples; Spark operators (compaction, idempotent dedup) replay a
+handful of random workloads against an in-Python reference model.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from redpanda_spark.functions.hashes import murmur2, murmur2_batch
+from redpanda_spark.operators.coordinator import range_assign, roundrobin_assign
+from redpanda_spark.security import AclBinding, AclStore
+
+# -- murmur2: vectorized batch kernel ≡ scalar reference ------------------
+
+
+@given(st.lists(st.one_of(st.none(), st.binary(min_size=0, max_size=40)), max_size=30))
+@settings(max_examples=200)
+def test_murmur2_batch_matches_scalar(keys):
+    out = murmur2_batch(keys)
+    for k, h in zip(keys, out):
+        if k is not None:
+            assert int(h) == murmur2(bytes(k))
+
+
+# -- ACL algebra: store ≡ brute-force model -------------------------------
+
+_principals = st.sampled_from(["User:a", "User:b", "*"])
+_ops = st.sampled_from(["read", "write", "describe", "all"])
+_names = st.sampled_from(["t1", "t2", "logs-x", "*"])
+_patterns = st.sampled_from(["literal", "prefixed"])
+_perms = st.sampled_from(["allow", "deny"])
+
+_binding = st.builds(
+    AclBinding,
+    principal=_principals,
+    resource_type=st.just("topic"),
+    resource_name=_names,
+    pattern_type=_patterns,
+    operation=_ops,
+    permission=_perms,
+)
+
+
+@given(
+    st.lists(_binding, max_size=8),
+    st.sampled_from(["User:a", "User:b"]),
+    st.sampled_from(["read", "write", "describe"]),
+    st.sampled_from(["t1", "t2", "logs-x", "logs-xyz"]),
+)
+@settings(max_examples=200)
+def test_acl_matches_model(bindings, principal, op, resource):
+    store = AclStore()
+    for b in bindings:
+        store.create(b)
+
+    def model_match(b):
+        if b.principal not in ("*", principal):
+            return False
+        if b.operation not in ("all", op):
+            return False
+        if b.pattern_type == "literal":
+            return b.resource_name in ("*", resource)
+        return resource.startswith(b.resource_name)
+
+    matched = [b for b in bindings if model_match(b)]
+    expect = bool(matched) and not any(b.permission == "deny" for b in matched)
+    assert store.authorize(principal, op, "topic", resource) == expect
+
+
+# -- assignors: disjoint full cover, subscription-respecting --------------
+
+_subs = st.dictionaries(
+    st.sampled_from(["m1", "m2", "m3"]),
+    st.lists(st.sampled_from(["t1", "t2"]), min_size=1, max_size=2, unique=True),
+    min_size=1,
+    max_size=3,
+)
+_tps = st.dictionaries(
+    st.sampled_from(["t1", "t2"]), st.integers(min_value=1, max_value=7),
+    min_size=2, max_size=2,
+)
+
+
+@given(_subs, _tps, st.sampled_from([range_assign, roundrobin_assign]))
+@settings(max_examples=200)
+def test_assignors_disjoint_cover(members, tps, assignor):
+    out = assignor(members, tps)
+    for topic, n in tps.items():
+        subs = [m for m, ts in members.items() if topic in ts]
+        owned = sorted(
+            p for m in out for t, ps in out[m].items() if t == topic for p in ps
+        )
+        if subs:
+            assert owned == list(range(n))  # full disjoint cover
+        else:
+            assert owned == []
+    for m, assignment in out.items():
+        assert set(assignment) <= set(members[m])  # only subscribed topics
+
+
+# -- compaction: keep-latest ≡ dict replay (Spark, few examples) ----------
+
+_records = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # partition
+        st.sampled_from(["k1", "k2", "k3", "k4"]),      # key
+        st.one_of(st.none(), st.integers(0, 100)),      # value (None=tombstone)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_records)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_compaction_matches_replay(spark, records):
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.compaction import compact_keep_latest
+
+    rows, off = [], {}
+    for p, k, v in records:
+        o = off[p] = off.get(p, -1) + 1
+        rows.append(Row(partition=p, offset=o, key=k, value=v))
+    df = spark.createDataFrame(rows, "partition int, offset long, key string, value int")
+    got = {
+        (r["partition"], r["key"]): (r["offset"], r["value"])
+        for r in compact_keep_latest(df, ["partition", "key"]).collect()
+    }
+    # replay model: latest offset per (partition, key) wins
+    model, off = {}, {}
+    for p, k, v in records:
+        o = off[p] = off.get(p, -1) + 1
+        model[(p, k)] = (o, v)
+    assert got == model
+
+
+# -- idempotent dedup (batch): one survivor per (pid, epoch, seq) ---------
+
+_prod_records = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),   # producer_id
+        st.integers(min_value=0, max_value=1),   # epoch
+        st.integers(min_value=0, max_value=5),   # seq
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_prod_records)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_idempotent_dedup_matches_model(spark, recs):
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.transactions import idempotent_dedup
+
+    rows = [
+        Row(partition=0, offset=i, producer_id=p, producer_epoch=e, base_sequence=s)
+        for i, (p, e, s) in enumerate(recs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "partition int, offset long, producer_id long, producer_epoch int,"
+        " base_sequence long",
+    )
+    out = idempotent_dedup(df).collect()
+    # exactly one survivor per distinct (pid, epoch, seq), and it's the first
+    firsts = {}
+    for i, (p, e, s) in enumerate(recs):
+        firsts.setdefault((p, e, s), i)
+    assert sorted(r["offset"] for r in out) == sorted(firsts.values())
