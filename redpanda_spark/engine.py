@@ -54,6 +54,10 @@ class TopicConfig:
     retention_bytes: int | None = None
     timestamp_type: str = "CreateTime"  # CreateTime | LogAppendTime
     delete_retention_ms: int = 86400000  # tombstone grace
+    # Kafka compression.type → parquet codec 1:1 (model/record.h:345-361
+    # batch attrs; producer codecs gzip/snappy/lz4/zstd are all parquet
+    # codecs too; "producer"/none → engine default snappy)
+    compression: str = "snappy"
     configs: dict[str, str] = field(default_factory=dict)
 
 
@@ -176,7 +180,9 @@ class TopicEngine:
             r["partition"]: r["n"]
             for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
         }
-        df.write.mode("append").partitionBy("partition").parquet(out_dir)
+        df.write.mode("append").option("compression", cfg.compression).partitionBy(
+            "partition"
+        ).parquet(out_dir)
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n

@@ -136,3 +136,23 @@ def test_topic_catalog(engine, spark):
     assert "a" not in engine.list_topics()
     with pytest.raises(KeyError):
         engine.log("a")
+
+
+def test_topic_compression_codec(spark, tmp_path):
+    import glob
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+    from pyspark.sql import Row
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("z", TopicConfig(partitions=1, compression="zstd"))
+    eng.produce(
+        "z",
+        spark.createDataFrame(
+            [Row(key=b"k", value=b"v", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    files = glob.glob(str(tmp_path / "topics" / "z" / "**" / "*.parquet"), recursive=True)
+    assert files and all(".zstd." in f for f in files)
+    assert eng.log("z").count() == 1
