@@ -16,8 +16,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
 from redpanda_spark.plans.queries import QUERIES
 from redpanda_spark.session import get_spark
+
+
+def _warm_python_runtime(spark):
+    """Spin up the Python/Arrow UDF machinery (worker pool + numpy import +
+    Arrow codec JIT) so UDF-bearing queries measure the operator, not the
+    interpreter bootstrap."""
+
+    @pandas_udf("array<bigint>")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return pd.Series([[len(x)] for x in s])
+
+    spark.range(100000).repartition(32).select(
+        _warm_udf(F.col("id").cast("string"))
+    ).count()
 
 BENCH_QUERIES = [
     "log_fetch",
@@ -121,6 +139,7 @@ def main():
 
     # warm the JVM + file listing so per-query numbers measure the plans
     QUERIES["log_list_offsets"](spark, sf_dir).count()
+    _warm_python_runtime(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
