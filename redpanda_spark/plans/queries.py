@@ -1379,3 +1379,30 @@ ORACLES.update(
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Catalog 5: BPE-ish token counting (the second mandated tokenizer)
+# --------------------------------------------------------------------------
+
+
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Token counts under the BPE-style regex pre-tokenizer (letters runs /
+    digit runs / single punctuation) next to whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.token_count("text").alias("ws_tokens"),
+        TXT.bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_DOC_BPE_TOKENS = f"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TXT.BPE_REGEX}')) AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+QUERIES.update({"doc_bpe_tokens": q_doc_bpe_tokens})
+ORACLES.update({"doc_bpe_tokens": SQL_DOC_BPE_TOKENS})
