@@ -209,6 +209,42 @@ class TopicEngine:
             df = LOG.delete_records(df, starts)
         return df
 
+    def log_stream(self, topic: str, max_files_per_trigger: int = 64) -> DataFrame:
+        """The topic as a streaming DataFrame — the continuous-consume mode
+        (Fetch long-poll dissolves into Structured Streaming triggers,
+        SURVEY.md §2.6). Micro-batch size is bounded by
+        ``maxFilesPerTrigger`` (maxOffsetsPerTrigger analog)."""
+        static = self.log(topic)
+        return (
+            self.spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(self._topic_dir(topic))
+        )
+
+    def fetch_poll(
+        self,
+        topic: str,
+        partition: int,
+        offset: int = 0,
+        min_records: int = 1,
+        max_wait_s: float = 5.0,
+        poll_interval_s: float = 0.2,
+        isolation: str = "read_uncommitted",
+    ):
+        """Synchronous long-poll fetch: return rows at/after ``offset`` once
+        at least ``min_records`` are visible, or whatever is there when
+        ``max_wait_s`` expires (fetch.cc op_context min_bytes/max_wait,
+        `fetch.h:34`). Driver-side poll loop — streaming consumers should
+        use ``log_stream`` instead."""
+        deadline = time.monotonic() + max_wait_s
+        while True:
+            rows = self.fetch(
+                topic, partition, offset=offset, isolation=isolation
+            ).collect()
+            if len(rows) >= min_records or time.monotonic() >= deadline:
+                return rows
+            time.sleep(poll_interval_s)
+
     def fetch(
         self,
         topic: str,

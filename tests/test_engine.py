@@ -156,3 +156,55 @@ def test_topic_compression_codec(spark, tmp_path):
     files = glob.glob(str(tmp_path / "topics" / "z" / "**" / "*.parquet"), recursive=True)
     assert files and all(".zstd." in f for f in files)
     assert eng.log("z").count() == 1
+
+
+def test_log_stream_consumes_topic(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("s", TopicConfig(partitions=2))
+    eng.produce(
+        "s",
+        spark.createDataFrame(
+            [Row(key=str(i).encode(), value=b"v%d" % i) for i in range(10)],
+            "key binary, value binary",
+        ),
+    )
+    name = "m" + uuid.uuid4().hex[:10]
+    q = (
+        eng.log_stream("s")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql(f"select count(*) n from {name}").collect()[0]["n"] == 10
+
+
+def test_fetch_poll_returns_on_data_or_timeout(spark, tmp_path):
+    import time as _t
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("p", TopicConfig(partitions=1))
+    t0 = _t.monotonic()
+    rows = eng.fetch_poll("p", 0, min_records=1, max_wait_s=0.6, poll_interval_s=0.2)
+    assert rows == [] and _t.monotonic() - t0 >= 0.5  # waited out the poll
+    eng.produce(
+        "p",
+        spark.createDataFrame(
+            [Row(key=None, value=b"x", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    rows = eng.fetch_poll("p", 0, min_records=1, max_wait_s=5.0)
+    assert len(rows) == 1
