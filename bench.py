@@ -141,18 +141,22 @@ def main():
     QUERIES["log_list_offsets"](spark, sf_dir).count()
     _warm_python_runtime(spark)
 
+    # Best-of-2 per query: run-to-run noise on a shared box is ±2×; the
+    # minimum is the standard microbenchmark estimator of the true cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
-        # Queries that persist intermediates (LSH band frames) must not
-        # bleed cache/GC pressure into the next query's measurement.
-        spark.catalog.clearCache()
+    for _ in range(runs):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+            # Queries that persist intermediates (LSH band frames) must not
+            # bleed cache/GC pressure into the next query's measurement.
+            spark.catalog.clearCache()
+    total = sum(timings.values())
 
     omb = bench_omb(spark)
     print(f"# omb: {omb}", file=sys.stderr)
