@@ -58,13 +58,25 @@ class TopicConfig:
     # batch attrs; producer codecs gzip/snappy/lz4/zstd are all parquet
     # codecs too; "producer"/none → engine default snappy)
     compression: str = "snappy"
+    # Broker-side schema-id validation (produce.cc:360-362,
+    # schema_id_validation.h): when set, produced values must carry the
+    # registry wire format (magic 0 + big-endian schema id) with an id
+    # registered under this subject. Requires a registry on the engine.
+    value_schema_subject: str | None = None
     configs: dict[str, str] = field(default_factory=dict)
 
 
+class ProduceError(Exception):
+    def __init__(self, code: str, detail: str = ""):
+        super().__init__(f"{code}: {detail}" if detail else code)
+        self.code = code
+
+
 class TopicEngine:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, registry=None):
         self.spark = spark
         self.root = root
+        self.registry = registry  # SchemaRegistry, for schema-id validation
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "_topics.json")
         self._offsets_path = os.path.join(root, "_offsets.json")  # high watermarks
@@ -136,6 +148,9 @@ class TopicEngine:
         cfg = self._require(topic)
         n_parts = cfg.partitions
 
+        if cfg.value_schema_subject is not None:
+            self._validate_schema_ids(batch, cfg.value_schema_subject)
+
         cols = batch.columns
         df = batch
         if "partition" not in cols:
@@ -188,6 +203,35 @@ class TopicEngine:
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
         self._save_state()
         return bases
+
+    def _validate_schema_ids(self, batch: DataFrame, subject: str) -> None:
+        """Reject the batch if any non-null value lacks the registry wire
+        format (magic 0x00 + big-endian schema id registered under
+        ``subject``). All-JVM check: substring/hex/conv on the binary value
+        — no per-row Python (produce.cc:360-362 parity)."""
+        if self.registry is None:
+            raise ProduceError(
+                "INVALID_CONFIG", "schema-id validation requires a registry"
+            )
+        ids = [
+            int(self.registry.get_version(subject, v).id)
+            for v in self.registry.versions(subject)
+        ]
+        val = F.col("value")
+        sid = F.conv(F.hex(F.substring(val, 2, 4)), 16, 10).cast("long")
+        bad = batch.where(
+            val.isNotNull()
+            & (
+                (F.length(val) < 5)
+                | (F.substring(val, 1, 1) != F.lit(b"\x00"))
+                | (~sid.isin(ids) if ids else F.lit(True))
+            )
+        ).count()
+        if bad:
+            raise ProduceError(
+                "INVALID_RECORD",
+                f"{bad} record(s) failed schema-id validation for subject {subject}",
+            )
 
     # -- read paths -------------------------------------------------------
 

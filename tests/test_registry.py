@@ -150,3 +150,36 @@ def test_persistence_roundtrip(tmp_path):
     r2 = SchemaRegistry(p)
     assert r2.get_by_id(sid).schema == V1
     assert r2.versions("s") == [1]
+
+
+def test_schema_id_produce_validation(spark, tmp_path):
+    """Broker-side schema-id gate (produce.cc:360-362): batches whose
+    values lack a registered wire-format id are rejected atomically."""
+    import pytest
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+    from redpanda_spark.registry.store import SchemaRegistry
+
+    reg = SchemaRegistry()
+    sid = reg.register("t-value", '{"type": "record", "name": "r", "fields": []}')
+    eng = TopicEngine(spark, str(tmp_path / "topics"), registry=reg)
+    eng.create_topic("t", TopicConfig(partitions=1, value_schema_subject="t-value"))
+
+    good = SchemaRegistry.wire_encode(sid, b"payload")
+    ok_batch = spark.createDataFrame(
+        [Row(key=None, value=good, partition=0), Row(key=None, value=None, partition=0)],
+        "key binary, value binary, partition int",
+    )
+    eng.produce("t", ok_batch)  # tombstones + valid ids pass
+    assert eng.log("t").count() == 2
+
+    for bad in (b"raw-bytes", b"\x01" + sid.to_bytes(4, "big") + b"x",
+                SchemaRegistry.wire_encode(sid + 999, b"x"), b"\x00\x00"):
+        batch = spark.createDataFrame(
+            [Row(key=None, value=bad, partition=0)],
+            "key binary, value binary, partition int",
+        )
+        with pytest.raises(ProduceError):
+            eng.produce("t", batch)
+    assert eng.log("t").count() == 2  # nothing leaked from rejected batches
