@@ -346,9 +346,30 @@ class TopicEngine:
         self._rewrite(topic, log)
 
     def run_compaction(self, topic: str, now_ms: int | None = None) -> None:
-        """Keep-latest-per-key + tombstone grace (cleanup.policy=compact)."""
+        """Keep-latest-per-key + tombstone grace (cleanup.policy=compact).
+
+        Aborted-transaction records are dropped FIRST (tx_reducer,
+        `storage/compaction_reducers.h:217`): an aborted write must never
+        win keep-latest over an older committed value. Open transactions'
+        rows are retained untouched (they are not yet compactable)."""
         cfg = self._require(topic)
         log = self.log(topic)
+        ranges = self.tx_ranges()
+        if "topic" in ranges.columns:
+            ranges = ranges.where(F.col("topic") == topic)
+        aborted = ranges.where(F.col("outcome") == "aborted").select(
+            F.col("partition").alias("a_partition"),
+            F.col("producer_id").alias("a_pid"),
+            "first_offset",
+            "last_offset",
+        )
+        cond = (
+            (F.col("partition") == F.col("a_partition"))
+            & (F.col("producer_id") == F.col("a_pid"))
+            & F.col("offset").between(F.col("first_offset"), F.col("last_offset"))
+            & F.col("is_transactional")
+        )
+        log = log.join(F.broadcast(aborted), cond, "left_anti")
         now_s = (now_ms or int(time.time() * 1000)) / 1000.0
         compacted = compact_with_tombstone_grace(
             log,

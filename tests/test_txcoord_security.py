@@ -185,3 +185,34 @@ def test_acl_store_dataframe_view(spark):
     store.create(AclBinding("User:a", "topic", "t", "literal", "read", "allow"))
     df = store.to_df(spark)
     assert df.count() == 1 and df.columns[0] == "principal"
+
+
+def test_compaction_drops_aborted_records(spark, engine):
+    """tx_reducer parity (compaction_reducers.h:217): an aborted write must
+    not win keep-latest over an older committed value."""
+    from pyspark.sql import functions as F
+
+    engine.create_topic("c", TopicConfig(partitions=1, cleanup_policy="compact"))
+    # committed (non-tx) write of key k -> v1
+    engine.produce(
+        "c",
+        spark.createDataFrame(
+            [Row(key=b"k", value=b"v1", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    # aborted transactional overwrite k -> v2 at a HIGHER offset
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce(
+        "txA",
+        "c",
+        spark.createDataFrame(
+            [Row(key=b"k", value=b"v2", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    tc.abort("txA")
+    engine.run_compaction("c")
+    rows = engine.log("c").where(F.col("key") == b"k").collect()
+    assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v1"
