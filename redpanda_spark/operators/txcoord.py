@@ -137,10 +137,6 @@ class TxCoordinator:
         st = self._require(transactional_id)
         if st.status not in ("Empty", "Committed", "Aborted", "Ongoing"):
             raise TxError("INVALID_TXN_STATE")
-        if st.status != "Ongoing":
-            st.status = "Ongoing"
-            st.partitions = {}
-            st.staged_offsets = {}
         df = (
             batch.withColumn("producer_id", F.lit(st.producer_id).cast("bigint"))
             .withColumn("producer_epoch", F.lit(st.producer_epoch).cast("smallint"))
@@ -148,6 +144,23 @@ class TxCoordinator:
         )
         bases = self.engine.produce(topic, df)
         highs = self.engine.high_watermarks(topic)
+        self.record_produced(transactional_id, topic, bases, highs)
+        return bases
+
+    def record_produced(
+        self, transactional_id: str, topic: str, bases: dict, highs: dict
+    ) -> None:
+        """Pure bookkeeping half of a transactional produce (split out so
+        the FSM is property-testable without Spark): transition to Ongoing,
+        extend the partition scope, and record new partitions as OPEN —
+        the LSO gate (last_stable_offset) holds read_committed readers
+        below the open range until EndTxn supersedes it
+        (fetch.cc:341-399 read-bound semantics)."""
+        st = self._require(transactional_id)
+        if st.status != "Ongoing":
+            st.status = "Ongoing"
+            st.partitions = {}
+            st.staged_offsets = {}
         scope = st.partitions.setdefault(topic, {})
         new_open = []
         for p, base in bases.items():
@@ -157,10 +170,6 @@ class TxCoordinator:
             else:
                 scope[p] = (base, last)
                 new_open.append((p, base))
-        # Record the transaction as OPEN from its first offset in each
-        # partition: the LSO gate (last_stable_offset) holds read_committed
-        # readers below it until EndTxn supersedes these rows
-        # (fetch.cc:341-399 read-bound semantics).
         if new_open:
             self.engine.append_tx_ranges(
                 self.spark.createDataFrame(
@@ -179,7 +188,6 @@ class TxCoordinator:
                 )
             )
         self._save()
-        return bases
 
     # -- TxnOffsetCommit (28) / AddOffsetsToTxn (25) ---------------------
 

@@ -175,3 +175,119 @@ def test_idempotent_dedup_matches_model(spark, recs):
     for i, (p, e, s) in enumerate(recs):
         firsts.setdefault((p, e, s), i)
     assert sorted(r["offset"] for r in out) == sorted(firsts.values())
+
+
+# -- TxCoordinator FSM: random interleavings vs invariant model -----------
+# (SURVEY §7 "what's hard" (b): mirror rm_stm interleaving tests. Pure
+# Python: a stub engine records produced ranges / tx markers / offsets;
+# the REAL TxCoordinator methods drive the FSM via record_produced.)
+
+
+class _StubEngine:
+    class _Spark:
+        def createDataFrame(self, rows, schema):
+            return rows  # txcoord only forwards this to append_tx_ranges
+
+    def __init__(self, root):
+        import os
+
+        self.root = str(root)
+        os.makedirs(self.root, exist_ok=True)
+        self.spark = self._Spark()
+        self.high = {}
+        self.tx_rows = []
+        self.committed_offsets = []
+
+    def produce_n(self, n):
+        base = self.high.get(0, 0)
+        self.high[0] = base + n
+        return {0: base}
+
+    def high_watermarks(self, topic):
+        return dict(self.high)
+
+    def append_tx_ranges(self, rows):
+        self.tx_rows.extend(rows)
+
+    def offset_commit(self, group, topic, partition, offset):
+        self.committed_offsets.append((group, topic, partition, offset))
+
+
+_tx_ops = st.lists(
+    st.sampled_from(["init", "produce", "stage_offset", "commit", "abort"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(_tx_ops)
+@settings(max_examples=150)
+def test_txcoordinator_interleavings(tmp_path_factory, ops):
+    import uuid
+
+    from redpanda_spark.operators.txcoord import TxCoordinator, TxError
+
+    eng = _StubEngine(tmp_path_factory.mktemp("tx") / uuid.uuid4().hex)
+    tc = TxCoordinator(eng)
+
+    committed_ranges, aborted_ranges = [], []
+    staged, model_committed = {}, []
+    ongoing_ranges = []
+    inited = False
+
+    for op in ops:
+        status = tc._txs["txA"].status if inited else None
+        if op == "init":
+            tc.init_producer_id("txA")
+            if status == "Ongoing":  # re-init fences the open transaction
+                aborted_ranges.extend(ongoing_ranges)
+            ongoing_ranges, staged = [], {}
+            inited = True
+        elif not inited:
+            continue
+        elif op == "produce":
+            if status != "Ongoing":
+                ongoing_ranges, staged = [], {}
+            bases = eng.produce_n(2)
+            tc.record_produced("txA", "t", bases, eng.high_watermarks("t"))
+            b = bases[0]
+            if ongoing_ranges:
+                ongoing_ranges[0] = (ongoing_ranges[0][0], eng.high[0] - 1)
+            else:
+                ongoing_ranges = [(b, eng.high[0] - 1)]
+        elif op == "stage_offset":
+            try:
+                tc.txn_offset_commit("txA", "g", "t", 0, eng.high.get(0, 0))
+                staged[("g", "t", 0)] = eng.high.get(0, 0)
+            except TxError:
+                pass  # no open transaction
+        else:  # commit / abort
+            try:
+                (tc.commit if op == "commit" else tc.abort)("txA")
+            except TxError:
+                continue  # EndTxn on Empty
+            if status == "Ongoing":
+                if op == "commit":
+                    committed_ranges.extend(ongoing_ranges)
+                    model_committed.extend(
+                        (g, t, p, o) for (g, t, p), o in staged.items()
+                    )
+                else:
+                    aborted_ranges.extend(ongoing_ranges)
+                ongoing_ranges, staged = [], {}
+
+    got_final = {
+        (r.first_offset, r.last_offset, r.outcome)
+        for r in eng.tx_rows
+        if r.outcome != "open"
+    }
+    want_final = {(a, b, "committed") for a, b in committed_ranges} | {
+        (a, b, "aborted") for a, b in aborted_ranges
+    }
+    assert got_final == want_final
+    assert eng.committed_offsets == model_committed
+    # every open marker is eventually superseded or belongs to the last txn
+    open_firsts = {r.first_offset for r in eng.tx_rows if r.outcome == "open"}
+    final_firsts = {r.first_offset for r in eng.tx_rows if r.outcome != "open"}
+    live_open = open_firsts - final_firsts
+    assert len(live_open) <= 1  # at most the still-ongoing transaction
