@@ -1406,3 +1406,96 @@ FROM documents
 
 QUERIES.update({"doc_bpe_tokens": q_doc_bpe_tokens})
 ORACLES.update({"doc_bpe_tokens": SQL_DOC_BPE_TOKENS})
+
+
+# --------------------------------------------------------------------------
+# Catalog 6: TPC-H Q7 (nation-pair volume) and Q19 (disjunctive pushdown)
+# --------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+
+
+def q_tpch_q7ish(spark, sf_dir):
+    """Q7 shape: two-sided dimension chain (supplier-nation, customer-
+    nation), nation-pair filter, yearly volume. Both nation joins broadcast;
+    the only big shuffles are fact-fact on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol).cast("double"), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7ISH = f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(volume) AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+     OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q19ish(spark, sf_dir):
+    """Q19 shape: disjunctive brand/quantity predicates — Catalyst folds the
+    OR into the join filter and pushes the common l_quantity bound to the
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).where(
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 40)))
+    )
+    return j.agg(
+        F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_TPCH_Q19ISH = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40)
+"""
+
+QUERIES.update({"tpch_q7ish": q_tpch_q7ish, "tpch_q19ish": q_tpch_q19ish})
+ORACLES.update({"tpch_q7ish": SQL_TPCH_Q7ISH, "tpch_q19ish": SQL_TPCH_Q19ISH})
