@@ -1499,3 +1499,60 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
 
 QUERIES.update({"tpch_q7ish": q_tpch_q7ish, "tpch_q19ish": q_tpch_q19ish})
 ORACLES.update({"tpch_q7ish": SQL_TPCH_Q7ISH, "tpch_q19ish": SQL_TPCH_Q19ISH})
+
+
+# --------------------------------------------------------------------------
+# Catalog 7: stateful-streaming idempotent dedup through the gate.
+# The applyInPandasWithState operator (rm_stm analog) is SQL-oracle-able
+# here: with a single epoch the admit rule is "seq > running max of all
+# previously arrived seqs per producer", a window expression.
+# --------------------------------------------------------------------------
+
+
+def q_stream_idempotent_dedup(spark, sf_dir):
+    """Streaming idempotent-producer dedup (stateful, epoch-fencing FSM)
+    drained via an availableNow run. Producer sim mirrors
+    log_idempotent_dedup: pid=user_id, epoch=0, seq=event_id div 2; each
+    producer lives in one partition so arrival order (offset) is total."""
+    import tempfile as _tf
+
+    from redpanda_spark.streaming.stateful import idempotent_dedup_stream
+
+    sim = topic_view(spark, sf_dir, NUM_PARTITIONS).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("user_id").cast("long").alias("producer_id"),
+        F.lit(0).cast("int").alias("producer_epoch"),
+        F.expr("event_id div 2").cast("long").alias("base_sequence"),
+    )
+    d = _tf.mkdtemp(prefix="sim_dedup_")
+    # single file -> single micro-batch: a deterministic arrival stream
+    sim.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(sim.schema).parquet(d)
+    out = idempotent_dedup_stream(stream, payload_cols=("partition", "offset"))
+    drained = _drain(spark, out, mode="append")
+    return drained.groupBy(F.col("partition").cast("int").alias("partition")).agg(
+        F.count("*").alias("n_admitted"),
+        F.max("offset").cast("long").alias("max_offset"),
+    )
+
+
+SQL_STREAM_IDEMPOTENT_DEDUP = f"""
+WITH {LOG_CTE},
+sim AS (
+  SELECT partition, "offset", user_id AS pid,
+         CAST(event_id // 2 AS BIGINT) AS seq
+  FROM log),
+adm AS (
+  SELECT *, MAX(seq) OVER (PARTITION BY pid ORDER BY "offset"
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM sim)
+SELECT CAST(partition AS INTEGER) AS partition,
+       COUNT(*) AS n_admitted,
+       CAST(MAX("offset") AS BIGINT) AS max_offset
+FROM adm WHERE prevmax IS NULL OR seq > prevmax
+GROUP BY partition
+"""
+
+QUERIES.update({"stream_idempotent_dedup": q_stream_idempotent_dedup})
+ORACLES.update({"stream_idempotent_dedup": SQL_STREAM_IDEMPOTENT_DEDUP})
