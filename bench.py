@@ -158,7 +158,13 @@ def main():
             spark.catalog.clearCache()
     total = sum(timings.values())
 
+    # best-of-2 like the query loop: shared-host noise swings produce
+    # throughput ±2×; the max is the better estimator of engine capacity
     omb = bench_omb(spark)
+    if runs > 1:
+        o2 = bench_omb(spark)
+        if o2["produce_mb_s"] > omb["produce_mb_s"]:
+            omb = o2
     print(f"# omb: {omb}", file=sys.stderr)
 
     print(
