@@ -306,8 +306,29 @@ class TopicEngine:
             log = _read_committed(log, ranges)
         return LOG.fetch(log, partition=partition, start_offset=offset, max_records=max_records)
 
-    def list_offsets(self, topic: str) -> DataFrame:
-        return LOG.list_offsets(self.log(topic))
+    def list_offsets(self, topic: str, isolation: str = "read_uncommitted") -> DataFrame:
+        """Earliest/latest per partition; at read_committed the "latest"
+        special returns the LSO instead of the HWM
+        (`handlers/list_offsets.cc:100-132` isolation-aware bound)."""
+        out = LOG.list_offsets(self.log(topic))
+        if isolation != "read_committed":
+            return out
+        from redpanda_spark.operators.transactions import last_stable_offset
+
+        ranges = self.tx_ranges()
+        if "topic" in ranges.columns:
+            ranges = ranges.where(F.col("topic") == topic)
+        lso = last_stable_offset(self.log(topic), ranges)
+        return (
+            out.join(F.broadcast(lso), "partition", "left")
+            .select(
+                "partition",
+                "earliest_offset",
+                F.least(
+                    F.col("latest_offset"), F.coalesce("lso", F.col("latest_offset"))
+                ).alias("latest_offset"),
+            )
+        )
 
     def timequery(self, topic: str, ts) -> DataFrame:
         return LOG.timequery(self.log(topic), ts)
@@ -335,15 +356,37 @@ class TopicEngine:
         self._save_state()
 
     def run_retention(self, topic: str, now_ms: int | None = None) -> None:
-        """Physically rewrite the topic applying time retention + log starts
-        (the reference's segment GC; here a compacting rewrite)."""
+        """Physically rewrite the topic applying time + size retention and
+        log starts (the reference's segment GC; here a compacting rewrite,
+        `disk_log_impl.cc:260-417`)."""
         cfg = self._require(topic)
         log = self.log(topic)
         if cfg.retention_ms is not None:
             now = (now_ms or int(time.time() * 1000)) / 1000.0
             cutoff = F.timestamp_seconds(F.lit(now - cfg.retention_ms / 1000.0))
             log = LOG.retain_by_time(log, cutoff)
+        if cfg.retention_bytes is not None:
+            sized = log.withColumn(
+                "_nbytes",
+                F.lit(16)
+                + F.coalesce(F.length("key"), F.lit(0))
+                + F.coalesce(F.length("value"), F.lit(0)),
+            )
+            log = LOG.retain_by_size(sized, cfg.retention_bytes, "_nbytes").drop(
+                "_nbytes"
+            )
         self._rewrite(topic, log)
+
+    def run_cleanup(self, topic: str, now_ms: int | None = None) -> None:
+        """Dispatch on cleanup.policy — 'delete', 'compact', or the combined
+        'compact,delete' the reference also supports: compact first (keep
+        latest per key), then age/size out what remains."""
+        cfg = self._require(topic)
+        policies = {p.strip() for p in cfg.cleanup_policy.split(",")}
+        if "compact" in policies:
+            self.run_compaction(topic, now_ms)
+        if "delete" in policies:
+            self.run_retention(topic, now_ms)
 
     def run_compaction(self, topic: str, now_ms: int | None = None) -> None:
         """Keep-latest-per-key + tombstone grace (cleanup.policy=compact).

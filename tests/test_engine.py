@@ -208,3 +208,35 @@ def test_fetch_poll_returns_on_data_or_timeout(spark, tmp_path):
     )
     rows = eng.fetch_poll("p", 0, min_records=1, max_wait_s=5.0)
     assert len(rows) == 1
+
+def test_size_retention_keeps_newest_within_budget(engine, spark):
+    # Each row costs 16 + len(key) + len(value) bytes = 16+2+2 = 20.
+    engine.create_topic("t9", TopicConfig(partitions=1, retention_bytes=65))
+    engine.produce(
+        "t9", records_df(spark, [(f"k{i}", f"v{i}") for i in range(6)])
+    )
+    engine.run_retention("t9")
+    offs = sorted(r["offset"] for r in engine.log("t9").collect())
+    assert offs == [3, 4, 5]  # newest 3 rows fit in 65 bytes (3*20=60)
+
+
+def test_run_cleanup_compact_delete_combined(engine, spark):
+    thirty_days = 30 * 86400 * 1000
+    engine.create_topic(
+        "t10",
+        TopicConfig(
+            partitions=1, cleanup_policy="compact,delete", retention_ms=thirty_days
+        ),
+    )
+    # Old duplicate of key a, then fresh values for a and b.
+    engine.produce("t10", records_df(spark, [("a", "old")], ts="2024-01-01 00:00:00"))
+    engine.produce(
+        "t10", records_df(spark, [("a", "new"), ("b", "keep")], ts="2024-06-01 00:00:00")
+    )
+    import calendar
+
+    now_ms = calendar.timegm((2024, 6, 2, 0, 0, 0)) * 1000
+    engine.run_cleanup("t10", now_ms=now_ms)
+    rows = {bytes(r["key"]).decode(): bytes(r["value"]).decode()
+            for r in engine.log("t10").collect()}
+    assert rows == {"a": "new", "b": "keep"}

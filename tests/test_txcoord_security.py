@@ -216,3 +216,20 @@ def test_compaction_drops_aborted_records(spark, engine):
     engine.run_compaction("c")
     rows = engine.log("c").where(F.col("key") == b"k").collect()
     assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v1"
+
+def test_list_offsets_read_committed_returns_lso(spark, engine):
+    """ListOffsets latest special is isolation-aware: read_committed gets
+    the LSO, read_uncommitted the HWM (list_offsets.cc:100-132)."""
+    engine.create_topic("lo", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    engine.produce("lo", _batch(spark, ["before"]))      # offset 0
+    tc.produce("txA", "lo", _batch(spark, ["txrow"]))    # offset 1, open
+    engine.produce("lo", _batch(spark, ["after"]))       # offset 2
+    hwm = engine.list_offsets("lo").collect()[0]
+    assert hwm["latest_offset"] == 3
+    lso = engine.list_offsets("lo", isolation="read_committed").collect()[0]
+    assert lso["latest_offset"] == 1
+    tc.commit("txA")
+    lso2 = engine.list_offsets("lo", isolation="read_committed").collect()[0]
+    assert lso2["latest_offset"] == 3
