@@ -654,17 +654,11 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact)."""
+    """Embedding-cosine near-dup pairs (exact, normalized-once + broadcast)."""
+    from redpanda_spark.dedup.embedding import cosine_pairs_exact
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos") >= 0.35)
-        .select("id_a", "id_b", "cos")
-    )
+    return cosine_pairs_exact(emb, threshold=0.35)
 
 
 SQL_EMB_NEAR_DUP = """

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redpanda_spark.functions.vectors import as_double, cosine, dot
+from redpanda_spark.sources.tables import parallelize_narrow
 
 
 def brute_force_topk(
@@ -35,7 +36,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    # Small parquet corpora arrive as one split; spread the O(n·q) cosine
+    # work across cores. No-op when the corpus already has enough splits.
+    c = parallelize_narrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    )
     joined = c.join(F.broadcast(q))
     if not include_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
@@ -108,8 +113,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: probe the nprobe closest cells per query, exact rerank."""
     q = ivf_probe_cells(queries, centroids, nprobe, vec_col, query_id_col)
-    c = corpus_with_cells.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+    c = parallelize_narrow(
+        corpus_with_cells.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"), "cell"
+        )
     )
     joined = c.join(F.broadcast(q), "cell").where(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
