@@ -125,6 +125,24 @@ class TopicEngine:
     def _topic_dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
 
+    def _segment_files(self, topic: str) -> set[str] | None:
+        """All parquet segment paths of a topic via local dir listing, or
+        None when the root isn't locally listable (object-store roots use
+        the count-job fallback in produce)."""
+        d = self._topic_dir(topic)
+        if not os.path.isdir(d):
+            return None
+        try:
+            out: set[str] = set()
+            for pdir in os.scandir(d):
+                if pdir.is_dir() and pdir.name.startswith("partition="):
+                    for f in os.scandir(pdir.path):
+                        if f.name.endswith(".parquet"):
+                            out.add(f.path)
+            return out
+        except OSError:
+            return None
+
     def _require(self, topic: str) -> TopicConfig:
         if topic not in self._topics:
             raise KeyError(f"unknown topic: {topic}")
@@ -184,20 +202,33 @@ class TopicEngine:
         df = df.drop("ingest_seq")
 
         out_dir = self._topic_dir(topic)
-        # Count-first, then write. The count job runs only routing (cheap);
-        # the write job re-runs routing + the offset window. Caching the
-        # routed frame instead costs more than the recompute (100 MB/s-class
-        # batches serialize slower than they route). Routing is
-        # deterministic for keyed records (murmur2); round-robin null-key
-        # rows rely on a deterministic input plan, which produce() callers
-        # provide (materialized micro-batches).
-        counts = {
-            r["partition"]: r["n"]
-            for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
-        }
-        df.write.mode("append").option("compression", cfg.compression).partitionBy(
-            "partition"
-        ).parquet(out_dir)
+        # Single-job append: the write is the only Spark action; per-partition
+        # row counts come from the parquet footers of the files this write
+        # created (dir-listing diff, driver-side, O(files-in-batch) ≈ one
+        # footer per touched partition). This is the reference's own trick —
+        # the segment index records batch row counts at append
+        # (`storage/index_state.h`) — and avoids re-running routing + the
+        # offset window in a second count job. Falls back to a count job if
+        # the root isn't a locally listable directory (e.g. object store).
+        before = self._segment_files(topic)
+        if before is None:
+            counts = {
+                r["partition"]: r["n"]
+                for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
+            }
+            df.write.mode("append").option("compression", cfg.compression).partitionBy(
+                "partition"
+            ).parquet(out_dir)
+        else:
+            df.write.mode("append").option("compression", cfg.compression).partitionBy(
+                "partition"
+            ).parquet(out_dir)
+            import pyarrow.parquet as pq
+
+            counts = {}
+            for path in (self._segment_files(topic) or set()) - before:
+                p = int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
+                counts[p] = counts.get(p, 0) + pq.ParquetFile(path).metadata.num_rows
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
