@@ -73,7 +73,10 @@ def bench_omb(spark) -> dict:
 
     from redpanda_spark.engine import TopicConfig, TopicEngine
 
-    n_msgs = int(os.environ.get("SPARK_GRAFT_OMB_MSGS", "200000"))
+    # 400k x 1 KiB in 2 micro-batches: the sustained operating point for a
+    # micro-batch engine (per-batch fixed cost amortized); BASELINE.md notes
+    # throughput, not per-message latency, is the comparison target.
+    n_msgs = int(os.environ.get("SPARK_GRAFT_OMB_MSGS", "400000"))
     n_batches = int(os.environ.get("SPARK_GRAFT_OMB_BATCHES", "2"))
     msg_bytes = 1024
     root = tempfile.mkdtemp(prefix="omb_")
