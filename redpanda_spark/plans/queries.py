@@ -1550,3 +1550,90 @@ GROUP BY partition
 
 QUERIES.update({"stream_idempotent_dedup": q_stream_idempotent_dedup})
 ORACLES.update({"stream_idempotent_dedup": SQL_STREAM_IDEMPOTENT_DEDUP})
+
+
+# --------------------------------------------------------------------------
+# Catalog 8: TPC-H Q13 (outer-join distribution) and Q15 (top-revenue view)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q13ish(spark, sf_dir):
+    """Q13 shape: customer LEFT OUTER JOIN filtered orders, per-customer
+    order count, then the count distribution. Exercises null-preserving
+    outer join + two cascaded aggregations; both shuffles key on columns
+    with near-uniform cardinality (custkey, then small count domain with
+    map-side partial agg), so the plan holds at 100 TB."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != F.lit("1-URGENT")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13ISH = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15ish(spark, sf_dir):
+    """Q15 shape: quarterly per-supplier revenue view, join back against the
+    view's max (scalar subquery → broadcast of a 1-row frame). The revenue
+    aggregation is the only big shuffle; the max side is an agg of the
+    already-computed view, and the final equality join broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(vol).cast("double"), 6).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15ISH = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+QUERIES.update({"tpch_q13ish": q_tpch_q13ish, "tpch_q15ish": q_tpch_q15ish})
+ORACLES.update({"tpch_q13ish": SQL_TPCH_Q13ISH, "tpch_q15ish": SQL_TPCH_Q15ISH})
