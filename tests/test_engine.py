@@ -240,3 +240,19 @@ def test_run_cleanup_compact_delete_combined(engine, spark):
     rows = {bytes(r["key"]).decode(): bytes(r["value"]).decode()
             for r in engine.log("t10").collect()}
     assert rows == {"a": "new", "b": "keep"}
+
+
+def test_produce_count_job_fallback_matches_footer_path(engine, spark, monkeypatch):
+    """Non-listable roots (object store) fall back to the pre-write count
+    job; offsets and watermarks must be identical to the footer path."""
+    engine.create_topic("tf", TopicConfig(partitions=3))
+    engine.produce("tf", records_df(spark, [(f"k{i}", f"v{i}") for i in range(12)]))
+    hwm_footer = engine.high_watermarks("tf")
+
+    monkeypatch.setattr(TopicEngine, "_segment_files", lambda self, topic: None)
+    bases = engine.produce("tf", records_df(spark, [(f"k{i}", f"x{i}") for i in range(12)]))
+    assert bases == {p: o for p, o in hwm_footer.items() if p in bases}
+    log = engine.log("tf")
+    for p in range(3):
+        offs = sorted(r["offset"] for r in log.where(F.col("partition") == p).collect())
+        assert offs == list(range(len(offs)))
