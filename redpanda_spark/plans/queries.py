@@ -1637,3 +1637,68 @@ ORDER BY s_suppkey
 
 QUERIES.update({"tpch_q13ish": q_tpch_q13ish, "tpch_q15ish": q_tpch_q15ish})
 ORACLES.update({"tpch_q13ish": SQL_TPCH_Q13ISH, "tpch_q15ish": SQL_TPCH_Q15ISH})
+
+
+# --------------------------------------------------------------------------
+# Catalog 9: per-record transform fanout through the gate (SURVEY.md §2.5).
+# Runs the real mapInPandas flatMap executor (streaming/transforms.py) in
+# batch mode: 0..2 outputs per record across 3 output topics, with a
+# transcode, a drop rule, and a dual-emit — the OnRecordWritten surface.
+# --------------------------------------------------------------------------
+
+
+def q_transform_fanout(spark, sf_dir):
+    """Wasm-transform analog (`transform_processor.h:78`, SDK flatMap
+    `sdk.go:21-29`): click/view → engagement (uppercased), signup →
+    engagement (as-is), purchase → revenue AND audit (dual emit), error →
+    dropped. The flatMap is narrow (no shuffle); outputs are decoded to
+    strings so the oracle row-compares the full fanout."""
+    from redpanda_spark.streaming.transforms import _OUT_SCHEMA, _flatmap_batches
+
+    ev = _t(spark, sf_dir, "events")
+    recs = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+        .cast("binary")
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+
+    def fanout(rec):
+        val = bytes(rec["value"]).decode()
+        etype = val.split(":", 1)[0]
+        if etype in ("click", "view"):
+            yield "engagement", {"key": rec["key"], "value": val.upper().encode()}
+        elif etype == "signup":
+            yield "engagement", {"key": rec["key"], "value": rec["value"]}
+        elif etype == "purchase":
+            yield "revenue", {"key": rec["key"], "value": rec["value"]}
+            yield "audit", {"key": b"a:" + bytes(rec["key"]), "value": rec["value"]}
+        # error → dropped (0 outputs)
+
+    out = recs.mapInPandas(_flatmap_batches(fanout), _OUT_SCHEMA)
+    return out.select(
+        "out_topic",
+        F.col("key").cast("string").alias("key_s"),
+        F.col("value").cast("string").alias("value_s"),
+    )
+
+
+SQL_TRANSFORM_FANOUT = """
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS key_s,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS value_s,
+         event_type
+  FROM events)
+SELECT 'engagement' AS out_topic, key_s,
+       CASE WHEN event_type IN ('click','view') THEN upper(value_s)
+            ELSE value_s END AS value_s
+FROM src WHERE event_type IN ('click','view','signup')
+UNION ALL
+SELECT 'revenue', key_s, value_s FROM src WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'audit', 'a:' || key_s, value_s FROM src WHERE event_type = 'purchase'
+"""
+
+QUERIES.update({"transform_fanout": q_transform_fanout})
+ORACLES.update({"transform_fanout": SQL_TRANSFORM_FANOUT})
