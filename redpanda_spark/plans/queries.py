@@ -1702,3 +1702,53 @@ SELECT 'audit', 'a:' || key_s, value_s FROM src WHERE event_type = 'purchase'
 
 QUERIES.update({"transform_fanout": q_transform_fanout})
 ORACLES.update({"transform_fanout": SQL_TRANSFORM_FANOUT})
+
+
+# --------------------------------------------------------------------------
+# Catalog 10: end-to-end training-data curation pipeline — the composed
+# filter → language-gate → fingerprint-dedup stage every large-scale
+# corpus build runs, as ONE oracle-checked query. Single scan of documents,
+# all-JVM expressions; the only shuffle is the final per-language agg.
+# --------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """quality >= 0.5 AND identified language → per-language kept-doc count,
+    unique-fingerprint count (exact-dedup cardinality) and mean quality."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang"),
+        TXT.fingerprint("text").cast("long").alias("fp"),
+    )
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
+    return (
+        kept.groupBy(
+            "lang", F.floor(F.col("quality") * 10).cast("int").alias("q_decile")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "q_decile")
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH q AS ({SQL_DOC_QUALITY}),
+l AS ({SQL_DOC_LANG_ID}),
+f AS ({SQL_DOC_FINGERPRINT})
+SELECT l.lang_pred AS lang,
+       CAST(FLOOR(q.quality * 10) AS INTEGER) AS q_decile,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT f.fp) AS n_unique,
+       ROUND(AVG(q.quality), 6) AS avg_quality
+FROM q JOIN l ON q.doc_id = l.doc_id JOIN f ON q.doc_id = f.doc_id
+WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update({"curation_pipeline": q_curation_pipeline})
+ORACLES.update({"curation_pipeline": SQL_CURATION_PIPELINE})
