@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_ngram",
     "ann_topk",
+    "curation_pipeline",
+    "transform_fanout",
 ]
 
 
