@@ -460,10 +460,45 @@ class TopicEngine:
         ).select(*log.columns)
         self._rewrite(topic, compacted)
 
+    def optimize_segments(
+        self, topic: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Adjacent-segment merging (`disk_log_impl.cc:419` self/merge
+        compaction; e2e parity: adjacent_segment_merging_test.py):
+        consolidate the many small per-produce segment files into
+        ~target-size, offset-sorted files. Rows, offsets and watermarks are
+        unchanged — this is the small-files maintenance job that keeps a
+        100 TB topic's file count (scan + listing cost) bounded. One
+        range-shuffle job on (partition, offset), so merged files stay
+        offset-contiguous; the atomic dir swap mirrors the reference's
+        segment replace. Truncated prefixes (DeleteRecords) are physically
+        dropped by the rewrite, like the reference's eviction."""
+        self._require(topic)
+        files = self._segment_files(topic) or set()
+        if not files:
+            return {"files_before": 0, "files_after": 0}
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        if len(files) <= n_target:
+            return {"files_before": len(files), "files_after": len(files)}
+        merged = (
+            self.log(topic)
+            .repartitionByRange(n_target, F.col("partition"), F.col("offset"))
+            .sortWithinPartitions("partition", "offset")
+        )
+        self._rewrite(topic, merged)
+        return {
+            "files_before": len(files),
+            "files_after": len(self._segment_files(topic) or set()),
+        }
+
     def _rewrite(self, topic: str, df: DataFrame) -> None:
+        cfg = self._require(topic)
         d = self._topic_dir(topic)
         tmp = d + ".compact.tmp"
-        df.write.mode("overwrite").partitionBy("partition").parquet(tmp)
+        df.write.mode("overwrite").option("compression", cfg.compression).option(
+            "parquet.enable.dictionary", "false"
+        ).partitionBy("partition").parquet(tmp)
         old = d + ".old"
         os.rename(d, old)
         os.rename(tmp, d)

@@ -256,3 +256,29 @@ def test_produce_count_job_fallback_matches_footer_path(engine, spark, monkeypat
     for p in range(3):
         offs = sorted(r["offset"] for r in log.where(F.col("partition") == p).collect())
         assert offs == list(range(len(offs)))
+
+
+def test_optimize_segments_merges_files_preserving_log(engine, spark):
+    """Adjacent-segment merging: fewer files, identical rows/offsets."""
+    engine.create_topic("to", TopicConfig(partitions=2))
+    for i in range(4):
+        engine.produce(
+            "to", records_df(spark, [(f"k{j}", f"v{i}-{j}") for j in range(8)])
+        )
+    cols = ["partition", "offset", "key", "value"]
+    before_rows = sorted(tuple(r) for r in engine.log("to").select(*cols).collect())
+    files_before = len(engine._segment_files("to"))
+    assert files_before >= 8  # 4 batches x 2 partitions
+
+    stats = engine.optimize_segments("to")
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] < files_before
+
+    after_rows = sorted(tuple(r) for r in engine.log("to").select(*cols).collect())
+    assert after_rows == before_rows
+    assert engine.high_watermarks("to") == {
+        p: max(r[1] for r in after_rows if r[0] == p) + 1 for p in (0, 1)
+    }
+    # a merged topic still appends correctly
+    engine.produce("to", records_df(spark, [("k0", "post")]))
+    assert engine.log("to").count() == len(before_rows) + 1
