@@ -1752,3 +1752,66 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"curation_pipeline": q_curation_pipeline})
 ORACLES.update({"curation_pipeline": SQL_CURATION_PIPELINE})
+
+
+# --------------------------------------------------------------------------
+# Catalog 11: embedding normalize + int8 quantization — the vector-prep op
+# of an embedding pipeline (storage/ANN-index prep), all-JVM higher-order
+# array expressions; scalar digests so the oracle hash-compares exactly.
+# --------------------------------------------------------------------------
+
+
+def q_emb_quantize(spark, sf_dir):
+    """L2-normalize each embedding and quantize to int8 (round(127*x/norm)):
+    per-vector norm, component-sum / L1 digests and saturation count.
+    Double-precision left folds in both engines — bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + xd(x) * xd(x))
+    )
+    qv = F.transform(
+        "embedding",
+        lambda x: F.round(xd(x) * F.lit(127.0) / F.col("_norm")).cast("int"),
+    )
+    return (
+        emb.withColumn("_norm", norm)
+        .where(F.col("_norm") > 0)
+        .withColumn("_qv", qv)
+        .select(
+            "vec_id",
+            F.round("_norm", 6).alias("norm"),
+            F.aggregate("_qv", F.lit(0), lambda a, v: a + v).alias("q_sum"),
+            F.aggregate("_qv", F.lit(0), lambda a, v: a + F.abs(v)).alias("q_l1"),
+            F.aggregate(
+                "_qv",
+                F.lit(0),
+                lambda a, v: a + F.when(F.abs(v) >= 127, 1).otherwise(0),
+            ).alias("n_sat"),
+        )
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+q AS (
+  SELECT vec_id, nrm,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS INTEGER)) AS qv
+  FROM n WHERE nrm > 0)
+SELECT vec_id, ROUND(nrm, 6) AS norm,
+       CAST(list_reduce(list_prepend(0, qv), (a, b) -> a + b) AS INTEGER) AS q_sum,
+       CAST(list_reduce(list_prepend(0, list_transform(qv, v -> abs(v))),
+            (a, b) -> a + b) AS INTEGER) AS q_l1,
+       CAST(len(list_filter(qv, v -> abs(v) >= 127)) AS INTEGER) AS n_sat
+FROM q
+"""
+
+QUERIES.update({"emb_quantize": q_emb_quantize})
+ORACLES.update({"emb_quantize": SQL_EMB_QUANTIZE})
