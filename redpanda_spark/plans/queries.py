@@ -1815,3 +1815,83 @@ FROM q
 
 QUERIES.update({"emb_quantize": q_emb_quantize})
 ORACLES.update({"emb_quantize": SQL_EMB_QUANTIZE})
+
+
+# --------------------------------------------------------------------------
+# Catalog 12: TPC-H Q8 shape — national market share (conditional-agg ratio
+# over a two-sided dimension chain; customer-nation bounds the region,
+# supplier-nation is the share numerator).
+# --------------------------------------------------------------------------
+
+_Q8_REGION, _Q8_NATION = "ASIA", "NATION_8"
+
+
+def q_tpch_q8ish(spark, sf_dir):
+    """Q8 shape: per-year ratio of a target supplier-nation's revenue to all
+    revenue sold into one region. All five dimension joins broadcast; the
+    single big shuffle is lineitem⋈orders on orderkey, then one partial-
+    aggregated groupBy(year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    cnat = (
+        nat.join(
+            F.broadcast(reg.where(F.col("r_name") == _Q8_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    snat = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol)).cast(
+                        "double"
+                    )
+                    / F.sum(vol).cast("double")
+                ),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8ISH = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = '{_Q8_NATION}' THEN volume END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         c_nationkey, s_nationkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+) t
+JOIN nation n1 ON t.c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '{_Q8_REGION}'
+JOIN nation n2 ON t.s_nationkey = n2.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"tpch_q8ish": q_tpch_q8ish})
+ORACLES.update({"tpch_q8ish": SQL_TPCH_Q8ISH})
