@@ -1895,3 +1895,55 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"tpch_q8ish": q_tpch_q8ish})
 ORACLES.update({"tpch_q8ish": SQL_TPCH_Q8ISH})
+
+
+# --------------------------------------------------------------------------
+# Catalog 13: TPC-H Q17 shape — correlated scalar subquery (per-part avg
+# quantity) re-expressed as aggregate + self-join.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q17ish(spark, sf_dir):
+    """Q17 shape: revenue of small-quantity line items (l_quantity < 0.2 x
+    the part's average) for one brand. The correlated subquery becomes a
+    per-part aggregate joined back; the filtered part dimension broadcasts,
+    and the per-part averages are computed on the brand-pruned lineitem
+    slice, not the full fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avgs = branded.groupBy("l_partkey").agg(
+        (F.avg(F.col("l_quantity").cast("double")) * F.lit(0.2)).alias("qty_bound")
+    )
+    small = branded.join(
+        F.broadcast(avgs.withColumnRenamed("l_partkey", "a_partkey")),
+        F.col("l_partkey") == F.col("a_partkey"),
+    ).where(F.col("l_quantity").cast("double") < F.col("qty_bound"))
+    return small.agg(
+        F.round((F.sum(F.col("l_extendedprice").cast("double")) / F.lit(7.0)), 6).alias(
+            "avg_yearly"
+        ),
+        F.count("*").cast("long").alias("n_small"),
+    )
+
+
+SQL_TPCH_Q17ISH = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#4'),
+avgs AS (
+  SELECT l_partkey AS a_partkey,
+         0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS qty_bound
+  FROM branded GROUP BY 1)
+SELECT ROUND(SUM(CAST(l_extendedprice AS DOUBLE)) / 7.0, 6) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM branded JOIN avgs ON l_partkey = a_partkey
+WHERE CAST(l_quantity AS DOUBLE) < qty_bound
+"""
+
+QUERIES.update({"tpch_q17ish": q_tpch_q17ish})
+ORACLES.update({"tpch_q17ish": SQL_TPCH_Q17ISH})
