@@ -282,3 +282,24 @@ def test_optimize_segments_merges_files_preserving_log(engine, spark):
     # a merged topic still appends correctly
     engine.produce("to", records_df(spark, [("k0", "post")]))
     assert engine.log("to").count() == len(before_rows) + 1
+
+
+def test_optimize_segments_drops_truncated_prefix(engine, spark):
+    """DeleteRecords then optimize: the rewrite physically evicts the
+    truncated prefix (reference: log_eviction_stm) and fetches still start
+    at the log start offset."""
+    engine.create_topic("tp", TopicConfig(partitions=1))
+    for i in range(3):
+        engine.produce("tp", records_df(spark, [(None, f"v{i}-{j}") for j in range(6)]))
+    engine.delete_records("tp", {0: 10})
+    assert engine.log("tp").count() == 8  # offsets 10..17 visible
+
+    engine.optimize_segments("tp")
+    # physically gone, not just filtered: raw dir read has no offset < 10
+    raw = spark.read.parquet(engine._topic_dir("tp"))
+    assert raw.agg({"offset": "min"}).collect()[0][0] == 10
+    assert engine.log("tp").count() == 8
+    # appends continue from the pre-truncation watermark
+    engine.produce("tp", records_df(spark, [(None, "post")]))
+    offs = sorted(r["offset"] for r in engine.log("tp").collect())
+    assert offs == list(range(10, 19))
