@@ -1716,11 +1716,12 @@ def q_curation_pipeline(spark, sf_dir):
     """quality >= 0.5 AND identified language → per-language kept-doc count,
     unique-fingerprint count (exact-dedup cardinality) and mean quality."""
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    toks = F.col("_toks")
+    scored = docs.withColumn("_toks", TXT.tokens("text")).select(
         "doc_id",
-        TXT.quality_score("text").alias("quality"),
-        TXT.lang_id("text").alias("lang"),
-        TXT.fingerprint("text").cast("long").alias("fp"),
+        TXT.quality_score("text", toks=toks).alias("quality"),
+        TXT.lang_id("text", toks=toks).alias("lang"),
+        TXT.fingerprint("text", toks=toks).cast("long").alias("fp"),
     )
     kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
     return (
