@@ -1948,3 +1948,53 @@ WHERE CAST(l_quantity AS DOUBLE) < qty_bound
 
 QUERIES.update({"tpch_q17ish": q_tpch_q17ish})
 ORACLES.update({"tpch_q17ish": SQL_TPCH_Q17ISH})
+
+
+# --------------------------------------------------------------------------
+# Catalog 14: datalake typed translation through the gate (SURVEY.md §1.3,
+# record_translator.cc:68-98 + table_definition.cc:57-66). Records round-trip
+# value JSON (to_json → from_json), attach the redpanda system struct and
+# the hour partition column; the oracle recomputes every field directly.
+# --------------------------------------------------------------------------
+
+
+def q_datalake_translate(spark, sf_dir):
+    """Iceberg-mode translation: JSON value decode to typed columns + the
+    per-row provenance struct + hour(timestamp) partition value."""
+    from redpanda_spark.sources.datalake import translate_json_topic
+
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    rec = log.select(
+        "partition",
+        "offset",
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.lit(None)
+        .cast("array<struct<key:string,value:binary>>")
+        .alias("headers"),
+    )
+    typed = translate_json_topic(rec, "event_type string, value double")
+    return typed.select(
+        F.col("redpanda.partition").cast("int").alias("partition"),
+        F.col("redpanda.offset").cast("long").alias("offset"),
+        F.col("redpanda.key").cast("string").alias("key_s"),
+        "event_type",
+        F.round(F.col("value"), 6).alias("val"),
+        F.date_format("_hour", "yyyy-MM-dd HH").alias("hour_part"),
+    )
+
+
+SQL_DATALAKE_TRANSLATE = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(user_id AS VARCHAR) AS key_s,
+       event_type,
+       ROUND(value, 6) AS val,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_part
+FROM log
+"""
+
+QUERIES.update({"datalake_translate": q_datalake_translate})
+ORACLES.update({"datalake_translate": SQL_DATALAKE_TRANSLATE})
