@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "curation_pipeline",
     "transform_fanout",
+    "emb_quantize",
+    "datalake_translate",
 ]
 
 
