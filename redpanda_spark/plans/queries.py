@@ -867,7 +867,7 @@ def q_events_props_extract(spark, sf_dir):
 
 SQL_EVENTS_PROPS_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -1315,7 +1315,7 @@ def q_stream_window_stats(spark, sf_dir):
 SQL_STREAM_WINDOW_STATS = """
 SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_s,
        event_type, COUNT(*) AS n,
-       SUM(length(props)) AS props_bytes
+       CAST(SUM(length(props)) AS BIGINT) AS props_bytes
 FROM events GROUP BY 1, 2
 """
 
