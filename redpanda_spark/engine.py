@@ -5,8 +5,13 @@ Maps the reference's RPC surface (SURVEY.md §2.1) onto table operations:
   create_topic / delete_topic        CreateTopics/DeleteTopics (create_topics.cc)
   produce                            Produce (handlers/produce.cc:311-500):
                                      murmur2 key routing, timestamp-type
-                                     enforcement, idempotent dedup, offset
-                                     assignment, atomic per-partition append
+                                     enforcement, offset assignment, atomic
+                                     per-partition append. Idempotent dedup
+                                     is an opt-in read-side operator
+                                     (operators/transactions.idempotent_dedup
+                                     or the streaming twin), not a produce-
+                                     time filter — the log keeps duplicate
+                                     sequences; readers drop them.
   fetch                              Fetch (handlers/fetch.cc:300): offset-range
                                      scan with isolation level
   list_offsets / timequery           ListOffsets (list_offsets.cc:66-157)
@@ -113,11 +118,33 @@ class TopicEngine:
         self._save_state()
 
     def delete_topic(self, topic: str) -> None:
+        """Drop the topic's data AND its rows in the tx-range / consumer-
+        offset side tables. Without the purge, recreating a topic with the
+        same name resurrects stale tx metadata — a leftover 'open' range
+        would gate the new topic's LSO forever, and stale aborted ranges
+        could hide fresh records at the reused offsets (the reference
+        scopes this state to the partition's raft log, which dies with the
+        topic: `cluster/rm_stm`'s state is per-partition)."""
         self._require(topic)
         del self._topics[topic]
         self._high.pop(topic, None)
         shutil.rmtree(self._topic_dir(topic), ignore_errors=True)
+        self._purge_topic_metadata(topic)
         self._save_state()
+
+    def _purge_topic_metadata(self, topic: str) -> None:
+        """Rewrite _tx_ranges and _consumer_offsets dropping the topic's rows."""
+        for d in (self._tx_ranges_dir(), self._commits_dir()):
+            try:
+                df = self.spark.read.parquet(d)
+            except Exception:
+                continue  # side table doesn't exist yet
+            tmp = d + ".purge.tmp"
+            df.where(F.col("topic") != topic).write.mode("overwrite").parquet(tmp)
+            old = d + ".old"
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
 
     def list_topics(self) -> dict[str, TopicConfig]:
         return dict(self._topics)
@@ -431,34 +458,50 @@ class TopicEngine:
         Aborted-transaction records are dropped FIRST (tx_reducer,
         `storage/compaction_reducers.h:217`): an aborted write must never
         win keep-latest over an older committed value. Open transactions'
-        rows are retained untouched (they are not yet compactable)."""
+        rows are excluded from keep-latest and unioned back untouched —
+        an uncommitted record must not evict an older committed value for
+        the same key, because if the tx later aborts the committed value
+        would be permanently lost. The reference gets this by bounding
+        compaction below the LSO; here it is a broadcast anti-join on the
+        open ranges (same effect, per-producer precision)."""
         cfg = self._require(topic)
         log = self.log(topic)
         ranges = self.tx_ranges()
         if "topic" in ranges.columns:
             ranges = ranges.where(F.col("topic") == topic)
+
+        def _range_cond():
+            return (
+                (F.col("partition") == F.col("a_partition"))
+                & (F.col("producer_id") == F.col("a_pid"))
+                & F.col("offset").between(F.col("first_offset"), F.col("last_offset"))
+                & F.col("is_transactional")
+            )
+
         aborted = ranges.where(F.col("outcome") == "aborted").select(
             F.col("partition").alias("a_partition"),
             F.col("producer_id").alias("a_pid"),
             "first_offset",
             "last_offset",
         )
-        cond = (
-            (F.col("partition") == F.col("a_partition"))
-            & (F.col("producer_id") == F.col("a_pid"))
-            & F.col("offset").between(F.col("first_offset"), F.col("last_offset"))
-            & F.col("is_transactional")
+        log = log.join(F.broadcast(aborted), _range_cond(), "left_anti")
+        open_rngs = ranges.where(F.col("outcome") == "open").select(
+            F.col("partition").alias("a_partition"),
+            F.col("producer_id").alias("a_pid"),
+            "first_offset",
+            "last_offset",
         )
-        log = log.join(F.broadcast(aborted), cond, "left_anti")
+        in_open = log.join(F.broadcast(open_rngs), _range_cond(), "left_semi")
+        compactable = log.join(F.broadcast(open_rngs), _range_cond(), "left_anti")
         now_s = (now_ms or int(time.time() * 1000)) / 1000.0
         compacted = compact_with_tombstone_grace(
-            log,
+            compactable,
             ["partition", "key"],
             "value",
             F.timestamp_seconds(F.lit(now_s)),
             cfg.delete_retention_ms,
         ).select(*log.columns)
-        self._rewrite(topic, compacted)
+        self._rewrite(topic, compacted.unionByName(in_open.select(*log.columns)))
 
     def optimize_segments(
         self, topic: str, target_file_bytes: int = 128 * 1024 * 1024

@@ -30,10 +30,23 @@ def compact_keep_latest(
 
     Returns the full rows, one per distinct key. max_by is deterministic
     here because ``offset`` is unique per (partition,key) group.
+
+    Rows with a NULL in any key column pass through unchanged: Spark's
+    groupBy (like SQL's) would collapse all NULL keys into one group, so an
+    unkeyed record must never participate in keep-latest (the reference
+    rejects null-key produces to compacted topics rather than silently
+    discarding data). Implemented as a salt column — NULL-keyed rows group
+    by their own ``order_col`` so each is its own group — which keeps the
+    operator a single scan + single shuffle.
     """
     value_cols = [c for c in log.columns if c not in key_cols]
+    null_key = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    salt = F.when(null_key, F.col(order_col)).otherwise(F.lit(None)).alias("_nk_salt")
     packed = F.max_by(F.struct(*value_cols), F.col(order_col))
-    out = log.groupBy(*key_cols).agg(packed.alias("_latest"))
+    out = log.groupBy(*key_cols, salt).agg(packed.alias("_latest"))
     return out.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in value_cols])
 
 
@@ -51,11 +64,16 @@ def compact_with_tombstone_grace(
     A tombstone (NULL ``value_col``) that is still the latest for its key is
     retained while ``now - timestamp <= grace_ms`` so slow consumers observe
     the delete, then physically removed — mirroring tombstone+grace handling
-    in the reference's compaction reducers.
+    in the reference's compaction reducers. NULL-keyed rows are not
+    tombstones (no key to delete) and pass through untouched.
     """
     latest = compact_keep_latest(log, key_cols, order_col)
     grace_expr = (
         F.col(ts_col).cast("double") * 1000 + F.lit(grace_ms)
         >= F.lit(now).cast("timestamp").cast("double") * 1000
     )
-    return latest.where(F.col(value_col).isNotNull() | grace_expr)
+    null_key = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    return latest.where(F.col(value_col).isNotNull() | grace_expr | null_key)

@@ -45,12 +45,18 @@ def idempotent_dedup_stream(
     """Admit each (producer_id, epoch, seq) at most once, in order, with
     epoch fencing.
 
-    Streaming analog of rm_stm idempotent_replicate: state per producer_id
-    is (current epoch, highest admitted seq). Records from an older epoch
-    are fenced; an epoch bump resets the sequence window; within an epoch a
-    record is admitted iff seq > last_seq (duplicates and regressions
-    dropped). State is partitioned with the key in the state store —
-    nothing driver-side.
+    Streaming analog of rm_stm idempotent_replicate: state per
+    (producer_id, partition) — sequence numbers are scoped to a producer's
+    stream into ONE partition (rm_stm is itself a per-partition state
+    machine), so a producer writing to two partitions keeps an independent
+    sequence window in each, matching the batch twin's IDEMPOTENT_KEY.
+    State value is (current epoch, highest admitted seq). Records from an
+    older epoch are fenced; an epoch bump resets the sequence window;
+    within an epoch a record is admitted iff seq > last_seq (duplicates
+    and regressions dropped). Replay order is the partition's log order
+    (offset), which IS a total order within the group now that the group
+    is a single partition. State is partitioned with the key in the state
+    store — nothing driver-side.
     """
     dtypes = dict(records.dtypes)
     out_fields = ", ".join(
@@ -87,7 +93,7 @@ def idempotent_dedup_stream(
                 yield pdf.loc[keep, out_cols]
         state.update((epoch, last))
 
-    return records.groupBy("producer_id").applyInPandasWithState(
+    return records.groupBy("producer_id", "partition").applyInPandasWithState(
         dedup,
         outputStructType=out_fields,
         stateStructType=_DEDUP_STATE_SCHEMA,

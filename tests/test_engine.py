@@ -303,3 +303,24 @@ def test_optimize_segments_drops_truncated_prefix(engine, spark):
     engine.produce("tp", records_df(spark, [(None, "post")]))
     offs = sorted(r["offset"] for r in engine.log("tp").collect())
     assert offs == list(range(10, 19))
+
+
+def test_compaction_passes_null_key_rows_through(engine, spark):
+    """Unkeyed records must not collapse into one group during compaction
+    (SQL groupBy treats NULL keys as equal; the reference rejects null-key
+    produces to compacted topics rather than silently discarding data)."""
+    engine.create_topic("nk", TopicConfig(partitions=1, cleanup_policy="compact"))
+    engine.produce(
+        "nk",
+        records_df(
+            spark,
+            [(None, "u1"), ("a", "1"), (None, "u2"), ("a", "2"), (None, "u3")],
+            ts="2024-01-01 00:00:00",
+        ),
+    )
+    engine.run_compaction("nk")
+    rows = engine.log("nk").collect()
+    keyed = [r for r in rows if r["key"] is not None]
+    unkeyed = sorted(bytes(r["value"]).decode() for r in rows if r["key"] is None)
+    assert len(keyed) == 1 and bytes(keyed[0]["value"]) == b"2"
+    assert unkeyed == ["u1", "u2", "u3"]  # all null-key rows survive

@@ -143,3 +143,24 @@ def test_streaming_sessionize(spark, tmp_path):
     assert sess[("u1", 0)] == 2
     assert sess[("u1", 1)] == 1
     assert sess[("u2", 0)] == 1
+
+
+def test_idempotent_dedup_stream_per_partition_sequences(spark, tmp_path):
+    """Sequence state is per (producer, partition) — a producer writing the
+    same sequence numbers into two partitions keeps both streams (rm_stm is
+    a per-partition state machine; matches the batch IDEMPOTENT_KEY)."""
+    rows = [
+        (1, 0, 0, 0, 0, None, b"p0-a"),
+        (1, 0, 1, 0, 1, None, b"p0-b"),
+        # same producer, same seqs, DIFFERENT partition: independent window
+        (1, 0, 0, 1, 0, None, b"p1-a"),
+        (1, 0, 1, 1, 1, None, b"p1-b"),
+        # true duplicate within partition 1
+        (1, 0, 1, 1, 2, None, b"p1-dup"),
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, RECORD_SCHEMA).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src_dir)
+    got = _run_stream(idempotent_dedup_stream(stream), spark, _mem_name())
+    vals = sorted(bytes(r["value"]).decode() for r in got.collect())
+    assert vals == ["p0-a", "p0-b", "p1-a", "p1-b"]

@@ -233,3 +233,62 @@ def test_list_offsets_read_committed_returns_lso(spark, engine):
     tc.commit("txA")
     lso2 = engine.list_offsets("lo", isolation="read_committed").collect()[0]
     assert lso2["latest_offset"] == 3
+
+
+def test_compaction_retains_committed_value_under_open_tx(spark, engine):
+    """An OPEN transaction's overwrite must not evict the older committed
+    value during compaction: if the tx later aborts, the committed value
+    would be lost forever. The reference bounds compaction below the LSO."""
+    from pyspark.sql import functions as F
+
+    engine.create_topic("oc", TopicConfig(partitions=1, cleanup_policy="compact"))
+    engine.produce(
+        "oc",
+        spark.createDataFrame(
+            [Row(key=b"k", value=b"committed", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce(
+        "txA",
+        "oc",
+        spark.createDataFrame(
+            [Row(key=b"k", value=b"uncommitted", partition=0)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    engine.run_compaction("oc")  # tx still open
+    vals = sorted(
+        bytes(r["value"]) for r in engine.log("oc").where(F.col("key") == b"k").collect()
+    )
+    # both rows survive: committed value intact, open-tx row untouched
+    assert vals == [b"committed", b"uncommitted"]
+    tc.abort("txA")
+    assert _committed_values(engine, "oc") == ["committed"]
+    # after the abort, a second compaction drops the aborted overwrite
+    engine.run_compaction("oc")
+    rows = engine.log("oc").where(F.col("key") == b"k").collect()
+    assert len(rows) == 1 and bytes(rows[0]["value"]) == b"committed"
+
+
+def test_delete_topic_purges_tx_and_offset_state(spark, engine):
+    """Recreating a deleted topic must not inherit its predecessor's tx
+    ranges (a stale open range would gate the LSO forever) or committed
+    consumer offsets."""
+    engine.create_topic("dp", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "dp", _batch(spark, ["staged"]))  # leaves an OPEN range
+    engine.offset_commit("g1", "dp", 0, 5)
+    engine.delete_topic("dp")
+
+    engine.create_topic("dp", TopicConfig(partitions=1))
+    engine.produce("dp", _batch(spark, ["fresh"]))
+    # no inherited open range: read_committed sees the new row immediately
+    assert _committed_values(engine, "dp") == ["fresh"]
+    lo = engine.list_offsets("dp", isolation="read_committed").collect()[0]
+    assert lo["latest_offset"] == 1
+    # no inherited consumer offsets
+    assert engine.offset_fetch("g1").where("topic = 'dp'").count() == 0
