@@ -21,13 +21,28 @@ Maps the reference's RPC surface (SURVEY.md §2.1) onto table operations:
 
 Storage layout: ``root/<topic>/partition=<p>/*.parquet`` — hive-partitioned
 so partition pruning is native; each produce batch writes one file per
-touched partition (the "segment" analog). Offsets are contiguous per
-partition: the high-offset table is read before append and the append is
-the atomic commit point (single-writer per topic, like a partition leader).
+touched partition (the "segment" analog).
+
+Commit protocol (single-writer per topic, like a partition leader): every
+mutation — produce append, compaction/retention rewrite, segment merge —
+commits by atomically replacing the topic's manifest
+(``root/_manifest_<topic>.json``), which records the per-partition high
+watermarks AND the list of live segment files in one ``os.replace``. Data
+files are written first under unique names; until the manifest swap they
+are invisible orphans, and a crash between data write and manifest commit
+is healed on the next engine open by deleting unreferenced files. This is
+the analog of the reference's atomic offset-assignment-with-append
+(`storage/disk_log_appender.cc` — offsets advance iff the raft append
+succeeds) re-expressed as an Iceberg-style snapshot commit, which is how
+a table format gets the same guarantee on object storage. Reads resolve
+the manifest's file list (no directory listing on the read path — the
+same trick Iceberg uses to avoid O(objects) LIST calls at scale).
 
 At cluster scale the same layout works on object storage (s3://…) — Spark
 reads/writes it identically; that's the reference's tiered storage
-(`cloud_storage/`) for free.
+(`cloud_storage/`) for free. Non-listable roots fall back to
+watermark-only manifests (directory reads, weaker crash story — noted in
+produce()).
 """
 
 from __future__ import annotations
@@ -84,38 +99,94 @@ class TopicEngine:
         self.registry = registry  # SchemaRegistry, for schema-id validation
         os.makedirs(root, exist_ok=True)
         self._meta_path = os.path.join(root, "_topics.json")
-        self._offsets_path = os.path.join(root, "_offsets.json")  # high watermarks
+        self._offsets_path = os.path.join(root, "_offsets.json")  # legacy watermarks
         self._topics: dict[str, TopicConfig] = {}
         self._high: dict[str, dict[int, int]] = {}
+        # Live segment files per topic, root-relative, in manifest order.
+        # None = watermark-only mode (legacy state or non-listable root):
+        # reads fall back to directory scans.
+        self._files: dict[str, list[str] | None] = {}
         self._load_state()
 
-    # -- catalog ----------------------------------------------------------
+    # -- catalog / manifest -----------------------------------------------
+
+    def _manifest_path(self, topic: str) -> str:
+        return os.path.join(self.root, f"_manifest_{topic}.json")
+
+    def _commit_manifest(self, topic: str) -> None:
+        """THE commit point for all data mutations of a topic: watermarks +
+        live file list become durable in one atomic rename. Everything
+        written before this call is provisional; everything after is
+        cleanup."""
+        path = self._manifest_path(topic)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"high": self._high.get(topic, {}), "files": self._files.get(topic)},
+                f,
+            )
+        os.replace(tmp, path)
 
     def _load_state(self) -> None:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 raw = json.load(f)
             self._topics = {t: TopicConfig(**c) for t, c in raw.items()}
+        legacy_high: dict[str, dict[int, int]] = {}
         if os.path.exists(self._offsets_path):
             with open(self._offsets_path) as f:
-                self._high = {
+                legacy_high = {
                     t: {int(p): o for p, o in ps.items()}
                     for t, ps in json.load(f).items()
                 }
+        for t in self._topics:
+            mp = self._manifest_path(t)
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                self._high[t] = {int(p): o for p, o in m.get("high", {}).items()}
+                self._files[t] = m.get("files")
+            else:
+                self._high[t] = legacy_high.get(t, {})
+                self._files[t] = None
+            self._gc_orphans(t)
+
+    def _gc_orphans(self, topic: str) -> None:
+        """Crash recovery: delete segment files not referenced by the
+        manifest (a produce or rewrite that died before its manifest
+        commit) and leftover rewrite temp dirs. Safe under the
+        single-writer-per-root model."""
+        d = self._topic_dir(topic)
+        for leftover in (d + ".rewrite.tmp", d + ".compact.tmp", d + ".old"):
+            shutil.rmtree(leftover, ignore_errors=True)
+        live = self._files.get(topic)
+        if live is None:
+            return
+        on_disk = self._segment_files(topic)
+        if on_disk is None:
+            return
+        live_abs = {os.path.join(self.root, p) for p in live}
+        for f in on_disk - live_abs:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
 
     def _save_state(self) -> None:
-        with open(self._meta_path, "w") as f:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({t: vars(c) for t, c in self._topics.items()}, f)
-        with open(self._offsets_path, "w") as f:
-            json.dump(self._high, f)
+        os.replace(tmp, self._meta_path)
 
     def create_topic(self, topic: str, config: TopicConfig | None = None) -> None:
         if topic in self._topics:
             raise ValueError(f"topic exists: {topic}")
         self._topics[topic] = config or TopicConfig()
         self._high[topic] = {p: 0 for p in range(self._topics[topic].partitions)}
+        self._files[topic] = []
         os.makedirs(self._topic_dir(topic), exist_ok=True)
         self._save_state()
+        self._commit_manifest(topic)
 
     def delete_topic(self, topic: str) -> None:
         """Drop the topic's data AND its rows in the tx-range / consumer-
@@ -128,7 +199,12 @@ class TopicEngine:
         self._require(topic)
         del self._topics[topic]
         self._high.pop(topic, None)
+        self._files.pop(topic, None)
         shutil.rmtree(self._topic_dir(topic), ignore_errors=True)
+        try:
+            os.remove(self._manifest_path(topic))
+        except OSError:
+            pass
         self._purge_topic_metadata(topic)
         self._save_state()
 
@@ -239,6 +315,10 @@ class TopicEngine:
         # the root isn't a locally listable directory (e.g. object store).
         before = self._segment_files(topic)
         if before is None:
+            # Non-listable root: no file-list manifest possible — count with
+            # a Spark job and commit watermarks only (weaker crash story:
+            # a crash between append and commit leaves the appended rows
+            # visible to directory reads with re-assignable offsets).
             counts = {
                 r["partition"]: r["n"]
                 for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
@@ -249,6 +329,7 @@ class TopicEngine:
             df.write.mode("append").option("compression", cfg.compression).option(
                 "parquet.enable.dictionary", "false"
             ).partitionBy("partition").parquet(out_dir)
+            self._files[topic] = None
         else:
             # Dictionary encoding off: record payloads are high-entropy
             # (keys/values unique per record), so the dictionary build is
@@ -259,13 +340,27 @@ class TopicEngine:
             import pyarrow.parquet as pq
 
             counts = {}
-            for path in (self._segment_files(topic) or set()) - before:
+            new_files = sorted((self._segment_files(topic) or set()) - before)
+            for path in new_files:
                 p = int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
                 counts[p] = counts.get(p, 0) + pq.ParquetFile(path).metadata.num_rows
+            prev = self._files.get(topic)
+            if prev is None:
+                # legacy topic without a manifest: adopt everything on disk
+                prev = sorted(
+                    os.path.relpath(f, self.root) for f in before
+                )
+            self._files[topic] = prev + [
+                os.path.relpath(f, self.root) for f in new_files
+            ]
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
-        self._save_state()
+        # Atomic commit: watermarks + file list flip together. Before this
+        # line the written files are invisible orphans (GC'd on reopen);
+        # after it the append is durable — offsets stay contiguous across
+        # any crash.
+        self._commit_manifest(topic)
         return bases
 
     def _validate_schema_ids(self, batch: DataFrame, subject: str) -> None:
@@ -300,18 +395,32 @@ class TopicEngine:
     # -- read paths -------------------------------------------------------
 
     def log(self, topic: str) -> DataFrame:
-        """The topic as a DataFrame (partition pruning via hive layout)."""
+        """The topic as a DataFrame (partition pruning via hive layout).
+
+        With a manifest, the scan is over the manifest's explicit live-file
+        list (``basePath`` keeps hive partition inference) — committed
+        snapshot isolation and no directory LIST on the read path. Without
+        one (legacy/non-listable), falls back to a directory read."""
         self._require(topic)
         d = self._topic_dir(topic)
+        files = self._files.get(topic)
+        from redpanda_spark.datamodel import RECORD_SCHEMA
+
+        empty = lambda: self.spark.createDataFrame([], RECORD_SCHEMA).drop(  # noqa: E731
+            "topic", "timestamp_type"
+        )
+        if files is not None and not files:
+            return empty()
         try:
-            df = self.spark.read.parquet(d)
+            if files is None:
+                df = self.spark.read.parquet(d)
+            else:
+                df = self.spark.read.option("basePath", d).parquet(
+                    *[os.path.join(self.root, f) for f in files]
+                )
         except Exception:
             # empty topic: no files yet
-            from redpanda_spark.datamodel import RECORD_SCHEMA
-
-            return self.spark.createDataFrame([], RECORD_SCHEMA).drop(
-                "topic", "timestamp_type"
-            )
+            return empty()
         starts = self._log_starts(topic)
         if starts:
             df = LOG.delete_records(df, starts)
@@ -517,7 +626,7 @@ class TopicEngine:
         segment replace. Truncated prefixes (DeleteRecords) are physically
         dropped by the rewrite, like the reference's eviction."""
         self._require(topic)
-        files = self._segment_files(topic) or set()
+        files = self._live_abs_files(topic) or set()
         if not files:
             return {"files_before": 0, "files_after": 0}
         total = sum(os.path.getsize(f) for f in files)
@@ -532,20 +641,60 @@ class TopicEngine:
         self._rewrite(topic, merged)
         return {
             "files_before": len(files),
-            "files_after": len(self._segment_files(topic) or set()),
+            "files_after": len(self._live_abs_files(topic) or set()),
         }
 
+    def _live_abs_files(self, topic: str) -> set[str] | None:
+        """Absolute paths of the topic's committed segment files: manifest
+        list when present, else directory listing, else None."""
+        files = self._files.get(topic)
+        if files is not None:
+            return {os.path.join(self.root, f) for f in files}
+        return self._segment_files(topic)
+
     def _rewrite(self, topic: str, df: DataFrame) -> None:
+        """Replace the topic's data with ``df`` (compaction / retention /
+        segment merge). New files are written to a temp dir, moved into the
+        live partition dirs under their (unique) names, and become visible
+        only at the manifest commit — one atomic switch, mirroring the
+        reference's segment-replace. The old files are deleted after the
+        commit; a crash at any point leaves either the old or the new
+        snapshot fully intact (orphans GC'd on reopen)."""
         cfg = self._require(topic)
         d = self._topic_dir(topic)
-        tmp = d + ".compact.tmp"
+        old_files = self._live_abs_files(topic)
+        tmp = d + ".rewrite.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         df.write.mode("overwrite").option("compression", cfg.compression).option(
             "parquet.enable.dictionary", "false"
         ).partitionBy("partition").parquet(tmp)
-        old = d + ".old"
-        os.rename(d, old)
-        os.rename(tmp, d)
-        shutil.rmtree(old, ignore_errors=True)
+        if old_files is None:
+            # non-listable root: legacy dir swap (best effort, no manifest)
+            old = d + ".old"
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old, ignore_errors=True)
+            self._files[topic] = None
+            self._commit_manifest(topic)
+            return
+        new_rel: list[str] = []
+        for pdir in sorted(os.scandir(tmp), key=lambda e: e.name):
+            if pdir.is_dir() and pdir.name.startswith("partition="):
+                dest_dir = os.path.join(d, pdir.name)
+                os.makedirs(dest_dir, exist_ok=True)
+                for f in sorted(os.scandir(pdir.path), key=lambda e: e.name):
+                    if f.name.endswith(".parquet"):
+                        dest = os.path.join(dest_dir, f.name)
+                        os.rename(f.path, dest)
+                        new_rel.append(os.path.relpath(dest, self.root))
+        self._files[topic] = new_rel
+        self._commit_manifest(topic)  # atomic old→new snapshot switch
+        for f in old_files:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- transaction ranges (rm_stm aborted/committed tx metadata) --------
 

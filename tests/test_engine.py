@@ -324,3 +324,63 @@ def test_compaction_passes_null_key_rows_through(engine, spark):
     unkeyed = sorted(bytes(r["value"]).decode() for r in rows if r["key"] is None)
     assert len(keyed) == 1 and bytes(keyed[0]["value"]) == b"2"
     assert unkeyed == ["u1", "u2", "u3"]  # all null-key rows survive
+
+
+def test_produce_crash_before_manifest_commit_preserves_contiguity(spark, tmp_path):
+    """Kill the engine between the parquet append and the manifest commit:
+    the batch must be invisible after reopen (orphans GC'd), watermarks
+    unchanged, and a retried produce gets contiguous offsets — the raft
+    append-atomicity analog (storage/disk_log_appender.cc)."""
+    root = str(tmp_path / "topics")
+    eng = TopicEngine(spark, root)
+    eng.create_topic("cr", TopicConfig(partitions=2))
+    eng.produce("cr", records_df(spark, [("a", "1"), ("b", "2"), ("c", "3")]))
+    hwm = eng.high_watermarks("cr")
+
+    def power_cut(topic):
+        raise RuntimeError("power cut")
+
+    eng._commit_manifest = power_cut
+    with pytest.raises(RuntimeError):
+        eng.produce("cr", records_df(spark, [("d", "4"), ("e", "5")]))
+
+    eng2 = TopicEngine(spark, root)
+    assert eng2.high_watermarks("cr") == hwm
+    assert eng2.log("cr").count() == 3
+    eng2.produce("cr", records_df(spark, [("d", "4"), ("e", "5")]))
+    log = eng2.log("cr")
+    assert log.count() == 5
+    for p, hi in eng2.high_watermarks("cr").items():
+        offs = sorted(
+            r["offset"] for r in log.where(F.col("partition") == p).collect()
+        )
+        assert offs == list(range(hi))  # contiguous, no gaps, no dups
+
+
+def test_rewrite_crash_before_manifest_commit_keeps_old_snapshot(spark, tmp_path):
+    """A compaction rewrite that dies before its manifest commit must leave
+    the previous snapshot fully intact (atomic segment replace)."""
+    root = str(tmp_path / "topics")
+    eng = TopicEngine(spark, root)
+    eng.create_topic("rc", TopicConfig(partitions=1, cleanup_policy="compact"))
+    eng.produce(
+        "rc",
+        records_df(spark, [("a", "1"), ("a", "2"), ("b", "1")], ts="2024-01-01 00:00:00"),
+    )
+
+    def power_cut(topic):
+        raise RuntimeError("power cut")
+
+    eng._commit_manifest = power_cut
+    with pytest.raises(RuntimeError):
+        eng.run_compaction("rc")
+
+    eng2 = TopicEngine(spark, root)
+    offs = sorted(r["offset"] for r in eng2.log("rc").collect())
+    assert offs == [0, 1, 2]  # old snapshot intact
+    eng2.run_compaction("rc")
+    rows = {
+        bytes(r["key"]).decode(): bytes(r["value"]).decode()
+        for r in eng2.log("rc").collect()
+    }
+    assert rows == {"a": "2", "b": "1"}
