@@ -725,6 +725,61 @@ class TopicEngine:
         )
         return final.unionByName(live_open)
 
+    # -- group metadata (coordinator persistence) -------------------------
+
+    GROUP_META_SCHEMA = (
+        "group_id string, seq long, state string, generation int,"
+        " protocol string, leader string, members_json string, deleted boolean"
+    )
+
+    def _groups_dir(self) -> str:
+        return os.path.join(self.root, "_groups")
+
+    def group_metadata_append(self, snapshot: dict) -> None:
+        """Append one group-metadata snapshot row. The reference persists
+        group membership/generation as records in the compacted
+        __consumer_offsets partition (`kafka/server/group_manager.cc`,
+        serialization in `group_metadata.cc`); this is the same append-only
+        + keep-latest design over a parquet side table."""
+        row = [
+            (
+                snapshot["group_id"],
+                time.time_ns(),
+                snapshot.get("state", "Empty"),
+                snapshot.get("generation", 0),
+                snapshot.get("protocol"),
+                snapshot.get("leader"),
+                json.dumps(snapshot.get("members", {})),
+                bool(snapshot.get("deleted", False)),
+            )
+        ]
+        self.spark.createDataFrame(row, self.GROUP_META_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._groups_dir())
+
+    def group_metadata_snapshots(self) -> list[dict]:
+        """Latest surviving snapshot per group — the recovery read
+        (`group_recovery_consumer.cc` replays the compacted partition; here
+        keep-latest over the side table does the replay in one shot)."""
+        try:
+            raw = self.spark.read.parquet(self._groups_dir())
+        except Exception:
+            return []
+        latest = compact_keep_latest(raw, ["group_id"], order_col="seq")
+        out = []
+        for r in latest.where(~F.col("deleted")).collect():
+            out.append(
+                {
+                    "group_id": r["group_id"],
+                    "state": r["state"],
+                    "generation": r["generation"],
+                    "protocol": r["protocol"],
+                    "leader": r["leader"],
+                    "members": json.loads(r["members_json"] or "{}"),
+                }
+            )
+        return out
+
     # -- consumer offsets -------------------------------------------------
 
     def _commits_dir(self) -> str:

@@ -8,10 +8,17 @@ distributes them via SyncGroup (`group.cc:562-612`); heartbeats keep
 sessions alive; expiry or membership change triggers a new generation.
 
 This is coordination logic, not a data-plane operator: it runs driver-side
-over in-memory state (the reference likewise runs it on the coordinator
-shard, persisting via the __consumer_offsets log — our persistence is the
-TopicEngine offset-commit path). Assignment strategies (range /
-roundrobin) are pure functions, mirroring Kafka's client-side assignors.
+over in-memory state, exactly like the reference runs it on the
+coordinator shard. Durability mirrors the reference too: group metadata
+(generation, protocol, leader, members, assignments) is written to a
+compacted side table at the same points the reference writes
+__consumer_offsets records — rebalance completion, member departure,
+group deletion (`group_manager.cc` checkpoint on state change) — and
+recovered by a keep-latest replay on construction
+(`group_recovery_consumer.cc`). Heartbeats stay in memory only (the
+reference also never logs heartbeats); recovered members get a fresh
+session-timeout window. Assignment strategies (range / roundrobin) are
+pure functions, mirroring Kafka's client-side assignors.
 """
 
 from __future__ import annotations
@@ -96,7 +103,12 @@ class GroupCoordinator:
     """One group's FSM. API mirrors the RPC surface:
     join_group / sync_group / heartbeat / leave_group / describe."""
 
-    def __init__(self, group_id: str, topic_partitions: dict[str, int]):
+    def __init__(
+        self,
+        group_id: str,
+        topic_partitions: dict[str, int],
+        persist=None,
+    ):
         self.group_id = group_id
         self.topic_partitions = dict(topic_partitions)
         self.state = GroupState.EMPTY
@@ -106,6 +118,63 @@ class GroupCoordinator:
         self.members: dict[str, Member] = {}
         self._next_member = 0
         self._pending_sync: set[str] = set()
+        # persistence hook: called with self at the reference's checkpoint
+        # points (rebalance completes, member leaves, group empties)
+        self._persist = persist
+
+    # -- persistence ------------------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Serializable group metadata — the group_metadata.cc record shape."""
+        return {
+            "group_id": self.group_id,
+            "state": self.state.value,
+            "generation": self.generation,
+            "protocol": self.protocol,
+            "leader": self.leader,
+            "members": {
+                mid: {
+                    "protocols": m.protocols,
+                    "session_timeout_s": m.session_timeout_s,
+                    "assignment": m.assignment,
+                }
+                for mid, m in self.members.items()
+            },
+            "next_member": self._next_member,
+        }
+
+    @classmethod
+    def restore(
+        cls,
+        snap: dict,
+        topic_partitions: dict[str, int],
+        persist=None,
+    ) -> "GroupCoordinator":
+        """Rebuild a group from its last checkpoint. Members come back with
+        a full heartbeat window (the reference likewise re-arms session
+        timers on recovery). A group checkpointed mid-rebalance recovers in
+        that state and waits for its members to rejoin."""
+        g = cls(snap["group_id"], topic_partitions, persist=persist)
+        g.state = GroupState(snap.get("state", "Empty"))
+        g.generation = snap.get("generation", 0)
+        g.protocol = snap.get("protocol")
+        g.leader = snap.get("leader")
+        g._next_member = snap.get("next_member", len(snap.get("members", {})))
+        for mid, md in snap.get("members", {}).items():
+            m = Member(
+                mid,
+                {p: list(ts) for p, ts in md.get("protocols", {}).items()},
+                md.get("session_timeout_s", 30.0),
+            )
+            m.assignment = {t: list(ps) for t, ps in md.get("assignment", {}).items()}
+            g.members[mid] = m
+        if g.state == GroupState.PREPARING_REBALANCE:
+            g._pending_sync = set(g.members)
+        return g
+
+    def _checkpoint(self) -> None:
+        if self._persist is not None:
+            self._persist(self)
 
     # -- join -------------------------------------------------------------
 
@@ -223,6 +292,9 @@ class GroupCoordinator:
                     if mid in self.members:
                         self.members[mid].assignment = a
                 self.state = GroupState.STABLE
+                # the reference writes the group-metadata record exactly
+                # here: rebalance completed, assignments final
+                self._checkpoint()
             else:
                 raise CoordinatorError("REBALANCE_IN_PROGRESS")
         return dict(self.members[member_id].assignment)
@@ -249,6 +321,7 @@ class GroupCoordinator:
             if self.leader == member_id:
                 self.leader = sorted(self.members)[0]
             self._start_rebalance()
+        self._checkpoint()
 
     def expire_members(self, now: float | None = None) -> list[str]:
         """Session-timeout sweep (the reference's heartbeat timer wheel)."""
@@ -291,13 +364,30 @@ class GroupManager:
     """All groups on this coordinator (FindCoordinator is trivial single-
     node: every group maps here; multi-node would hash group→partition)."""
 
-    def __init__(self, topic_partitions: dict[str, int]):
+    def __init__(self, topic_partitions: dict[str, int], engine=None):
+        """``engine`` (a TopicEngine) enables durability: group metadata
+        checkpoints append to the engine's compacted ``_groups`` table and
+        every group is replayed from its latest snapshot here — the
+        group_recovery_consumer.cc startup path. Without an engine the
+        manager is memory-only (tests, throwaway sessions)."""
         self.topic_partitions = topic_partitions
+        self.engine = engine
         self.groups: dict[str, GroupCoordinator] = {}
+        if engine is not None:
+            for snap in engine.group_metadata_snapshots():
+                self.groups[snap["group_id"]] = GroupCoordinator.restore(
+                    snap, self.topic_partitions, persist=self._persist
+                )
+
+    def _persist(self, g: GroupCoordinator) -> None:
+        if self.engine is not None:
+            self.engine.group_metadata_append(g.snapshot())
 
     def get(self, group_id: str) -> GroupCoordinator:
         if group_id not in self.groups:
-            self.groups[group_id] = GroupCoordinator(group_id, self.topic_partitions)
+            self.groups[group_id] = GroupCoordinator(
+                group_id, self.topic_partitions, persist=self._persist
+            )
         return self.groups[group_id]
 
     def list_groups(self) -> list[dict]:
@@ -349,3 +439,8 @@ class GroupManager:
             raise CoordinatorError("NON_EMPTY_GROUP")
         g.state = GroupState.DEAD
         del self.groups[group_id]
+        if self.engine is not None:
+            # tombstone: the keep-latest replay drops the group
+            self.engine.group_metadata_append(
+                {"group_id": group_id, "state": "Dead", "deleted": True}
+            )

@@ -156,3 +156,77 @@ def test_describe_groups_and_find_coordinator():
     assert {m["member_id"] for m in d["members"]} == {r1["member_id"], r2["member_id"]}
     assert mgr.find_coordinator("g1") == 0
     assert 0 <= mgr.find_coordinator("g1", n_coordinators=8) < 8
+
+
+def test_group_manager_recovers_stable_group_from_engine(spark, tmp_path):
+    """Kill the coordinator mid-Stable and reconstruct it over the same
+    engine: generation, protocol, leader, membership and assignments all
+    survive (group_recovery_consumer.cc replay parity)."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path / "topics"))
+    engine.create_topic("t", TopicConfig(partitions=6))
+
+    mgr = GroupManager({"t": 6}, engine=engine)
+    g = mgr.get("g1")
+    r1 = g.join_group(None, {"range": ["t"]})
+    r2 = g.join_group(None, {"range": ["t"]})
+    r1b = g.join_group(r1["member_id"], {"range": ["t"]})
+    gen = r1b["generation"]
+    a_leader = g.sync_group(r1["member_id"], gen)
+    a_follower = g.sync_group(r2["member_id"], gen)
+    assert g.state == GroupState.STABLE
+
+    # coordinator dies; a new one replays the _groups table
+    mgr2 = GroupManager({"t": 6}, engine=engine)
+    g2 = mgr2.get("g1")
+    assert g2.state == GroupState.STABLE
+    assert g2.generation == gen
+    assert g2.protocol == "range"
+    assert g2.leader == r1["member_id"]
+    assert set(g2.members) == {r1["member_id"], r2["member_id"]}
+    assert g2.sync_group(r1["member_id"], gen) == a_leader
+    assert g2.sync_group(r2["member_id"], gen) == a_follower
+    # recovered members are live: heartbeat at the recovered generation works
+    assert g2.heartbeat(r1["member_id"], gen) == "NONE"
+    # and the FSM continues: a new member triggers the next rebalance
+    r3 = g2.join_group(None, {"range": ["t"]})
+    assert g2.state == GroupState.PREPARING_REBALANCE
+    assert r3["member_id"] not in (r1["member_id"], r2["member_id"])
+
+
+def test_group_manager_recovery_after_member_departure(spark, tmp_path):
+    """Departure checkpoints too: a member that left before the crash must
+    not resurrect on recovery."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path / "topics"))
+    engine.create_topic("t", TopicConfig(partitions=4))
+    mgr = GroupManager({"t": 4}, engine=engine)
+    g = mgr.get("g1")
+    r1 = g.join_group(None, {"range": ["t"]})
+    r2 = g.join_group(None, {"range": ["t"]})
+    g.join_group(r1["member_id"], {"range": ["t"]})
+    g.sync_group(r1["member_id"], 2)
+    g.leave_group(r2["member_id"])
+
+    mgr2 = GroupManager({"t": 4}, engine=engine)
+    g2 = mgr2.get("g1")
+    assert set(g2.members) == {r1["member_id"]}
+    assert g2.state == GroupState.PREPARING_REBALANCE  # departure forced one
+
+
+def test_deleted_group_stays_dead_across_recovery(spark, tmp_path):
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path / "topics"))
+    engine.create_topic("t", TopicConfig(partitions=2))
+    mgr = GroupManager({"t": 2}, engine=engine)
+    g = mgr.get("g1")
+    r = g.join_group(None, {"range": ["t"]})
+    g.sync_group(r["member_id"], 1)
+    g.leave_group(r["member_id"])
+    mgr.delete_group("g1")
+
+    mgr2 = GroupManager({"t": 2}, engine=engine)
+    assert mgr2.list_groups() == []
