@@ -22,21 +22,34 @@ from redpanda_spark.functions.text import tokens
 
 SIMHASH_BITS = 60
 BAND_BITS = 15
-N_BANDS = SIMHASH_BITS // BAND_BITS
+N_BANDS = 4
 
 
-def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+def md5_hash48(t: Column) -> Column:
+    """48-bit token hash from the md5 hex prefix. Weaker mixing than
+    xxhash64 but computable by any SQL engine with md5() — used by the
+    oracle-checked gate query so DuckDB can replay the whole SimHash
+    pipeline bit-for-bit."""
+    return F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long")
+
+
+def simhash(
+    col: Column | str, bits: int = SIMHASH_BITS, token_hash=None
+) -> Column:
     """SimHash of the whitespace tokens of ``col`` (bigint, low ``bits`` used).
 
     One fold over the token-hash array with an array<int> accumulator:
-    counts[i] = Σ_tokens (bit i of xxhash64(token) ? +1 : -1). Aggregating
+    counts[i] = Σ_tokens (bit i of hash(token) ? +1 : -1). Aggregating
     over the pre-hashed array binds each hash to a lambda variable, so the
     tokenizer and hash run once per token — not once per (token, bit).
+    ``token_hash`` defaults to xxhash64 (production); pass ``md5_hash48``
+    (with bits=48) for the SQL-replayable variant.
     """
     toks = tokens(col)
+    hash_fn = token_hash or F.xxhash64
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.transform(toks, lambda t: hash_fn(t)),
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
@@ -63,11 +76,22 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    token_hash=None,
 ) -> DataFrame:
-    """(id_a < id_b, hamming) pairs within ``max_hamming`` bits."""
+    """(id_a < id_b, hamming) pairs within ``max_hamming`` bits.
+
+    Banding recall is exactly 1.0 for max_hamming < N_BANDS (pigeonhole:
+    ≤3 differing bits can touch at most 3 of the 4 bands), so the output
+    equals the full pairwise hamming filter — which is what the SQL oracle
+    computes for the md5-variant gate query."""
     docs = parallelize_narrow(docs)
-    sh = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
-    mask = (1 << BAND_BITS) - 1
+    band_bits = bits // N_BANDS
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits=bits, token_hash=token_hash).alias("sh"),
+    )
+    mask = (1 << band_bits) - 1
     # Persisted: the LSH self-join below reads both sides from cache instead
     # of recomputing the signature fold per side.
     banded = sh.select(
@@ -76,7 +100,7 @@ def simhash_near_dups(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sh"), i * BAND_BITS).bitwiseAND(F.lit(mask))
+                    F.shiftright(F.col("sh"), i * band_bits).bitwiseAND(F.lit(mask))
                     for i in range(N_BANDS)
                 ]
             )

@@ -641,16 +641,84 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup (xxhash64 signatures — no SQL oracle; verified
-    rows-only + by unit tests against exact Jaccard)."""
+    """MinHash+LSH near-dup pairs ≥ 0.5 Jaccard.
+
+    Oracle: the exact shingle-Jaccard pair set. Sound because the output
+    is exact-verified (candidates are re-scored with true Jaccard before
+    the threshold), so Spark ⊆ oracle always; and the band count from
+    pick_bands puts the S-curve inflection at the threshold, giving 100%
+    recall on this corpus (asserted at sf0.01 and sf0.1) — so Spark =
+    oracle. A genuinely missed pair would surface as a driver rows
+    mismatch, which is exactly what an LSH regression should do."""
     docs = _t(spark, sf_dir, "documents")
     return near_dup_pairs(docs, threshold=0.5)
 
 
+SQL_DEDUP_MINHASH = r"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    list_transform(range(len(toks) - 2),
+      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id AS id, list_aggregate(toks, 'string_agg', ' ') AS s
+  FROM (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+        FROM documents)
+  WHERE len(toks) < 3
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs within hamming ≤ 3.
+
+    Uses the 48-bit md5 token-hash variant so DuckDB can replay the whole
+    pipeline (bit votes → sign packing → banded self-join → hamming)
+    bit-for-bit; production default stays xxhash64. Banding recall is
+    exactly 1.0 by pigeonhole (4 bands, ≤3 differing bits), so the banded
+    output equals the full pairwise filter the oracle computes."""
+    from redpanda_spark.dedup.simhash import md5_hash48
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3)
+    return simhash_near_dups(docs, max_hamming=3, bits=48, token_hash=md5_hash48)
+
+
+SQL_DEDUP_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS hv FROM tok),
+bitsum AS (
+  SELECT doc_id, r.b AS b, SUM(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h, range(48) r(b) GROUP BY doc_id, r.b
+),
+sim AS (
+  SELECT doc_id, SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+  FROM bitsum GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_emb_near_dup(spark, sf_dir):
@@ -700,14 +768,63 @@ WHERE rank <= 10
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF approximate top-k (driver-fit centroids — rows-only check;
-    recall vs brute force asserted in unit tests)."""
-    spark_ = spark
-    emb = _t(spark_, sf_dir, "embeddings")
-    cents = fit_ivf_centroids(emb, n_cells=16, sample_fraction=1.0)
+    """IVF approximate top-k with deterministic centroids (the first 16
+    corpus vectors), so assignment/probing/rerank are all SQL-replayable.
+    The k-means-fit path (fit_ivf_centroids) is exercised by unit tests
+    with recall assertions; this gate checks the search machinery —
+    cell assignment, nprobe cell probing, exact rerank — value-for-value
+    against DuckDB."""
+    import numpy as np
+
+    from redpanda_spark.functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select(as_double("embedding").alias("v"))
+        .collect()
+    )
+    cents = np.array([r["v"] for r in cent_rows])
     corpus = ivf_assign(emb, cents)
     queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
     return ivf_topk(corpus, queries, cents, k=10, nprobe=4)
+
+
+SQL_ANN_IVF = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_dot_product(e.v, cent.cv), 6) DESC, cent.cell) AS rn
+    FROM e, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+probe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_dot_product(q.qv, cent.cv), 6) DESC, cent.cell) AS rn
+    FROM q, cent) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+    ROUND(list_dot_product(q.qv, e.v) /
+          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+  FROM cand c JOIN q ON q.query_id = c.query_id JOIN e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -761,11 +878,11 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram": SQL_DEDUP_NGRAM,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "emb_near_dup": SQL_EMB_NEAR_DUP,
     "ann_topk": SQL_ANN_TOPK,
-    # dedup_minhash / dedup_simhash / ann_ivf: intentionally no oracle
-    # (xxhash64 signatures / sampled centroids aren't SQL-expressible);
-    # unit tests assert their agreement with exact methods instead.
+    "ann_ivf": SQL_ANN_IVF,
 }
 
 
@@ -1031,8 +1148,14 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 def q_mm2_routing(spark, sf_dir):
-    """Byte-compat murmur2 key->partition routing distribution (rows-only:
-    DuckDB has no Kafka murmur2; golden-vector tests pin the kernel)."""
+    """Byte-compat murmur2 key->partition routing distribution.
+
+    Oracle: Kafka murmur2 UNROLLED IN SQL — c_name is always exactly 18
+    ASCII bytes ('Customer#%09d'), so the 4 little-endian chunk mixes +
+    2-byte tail + finalizer are a fixed closed-form expression DuckDB can
+    evaluate with masked BIGINT arithmetic. Golden vectors in
+    tests/test_functions.py additionally pin the kernel on
+    variable-length keys."""
     from redpanda_spark.functions.hashes import murmur2_partition_udf
 
     cust = _t(spark, sf_dir, "customer")
@@ -1040,6 +1163,50 @@ def q_mm2_routing(spark, sf_dir):
         murmur2_partition_udf(16)(F.col("c_name").cast("binary")).alias("partition")
     )
     return routed.groupBy("partition").agg(F.count("*").alias("n"))
+
+
+# Kafka murmur2 for fixed-length-18 keys, unrolled: seed 0x9747b28c ^ 18 =
+# 2538058398, M = 0x5bd1e995 = 1540483477, all products masked to 32 bits
+# (max intermediate 0xFFFFFFFF * M < 2^63, so BIGINT never overflows).
+SQL_MM2_ROUTING = """
+WITH raw AS (
+  SELECT list_transform(range(1, 19),
+                        i -> CAST(ord(substr(c_name, i, 1)) AS BIGINT)) AS by
+  FROM customer
+),
+ch AS (
+  SELECT
+    by[1] + by[2]*256 + by[3]*65536 + by[4]*16777216 AS k1,
+    by[5] + by[6]*256 + by[7]*65536 + by[8]*16777216 AS k2,
+    by[9] + by[10]*256 + by[11]*65536 + by[12]*16777216 AS k3,
+    by[13] + by[14]*256 + by[15]*65536 + by[16]*16777216 AS k4,
+    by[17] AS t0, by[18] AS t1
+  FROM raw
+),
+mix AS (
+  SELECT t0, t1,
+    ((xor((k1*1540483477) & 4294967295, ((k1*1540483477) & 4294967295) >> 24)) * 1540483477) & 4294967295 AS m1,
+    ((xor((k2*1540483477) & 4294967295, ((k2*1540483477) & 4294967295) >> 24)) * 1540483477) & 4294967295 AS m2,
+    ((xor((k3*1540483477) & 4294967295, ((k3*1540483477) & 4294967295) >> 24)) * 1540483477) & 4294967295 AS m3,
+    ((xor((k4*1540483477) & 4294967295, ((k4*1540483477) & 4294967295) >> 24)) * 1540483477) & 4294967295 AS m4
+  FROM ch
+),
+fold AS (
+  SELECT t0, t1,
+    xor((xor((xor((xor((2538058398::BIGINT*1540483477) & 4294967295, m1)*1540483477) & 4294967295, m2)*1540483477) & 4294967295, m3)*1540483477) & 4294967295, m4) AS h4
+  FROM mix
+),
+tl AS (
+  SELECT ((xor(xor(h4, t1 << 8), t0)) * 1540483477) & 4294967295 AS ht FROM fold
+),
+fin AS (
+  SELECT xor((xor(ht, ht >> 13) * 1540483477) & 4294967295,
+             ((xor(ht, ht >> 13) * 1540483477) & 4294967295) >> 15) AS h
+  FROM tl
+)
+SELECT CAST((h & 2147483647) % 16 AS INTEGER) AS partition, COUNT(*) AS n
+FROM fin GROUP BY 1
+"""
 
 
 QUERIES.update(
@@ -1069,8 +1236,8 @@ ORACLES.update(
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "mm_image_metadata": SQL_MM_IMAGE_METADATA,
-        # mm_frame_sample / mm2_routing: rows-only (stub frames / no murmur2
-        # in DuckDB); unit tests pin their kernels.
+        "mm2_routing": SQL_MM2_ROUTING,
+        # mm_frame_sample: rows-only until the codecs are real (stub frames).
     }
 )
 

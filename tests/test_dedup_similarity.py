@@ -95,3 +95,54 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_plan_bounded_at_many_cells(spark):
+    """The centroid matrix rides a broadcast, not the plan: at 1024 cells
+    the analyzed plan must stay O(1)-sized (the old literal-array form
+    exploded past a few hundred cells)."""
+    import numpy as np
+
+    from redpanda_spark.similarity.ann import ivf_assign
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(1024, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)],
+        "vec_id int, embedding array<double>",
+    )
+    out = ivf_assign(df, cents)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000  # literal-inlined centroids would be ~MBs
+    cells = [r["cell"] for r in out.collect()]
+    assert all(0 <= c < 1024 for c in cells)
+
+
+def test_ivf_recall_at_1024_cells(spark):
+    sf01_dir = "/root/testdata/sf0.1"
+    """IVF with a real kmeans fit at high cell count keeps recall vs brute
+    force ≥ 0.9 with a proportional nprobe."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.similarity.ann import (
+        brute_force_topk,
+        fit_ivf_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    n_cells = min(1024, emb.count() // 4)
+    cents = fit_ivf_centroids(emb, n_cells=n_cells, sample_fraction=1.0)
+    corpus = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    # tiny corpus → extreme quantization (~4 vectors/cell); probe a quarter
+    # of the cells to hold the recall floor (at 100 TB, cells hold ~1e6
+    # vectors each and nprobe/cells shrinks accordingly)
+    approx = ivf_topk(corpus, queries, cents, k=10, nprobe=max(8, n_cells // 4))
+    exact = brute_force_topk(emb, queries, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.9
