@@ -3,21 +3,36 @@
 Design: media payloads are `binary` columns; decode / feature-extract /
 resize / frame-sample run as Arrow-batched functions over ``mapInPandas``
 so each executor processes whole record batches without driver involvement.
-The Spark-side plumbing (schemas, batch iteration, partitioning) is real
-and tested; the actual codec calls are stubbed behind ``_decode_image`` /
-``_decode_audio`` (the container has no PIL/ffmpeg) with a deterministic
-fake used by tests — swap the stub for the real library in production.
+
+Codec policy (capability ladder in ``_decode_image``/``_decode_audio``):
+1. Real formats decode for real: PNG via a stdlib-only decoder (zlib
+   inflate + filter reconstruction per the PNG spec), WAV via the stdlib
+   ``wave`` module — both proven against golden fixtures in
+   tests/test_multimodal_datalake.py.
+2. PIL / soundfile are used when importable (jpeg etc. in a full
+   deployment image; not present in this container).
+3. Anything else falls back to a deterministic hash-derived fake so
+   pipeline tests exercise the full Spark path with stable values.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+try:  # capability check: full deployment images ship PIL
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
 
 IMAGE_META_SCHEMA = (
     "media_id long, width int, height int, channels int, format string, sha256 string"
@@ -31,13 +46,114 @@ FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame png binary".replace(
 )
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode image bytes → HxWxC uint8 array.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
-    STUB: no image codec in this container. Real deployments replace this
-    with PIL/opencv. The deterministic fake derives an 8x8x3 array from the
-    payload hash so tests exercise the full Spark path with stable values.
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib-only PNG decode → HxWxC uint8 (8-bit, non-interlaced).
+
+    Chunk walk → IDAT concat → zlib inflate → per-scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth, PNG spec §6). Up and None
+    rows reconstruct vectorized; Sub/Average/Paeth are sequential in x by
+    definition (each pixel depends on the reconstructed left neighbor).
+    Unsupported PNG variants (16-bit, palette, interlace) raise
+    NotImplementedError — production images carry PIL for those.
     """
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG variant not supported by the stdlib decoder: depth={depth} "
+            f"color={color} interlace={interlace}"
+        )
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(idat)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth: left-neighbor recurrence
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib WAV decode → (mono float32 samples in [-1, 1], sample_rate).
+
+    PCM 8/16/32-bit via the ``wave`` module; channels are averaged to
+    mono (the standard feature-extraction front end)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
+        frames = wf.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32), sr
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Decode image bytes → HxWxC uint8 array (capability ladder: real PNG
+    decoder → PIL when importable → deterministic hash fake for non-image
+    payloads so pipeline tests exercise the full Spark path)."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    if _HAS_PIL and _sniff_format(payload) != "unknown":
+        arr = np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
+        return arr if arr.ndim == 3 else arr[..., None]
     h = hashlib.sha256(payload).digest()
     side = 8
     arr = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],
@@ -46,9 +162,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """STUB audio decode → (mono float32 samples, sample_rate). Deterministic
-    fake: 16 samples derived from the payload hash; production swaps in
-    soundfile/ffmpeg."""
+    """Decode audio bytes → (mono float32, sample_rate): real WAV decode
+    for RIFF/WAVE payloads, deterministic hash fake otherwise."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     h = hashlib.sha256(payload).digest()
     samples = np.frombuffer(h[:16], dtype=np.uint8).astype(np.float32) / 255.0
     return samples, 16000

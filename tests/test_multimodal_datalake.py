@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -116,3 +117,142 @@ def test_image_resize_layout(spark):
     assert sorted(bytes(r["pixels"]) for r in out) == sorted(
         bytes(r["pixels"]) for r in again
     )
+
+
+# -- real-codec golden tests -------------------------------------------------
+
+
+def _png_encode(arr, filters):
+    """Minimal straight-line PNG writer (test-only): one filter type per
+    scanline, spec-computed filtered bytes — so the decoder under test is
+    checked against independently constructed real PNG bytes."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    a32 = arr.astype(np.int32)
+    raw = b""
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = a32[y].reshape(-1)
+        prev = a32[y - 1].reshape(-1) if y else np.zeros(w * c, np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        raw += bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_real_bytes_all_filters():
+    from redpanda_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _png_encode(arr, filters)
+        got = decode_png(png)
+        assert got.shape == (5, 4, 3)
+        assert np.array_equal(got, arr), f"filters={filters}"
+    # grayscale path
+    g = rng.integers(0, 256, size=(3, 7, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(_png_encode(g, [4, 2])), g)
+
+
+def test_decode_wav_real_bytes():
+    import io
+    import wave
+
+    from redpanda_spark.functions.multimodal import decode_wav
+
+    t = np.arange(800)
+    left = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype("<i2")
+    right = (np.cos(2 * np.pi * 440 * t / 8000) * 10000).astype("<i2")
+    inter = np.empty(1600, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(inter.tobytes())
+    samples, sr = decode_wav(buf.getvalue())
+    assert sr == 8000 and len(samples) == 800
+    expect = (left.astype(np.float32) + right.astype(np.float32)) / 2 / 32768.0
+    assert np.allclose(samples, expect, atol=1e-6)
+
+
+def test_image_metadata_with_real_png_fixture(spark):
+    """The mm_image_metadata operator run over an actual PNG payload
+    reports its true geometry — proving the Spark path decodes real
+    bytes, not just the deterministic fake."""
+    from redpanda_spark.functions.multimodal import image_metadata, image_resize
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    png = _png_encode(arr, [0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, payload binary"
+    )
+    row = image_metadata(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (9, 6, 3)
+    assert row["format"] == "png"
+    import hashlib
+
+    assert row["sha256"] == hashlib.sha256(png).hexdigest()
+    rz = image_resize(media, width=3, height=2).collect()[0]
+    got = np.frombuffer(rz["pixels"], dtype=np.uint8).reshape(2, 3, 3)
+    yi = (np.arange(2) * 6 // 2).astype(int)
+    xi = (np.arange(3) * 9 // 3).astype(int)
+    assert np.array_equal(got, arr[yi][:, xi])
+
+
+def test_audio_metadata_with_real_wav_fixture(spark):
+    import io
+    import wave
+
+    from redpanda_spark.functions.multimodal import audio_metadata
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(np.zeros(3200, dtype="<i2").tobytes())
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [(7, bytearray(wav))], "media_id long, payload binary"
+    )
+    row = audio_metadata(media).collect()[0]
+    assert row["sample_rate"] == 16000
+    assert row["n_samples"] == 3200
+    assert abs(row["duration_s"] - 0.2) < 1e-9
