@@ -44,9 +44,16 @@ def fetch(
     out = out.where(F.col("offset") >= F.lit(start_offset))
     if end_offset is not None:
         out = out.where(F.col("offset") < F.lit(end_offset))
-    out = out.orderBy("partition", "offset")
     if max_records is not None:
-        out = out.limit(max_records)
+        # orderBy + limit compiles to TakeOrderedAndProject (per-partition
+        # top-k + driver merge of k rows) — no full sort-shuffle.
+        out = out.orderBy("partition", "offset").limit(max_records)
+    else:
+        # Unbounded fetch: per-partition local sort only. A global
+        # Exchange(rangepartitioning)+Sort over the scanned range would be
+        # the dominant cost at 100 TB; consumers read per partition anyway
+        # (Kafka guarantees order only within a partition).
+        out = out.sortWithinPartitions("partition", "offset")
     return out
 
 

@@ -248,9 +248,18 @@ def test_compatibility(
         return True, ""
     if schema_type == "JSON":
         return _json_compat(old_schema, new_schema, level)
-    # PROTOBUF: field-number-level checking needs a descriptor parser; treat
-    # textually-equal as compatible and defer otherwise (permissive, like
-    # registry configs with validation disabled).
+    # PROTOBUF: field-number / wire-format level checks
+    # (reference `pandaproxy/schema_registry/protobuf.cc`).
+    from redpanda_spark.registry.protobuf_compat import proto_can_read
+
+    checks = []
+    if level in ("BACKWARD", "FULL"):
+        checks.append(("BACKWARD", proto_can_read(new_schema, old_schema)))
+    if level in ("FORWARD", "FULL"):
+        checks.append(("FORWARD", proto_can_read(old_schema, new_schema)))
+    for mode, (ok, why) in checks:
+        if not ok:
+            return False, f"{mode}: {why}"
     return True, ""
 
 

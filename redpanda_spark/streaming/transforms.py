@@ -64,6 +64,7 @@ class TransformProcessor:
     output_topics: list[str]
     name: str = "transform"
     checkpoint_dir: str | None = None
+    max_files_per_trigger: int = 64
     _query: object = field(default=None, repr=False)
 
     def _apply(self, df: DataFrame) -> DataFrame:
@@ -91,7 +92,7 @@ class TransformProcessor:
         static = self.engine.log(self.input_topic)
         src = (
             spark.readStream.schema(static.schema)
-            .option("maxFilesPerTrigger", "64")
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
             .parquet(self.engine._topic_dir(self.input_topic))
         )
         out = self._apply(src)

@@ -47,6 +47,17 @@ def test_fetch_max_records(spark, sf_dir):
     assert [r["offset"] for r in out] == [0, 1, 2, 3, 4]
 
 
+def test_fetch_unbounded_has_no_global_sort(spark, sf_dir):
+    """An unbounded fetch must not range-shuffle the scanned range; ordering
+    is per-partition only (Kafka's contract). With max_records the plan is
+    TakeOrderedAndProject (per-partition top-k), never a full sort."""
+    log = topic_view(spark, sf_dir)
+    unbounded = LOG.fetch(log, start_offset=0)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in unbounded
+    bounded = LOG.fetch(log, start_offset=0, max_records=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bounded
+
+
 def test_list_offsets_earliest_latest(spark, sf_dir):
     log = topic_view(spark, sf_dir)
     res = {r["partition"]: r for r in LOG.list_offsets(log).collect()}

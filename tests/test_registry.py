@@ -183,3 +183,111 @@ def test_schema_id_produce_validation(spark, tmp_path):
         with pytest.raises(ProduceError):
             eng.produce("t", batch)
     assert eng.log("t").count() == 2  # nothing leaked from rejected batches
+
+
+# -- protobuf field-number compatibility -----------------------------------
+# Scenario shapes mirror the reference's
+# `pandaproxy/schema_registry/test/compatibility_protobuf.cc`.
+
+
+def _proto_compat(old, new, level):
+    from redpanda_spark.registry.store import test_compatibility
+
+    return test_compatibility(old, new, "PROTOBUF", level)[0]
+
+
+def test_protobuf_wire_group_compat():
+    p = 'syntax = "proto3"; message Test { %s id = 1; }'
+    # same wire/semantic group: compatible both ways
+    for a, b in [("int32", "uint32"), ("int32", "uint64"), ("int32", "bool"),
+                 ("sint32", "sint64"), ("string", "bytes"),
+                 ("fixed32", "sfixed32"), ("fixed64", "sfixed64")]:
+        assert _proto_compat(p % a, p % b, "FULL"), (a, b)
+    # cross-group: incompatible
+    for a, b in [("int32", "string"), ("int32", "fixed32"),
+                 ("fixed32", "fixed64"), ("float", "double")]:
+        assert not _proto_compat(p % a, p % b, "BACKWARD"), (a, b)
+        assert not _proto_compat(p % a, p % b, "FORWARD"), (a, b)
+
+
+def test_protobuf_rename_and_add_field_compatible():
+    old = 'syntax = "proto3"; message Simple { string id = 1; }'
+    renamed = 'syntax = "proto3"; message Simple { string identifier = 1; }'
+    added = 'syntax = "proto3"; message Simple { string id = 1; string name = 2; }'
+    assert _proto_compat(old, renamed, "FULL")
+    assert _proto_compat(old, added, "FULL")
+
+
+def test_protobuf_message_added_removed():
+    one = 'syntax = "proto3"; message Simple { string id = 1; }'
+    two = ('syntax = "proto3"; message Simple { string id = 1; } '
+           'message Simple2 { int64 id = 1; }')
+    # new schema adds a message: backward ok, forward not (old reader lacks it)
+    assert _proto_compat(one, two, "BACKWARD")
+    assert not _proto_compat(one, two, "FORWARD")
+    # new schema removes a message: backward incompatible
+    assert not _proto_compat(two, one, "BACKWARD")
+
+
+def test_protobuf_nested_named_type_change():
+    a = ('syntax = "proto3"; message Outer { message Inner { int32 id = 1; } '
+         'message Inner2 { int32 id = 1; } Inner x = 1; }')
+    b = ('syntax = "proto3"; message Outer { message Inner { int32 id = 1; } '
+         'message Inner2 { int32 id = 1; } Inner2 x = 1; }')
+    assert not _proto_compat(a, b, "BACKWARD")
+    assert _proto_compat(a, a, "FULL")
+
+
+def test_protobuf_required_field_rules():
+    base = 'syntax = "proto2"; message Simple { optional int32 id = 1; }'
+    with_req = ('syntax = "proto2"; message Simple { optional int32 id = 1; '
+                'required int32 new_id = 2; }')
+    with_opt = ('syntax = "proto2"; message Simple { optional int32 id = 1; '
+                'optional int32 new_id = 2; }')
+    reserved = 'syntax = "proto2"; message Simple { optional int32 id = 1; reserved 2; }'
+    # adding/removing a required field is incompatible either way
+    assert not _proto_compat(base, with_req, "BACKWARD")
+    assert not _proto_compat(with_req, base, "BACKWARD")
+    # making a required field reserved (and the reverse) is incompatible
+    assert not _proto_compat(with_req, reserved, "BACKWARD")
+    assert not _proto_compat(reserved, with_req, "BACKWARD")
+    # the same dance with optional fields is fine
+    assert _proto_compat(with_opt, reserved, "BACKWARD")
+    assert _proto_compat(reserved, with_opt, "BACKWARD")
+    assert _proto_compat(base, with_opt, "FULL")
+
+
+def test_protobuf_oneof_rules():
+    plain_one = 'syntax = "proto3"; message Simple { int32 id = 1; }'
+    oneof_one = 'syntax = "proto3"; message Simple { oneof wrapper { int32 id = 1; } }'
+    plain_two = 'syntax = "proto3"; message Simple { int32 id = 1; int32 new_id = 2; }'
+    oneof_two = ('syntax = "proto3"; message Simple { oneof wrapper '
+                 '{ int32 id = 1; int32 new_id = 2; } }')
+    # moving one existing field into a oneof: backward-compatible
+    assert _proto_compat(plain_one, oneof_one, "BACKWARD")
+    # moving two existing fields into one oneof: incompatible
+    assert not _proto_compat(plain_two, oneof_two, "BACKWARD")
+
+
+def test_protobuf_recursive_and_packaged_types():
+    recursive = ('syntax = "proto3"; package recursive; '
+                 'message Payload { oneof payload { .recursive.Message message = 1; } } '
+                 'message Message { string rule_name = 1; .recursive.Payload payload = 2; }')
+    assert _proto_compat(recursive, recursive, "FULL")
+
+
+def test_protobuf_registry_rejects_incompatible_register(tmp_path):
+    import pytest
+
+    from redpanda_spark.registry.store import CompatibilityError, SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.register("p-value", 'syntax = "proto3"; message T { int32 id = 1; }',
+                 schema_type="PROTOBUF")
+    with pytest.raises(CompatibilityError):
+        reg.register("p-value", 'syntax = "proto3"; message T { string id = 1; }',
+                     schema_type="PROTOBUF")
+    # wire-group-compatible evolution registers fine
+    sid = reg.register("p-value", 'syntax = "proto3"; message T { uint64 id = 1; }',
+                       schema_type="PROTOBUF")
+    assert sid > 0

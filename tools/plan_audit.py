@@ -66,6 +66,11 @@ def audit(name: str, df) -> list[str]:
     n_smj = txt.count("SortMergeJoin")
     if n_smj:
         flags.append(f"note:{n_smj}-sort-merge-join")
+    # Unbounded fetch must not globally sort: at 100 TB an
+    # Exchange(rangepartitioning)+Sort over the scanned range dominates the
+    # read. Ordering is per-partition (sortWithinPartitions) by contract.
+    if name == "log_fetch" and "rangepartitioning" in txt:
+        flags.append("SEVERE:fetch-global-sort")
     return flags
 
 
