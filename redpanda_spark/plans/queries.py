@@ -2165,3 +2165,389 @@ FROM log
 
 QUERIES.update({"datalake_translate": q_datalake_translate})
 ORACLES.update({"datalake_translate": SQL_DATALAKE_TRANSLATE})
+
+
+# --------------------------------------------------------------------------
+# Catalog 15: remaining TPC-H query shapes (Q2/Q9/Q11/Q16/Q20/Q21/Q22
+# analogs) — the testdata has no partsupp table, so the part-supplier
+# relation derives from lineitem (distinct (l_partkey, l_suppkey), unit
+# cost = min extendedprice/quantity). Each keeps the original query's
+# *plan shape*: correlated-min join-back (Q2), multi-dim star join (Q9),
+# global-scalar HAVING (Q11), distinct-agg + NOT IN (Q16), half-sum
+# semi-join (Q20), exists/not-exists self-join (Q21), scalar-avg +
+# anti-join (Q22).
+# --------------------------------------------------------------------------
+
+_Q2_SIZE, _Q2_REGION = 15, "EUROPE"
+
+
+def q_tpch_q2ish(spark, sf_dir):
+    """Q2 shape: min-cost supplier per part. The correlated MIN becomes a
+    per-part aggregate broadcast back onto the scoped supply relation; all
+    dimensions (part slice, supplier, nation, region) broadcast, so the
+    only shuffles are the two aggregates on the derived supply relation —
+    both keyed by (part, supp) / part, never by row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == _Q2_SIZE)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q2_REGION)
+
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    scoped = (
+        supply.join(F.broadcast(part.select("p_partkey")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mins = scoped.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        scoped.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal").cast("double"), 6).alias("sab"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("long").alias("pk"),
+            F.round(F.col("min_cost").cast("double"), 6).alias("mc"),
+        )
+        .orderBy(F.desc("sab"), "s_name", "pk")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2ISH = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+scoped AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, unit_cost
+  FROM supply
+  JOIN part ON l_partkey = p_partkey AND p_size = {_Q2_SIZE}
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{_Q2_REGION}'),
+mins AS (SELECT p_partkey AS m_partkey, MIN(unit_cost) AS min_cost
+         FROM scoped GROUP BY 1)
+SELECT ROUND(CAST(s_acctbal AS DOUBLE), 6) AS sab, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS pk, ROUND(CAST(min_cost AS DOUBLE), 6) AS mc
+FROM scoped JOIN mins ON p_partkey = m_partkey AND unit_cost = min_cost
+ORDER BY sab DESC, s_name, pk LIMIT 100
+"""
+
+
+def q_tpch_q9ish(spark, sf_dir):
+    """Q9 shape (product-type profit): lineitem x filtered part x supplier
+    x nation x orders, profit = revenue - synthetic supply cost
+    (0.1 x retailprice x qty, since there is no partsupp). Dims broadcast;
+    the orders join is the one big sort-merge on orderkey. Decimal-exact
+    sums, order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    profit = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")) - (
+        F.lit(0.1).cast("decimal(18,4)") * dec("p_retailprice") * dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 6).alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9ISH = """
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+             - CAST(0.1 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))
+                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2 DESC
+"""
+
+_Q11_NATION, _Q11_FRACTION = "NATION_3", 0.002
+
+
+def q_tpch_q11ish(spark, sf_dir):
+    """Q11 shape (important inventory value): per-part value restricted to
+    one nation's suppliers, kept when above a global-scalar fraction of the
+    total. The scalar HAVING threshold is a 1-row aggregate cross-joined
+    (broadcast) — no second scan collect; the nation's supplier set
+    broadcasts so lineitem shuffles once, on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == _Q11_NATION)
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    natsupply = (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", val.alias("val"))
+    )
+    per_part = natsupply.groupBy("l_partkey").agg(F.sum("val").alias("part_val"))
+    total = natsupply.agg(
+        (F.sum("val") * F.lit(_Q11_FRACTION)).alias("threshold")
+    )
+    return (
+        # 1-row scalar broadcast: compiles to a BroadcastNestedLoopJoin with
+        # a single build row — how Spark executes scalar subqueries; bounded
+        per_part.join(F.broadcast(total), F.col("part_val") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.round(F.col("part_val").cast("double"), 6).alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q11ISH = f"""
+WITH natsupply AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q11_NATION}')
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       ROUND(CAST(SUM(val) AS DOUBLE), 6) AS total_value
+FROM natsupply GROUP BY 1
+HAVING SUM(val) > (SELECT SUM(val) * {_Q11_FRACTION} FROM natsupply)
+ORDER BY total_value DESC, partkey LIMIT 100
+"""
+
+
+def q_tpch_q16ish(spark, sf_dir):
+    """Q16 shape (supplier count by part attrs): distinct part-supplier
+    pairs from lineitem, part-attribute filters, NOT IN excluded-supplier
+    subquery as a broadcast anti-join, COUNT(DISTINCT) per (brand, type,
+    size). The distinct and the count-distinct are the two shuffles, both
+    on narrow key columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 25, 40)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q16ISH = """
+SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) s
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 15, 25, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100
+"""
+
+
+def q_tpch_q20ish(spark, sf_dir):
+    """Q20 shape (excess/dominant suppliers): per (supplier, part) shipped
+    quantity of a name-filtered part slice in one year, kept when above
+    half the part's total — the original's availqty > 0.5 x sum(shipped)
+    half-sum subquery. The per-part total broadcasts back; supplier and
+    nation dims broadcast; one shuffle on (suppkey, partkey)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    return (
+        shipped.join(F.broadcast(tot), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("qty") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20ISH = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey AS t_partkey, SUM(qty) AS total_qty
+        FROM shipped GROUP BY 1)
+SELECT DISTINCT s_name, n_name
+FROM shipped JOIN tot ON l_partkey = t_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty > 0.5 * total_qty
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21ish(spark, sf_dir):
+    """Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    NOT EXISTS pair of correlated self-joins is re-expressed as one
+    per-order aggregate — n_suppliers and n_late_suppliers per finished
+    order — joined back to the late rows; the aggregate and the join-back
+    share the l_orderkey partitioning so Catalyst reuses the exchange.
+    'Late' derives from shipdate > orderdate + 60 days (no receiptdate in
+    the schema). Supplier dim broadcasts."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    late_flag = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    rows = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", late_flag.alias("late"))
+    per_order = rows.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    return (
+        rows.where(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q21ISH = """
+WITH f_orders AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN f_orders ON l_orderkey = o_orderkey),
+per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM li GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM li JOIN per_order ON li.l_orderkey = per_order.l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q_tpch_q22ish(spark, sf_dir):
+    """Q22 shape (idle wealthy customers): global scalar average (positive
+    balances) broadcast-cross-joined, anti-join against recent orders, then
+    a per-segment rollup (the schema has no phone country code; mktsegment
+    plays that role). Orders side is pre-filtered by date before the
+    anti-join so the shuffle carries only the recent slice's custkeys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        # 1-row scalar broadcast (see q_tpch_q11ish note)
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"))
+        .join(orders.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 6
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_TPCH_Q22ISH = f"""
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+idle AS (
+  SELECT c_mktsegment, c_acctbal FROM customer, avg_bal
+  WHERE c_acctbal > a AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
+         AS totacctbal
+FROM idle GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({
+    "tpch_q2ish": q_tpch_q2ish,
+    "tpch_q9ish": q_tpch_q9ish,
+    "tpch_q11ish": q_tpch_q11ish,
+    "tpch_q16ish": q_tpch_q16ish,
+    "tpch_q20ish": q_tpch_q20ish,
+    "tpch_q21ish": q_tpch_q21ish,
+    "tpch_q22ish": q_tpch_q22ish,
+})
+ORACLES.update({
+    "tpch_q2ish": SQL_TPCH_Q2ISH,
+    "tpch_q9ish": SQL_TPCH_Q9ISH,
+    "tpch_q11ish": SQL_TPCH_Q11ISH,
+    "tpch_q16ish": SQL_TPCH_Q16ISH,
+    "tpch_q20ish": SQL_TPCH_Q20ISH,
+    "tpch_q21ish": SQL_TPCH_Q21ISH,
+    "tpch_q22ish": SQL_TPCH_Q22ISH,
+})
