@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "transform_fanout",
     "emb_quantize",
     "datalake_translate",
+    "tpch_q9ish",
+    "tpch_q21ish",
+    "pipeline_redact",
+    "pipeline_pack",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Dataset-assembly operators for LLM training pipelines.
+
+The reference engine feeds training pipelines as a log store (its Iceberg
+datalake mode, `src/v/datalake/record_translator.cc`); what a pipeline does
+next — split, mix, scrub, pack — is expressed here Spark-first so it runs
+on the same tables. Every operator is pure JVM expressions (no Python in
+the hot path) and every one is deterministic, so the DuckDB oracle can
+replay it exactly.
+
+Operators:
+- ``split_bucket`` / ``assign_split`` — deterministic hash split
+  (train/val/test) via a Knuth multiplicative hash of the id: stable under
+  reruns, re-shards, and engine versions (unlike ``rand(seed)``, whose
+  values depend on partitioning), and SQL-expressible.
+- ``weighted_mix`` — domain mixing: per-source token budgets from mixture
+  weights; docs get a deterministic pseudo-random priority (same hash) and
+  are taken in priority order until the source's budget is filled.
+- ``redact_pii`` / ``pii_counts`` — email / ipv4 / US-phone scrubbing with
+  per-kind match counts, all ``regexp_replace``/``regexp_count`` (RE2- and
+  Java-regex-compatible patterns).
+- ``pack_offsets`` — GPT-style sequence packing: concatenate documents in
+  a deterministic per-source order and chop into fixed token windows;
+  emits each document's (start_offset, begin/end window) — the shuffle is
+  one sort per source partition, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 64-bit-safe Knuth multiplicative hash, identical in Spark and DuckDB:
+# pmod(id, 2^31-1) * 2654435761 stays under 2^63 (no overflow in either
+# engine's BIGINT), then reduce to a bucket space.
+_KNUTH = 2654435761
+_ID_MOD = 2147483647
+BUCKETS = 1_000_000
+
+
+def split_bucket(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, BUCKETS) from an integer id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c + F.lit(salt), F.lit(_ID_MOD)) * F.lit(_KNUTH), F.lit(BUCKETS))
+
+
+def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
+    """The same bucket as DuckDB SQL (oracle mirror)."""
+    inner = f"(({id_expr} + {salt}) % {_ID_MOD} + {_ID_MOD}) % {_ID_MOD}"
+    return f"(({inner}) * {_KNUTH}) % {BUCKETS}"
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Adds a ``split`` column partitioning rows into named fractions.
+
+    Narrow (no shuffle): each row's split is a pure function of its id.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = split_bucket(id_col, salt)
+    expr = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        cond = bucket < F.lit(int(hi * BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Domain mixing: keep, per source, the highest-priority documents whose
+    cumulative token count fits the source's share of ``token_budget``.
+
+    Priority is the deterministic id hash (reproducible sampling). One
+    shuffle: the per-source sort for the running total. A source absent
+    from ``weights`` contributes nothing. At scale the sort is per-source
+    (partitionBy), so skew is bounded by the largest single domain —
+    pre-salting inside a domain is unnecessary because the running sum
+    needs the domain's total order anyway.
+    """
+    pri = split_bucket(id_col, salt)
+    w = Window.partitionBy(source_col).orderBy("pri", id_col)
+    budget = None
+    for name, frac in weights.items():
+        b = F.lit(int(frac * token_budget))
+        budget = F.when(F.col(source_col) == name, b) if budget is None else budget.when(
+            F.col(source_col) == name, b
+        )
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    return (
+        df.withColumn("pri", pri)
+        .withColumn("cum_tokens", F.sum(token_col).over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .drop("pri")
+    )
+
+
+# PII patterns — a deliberately RE2 ∩ Java-regex dialect subset so the
+# DuckDB oracle runs the identical pattern.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token`` (email first: an email
+    contains no ipv4/phone substring after replacement, so order is
+    deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pack_offsets(
+    df: DataFrame,
+    window_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style packing: per source, documents are concatenated in id
+    order and chopped into ``window_tokens``-sized training windows.
+
+    Emits per document: token ``start_off`` within the source stream, the
+    ``begin_win``/``end_win`` window ids it lands in, and ``spans``
+    (1 + windows crossed). All window-function arithmetic — one sort per
+    source partition; no data movement beyond the per-source shuffle.
+    """
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    cum = F.sum(token_col).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .withColumn("start_off", F.col("cum_tokens") - F.col(token_col))
+        .withColumn(
+            "begin_win", F.floor(F.col("start_off") / F.lit(window_tokens))
+        )
+        .withColumn(
+            # empty documents (0 tokens) occupy their begin window
+            "end_win",
+            F.greatest(
+                F.floor((F.col("cum_tokens") - F.lit(1)) / F.lit(window_tokens)),
+                F.col("begin_win"),
+            ),
+        )
+        .withColumn("spans", (F.col("end_win") - F.col("begin_win") + F.lit(1)))
+        .drop("cum_tokens")
+    )

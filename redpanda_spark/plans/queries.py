@@ -2551,3 +2551,236 @@ ORACLES.update({
     "tpch_q21ish": SQL_TPCH_Q21ISH,
     "tpch_q22ish": SQL_TPCH_Q22ISH,
 })
+
+
+# --------------------------------------------------------------------------
+# Catalog 16: dataset-assembly pipeline (pipeline/dataset.py) — the ops a
+# training-data pipeline runs downstream of the log store: deterministic
+# split, domain mixing, PII scrub, sequence packing. All pure-JVM and
+# deterministic, so each has a full value-hash oracle.
+# --------------------------------------------------------------------------
+
+_TOKCNT_SQL = "len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))"
+
+
+def q_pipeline_split(spark, sf_dir):
+    """Deterministic train/val/test split (Knuth-hash buckets on doc_id —
+    stable under re-partitioning, unlike rand(seed)) rolled up per
+    (split, source). Narrow until the final small rollup."""
+    from redpanda_spark.pipeline.dataset import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", TXT.token_count("text"))
+    return (
+        assign_split(d, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _split_sql_case() -> str:
+    from redpanda_spark.pipeline.dataset import BUCKETS, split_bucket_sql
+
+    b = split_bucket_sql("doc_id")
+    return (
+        f"CASE WHEN {b} < {int(0.9 * BUCKETS)} THEN 'train' "
+        f"WHEN {b} < {int(0.95 * BUCKETS)} THEN 'val' ELSE 'test' END"
+    )
+
+
+SQL_PIPELINE_SPLIT = f"""
+SELECT {_split_sql_case()} AS split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_TOKCNT_SQL}) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
+_MIX_BUDGET = 50_000
+
+
+def q_pipeline_mix(spark, sf_dir):
+    """Domain mixing: per-source token budgets (mixture weights x total
+    budget), documents taken in deterministic hash-priority order until
+    the budget fills. One per-source sort-shuffle."""
+    from redpanda_spark.pipeline.dataset import weighted_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", TXT.token_count("text"))
+    return weighted_mix(d, _MIX_WEIGHTS, _MIX_BUDGET).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def _mix_sql() -> str:
+    from redpanda_spark.pipeline.dataset import split_bucket_sql
+
+    pri = split_bucket_sql("doc_id")
+    budget = " ".join(
+        f"WHEN source = '{s}' THEN {int(f * _MIX_BUDGET)}"
+        for s, f in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKCNT_SQL} AS n_tokens, {pri} AS pri
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens <= (CASE {budget} ELSE 0 END)
+"""
+
+
+def q_pipeline_redact(spark, sf_dir):
+    """PII scrub: deterministic synthetic PII (emails / ipv4s / phones
+    derived from doc_id) is injected, counted, redacted, and re-counted;
+    the md5 of the redacted text proves byte-equality with the oracle.
+    All regexp built-ins — no Python in the row path."""
+    from redpanda_spark.pipeline.dataset import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text2",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (100 + F.col("doc_id") % 900).cast("string"),
+                    F.lit("-"),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    cts = pii_counts("text2")
+    red = redact_pii("text2")
+    residual = pii_counts(red)
+    return injected.select(
+        "doc_id",
+        cts["email"].cast("long").alias("n_email"),
+        cts["ipv4"].cast("long").alias("n_ipv4"),
+        cts["phone"].cast("long").alias("n_phone"),
+        (residual["email"] + residual["ipv4"] + residual["phone"])
+        .cast("long")
+        .alias("n_residual"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def _redact_sql() -> str:
+    from redpanda_spark.pipeline.dataset import PII_PATTERNS
+
+    email, ipv4, phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ipv4"],
+        PII_PATTERNS["phone"],
+    )
+    inj = (
+        "text || "
+        "(CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END) || "
+        "(CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END)"
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text2, '{email}', '[PII]', 'g'),"
+        f" '{ipv4}', '[PII]', 'g'), '{phone}', '[PII]', 'g')"
+    )
+    return f"""
+WITH injected AS (SELECT doc_id, {inj} AS text2 FROM documents),
+redacted AS (SELECT doc_id, text2, {red} AS red FROM injected)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text2, '{email}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text2, '{ipv4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text2, '{phone}')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(red, '{email}'))
+     + len(regexp_extract_all(red, '{ipv4}'))
+     + len(regexp_extract_all(red, '{phone}')) AS BIGINT) AS n_residual,
+  md5(red) AS redacted_md5
+FROM redacted
+"""
+
+
+_PACK_WINDOW = 256
+
+
+def q_pipeline_pack(spark, sf_dir):
+    """GPT-style sequence packing: concatenate per-source in doc_id order,
+    chop at fixed token windows; per-document window coordinates."""
+    from redpanda_spark.pipeline.dataset import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", TXT.token_count("text"))
+    return pack_offsets(d, _PACK_WINDOW).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("begin_win").cast("long").alias("begin_win"),
+        F.col("end_win").cast("long").alias("end_win"),
+        F.col("spans").cast("long").alias("spans"),
+    )
+
+
+SQL_PIPELINE_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKCNT_SQL} AS n_tokens FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens - n_tokens AS BIGINT) AS start_off,
+       CAST((cum_tokens - n_tokens) // {_PACK_WINDOW} AS BIGINT) AS begin_win,
+       CAST(GREATEST((cum_tokens - 1) // {_PACK_WINDOW},
+                     (cum_tokens - n_tokens) // {_PACK_WINDOW}) AS BIGINT)
+         AS end_win,
+       CAST(GREATEST((cum_tokens - 1) // {_PACK_WINDOW},
+                     (cum_tokens - n_tokens) // {_PACK_WINDOW})
+            - (cum_tokens - n_tokens) // {_PACK_WINDOW} + 1 AS BIGINT) AS spans
+FROM cum
+"""
+
+QUERIES.update({
+    "pipeline_split": q_pipeline_split,
+    "pipeline_mix": q_pipeline_mix,
+    "pipeline_redact": q_pipeline_redact,
+    "pipeline_pack": q_pipeline_pack,
+})
+ORACLES.update({
+    "pipeline_split": SQL_PIPELINE_SPLIT,
+    "pipeline_mix": _mix_sql(),
+    "pipeline_redact": _redact_sql(),
+    "pipeline_pack": SQL_PIPELINE_PACK,
+})

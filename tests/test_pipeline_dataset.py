@@ -1,0 +1,116 @@
+"""Dataset-assembly operators (pipeline/dataset.py): determinism, budget
+boundaries, packing arithmetic, redaction byte-exactness."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.pipeline.dataset import (
+    BUCKETS,
+    assign_split,
+    pack_offsets,
+    pii_counts,
+    redact_pii,
+    split_bucket,
+    weighted_mix,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=s, n_tokens=t) for i, s, t in rows]
+    )
+
+
+def test_split_deterministic_under_repartition(spark):
+    df = _docs(spark, [(i, "a", 10) for i in range(200)])
+    one = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    other = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.repartition(7, "doc_id")).collect()
+    }
+    assert one == other  # split is a pure function of the id, not layout
+
+
+def test_split_fractions_roughly_hold(spark):
+    df = _docs(spark, [(i, "a", 1) for i in range(5000)])
+    counts = dict(
+        assign_split(df, weights={"train": 0.8, "val": 0.2})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    assert counts["train"] + counts["val"] == 5000
+
+
+def test_split_bucket_range(spark):
+    df = _docs(spark, [(i, "a", 1) for i in range(1000)])
+    mn, mx = (
+        df.select(split_bucket("doc_id").alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .first()
+    )
+    assert 0 <= mn and mx < BUCKETS
+
+
+def test_weighted_mix_budget_boundary(spark):
+    # source a: budget 30 tokens; docs of 10 tokens in priority order →
+    # exactly 3 kept, the 4th (which would hit 40 > 30) dropped
+    df = _docs(spark, [(i, "a", 10) for i in range(10)])
+    out = weighted_mix(df, {"a": 1.0}, 30).collect()
+    assert len(out) == 3
+    assert max(r["cum_tokens"] for r in out) == 30
+
+
+def test_weighted_mix_unlisted_source_excluded(spark):
+    df = _docs(spark, [(1, "a", 5), (2, "b", 5)])
+    out = weighted_mix(df, {"a": 1.0}, 100).collect()
+    assert {r["source"] for r in out} == {"a"}
+
+
+def test_pack_offsets_contiguous_per_source(spark):
+    df = _docs(spark, [(i, "s", 100) for i in range(10)])
+    rows = {r["doc_id"]: r for r in pack_offsets(df, 256).collect()}
+    # offsets are contiguous in id order
+    for i in range(10):
+        assert rows[i]["start_off"] == i * 100
+    # doc 2 occupies tokens [200, 300) → crosses the 256 boundary
+    assert rows[2]["begin_win"] == 0 and rows[2]["end_win"] == 1
+    assert rows[2]["spans"] == 2
+    assert rows[0]["spans"] == 1
+
+
+def test_pack_offsets_empty_doc(spark):
+    df = _docs(spark, [(0, "s", 256), (1, "s", 0), (2, "s", 10)])
+    rows = {r["doc_id"]: r for r in pack_offsets(df, 256).collect()}
+    # the empty doc sits at offset 256 (window 1) and spans exactly 1
+    assert rows[1]["start_off"] == 256
+    assert rows[1]["begin_win"] == rows[1]["end_win"] == 1
+    assert rows[1]["spans"] == 1
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                s="mail a.b+c@x-corp.io then 10.1.2.3 and 555-123-4567 done"
+            )
+        ]
+    )
+    counted = df.select(
+        *[v.alias(k) for k, v in pii_counts("s").items()],
+        redact_pii("s").alias("red"),
+    ).first()
+    assert counted["email"] == 1
+    assert counted["ipv4"] == 1
+    assert counted["phone"] == 1
+    assert counted["red"] == "mail [PII] then [PII] and [PII] done"
+
+
+def test_redact_idempotent(spark):
+    df = spark.createDataFrame([Row(s="x user@host.com y")])
+    once = df.select(redact_pii("s").alias("r"))
+    twice = once.select(redact_pii("r").alias("r"))
+    assert once.first()["r"] == twice.first()["r"] == "x [PII] y"
