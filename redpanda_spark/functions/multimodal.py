@@ -248,6 +248,111 @@ def audio_metadata(media: DataFrame, id_col: str = "media_id", bin_col: str = "p
     return media.select(id_col, bin_col).mapInPandas(gen, AUDIO_META_SCHEMA)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2 "
+# bytes per pixel-count for the colorspaces we parse (Y plane + chroma)
+_Y4M_PLANES = {
+    "mono": 1.0,
+    "420": 1.5,
+    "420jpeg": 1.5,
+    "420mpeg2": 1.5,
+    "420paldv": 1.5,
+    "422": 2.0,
+    "444": 3.0,
+}
+
+
+def encode_y4m(
+    frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Build a real YUV4MPEG2 stream from HxW uint8 luma frames (Cmono)."""
+    h, w = frames[0].shape[:2]
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    out = [header]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[list[bytes], int, int, tuple[int, int], str]:
+    """Parse a YUV4MPEG2 stream → (frame_payloads, width, height, fps, cs).
+
+    Real container parsing per the mjpegtools spec: space-separated header
+    tags (W/H/F/I/A/C), then `FRAME[ params]\\n` + a fixed-size plane blob
+    per frame. Frames are returned as raw plane bytes (Y first)."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    width = height = 0
+    fps = (25, 1)
+    cs = "420jpeg"  # spec default when no C tag
+    for tag in payload[len(_Y4M_MAGIC) : nl].split(b" "):
+        if not tag:
+            continue
+        k, v = chr(tag[0]), tag[1:].decode()
+        if k == "W":
+            width = int(v)
+        elif k == "H":
+            height = int(v)
+        elif k == "F":
+            num, den = v.split(":")
+            fps = (int(num), int(den))
+        elif k == "C":
+            cs = v
+    if width <= 0 or height <= 0:
+        raise ValueError("y4m: missing W/H")
+    if cs not in _Y4M_PLANES:
+        raise ValueError(f"y4m: unsupported colorspace {cs}")
+    frame_size = int(width * height * _Y4M_PLANES[cs])
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"y4m: bad frame marker at {pos}")
+        fnl = payload.index(b"\n", pos)
+        body = payload[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) < frame_size:
+            raise ValueError("y4m: truncated frame")
+        frames.append(body)
+        pos = fnl + 1 + frame_size
+    return frames, width, height, fps, cs
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, fps_num int, "
+    "fps_den int, colorspace string"
+)
+
+
+def video_metadata(
+    media: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Container-level video metadata from real Y4M parsing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                if payload is None:
+                    continue
+                frames, w, h, fps, cs = decode_y4m(bytes(payload))
+                rows.append((int(mid), w, h, len(frames), fps[0], fps[1], cs))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "fps_num",
+                    "fps_den",
+                    "colorspace",
+                ],
+            )
+
+    return media.select(id_col, bin_col).mapInPandas(gen, VIDEO_META_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,
@@ -255,8 +360,13 @@ def frame_sample(
     id_col: str = "media_id",
     bin_col: str = "payload",
 ) -> DataFrame:
-    """Video frame sampling: emit every ``every_n``-th frame (stub frames are
-    hash-derived slices — the flatMap row-expansion shape is the real part)."""
+    """Video frame sampling: emit every ``every_n``-th frame.
+
+    Capability ladder like ``_decode_image``: YUV4MPEG2 payloads are parsed
+    for real (``decode_y4m``) and the emitted frames are the actual plane
+    bytes at the sampled indices (up to ``n_frames`` of them); any other
+    payload falls back to deterministic hash-derived stub frames so the
+    flatMap row-expansion shape still exercises end-to-end."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,10 +375,16 @@ def frame_sample(
                 if payload is None:
                     continue
                 b = bytes(payload)
-                total = n_frames * every_n
-                for i in range(0, total, every_n):
-                    frame = hashlib.sha256(b + struct.pack("<i", i)).digest()
-                    rows.append((int(mid), i, frame))
+                if b.startswith(_Y4M_MAGIC):
+                    frames, _w, _h, _fps, _cs = decode_y4m(b)
+                    idxs = range(0, len(frames), every_n)
+                    for i in list(idxs)[:n_frames]:
+                        rows.append((int(mid), i, frames[i]))
+                else:
+                    total = n_frames * every_n
+                    for i in range(0, total, every_n):
+                        frame = hashlib.sha256(b + struct.pack("<i", i)).digest()
+                        rows.append((int(mid), i, frame))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return media.select(id_col, bin_col).mapInPandas(gen, FRAME_SAMPLE_SCHEMA)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1134,17 +1135,87 @@ FROM documents
 """
 
 
+def _mm_y4m_media(spark, sf_dir):
+    """Synthesize REAL YUV4MPEG2 containers deterministically: media_id
+    doc_id < 100; 6 + id%5 frames of 8x8 mono luma, frame i filled with the
+    printable byte 32 + (id*7 + i*13) % 95 — so the DuckDB oracle can
+    rebuild the exact frame bytes with repeat(chr(v)) and md5 them."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from redpanda_spark.functions.multimodal import encode_y4m
+
+    @pandas_udf("binary")
+    def make_y4m(mids: pd.Series) -> pd.Series:
+        out = []
+        for mid in mids:
+            mid = int(mid)
+            frames = [
+                np.full((8, 8), 32 + (mid * 7 + i * 13) % 95, dtype=np.uint8)
+                for i in range(6 + mid % 5)
+            ]
+            out.append(encode_y4m(frames))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        F.col("doc_id").alias("media_id"), make_y4m("doc_id").alias("payload")
+    )
+
+
 def q_mm_frame_sample(spark, sf_dir):
-    """Video frame-sampling flatMap shape (rows-only: stub frames)."""
+    """Video frame sampling on REAL container bytes: Y4M streams are built
+    per media id, parsed by the real YUV4MPEG2 decoder (decode_y4m), and
+    every 2nd frame (up to 4) is emitted; the oracle rebuilds each sampled
+    frame's bytes arithmetically and md5-compares."""
     from redpanda_spark.functions.multimodal import frame_sample
 
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.col("text").cast("binary").alias("payload")
-    )
+    media = _mm_y4m_media(spark, sf_dir)
     return frame_sample(media, every_n=2, n_frames=4).select(
-        "media_id", F.col("frame_idx").cast("int")
+        "media_id",
+        F.col("frame_idx").cast("int"),
+        F.md5("frame").alias("frame_md5"),
     )
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (SELECT doc_id AS media_id, 6 + doc_id % 5 AS nf
+           FROM documents WHERE doc_id < 100),
+idx AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx
+        FROM m, UNNEST(range(0, nf, 2)) AS t(i)
+        WHERE i < 8)
+SELECT media_id, frame_idx,
+       md5(repeat(chr(CAST(32 + (media_id * 7 + frame_idx * 13) % 95
+                          AS INTEGER)), 64)) AS frame_md5
+FROM idx
+"""
+
+
+def q_mm_video_metadata(spark, sf_dir):
+    """Container-level video metadata (real Y4M header + frame-count
+    parse)."""
+    from redpanda_spark.functions.multimodal import video_metadata
+
+    media = _mm_y4m_media(spark, sf_dir)
+    return video_metadata(media).select(
+        "media_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("n_frames").cast("int"),
+        F.col("fps_num").cast("int"),
+        F.col("fps_den").cast("int"),
+        "colorspace",
+    )
+
+
+SQL_MM_VIDEO_METADATA = """
+SELECT doc_id AS media_id, CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(6 + doc_id % 5 AS INTEGER) AS n_frames,
+       CAST(25 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den,
+       'mono' AS colorspace
+FROM documents WHERE doc_id < 100
+"""
 
 
 def q_mm2_routing(spark, sf_dir):
@@ -1221,6 +1292,7 @@ QUERIES.update(
         "tpch_q10ish": q_tpch_q10ish,
         "mm_image_metadata": q_mm_image_metadata,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_video_metadata": q_mm_video_metadata,
         "mm2_routing": q_mm2_routing,
     }
 )
@@ -1237,7 +1309,8 @@ ORACLES.update(
         "tpch_q10ish": SQL_TPCH_Q10ISH,
         "mm_image_metadata": SQL_MM_IMAGE_METADATA,
         "mm2_routing": SQL_MM2_ROUTING,
-        # mm_frame_sample: rows-only until the codecs are real (stub frames).
+        "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+        "mm_video_metadata": SQL_MM_VIDEO_METADATA,
     }
 )
 

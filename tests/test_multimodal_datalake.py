@@ -256,3 +256,68 @@ def test_audio_metadata_with_real_wav_fixture(spark):
     assert row["sample_rate"] == 16000
     assert row["n_samples"] == 3200
     assert abs(row["duration_s"] - 0.2) < 1e-9
+
+
+def test_y4m_roundtrip_real_bytes():
+    import numpy as np
+
+    from redpanda_spark.functions.multimodal import decode_y4m, encode_y4m
+
+    frames = [np.arange(64, dtype=np.uint8).reshape(8, 8) + i for i in range(5)]
+    payload = encode_y4m(frames, fps=(30, 1))
+    out, w, h, fps, cs = decode_y4m(payload)
+    assert (w, h, fps, cs) == (8, 8, (30, 1), "mono")
+    assert len(out) == 5
+    for i, f in enumerate(out):
+        assert f == frames[i].tobytes()
+
+
+def test_y4m_420_frame_sizing_and_errors():
+    import pytest
+
+    from redpanda_spark.functions.multimodal import decode_y4m
+
+    # 4:2:0 chroma: frame blob = w*h*3/2; default colorspace when no C tag
+    y = bytes(range(16))  # 4x4 luma
+    uv = bytes(8)  # two 2x2 chroma planes (4 bytes each)
+    p = b"YUV4MPEG2 W4 H4 F25:1\nFRAME\n" + y + uv
+    frames, w, h, fps, cs = decode_y4m(p)
+    assert (w, h, cs) == (4, 4, "420jpeg")
+    assert frames == [y + uv]
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n" + y)  # truncated 420 frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 Cmono\nXXXXX\n" + y)  # bad marker
+
+
+def test_frame_sample_real_y4m(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.multimodal import encode_y4m, frame_sample
+
+    frames = [np.full((2, 3), 10 * i, dtype=np.uint8) for i in range(6)]
+    df = spark.createDataFrame(
+        [Row(media_id=7, payload=bytearray(encode_y4m(frames)))]
+    )
+    out = {r["frame_idx"]: bytes(r["frame"]) for r in
+           frame_sample(df, every_n=2, n_frames=2).collect()}
+    # real plane bytes at sampled indices 0 and 2, capped at n_frames=2
+    assert set(out) == {0, 2}
+    assert out[0] == frames[0].tobytes()
+    assert out[2] == frames[2].tobytes()
+
+
+def test_video_metadata_real_y4m(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.multimodal import encode_y4m, video_metadata
+
+    payload = encode_y4m([np.zeros((4, 6), dtype=np.uint8)] * 3, fps=(24, 1))
+    df = spark.createDataFrame([Row(media_id=1, payload=bytearray(payload))])
+    r = video_metadata(df).first()
+    assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 3)
+    assert (r["fps_num"], r["fps_den"], r["colorspace"]) == (24, 1, "mono")
