@@ -173,3 +173,99 @@ def ivf_probe_cells(
         v.alias("qv"),
         F.explode(probe_udf(v)).alias("cell"),
     )
+
+
+KMEANS_PARTIAL_SCHEMA = "cell int, cnt long, s array<double>"
+
+
+def fit_kmeans(
+    emb: DataFrame,
+    k: int = 64,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL corpus (spherical: centroids
+    L2-normalized, assignment by max dot product — cosine geometry, same
+    convention as ivf_assign).
+
+    Per iteration, one job: a single ``mapInPandas`` pass fuses assignment
+    (broadcast centroid matmul) with map-side partial sums — each Arrow
+    batch emits at most k (cell, count, sum) rows — then a k-row groupBy
+    reduces the partials. Only k x dim floats ever reach the driver
+    (exactly MLlib KMeans' treeAggregate contract), so corpus size only
+    affects the scan. Use ``fit_ivf_centroids`` when a sampled fit is
+    enough; this is the exact trainer.
+
+    Init is deterministic: the k rows with the smallest Knuth-hashed ids
+    (hash-ordered "random" sample, reproducible across runs/layouts).
+    """
+    from collections.abc import Iterator
+
+    if init_centroids is not None:
+        cents = np.asarray(init_centroids, dtype=np.float64)
+    else:
+        seed_rows = (
+            emb.select(as_double(vec_col).alias("v"))
+            .withColumn(
+                "h",
+                F.pmod(
+                    F.pmod(F.col(id_col), F.lit(2147483647)) * F.lit(2654435761),
+                    F.lit(1_000_000),
+                ),
+            )
+            .orderBy("h", id_col)
+            .limit(k)
+            .collect()
+        )
+        cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    cents = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+
+    spark = emb.sparkSession
+    vecs = emb.select(as_double(vec_col).alias("v"))
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            M = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(list(pdf["v"]), dtype=np.float64)
+                assign = np.round(x @ M.T, 6).argmax(axis=1)
+                cells, inv = np.unique(assign, return_inverse=True)
+                sums = np.zeros((len(cells), x.shape[1]))
+                np.add.at(sums, inv, x)
+                cnts = np.bincount(inv, minlength=len(cells))
+                yield pd.DataFrame(
+                    {
+                        "cell": cells.astype("int32"),
+                        "cnt": cnts.astype("int64"),
+                        "s": list(sums),
+                    }
+                )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "cell": [int(pdf["cell"].iloc[0])],
+                    "cnt": [int(pdf["cnt"].sum())],
+                    "s": [np.sum(np.array(list(pdf["s"])), axis=0)],
+                }
+            )
+
+        rows = (
+            vecs.mapInPandas(partial_sums, KMEANS_PARTIAL_SCHEMA)
+            .groupBy("cell")
+            .applyInPandas(combine, KMEANS_PARTIAL_SCHEMA)
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            c = int(r["cell"])
+            v = np.array(r["s"]) / max(int(r["cnt"]), 1)
+            new[c] = v / (np.linalg.norm(v) + 1e-12)
+        cents = new
+        bc.unpersist()
+    return cents

@@ -146,3 +146,54 @@ def test_ivf_recall_at_1024_cells(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_fit_kmeans_recovers_separated_clusters(spark):
+    """Distributed Lloyd on three well-separated directions converges to
+    one centroid per direction, counted via assignment purity."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.similarity.ann import fit_kmeans, ivf_assign
+
+    rng = np.random.default_rng(7)
+    base = np.eye(3)  # three orthogonal directions in R^3
+    rows = []
+    for i in range(300):
+        v = base[i % 3] + rng.normal(scale=0.05, size=3)
+        v = v / np.linalg.norm(v)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows).repartition(4)
+
+    cents = fit_kmeans(df, k=3, iters=6)
+    assert cents.shape == (3, 3)
+    # every centroid aligns with one axis, and all three axes are covered
+    axes = {int(np.argmax(np.abs(c))) for c in cents}
+    assert axes == {0, 1, 2}
+    for c in cents:
+        assert np.max(np.abs(c)) > 0.95  # tight on the axis
+    # assignment is pure: all members of a true cluster share a cell
+    assigned = ivf_assign(df, cents).select("vec_id", "cell").collect()
+    by_true = {0: set(), 1: set(), 2: set()}
+    for r in assigned:
+        by_true[r["vec_id"] % 3].add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_true.values())
+
+
+def test_fit_kmeans_deterministic_init(spark):
+    """Same data, two layouts → identical centroids (hash-ordered init,
+    deterministic reduction)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.similarity.ann import fit_kmeans
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=4)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    a = fit_kmeans(df.repartition(2), k=4, iters=3)
+    b = fit_kmeans(df.repartition(7), k=4, iters=3)
+    assert np.allclose(a, b)
