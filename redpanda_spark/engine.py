@@ -458,6 +458,11 @@ class TopicEngine:
             rows = self.fetch(
                 topic, partition, offset=offset, isolation=isolation
             ).collect()
+            # Belt-and-braces for the ordering contract: collect() returns
+            # Spark partitions in index order, which the plan already makes
+            # offset-ordered, but the poll slice is small so a driver-side
+            # sort is free and makes the contract unconditional.
+            rows.sort(key=lambda r: r["offset"])
             if len(rows) >= min_records or time.monotonic() >= deadline:
                 return rows
             time.sleep(poll_interval_s)

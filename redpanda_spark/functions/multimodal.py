@@ -327,7 +327,12 @@ VIDEO_META_SCHEMA = (
 def video_metadata(
     media: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
 ) -> DataFrame:
-    """Container-level video metadata from real Y4M parsing."""
+    """Container-level video metadata from real Y4M parsing.
+
+    Non-Y4M / corrupt payloads emit a null-metadata row (colorspace NULL,
+    dims -1) instead of failing the whole scan — one bad record in a 100 TB
+    table must not kill the job (same skip-don't-fail posture as
+    ``frame_sample``'s capability ladder)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -335,7 +340,11 @@ def video_metadata(
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 if payload is None:
                     continue
-                frames, w, h, fps, cs = decode_y4m(bytes(payload))
+                try:
+                    frames, w, h, fps, cs = decode_y4m(bytes(payload))
+                except ValueError:
+                    rows.append((int(mid), -1, -1, -1, -1, -1, None))
+                    continue
                 rows.append((int(mid), w, h, len(frames), fps[0], fps[1], cs))
             yield pd.DataFrame(
                 rows,

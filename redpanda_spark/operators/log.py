@@ -49,11 +49,17 @@ def fetch(
         # top-k + driver merge of k rows) — no full sort-shuffle.
         out = out.orderBy("partition", "offset").limit(max_records)
     else:
-        # Unbounded fetch: per-partition local sort only. A global
-        # Exchange(rangepartitioning)+Sort over the scanned range would be
-        # the dominant cost at 100 TB; consumers read per partition anyway
-        # (Kafka guarantees order only within a partition).
-        out = out.sortWithinPartitions("partition", "offset")
+        # Unbounded fetch: Kafka guarantees order only WITHIN a topic
+        # partition, but a topic partition's rows span many parquet files
+        # (one per produce batch), so a bare sortWithinPartitions over scan
+        # splits cannot deliver even that. Hash-repartition on the topic
+        # partition co-locates each partition's rows, then a local sort
+        # orders them by offset — one hash exchange (the same movement a
+        # consumer-group read does anyway), no Exchange(rangepartitioning)
+        # + global merge, which would dominate at 100 TB.
+        out = out.repartition(F.col("partition")).sortWithinPartitions(
+            "partition", "offset"
+        )
     return out
 
 

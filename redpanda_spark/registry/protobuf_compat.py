@@ -91,15 +91,23 @@ def parse_proto(text: str) -> ProtoSchema:
 
 
 def _skip_to(toks: list[str], i: int, stop: str) -> int:
+    """Skip to just past ``stop`` at brace-depth 0.
+
+    With ``stop='}'`` this works whether ``i`` points AT the opening '{'
+    (depth rises to 1, returns past its matching close) or just inside the
+    block (first unmatched '}' returns) — the decrement-then-check order is
+    what makes the on-the-brace call style find the MATCHING close instead
+    of overshooting to the next one.
+    """
     depth = 0
     while i < len(toks):
         t = toks[i]
         if t == "{":
             depth += 1
         elif t == "}":
-            if depth == 0 and stop == "}":
-                return i + 1
             depth -= 1
+            if stop == "}" and depth <= 0:
+                return i + 1
         elif t == stop and depth == 0:
             return i + 1
         i += 1

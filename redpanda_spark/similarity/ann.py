@@ -198,16 +198,21 @@ def fit_kmeans(
     affects the scan. Use ``fit_ivf_centroids`` when a sampled fit is
     enough; this is the exact trainer.
 
-    Init is deterministic: the k rows with the smallest Knuth-hashed ids
-    (hash-ordered "random" sample, reproducible across runs/layouts).
+    Init is deterministic and spread-aware (k-means|| shape, MLlib's
+    contract): a hash-ordered candidate pool of min(8k, n) rows comes to
+    the driver (bounded: 8k x dim floats, layout-independent order), then
+    greedy farthest-point (maxmin) selection picks k well-separated
+    centers from it — so k seeds landing inside one true cluster (the
+    classic Lloyd bad-init stagnation) cannot happen when the pool spans
+    the clusters. No RNG anywhere: same data => same centroids.
     """
     from collections.abc import Iterator
 
     if init_centroids is not None:
         cents = np.asarray(init_centroids, dtype=np.float64)
     else:
-        seed_rows = (
-            emb.select(as_double(vec_col).alias("v"))
+        pool_rows = (
+            emb.select(F.col(id_col), as_double(vec_col).alias("v"))
             .withColumn(
                 "h",
                 F.pmod(
@@ -216,10 +221,22 @@ def fit_kmeans(
                 ),
             )
             .orderBy("h", id_col)
-            .limit(k)
+            .limit(max(8 * k, k))
             .collect()
         )
-        cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        pool = np.array([r["v"] for r in pool_rows], dtype=np.float64)
+        pool = pool / (np.linalg.norm(pool, axis=1, keepdims=True) + 1e-12)
+        # greedy maxmin in cosine geometry: next center = pool point with
+        # the smallest max-similarity to the centers chosen so far
+        chosen = [0]
+        best_sim = pool @ pool[0]
+        for _ in range(1, min(k, len(pool))):
+            nxt = int(np.argmin(best_sim))
+            chosen.append(nxt)
+            best_sim = np.maximum(best_sim, pool @ pool[nxt])
+        while len(chosen) < k:  # degenerate: pool smaller than k
+            chosen.append(chosen[len(chosen) % len(pool)])
+        cents = pool[chosen]
     cents = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
 
     spark = emb.sparkSession

@@ -291,3 +291,28 @@ def test_protobuf_registry_rejects_incompatible_register(tmp_path):
     sid = reg.register("p-value", 'syntax = "proto3"; message T { uint64 id = 1; }',
                        schema_type="PROTOBUF")
     assert sid > 0
+
+
+def test_protobuf_fields_after_enum_not_dropped():
+    # Regression: _skip_to starting ON the enum's '{' used to count it into
+    # depth and overshoot to the NEXT '}', silently dropping every field
+    # declared after an enum block.
+    from redpanda_spark.registry.protobuf_compat import parse_proto
+
+    src = ('syntax = "proto3"; message M { enum E { A = 0; B = 1; } '
+           'int32 id = 1; string name = 2; }')
+    schema = parse_proto(src)
+    m = schema.messages["M"]
+    assert set(m.fields) == {1, 2}, m.fields
+    assert "M.E" in schema.enums
+    # and the compat gate actually sees those fields now
+    incompat = ('syntax = "proto3"; message M { enum E { A = 0; B = 1; } '
+                'int32 id = 1; fixed64 name = 2; }')
+    assert not _proto_compat(src, incompat, "BACKWARD")
+    assert not _proto_compat(src, incompat, "FORWARD")
+    # nested message after an enum survives too
+    nested = ('syntax = "proto3"; message M { enum E { A = 0; } '
+              'message Inner { string s = 1; } Inner inner = 3; }')
+    s2 = parse_proto(nested)
+    assert "M.Inner" in s2.messages
+    assert 3 in s2.messages["M"].fields
