@@ -68,8 +68,10 @@ def compact_with_tombstone_grace(
     tombstones (no key to delete) and pass through untouched.
     """
     latest = compact_keep_latest(log, key_cols, order_col)
+    # cast→timestamp first: value-preserving on TIMESTAMP, and legalizes the
+    # double cast when the input column arrived as TIMESTAMP_NTZ
     grace_expr = (
-        F.col(ts_col).cast("double") * 1000 + F.lit(grace_ms)
+        F.col(ts_col).cast("timestamp").cast("double") * 1000 + F.lit(grace_ms)
         >= F.lit(now).cast("timestamp").cast("double") * 1000
     )
     null_key = None

@@ -1002,7 +1002,10 @@ def q_events_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # cast→timestamp first so the arithmetic survives either TIMESTAMP or
+    # TIMESTAMP_NTZ inputs (NTZ cannot cast straight to double)
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)
@@ -1515,6 +1518,9 @@ def _stream_events(spark, sf_dir):
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; see tables.normalize_event_time
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

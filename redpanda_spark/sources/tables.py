@@ -36,6 +36,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_time(df)
+
+
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP.
+
+    Testdata parquet may carry ``timestamp[us]`` without the UTC-adjusted
+    flag, which Spark infers as TIMESTAMP_NTZ. NTZ breaks event-time ops
+    (``withWatermark`` requires TIMESTAMP; ``cast(ntz as double)`` is
+    illegal), so every loader funnels through this normalization. Sessions
+    run with UTC session time, making the cast value-preserving and
+    matching the DuckDB oracle's naive-as-UTC read of the same files.
+    """
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -37,6 +37,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _DEDUP_STATE_SCHEMA = "epoch int, last_seq long"
 
 
+def _tz_aware(df: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark requires TIMESTAMP; sources inferring TIMESTAMP_NTZ
+    (parquet without the UTC flag) are cast here, value-preserving under
+    the engine's UTC session timezone."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def idempotent_dedup_stream(
     records: DataFrame,
     seq_col: str = "base_sequence",
@@ -113,6 +122,7 @@ def windowed_partition_stats(
     Incremental: partial aggregation map-side, final per (partition,
     window); the watermark bounds state so this runs forever at 100 TB/day.
     """
+    records = _tz_aware(records, ts_col)
     return (
         records.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_dur).alias("win"), F.col("partition"))
@@ -142,6 +152,7 @@ def streaming_sessionize(
     counts with a lag() window; this streaming form emits one row per
     closed session once the watermark passes the session end.
     """
+    events = _tz_aware(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
