@@ -2246,6 +2246,150 @@ QUERIES.update({"datalake_translate": q_datalake_translate})
 ORACLES.update({"datalake_translate": SQL_DATALAKE_TRANSLATE})
 
 
+AVRO_EVENT_SCHEMA = (
+    '{"type":"record","name":"ev","fields":['
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]},'
+    '{"name":"event_id","type":"long"}]}'
+)
+
+PROTO_EVENT_SCHEMA = """
+syntax = "proto3";
+message Event {
+  string event_type = 1;
+  double value = 2;
+  int64 event_id = 3;
+}
+"""
+
+
+def _datalake_record_view(spark, sf_dir):
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS)
+    return log.select(
+        "partition",
+        "offset",
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+
+def _select_translated(typed):
+    return typed.select(
+        F.col("redpanda.partition").cast("int").alias("partition"),
+        F.col("redpanda.offset").cast("long").alias("offset"),
+        F.col("redpanda.key").cast("string").alias("key_s"),
+        "event_type",
+        F.round(F.col("value"), 6).alias("val"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_format("_hour", "yyyy-MM-dd HH").alias("hour_part"),
+    )
+
+
+def q_datalake_translate_avro(spark, sf_dir):
+    """Iceberg-mode translation of an Avro-valued topic: encode each record
+    with the registry Avro codec (Confluent wire framing), then decode to
+    typed columns + system struct + hour partition (schema_avro.cc +
+    record_translator.cc:68-98 parity). Encode and decode are independent
+    Arrow-batched stages, so the decode path is exercised on real wire
+    bytes, not shared state."""
+    import pandas as pd
+
+    from redpanda_spark.registry.avro_codec import avro_encode
+    from redpanda_spark.registry.store import SchemaRegistry
+    from redpanda_spark.sources.datalake import translate_avro_topic
+
+    schema_json = AVRO_EVENT_SCHEMA
+
+    @F.pandas_udf("binary")
+    def enc(event_type: pd.Series, value: pd.Series, event_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                SchemaRegistry.wire_encode(
+                    1,
+                    avro_encode(
+                        schema_json,
+                        {"event_type": t, "value": v, "event_id": int(i)},
+                    ),
+                )
+                for t, v, i in zip(event_type, value, event_id)
+            ]
+        )
+
+    rec = _datalake_record_view(spark, sf_dir)
+    wire = rec.select(
+        "partition", "offset", "timestamp", "key",
+        enc("event_type", "value", "event_id").alias("value"),
+    )
+    typed = translate_avro_topic(wire, schema_json, wire_framed=True)
+    return _select_translated(typed)
+
+
+def q_datalake_translate_proto(spark, sf_dir):
+    """Same translation for a Protobuf-valued topic via the wire-format
+    codec (schema_protobuf.cc parity)."""
+    import pandas as pd
+
+    from redpanda_spark.registry.proto_codec import encode_message
+    from redpanda_spark.registry.protobuf_compat import parse_proto
+    from redpanda_spark.registry.store import SchemaRegistry
+    from redpanda_spark.sources.datalake import translate_proto_topic
+
+    pschema = parse_proto(PROTO_EVENT_SCHEMA)
+
+    @F.pandas_udf("binary")
+    def enc(event_type: pd.Series, value: pd.Series, event_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                SchemaRegistry.wire_encode(
+                    2,
+                    encode_message(
+                        pschema,
+                        "Event",
+                        {"event_type": t, "value": float(v), "event_id": int(i)},
+                    ),
+                )
+                for t, v, i in zip(event_type, value, event_id)
+            ]
+        )
+
+    rec = _datalake_record_view(spark, sf_dir)
+    wire = rec.select(
+        "partition", "offset", "timestamp", "key",
+        enc("event_type", "value", "event_id").alias("value"),
+    )
+    typed = translate_proto_topic(wire, PROTO_EVENT_SCHEMA, "Event", wire_framed=True)
+    return _select_translated(typed)
+
+
+SQL_DATALAKE_TRANSLATE_TYPED = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(user_id AS VARCHAR) AS key_s,
+       event_type,
+       ROUND(value, 6) AS val,
+       CAST(event_id AS BIGINT) AS event_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_part
+FROM log
+"""
+
+QUERIES.update(
+    {
+        "datalake_translate_avro": q_datalake_translate_avro,
+        "datalake_translate_proto": q_datalake_translate_proto,
+    }
+)
+ORACLES.update(
+    {
+        "datalake_translate_avro": SQL_DATALAKE_TRANSLATE_TYPED,
+        "datalake_translate_proto": SQL_DATALAKE_TRANSLATE_TYPED,
+    }
+)
+
+
 # --------------------------------------------------------------------------
 # Catalog 15: remaining TPC-H query shapes (Q2/Q9/Q11/Q16/Q20/Q21/Q22
 # analogs) — the testdata has no partsupp table, so the part-supplier

@@ -140,7 +140,9 @@ def _matches(branch: Any, value: Any) -> bool:
     if t in ("int", "long"):
         return isinstance(value, int) and not isinstance(value, bool)
     if t in ("float", "double"):
-        return isinstance(value, float)
+        # ints are accepted for float/double branches (matches fastavro /
+        # avro-python behavior; {"x": 1} must encode against ["null","double"])
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
     if t == "string":
         return isinstance(value, str)
     if t in ("bytes", "fixed"):

@@ -1,0 +1,199 @@
+"""Avro/Protobuf codecs + typed datalake translation + snapshot commit.
+
+Parity targets: `src/v/datalake/schema_avro.cc`, `schema_protobuf.cc`,
+`record_translator.cc:68-98` (typed translate),
+`datalake/coordinator/iceberg_file_committer.cc` (atomic snapshot commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.registry.avro_codec import avro_decode, avro_encode
+from redpanda_spark.registry.proto_codec import decode_message, encode_message
+from redpanda_spark.registry.protobuf_compat import parse_proto
+from redpanda_spark.sources.datalake import (
+    avro_spark_type,
+    proto_spark_type,
+    read_datalake,
+    translate_avro_topic,
+    translate_proto_topic,
+    write_datalake,
+)
+
+# ---------------------------------------------------------------------------
+# avro codec
+# ---------------------------------------------------------------------------
+
+AVRO_REC = json.dumps(
+    {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "double"]},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+            {"name": "col", "type": {"type": "enum", "name": "c", "symbols": ["red", "blue"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4", "size": 4}},
+        ],
+    }
+)
+
+
+def test_avro_roundtrip_nested():
+    v = {
+        "s": "héllo",
+        "n": 2.5,
+        "tags": ["a", "b", ""],
+        "attrs": {"x": 1, "y": -7},
+        "col": "blue",
+        "fx": b"\x01\x02\x03\x04",
+    }
+    assert avro_decode(AVRO_REC, avro_encode(AVRO_REC, v)) == v
+
+
+def test_avro_null_union_and_int_for_double():
+    v = {"s": "", "n": None, "tags": [], "attrs": {}, "col": "red", "fx": b"0000"}
+    assert avro_decode(AVRO_REC, avro_encode(AVRO_REC, v)) == v
+    # ints accepted for float/double branches (fastavro behavior)
+    got = avro_decode(AVRO_REC, avro_encode(AVRO_REC, {**v, "n": 1}))
+    assert got["n"] == 1.0 and isinstance(got["n"], float)
+
+
+def test_avro_spark_type_mapping():
+    t = avro_spark_type(json.loads(AVRO_REC))
+    assert t.simpleString() == (
+        "struct<s:string,n:double,tags:array<string>,attrs:map<string,bigint>,"
+        "col:string,fx:binary>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# proto codec
+# ---------------------------------------------------------------------------
+
+PROTO = """
+syntax = "proto3";
+package demo;
+message Inner { sint64 z = 1; }
+message Outer {
+  string name = 1;
+  double score = 2;
+  int64 uid = 3;
+  bool ok = 4;
+  bytes raw = 5;
+  repeated int32 xs = 6;
+  repeated string labels = 7;
+  Inner inner = 8;
+  sfixed32 delta = 9;
+  float ratio = 10;
+}
+"""
+
+
+def test_proto_roundtrip_all_shapes():
+    v = {
+        "name": "abc",
+        "score": -1.25,
+        "uid": -42,  # negative int64 → 10-byte varint path
+        "ok": True,
+        "raw": b"\x00\xff",
+        "xs": [1, -2, 300],  # packed repeated varint incl. negative
+        "labels": ["p", "q"],  # unpacked repeated length-delimited
+        "inner": {"z": -9},  # nested message, zigzag field
+        "delta": -5,
+        "ratio": 0.5,
+    }
+    got = decode_message(PROTO, "Outer", encode_message(PROTO, "Outer", v))
+    assert got == v
+
+
+def test_proto_absent_fields_and_unknown_skip():
+    sch = parse_proto(PROTO)
+    got = decode_message(sch, "Outer", encode_message(sch, "Outer", {"name": "x"}))
+    assert got["name"] == "x" and got["score"] is None and got["xs"] == []
+    # decoder skips unknown field numbers (forward compat): encode with a
+    # writer schema that has an extra field 11
+    writer = PROTO.replace("float ratio = 10;", "float ratio = 10; int64 extra = 11;")
+    payload = encode_message(writer, "Outer", {"name": "y", "extra": 99})
+    got = decode_message(sch, "Outer", payload)
+    assert got["name"] == "y" and "extra" not in got
+
+
+def test_proto_spark_type_mapping():
+    t = proto_spark_type(parse_proto(PROTO), "Outer")
+    assert t["uid"].dataType.simpleString() == "bigint"
+    assert t["xs"].dataType.simpleString() == "array<int>"
+    assert t["inner"].dataType.simpleString() == "struct<z:bigint>"
+
+
+# ---------------------------------------------------------------------------
+# typed translation through Spark
+# ---------------------------------------------------------------------------
+
+
+def _log_df(spark, values):
+    rows = [
+        Row(
+            partition=0,
+            offset=i,
+            timestamp=None,
+            key=str(i).encode(),
+            value=v,
+        )
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(rows, "partition int, offset long, timestamp timestamp, key binary, value binary")
+    return df.withColumn("timestamp", F.to_timestamp(F.lit("2024-03-01 10:30:00")))
+
+
+def test_translate_avro_topic(spark):
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    payloads = [avro_encode(sch, {"a": i, "b": f"v{i}"}) for i in range(4)]
+    out = translate_avro_topic(_log_df(spark, payloads), sch).collect()
+    assert sorted((r["a"], r["b"]) for r in out) == [(i, f"v{i}") for i in range(4)]
+    r = out[0]
+    assert r["redpanda"]["partition"] == 0 and r["_hour"].hour == 10
+    # null payload → null columns, row preserved
+    out2 = translate_avro_topic(_log_df(spark, [None]), sch).collect()
+    assert out2[0]["a"] is None and out2[0]["redpanda"]["offset"] == 0
+
+
+def test_translate_proto_topic(spark):
+    proto = 'syntax = "proto3"; message E { int64 a = 1; string b = 2; }'
+    payloads = [encode_message(proto, "E", {"a": i, "b": f"v{i}"}) for i in range(4)]
+    out = translate_proto_topic(_log_df(spark, payloads), proto, "E").collect()
+    assert sorted((r["a"], r["b"]) for r in out) == [(i, f"v{i}") for i in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# snapshot commit
+# ---------------------------------------------------------------------------
+
+
+def test_write_datalake_manifest_snapshot(spark, tmp_path):
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    payloads = [avro_encode(sch, {"a": i, "b": f"v{i}"}) for i in range(6)]
+    typed = translate_avro_topic(_log_df(spark, payloads), sch)
+    out = str(tmp_path / "lake")
+    files = write_datalake(typed.drop("redpanda"), out)
+    assert files and all(f.startswith("_hour=") for f in files)
+    assert read_datalake(spark, out).count() == 6
+
+    # crash injection: a file written AFTER the manifest commit (simulating a
+    # writer that died before committing) is invisible to snapshot reads
+    part_dir = os.path.join(out, os.path.dirname(files[0]))
+    orphan = os.path.join(part_dir, "part-orphan.parquet")
+    src = os.path.join(out, files[0])
+    with open(src, "rb") as fsrc, open(orphan, "wb") as fdst:
+        fdst.write(fsrc.read())
+    assert read_datalake(spark, out).count() == 6  # unchanged
+    # a plain directory read would see the orphan's rows (sanity check that
+    # the manifest is doing the work)
+    assert spark.read.option("basePath", out).parquet(out).count() > 6
