@@ -119,6 +119,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, c)
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Build a real PCM WAV container (16-bit mono) from int16 samples —
+    fixture encoder for the audio path, stdlib ``wave``."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Stdlib WAV decode → (mono float32 samples in [-1, 1], sample_rate).
 
@@ -329,10 +343,11 @@ def video_metadata(
 ) -> DataFrame:
     """Container-level video metadata from real Y4M parsing.
 
-    Non-Y4M / corrupt payloads emit a null-metadata row (colorspace NULL,
-    dims -1) instead of failing the whole scan — one bad record in a 100 TB
-    table must not kill the job (same skip-don't-fail posture as
-    ``frame_sample``'s capability ladder)."""
+    Non-Y4M / corrupt payloads emit an all-NULL metadata row instead of
+    failing the whole scan — one bad record in a 100 TB table must not kill
+    the job, and NULLs (unlike -1 sentinels) stay out of downstream
+    aggregates (same skip-don't-fail posture as ``frame_sample``'s
+    capability ladder)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -343,7 +358,7 @@ def video_metadata(
                 try:
                     frames, w, h, fps, cs = decode_y4m(bytes(payload))
                 except ValueError:
-                    rows.append((int(mid), -1, -1, -1, -1, -1, None))
+                    rows.append((int(mid), None, None, None, None, None, None))
                     continue
                 rows.append((int(mid), w, h, len(frames), fps[0], fps[1], cs))
             yield pd.DataFrame(

@@ -52,12 +52,15 @@ def fetch(
         # Unbounded fetch: Kafka guarantees order only WITHIN a topic
         # partition, but a topic partition's rows span many parquet files
         # (one per produce batch), so a bare sortWithinPartitions over scan
-        # splits cannot deliver even that. Hash-repartition on the topic
-        # partition co-locates each partition's rows, then a local sort
-        # orders them by offset — one hash exchange (the same movement a
-        # consumer-group read does anyway), no Exchange(rangepartitioning)
-        # + global merge, which would dominate at 100 TB.
-        out = out.repartition(F.col("partition")).sortWithinPartitions(
+        # splits cannot deliver even that. Range-partition on (partition,
+        # offset) + local sort: rows of one topic partition stay in offset
+        # order across adjacent range tasks (range boundaries give the
+        # cross-task order), while a HOT topic partition still splits over
+        # several tasks — unlike a hash repartition on the partition column,
+        # which would funnel a skewed partition's entire range into one
+        # giant sort-and-spill task at 100 TB. Cost is one exchange either
+        # way (plus the range sampler's lightweight pass).
+        out = out.repartitionByRange("partition", "offset").sortWithinPartitions(
             "partition", "offset"
         )
     return out

@@ -1221,6 +1221,53 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_mm_audio_metadata(spark, sf_dir):
+    """Audio metadata over REAL RIFF/WAVE payloads: 16-bit mono PCM files
+    are synthesized deterministically per media id (sample rate
+    8/16/32/40 kHz by id%4, 1000 + (id%7)*500 samples of a simple
+    arithmetic wave), decoded by the stdlib-backed WAV parser
+    (functions/multimodal.decode_wav), and the oracle recomputes the
+    rate/sample-count/duration arithmetic directly."""
+    from redpanda_spark.functions.multimodal import audio_metadata, encode_wav
+
+    @F.pandas_udf("binary")
+    def make_wav(mids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for mid in mids:
+            mid = int(mid)
+            sr = (8000, 16000, 32000, 40000)[mid % 4]
+            n = 1000 + (mid % 7) * 500
+            i = np.arange(n, dtype=np.int64)
+            samples = (((mid * 31 + i * 17) % 65536) - 32768).astype("<i2")
+            out.append(encode_wav(samples, sr))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), make_wav("doc_id").alias("payload")
+    )
+    return audio_metadata(media).select(
+        "media_id",
+        F.col("sample_rate").cast("int"),
+        F.col("n_samples").cast("long"),
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+SQL_MM_AUDIO_METADATA = """
+SELECT doc_id AS media_id,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 32000 ELSE 40000 END AS INTEGER) AS sample_rate,
+       CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS n_samples,
+       ROUND(CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) /
+             (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                              WHEN 2 THEN 32000 ELSE 40000 END), 6) AS duration_s
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_mm2_routing(spark, sf_dir):
     """Byte-compat murmur2 key->partition routing distribution.
 
@@ -1296,6 +1343,7 @@ QUERIES.update(
         "mm_image_metadata": q_mm_image_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_video_metadata": q_mm_video_metadata,
+        "mm_audio_metadata": q_mm_audio_metadata,
         "mm2_routing": q_mm2_routing,
     }
 )
@@ -1314,6 +1362,7 @@ ORACLES.update(
         "mm2_routing": SQL_MM2_ROUTING,
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         "mm_video_metadata": SQL_MM_VIDEO_METADATA,
+        "mm_audio_metadata": SQL_MM_AUDIO_METADATA,
     }
 )
 

@@ -221,9 +221,11 @@ def fit_kmeans(
                 ),
             )
             .orderBy("h", id_col)
-            .limit(max(8 * k, k))
+            .limit(8 * k)
             .collect()
         )
+        if not pool_rows:
+            raise ValueError("fit_kmeans: no vectors to initialize from")
         pool = np.array([r["v"] for r in pool_rows], dtype=np.float64)
         pool = pool / (np.linalg.norm(pool, axis=1, keepdims=True) + 1e-12)
         # greedy maxmin in cosine geometry: next center = pool point with

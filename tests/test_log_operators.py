@@ -48,12 +48,18 @@ def test_fetch_max_records(spark, sf_dir):
 
 
 def test_fetch_unbounded_has_no_global_sort(spark, sf_dir):
-    """An unbounded fetch must not range-shuffle the scanned range; ordering
-    is per-partition only (Kafka's contract). With max_records the plan is
-    TakeOrderedAndProject (per-partition top-k), never a full sort."""
+    """An unbounded fetch does exactly one range exchange on
+    (partition, offset) + a LOCAL sort — skew-proof (a hot topic partition
+    splits across tasks) with no global merge sort. With max_records the
+    plan is TakeOrderedAndProject (per-partition top-k), never a full
+    sort."""
     log = topic_view(spark, sf_dir)
     unbounded = LOG.fetch(log, start_offset=0)._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" not in unbounded
+    assert "rangepartitioning(partition" in unbounded
+    # the only Sort nodes are local (global=false)
+    for line in unbounded.splitlines():
+        if line.strip().startswith(("Sort ", "+- Sort ", ":- Sort ")):
+            assert "false, 0" in line, line
     bounded = LOG.fetch(log, start_offset=0, max_records=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in bounded
 

@@ -321,3 +321,34 @@ def test_video_metadata_real_y4m(spark):
     r = video_metadata(df).first()
     assert (r["width"], r["height"], r["n_frames"]) == (6, 4, 3)
     assert (r["fps_num"], r["fps_den"], r["colorspace"]) == (24, 1, "mono")
+
+
+def test_audio_metadata_real_wav(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.multimodal import audio_metadata, encode_wav
+
+    samples = (np.arange(4000) % 100 - 50).astype("<i2")
+    df = spark.createDataFrame(
+        [Row(media_id=3, payload=bytearray(encode_wav(samples, 16000)))]
+    )
+    r = audio_metadata(df).first()
+    assert (r["sample_rate"], r["n_samples"]) == (16000, 4000)
+    assert abs(r["duration_s"] - 0.25) < 1e-9
+
+
+def test_video_metadata_corrupt_payload_is_null_row(spark):
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.multimodal import video_metadata
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(b"not a y4m stream"))]
+    )
+    r = video_metadata(df).first()
+    assert r["media_id"] == 1
+    assert all(
+        r[c] is None
+        for c in ("width", "height", "n_frames", "fps_num", "fps_den", "colorspace")
+    )
