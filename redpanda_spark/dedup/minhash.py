@@ -147,11 +147,27 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for each candidate pair."""
-    sets = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    """Exact shingle-set Jaccard for each candidate pair.
+
+    Shingle sets are built only for documents that appear in a candidate
+    pair (semi-join first): LSH keeps the candidate count ~linear, so the
+    expensive shingle materialization touches a tiny fraction of the corpus
+    — at 100 TB, re-shingling every document here would cost more than the
+    whole LSH pass it follows."""
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        docs.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sets.count()  # eager: both join sides below read the cache, not the expr
     return (
         pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")

@@ -2723,11 +2723,16 @@ def q_tpch_q21ish(spark, sf_dir):
         orders.select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_suppkey", late_flag.alias("late"))
-    per_order = rows.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
-            "n_late"
-        ),
+    # two-level agg instead of a double countDistinct: the (orderkey,
+    # suppkey) pre-aggregate has map-side combine and avoids the Expand
+    # node countDistinct plans through (which would re-shuffle every
+    # lineitem row once per distinct aggregate at 100 TB)
+    per_supp = rows.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum("supp_late").alias("n_late"),
     )
     return (
         rows.where(F.col("late") == 1)
