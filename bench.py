@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "transform_fanout",
     "emb_quantize",
     "datalake_translate",
+    "datalake_translate_avro",
+    "mm_audio_metadata",
     "tpch_q9ish",
     "tpch_q21ish",
     "pipeline_redact",
@@ -169,14 +171,13 @@ def main():
             spark.catalog.clearCache()
     total = sum(timings.values())
 
-    # best-of-2 like the query loop: shared-host noise swings produce
-    # throughput ±2×; the max is the better estimator of engine capacity
-    omb = bench_omb(spark)
-    if runs > 1:
-        o2 = bench_omb(spark)
-        if o2["produce_mb_s"] > omb["produce_mb_s"]:
-            omb = o2
-    print(f"# omb: {omb}", file=sys.stderr)
+    # best-of-N like the query loop: shared-host noise swings produce
+    # throughput ±2×; the max is the better estimator of engine capacity.
+    # EVERY pass is persisted in the output so a tainted round is visible
+    # as such instead of silently recording one bad sample.
+    omb_passes = [bench_omb(spark) for _ in range(max(runs, 2))]
+    omb = max(omb_passes, key=lambda o: o["produce_mb_s"])
+    print(f"# omb (best of {len(omb_passes)}): {omb}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -187,10 +188,40 @@ def main():
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "omb": omb,
+                "omb_passes": omb_passes,
+                "trend": _trend(total, omb),
             }
         )
     )
     spark.stop()
+
+
+def _trend(total: float, omb: dict) -> dict:
+    """Comparison block vs prior rounds' recorded BENCH files, so every
+    BENCH_r{N}.json is self-describing about round-over-round movement."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = {}
+    for n in range(1, 30):
+        p = os.path.join(here, f"BENCH_r{n:02d}.json")
+        if not os.path.exists(p):
+            continue
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed", rec)
+            prior[f"r{n:02d}"] = {
+                "suite_wall_s": parsed.get("value"),
+                "produce_mb_s": (parsed.get("omb") or {}).get("produce_mb_s"),
+            }
+        except Exception:
+            continue
+    return {
+        "prior_rounds": prior,
+        "this_round": {
+            "suite_wall_s": round(total, 3),
+            "produce_mb_s": omb.get("produce_mb_s"),
+        },
+    }
 
 
 if __name__ == "__main__":
