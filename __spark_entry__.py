@@ -54,6 +54,7 @@ _PRIORITY = [
     "datalake_translate_avro",
     "datalake_translate_proto",
     "mm_audio_metadata",
+    "tpch_q12ish",
     # regressed in r3, fixed in r4 (TIMESTAMP_NTZ normalization)
     "log_compact_tombstones",
     "events_sessionize",

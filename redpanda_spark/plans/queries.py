@@ -2705,6 +2705,45 @@ ORDER BY s_name
 """
 
 
+def q_tpch_q12ish(spark, sf_dir):
+    """Q12 shape (shipping priority split): 1996 lineitems joined to their
+    orders, counting high- vs low-priority lines per linestatus (the
+    schema's shipmode stand-in). Large×large join on the order key — both
+    sides shuffle on l_orderkey/o_orderkey; the date filter is pushed to
+    the lineitem scan so only the year's files are read."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_TPCH_Q12ISH = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+QUERIES.update({"tpch_q12ish": q_tpch_q12ish})
+ORACLES.update({"tpch_q12ish": SQL_TPCH_Q12ISH})
+
+
 def q_tpch_q21ish(spark, sf_dir):
     """Q21 shape (suppliers who kept orders waiting): the EXISTS /
     NOT EXISTS pair of correlated self-joins is re-expressed as one

@@ -260,13 +260,14 @@ def write_datalake(
     """Hour-partitioned table write with snapshot semantics.
 
     Iceberg-commit analog (`datalake/coordinator/iceberg_file_committer.cc`):
-    data files land under ``path`` first, then a ``_manifest.json`` listing
-    every live file is swapped in with one atomic rename — the same commit
-    pattern the engine uses for topic mutations (engine.py::_commit_manifest).
-    Readers that honor the manifest (read_datalake) never observe a
-    half-written snapshot; a crash before the rename leaves the previous
-    manifest intact and the orphaned files invisible. Returns the committed
-    file list (path-relative).
+    data files land under ``path`` first, then a ``_manifest.json`` holding
+    the snapshot history — each snapshot is the complete live-file list at
+    its commit — is swapped in with one atomic rename, the same commit
+    pattern the engine uses for topic mutations (engine.py::
+    _commit_manifest). Readers that honor the manifest (read_datalake)
+    never observe a half-written snapshot; a crash before the rename leaves
+    the previous manifest intact and the orphaned files invisible. Returns
+    the newly committed snapshot's file list (path-relative).
     """
     df.write.mode(mode).partitionBy("_hour").format(fmt).save(path)
     files: list[str] = []
@@ -277,19 +278,40 @@ def write_datalake(
             files.append(os.path.relpath(os.path.join(root, n), path))
     files.sort()
     manifest = os.path.join(path, "_manifest.json")
+    snapshots: list[dict] = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = json.load(f)
+        snapshots = prev.get("snapshots") or (
+            # migrate a v1 single-snapshot manifest
+            [{"id": 1, "files": prev["files"]}] if "files" in prev else []
+        )
+    snapshots.append({"id": len(snapshots) + 1, "files": files})
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"files": files, "format": fmt}, f)
+        json.dump({"format": fmt, "snapshots": snapshots}, f)
     os.replace(tmp, manifest)
     return files
 
 
-def read_datalake(spark, path: str) -> DataFrame:
-    """Snapshot read: only files listed in the committed manifest."""
+def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
+    """Snapshot read: only files listed in the committed manifest.
+
+    ``snapshot_id`` selects a historical snapshot (Iceberg time-travel
+    analog); default is the latest.
+    """
     manifest = os.path.join(path, "_manifest.json")
     with open(manifest) as f:
         m = json.load(f)
-    full = [os.path.join(path, p) for p in m["files"]]
+    snapshots = m.get("snapshots") or [{"id": 1, "files": m["files"]}]
+    if snapshot_id is None:
+        snap = snapshots[-1]
+    else:
+        matches = [s for s in snapshots if s["id"] == snapshot_id]
+        if not matches:
+            raise ValueError(f"no snapshot {snapshot_id} in {manifest}")
+        snap = matches[0]
+    full = [os.path.join(path, p) for p in snap["files"]]
     return (
         spark.read.format(m.get("format", "parquet"))
         .option("basePath", path)

@@ -197,3 +197,21 @@ def test_write_datalake_manifest_snapshot(spark, tmp_path):
     # a plain directory read would see the orphan's rows (sanity check that
     # the manifest is doing the work)
     assert spark.read.option("basePath", out).parquet(out).count() > 6
+
+
+def test_write_datalake_snapshot_time_travel(spark, tmp_path):
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    out = str(tmp_path / "lake2")
+    first = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch, {"a": i, "b": "x"}) for i in range(3)]), sch
+    ).drop("redpanda")
+    write_datalake(first, out)
+    second = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch, {"a": 100 + i, "b": "y"}) for i in range(2)]),
+        sch,
+    ).drop("redpanda")
+    write_datalake(second, out)  # append commit -> snapshot 2
+    assert read_datalake(spark, out).count() == 5  # latest sees both
+    assert read_datalake(spark, out, snapshot_id=1).count() == 3  # time travel
+    with pytest.raises(ValueError):
+        read_datalake(spark, out, snapshot_id=9)

@@ -72,10 +72,12 @@ def audit(name: str, df) -> list[str]:
     n_smj = txt.count("SortMergeJoin")
     if n_smj:
         flags.append(f"note:{n_smj}-sort-merge-join")
-    # Unbounded fetch must not globally sort: at 100 TB an
-    # Exchange(rangepartitioning)+Sort over the scanned range dominates the
-    # read. Ordering is per-partition (sortWithinPartitions) by contract.
-    if name == "log_fetch" and "rangepartitioning" in txt:
+    # Unbounded fetch must not GLOBALLY sort (a Sort with global=true
+    # implies a merge of the whole scanned range). A range exchange +
+    # per-task local sort is the intended shape: same single-exchange cost
+    # as a hash repartition but a hot topic partition splits across tasks
+    # (operators/log.py::fetch).
+    if name == "log_fetch" and re.search(r"Sort \[[^\]]*\], true", txt):
         flags.append("SEVERE:fetch-global-sort")
     return flags
 
