@@ -55,6 +55,7 @@ _PRIORITY = [
     "datalake_translate_proto",
     "mm_audio_metadata",
     "tpch_q12ish",
+    "mm_jpeg_metadata",
     # regressed in r3, fixed in r4 (TIMESTAMP_NTZ normalization)
     "log_compact_tombstones",
     "events_sessionize",

@@ -6,11 +6,12 @@ so each executor processes whole record batches without driver involvement.
 
 Codec policy (capability ladder in ``_decode_image``/``_decode_audio``):
 1. Real formats decode for real: PNG via a stdlib-only decoder (zlib
-   inflate + filter reconstruction per the PNG spec), WAV via the stdlib
-   ``wave`` module — both proven against golden fixtures in
-   tests/test_multimodal_datalake.py.
-2. PIL / soundfile are used when importable (jpeg etc. in a full
-   deployment image; not present in this container).
+   inflate + filter reconstruction per the PNG spec), baseline JPEG via
+   the pure-numpy T.81 codec (``functions/jpeg_codec.py``), WAV via the
+   stdlib ``wave`` module — all proven against golden/round-trip fixtures
+   in tests.
+2. PIL / soundfile are used when importable (progressive JPEG etc. in a
+   full deployment image; not present in this container).
 3. Anything else falls back to a deterministic hash-derived fake so
    pipeline tests exercise the full Spark path with stable values.
 """
@@ -161,10 +162,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Decode image bytes → HxWxC uint8 array (capability ladder: real PNG
-    decoder → PIL when importable → deterministic hash fake for non-image
-    payloads so pipeline tests exercise the full Spark path)."""
+    decoder → real baseline-JPEG decoder → PIL when importable →
+    deterministic hash fake for non-image payloads so pipeline tests
+    exercise the full Spark path)."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from redpanda_spark.functions.jpeg_codec import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            pass  # progressive/exotic: PIL (if present) or the hash fake
     if _HAS_PIL and _sniff_format(payload) != "unknown":
         arr = np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
         return arr if arr.ndim == 3 else arr[..., None]

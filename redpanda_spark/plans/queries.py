@@ -1221,6 +1221,51 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_mm_jpeg_metadata(spark, sf_dir):
+    """Image metadata over REAL baseline-JPEG payloads: per media id a flat
+    RGB image of deterministic dimensions is encoded by the pure-numpy T.81
+    codec and decoded back through the image pipeline; the oracle recomputes
+    the dimension arithmetic. Proves the JPEG branch of the capability
+    ladder on real wire bytes (no PIL in this container)."""
+    from redpanda_spark.functions.multimodal import image_metadata
+
+    @F.pandas_udf("binary")
+    def make_jpeg(mids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from redpanda_spark.functions.jpeg_codec import encode_jpeg
+
+        out = []
+        for mid in mids:
+            mid = int(mid)
+            w, h = 8 + (mid % 5) * 2, 10 + (mid % 3) * 4
+            img = np.full((h, w, 3), (mid * 37) % 256, dtype=np.uint8)
+            out.append(encode_jpeg(img, quality=90))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), make_jpeg("doc_id").alias("payload")
+    )
+    return image_metadata(media).select(
+        "media_id",
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("channels").cast("int"),
+        "format",
+    )
+
+
+SQL_MM_JPEG_METADATA = """
+SELECT doc_id AS media_id,
+       CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS width,
+       CAST(10 + (doc_id % 3) * 4 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       'jpeg' AS format
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_mm_audio_metadata(spark, sf_dir):
     """Audio metadata over REAL RIFF/WAVE payloads: 16-bit mono PCM files
     are synthesized deterministically per media id (sample rate
@@ -1344,6 +1389,7 @@ QUERIES.update(
         "mm_frame_sample": q_mm_frame_sample,
         "mm_video_metadata": q_mm_video_metadata,
         "mm_audio_metadata": q_mm_audio_metadata,
+        "mm_jpeg_metadata": q_mm_jpeg_metadata,
         "mm2_routing": q_mm2_routing,
     }
 )
@@ -1363,6 +1409,7 @@ ORACLES.update(
         "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
         "mm_video_metadata": SQL_MM_VIDEO_METADATA,
         "mm_audio_metadata": SQL_MM_AUDIO_METADATA,
+        "mm_jpeg_metadata": SQL_MM_JPEG_METADATA,
     }
 )
 

@@ -352,3 +352,45 @@ def test_video_metadata_corrupt_payload_is_null_row(spark):
         r[c] is None
         for c in ("width", "height", "n_frames", "fps_num", "fps_den", "colorspace")
     )
+
+
+def test_jpeg_codec_roundtrip():
+    import numpy as np
+
+    from redpanda_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    # smooth grayscale survives q95 exactly
+    gray = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    out = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert out.shape == (16, 16, 1)
+    assert np.abs(out[..., 0].astype(int) - gray.astype(int)).max() <= 1
+
+    # flat RGB regions, non-multiple-of-8 dims
+    img = np.zeros((24, 40, 3), dtype=np.uint8)
+    img[:12] = [200, 30, 30]
+    img[12:] = [20, 60, 220]
+    out = decode_jpeg(encode_jpeg(img, quality=92))
+    assert out.shape == (24, 40, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    # random noise: lossy but bounded mean error, odd dims stress padding
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noisy, quality=85))
+    assert out.shape == (17, 23, 3)
+    assert np.abs(out.astype(int) - noisy.astype(int)).mean() < 16
+
+
+def test_image_metadata_real_jpeg(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.jpeg_codec import encode_jpeg
+    from redpanda_spark.functions.multimodal import image_metadata
+
+    img = np.full((10, 14, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [Row(media_id=5, payload=bytearray(encode_jpeg(img)))]
+    )
+    r = image_metadata(df).first()
+    assert (r["width"], r["height"], r["channels"], r["format"]) == (14, 10, 3, "jpeg")
