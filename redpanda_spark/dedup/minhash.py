@@ -120,22 +120,38 @@ def candidate_pairs(
     shingle_n: int = 3,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket.
+
+    One shuffle groups each bucket's member ids; in-bucket pairs are then
+    generated JVM-side with nested array transforms (i<j over the sorted
+    member list). This is the same B² fan-out a bucket self-join would do —
+    a bucket lives in one task either way — but with a single aggregation
+    instead of a size-filter + two semi-joins + self-join, and no persist
+    barrier: the signature UDF runs exactly once in one pipelined pass.
+    Oversized buckets (> ``max_bucket``, boilerplate collisions) are
+    dropped before pair generation, capping the fan-out.
+    """
     sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
-    banded = lsh_bands(sig, id_col, bands).persist(StorageLevel.MEMORY_AND_DISK)
-    # Eager: the bucket-size, a- and b-side branches below would otherwise
-    # race to materialize the cache and each run the signature UDF.
-    banded.count()
-    a = banded.select("band", "band_hash", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "band_hash", F.col(id_col).alias("id_b"))
-    sized = banded.groupBy("band", "band_hash").agg(F.count("*").alias("n"))
-    ok = sized.where(F.col("n") <= F.lit(max_bucket)).select("band", "band_hash")
-    a = a.join(F.broadcast(ok), ["band", "band_hash"], "left_semi")
-    b = b.join(F.broadcast(ok), ["band", "band_hash"], "left_semi")
+    banded = lsh_bands(sig, id_col, bands)
+    bucketed = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids").between(2, max_bucket))
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucketed.select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
