@@ -215,3 +215,29 @@ def test_write_datalake_snapshot_time_travel(spark, tmp_path):
     assert read_datalake(spark, out, snapshot_id=1).count() == 3  # time travel
     with pytest.raises(ValueError):
         read_datalake(spark, out, snapshot_id=9)
+
+
+def test_translate_avro_streaming(spark, tmp_path):
+    """The typed translation must compose with Structured Streaming (the
+    reference's datalake path is continuous): file stream -> decode ->
+    memory sink."""
+    import uuid
+
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    src = str(tmp_path / "src")
+    _log_df(spark, [avro_encode(sch, {"a": i, "b": f"v{i}"}) for i in range(5)]).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    typed = translate_avro_topic(stream, sch).drop("redpanda")
+    name = "t" + uuid.uuid4().hex[:10]
+    q = (
+        typed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [(i, f"v{i}") for i in range(5)]
