@@ -144,6 +144,67 @@ def bench_omb(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_omb_small_batches(spark) -> dict:
+    """Small-batches workload analog (BASELINE.md: 30,000 msg/s gate,
+    `tests/rptest/perf/small_batches_test.py:26`): many small produce
+    calls, so the per-micro-batch fixed cost (routing + offset window +
+    manifest commit) dominates instead of being amortized. The consume side
+    doubles as the backlog-drain read (TSReadWorkload analog: sequential
+    scan of everything just written)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    n_msgs = int(os.environ.get("SPARK_GRAFT_OMB_SMALL_MSGS", "100000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_OMB_SMALL_BATCHES", "20"))
+    msg_bytes = 1024
+    root = tempfile.mkdtemp(prefix="ombs_")
+    try:
+        engine = TopicEngine(spark, root)
+        engine.create_topic("omb_s", TopicConfig(partitions=100))
+        per_batch = n_msgs // n_batches
+        payload = F.concat(
+            *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")), 256) for i in range(16)]
+        ).cast("binary")
+        batches = []
+        for b in range(n_batches):
+            batch = (
+                spark.range(b * per_batch, (b + 1) * per_batch)
+                .select(
+                    F.col("id").cast("string").cast("binary").alias("key"),
+                    payload.alias("value"),
+                )
+                .persist()
+            )
+            batch.count()
+            batches.append(batch)
+        t0 = time.time()
+        for batch in batches:
+            engine.produce("omb_s", batch)
+        produce_s = time.time() - t0
+        for batch in batches:
+            batch.unpersist()
+        t0 = time.time()
+        consumed = engine.log("omb_s").agg(F.count("*").alias("n")).collect()[0]
+        consume_s = time.time() - t0
+        assert consumed["n"] == per_batch * n_batches, consumed
+        total = per_batch * n_batches
+        return {
+            "workload": "omb_small_batches",
+            "msgs": total,
+            "n_batches": n_batches,
+            "msg_bytes": msg_bytes,
+            "produce_s": round(produce_s, 3),
+            "produce_msg_s": round(total / produce_s),
+            "drain_mb_s": round(total * msg_bytes / 1e6 / consume_s, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -178,6 +239,8 @@ def main():
     omb_passes = [bench_omb(spark) for _ in range(max(runs, 2))]
     omb = max(omb_passes, key=lambda o: o["produce_mb_s"])
     print(f"# omb (best of {len(omb_passes)}): {omb}", file=sys.stderr)
+    omb_small = bench_omb_small_batches(spark)
+    print(f"# omb_small: {omb_small}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -189,6 +252,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "omb": omb,
                 "omb_passes": omb_passes,
+                "omb_small": omb_small,
                 "trend": _trend(total, omb),
             }
         )

@@ -159,14 +159,14 @@ def assign_offsets(batch: DataFrame, base_offsets: dict[int, int] | None = None)
     """
     w = Window.partitionBy("partition").orderBy("ingest_seq")
     base = base_offsets or {}
-    base_expr = (
-        F.coalesce(
-            F.create_map(*[F.lit(x) for kv in base.items() for x in kv])[F.col("partition")],
-            F.lit(0),
-        )
-        if base
-        else F.lit(0)
-    )
+    if base:
+        # one inline SQL map literal = one py4j round trip; building the
+        # same map from F.lit() columns costs 2 gateway calls per partition,
+        # which dominates small-batch produce latency at 100+ partitions
+        pairs = ",".join(f"{int(p)},{int(o)}" for p, o in base.items())
+        base_expr = F.expr(f"coalesce(element_at(map({pairs}), partition), 0)")
+    else:
+        base_expr = F.lit(0)
     return batch.withColumn(
         "offset", (F.row_number().over(w) - F.lit(1) + base_expr).cast("long")
     )
