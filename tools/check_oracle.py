@@ -2,7 +2,9 @@
 on Spark and its oracle_sql() on DuckDB at the given SF, compare row count,
 column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--plain] [sf_dir] [query ...]
+  --plain: use a default-config SparkSession (exactly what the driver's
+  gate does) instead of the engine's tuned session.
 """
 
 from __future__ import annotations
@@ -37,9 +39,20 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if plain:
+        # driver-equivalent session: default configs, NTZ parquet inference
+        # on — catches anything that only works under our tuned session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName(
+            "oracle-check-plain"
+        ).getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
