@@ -19,9 +19,19 @@ Maps the reference's RPC surface (SURVEY.md §2.1) onto table operations:
   run_retention / run_compaction     storage GC + keep-latest compaction
   offset_commit / offset_fetch       group offsets (group_metadata.h)
 
-Storage layout: ``root/<topic>/partition=<p>/*.parquet`` — hive-partitioned
-so partition pruning is native; each produce batch writes one file per
-touched partition (the "segment" analog).
+Storage layout: ``root/<topic>/*.parquet`` — flat segment files with
+``partition`` stored as a DATA column, sorted by (partition, offset)
+within each file. The manifest records per-file min/max stats for the
+partition and offset columns (Iceberg-style file metadata), so
+partition/offset pruning happens at the MANIFEST — the engine hands Spark
+only the overlapping files, no directory LIST and no footer reads on the
+read path. This replaces the earlier hive ``partition=<p>/`` layout: hive
+dirs force one file per touched partition per micro-batch (a 5k-row
+produce to a 100-partition topic = 100 files, ~16 ms of writer setup
+each), while the flat layout writes one file per shuffle task — AQE
+coalesces a small batch to a single ~file and scales file count with
+batch bytes, which is exactly the segment-size behavior the reference
+gets from its log appender.
 
 Commit protocol (single-writer per topic, like a partition leader): every
 mutation — produce append, compaction/retention rewrite, segment merge —
@@ -106,6 +116,10 @@ class TopicEngine:
         # None = watermark-only mode (legacy state or non-listable root):
         # reads fall back to directory scans.
         self._files: dict[str, list[str] | None] = {}
+        # Per-file column stats {relpath: [min_p, max_p, min_o, max_o, rows]}
+        # — the manifest-level pruning index (Iceberg data-file stats
+        # analog). Files without an entry are never pruned.
+        self._stats: dict[str, dict[str, list[int]]] = {}
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -120,9 +134,15 @@ class TopicEngine:
         cleanup."""
         path = self._manifest_path(topic)
         tmp = path + ".tmp"
+        files = self._files.get(topic)
+        stats = self._stats.get(topic, {})
         with open(tmp, "w") as f:
             json.dump(
-                {"high": self._high.get(topic, {}), "files": self._files.get(topic)},
+                {
+                    "high": self._high.get(topic, {}),
+                    "files": files,
+                    "stats": {p: stats[p] for p in (files or []) if p in stats},
+                },
                 f,
             )
         os.replace(tmp, path)
@@ -146,6 +166,7 @@ class TopicEngine:
                     m = json.load(f)
                 self._high[t] = {int(p): o for p, o in m.get("high", {}).items()}
                 self._files[t] = m.get("files")
+                self._stats[t] = m.get("stats", {})
             else:
                 self._high[t] = legacy_high.get(t, {})
                 self._files[t] = None
@@ -200,6 +221,7 @@ class TopicEngine:
         del self._topics[topic]
         self._high.pop(topic, None)
         self._files.pop(topic, None)
+        self._stats.pop(topic, None)
         shutil.rmtree(self._topic_dir(topic), ignore_errors=True)
         try:
             os.remove(self._manifest_path(topic))
@@ -229,17 +251,20 @@ class TopicEngine:
         return os.path.join(self.root, topic)
 
     def _segment_files(self, topic: str) -> set[str] | None:
-        """All parquet segment paths of a topic via local dir listing, or
-        None when the root isn't locally listable (object-store roots use
-        the count-job fallback in produce)."""
+        """All parquet segment paths of a topic: flat ``*.parquet`` files
+        plus any legacy hive ``partition=<p>/`` subdir files. None when the
+        root isn't locally listable (object-store roots use the count-job
+        fallback in produce)."""
         d = self._topic_dir(topic)
         if not os.path.isdir(d):
             return None
         try:
             out: set[str] = set()
-            for pdir in os.scandir(d):
-                if pdir.is_dir() and pdir.name.startswith("partition="):
-                    for f in os.scandir(pdir.path):
+            for e in os.scandir(d):
+                if e.name.endswith(".parquet"):
+                    out.add(e.path)
+                elif e.is_dir() and e.name.startswith("partition="):
+                    for f in os.scandir(e.path):
                         if f.name.endswith(".parquet"):
                             out.add(f.path)
             return out
@@ -261,10 +286,16 @@ class TopicEngine:
         optional headers/producer_id/producer_epoch/base_sequence.
 
         Pipeline (mirrors produce.cc): route partition (explicit, else
-        murmur2(key), else round-robin via monotonic id) → timestamp
-        validate/rewrite per topic timestamp_type → assign contiguous
-        offsets from the stored high watermark → append one parquet file
-        set per partition.
+        JVM-side murmur2(key), else round-robin via monotonic id) →
+        timestamp validate/rewrite per topic timestamp_type → assign
+        contiguous offsets from the stored high watermark → one write job
+        (local (partition, offset) sort + flat parquet append), then the
+        watermark bookkeeping reads back ONLY the new files: a
+        column-pruned per-partition count job plus driver-side footer
+        stats for the manifest pruning index — O(files in batch) =
+        O(write tasks), not O(partitions), and nothing re-runs the
+        routing/offset pipeline (the reference's segment index records
+        batch row counts at append, `storage/index_state.h`).
         """
         cfg = self._require(topic)
         n_parts = cfg.partitions
@@ -272,87 +303,111 @@ class TopicEngine:
         if cfg.value_schema_subject is not None:
             self._validate_schema_ids(batch, cfg.value_schema_subject)
 
+        files = self._files.get(topic)
+        if files and any("partition=" in f for f in files):
+            # one-time migration of a legacy hive-layout topic to flat
+            # segments, so the append below never mixes layouts in one dir
+            self._rewrite(topic, self.log(topic))
+
         cols = batch.columns
-        df = batch
-        if "partition" not in cols:
-            df = df.withColumn("_mid", F.monotonically_increasing_id())
-            routed = murmur2_partition_udf(n_parts)(F.col("key"))
-            df = df.withColumn(
-                "partition",
-                F.when(F.col("key").isNotNull(), routed)
-                .otherwise(F.pmod(F.col("_mid"), F.lit(n_parts)).cast("int")),
-            ).drop("_mid")
-        if "timestamp" not in df.columns or cfg.timestamp_type == "LogAppendTime":
-            df = df.withColumn("timestamp", F.current_timestamp())
-        for c, t in [
-            ("headers", "array<struct<key:string,value:binary>>"),
-            ("producer_id", "bigint"),
-            ("producer_epoch", "smallint"),
-            ("base_sequence", "int"),
-        ]:
-            if c not in df.columns:
-                df = df.withColumn(
-                    c,
-                    F.lit(None).cast(t) if c == "headers" else F.lit(-1).cast(t),
-                )
-        for flag in ("is_transactional", "is_control"):
-            if flag not in df.columns:
-                df = df.withColumn(flag, F.lit(False))
-        df = df.withColumn("ingest_seq", F.monotonically_increasing_id())
+        df = batch.withColumn("_seq", F.monotonically_increasing_id())
+        if "partition" in cols:
+            part = F.col("partition").cast("int")
+        else:
+            # Arrow-batched murmur2 kernel. (A pure-JVM murmur2 expression
+            # exists — functions.hashes.murmur2_partition_expr — but its
+            # expression tree costs ~1.3s of driver-side analysis PER
+            # produce, measured; the UDF keeps the per-batch plan small,
+            # which dominates small-batch produce latency.)
+            part = F.when(
+                F.col("key").isNotNull(),
+                murmur2_partition_udf(n_parts)(F.col("key")),
+            ).otherwise(F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int"))
+        ts = (
+            F.current_timestamp()
+            if "timestamp" not in cols or cfg.timestamp_type == "LogAppendTime"
+            else F.col("timestamp")
+        )
+        defaults = {
+            "headers": F.lit(None).cast("array<struct<key:string,value:binary>>"),
+            "producer_id": F.lit(-1).cast("bigint"),
+            "producer_epoch": F.lit(-1).cast("smallint"),
+            "base_sequence": F.lit(-1).cast("int"),
+            "is_transactional": F.lit(False),
+            "is_control": F.lit(False),
+        }
+        # single select (not a withColumn chain): one analysis pass, and
+        # small-batch produce latency is sensitive to driver round trips
+        df = df.select(
+            part.alias("partition"),
+            ts.alias("timestamp"),
+            F.col("key"),
+            F.col("value"),
+            *[
+                (F.col(c) if c in cols else d.alias(c))
+                for c, d in defaults.items()
+            ],
+            F.col("_seq").alias("ingest_seq"),
+        )
 
         base = dict(self._high.get(topic, {}))
-        df = LOG.assign_offsets(df, base_offsets=base)
-        df = df.drop("ingest_seq")
+        df = LOG.assign_offsets(df, base_offsets=base).drop("ingest_seq")
+        # local sort so each file's (partition, offset) footer stats are
+        # tight — that's what makes the manifest pruning index selective
+        df = df.sortWithinPartitions("partition", "offset")
 
         out_dir = self._topic_dir(topic)
-        # Single-job append: the write is the only Spark action; per-partition
-        # row counts come from the parquet footers of the files this write
-        # created (dir-listing diff, driver-side, O(files-in-batch) ≈ one
-        # footer per touched partition). This is the reference's own trick —
-        # the segment index records batch row counts at append
-        # (`storage/index_state.h`) — and avoids re-running routing + the
-        # offset window in a second count job. Falls back to a count job if
-        # the root isn't a locally listable directory (e.g. object store).
         before = self._segment_files(topic)
         if before is None:
-            # Non-listable root: no file-list manifest possible — count with
-            # a Spark job and commit watermarks only (weaker crash story:
-            # a crash between append and commit leaves the appended rows
-            # visible to directory reads with re-assignable offsets).
-            counts = {
+            # Non-listable root: the new-file set is unknowable, so count
+            # BEFORE the write (re-runs routing once — the weaker branch).
+            counts: dict[int, int] = {
                 r["partition"]: r["n"]
                 for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
             }
-            # Dictionary encoding off: record payloads are high-entropy
-            # (keys/values unique per record), so the dictionary build is
-            # pure overhead — measured ~6% produce throughput.
-            df.write.mode("append").option("compression", cfg.compression).option(
-                "parquet.enable.dictionary", "false"
-            ).partitionBy("partition").parquet(out_dir)
+        # Dictionary encoding off: record payloads are high-entropy
+        # (keys/values unique per record), so the dictionary build is
+        # pure overhead — measured ~6% produce throughput.
+        df.write.mode("append").option("compression", cfg.compression).option(
+            "parquet.enable.dictionary", "false"
+        ).parquet(out_dir)
+        if before is None:
+            # Non-listable root: no file-list manifest possible — commit
+            # watermarks only (weaker crash story: a crash between append
+            # and commit leaves the appended rows visible to directory
+            # reads with re-assignable offsets).
             self._files[topic] = None
         else:
-            # Dictionary encoding off: record payloads are high-entropy
-            # (keys/values unique per record), so the dictionary build is
-            # pure overhead — measured ~6% produce throughput.
-            df.write.mode("append").option("compression", cfg.compression).option(
-                "parquet.enable.dictionary", "false"
-            ).partitionBy("partition").parquet(out_dir)
-            import pyarrow.parquet as pq
-
-            counts = {}
             new_files = sorted((self._segment_files(topic) or set()) - before)
-            for path in new_files:
-                p = int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
-                counts[p] = counts.get(p, 0) + pq.ParquetFile(path).metadata.num_rows
             prev = self._files.get(topic)
             if prev is None:
                 # legacy topic without a manifest: adopt everything on disk
-                prev = sorted(
-                    os.path.relpath(f, self.root) for f in before
-                )
+                prev = sorted(os.path.relpath(f, self.root) for f in before)
             self._files[topic] = prev + [
                 os.path.relpath(f, self.root) for f in new_files
             ]
+            self._stats.setdefault(topic, {}).update(self._footer_stats(new_files))
+            # Per-partition counts for the watermark advance: one
+            # column-pruned count job over ONLY the new files — the scan
+            # touches just the `partition` column chunks, so this costs a
+            # near-constant ~0.15s regardless of batch bytes. (An attached
+            # df.observe() metric was tried first: observation metrics
+            # evaluate interpreted per-row, ~20µs/row for a 100-partition
+            # sum-if array — 4s on a 200k-row batch. The readback job is
+            # the scale-safe shape.)
+            counts = (
+                {
+                    r["partition"]: r["n"]
+                    for r in self.spark.read.parquet(
+                        *new_files
+                    )
+                    .groupBy("partition")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                if new_files
+                else {}
+            )
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
@@ -362,6 +417,46 @@ class TopicEngine:
         # any crash.
         self._commit_manifest(topic)
         return bases
+
+    def _footer_stats(self, paths: list[str]) -> dict[str, list[int]]:
+        """Per-file [min_p, max_p, min_o, max_o, rows] from parquet footers
+        — the manifest pruning index entries (Iceberg data-file column
+        stats analog). Files whose footers can't be read simply get no
+        entry and are never pruned."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[int]] = {}
+        for path in paths:
+            try:
+                md = pq.ParquetFile(path).metadata
+                agg: dict[str, list[int]] = {}
+                for j in range(md.num_row_groups):
+                    rg = md.row_group(j)
+                    for i in range(rg.num_columns):
+                        c = rg.column(i)
+                        if c.path_in_schema in ("partition", "offset") and (
+                            c.statistics is not None
+                        ):
+                            s = c.statistics
+                            if not s.has_min_max:
+                                raise ValueError("no min/max")
+                            cur = agg.get(c.path_in_schema)
+                            if cur is None:
+                                agg[c.path_in_schema] = [int(s.min), int(s.max)]
+                            else:
+                                cur[0] = min(cur[0], int(s.min))
+                                cur[1] = max(cur[1], int(s.max))
+                if md.num_rows == 0:
+                    out[os.path.relpath(path, self.root)] = [0, -1, 0, -1, 0]
+                elif "partition" in agg and "offset" in agg:
+                    out[os.path.relpath(path, self.root)] = [
+                        *agg["partition"],
+                        *agg["offset"],
+                        md.num_rows,
+                    ]
+            except Exception:
+                continue
+        return out
 
     def _validate_schema_ids(self, batch: DataFrame, subject: str) -> None:
         """Reject the batch if any non-null value lacks the registry wire
@@ -395,15 +490,24 @@ class TopicEngine:
     # -- read paths -------------------------------------------------------
 
     def log(self, topic: str) -> DataFrame:
-        """The topic as a DataFrame (partition pruning via hive layout).
+        """The topic as a DataFrame.
 
         With a manifest, the scan is over the manifest's explicit live-file
-        list (``basePath`` keeps hive partition inference) — committed
-        snapshot isolation and no directory LIST on the read path. Without
-        one (legacy/non-listable), falls back to a directory read."""
+        list — committed snapshot isolation and no directory LIST on the
+        read path (the same trick Iceberg uses to avoid O(objects) LIST at
+        scale). Without one (legacy/non-listable), falls back to a
+        directory read."""
         self._require(topic)
+        df = self._scan(topic, self._files.get(topic))
+        starts = self._log_starts(topic)
+        if starts:
+            df = LOG.delete_records(df, starts)
+        return df
+
+    def _scan(self, topic: str, files: list[str] | None) -> DataFrame:
+        """Build the record DataFrame over an explicit (possibly pruned)
+        segment list; ``None`` = directory-read fallback."""
         d = self._topic_dir(topic)
-        files = self._files.get(topic)
         from redpanda_spark.datamodel import RECORD_SCHEMA
 
         empty = lambda: self.spark.createDataFrame([], RECORD_SCHEMA).drop(  # noqa: E731
@@ -413,18 +517,44 @@ class TopicEngine:
             return empty()
         try:
             if files is None:
-                df = self.spark.read.parquet(d)
-            else:
-                df = self.spark.read.option("basePath", d).parquet(
-                    *[os.path.join(self.root, f) for f in files]
-                )
+                return self.spark.read.parquet(d)
+            paths = [os.path.join(self.root, f) for f in files]
+            if any("partition=" in f for f in files):
+                # legacy hive-layout snapshot: partition comes from dir names
+                return self.spark.read.option("basePath", d).parquet(*paths)
+            return self.spark.read.parquet(*paths)
         except Exception:
             # empty topic: no files yet
             return empty()
-        starts = self._log_starts(topic)
-        if starts:
-            df = LOG.delete_records(df, starts)
-        return df
+
+    def _pruned_files(
+        self,
+        topic: str,
+        partition: int | None = None,
+        min_offset: int | None = None,
+    ) -> list[str] | None:
+        """Manifest-level file pruning by (partition, offset) stats — the
+        engine's sparse index. Conservative: a file is kept unless its
+        stats PROVE it can't contain a matching row (files without stats
+        are always kept), so the downstream filters remain the source of
+        truth. ``max_o < min_offset`` is safe even though offsets are
+        per-partition sequences: it bounds every partition's offsets in
+        the file."""
+        files = self._files.get(topic)
+        if files is None:
+            return None
+        stats = self._stats.get(topic, {})
+        keep: list[str] = []
+        for f in files:
+            s = stats.get(f)
+            if s is not None:
+                min_p, max_p, _min_o, max_o, _rows = s
+                if partition is not None and not (min_p <= partition <= max_p):
+                    continue
+                if min_offset is not None and max_o < min_offset:
+                    continue
+            keep.append(f)
+        return keep
 
     def log_stream(self, topic: str, max_files_per_trigger: int = 64) -> DataFrame:
         """The topic as a streaming DataFrame — the continuous-consume mode
@@ -476,7 +606,15 @@ class TopicEngine:
         isolation: str = "read_uncommitted",
         tx_ranges: DataFrame | None = None,
     ) -> DataFrame:
-        log = self.log(topic)
+        self._require(topic)
+        # manifest-level pruning: only segments whose stats overlap the
+        # requested (partition, offset-range) reach the Spark scan
+        log = self._scan(
+            topic, self._pruned_files(topic, partition=partition, min_offset=offset)
+        )
+        starts = self._log_starts(topic)
+        if starts:
+            log = LOG.delete_records(log, starts)
         if isolation == "read_committed":
             ranges = tx_ranges if tx_ranges is not None else self.tx_ranges()
             if "topic" in ranges.columns:
@@ -638,12 +776,7 @@ class TopicEngine:
         n_target = max(1, -(-total // target_file_bytes))
         if len(files) <= n_target:
             return {"files_before": len(files), "files_after": len(files)}
-        merged = (
-            self.log(topic)
-            .repartitionByRange(n_target, F.col("partition"), F.col("offset"))
-            .sortWithinPartitions("partition", "offset")
-        )
-        self._rewrite(topic, merged)
+        self._rewrite(topic, self.log(topic), n_files=n_target)
         return {
             "files_before": len(files),
             "files_after": len(self._live_abs_files(topic) or set()),
@@ -657,22 +790,29 @@ class TopicEngine:
             return {os.path.join(self.root, f) for f in files}
         return self._segment_files(topic)
 
-    def _rewrite(self, topic: str, df: DataFrame) -> None:
+    def _rewrite(self, topic: str, df: DataFrame, n_files: int | None = None) -> None:
         """Replace the topic's data with ``df`` (compaction / retention /
-        segment merge). New files are written to a temp dir, moved into the
-        live partition dirs under their (unique) names, and become visible
-        only at the manifest commit — one atomic switch, mirroring the
-        reference's segment-replace. The old files are deleted after the
-        commit; a crash at any point leaves either the old or the new
-        snapshot fully intact (orphans GC'd on reopen)."""
+        segment merge). New flat segment files are written to a temp dir
+        range-partitioned and sorted on (partition, offset) — contiguous
+        offset runs per file, tight manifest stats — then moved into the
+        topic dir under their (unique) names, becoming visible only at the
+        manifest commit — one atomic switch, mirroring the reference's
+        segment-replace. The old files are deleted after the commit; a
+        crash at any point leaves either the old or the new snapshot fully
+        intact (orphans GC'd on reopen)."""
         cfg = self._require(topic)
         d = self._topic_dir(topic)
         old_files = self._live_abs_files(topic)
         tmp = d + ".rewrite.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").option("compression", cfg.compression).option(
-            "parquet.enable.dictionary", "false"
-        ).partitionBy("partition").parquet(tmp)
+        rp = (
+            df.repartitionByRange(n_files, "partition", "offset")
+            if n_files
+            else df.repartitionByRange("partition", "offset")
+        )
+        rp.sortWithinPartitions("partition", "offset").write.mode("overwrite").option(
+            "compression", cfg.compression
+        ).option("parquet.enable.dictionary", "false").parquet(tmp)
         if old_files is None:
             # non-listable root: legacy dir swap (best effort, no manifest)
             old = d + ".old"
@@ -682,23 +822,27 @@ class TopicEngine:
             self._files[topic] = None
             self._commit_manifest(topic)
             return
-        new_rel: list[str] = []
-        for pdir in sorted(os.scandir(tmp), key=lambda e: e.name):
-            if pdir.is_dir() and pdir.name.startswith("partition="):
-                dest_dir = os.path.join(d, pdir.name)
-                os.makedirs(dest_dir, exist_ok=True)
-                for f in sorted(os.scandir(pdir.path), key=lambda e: e.name):
-                    if f.name.endswith(".parquet"):
-                        dest = os.path.join(dest_dir, f.name)
-                        os.rename(f.path, dest)
-                        new_rel.append(os.path.relpath(dest, self.root))
-        self._files[topic] = new_rel
+        new_abs: list[str] = []
+        for f in sorted(os.scandir(tmp), key=lambda e: e.name):
+            if f.name.endswith(".parquet"):
+                dest = os.path.join(d, f.name)
+                os.rename(f.path, dest)
+                new_abs.append(dest)
+        self._files[topic] = [os.path.relpath(p, self.root) for p in new_abs]
+        self._stats[topic] = self._footer_stats(new_abs)
         self._commit_manifest(topic)  # atomic old→new snapshot switch
         for f in old_files:
             try:
                 os.remove(f)
             except OSError:
                 pass
+        # drop now-empty legacy hive partition dirs
+        for e in list(os.scandir(d)):
+            if e.is_dir() and e.name.startswith("partition="):
+                try:
+                    os.rmdir(e.path)
+                except OSError:
+                    pass
         shutil.rmtree(tmp, ignore_errors=True)
 
     # -- transaction ranges (rm_stm aborted/committed tx metadata) --------

@@ -106,6 +106,78 @@ def murmur2_batch(keys: list[bytes | None]) -> np.ndarray:
     return h
 
 
+def murmur2_expr(key):
+    """Kafka murmur2 over a binary column as a pure-JVM expression — no
+    Python workers in the produce hot path (routing stays inside
+    whole-stage codegen; the Pandas-UDF twin below remains for callers
+    that want the Arrow kernel).
+
+    Byte access goes through hex(): chunk i's big-endian value is one
+    conv() over 8 hex chars, and the little-endian word Kafka's murmur2
+    consumes is an arithmetic byteswap — one conv per 4 bytes, no per-byte
+    array materialization. All arithmetic is 32-bit-masked longs (products
+    stay < 2^63, so ANSI overflow checking never fires).
+    """
+    _MASK = F.lit(0xFFFFFFFF)
+    _MC = F.lit(_M)
+    H = F.hex(key)
+    L = F.length(key)
+    nchunks = F.floor(L / 4).cast("int")
+
+    def swap32(be):
+        return (
+            F.shiftleft(be.bitwiseAND(F.lit(0xFF)), 24)
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(be, 8).bitwiseAND(F.lit(0xFF)), 16))
+            .bitwiseOR(F.shiftleft(F.shiftrightunsigned(be, 16).bitwiseAND(F.lit(0xFF)), 8))
+            .bitwiseOR(F.shiftrightunsigned(be, 24))
+        )
+
+    def mix(h, i):
+        be = F.conv(F.substring(H, i * 8 + 1, 8), 16, 10).cast("long")
+        k = swap32(be)
+        k = (k * _MC).bitwiseAND(_MASK)
+        k = k.bitwiseXOR(F.shiftrightunsigned(k, 24))
+        k = (k * _MC).bitwiseAND(_MASK)
+        return (h * _MC).bitwiseAND(_MASK).bitwiseXOR(k)
+
+    h0 = (F.lit(_SEED).bitwiseXOR(L)).bitwiseAND(_MASK).cast("long")
+    idxs = F.when(nchunks > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    h = F.aggregate(idxs, h0, mix)
+    n4 = nchunks * 4
+    rem = (L - n4).cast("int")
+    # tail: one conv over the remaining hex chars = the big-endian tail
+    # value; murmur2 XORs tail byte j at shift 8*j (little-endian), and
+    # byte j sits at BE shift 8*(rem-1-j) — branch on the 3 rem cases.
+    tail_be = F.conv(F.substring(H, n4 * 2 + 1, rem * 2), 16, 10).cast("long")
+    _ff = F.lit(0xFF)
+    h = F.when(
+        rem == 3, h.bitwiseXOR(F.shiftleft(tail_be.bitwiseAND(_ff), 16))
+    ).otherwise(h)
+    b1 = F.when(rem == 3, F.shiftrightunsigned(tail_be, 8)).otherwise(tail_be)
+    h = F.when(
+        rem >= 2, h.bitwiseXOR(F.shiftleft(b1.bitwiseAND(_ff), 8))
+    ).otherwise(h)
+    b0 = (
+        F.when(rem == 3, F.shiftrightunsigned(tail_be, 16))
+        .when(rem == 2, F.shiftrightunsigned(tail_be, 8))
+        .otherwise(tail_be)
+    )
+    h = F.when(rem >= 1, (h.bitwiseXOR(b0) * _MC).bitwiseAND(_MASK)).otherwise(h)
+    h = h.bitwiseXOR(F.shiftrightunsigned(h, 13))
+    h = (h * _MC).bitwiseAND(_MASK)
+    return h.bitwiseXOR(F.shiftrightunsigned(h, 15))
+
+
+def murmur2_partition_expr(key, num_partitions: int):
+    """JVM-side DefaultPartitioner: toPositive(murmur2(key)) % n."""
+    return (
+        F.pmod(murmur2_expr(key).bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions))
+        .cast("int")
+    )
+
+
 def murmur2_partition_udf(num_partitions: int):
     """Vectorized key(binary) → partition(int) column function."""
 

@@ -162,9 +162,13 @@ def assign_offsets(batch: DataFrame, base_offsets: dict[int, int] | None = None)
     if base:
         # one inline SQL map literal = one py4j round trip; building the
         # same map from F.lit() columns costs 2 gateway calls per partition,
-        # which dominates small-batch produce latency at 100+ partitions
+        # which dominates small-batch produce latency at 100+ partitions.
+        # try_element_at: under ANSI mode (Spark 4 default) element_at
+        # throws MAP_KEY_DOES_NOT_EXIST for a partition missing from a
+        # partial legacy watermark map; try_element_at returns NULL so the
+        # coalesce-to-0 fallback is actually reachable.
         pairs = ",".join(f"{int(p)},{int(o)}" for p, o in base.items())
-        base_expr = F.expr(f"coalesce(element_at(map({pairs}), partition), 0)")
+        base_expr = F.expr(f"coalesce(try_element_at(map({pairs}), partition), 0)")
     else:
         base_expr = F.lit(0)
     return batch.withColumn(

@@ -32,6 +32,9 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # manifest-based visibility makes _SUCCESS markers dead weight; on
+        # object stores they'd be an extra PUT per micro-batch
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         # testdata parquet may lack the UTC-adjusted flag; read event time as
         # TIMESTAMP (not NTZ) so watermarks/epoch arithmetic work uniformly
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

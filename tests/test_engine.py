@@ -268,7 +268,7 @@ def test_optimize_segments_merges_files_preserving_log(engine, spark):
     cols = ["partition", "offset", "key", "value"]
     before_rows = sorted(tuple(r) for r in engine.log("to").select(*cols).collect())
     files_before = len(engine._segment_files("to"))
-    assert files_before >= 8  # 4 batches x 2 partitions
+    assert files_before >= 4  # flat layout: >= one segment file per batch
 
     stats = engine.optimize_segments("to")
     assert stats["files_before"] == files_before
@@ -355,6 +355,65 @@ def test_produce_crash_before_manifest_commit_preserves_contiguity(spark, tmp_pa
             r["offset"] for r in log.where(F.col("partition") == p).collect()
         )
         assert offs == list(range(hi))  # contiguous, no gaps, no dups
+
+
+def test_manifest_records_per_file_stats(engine, spark):
+    """Every committed flat segment carries [min_p, max_p, min_o, max_o,
+    rows] in the manifest — the pruning index the fetch path uses."""
+    engine.create_topic("ms", TopicConfig(partitions=4))
+    engine.produce("ms", records_df(spark, [(f"k{i}", f"v{i}") for i in range(20)]))
+    files = engine._files["ms"]
+    stats = engine._stats["ms"]
+    assert files and all(f in stats for f in files)
+    total_rows = sum(stats[f][4] for f in files)
+    assert total_rows == 20
+    for f in files:
+        min_p, max_p, min_o, max_o, rows = stats[f]
+        assert 0 <= min_p <= max_p <= 3
+        assert 0 <= min_o <= max_o
+
+
+def test_fetch_prunes_segments_by_offset_stats(engine, spark):
+    """A fetch of the tail offsets must scan only the tail segment files
+    (manifest-level pruning), and still return exactly the right rows."""
+    engine.create_topic("pr", TopicConfig(partitions=1))
+    for b in range(4):
+        engine.produce(
+            "pr", records_df(spark, [(None, f"b{b}-{j}") for j in range(10)])
+        )
+    n_files = len(engine._files["pr"])
+    assert n_files >= 4
+    pruned = engine._pruned_files("pr", partition=0, min_offset=35)
+    assert len(pruned) < n_files  # older segments pruned without a scan
+    out = engine.fetch("pr", partition=0, offset=35).collect()
+    assert sorted(r["offset"] for r in out) == list(range(35, 40))
+
+
+def test_buffered_producer_lingers_and_orders(engine, spark):
+    """BufferedProducer: send() runs no job; linger triggers a single
+    group append; offsets are contiguous and respect send order per
+    partition; the context manager flushes the tail."""
+    from redpanda_spark.producer import BufferedProducer
+
+    engine.create_topic("bp", TopicConfig(partitions=2))
+    prod = BufferedProducer(engine, "bp", linger_batches=3)
+    prod.send(records_df(spark, [("a", "batch0"), ("b", "batch0")]))
+    prod.send(records_df(spark, [("a", "batch1")]))
+    assert engine.high_watermarks("bp") == {0: 0, 1: 0}  # nothing flushed yet
+    prod.send(records_df(spark, [("a", "batch2"), ("b", "batch2")]))  # linger hit
+    assert sum(engine.high_watermarks("bp").values()) == 5
+    rows = engine.log("bp").collect()
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+        by_key.setdefault(bytes(r["key"]).decode(), []).append(bytes(r["value"]).decode())
+    assert by_key["a"] == ["batch0", "batch1", "batch2"]  # send order kept
+    assert by_key["b"] == ["batch0", "batch2"]
+    for p in (0, 1):
+        offs = sorted(r["offset"] for r in rows if r["partition"] == p)
+        assert offs == list(range(len(offs)))
+    with BufferedProducer(engine, "bp", linger_batches=10) as tail:
+        tail.send(records_df(spark, [("c", "tail")]))
+    assert sum(engine.high_watermarks("bp").values()) == 6  # exit flushed
 
 
 def test_rewrite_crash_before_manifest_commit_keeps_old_snapshot(spark, tmp_path):

@@ -43,6 +43,29 @@ def test_murmur2_udf_matches_python(spark):
         assert r["p"] == expected
 
 
+def test_murmur2_jvm_expr_matches_python(spark):
+    """The pure-JVM murmur2 expression is byte-compatible with the scalar
+    reference over every tail length, golden vectors included."""
+    import random
+
+    from redpanda_spark.functions.hashes import murmur2_expr, murmur2_partition_expr
+
+    rnd = random.Random(7)
+    keys = [b"", b"a", b"ab", b"abc", b"abcd", b"abcde", *KAFKA_MURMUR2_GOLDEN]
+    keys += [
+        bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 40)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    out = df.select(
+        murmur2_expr(F.col("key")).alias("h"),
+        murmur2_partition_expr(F.col("key"), 12).alias("p"),
+    ).collect()
+    for k, r in zip(keys, out):
+        assert r["h"] == murmur2(k), k
+        assert r["p"] == murmur2_partition(k, 12), k
+
+
 def test_token_count_and_ratios(spark):
     df = spark.createDataFrame([Row(text="The cat, and the dog!"), Row(text="   "), Row(text="")])
     out = df.select(
