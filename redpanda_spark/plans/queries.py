@@ -2486,6 +2486,76 @@ ORACLES.update(
 )
 
 
+AVRO_EVENT_SCHEMA_V1 = (
+    '{"type":"record","name":"ev","fields":['
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]}]}'
+)
+AVRO_EVENT_SCHEMA_V2 = (
+    '{"type":"record","name":"ev","fields":['
+    '{"name":"event_type","type":"string"},'
+    '{"name":"value","type":["null","double"]},'
+    '{"name":"event_id","type":"long","default":0}]}'
+)
+
+
+def q_datalake_translate_registry(spark, sf_dir):
+    """Registry-driven dispatch (`record_schema_resolver.cc` parity): the
+    topic carries TWO live schema versions of one subject — even event_ids
+    are wire-framed with v2 (has event_id), odd with v1 (doesn't) — and
+    translate_topic resolves each record's writer schema from its own wire
+    header. Output columns follow the latest version; v1 rows surface
+    event_id as NULL (Iceberg add-column semantics)."""
+    import pandas as pd
+
+    from redpanda_spark.registry.avro_codec import avro_encode
+    from redpanda_spark.registry.store import SchemaRegistry
+    from redpanda_spark.sources.datalake import translate_topic
+
+    registry = SchemaRegistry()
+    id_v1 = registry.register("ev-value", AVRO_EVENT_SCHEMA_V1, "AVRO")
+    id_v2 = registry.register("ev-value", AVRO_EVENT_SCHEMA_V2, "AVRO")
+    s_v1, s_v2 = AVRO_EVENT_SCHEMA_V1, AVRO_EVENT_SCHEMA_V2
+
+    @F.pandas_udf("binary")
+    def enc(event_type: pd.Series, value: pd.Series, event_id: pd.Series) -> pd.Series:
+        out = []
+        for t, v, i in zip(event_type, value, event_id):
+            if int(i) % 2 == 0:
+                body = avro_encode(
+                    s_v2, {"event_type": t, "value": v, "event_id": int(i)}
+                )
+                out.append(SchemaRegistry.wire_encode(id_v2, body))
+            else:
+                body = avro_encode(s_v1, {"event_type": t, "value": v})
+                out.append(SchemaRegistry.wire_encode(id_v1, body))
+        return pd.Series(out)
+
+    rec = _datalake_record_view(spark, sf_dir)
+    wire = rec.select(
+        "partition", "offset", "timestamp", "key",
+        enc("event_type", "value", "event_id").alias("value"),
+    )
+    typed = translate_topic(wire, registry, "ev-value")
+    return _select_translated(typed)
+
+
+SQL_DATALAKE_TRANSLATE_REGISTRY = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(user_id AS VARCHAR) AS key_s,
+       event_type,
+       ROUND(value, 6) AS val,
+       CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS BIGINT) END AS event_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_part
+FROM log
+"""
+
+QUERIES.update({"datalake_translate_registry": q_datalake_translate_registry})
+ORACLES.update({"datalake_translate_registry": SQL_DATALAKE_TRANSLATE_REGISTRY})
+
+
 # --------------------------------------------------------------------------
 # Catalog 15: remaining TPC-H query shapes (Q2/Q9/Q11/Q16/Q20/Q21/Q22
 # analogs) — the testdata has no partsupp table, so the part-supplier

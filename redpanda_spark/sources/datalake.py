@@ -156,6 +156,136 @@ def proto_spark_type(schema, msg_name: str) -> T.StructType:
     return T.StructType(fields)
 
 
+def json_spark_type(json_schema: str) -> T.StructType:
+    """JSON-Schema (registry type JSON) object → Spark struct, for
+    registry-driven dispatch of JSON subjects. Mirrors the reference's
+    datalake JSON column mapping: string/integer/number/boolean/array/
+    object; integer → long, number → double."""
+    spec = json.loads(json_schema)
+
+    def conv(s: dict) -> T.DataType:
+        t = s.get("type")
+        if t == "string":
+            return T.StringType()
+        if t == "integer":
+            return T.LongType()
+        if t == "number":
+            return T.DoubleType()
+        if t == "boolean":
+            return T.BooleanType()
+        if t == "array":
+            return T.ArrayType(conv(s.get("items", {"type": "string"})), True)
+        if t == "object":
+            return T.StructType(
+                [
+                    T.StructField(n, conv(p), True)
+                    for n, p in s.get("properties", {}).items()
+                ]
+            )
+        raise ValueError(f"unsupported json-schema type {t}")
+
+    out = conv(spec)
+    if not isinstance(out, T.StructType):
+        raise ValueError("top-level json schema must be an object")
+    return out
+
+
+def _subject_spark_type(schema_type: str, schema_text: str) -> T.StructType:
+    if schema_type == "AVRO":
+        t = avro_spark_type(json.loads(schema_text))
+        if not isinstance(t, T.StructType):
+            raise ValueError("top-level avro schema must be a record")
+        return t
+    if schema_type == "PROTOBUF":
+        from redpanda_spark.registry.protobuf_compat import parse_proto
+
+        schema = parse_proto(schema_text)
+        first_msg = next(iter(schema.messages))
+        return proto_spark_type(schema, first_msg)
+    return json_spark_type(schema_text)
+
+
+def translate_topic(log: DataFrame, registry, subject: str) -> DataFrame:
+    """Registry-driven typed translation — each record's schema resolves
+    from its OWN wire bytes (`record_schema_resolver.cc` parity): the
+    Confluent wire header (magic 0x00 + big-endian schema id) is read per
+    record, the id resolves to its registered (type, schema) via the
+    registry, and the record decodes with the matching JSON/Avro/Protobuf
+    codec. Mixed-schema-id topics (several live versions of ``subject``)
+    therefore decode correctly record by record.
+
+    Output columns follow the subject's LATEST version (the Iceberg table
+    schema after evolution); rows written with an older version leave the
+    added columns NULL — Iceberg add-column semantics
+    (`schema_evolution` in the reference's datalake), intentionally NOT
+    Avro reader-default filling. Records that are unframed, carry an
+    unknown id, or have NULL values yield all-NULL value columns (the
+    produce-side schema-id gate keeps these out of real topics).
+
+    Scale shape: the id→schema map is driver-resolved tiny metadata
+    shipped in the UDF closure; decode is one Arrow-batched narrow stage,
+    no shuffle, no driver data path.
+    """
+    from redpanda_spark.registry.avro_codec import decode_datum
+    from redpanda_spark.registry.proto_codec import decode_message
+    from redpanda_spark.registry.protobuf_compat import parse_proto
+
+    latest = registry.get_latest(subject)
+    reader_type = _subject_spark_type(latest.type, latest.schema)
+    names = [f.name for f in reader_type.fields]
+
+    writers: dict[int, tuple] = {}
+    for ver in registry.versions(subject):
+        v = registry.get_version(subject, ver)
+        if v.type == "AVRO":
+            writers[v.id] = ("AVRO", json.loads(v.schema), None)
+        elif v.type == "PROTOBUF":
+            schema = parse_proto(v.schema)
+            writers[v.id] = ("PROTOBUF", schema, next(iter(schema.messages)))
+        else:
+            writers[v.id] = ("JSON", None, None)
+
+    @F.pandas_udf(returnType=reader_type)
+    def decode(vals: pd.Series) -> pd.DataFrame:
+        none_row = dict.fromkeys(names)
+        rows = []
+        for b in vals:
+            if b is None or len(b) < 5 or b[0] != 0:
+                rows.append(none_row)
+                continue
+            w = writers.get(int.from_bytes(bytes(b[1:5]), "big"))
+            if w is None:
+                rows.append(none_row)
+                continue
+            kind, schema, msg = w
+            body = bytes(b[5:])
+            try:
+                if kind == "AVRO":
+                    d, _ = decode_datum(schema, body, 0)
+                elif kind == "PROTOBUF":
+                    d = decode_message(schema, msg, body)
+                else:
+                    d = json.loads(body.decode("utf-8"))
+                if not isinstance(d, dict):
+                    raise ValueError("non-object value")
+            except Exception:
+                rows.append(none_row)
+                continue
+            rows.append({n: d.get(n) for n in names})
+        return pd.DataFrame(rows, columns=names)
+
+    decoded = log.select(
+        *_system_cols(log),
+        decode(F.col("value")).alias("_v"),
+        F.date_trunc("hour", F.col("timestamp")).alias("_hour"),
+    )
+    return decoded.select(
+        "redpanda",
+        *[F.col(f"_v.{n}").alias(n) for n in names],
+        "_hour",
+    )
+
+
 def _system_cols(log: DataFrame) -> list[Column]:
     if "headers" in log.columns:
         return [redpanda_system_struct()]
@@ -174,17 +304,72 @@ def _strip_wire_header(payload: bytes, wire_framed: bool) -> bytes:
     return payload[5:] if wire_framed else payload
 
 
+def _strip_wire_header_col(wire_framed: bool) -> Column:
+    v = F.col("value")
+    return F.expr("substring(value, 6, length(value) - 5)") if wire_framed else v
+
+
+# Probe caches: None = not probed yet. The reference decodes Avro/Protobuf
+# natively in C++ (`schema_avro.cc`, `schema_protobuf.cc`); the Spark
+# analog is the spark-avro / spark-protobuf packages, which keep decode
+# inside the JVM (wholestage-adjacent, no Python workers). They are
+# external jars and may be absent (they are absent in this container), so
+# each translate function probes once and falls back to the Arrow-batched
+# pure-Python codecs.
+_JVM_AVRO_READY: bool | None = None
+_JVM_PROTO_READY: bool | None = None
+
+
+def _jvm_avro_ready(spark) -> bool:
+    global _JVM_AVRO_READY
+    if _JVM_AVRO_READY is None:
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            # column construction reaches the o.a.s.sql.avro classes —
+            # raises immediately when the package jar is missing
+            spark.range(1).select(
+                from_avro(
+                    F.lit(None).cast("binary"),
+                    '{"type":"record","name":"p","fields":'
+                    '[{"name":"x","type":["null","long"]}]}',
+                )
+            )
+            _JVM_AVRO_READY = True
+        except Exception:
+            _JVM_AVRO_READY = False
+    return _JVM_AVRO_READY
+
+
+def _jvm_proto_ready(spark) -> bool:
+    global _JVM_PROTO_READY
+    if _JVM_PROTO_READY is None:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+
+            jvm = spark._jvm
+            getattr(jvm.org.apache.spark.sql.protobuf, "functions")
+            _JVM_PROTO_READY = True
+        except Exception:
+            _JVM_PROTO_READY = False
+    return _JVM_PROTO_READY
+
+
 def translate_avro_topic(
     log: DataFrame,
     schema_json: str,
     wire_framed: bool = False,
+    use_jvm: str = "auto",
 ) -> DataFrame:
     """Decode Avro binary values into typed columns + system struct + hour.
 
-    Same output shape as translate_json_topic; decode is an Arrow-batched
-    pandas UDF over registry.avro_codec (schema_avro.cc parity). Scales as
-    a narrow per-row map — no shuffle, no driver involvement; the Python
-    stage is the cost and is bounded by Arrow batch size.
+    Same output shape as translate_json_topic. Decode path is auto-
+    selected: when the spark-avro package is loadable, ``from_avro`` keeps
+    decode entirely JVM-side (the 100 TB path — parity with the
+    reference's native `schema_avro.cc` decode); otherwise an
+    Arrow-batched pandas UDF over registry.avro_codec. Both are narrow
+    per-row maps — no shuffle, no driver involvement. ``use_jvm``:
+    "auto" | "never" (force the Python codec, used by the parity test).
     """
     from redpanda_spark.registry.avro_codec import decode_datum
 
@@ -192,6 +377,20 @@ def translate_avro_topic(
     value_type = avro_spark_type(schema)
     if not isinstance(value_type, T.StructType):
         raise ValueError("top-level avro schema must be a record")
+
+    if use_jvm == "auto" and _jvm_avro_ready(log.sparkSession):
+        from pyspark.sql.avro.functions import from_avro
+
+        decoded = log.select(
+            *_system_cols(log),
+            from_avro(_strip_wire_header_col(wire_framed), schema_json).alias("_v"),
+            F.date_trunc("hour", F.col("timestamp")).alias("_hour"),
+        )
+        return decoded.select(
+            "redpanda",
+            *[F.col(f"_v.{f.name}").alias(f.name) for f in value_type.fields],
+            "_hour",
+        )
 
     @F.pandas_udf(returnType=value_type)
     def decode(vals: pd.Series) -> pd.DataFrame:
@@ -221,14 +420,40 @@ def translate_proto_topic(
     proto_text: str,
     msg_name: str,
     wire_framed: bool = False,
+    desc_set: bytes | None = None,
+    use_jvm: str = "auto",
 ) -> DataFrame:
     """Decode Protobuf wire-format values into typed columns + system struct
-    + hour (schema_protobuf.cc parity), via registry.proto_codec."""
+    + hour (schema_protobuf.cc parity), via registry.proto_codec.
+
+    JVM fast path: when the spark-protobuf package is loadable AND the
+    caller supplies a compiled ``desc_set`` (FileDescriptorSet bytes —
+    Spark's from_protobuf cannot consume .proto text), decode stays
+    JVM-side; otherwise the Arrow-batched Python codec runs. ``use_jvm``:
+    "auto" | "never"."""
     from redpanda_spark.registry.proto_codec import decode_message
     from redpanda_spark.registry.protobuf_compat import parse_proto
 
     schema = parse_proto(proto_text)
     value_type = proto_spark_type(schema, msg_name)
+
+    if use_jvm == "auto" and desc_set is not None and _jvm_proto_ready(log.sparkSession):
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        decoded = log.select(
+            *_system_cols(log),
+            from_protobuf(
+                _strip_wire_header_col(wire_framed),
+                msg_name,
+                binaryDescriptorSet=desc_set,
+            ).alias("_v"),
+            F.date_trunc("hour", F.col("timestamp")).alias("_hour"),
+        )
+        return decoded.select(
+            "redpanda",
+            *[F.col(f"_v.{f.name}").alias(f.name) for f in value_type.fields],
+            "_hour",
+        )
 
     @F.pandas_udf(returnType=value_type)
     def decode(vals: pd.Series) -> pd.DataFrame:
