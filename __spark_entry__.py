@@ -34,33 +34,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
 _PRIORITY = [
-    # never driver-checked before round 4
-    "pipeline_split",
-    "pipeline_mix",
-    "pipeline_redact",
-    "pipeline_pack",
-    "emb_quantize",
-    "datalake_translate",
-    "tpch_q2ish",
-    "tpch_q8ish",
-    "tpch_q9ish",
-    "tpch_q11ish",
-    "tpch_q16ish",
-    "tpch_q17ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
-    # new in round 4
-    "datalake_translate_avro",
+    # new in round 5
+    "datalake_translate_registry",
+    # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
-    "mm_audio_metadata",
-    "tpch_q12ish",
-    "mm_jpeg_metadata",
-    # regressed in r3, fixed in r4 (TIMESTAMP_NTZ normalization)
-    "log_compact_tombstones",
-    "events_sessionize",
-    "stream_window_stats",
-    "stream_sessionize",
+    "datalake_translate_avro",
+    "dedup_minhash",
+    "dedup_ngram",
+    # only r3 driver rows — rotate in so no query's row is older than one
+    # round (the gate checks the first 50 queries() entries)
+    "events_props_extract",
+    "events_topk_users",
+    "tpch_q6",
+    "tpch_q10ish",
+    "mm_image_metadata",
+    "mm_frame_sample",
+    "mm_video_metadata",
+    "mm2_routing",
+    "doc_quality",
+    "tpch_q4ish",
+    "tpch_q14",
+    "tpch_q18",
+    "doc_bpe_tokens",
+    "tpch_q7ish",
+    "tpch_q19ish",
+    "stream_idempotent_dedup",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "transform_fanout",
+    "curation_pipeline",
 ]
 
 

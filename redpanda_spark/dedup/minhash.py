@@ -185,7 +185,7 @@ def jaccard_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sets.count()  # eager: both join sides below read the cache, not the expr
-    return (
+    out = (
         pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
         .withColumn("inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))))
@@ -197,7 +197,16 @@ def jaccard_pairs(
             "id_b",
             F.round(F.col("inter").cast("double") / F.col("union"), 6).alias("jaccard"),
         )
+        # materialize the (small, candidate-bounded) result so the two big
+        # intermediates can be unpersisted HERE instead of leaking cached
+        # blocks across invocations in a long-lived session; `out` holds
+        # only (id, id, double) rows
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    out.count()
+    pairs.unpersist()
+    sets.unpersist()
+    return out
 
 
 def pick_bands(num_hashes: int, threshold: float) -> int:

@@ -48,24 +48,25 @@ a table format gets the same guarantee on object storage. Reads resolve
 the manifest's file list (no directory listing on the read path — the
 same trick Iceberg uses to avoid O(objects) LIST calls at scale).
 
-At cluster scale the same layout works on object storage (s3://…) — Spark
-reads/writes it identically; that's the reference's tiered storage
-(`cloud_storage/`) for free. Non-listable roots fall back to
-watermark-only manifests (directory reads, weaker crash story — noted in
-produce()).
+At cluster scale the same layout works on object storage (s3a://…) —
+Spark reads/writes it identically, and every metadata operation
+(manifest commit, segment listing, snapshot swap, orphan GC) routes
+through the Hadoop FileSystem API for URI roots (redpanda_spark.fsio),
+so the atomic-commit crash story holds there too; that's the reference's
+tiered storage (`cloud_storage/`) dissolved into a FileSystem impl.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from redpanda_spark import fsio
 from redpanda_spark.functions.hashes import murmur2_partition_udf
 from redpanda_spark.operators import log as LOG
 from redpanda_spark.operators.compaction import (
@@ -107,7 +108,14 @@ class TopicEngine:
         self.spark = spark
         self.root = root
         self.registry = registry  # SchemaRegistry, for schema-id validation
-        os.makedirs(root, exist_ok=True)
+        # Plain paths use POSIX fast calls; URI roots (file:, hdfs:, s3a:,
+        # gs:, abfss:) route every metadata/listing/maintenance operation
+        # through the Hadoop FS API — same engine code on object stores
+        # (the reference's cloud_storage layer dissolving into a
+        # FileSystem impl, SURVEY.md §2.2-i).
+        self._fsio = fsio.for_root(spark, root)
+        self.root = self._fsio.normalize(root)
+        self._fsio.mkdirs(self.root)
         self._meta_path = os.path.join(root, "_topics.json")
         self._offsets_path = os.path.join(root, "_offsets.json")  # legacy watermarks
         self._topics: dict[str, TopicConfig] = {}
@@ -132,38 +140,35 @@ class TopicEngine:
         live file list become durable in one atomic rename. Everything
         written before this call is provisional; everything after is
         cleanup."""
-        path = self._manifest_path(topic)
-        tmp = path + ".tmp"
         files = self._files.get(topic)
         stats = self._stats.get(topic, {})
-        with open(tmp, "w") as f:
-            json.dump(
+        self._fsio.write_text_atomic(
+            self._manifest_path(topic),
+            json.dumps(
                 {
                     "high": self._high.get(topic, {}),
                     "files": files,
                     "stats": {p: stats[p] for p in (files or []) if p in stats},
-                },
-                f,
-            )
-        os.replace(tmp, path)
+                }
+            ),
+        )
 
     def _load_state(self) -> None:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                raw = json.load(f)
+        if self._fsio.exists(self._meta_path):
+            raw = json.loads(self._fsio.read_text(self._meta_path))
             self._topics = {t: TopicConfig(**c) for t, c in raw.items()}
         legacy_high: dict[str, dict[int, int]] = {}
-        if os.path.exists(self._offsets_path):
-            with open(self._offsets_path) as f:
-                legacy_high = {
-                    t: {int(p): o for p, o in ps.items()}
-                    for t, ps in json.load(f).items()
-                }
+        if self._fsio.exists(self._offsets_path):
+            legacy_high = {
+                t: {int(p): o for p, o in ps.items()}
+                for t, ps in json.loads(
+                    self._fsio.read_text(self._offsets_path)
+                ).items()
+            }
         for t in self._topics:
             mp = self._manifest_path(t)
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    m = json.load(f)
+            if self._fsio.exists(mp):
+                m = json.loads(self._fsio.read_text(mp))
                 self._high[t] = {int(p): o for p, o in m.get("high", {}).items()}
                 self._files[t] = m.get("files")
                 self._stats[t] = m.get("stats", {})
@@ -179,25 +184,18 @@ class TopicEngine:
         single-writer-per-root model."""
         d = self._topic_dir(topic)
         for leftover in (d + ".rewrite.tmp", d + ".compact.tmp", d + ".old"):
-            shutil.rmtree(leftover, ignore_errors=True)
+            self._fsio.delete(leftover, recursive=True)
         live = self._files.get(topic)
         if live is None:
             return
-        on_disk = self._segment_files(topic)
-        if on_disk is None:
-            return
         live_abs = {os.path.join(self.root, p) for p in live}
-        for f in on_disk - live_abs:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+        for f in self._segment_files(topic) - live_abs:
+            self._fsio.delete(f)
 
     def _save_state(self) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({t: vars(c) for t, c in self._topics.items()}, f)
-        os.replace(tmp, self._meta_path)
+        self._fsio.write_text_atomic(
+            self._meta_path, json.dumps({t: vars(c) for t, c in self._topics.items()})
+        )
 
     def create_topic(self, topic: str, config: TopicConfig | None = None) -> None:
         if topic in self._topics:
@@ -205,7 +203,7 @@ class TopicEngine:
         self._topics[topic] = config or TopicConfig()
         self._high[topic] = {p: 0 for p in range(self._topics[topic].partitions)}
         self._files[topic] = []
-        os.makedirs(self._topic_dir(topic), exist_ok=True)
+        self._fsio.mkdirs(self._topic_dir(topic))
         self._save_state()
         self._commit_manifest(topic)
 
@@ -222,11 +220,8 @@ class TopicEngine:
         self._high.pop(topic, None)
         self._files.pop(topic, None)
         self._stats.pop(topic, None)
-        shutil.rmtree(self._topic_dir(topic), ignore_errors=True)
-        try:
-            os.remove(self._manifest_path(topic))
-        except OSError:
-            pass
+        self._fsio.delete(self._topic_dir(topic), recursive=True)
+        self._fsio.delete(self._manifest_path(topic))
         self._purge_topic_metadata(topic)
         self._save_state()
 
@@ -240,9 +235,9 @@ class TopicEngine:
             tmp = d + ".purge.tmp"
             df.where(F.col("topic") != topic).write.mode("overwrite").parquet(tmp)
             old = d + ".old"
-            os.rename(d, old)
-            os.rename(tmp, d)
-            shutil.rmtree(old, ignore_errors=True)
+            self._fsio.rename(d, old)
+            self._fsio.rename(tmp, d)
+            self._fsio.delete(old, recursive=True)
 
     def list_topics(self) -> dict[str, TopicConfig]:
         return dict(self._topics)
@@ -250,26 +245,12 @@ class TopicEngine:
     def _topic_dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
 
-    def _segment_files(self, topic: str) -> set[str] | None:
+    def _segment_files(self, topic: str) -> set[str]:
         """All parquet segment paths of a topic: flat ``*.parquet`` files
-        plus any legacy hive ``partition=<p>/`` subdir files. None when the
-        root isn't locally listable (object-store roots use the count-job
-        fallback in produce)."""
-        d = self._topic_dir(topic)
-        if not os.path.isdir(d):
-            return None
-        try:
-            out: set[str] = set()
-            for e in os.scandir(d):
-                if e.name.endswith(".parquet"):
-                    out.add(e.path)
-                elif e.is_dir() and e.name.startswith("partition="):
-                    for f in os.scandir(e.path):
-                        if f.name.endswith(".parquet"):
-                            out.add(f.path)
-            return out
-        except OSError:
-            return None
+        plus any legacy hive ``partition=<p>/`` subdir files. Listed via
+        the root's filesystem (POSIX locally, Hadoop FS on URI roots), so
+        object-store roots keep the full manifest/crash-safety story."""
+        return set(self._fsio.list_segments(self._topic_dir(topic)))
 
     def _require(self, topic: str) -> TopicConfig:
         if topic not in self._topics:
@@ -357,57 +338,44 @@ class TopicEngine:
         df = df.sortWithinPartitions("partition", "offset")
 
         out_dir = self._topic_dir(topic)
+        # Listing goes through fsio (POSIX or Hadoop FS) so URI roots get
+        # the same file-list manifest and crash story as local ones — no
+        # weaker watermark-only branch.
         before = self._segment_files(topic)
-        if before is None:
-            # Non-listable root: the new-file set is unknowable, so count
-            # BEFORE the write (re-runs routing once — the weaker branch).
-            counts: dict[int, int] = {
-                r["partition"]: r["n"]
-                for r in df.groupBy("partition").agg(F.count("*").alias("n")).collect()
-            }
         # Dictionary encoding off: record payloads are high-entropy
         # (keys/values unique per record), so the dictionary build is
         # pure overhead — measured ~6% produce throughput.
         df.write.mode("append").option("compression", cfg.compression).option(
             "parquet.enable.dictionary", "false"
         ).parquet(out_dir)
-        if before is None:
-            # Non-listable root: no file-list manifest possible — commit
-            # watermarks only (weaker crash story: a crash between append
-            # and commit leaves the appended rows visible to directory
-            # reads with re-assignable offsets).
-            self._files[topic] = None
-        else:
-            new_files = sorted((self._segment_files(topic) or set()) - before)
-            prev = self._files.get(topic)
-            if prev is None:
-                # legacy topic without a manifest: adopt everything on disk
-                prev = sorted(os.path.relpath(f, self.root) for f in before)
-            self._files[topic] = prev + [
-                os.path.relpath(f, self.root) for f in new_files
-            ]
-            self._stats.setdefault(topic, {}).update(self._footer_stats(new_files))
-            # Per-partition counts for the watermark advance: one
-            # column-pruned count job over ONLY the new files — the scan
-            # touches just the `partition` column chunks, so this costs a
-            # near-constant ~0.15s regardless of batch bytes. (An attached
-            # df.observe() metric was tried first: observation metrics
-            # evaluate interpreted per-row, ~20µs/row for a 100-partition
-            # sum-if array — 4s on a 200k-row batch. The readback job is
-            # the scale-safe shape.)
-            counts = (
-                {
-                    r["partition"]: r["n"]
-                    for r in self.spark.read.parquet(
-                        *new_files
-                    )
-                    .groupBy("partition")
-                    .agg(F.count("*").alias("n"))
-                    .collect()
-                }
-                if new_files
-                else {}
-            )
+        new_files = sorted(self._segment_files(topic) - before)
+        prev = self._files.get(topic)
+        if prev is None:
+            # legacy topic without a manifest: adopt everything on disk
+            prev = sorted(os.path.relpath(f, self.root) for f in before)
+        self._files[topic] = prev + [
+            os.path.relpath(f, self.root) for f in new_files
+        ]
+        self._stats.setdefault(topic, {}).update(self._footer_stats(new_files))
+        # Per-partition counts for the watermark advance: one
+        # column-pruned count job over ONLY the new files — the scan
+        # touches just the `partition` column chunks, so this costs a
+        # near-constant ~0.15s regardless of batch bytes. (An attached
+        # df.observe() metric was tried first: observation metrics
+        # evaluate interpreted per-row, ~20µs/row for a 100-partition
+        # sum-if array — 4s on a 200k-row batch. The readback job is
+        # the scale-safe shape.)
+        counts: dict[int, int] = (
+            {
+                r["partition"]: r["n"]
+                for r in self.spark.read.parquet(*new_files)
+                .groupBy("partition")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if new_files
+            else {}
+        )
         bases = {p: base.get(p, 0) for p in counts}
         for p, n in counts.items():
             self._high.setdefault(topic, {})[p] = base.get(p, 0) + n
@@ -428,7 +396,12 @@ class TopicEngine:
         out: dict[str, list[int]] = {}
         for path in paths:
             try:
-                md = pq.ParquetFile(path).metadata
+                # pyarrow wants a plain path for local files; non-file URI
+                # roots simply skip stats (files stay unprunable, correct)
+                local = path
+                if local.startswith("file:"):
+                    local = "/" + local.split(":", 1)[1].lstrip("/")
+                md = pq.ParquetFile(local).metadata
                 agg: dict[str, list[int]] = {}
                 for j in range(md.num_row_groups):
                     rg = md.row_group(j)
@@ -769,22 +742,22 @@ class TopicEngine:
         segment replace. Truncated prefixes (DeleteRecords) are physically
         dropped by the rewrite, like the reference's eviction."""
         self._require(topic)
-        files = self._live_abs_files(topic) or set()
+        files = self._live_abs_files(topic)
         if not files:
             return {"files_before": 0, "files_after": 0}
-        total = sum(os.path.getsize(f) for f in files)
+        total = sum(self._fsio.getsize(f) for f in files)
         n_target = max(1, -(-total // target_file_bytes))
         if len(files) <= n_target:
             return {"files_before": len(files), "files_after": len(files)}
         self._rewrite(topic, self.log(topic), n_files=n_target)
         return {
             "files_before": len(files),
-            "files_after": len(self._live_abs_files(topic) or set()),
+            "files_after": len(self._live_abs_files(topic)),
         }
 
-    def _live_abs_files(self, topic: str) -> set[str] | None:
+    def _live_abs_files(self, topic: str) -> set[str]:
         """Absolute paths of the topic's committed segment files: manifest
-        list when present, else directory listing, else None."""
+        list when present, else directory listing (legacy state)."""
         files = self._files.get(topic)
         if files is not None:
             return {os.path.join(self.root, f) for f in files}
@@ -804,7 +777,7 @@ class TopicEngine:
         d = self._topic_dir(topic)
         old_files = self._live_abs_files(topic)
         tmp = d + ".rewrite.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._fsio.delete(tmp, recursive=True)
         rp = (
             df.repartitionByRange(n_files, "partition", "offset")
             if n_files
@@ -813,37 +786,20 @@ class TopicEngine:
         rp.sortWithinPartitions("partition", "offset").write.mode("overwrite").option(
             "compression", cfg.compression
         ).option("parquet.enable.dictionary", "false").parquet(tmp)
-        if old_files is None:
-            # non-listable root: legacy dir swap (best effort, no manifest)
-            old = d + ".old"
-            os.rename(d, old)
-            os.rename(tmp, d)
-            shutil.rmtree(old, ignore_errors=True)
-            self._files[topic] = None
-            self._commit_manifest(topic)
-            return
         new_abs: list[str] = []
-        for f in sorted(os.scandir(tmp), key=lambda e: e.name):
-            if f.name.endswith(".parquet"):
-                dest = os.path.join(d, f.name)
-                os.rename(f.path, dest)
-                new_abs.append(dest)
+        for f in sorted(self._fsio.list_segments(tmp)):
+            dest = os.path.join(d, os.path.basename(f))
+            self._fsio.rename(f, dest)
+            new_abs.append(dest)
         self._files[topic] = [os.path.relpath(p, self.root) for p in new_abs]
         self._stats[topic] = self._footer_stats(new_abs)
         self._commit_manifest(topic)  # atomic old→new snapshot switch
         for f in old_files:
-            try:
-                os.remove(f)
-            except OSError:
-                pass
+            self._fsio.delete(f)
         # drop now-empty legacy hive partition dirs
-        for e in list(os.scandir(d)):
-            if e.is_dir() and e.name.startswith("partition="):
-                try:
-                    os.rmdir(e.path)
-                except OSError:
-                    pass
-        shutil.rmtree(tmp, ignore_errors=True)
+        for sub in self._fsio.list_subdirs(d, "partition="):
+            self._fsio.delete_dir_if_empty(sub)
+        self._fsio.delete(tmp, recursive=True)
 
     # -- transaction ranges (rm_stm aborted/committed tx metadata) --------
 

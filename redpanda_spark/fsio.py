@@ -1,0 +1,218 @@
+"""Filesystem shim for engine metadata and segment maintenance.
+
+Plain local paths take a POSIX fast path (os / shutil — microseconds per
+call, which small-batch produce latency cares about). Roots with a URI
+scheme (``file:``, ``hdfs:``, ``s3a:``, ``gs:``, ``abfss:`` …) go through
+the Hadoop FileSystem API of the live JVM, so manifest commits, segment
+listings and snapshot swaps work identically on object stores — the
+reference's tiered-storage layer (`src/v/cloud_storage/`) dissolves into
+"the same paths, a different FileSystem impl" (SURVEY.md §2.2-i).
+
+Atomicity note: the local path uses os.replace (atomic). The Hadoop path
+implements replace as delete-then-rename — atomic on HDFS per rename
+contract, best-effort on S3-style stores; the engine's single-writer-per-
+root model (one partition leader in the reference) is what makes this
+safe, and is documented at the call sites.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def for_root(spark, root: str) -> "LocalFS | HadoopFS":
+    """Pick the implementation for a storage root. Anything with a URI
+    scheme routes through Hadoop; bare paths stay on os/shutil."""
+    scheme = root.split(":", 1)[0] if ":" in root else ""
+    if scheme and not (len(scheme) == 1 and root[1:3] in (":\\", ":/")):  # not a drive letter
+        return HadoopFS(spark, root)
+    return LocalFS()
+
+
+class LocalFS:
+    is_local = True
+
+    def normalize(self, path: str) -> str:
+        return path
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        """Remove a file or (with recursive) a directory; quiet on absence."""
+        try:
+            if recursive and os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+        except OSError:
+            pass
+
+    def delete_dir_if_empty(self, path: str) -> None:
+        try:
+            os.rmdir(path)
+        except OSError:
+            pass
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def list_segments(self, d: str) -> dict[str, int]:
+        """{path: size} of every parquet segment under a topic dir: flat
+        files plus legacy hive ``partition=<p>/`` subdir files."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(d):
+            return out
+        try:
+            for e in os.scandir(d):
+                if e.name.endswith(".parquet"):
+                    out[e.path] = e.stat().st_size
+                elif e.is_dir() and e.name.startswith("partition="):
+                    for f in os.scandir(e.path):
+                        if f.name.endswith(".parquet"):
+                            out[f.path] = f.stat().st_size
+        except OSError:
+            pass
+        return out
+
+    def list_subdirs(self, d: str, prefix: str) -> list[str]:
+        try:
+            return [e.path for e in os.scandir(d) if e.is_dir() and e.name.startswith(prefix)]
+        except OSError:
+            return []
+
+    def list_files_recursive(self, d: str) -> list[str]:
+        """All data-file paths under ``d`` (any depth), skipping metadata
+        files/dirs (names starting with '_' or '.')."""
+        out: list[str] = []
+        for root, dirs, names in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith((".",))]
+            for n in names:
+                if not n.startswith(("_", ".")):
+                    out.append(os.path.join(root, n))
+        return out
+
+
+class HadoopFS:
+    is_local = False
+
+    def __init__(self, spark, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._jvm = jvm
+        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    def normalize(self, path: str) -> str:
+        """Canonical Hadoop form (e.g. file:///x -> file:/x), so that
+        relpath arithmetic between the root and listed paths is sound."""
+        return self._Path(path).toString()
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        # tmp write + delete-dst + rename: atomic on HDFS, best-effort on
+        # S3-style stores — safe under the engine's single-writer model
+        tmp = path + ".tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._p(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        self._fs.rename(self._p(tmp), dst)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        try:
+            self._fs.delete(self._p(path), bool(recursive))
+        except Exception:
+            pass
+
+    def delete_dir_if_empty(self, path: str) -> None:
+        try:
+            p = self._p(path)
+            it = self._fs.listStatus(p)
+            if len(it) == 0:
+                self._fs.delete(p, False)
+        except Exception:
+            pass
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def getsize(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def list_segments(self, d: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        p = self._p(d)
+        try:
+            if not self._fs.exists(p):
+                return out
+            for st in self._fs.listStatus(p):
+                path = st.getPath()
+                name = path.getName()
+                if name.endswith(".parquet"):
+                    out[path.toString()] = int(st.getLen())
+                elif st.isDirectory() and name.startswith("partition="):
+                    for f in self._fs.listStatus(path):
+                        if f.getPath().getName().endswith(".parquet"):
+                            out[f.getPath().toString()] = int(f.getLen())
+        except Exception:
+            pass
+        return out
+
+    def list_subdirs(self, d: str, prefix: str) -> list[str]:
+        try:
+            return [
+                st.getPath().toString()
+                for st in self._fs.listStatus(self._p(d))
+                if st.isDirectory() and st.getPath().getName().startswith(prefix)
+            ]
+        except Exception:
+            return []
+
+    def list_files_recursive(self, d: str) -> list[str]:
+        out: list[str] = []
+        try:
+            it = self._fs.listFiles(self._p(d), True)
+            while it.hasNext():
+                p = it.next().getPath()
+                if not p.getName().startswith(("_", ".")):
+                    out.append(p.toString())
+        except Exception:
+            pass
+        return out

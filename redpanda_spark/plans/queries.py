@@ -2351,10 +2351,12 @@ AVRO_EVENT_SCHEMA = (
 
 PROTO_EVENT_SCHEMA = """
 syntax = "proto3";
+enum Level { INFO = 0; WARN = 1; ERROR = 2; }
 message Event {
   string event_type = 1;
   double value = 2;
   int64 event_id = 3;
+  Level level = 4;
 }
 """
 
@@ -2372,7 +2374,7 @@ def _datalake_record_view(spark, sf_dir):
     )
 
 
-def _select_translated(typed):
+def _select_translated(typed, *extra: str):
     return typed.select(
         F.col("redpanda.partition").cast("int").alias("partition"),
         F.col("redpanda.offset").cast("long").alias("offset"),
@@ -2380,6 +2382,7 @@ def _select_translated(typed):
         "event_type",
         F.round(F.col("value"), 6).alias("val"),
         F.col("event_id").cast("long").alias("event_id"),
+        *extra,
         F.date_format("_hour", "yyyy-MM-dd HH").alias("hour_part"),
     )
 
@@ -2425,7 +2428,8 @@ def q_datalake_translate_avro(spark, sf_dir):
 
 def q_datalake_translate_proto(spark, sf_dir):
     """Same translation for a Protobuf-valued topic via the wire-format
-    codec (schema_protobuf.cc parity)."""
+    codec (schema_protobuf.cc parity), including an enum field decoded to
+    its symbol string (level = event_id % 3)."""
     import pandas as pd
 
     from redpanda_spark.registry.proto_codec import encode_message
@@ -2444,7 +2448,12 @@ def q_datalake_translate_proto(spark, sf_dir):
                     encode_message(
                         pschema,
                         "Event",
-                        {"event_type": t, "value": float(v), "event_id": int(i)},
+                        {
+                            "event_type": t,
+                            "value": float(v),
+                            "event_id": int(i),
+                            "level": int(i) % 3,
+                        },
                     ),
                 )
                 for t, v, i in zip(event_type, value, event_id)
@@ -2457,7 +2466,7 @@ def q_datalake_translate_proto(spark, sf_dir):
         enc("event_type", "value", "event_id").alias("value"),
     )
     typed = translate_proto_topic(wire, PROTO_EVENT_SCHEMA, "Event", wire_framed=True)
-    return _select_translated(typed)
+    return _select_translated(typed, "level")
 
 
 SQL_DATALAKE_TRANSLATE_TYPED = f"""
@@ -2472,6 +2481,20 @@ SELECT CAST(partition AS INTEGER) AS partition,
 FROM log
 """
 
+SQL_DATALAKE_TRANSLATE_PROTO = f"""
+WITH {LOG_CTE}
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST("offset" AS BIGINT) AS "offset",
+       CAST(user_id AS VARCHAR) AS key_s,
+       event_type,
+       ROUND(value, 6) AS val,
+       CAST(event_id AS BIGINT) AS event_id,
+       CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' ELSE 'ERROR' END AS level,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_part
+FROM log
+"""
+
 QUERIES.update(
     {
         "datalake_translate_avro": q_datalake_translate_avro,
@@ -2481,7 +2504,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "datalake_translate_avro": SQL_DATALAKE_TRANSLATE_TYPED,
-        "datalake_translate_proto": SQL_DATALAKE_TRANSLATE_TYPED,
+        "datalake_translate_proto": SQL_DATALAKE_TRANSLATE_PROTO,
     }
 )
 

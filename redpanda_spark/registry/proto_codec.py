@@ -16,9 +16,19 @@ parser in `registry/protobuf_compat.py`; the codec is also the fixture
 encoder for tests/oracles.
 
 Supported field shapes: all scalar types, string/bytes, nested messages,
-repeated (packed + unpacked). Maps/oneof/enum fields raise — the registry
-compat checker handles those schema-level; the datalake path does not
-claim them yet.
+enums (decoded to their symbol strings — `schema_protobuf.cc` handles
+enums; same string mapping as the Avro path), repeated (packed +
+unpacked), maps (wire: repeated key=1/value=2 entry messages → dict),
+and oneof members (decode whichever arrived, last-wins per proto
+semantics).
+
+proto3 presence: absent non-repeated scalar/enum fields decode to their
+proto3 defaults (0 / 0.0 / false / "" / b"" / first enum symbol), not
+None — real proto3 encoders omit default-valued fields, and the
+reference fills defaults for implicit-presence fields
+(`values_protobuf.cc:39-72`). Explicit-presence fields — nested
+messages, `optional`-labelled fields, oneof members — decode to None
+when absent.
 """
 
 from __future__ import annotations
@@ -162,8 +172,16 @@ def encode_message(
         v = value.get(f.name)
         if v is None:
             continue
-        if f.type.startswith("map<") or f.oneof is not None:
-            raise ValueError(f"unsupported field shape for codec: {f.type}")
+        if f.type.startswith("map<"):
+            kt, vt = _map_types(f.type)
+            for mk, mv in v.items():
+                entry = bytearray()
+                _emit_field(entry, schema, msg.full_name, kt, 1, mk)
+                _emit_field(entry, schema, msg.full_name, vt, 2, mv)
+                _write_varint(out, (num << 3) | 2)
+                _write_varint(out, len(entry))
+                out += entry
+            continue
         if f.label == "repeated":
             items = list(v)
             if not items:
@@ -188,30 +206,118 @@ def _emit_field(out, schema, scope, ftype, num, v) -> None:
     if ftype in _SCALARS:
         _write_varint(out, (num << 3) | _wire_type(ftype))
         _encode_scalar(out, ftype, v)
-    else:  # nested message
-        resolved = _resolve(ftype, scope, schema)
-        if resolved in schema.enums:
-            raise ValueError("enum fields unsupported by codec")
-        body = encode_message(schema, resolved, v)
-        _write_varint(out, (num << 3) | 2)
-        _write_varint(out, len(body))
-        out += body
+        return
+    resolved = _resolve(ftype, scope, schema)
+    if resolved in schema.enums:
+        # enum: varint of the symbol's number (symbol string or raw int in)
+        _write_varint(out, (num << 3) | 0)
+        if isinstance(v, str):
+            by_name = {s: n for n, s in schema.enums[resolved].items()}
+            if v not in by_name:
+                raise ValueError(f"unknown enum symbol {v} for {resolved}")
+            _write_varint(out, by_name[v])
+        else:
+            _write_varint(out, int(v))
+        return
+    body = encode_message(schema, resolved, v)
+    _write_varint(out, (num << 3) | 2)
+    _write_varint(out, len(body))
+    out += body
 
 
 # -- message decode ---------------------------------------------------------
+
+
+def _map_types(ftype: str) -> tuple[str, str]:
+    inner = ftype[len("map<") : -1]
+    k, v = inner.split(",", 1)
+    return k.strip(), v.strip()
+
+
+def _type_default(schema: ProtoSchema, scope: str, ftype: str) -> Any:
+    if ftype == "bool":
+        return False
+    if ftype in ("double", "float"):
+        return 0.0
+    if ftype in _VARINT or ftype in _ZIGZAG or ftype in _FIX64 or ftype in _FIX32:
+        return 0
+    if ftype == "string":
+        return ""
+    if ftype == "bytes":
+        return b""
+    resolved = _resolve(ftype, scope, schema)
+    if resolved in schema.enums:
+        return schema.enums[resolved].get(0)  # proto3: first symbol is 0
+    return None  # nested message
+
+
+def _proto3_default(schema: ProtoSchema, scope: str, f) -> Any:
+    """proto3 implicit-presence default for a non-repeated field; None for
+    explicit-presence shapes (nested messages, `optional` fields, oneof
+    members); {} for maps."""
+    if f.type.startswith("map<"):
+        return {}
+    if f.oneof is not None or f.label == "optional":
+        return None
+    return _type_default(schema, scope, f.type)
+
+
+def _decode_map_entry(
+    schema: ProtoSchema, scope: str, kt: str, vt: str, chunk: bytes
+) -> tuple[Any, Any]:
+    """One map entry message: key = field 1, value = field 2; absent
+    key/value fill their proto3 type defaults (valid wire form)."""
+    key = _type_default(schema, scope, kt)
+    val = _type_default(schema, scope, vt)
+    pos = 0
+    while pos < len(chunk):
+        tag, pos = _read_varint(chunk, pos)
+        num, wt = tag >> 3, tag & 7
+        ftype = kt if num == 1 else vt
+        if wt == 0:
+            raw, pos = _read_varint(chunk, pos)
+            if ftype in _SCALARS:
+                v: Any = _decode_scalar_varint(ftype, raw)
+            else:
+                resolved = _resolve(ftype, scope, schema)
+                v = (
+                    schema.enums[resolved].get(raw, str(raw))
+                    if resolved in schema.enums
+                    else raw
+                )
+        elif wt in (1, 5):
+            v, pos = _decode_fixed(ftype, chunk, pos)
+        elif wt == 2:
+            n, pos = _read_varint(chunk, pos)
+            sub = chunk[pos : pos + n]
+            pos += n
+            if ftype == "string":
+                v = sub.decode("utf-8")
+            elif ftype == "bytes":
+                v = bytes(sub)
+            else:
+                v = decode_message(schema, _resolve(ftype, scope, schema), sub)
+        else:
+            raise ValueError(f"unsupported wire type {wt} in map entry")
+        if num == 1:
+            key = v
+        elif num == 2:
+            val = v
+    return key, val
 
 
 def decode_message(
     schema: ProtoSchema | str, msg_name: str, payload: bytes
 ) -> dict[str, Any]:
     """Decode wire bytes into a dict keyed by field name. Unknown field
-    numbers are skipped (forward compat); absent fields decode to None
-    (repeated → [])."""
+    numbers are skipped (forward compat); absent non-repeated scalar/enum
+    fields decode to their proto3 defaults (repeated → [], messages →
+    None); enum values decode to their symbol strings."""
     if isinstance(schema, str):
         schema = parse_proto(schema)
     msg = _lookup(schema, msg_name)
     result: dict[str, Any] = {
-        f.name: ([] if f.label == "repeated" else None)
+        f.name: ([] if f.label == "repeated" else _proto3_default(schema, msg.full_name, f))
         for f in msg.fields.values()
     }
     pos = 0
@@ -225,24 +331,55 @@ def decode_message(
             continue
         if wt == 0:
             raw, pos = _read_varint(buf, pos)
-            v = _decode_scalar_varint(f.type, raw)
+            if f.type in _SCALARS:
+                v = _decode_scalar_varint(f.type, raw)
+            else:
+                resolved = _resolve(f.type, msg.full_name, schema)
+                if resolved not in schema.enums:
+                    raise ValueError(
+                        f"varint wire type for message field {f.name}"
+                    )
+                v = schema.enums[resolved].get(raw, str(raw))
             _store(result, f, v)
         elif wt in (1, 5):
+            if f.type not in _FIX64 and f.type not in _FIX32:
+                raise ValueError(f"fixed wire type for field {f.name} ({f.type})")
             v, pos = _decode_fixed(f.type, buf, pos)
             _store(result, f, v)
         elif wt == 2:
             n, pos = _read_varint(buf, pos)
             chunk = buf[pos : pos + n]
             pos += n
-            if f.type == "string":
+            if f.type.startswith("map<"):
+                kt, vt = _map_types(f.type)
+                mk, mv = _decode_map_entry(schema, msg.full_name, kt, vt, chunk)
+                result[f.name][mk] = mv
+            elif f.type == "string":
                 _store(result, f, chunk.decode("utf-8"))
             elif f.type == "bytes":
                 _store(result, f, bytes(chunk))
-            elif f.type in _SCALARS:  # packed repeated scalars
+            elif f.type in _SCALARS or (
+                _resolve(f.type, msg.full_name, schema) in schema.enums
+            ):
+                # packed repeated scalars/enums — only valid for repeated
+                # fields; a non-repeated scalar with wire type 2 is a
+                # malformed stream, not a packed run
+                if f.label != "repeated":
+                    raise ValueError(
+                        f"wire type 2 for non-repeated scalar field {f.name}"
+                    )
+                enum_syms = (
+                    schema.enums.get(_resolve(f.type, msg.full_name, schema))
+                    if f.type not in _SCALARS
+                    else None
+                )
                 p2 = 0
                 while p2 < len(chunk):
                     if f.type in _FIX64 or f.type in _FIX32:
                         v, p2 = _decode_fixed(f.type, chunk, p2)
+                    elif enum_syms is not None:
+                        raw, p2 = _read_varint(chunk, p2)
+                        v = enum_syms.get(raw, str(raw))
                     else:
                         raw, p2 = _read_varint(chunk, p2)
                         v = _decode_scalar_varint(f.type, raw)

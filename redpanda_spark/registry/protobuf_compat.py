@@ -71,7 +71,10 @@ class ProtoSchema:
     syntax: str
     package: str
     messages: dict[str, ProtoMessage]
-    enums: set[str]
+    # enum full-name -> {number: symbol}; `name in schema.enums` works as
+    # it did when this was a set, and the symbol table feeds enum decode
+    # (schema_protobuf.cc maps enums to their symbol strings)
+    enums: dict[str, dict[int, str]]
 
 
 def _strip_comments(text: str) -> str:
@@ -85,7 +88,7 @@ class ProtoParseError(ValueError):
 
 def parse_proto(text: str) -> ProtoSchema:
     toks = _TOKEN.findall(_strip_comments(text))
-    schema = ProtoSchema(syntax="proto3", package="", messages={}, enums=set())
+    schema = ProtoSchema(syntax="proto3", package="", messages={}, enums={})
     _parse_body(toks, 0, "", schema, top=True)
     return schema
 
@@ -144,8 +147,20 @@ def _parse_body(toks, i, scope, schema: ProtoSchema, top=False, oneof=None):
         elif t == "enum":
             name = toks[i + 1]
             full = f"{scope}.{name}" if scope else name
-            schema.enums.add(full)
-            i = _skip_to(toks, i + 2, "}")
+            symbols: dict[int, str] = {}
+            # body: SYMBOL = number ; (plus option/reserved lines, skipped)
+            j = i + 3  # past 'enum', name, '{'
+            while j < len(toks) and toks[j] != "}":
+                if (
+                    toks[j] not in ("option", "reserved")
+                    and j + 2 < len(toks)
+                    and toks[j + 1] == "="
+                    and toks[j + 2].lstrip("-").isdigit()
+                ):
+                    symbols[int(toks[j + 2])] = toks[j]
+                j = _skip_to(toks, j, ";")
+            schema.enums[full] = symbols
+            i = j + 1
         elif t == "oneof":
             if msg is None:
                 raise ProtoParseError("oneof outside message")

@@ -138,7 +138,8 @@ _PROTO_SPARK = {
 
 
 def proto_spark_type(schema, msg_name: str) -> T.StructType:
-    """Proto message → Spark struct (`schema_protobuf.cc` analog)."""
+    """Proto message → Spark struct (`schema_protobuf.cc` analog);
+    enum → string, matching the Avro enum mapping."""
     from redpanda_spark.registry.proto_codec import _lookup
     from redpanda_spark.registry.protobuf_compat import _resolve
 
@@ -146,10 +147,31 @@ def proto_spark_type(schema, msg_name: str) -> T.StructType:
     fields = []
     for num in sorted(msg.fields):
         f = msg.fields[num]
+        if f.type.startswith("map<"):
+            from redpanda_spark.registry.proto_codec import _map_types
+
+            kt, vt = _map_types(f.type)
+            if vt in _PROTO_SPARK:
+                vtype: T.DataType = _PROTO_SPARK[vt]
+            else:
+                vresolved = _resolve(vt, msg.full_name, schema)
+                vtype = (
+                    T.StringType()
+                    if vresolved in schema.enums
+                    else proto_spark_type(schema, vresolved)
+                )
+            fields.append(
+                T.StructField(f.name, T.MapType(_PROTO_SPARK[kt], vtype, True), True)
+            )
+            continue
         if f.type in _PROTO_SPARK:
             ftype: T.DataType = _PROTO_SPARK[f.type]
         else:
-            ftype = proto_spark_type(schema, _resolve(f.type, msg.full_name, schema))
+            resolved = _resolve(f.type, msg.full_name, schema)
+            if resolved in schema.enums:
+                ftype = T.StringType()
+            else:
+                ftype = proto_spark_type(schema, resolved)
         if f.label == "repeated":
             ftype = T.ArrayType(ftype, True)
         fields.append(T.StructField(f.name, ftype, True))
@@ -320,38 +342,32 @@ _JVM_AVRO_READY: bool | None = None
 _JVM_PROTO_READY: bool | None = None
 
 
+def _jvm_class_exists(spark, cls: str) -> bool:
+    # Class.forName is the deterministic probe: py4j hands back a
+    # JavaPackage placeholder for missing packages without raising, so
+    # attribute access alone cannot detect an absent jar
+    try:
+        spark._jvm.java.lang.Class.forName(cls)
+        return True
+    except Exception:
+        return False
+
+
 def _jvm_avro_ready(spark) -> bool:
     global _JVM_AVRO_READY
     if _JVM_AVRO_READY is None:
-        try:
-            from pyspark.sql.avro.functions import from_avro
-
-            # column construction reaches the o.a.s.sql.avro classes —
-            # raises immediately when the package jar is missing
-            spark.range(1).select(
-                from_avro(
-                    F.lit(None).cast("binary"),
-                    '{"type":"record","name":"p","fields":'
-                    '[{"name":"x","type":["null","long"]}]}',
-                )
-            )
-            _JVM_AVRO_READY = True
-        except Exception:
-            _JVM_AVRO_READY = False
+        _JVM_AVRO_READY = _jvm_class_exists(
+            spark, "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
     return _JVM_AVRO_READY
 
 
 def _jvm_proto_ready(spark) -> bool:
     global _JVM_PROTO_READY
     if _JVM_PROTO_READY is None:
-        try:
-            from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
-
-            jvm = spark._jvm
-            getattr(jvm.org.apache.spark.sql.protobuf, "functions")
-            _JVM_PROTO_READY = True
-        except Exception:
-            _JVM_PROTO_READY = False
+        _JVM_PROTO_READY = _jvm_class_exists(
+            spark, "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
     return _JVM_PROTO_READY
 
 
@@ -479,6 +495,15 @@ def translate_proto_topic(
     )
 
 
+def _load_lake_manifest(fs, manifest: str) -> dict:
+    m = json.loads(fs.read_text(manifest))
+    if "snapshots" not in m and "files" in m:  # migrate v1 single-snapshot
+        m["snapshots"] = [{"id": 1, "files": m["files"]}]
+    m.setdefault("snapshots", [])
+    m.setdefault("expired", [])
+    return m
+
+
 def write_datalake(
     df: DataFrame, path: str, mode: str = "append", fmt: str = "parquet"
 ) -> list[str]:
@@ -491,49 +516,109 @@ def write_datalake(
     pattern the engine uses for topic mutations (engine.py::
     _commit_manifest). Readers that honor the manifest (read_datalake)
     never observe a half-written snapshot; a crash before the rename leaves
-    the previous manifest intact and the orphaned files invisible. Returns
-    the newly committed snapshot's file list (path-relative).
+    the previous manifest intact and the orphaned files invisible. File
+    listing and the manifest swap go through redpanda_spark.fsio, so URI
+    (object-store) table paths behave identically. Returns the newly
+    committed snapshot's file list (path-relative).
+
+    ``mode="overwrite"`` physically deletes prior snapshots' data files
+    (Spark's overwrite), so the prior snapshot ids move to the manifest's
+    ``expired`` list — time travel to them raises a clear error instead
+    of file-not-found. The manifest read-modify-write assumes the
+    engine's single-writer model (one committer per table, like the
+    reference's datalake coordinator); concurrent writers need an
+    external lock.
     """
-    df.write.mode(mode).partitionBy("_hour").format(fmt).save(path)
-    files: list[str] = []
-    for root, _dirs, names in os.walk(path):
-        for n in names:
-            if n.startswith(("_", ".")):
-                continue
-            files.append(os.path.relpath(os.path.join(root, n), path))
-    files.sort()
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(df.sparkSession, path)
     manifest = os.path.join(path, "_manifest.json")
+    # read the prior history BEFORE the write: Spark's overwrite truncates
+    # the whole table path, manifest included
     snapshots: list[dict] = []
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            prev = json.load(f)
-        snapshots = prev.get("snapshots") or (
-            # migrate a v1 single-snapshot manifest
-            [{"id": 1, "files": prev["files"]}] if "files" in prev else []
-        )
-    snapshots.append({"id": len(snapshots) + 1, "files": files})
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"format": fmt, "snapshots": snapshots}, f)
-    os.replace(tmp, manifest)
+    expired: list[int] = []
+    if fs.exists(manifest):
+        prev = _load_lake_manifest(fs, manifest)
+        snapshots, expired = prev["snapshots"], prev["expired"]
+    df.write.mode(mode).partitionBy("_hour").format(fmt).save(path)
+    files = sorted(
+        os.path.relpath(p, fs.normalize(path))
+        for p in fs.list_files_recursive(path)
+    )
+    if mode == "overwrite" and snapshots:
+        expired = sorted(set(expired) | {s["id"] for s in snapshots})
+        snapshots = []
+    next_id = max(
+        [s["id"] for s in snapshots] + expired + [0]
+    ) + 1
+    snapshots.append({"id": next_id, "files": files})
+    fs.write_text_atomic(
+        manifest, json.dumps({"format": fmt, "snapshots": snapshots, "expired": expired})
+    )
     return files
+
+
+def expire_snapshots(spark, path: str, keep_last: int = 1) -> dict:
+    """Snapshot expiry + orphan-file GC — the Iceberg ``expire_snapshots``
+    / ``remove_orphan_files`` maintenance pair (the reference expires
+    through its Iceberg catalog; commit side in
+    `datalake/coordinator/iceberg_file_committer.cc`). Keeps the newest
+    ``keep_last`` snapshots, deletes every data file referenced ONLY by
+    expired snapshots, and records the expired ids so time travel to them
+    raises a clear error. Bounds both manifest growth and dead-file disk
+    usage on a long-lived table. Single-writer, like the commit path."""
+    from redpanda_spark import fsio
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs = fsio.for_root(spark, path)
+    manifest = os.path.join(path, "_manifest.json")
+    m = _load_lake_manifest(fs, manifest)
+    snapshots = m["snapshots"]
+    if len(snapshots) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    kept, dropped = snapshots[-keep_last:], snapshots[:-keep_last]
+    live = {f for s in kept for f in s["files"]}
+    deleted = 0
+    for s in dropped:
+        for f in s["files"]:
+            if f not in live:
+                fs.delete(os.path.join(path, f))
+                deleted += 1
+    expired = sorted(set(m["expired"]) | {s["id"] for s in dropped})
+    fs.write_text_atomic(
+        manifest,
+        json.dumps(
+            {"format": m.get("format", "parquet"), "snapshots": kept, "expired": expired}
+        ),
+    )
+    return {"expired": len(dropped), "deleted_files": deleted}
 
 
 def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
     """Snapshot read: only files listed in the committed manifest.
 
     ``snapshot_id`` selects a historical snapshot (Iceberg time-travel
-    analog); default is the latest.
+    analog); default is the latest. Expired snapshots raise a ValueError
+    naming the expiry, never a file-not-found from a dangling list.
     """
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
     manifest = os.path.join(path, "_manifest.json")
-    with open(manifest) as f:
-        m = json.load(f)
-    snapshots = m.get("snapshots") or [{"id": 1, "files": m["files"]}]
+    m = _load_lake_manifest(fs, manifest)
+    snapshots = m["snapshots"]
     if snapshot_id is None:
+        if not snapshots:
+            raise ValueError(f"no live snapshots in {manifest}")
         snap = snapshots[-1]
     else:
         matches = [s for s in snapshots if s["id"] == snapshot_id]
         if not matches:
+            if snapshot_id in m["expired"]:
+                raise ValueError(
+                    f"snapshot {snapshot_id} expired (expire_snapshots/overwrite)"
+                )
             raise ValueError(f"no snapshot {snapshot_id} in {manifest}")
         snap = matches[0]
     full = [os.path.join(path, p) for p in snap["files"]]

@@ -117,7 +117,11 @@ def test_proto_roundtrip_all_shapes():
 def test_proto_absent_fields_and_unknown_skip():
     sch = parse_proto(PROTO)
     got = decode_message(sch, "Outer", encode_message(sch, "Outer", {"name": "x"}))
-    assert got["name"] == "x" and got["score"] is None and got["xs"] == []
+    # proto3 implicit presence: absent scalars fill their defaults (the
+    # reference nulls only explicit-presence fields, values_protobuf.cc)
+    assert got["name"] == "x" and got["score"] == 0.0 and got["xs"] == []
+    assert got["ok"] is False and got["raw"] == b"" and got["uid"] == 0
+    assert got["inner"] is None  # message fields keep explicit presence
     # decoder skips unknown field numbers (forward compat): encode with a
     # writer schema that has an extra field 11
     writer = PROTO.replace("float ratio = 10;", "float ratio = 10; int64 extra = 11;")
@@ -131,6 +135,90 @@ def test_proto_spark_type_mapping():
     assert t["uid"].dataType.simpleString() == "bigint"
     assert t["xs"].dataType.simpleString() == "array<int>"
     assert t["inner"].dataType.simpleString() == "struct<z:bigint>"
+
+
+PROTO_ENUM = """
+syntax = "proto3";
+enum Color { UNKNOWN = 0; RED = 1; BLUE = 2; }
+message Paint {
+  string name = 1;
+  Color color = 2;
+  repeated Color history = 3;
+}
+"""
+
+
+def test_proto_enum_roundtrip_symbols_and_default():
+    """Enums decode to symbol strings (schema_protobuf.cc handles enums;
+    same mapping as Avro); absent enum fields fill the zero symbol."""
+    sch = parse_proto(PROTO_ENUM)
+    payload = encode_message(sch, "Paint", {"name": "a", "color": "BLUE", "history": ["RED", "BLUE"]})
+    got = decode_message(sch, "Paint", payload)
+    assert got["color"] == "BLUE" and got["history"] == ["RED", "BLUE"]
+    # ints accepted on encode; unknown numbers decode to their str
+    p2 = encode_message(sch, "Paint", {"name": "b", "color": 2})
+    assert decode_message(sch, "Paint", p2)["color"] == "BLUE"
+    # absent enum → proto3 default (first symbol)
+    p3 = encode_message(sch, "Paint", {"name": "c"})
+    assert decode_message(sch, "Paint", p3)["color"] == "UNKNOWN"
+    # spark type: enum → string
+    t = proto_spark_type(sch, "Paint")
+    assert t["color"].dataType.simpleString() == "string"
+    assert t["history"].dataType.simpleString() == "array<string>"
+
+
+PROTO_MAP_ONEOF = """
+syntax = "proto3";
+message Sub { int64 z = 1; }
+message M {
+  map<string, int64> counts = 1;
+  map<int32, Sub> subs = 2;
+  oneof pick { string s = 3; int64 n = 4; }
+  optional int64 maybe = 5;
+  int64 plain = 6;
+}
+"""
+
+
+def test_proto_map_roundtrip_and_spark_type():
+    """Maps encode as repeated key/value entry messages and decode to
+    dicts (schema_protobuf.cc handles maps); spark type is MapType."""
+    sch = parse_proto(PROTO_MAP_ONEOF)
+    v = {"counts": {"a": 1, "b": -2}, "subs": {7: {"z": 9}}, "plain": 3}
+    got = decode_message(sch, "M", encode_message(sch, "M", v))
+    assert got["counts"] == {"a": 1, "b": -2}
+    assert got["subs"] == {7: {"z": 9}}
+    assert got["plain"] == 3
+    t = proto_spark_type(sch, "M")
+    assert t["counts"].dataType.simpleString() == "map<string,bigint>"
+    assert t["subs"].dataType.simpleString() == "map<int,struct<z:bigint>>"
+    # absent map → {}
+    got2 = decode_message(sch, "M", encode_message(sch, "M", {"plain": 1}))
+    assert got2["counts"] == {} and got2["subs"] == {}
+
+
+def test_proto_oneof_and_optional_presence():
+    """oneof members and `optional` fields keep explicit presence: absent
+    → None (never a filled default); whichever oneof member arrived
+    decodes."""
+    sch = parse_proto(PROTO_MAP_ONEOF)
+    got = decode_message(sch, "M", encode_message(sch, "M", {"s": "x"}))
+    assert got["s"] == "x" and got["n"] is None
+    assert got["maybe"] is None  # optional: explicit presence
+    assert got["plain"] == 0  # implicit presence: proto3 default
+    got2 = decode_message(sch, "M", encode_message(sch, "M", {"n": -5, "maybe": 0}))
+    assert got2["n"] == -5 and got2["s"] is None
+    assert got2["maybe"] == 0  # explicitly written zero survives
+
+
+def test_proto_packed_wiretype_mismatch_raises_value_error():
+    """A malformed stream putting wire type 2 on a non-repeated varint
+    field must raise ValueError (capability-ladder contract), not fall
+    into the packed-repeated branch and AttributeError."""
+    sch = parse_proto('syntax = "proto3"; message M { int64 a = 1; }')
+    # tag: field 1, wire type 2; length 1; one byte
+    with pytest.raises(ValueError, match="non-repeated"):
+        decode_message(sch, "M", bytes([0x0A, 0x01, 0x00]))
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +385,57 @@ def test_write_datalake_snapshot_time_travel(spark, tmp_path):
     assert read_datalake(spark, out, snapshot_id=1).count() == 3  # time travel
     with pytest.raises(ValueError):
         read_datalake(spark, out, snapshot_id=9)
+
+
+def test_expire_snapshots_gc_and_time_travel_error(spark, tmp_path):
+    """Write 3 snapshots, expire to 1: expired ids raise a clear error,
+    the live read is unchanged, and data files referenced only by expired
+    snapshots are physically deleted (Iceberg expire_snapshots +
+    remove_orphan_files analog)."""
+    from redpanda_spark.sources.datalake import expire_snapshots
+
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    out = str(tmp_path / "lake3")
+
+    def snap(vals):
+        typed = translate_avro_topic(
+            _log_df(spark, [avro_encode(sch, v) for v in vals]), sch
+        ).drop("redpanda")
+        write_datalake(typed, out)
+
+    snap([{"a": i, "b": "s1"} for i in range(3)])
+    snap([{"a": 10 + i, "b": "s2"} for i in range(2)])
+    snap([{"a": 20 + i, "b": "s3"} for i in range(2)])
+    assert read_datalake(spark, out).count() == 7
+    def n_data_files():
+        return len(
+            [
+                p
+                for _r, _d, ns in os.walk(out)
+                for p in ns
+                if not p.startswith(("_", "."))
+            ]
+        )
+
+    n_files_before = n_data_files()
+
+    stats = expire_snapshots(spark, out, keep_last=1)
+    assert stats["expired"] == 2 and stats["deleted_files"] == 0
+    # snapshots are cumulative file lists, so expiring keeps every file
+    # still referenced by the latest — the live read is unchanged
+    assert read_datalake(spark, out).count() == 7
+    with pytest.raises(ValueError, match="expired"):
+        read_datalake(spark, out, snapshot_id=1)
+
+    # overwrite: old files deleted, prior ids expired with a clear error
+    typed = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch, {"a": 99, "b": "ow"})]), sch
+    ).drop("redpanda")
+    write_datalake(typed, out, mode="overwrite")
+    assert read_datalake(spark, out).count() == 1
+    with pytest.raises(ValueError, match="expired"):
+        read_datalake(spark, out, snapshot_id=3)
+    assert n_data_files() < n_files_before  # overwrite GC'd the old data
 
 
 def test_translate_avro_streaming(spark, tmp_path):
