@@ -495,6 +495,135 @@ def translate_proto_topic(
     )
 
 
+def export_topic(
+    engine,
+    topic: str,
+    path: str,
+    *,
+    registry=None,
+    subject: str | None = None,
+    json_schema=None,
+    avro_schema: str | None = None,
+    proto_text: str | None = None,
+    msg_name: str | None = None,
+    wire_framed: bool = True,
+    mode: str = "append",
+) -> list[str]:
+    """One-shot topic → datalake export: translate the committed log with
+    the selected decoder and commit one snapshot (the reference's datalake
+    coordinator in batch form — record_translator + iceberg_file_committer
+    glued over TopicEngine). Decoder precedence: registry+subject
+    (per-record schema-id dispatch) > avro_schema > proto_text >
+    json_schema."""
+    typed = _translate_any(
+        engine.log(topic),
+        registry=registry,
+        subject=subject,
+        json_schema=json_schema,
+        avro_schema=avro_schema,
+        proto_text=proto_text,
+        msg_name=msg_name,
+        wire_framed=wire_framed,
+    )
+    return write_datalake(typed, path, mode=mode)
+
+
+def export_topic_stream(
+    engine,
+    topic: str,
+    path: str,
+    checkpoint: str,
+    *,
+    registry=None,
+    subject: str | None = None,
+    json_schema=None,
+    avro_schema: str | None = None,
+    proto_text: str | None = None,
+    msg_name: str | None = None,
+    wire_framed: bool = True,
+    trigger_available_now: bool = False,
+):
+    """Continuous topic → datalake export (the reference's datalake mode:
+    `datalake/coordinator/` drains partitions into Iceberg continuously).
+    Structured Streaming over the topic files; each micro-batch commits
+    one snapshot whose metadata records the batch id, and a replayed
+    batch (crash between snapshot commit and checkpoint advance) is
+    SKIPPED when its id already committed — exactly-once table commits
+    over the at-least-once foreachBatch contract, the same
+    offset-tracking idea the reference's coordinator persists."""
+    stream = engine.log_stream(topic)
+    typed = _translate_any(
+        stream,
+        registry=registry,
+        subject=subject,
+        json_schema=json_schema,
+        avro_schema=avro_schema,
+        proto_text=proto_text,
+        msg_name=msg_name,
+        wire_framed=wire_framed,
+    )
+
+    writer = typed.writeStream.foreachBatch(
+        lambda batch_df, batch_id: commit_stream_batch(path, batch_df, batch_id)
+    ).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def commit_stream_batch(path: str, batch_df: DataFrame, batch_id: int) -> bool:
+    """foreachBatch sink body: commit one snapshot per micro-batch unless
+    this batch id already committed (crash-replay between the snapshot
+    commit and the checkpoint advance). Returns whether a commit
+    happened."""
+    last = last_snapshot_meta(batch_df.sparkSession, path)
+    if last is not None and last.get("batch_id") == batch_id:
+        return False  # replayed micro-batch: snapshot already committed
+    write_datalake(batch_df, path, meta={"batch_id": batch_id})
+    return True
+
+
+def _translate_any(
+    log: DataFrame,
+    *,
+    registry=None,
+    subject: str | None = None,
+    json_schema=None,
+    avro_schema: str | None = None,
+    proto_text: str | None = None,
+    msg_name: str | None = None,
+    wire_framed: bool = True,
+) -> DataFrame:
+    if registry is not None and subject is not None:
+        return translate_topic(log, registry, subject)
+    if avro_schema is not None:
+        return translate_avro_topic(log, avro_schema, wire_framed=wire_framed)
+    if proto_text is not None:
+        if msg_name is None:
+            raise ValueError("proto_text requires msg_name")
+        return translate_proto_topic(
+            log, proto_text, msg_name, wire_framed=wire_framed
+        )
+    if json_schema is not None:
+        return translate_json_topic(log, json_schema)
+    raise ValueError("no decoder selected: pass registry+subject or a schema")
+
+
+def last_snapshot_meta(spark, path: str) -> dict | None:
+    """Metadata dict of the latest committed snapshot (None when the table
+    or manifest doesn't exist yet)."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    manifest = os.path.join(path, "_manifest.json")
+    if not fs.exists(manifest):
+        return None
+    snaps = _load_lake_manifest(fs, manifest)["snapshots"]
+    if not snaps:
+        return None
+    return snaps[-1].get("meta", {})
+
+
 def _load_lake_manifest(fs, manifest: str) -> dict:
     m = json.loads(fs.read_text(manifest))
     if "snapshots" not in m and "files" in m:  # migrate v1 single-snapshot
@@ -505,7 +634,11 @@ def _load_lake_manifest(fs, manifest: str) -> dict:
 
 
 def write_datalake(
-    df: DataFrame, path: str, mode: str = "append", fmt: str = "parquet"
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    fmt: str = "parquet",
+    meta: dict | None = None,
 ) -> list[str]:
     """Hour-partitioned table write with snapshot semantics.
 
@@ -551,7 +684,10 @@ def write_datalake(
     next_id = max(
         [s["id"] for s in snapshots] + expired + [0]
     ) + 1
-    snapshots.append({"id": next_id, "files": files})
+    snap: dict = {"id": next_id, "files": files}
+    if meta:
+        snap["meta"] = meta  # e.g. streaming batch_id for replay skipping
+    snapshots.append(snap)
     fs.write_text_atomic(
         manifest, json.dumps({"format": fmt, "snapshots": snapshots, "expired": expired})
     )

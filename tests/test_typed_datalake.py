@@ -438,6 +438,77 @@ def test_expire_snapshots_gc_and_time_travel_error(spark, tmp_path):
     assert n_data_files() < n_files_before  # overwrite GC'd the old data
 
 
+def test_export_topic_batch_roundtrip(spark, tmp_path):
+    """TopicEngine → translate → snapshot commit → snapshot read: the
+    datalake coordinator's batch form, end to end."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+    from redpanda_spark.sources.datalake import export_topic
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("ex", TopicConfig(partitions=2))
+    import json as _json
+
+    vals = [
+        Row(key=str(i).encode(), value=_json.dumps({"a": i, "b": f"v{i}"}).encode())
+        for i in range(8)
+    ]
+    eng.produce("ex", spark.createDataFrame(vals, "key binary, value binary"))
+    lake = str(tmp_path / "lake")
+    files = export_topic(eng, "ex", lake, json_schema="a long, b string")
+    assert files
+    got = read_datalake(spark, lake)
+    assert sorted((r["a"], r["b"]) for r in got.collect()) == [
+        (i, f"v{i}") for i in range(8)
+    ]
+    assert "redpanda" in got.columns and "_hour" in got.columns
+
+
+def test_export_topic_stream_commits_batch_snapshots(spark, tmp_path):
+    """Streaming export: each micro-batch commits a snapshot carrying its
+    batch id; a replayed batch id is skipped (exactly-once table commits
+    over foreachBatch's at-least-once contract)."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+    from redpanda_spark.sources.datalake import (
+        export_topic_stream,
+        last_snapshot_meta,
+    )
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("exs", TopicConfig(partitions=2))
+    import json as _json
+
+    vals = [
+        Row(key=str(i).encode(), value=_json.dumps({"a": i, "b": f"v{i}"}).encode())
+        for i in range(6)
+    ]
+    eng.produce("exs", spark.createDataFrame(vals, "key binary, value binary"))
+    lake = str(tmp_path / "lake_s")
+    q = export_topic_stream(
+        eng,
+        "exs",
+        lake,
+        str(tmp_path / "ckpt"),
+        json_schema="a long, b string",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = read_datalake(spark, lake)
+    assert sorted(r["a"] for r in got.collect()) == list(range(6))
+    meta = last_snapshot_meta(spark, lake)
+    assert meta is not None and "batch_id" in meta
+
+    # replaying the same batch id through the sink must be a no-op; a new
+    # id commits (exactly-once guard)
+    from redpanda_spark.sources.datalake import commit_stream_batch
+
+    n_before = got.count()
+    replay = got.drop("redpanda").limit(2)
+    assert commit_stream_batch(lake, replay, meta["batch_id"]) is False
+    assert read_datalake(spark, lake).count() == n_before
+    assert commit_stream_batch(lake, replay, meta["batch_id"] + 1) is True
+    assert read_datalake(spark, lake).count() == n_before + 2
+
+
 def test_translate_avro_streaming(spark, tmp_path):
     """The typed translation must compose with Structured Streaming (the
     reference's datalake path is continuous): file stream -> decode ->
