@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 5
     "datalake_translate_registry",
+    "decontaminate",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

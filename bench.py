@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram",
+    "decontaminate",
     "ann_topk",
     "curation_pipeline",
     "transform_fanout",

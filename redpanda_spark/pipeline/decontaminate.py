@@ -1,0 +1,98 @@
+"""Benchmark-contamination detection for training corpora.
+
+A training document is contaminated when it shares at least one word
+n-gram with an evaluation/benchmark document — the n-gram overlap rule
+published in the GPT-3 / PaLM / Llama data cards (typically n = 8..13).
+Alongside dedup this is the other mandatory hygiene pass of a 100 TB
+training-data pipeline: eval answers leaking into the corpus inflate
+benchmark scores, so the corpus must be swept against every eval suite
+before training.
+
+Spark shape: explode each side's DISTINCT n-grams and equi-join on the
+gram. The shuffle carries (gram, id) pairs only — never document
+payloads — and the benchmark side is a tiny dimension in practice (eval
+suites are megabytes against a 100 TB corpus), so Catalyst broadcasts it
+and the corpus side streams through a hash probe with NO shuffle at all.
+For corpus-vs-corpus sweeps, join on xxhash64(gram) instead to shrink
+the shuffle width (64-bit hashes vs full gram strings); exact strings
+are kept here for byte-parity with the SQL oracle.
+
+Documents with fewer than n tokens cannot be flagged by n-gram overlap
+and are excluded (no whole-text fallback — a 3-token document equalling
+a benchmark is a different, exact-match check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.text import tokens, word_shingles
+
+
+def _grams(df: DataFrame, n: int, text_col: str, id_col: str, out_id: str) -> DataFrame:
+    return (
+        df.where(F.size(tokens(F.col(text_col))) >= n)
+        .select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+                "gram"
+            ),
+        )
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    broadcast_benchmarks: bool = True,
+) -> DataFrame:
+    """(doc_id, bench_id, common_ngrams) for every contaminated pair —
+    one row per (training doc, benchmark doc) sharing >= 1 n-gram, with
+    the count of distinct shared grams (the evidence strength).
+
+    The benchmark gram side is broadcast EXPLICITLY: explode defeats
+    Catalyst's size estimation, so the static plan would otherwise
+    sort-merge-join (shuffling every corpus gram). Pass
+    broadcast_benchmarks=False for corpus-vs-corpus sweeps where the
+    right side is genuinely large."""
+    dg = _grams(docs, n, text_col, id_col, "doc_id")
+    bg = _grams(
+        benchmarks,
+        n,
+        bench_text_col or text_col,
+        bench_id_col or id_col,
+        "bench_id",
+    )
+    if broadcast_benchmarks:
+        bg = F.broadcast(bg)
+    return (
+        dg.join(bg, "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """The clean corpus: docs minus everything contamination_pairs flags
+    (anti-join on the flagged id set — one narrow pass over the corpus,
+    the flagged set is candidate-sized)."""
+    flagged = contamination_pairs(
+        docs, benchmarks, n, text_col, id_col, bench_text_col, bench_id_col
+    ).select("doc_id").distinct()
+    return docs.join(
+        flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

@@ -2580,6 +2580,51 @@ ORACLES.update({"datalake_translate_registry": SQL_DATALAKE_TRANSLATE_REGISTRY})
 
 
 # --------------------------------------------------------------------------
+# Catalog 16: benchmark decontamination (training-data hygiene — n-gram
+# overlap rule of the GPT-3/PaLM/Llama data cards). Benchmarks = the
+# doc_id % 17 == 0 subset standing in for an eval suite; self-pairs
+# excluded.
+# --------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Contamination sweep: every (training doc, benchmark doc) pair
+    sharing >= 1 distinct word 3-gram, with the shared-gram count. The
+    benchmark side broadcasts (tiny dimension), so the corpus side
+    streams through a hash probe shuffle-free."""
+    from redpanda_spark.pipeline.decontaminate import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    pairs = contamination_pairs(docs, bench, n=3)
+    return pairs.where(F.col("doc_id") != F.col("bench_id")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("common_ngrams").cast("long").alias("common_ngrams"),
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
+  FROM toks WHERE len(toks) >= 3)
+SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS common_ngrams
+FROM g d JOIN g b ON d.gram = b.gram
+WHERE b.doc_id % 17 = 0 AND d.doc_id != b.doc_id
+GROUP BY d.doc_id, b.doc_id
+"""
+
+QUERIES.update({"decontaminate": q_decontaminate})
+ORACLES.update({"decontaminate": SQL_DECONTAMINATE})
+
+
+# --------------------------------------------------------------------------
 # Catalog 15: remaining TPC-H query shapes (Q2/Q9/Q11/Q16/Q20/Q21/Q22
 # analogs) — the testdata has no partsupp table, so the part-supplier
 # relation derives from lineitem (distinct (l_partkey, l_suppkey), unit

@@ -114,3 +114,51 @@ def test_redact_idempotent(spark):
     once = df.select(redact_pii("s").alias("r"))
     twice = once.select(redact_pii("r").alias("r"))
     assert once.first()["r"] == twice.first()["r"] == "x [PII] y"
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    from pyspark.sql import Row
+
+    from redpanda_spark.pipeline.decontaminate import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely unrelated training text here today"),
+            Row(doc_id=3, text="short one"),  # < n tokens: can't be flagged
+        ]
+    )
+    bench = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="question: the quick brown fox jumps where"),
+            Row(doc_id=101, text="no overlap with anything at all whatsoever"),
+        ]
+    )
+    pairs = contamination_pairs(docs, bench, n=3).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in pairs} == {(1, 100)}
+    # "the quick brown", "quick brown fox", "brown fox jumps" = 3 shared
+    assert pairs[0]["common_ngrams"] == 3
+
+    clean = decontaminate(docs, bench, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The tiny benchmark side must broadcast — the corpus side then
+    streams through a hash probe without shuffling document grams."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.pipeline.decontaminate import contamination_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i}") for i in range(50)]
+    )
+    bench = spark.createDataFrame([Row(doc_id=0, text="alpha beta gamma delta x")])
+    plan = contamination_pairs(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
