@@ -37,6 +37,7 @@ _PRIORITY = [
     # new in round 5
     "datalake_translate_registry",
     "decontaminate",
+    "doc_repetition",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -2624,6 +2624,52 @@ QUERIES.update({"decontaminate": q_decontaminate})
 ORACLES.update({"decontaminate": SQL_DECONTAMINATE})
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher repetition quality signals per document (Rae et al. 2021
+    filter rules): duplicate-token fraction, top-2-gram dominance,
+    duplicate-5-gram fraction — all-JVM, one scan."""
+    from redpanda_spark.functions.text import repetition_metrics, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics("text")
+    return (
+        docs.where(F.size(tokens(F.col("text"))) >= 5)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(m["dup_token_frac"], 6).alias("dup_token_frac"),
+            F.round(m["top_2gram_frac"], 6).alias("top_2gram_frac"),
+            F.round(m["dup_5gram_frac"], 6).alias("dup_5gram_frac"),
+        )
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, toks,
+    list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+    list_transform(range(len(toks) - 4),
+      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+           toks[i+4] || ' ' || toks[i+5]) AS g5
+  FROM t WHERE len(toks) >= 5)
+SELECT doc_id,
+  ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac,
+  ROUND(CAST(list_max(list_transform(list_distinct(g2),
+      d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2), 6) AS top_2gram_frac,
+  ROUND(CAST(list_sum(list_transform(list_distinct(g5),
+      d -> CASE WHEN len(list_filter(g5, x -> x = d)) > 1
+                THEN len(list_filter(g5, x -> x = d)) ELSE 0 END)) AS DOUBLE)
+        / len(g5), 6) AS dup_5gram_frac
+FROM g
+"""
+
+QUERIES.update({"doc_repetition": q_doc_repetition})
+ORACLES.update({"doc_repetition": SQL_DOC_REPETITION})
+
+
 # --------------------------------------------------------------------------
 # Catalog 15: remaining TPC-H query shapes (Q2/Q9/Q11/Q16/Q20/Q21/Q22
 # analogs) — the testdata has no partsupp table, so the part-supplier

@@ -124,3 +124,27 @@ def test_vector_math(spark):
     assert r["d"] == 32.0
     expected = 32.0 / (math.sqrt(14) * math.sqrt(77))
     assert abs(r["c"] - expected) < 1e-12
+
+
+def test_repetition_metrics_known_values(spark):
+    """Gopher repetition signals against hand-computed fractions."""
+    from redpanda_spark.functions.text import repetition_metrics
+
+    # toks: [a b a b a c] -> 6 tokens, 3 distinct -> dup_token = 0.5
+    # 2-grams: "a b","b a","a b","b a","a c" -> top "a b" 2/5 = 0.4
+    df = spark.createDataFrame([("a b a b a c",)], "text string")
+    m = repetition_metrics("text")
+    r = df.select(
+        F.round(m["dup_token_frac"], 6).alias("dt"),
+        F.round(m["top_2gram_frac"], 6).alias("t2"),
+        F.round(m["dup_5gram_frac"], 6).alias("d5"),
+    ).first()
+    assert r["dt"] == 0.5
+    assert r["t2"] == 0.4
+    assert r["d5"] == 0.0  # both 5-grams ("a b a b a","b a b a c") unique
+
+    # fully repeated: every 5-gram identical -> dup_5gram_frac = 1.0
+    df2 = spark.createDataFrame([("x x x x x x x x",)], "text string")
+    r2 = df2.select(F.round(m["dup_5gram_frac"], 6).alias("d5"),
+                    F.round(m["top_2gram_frac"], 6).alias("t2")).first()
+    assert r2["d5"] == 1.0 and r2["t2"] == 1.0
