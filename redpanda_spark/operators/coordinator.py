@@ -17,8 +17,8 @@ group deletion (`group_manager.cc` checkpoint on state change) — and
 recovered by a keep-latest replay on construction
 (`group_recovery_consumer.cc`). Heartbeats stay in memory only (the
 reference also never logs heartbeats); recovered members get a fresh
-session-timeout window. Assignment strategies (range / roundrobin) are
-pure functions, mirroring Kafka's client-side assignors.
+session-timeout window. Assignment strategies (range / roundrobin /
+sticky) are pure functions, mirroring Kafka's client-side assignors.
 """
 
 from __future__ import annotations
@@ -52,7 +52,9 @@ class Member:
 
 
 def range_assign(
-    members: dict[str, list[str]], topic_partitions: dict[str, int]
+    members: dict[str, list[str]],
+    topic_partitions: dict[str, int],
+    previous: dict[str, dict[str, list[int]]] | None = None,
 ) -> dict[str, dict[str, list[int]]]:
     """Kafka RangeAssignor: per topic, sort members, split the partition
     space into contiguous ranges (first members get the remainder)."""
@@ -74,7 +76,9 @@ def range_assign(
 
 
 def roundrobin_assign(
-    members: dict[str, list[str]], topic_partitions: dict[str, int]
+    members: dict[str, list[str]],
+    topic_partitions: dict[str, int],
+    previous: dict[str, dict[str, list[int]]] | None = None,
 ) -> dict[str, dict[str, list[int]]]:
     """Kafka RoundRobinAssignor: all (topic, partition) pairs sorted, dealt
     one at a time to eligible members in member-sorted order."""
@@ -96,7 +100,71 @@ def roundrobin_assign(
     return out
 
 
-ASSIGNORS = {"range": range_assign, "roundrobin": roundrobin_assign}
+def sticky_assign(
+    members: dict[str, list[str]],
+    topic_partitions: dict[str, int],
+    previous: dict[str, dict[str, list[int]]] | None = None,
+) -> dict[str, dict[str, list[int]]]:
+    """Kafka StickyAssignor (KIP-54): keep each member's prior partitions
+    wherever still valid (member alive, still subscribed, partition still
+    exists), hand unowned partitions to the least-loaded eligible member,
+    then move partitions from overloaded to underloaded members until
+    loads differ by at most one where subscriptions allow. Revocations
+    are minimized: ownership changes only to restore validity or balance
+    — the property that keeps consumer-side state (caches, in-flight
+    work) alive across rebalances."""
+    previous = previous or {}
+    owner: dict[tuple[str, int], str] = {}
+    for m in sorted(previous):
+        if m not in members:
+            continue
+        for t, parts in previous[m].items():
+            if t not in members[m]:
+                continue
+            for p in parts:
+                if p < topic_partitions.get(t, 0) and (t, p) not in owner:
+                    owner[(t, p)] = m
+    load = {m: 0 for m in members}
+    for m in owner.values():
+        load[m] += 1
+    all_pairs = [
+        (t, p) for t in sorted(topic_partitions) for p in range(topic_partitions[t])
+    ]
+    for t, p in all_pairs:
+        if (t, p) in owner:
+            continue
+        elig = [m for m in members if t in members[m]]
+        if not elig:
+            continue
+        m = min(elig, key=lambda x: (load[x], x))
+        owner[(t, p)] = m
+        load[m] += 1
+    # each move strictly lowers load spread, so this terminates
+    moved = True
+    while moved:
+        moved = False
+        for t, p in all_pairs:
+            m = owner.get((t, p))
+            if m is None:
+                continue
+            elig = [x for x in members if t in members[x]]
+            best = min(elig, key=lambda x: (load[x], x))
+            if load[m] - load[best] > 1:
+                owner[(t, p)] = best
+                load[m] -= 1
+                load[best] += 1
+                moved = True
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in members}
+    for (t, p), m in sorted(owner.items()):
+        out[m].setdefault(t, []).append(p)
+    return out
+
+
+ASSIGNORS = {
+    "range": range_assign,
+    "roundrobin": roundrobin_assign,
+    "sticky": sticky_assign,
+}
 
 
 class GroupCoordinator:
@@ -285,8 +353,13 @@ class GroupCoordinator:
                         mid: m.protocols.get(self.protocol, [])
                         for mid, m in self.members.items()
                     }
+                    # pre-rebalance ownership feeds the sticky assignor;
+                    # range/roundrobin ignore it
+                    prev = {
+                        mid: dict(m.assignment) for mid, m in self.members.items()
+                    }
                     assignments = ASSIGNORS[self.protocol or "range"](
-                        subs, self.topic_partitions
+                        subs, self.topic_partitions, prev
                     )
                 for mid, a in assignments.items():
                     if mid in self.members:

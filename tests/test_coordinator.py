@@ -230,3 +230,63 @@ def test_deleted_group_stays_dead_across_recovery(spark, tmp_path):
 
     mgr2 = GroupManager({"t": 2}, engine=engine)
     assert mgr2.list_groups() == []
+
+
+def test_sticky_assignor_balance_and_coverage():
+    from redpanda_spark.operators.coordinator import sticky_assign
+
+    members = {"a": ["t1"], "b": ["t1"], "c": ["t1"]}
+    out = sticky_assign(members, {"t1": 7})
+    owned = sorted(p for a in out.values() for p in a.get("t1", []))
+    assert owned == list(range(7))  # exact cover
+    sizes = sorted(len(a.get("t1", [])) for a in out.values())
+    assert sizes == [2, 2, 3]  # balanced within one
+
+
+def test_sticky_assignor_keeps_prior_ownership():
+    from redpanda_spark.operators.coordinator import sticky_assign
+
+    members = {"a": ["t1"], "b": ["t1"]}
+    prev = sticky_assign(members, {"t1": 6})
+    # unchanged membership: identical assignment (full stickiness)
+    again = sticky_assign(members, {"t1": 6}, prev)
+    assert again == prev
+    # a third member joins: survivors keep a balanced subset of their OWN
+    # prior partitions — only the surplus moves
+    members3 = {"a": ["t1"], "b": ["t1"], "c": ["t1"]}
+    out = sticky_assign(members3, {"t1": 6}, prev)
+    sizes = {m: len(a.get("t1", [])) for m, a in out.items()}
+    assert sorted(sizes.values()) == [2, 2, 2]
+    for m in ("a", "b"):
+        kept = set(out[m].get("t1", [])) & set(prev[m].get("t1", []))
+        assert len(kept) == 2  # every retained partition was already theirs
+    # member leaves: the survivor keeps ALL its prior partitions
+    out2 = sticky_assign({"a": ["t1"]}, {"t1": 6}, out)
+    assert set(out["a"].get("t1", [])) <= set(out2["a"]["t1"])
+    assert sorted(out2["a"]["t1"]) == list(range(6))
+
+
+def test_sticky_assignor_subscription_validity():
+    from redpanda_spark.operators.coordinator import sticky_assign
+
+    # b unsubscribed from t1: its prior t1 partitions must move
+    prev = {"a": {"t1": [0, 1]}, "b": {"t1": [2, 3]}}
+    out = sticky_assign({"a": ["t1"], "b": ["t2"]}, {"t1": 4, "t2": 2}, prev)
+    assert sorted(out["a"]["t1"]) == [0, 1, 2, 3]
+    assert sorted(out["b"]["t2"]) == [0, 1]
+
+
+def test_group_lifecycle_with_sticky_protocol():
+    g = GroupCoordinator("gs", TP)
+    r1 = g.join_group(None, {"sticky": ["t1"]})
+    g.sync_group(r1["member_id"], 1)
+    a1_gen1 = dict(g.members[r1["member_id"]].assignment)
+    r2 = g.join_group(None, {"sticky": ["t1"]})
+    g.join_group(r1["member_id"], {"sticky": ["t1"]})
+    a1 = g.sync_group(r1["member_id"], 2)
+    a2 = g.sync_group(r2["member_id"], 2)
+    assert g.protocol == "sticky"
+    owned = sorted(a1.get("t1", []) + a2.get("t1", []))
+    assert owned == [0, 1, 2, 3, 4, 5]
+    # member 1 only kept partitions it already had (sticky, not reshuffle)
+    assert set(a1["t1"]) <= set(a1_gen1["t1"])
