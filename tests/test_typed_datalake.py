@@ -307,6 +307,37 @@ def test_translate_topic_proto_subject(spark):
     assert sorted((r["a"], r["b"]) for r in out) == [(i, f"v{i}") for i in range(3)]
 
 
+def test_translate_topic_streaming(spark, tmp_path):
+    """Registry dispatch composes with Structured Streaming (the
+    reference's datalake path is continuous): the id→schema map rides the
+    UDF closure into the stream."""
+    import uuid
+
+    from redpanda_spark.registry.store import SchemaRegistry
+    from redpanda_spark.sources.datalake import translate_topic
+
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"}]}'
+    reg = SchemaRegistry()
+    sid = reg.register("st-value", sch, "AVRO")
+    src = str(tmp_path / "src_reg")
+    _log_df(
+        spark,
+        [SchemaRegistry.wire_encode(sid, avro_encode(sch, {"a": i})) for i in range(5)],
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    typed = translate_topic(stream, reg, "st-value").drop("redpanda")
+    name = "r" + uuid.uuid4().hex[:10]
+    q = (
+        typed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["a"] for r in spark.table(name).collect()) == list(range(5))
+
+
 def test_translate_avro_jvm_fast_path_parity(spark):
     """When spark-avro is loadable, the JVM from_avro path must agree with
     the Python codec path on identical wire bytes (schema_avro.cc decodes
