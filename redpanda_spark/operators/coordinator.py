@@ -49,6 +49,10 @@ class Member:
     session_timeout_s: float = 30.0
     last_heartbeat: float = field(default_factory=time.monotonic)
     assignment: dict[str, list[int]] = field(default_factory=dict)
+    # KIP-345 static membership: a stable application-level identity that
+    # survives process restarts (group.h `group_instance_id`); None =
+    # dynamic member
+    group_instance_id: str | None = None
 
 
 def range_assign(
@@ -184,6 +188,8 @@ class GroupCoordinator:
         self.leader: str | None = None
         self.protocol: str | None = None
         self.members: dict[str, Member] = {}
+        # KIP-345: group_instance_id -> current member_id binding
+        self._static: dict[str, str] = {}
         self._next_member = 0
         self._pending_sync: set[str] = set()
         # persistence hook: called with self at the reference's checkpoint
@@ -205,6 +211,7 @@ class GroupCoordinator:
                     "protocols": m.protocols,
                     "session_timeout_s": m.session_timeout_s,
                     "assignment": m.assignment,
+                    "group_instance_id": m.group_instance_id,
                 }
                 for mid, m in self.members.items()
             },
@@ -235,6 +242,9 @@ class GroupCoordinator:
                 md.get("session_timeout_s", 30.0),
             )
             m.assignment = {t: list(ps) for t, ps in md.get("assignment", {}).items()}
+            m.group_instance_id = md.get("group_instance_id")
+            if m.group_instance_id is not None:
+                g._static[m.group_instance_id] = mid
             g.members[mid] = m
         if g.state == GroupState.PREPARING_REBALANCE:
             g._pending_sync = set(g.members)
@@ -251,15 +261,35 @@ class GroupCoordinator:
         member_id: str | None,
         protocols: dict[str, list[str]],
         session_timeout_s: float = 30.0,
+        group_instance_id: str | None = None,
     ) -> dict:
         """Admit/rejoin a member; moves the group to PreparingRebalance and,
         once all known members have (re)joined, to CompletingRebalance.
+
+        Static membership (KIP-345, `group.cc` update_static_member path):
+        a joiner carrying a known ``group_instance_id`` and no member_id is
+        a restarted instance — the coordinator swaps a fresh member_id into
+        the existing slot, keeps its assignment, and (when the group is
+        Stable and the subscription is unchanged) returns the CURRENT
+        generation without triggering a rebalance. A join that presents a
+        known instance id with a member_id that doesn't match the binding
+        is a zombie and is fenced (FENCED_INSTANCE_ID).
 
         Returns {member_id, generation, leader, protocol, is_leader,
         members (leader only)}.
         """
         if self.state == GroupState.DEAD:
             raise CoordinatorError("COORDINATOR_NOT_AVAILABLE")
+        if group_instance_id is not None:
+            bound = self._static.get(group_instance_id)
+            if bound is not None:
+                if member_id and member_id != bound:
+                    raise CoordinatorError("FENCED_INSTANCE_ID")
+                if not member_id:
+                    return self._replace_static_member(
+                        group_instance_id, bound, protocols, session_timeout_s
+                    )
+                # rejoining under its own live member_id: normal path
         # Reject joiners whose protocol list can't intersect the group's
         # (the reference rejects at join, not at completion: group.cc vote).
         others = [
@@ -275,6 +305,9 @@ class GroupCoordinator:
         m = self.members.get(member_id)
         if m is None:
             m = Member(member_id, protocols, session_timeout_s)
+            m.group_instance_id = group_instance_id
+            if group_instance_id is not None:
+                self._static[group_instance_id] = member_id
             self.members[member_id] = m
             if self.leader is None:
                 self.leader = member_id
@@ -290,6 +323,44 @@ class GroupCoordinator:
         if joined == set(self.members):
             self._complete_join()
         return self._join_response(member_id)
+
+    def _replace_static_member(
+        self,
+        group_instance_id: str,
+        old_member_id: str,
+        protocols: dict[str, list[str]],
+        session_timeout_s: float,
+    ) -> dict:
+        """Swap a restarted static instance into its existing slot under a
+        fresh member_id (Kafka GroupMetadata.replaceStaticMember). The old
+        member_id is dead from this point — any request still using it gets
+        UNKNOWN_MEMBER_ID (the zombie-fencing KIP-345 provides). Keeps the
+        slot's assignment; skips the rebalance iff the group is Stable and
+        the instance's subscription didn't change."""
+        old = self.members.pop(old_member_id)
+        new_id = f"{self.group_id}-member-{self._next_member}"
+        self._next_member += 1
+        subscription_changed = old.protocols != protocols
+        m = Member(new_id, protocols, session_timeout_s)
+        m.assignment = old.assignment
+        m.group_instance_id = group_instance_id
+        self.members[new_id] = m
+        self._static[group_instance_id] = new_id
+        if self.leader == old_member_id:
+            self.leader = new_id
+        if old_member_id in self._pending_sync:
+            self._pending_sync.discard(old_member_id)
+            self._pending_sync.add(new_id)
+        if self.state == GroupState.STABLE and not subscription_changed:
+            # the reference persists the id swap without bumping the
+            # generation — that's the whole point of static membership
+            self._checkpoint()
+            return self._join_response(new_id)
+        self._start_rebalance()
+        self._pending_sync.discard(new_id)
+        if set(self.members) - self._pending_sync == set(self.members):
+            self._complete_join()
+        return self._join_response(new_id)
 
     def _start_rebalance(self) -> None:
         self.state = GroupState.PREPARING_REBALANCE
@@ -381,9 +452,22 @@ class GroupCoordinator:
             return "REBALANCE_IN_PROGRESS"
         return "NONE"
 
+    def remove_static_member(self, group_instance_id: str) -> None:
+        """Admin removal of a static instance (the
+        AdminClient.removeMembersFromConsumerGroup path — KIP-345 static
+        members never send LeaveGroup on close, so scale-down goes through
+        this explicit call, LeaveGroup v3 with instance ids)."""
+        bound = self._static.get(group_instance_id)
+        if bound is None:
+            raise CoordinatorError("UNKNOWN_MEMBER_ID")
+        self.leave_group(bound)
+
     def leave_group(self, member_id: str) -> None:
         if member_id not in self.members:
             raise CoordinatorError("UNKNOWN_MEMBER_ID")
+        gone = self.members[member_id]
+        if gone.group_instance_id is not None:
+            self._static.pop(gone.group_instance_id, None)
         del self.members[member_id]
         self._pending_sync.discard(member_id)
         if not self.members:
@@ -427,6 +511,7 @@ class GroupCoordinator:
                 mid: {
                     "subscriptions": m.protocols.get(self.protocol or "", []),
                     "assignment": m.assignment,
+                    "group_instance_id": m.group_instance_id,
                 }
                 for mid, m in self.members.items()
             },

@@ -290,3 +290,70 @@ def test_group_lifecycle_with_sticky_protocol():
     assert owned == [0, 1, 2, 3, 4, 5]
     # member 1 only kept partitions it already had (sticky, not reshuffle)
     assert set(a1["t1"]) <= set(a1_gen1["t1"])
+
+
+def _stable_static_pair(gid="gst"):
+    """Two-member stable group: one static (instance id 'app-0'), one dynamic."""
+    g = GroupCoordinator(gid, TP)
+    r1 = g.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
+    r2 = g.join_group(None, {"range": ["t1"]})
+    g.join_group(r1["member_id"], {"range": ["t1"]}, group_instance_id="app-0")
+    g.sync_group(r1["member_id"], g.generation)
+    g.sync_group(r2["member_id"], g.generation)
+    assert g.state == GroupState.STABLE
+    return g, r1["member_id"], r2["member_id"]
+
+
+def test_static_member_rejoin_keeps_generation_and_assignment():
+    g, m1, m2 = _stable_static_pair()
+    gen, prior = g.generation, dict(g.members[m1].assignment)
+    # restart: same instance id, no member id — swapped in, NO rebalance
+    r = g.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
+    assert r["member_id"] != m1
+    assert g.generation == gen and g.state == GroupState.STABLE
+    assert g.sync_group(r["member_id"], gen) == prior
+    # the old incarnation's member id is dead
+    with pytest.raises(CoordinatorError, match="UNKNOWN_MEMBER_ID"):
+        g.heartbeat(m1, gen)
+
+
+def test_static_member_zombie_fenced():
+    g, m1, _ = _stable_static_pair("gst2")
+    with pytest.raises(CoordinatorError, match="FENCED_INSTANCE_ID"):
+        g.join_group("not-the-bound-id", {"range": ["t1"]}, group_instance_id="app-0")
+    # binding survives a failed fence attempt
+    assert g.members[m1].group_instance_id == "app-0"
+
+
+def test_static_rejoin_with_changed_subscription_rebalances():
+    g, _, _ = _stable_static_pair("gst3")
+    gen = g.generation
+    g.join_group(None, {"range": ["t1", "t2"]}, group_instance_id="app-0")
+    assert g.state == GroupState.PREPARING_REBALANCE
+    assert g.generation == gen  # bumps once the dynamic member rejoins
+
+
+def test_static_leader_rejoin_retains_leadership():
+    g = GroupCoordinator("gst4", TP)
+    r1 = g.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
+    g.sync_group(r1["member_id"], 1)
+    r = g.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
+    assert r["is_leader"] and g.leader == r["member_id"]
+
+
+def test_remove_static_member_rebalances():
+    g, _, m2 = _stable_static_pair("gst5")
+    g.remove_static_member("app-0")
+    assert set(g.members) == {m2}
+    assert g.state == GroupState.PREPARING_REBALANCE
+    with pytest.raises(CoordinatorError, match="UNKNOWN_MEMBER_ID"):
+        g.remove_static_member("app-0")
+
+
+def test_static_binding_survives_snapshot_restore():
+    g, m1, _ = _stable_static_pair("gst6")
+    g2 = GroupCoordinator.restore(g.snapshot(), TP)
+    gen = g2.generation
+    r = g2.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
+    assert r["member_id"] != m1
+    assert g2.generation == gen and g2.state == GroupState.STABLE
