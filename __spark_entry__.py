@@ -38,6 +38,7 @@ _PRIORITY = [
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",
+    "dedup_semantic",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

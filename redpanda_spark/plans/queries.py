@@ -3331,3 +3331,55 @@ ORACLES.update({
     "pipeline_redact": _redact_sql(),
     "pipeline_pack": SQL_PIPELINE_PACK,
 })
+
+
+# -- SemDedup: semantic (embedding-cluster) deduplication -------------------
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDedup verdicts with deterministic centroids (the first 12 corpus
+    vectors) so cell assignment and the intra-cell lowest-id-wins rule are
+    exactly SQL-replayable. The sample-fit k-means path
+    (semantic_dedup_kmeans) is exercised by unit tests with behavioral
+    assertions; this gate checks the dedup machinery value-for-value."""
+    import numpy as np
+
+    from redpanda_spark.dedup.semantic import semantic_dedup
+    from redpanda_spark.functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < 12)
+        .orderBy("vec_id")
+        .select(as_double("embedding").alias("v"))
+        .collect()
+    )
+    cents = np.array([r["v"] for r in cent_rows])
+    return semantic_dedup(emb, cents, tau=0.30).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "is_dup", "dup_of"
+    )
+
+
+SQL_DEDUP_SEMANTIC = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM e WHERE vec_id < 12),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, cent.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_dot_product(e.v, cent.cv), 6) DESC, cent.cell) AS rn
+    FROM e, cent) WHERE rn = 1),
+d AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+dup AS (
+  SELECT hi.vec_id AS vec_id, MIN(lo.vec_id) AS dup_of
+  FROM d hi JOIN d lo ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+  WHERE ROUND(list_dot_product(hi.v, lo.v) /
+        (sqrt(list_dot_product(hi.v, hi.v)) * sqrt(list_dot_product(lo.v, lo.v))), 6)
+        >= 0.30
+  GROUP BY hi.vec_id)
+SELECT d.vec_id, d.cell, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of
+FROM d LEFT JOIN dup USING (vec_id)
+"""
+
+QUERIES.update({"dedup_semantic": q_dedup_semantic})
+ORACLES.update({"dedup_semantic": SQL_DEDUP_SEMANTIC})

@@ -197,3 +197,47 @@ def test_fit_kmeans_deterministic_init(spark):
     a = fit_kmeans(df.repartition(2), k=4, iters=3)
     b = fit_kmeans(df.repartition(7), k=4, iters=3)
     assert np.allclose(a, b)
+
+
+def _planted_corpus(spark, seed=3):
+    """3 well-separated clusters x 20 vectors; ids 100..102 are exact
+    copies of ids 0..2 (planted semantic duplicates)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.eye(3, 8) * 10.0
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + rng.normal(0, 0.5, 8)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    for j in range(3):
+        rows.append((100 + j, rows[j][1]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_kmeans_drops_planted_copies(spark):
+    from redpanda_spark.dedup.semantic import semantic_dedup_kmeans
+
+    emb = _planted_corpus(spark)
+    out = semantic_dedup_kmeans(emb, n_cells=3, tau=0.999).collect()
+    verdict = {r["vec_id"]: r for r in out}
+    for j in range(3):
+        assert verdict[100 + j]["is_dup"] and verdict[100 + j]["dup_of"] == j
+    # nothing else is a 0.999-duplicate
+    assert sum(r["is_dup"] for r in out) == 3
+    # copies landed in the same cell as their originals
+    for j in range(3):
+        assert verdict[100 + j]["cell"] == verdict[j]["cell"]
+
+
+def test_semantic_dedup_max_cell_guard_keeps_everything(spark):
+    import numpy as np
+
+    from redpanda_spark.dedup.semantic import semantic_dedup
+
+    emb = _planted_corpus(spark)
+    cents = np.eye(3, 8)
+    # every cell is over the cap -> no pair scan, all conservatively kept
+    out = semantic_dedup(emb, cents, tau=0.999, max_cell=5)
+    assert out.where(F.col("is_dup")).count() == 0
+    assert out.count() == 63
