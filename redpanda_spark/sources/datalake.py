@@ -731,6 +731,138 @@ def expire_snapshots(spark, path: str, keep_last: int = 1) -> dict:
     return {"expired": len(dropped), "deleted_files": deleted}
 
 
+def rewrite_data_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_ratio: float = 0.75,
+) -> dict:
+    """Bin-pack small-file compaction — the Iceberg ``rewrite_data_files``
+    maintenance action (the streaming sink commits one snapshot per
+    micro-batch, so a continuously exported table accretes one small file
+    per partition per trigger; at 100 TB that's the classic lake
+    small-files problem: scan task count and manifest size grow without
+    bound).
+
+    Per hour-partition, files smaller than ``small_ratio × target`` are
+    read back and rewritten into ~target-size files; files already near
+    target are left untouched. The result is committed as a NEW snapshot
+    — rows identical, file list consolidated — while prior snapshots keep
+    their (still on disk) files, so time travel is unaffected until
+    ``expire_snapshots`` reclaims them. Crash safety mirrors the engine's
+    rewrite: new files land under unique names first and are invisible
+    until the manifest rename; a crash leaves orphans for
+    ``remove_orphan_files``. Single-writer, like every commit here.
+    """
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    manifest = os.path.join(path, "_manifest.json")
+    m = _load_lake_manifest(fs, manifest)
+    if not m["snapshots"]:
+        return {"rewritten": 0, "files_before": 0, "files_after": 0}
+    cur = m["snapshots"][-1]
+    live = cur["files"]
+
+    # group the snapshot's files by partition dir; pick the small ones
+    by_part: dict[str, list[str]] = {}
+    for f in live:
+        by_part.setdefault(os.path.dirname(f), []).append(f)
+    threshold = int(target_file_bytes * small_ratio)
+    rewrite: list[str] = []
+    for part, fl in by_part.items():
+        small = [f for f in fl if fs.getsize(os.path.join(path, f)) < threshold]
+        if len(small) >= 2:
+            rewrite.extend(small)
+    if not rewrite:
+        return {
+            "rewritten": 0,
+            "files_before": len(live),
+            "files_after": len(live),
+        }
+
+    # one job: read the small files (basePath keeps _hour), bin-pack to
+    # ~target-size outputs per partition, write to a temp dir
+    total = sum(fs.getsize(os.path.join(path, f)) for f in rewrite)
+    n_out = max(1, -(-total // target_file_bytes))
+    # temp dir is a SIBLING of the table path (like engine._rewrite) so
+    # table-path listings never see half-written files, even after a crash
+    tmp = fs.normalize(path).rstrip("/") + ".rewrite.tmp"
+    fs.delete(tmp, recursive=True)
+    df = (
+        spark.read.format(m.get("format", "parquet"))
+        .option("basePath", path)
+        .load([os.path.join(path, f) for f in rewrite])
+    )
+    df.repartition(n_out, "_hour").write.mode("overwrite").partitionBy(
+        "_hour"
+    ).format(m.get("format", "parquet")).save(tmp)
+
+    # move the new files into their partition dirs under unique names;
+    # they stay invisible until the manifest commit below
+    next_id = max([s["id"] for s in m["snapshots"]] + m["expired"] + [0]) + 1
+    new_rel: list[str] = []
+    tmp_root = fs.normalize(tmp)
+    for p in sorted(fs.list_files_recursive(tmp)):
+        rel = os.path.relpath(p, tmp_root)
+        dest_rel = os.path.join(
+            os.path.dirname(rel), f"compact-{next_id}-{os.path.basename(rel)}"
+        )
+        dest = os.path.join(path, dest_rel)
+        fs.mkdirs(os.path.dirname(dest))
+        fs.rename(p, dest)
+        new_rel.append(dest_rel)
+    fs.delete(tmp, recursive=True)
+
+    gone = set(rewrite)
+    files = sorted([f for f in live if f not in gone] + new_rel)
+    m["snapshots"].append(
+        {"id": next_id, "files": files, "meta": {"rewrite_of": cur["id"]}}
+    )
+    fs.write_text_atomic(
+        manifest,
+        json.dumps(
+            {
+                "format": m.get("format", "parquet"),
+                "snapshots": m["snapshots"],
+                "expired": m["expired"],
+            }
+        ),
+    )
+    return {
+        "rewritten": len(rewrite),
+        "files_before": len(live),
+        "files_after": len(files),
+        "snapshot_id": next_id,
+    }
+
+
+def remove_orphan_files(spark, path: str) -> dict:
+    """Delete data files referenced by NO snapshot — debris from a crash
+    between a rewrite/write and its manifest commit (Iceberg
+    ``remove_orphan_files``). Safe under the single-writer model: any
+    file a concurrent commit is about to reference would already be in
+    the manifest it reads."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    root = fs.normalize(path)
+    manifest = os.path.join(path, "_manifest.json")
+    m = _load_lake_manifest(fs, manifest)
+    live = {f for s in m["snapshots"] for f in s["files"]}
+    # crashed-rewrite temp dir (sibling of the table path)
+    fs.delete(root.rstrip("/") + ".rewrite.tmp", recursive=True)
+    deleted = 0
+    # list_files_recursive already excludes metadata basenames
+    # (_manifest.json, _SUCCESS, dotfiles)
+    for p in fs.list_files_recursive(path):
+        rel = os.path.relpath(p, root)
+        if rel not in live:
+            fs.delete(p)
+            deleted += 1
+    return {"deleted_files": deleted}
+
+
 def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
     """Snapshot read: only files listed in the committed manifest.
 

@@ -564,3 +564,50 @@ def test_translate_avro_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table(name).collect()
     assert sorted((r["a"], r["b"]) for r in rows) == [(i, f"v{i}") for i in range(5)]
+
+
+def test_rewrite_data_files_binpacks_and_preserves_rows(spark, tmp_path):
+    """5 append snapshots -> many small files; rewrite_data_files commits a
+    consolidated snapshot with identical rows, old snapshots still
+    time-travelable until expired, orphan GC cleans a crashed tmp dir."""
+    from redpanda_spark.sources.datalake import (
+        remove_orphan_files,
+        rewrite_data_files,
+    )
+
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    out = str(tmp_path / "lake4")
+    for s in range(5):
+        typed = translate_avro_topic(
+            _log_df(spark, [avro_encode(sch, {"a": s * 10 + i, "b": "x"}) for i in range(4)]),
+            sch,
+        ).drop("redpanda")
+        write_datalake(typed, out)
+
+    before = read_datalake(spark, out)
+    rows_before = sorted(r["a"] for r in before.select("a").collect())
+    stats = rewrite_data_files(spark, out, target_file_bytes=1 << 20)
+    assert stats["rewritten"] >= 2
+    assert stats["files_after"] < stats["files_before"]
+
+    after = read_datalake(spark, out)
+    assert sorted(r["a"] for r in after.select("a").collect()) == rows_before
+    # pre-rewrite snapshot still readable (its files are still on disk)
+    assert read_datalake(spark, out, snapshot_id=5).count() == 20
+    # second rewrite is a no-op (already packed)
+    assert rewrite_data_files(spark, out, target_file_bytes=1 << 20)["rewritten"] == 0
+
+    # expire history; then orphan GC (incl. a fake crashed tmp dir) leaves
+    # the live read intact
+    expire = __import__("redpanda_spark.sources.datalake", fromlist=["expire_snapshots"])
+    expire.expire_snapshots(spark, out, keep_last=1)
+    os.makedirs(out + ".rewrite.tmp/_hour=x", exist_ok=True)
+    open(out + ".rewrite.tmp/_hour=x/part-crash.parquet", "wb").write(b"junk")
+    part_dir = next(
+        os.path.join(out, d) for d in os.listdir(out) if d.startswith("_hour=")
+    )
+    open(os.path.join(part_dir, "part-orphan2.parquet"), "wb").write(b"junk")
+    gc = remove_orphan_files(spark, out)
+    assert gc["deleted_files"] >= 1
+    assert not os.path.exists(out + ".rewrite.tmp")
+    assert sorted(r["a"] for r in read_datalake(spark, out).select("a").collect()) == rows_before
