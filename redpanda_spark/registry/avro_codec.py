@@ -71,6 +71,59 @@ def _type_of(schema: Any) -> str:
     return schema["type"]
 
 
+_PRIMITIVES = {
+    "null",
+    "boolean",
+    "int",
+    "long",
+    "float",
+    "double",
+    "bytes",
+    "string",
+}
+
+
+def resolve_names(schema: Any, names: dict | None = None) -> Any:
+    """Resolve named-type references (Avro spec "Names"): a record/enum/
+    fixed defined once may be used later by its (full) name. Returns a
+    structure-shared copy where every such string reference points at the
+    definition object — recursive schemas become shared-reference cycles,
+    which the data-driven encoder/decoder walks naturally. Define-before-
+    use order is required (same as avro-python); an unknown name raises."""
+    names = {} if names is None else names
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"undefined named type {schema}")
+    if isinstance(schema, list):
+        return [resolve_names(b, names) for b in schema]
+    t = schema.get("type")
+    out = dict(schema)
+    if t in ("record", "enum", "fixed") and "name" in schema:
+        name = schema["name"]
+        ns = schema.get("namespace")
+        # register BEFORE walking fields so self-references resolve
+        names[name] = out
+        if ns and "." not in name:
+            names[f"{ns}.{name}"] = out
+    if t == "record":
+        out["fields"] = [
+            {**f, "type": resolve_names(f["type"], names)} for f in schema["fields"]
+        ]
+    elif t == "array":
+        out["items"] = resolve_names(schema["items"], names)
+    elif t == "map":
+        out["values"] = resolve_names(schema["values"], names)
+    elif not isinstance(t, str) or (
+        t not in _PRIMITIVES and t not in ("record", "enum", "fixed")
+    ):
+        # {"type": <nested/union/named-ref>} wrapper form
+        out["type"] = resolve_names(t, names)
+    return out
+
+
 def encode_datum(schema: Any, value: Any, out: bytearray) -> None:
     t = _type_of(schema)
     if t == "union":
@@ -222,13 +275,13 @@ def decode_datum(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
 def avro_encode(schema_json: str | Any, value: Any) -> bytes:
     schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
     out = bytearray()
-    encode_datum(schema, value, out)
+    encode_datum(resolve_names(schema), value, out)
     return bytes(out)
 
 
 def avro_decode(schema_json: str | Any, payload: bytes) -> Any:
     schema = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
-    value, pos = decode_datum(schema, payload, 0)
+    value, pos = decode_datum(resolve_names(schema), payload, 0)
     if pos != len(payload):
         raise ValueError(f"trailing bytes after avro datum ({len(payload)-pos})")
     return value

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import asdict, dataclass
+from typing import Any
 
 SCHEMA_TYPES = ("AVRO", "JSON", "PROTOBUF")
 COMPAT_LEVELS = (
@@ -55,6 +56,9 @@ class SchemaVersion:
     type: str
     schema: str
     deleted: bool = False
+    # schema references (types.h `schema_reference`: {name, subject,
+    # version}): named types this schema uses that live in OTHER subjects
+    references: list | None = None
 
 
 class SchemaRegistry:
@@ -99,15 +103,34 @@ class SchemaRegistry:
 
     # -- registration -----------------------------------------------------
 
-    def register(self, subject: str, schema: str, schema_type: str = "AVRO") -> int:
+    def register(
+        self,
+        subject: str,
+        schema: str,
+        schema_type: str = "AVRO",
+        references: list[dict] | None = None,
+    ) -> int:
         """Register a schema version; returns the global schema id.
-        Re-registering an identical schema returns the existing id."""
+        Re-registering an identical schema returns the existing id.
+
+        ``references`` ([{name, subject, version}], types.h
+        `schema_reference`) must point at live versions; referenced
+        versions become undeletable while a live referencing schema
+        exists (the reference's 409 "has references" rule,
+        `sharded_store.cc` delete guards)."""
         if schema_type not in SCHEMA_TYPES:
             raise ValueError(f"unknown schema type: {schema_type}")
+        for ref in references or []:
+            # raises KeyError if the referenced version doesn't exist/live
+            self.get_version(ref["subject"], ref["version"])
         versions = self._subjects.setdefault(subject, [])
         canon = _canonical(schema, schema_type)
         for v in versions:
-            if not v.deleted and _canonical(v.schema, v.type) == canon:
+            if (
+                not v.deleted
+                and _canonical(v.schema, v.type) == canon
+                and (v.references or []) == (references or [])
+            ):
                 return v.id
         level = self.get_compatibility(subject)
         live = [v for v in versions if not v.deleted]
@@ -123,6 +146,7 @@ class SchemaRegistry:
             id=sid,
             type=schema_type,
             schema=schema,
+            references=list(references) if references else None,
         )
         versions.append(ver)
         self._by_id[sid] = ver
@@ -168,11 +192,43 @@ class SchemaRegistry:
             s for s, vs in self._subjects.items() if any(not v.deleted for v in vs)
         ]
 
+    def referenced_by(self, subject: str, version: int) -> list[int]:
+        """Schema ids of live schemas referencing (subject, version) —
+        GET /subjects/{s}/versions/{v}/referencedby."""
+        return [
+            v.id
+            for vs in self._subjects.values()
+            for v in vs
+            if not v.deleted
+            and any(
+                r["subject"] == subject and r["version"] == version
+                for r in (v.references or [])
+            )
+        ]
+
     def delete_version(self, subject: str, version: int) -> None:
+        holders = self.referenced_by(subject, version)
+        if holders:
+            raise CompatibilityError(
+                f"{subject} v{version} is referenced by schema ids {holders}"
+            )
         self.get_version(subject, version).deleted = True
         self._save()
 
     def delete_subject(self, subject: str) -> list[int]:
+        for v in self._subjects.get(subject, []):
+            if not v.deleted:
+                holders = [
+                    h
+                    for h in self.referenced_by(subject, v.version)
+                    # a subject may self-reference across versions; deleting
+                    # the whole subject removes holder and holdee together
+                    if self._by_id[h].subject != subject
+                ]
+                if holders:
+                    raise CompatibilityError(
+                        f"{subject} v{v.version} is referenced by schema ids {holders}"
+                    )
         out = []
         for v in self._subjects.get(subject, []):
             if not v.deleted:
@@ -180,6 +236,51 @@ class SchemaRegistry:
                 out.append(v.version)
         self._save()
         return out
+
+    def resolved_schema(self, v: SchemaVersion) -> str:
+        """The schema text with references resolved.
+
+        AVRO: referenced named types are inlined at their first use (the
+        standard define-once expansion, recursively — what the reference's
+        `avro::compileJsonSchema` does with its resolved import set).
+        JSON/PROTOBUF references are stored and guarded but not inlined
+        here; the proto codec takes a single self-contained text
+        (documented capability edge)."""
+        if not v.references:
+            return v.schema
+        if v.type != "AVRO":
+            return v.schema
+        defs: dict[str, Any] = {}
+        for ref in v.references:
+            rv = self.get_version(ref["subject"], ref["version"])
+            defs[ref["name"]] = json.loads(self.resolved_schema(rv))
+        defined: set[str] = set()
+
+        def walk_type(t):
+            if isinstance(t, str):
+                if t in defs and t not in defined:
+                    defined.add(t)
+                    return walk_schema(dict(defs[t]))
+                return t
+            if isinstance(t, list):
+                return [walk_type(b) for b in t]
+            return walk_schema(dict(t))
+
+        def walk_schema(d):
+            tt = d.get("type")
+            if tt == "record":
+                d["fields"] = [
+                    {**f, "type": walk_type(f["type"])} for f in d["fields"]
+                ]
+            elif tt == "array":
+                d["items"] = walk_type(d["items"])
+            elif tt == "map":
+                d["values"] = walk_type(d["values"])
+            elif tt is not None and tt not in ("enum", "fixed"):
+                d["type"] = walk_type(tt)
+            return d
+
+        return json.dumps(walk_type(json.loads(v.schema)))
 
     # -- compatibility config --------------------------------------------
 

@@ -55,6 +55,11 @@ class RestApp:
             ("POST", r"^/subjects/([^/]+)/versions$", self._register),
             ("GET", r"^/subjects/([^/]+)/versions$", self._versions),
             ("GET", r"^/subjects/([^/]+)/versions/([^/]+)$", self._get_version),
+            (
+                "GET",
+                r"^/subjects/([^/]+)/versions/(\d+)/referencedby$",
+                self._referenced_by,
+            ),
             ("GET", r"^/schemas/ids/(\d+)$", self._schema_by_id),
             ("GET", r"^/config$", self._get_config),
             ("PUT", r"^/config$", self._put_config),
@@ -168,7 +173,10 @@ class RestApp:
 
     def _register(self, subject, body, query):
         sid = self.registry.register(
-            subject, body["schema"], body.get("schemaType", "AVRO")
+            subject,
+            body["schema"],
+            body.get("schemaType", "AVRO"),
+            references=body.get("references"),
         )
         return 200, {"id": sid}
 
@@ -184,17 +192,26 @@ class RestApp:
             if version == "latest"
             else self.registry.get_version(subject, int(version))
         )
-        return 200, {
+        out = {
             "subject": v.subject,
             "version": v.version,
             "id": v.id,
             "schemaType": v.type,
             "schema": v.schema,
         }
+        if v.references:
+            out["references"] = v.references
+        return 200, out
+
+    def _referenced_by(self, subject, version, body, query):
+        return 200, self.registry.referenced_by(subject, int(version))
 
     def _schema_by_id(self, sid, body, query):
         v = self.registry.get_by_id(int(sid))
-        return 200, {"schema": v.schema, "schemaType": v.type}
+        out = {"schema": v.schema, "schemaType": v.type}
+        if v.references:
+            out["references"] = v.references
+        return 200, out
 
     def _get_config(self, body, query):
         return 200, {"compatibilityLevel": self.registry.get_compatibility()}

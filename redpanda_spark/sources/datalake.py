@@ -248,7 +248,7 @@ def translate_topic(log: DataFrame, registry, subject: str) -> DataFrame:
     shipped in the UDF closure; decode is one Arrow-batched narrow stage,
     no shuffle, no driver data path.
     """
-    from redpanda_spark.registry.avro_codec import decode_datum
+    from redpanda_spark.registry.avro_codec import decode_datum, resolve_names
     from redpanda_spark.registry.proto_codec import decode_message
     from redpanda_spark.registry.protobuf_compat import parse_proto
 
@@ -260,7 +260,13 @@ def translate_topic(log: DataFrame, registry, subject: str) -> DataFrame:
     for ver in registry.versions(subject):
         v = registry.get_version(subject, ver)
         if v.type == "AVRO":
-            writers[v.id] = ("AVRO", json.loads(v.schema), None)
+            # resolve references + named types once, driver-side
+            text = (
+                registry.resolved_schema(v)
+                if hasattr(registry, "resolved_schema")
+                else v.schema
+            )
+            writers[v.id] = ("AVRO", resolve_names(json.loads(text)), None)
         elif v.type == "PROTOBUF":
             schema = parse_proto(v.schema)
             writers[v.id] = ("PROTOBUF", schema, next(iter(schema.messages)))
@@ -387,9 +393,9 @@ def translate_avro_topic(
     per-row maps — no shuffle, no driver involvement. ``use_jvm``:
     "auto" | "never" (force the Python codec, used by the parity test).
     """
-    from redpanda_spark.registry.avro_codec import decode_datum
+    from redpanda_spark.registry.avro_codec import decode_datum, resolve_names
 
-    schema = json.loads(schema_json)
+    schema = resolve_names(json.loads(schema_json))
     value_type = avro_spark_type(schema)
     if not isinstance(value_type, T.StructType):
         raise ValueError("top-level avro schema must be a record")

@@ -152,3 +152,26 @@ def test_rest_wsgi_roundtrip(engine):
     out = b"".join(app(environ, start_response))
     assert captured["status"].startswith("200")
     assert json.loads(out)["offsets"][0]["base_offset"] == 0
+
+
+def test_rest_schema_references(engine):
+    app = RestApp(engine)
+    addr = json.dumps(
+        {"type": "record", "name": "Address",
+         "fields": [{"name": "city", "type": "string"}]}
+    )
+    person = json.dumps(
+        {"type": "record", "name": "Person",
+         "fields": [{"name": "home", "type": "Address"}]}
+    )
+    assert app.handle("POST", "/subjects/addr/versions", {"schema": addr})[0] == 200
+    refs = [{"name": "Address", "subject": "addr", "version": 1}]
+    status, resp = app.handle(
+        "POST", "/subjects/person/versions", {"schema": person, "references": refs}
+    )
+    assert status == 200
+    sid = resp["id"]
+    status, v = app.handle("GET", "/subjects/person/versions/latest")
+    assert status == 200 and v["references"] == refs
+    status, holders = app.handle("GET", "/subjects/addr/versions/1/referencedby")
+    assert status == 200 and holders == [sid]

@@ -316,3 +316,98 @@ def test_protobuf_fields_after_enum_not_dropped():
     s2 = parse_proto(nested)
     assert "M.Inner" in s2.messages
     assert 3 in s2.messages["M"].fields
+
+
+ADDR = json.dumps(
+    {
+        "type": "record",
+        "name": "Address",
+        "fields": [
+            {"name": "city", "type": "string"},
+            {"name": "zip", "type": "string"},
+        ],
+    }
+)
+PERSON = json.dumps(
+    {
+        "type": "record",
+        "name": "Person",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "home", "type": "Address"},
+            {"name": "work", "type": ["null", "Address"]},
+        ],
+    }
+)
+
+
+def test_schema_references_register_and_resolve():
+    reg = SchemaRegistry()
+    reg.register("address", ADDR)
+    sid = reg.register(
+        "person",
+        PERSON,
+        references=[{"name": "Address", "subject": "address", "version": 1}],
+    )
+    v = reg.get_by_id(sid)
+    assert v.references == [{"name": "Address", "subject": "address", "version": 1}]
+    resolved = json.loads(reg.resolved_schema(v))
+    # first use inlined, second use stays a name (define-once Avro rule)
+    assert resolved["fields"][1]["type"]["name"] == "Address"
+    assert resolved["fields"][2]["type"] == ["null", "Address"]
+
+    # the resolved schema actually drives the codec end-to-end
+    from redpanda_spark.registry.avro_codec import avro_decode, avro_encode
+
+    datum = {
+        "name": "ada",
+        "home": {"city": "x", "zip": "1"},
+        "work": {"city": "y", "zip": "2"},
+    }
+    payload = avro_encode(reg.resolved_schema(v), datum)
+    assert avro_decode(reg.resolved_schema(v), payload) == datum
+
+
+def test_schema_references_must_exist():
+    reg = SchemaRegistry()
+    with pytest.raises(KeyError):
+        reg.register(
+            "person",
+            PERSON,
+            references=[{"name": "Address", "subject": "address", "version": 1}],
+        )
+
+
+def test_referenced_version_is_undeletable():
+    reg = SchemaRegistry()
+    reg.register("address", ADDR)
+    sid = reg.register(
+        "person",
+        PERSON,
+        references=[{"name": "Address", "subject": "address", "version": 1}],
+    )
+    assert reg.referenced_by("address", 1) == [sid]
+    with pytest.raises(CompatibilityError, match="referenced by"):
+        reg.delete_version("address", 1)
+    with pytest.raises(CompatibilityError, match="referenced by"):
+        reg.delete_subject("address")
+    # dropping the referencing subject releases the guard
+    reg.delete_subject("person")
+    assert reg.referenced_by("address", 1) == []
+    reg.delete_subject("address")
+    assert "address" not in reg.subjects()
+
+
+def test_schema_references_persistence(tmp_path):
+    p = str(tmp_path / "reg.json")
+    reg = SchemaRegistry(p)
+    reg.register("address", ADDR)
+    reg.register(
+        "person",
+        PERSON,
+        references=[{"name": "Address", "subject": "address", "version": 1}],
+    )
+    reg2 = SchemaRegistry(p)
+    v = reg2.get_latest("person")
+    assert v.references and v.references[0]["name"] == "Address"
+    assert json.loads(reg2.resolved_schema(v))["fields"][1]["type"]["name"] == "Address"
