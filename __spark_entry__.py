@@ -39,6 +39,7 @@ _PRIORITY = [
     "decontaminate",
     "doc_repetition",
     "dedup_semantic",
+    "events_enrich",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -3383,3 +3383,58 @@ FROM d LEFT JOIN dup USING (vec_id)
 
 QUERIES.update({"dedup_semantic": q_dedup_semantic})
 ORACLES.update({"dedup_semantic": SQL_DEDUP_SEMANTIC})
+
+
+# -- Stream/dim enrichment (KTable-style lookup join) ------------------------
+
+
+def q_events_enrich(spark, sf_dir):
+    """Every event annotated with its user's latest-profile snapshot
+    (keep-latest by event_id — the compacted-topic KTable idiom) and the
+    customer dim — both sides broadcast, the fact side never shuffles."""
+    from redpanda_spark.streaming.enrich import enrich
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    profile = (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("event_type", "value"), "event_id").alias("s"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("s.event_type").alias("latest_type"),
+            F.round(F.col("s.value"), 6).alias("latest_value"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    out = enrich(enrich(events, profile, "user_id"), dim, "user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "latest_type",
+        "latest_value",
+        "n_events",
+        "c_mktsegment",
+    )
+
+
+SQL_EVENTS_ENRICH = """
+WITH prof AS (
+  SELECT user_id,
+         max_by(event_type, event_id) AS latest_type,
+         ROUND(max_by("value", event_id), 6) AS latest_value,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type, p.latest_type, p.latest_value,
+       p.n_events, c.c_mktsegment
+FROM events e
+LEFT JOIN prof p USING (user_id)
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+QUERIES.update({"events_enrich": q_events_enrich})
+ORACLES.update({"events_enrich": SQL_EVENTS_ENRICH})

@@ -1,0 +1,105 @@
+"""Stream/dim enrichment (KTable-style lookup join) — keep-latest dim
+snapshots from compacted topics, broadcast joins, per-micro-batch dim
+refresh (streaming/enrich.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from redpanda_spark.engine import TopicConfig, TopicEngine
+from redpanda_spark.streaming.enrich import dim_from_topic, enrich, enrich_stream
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return TopicEngine(spark, str(tmp_path / "topics"))
+
+
+def _produce_kv(engine, spark, topic, kvs):
+    rows = [
+        Row(key=k.encode(), value=(v.encode() if v is not None else None))
+        for k, v in kvs
+    ]
+    engine.produce(topic, spark.createDataFrame(rows, "key binary, value binary"))
+
+
+def _decode(df):
+    return df.select(
+        F.col("key").cast("string").alias("user"),
+        F.col("value").cast("string").alias("segment"),
+    )
+
+
+def test_dim_from_topic_keeps_latest_and_drops_tombstones(engine, spark):
+    engine.create_topic("dim", TopicConfig(partitions=2, cleanup_policy="compact"))
+    _produce_kv(engine, spark, "dim", [("u1", "gold"), ("u2", "silver")])
+    _produce_kv(engine, spark, "dim", [("u1", "platinum"), ("u3", "bronze")])
+    _produce_kv(engine, spark, "dim", [("u2", None)])  # tombstone deletes u2
+    dim = dim_from_topic(engine, "dim", decode=_decode)
+    got = {r["user"]: r["segment"] for r in dim.collect()}
+    assert got == {"u1": "platinum", "u3": "bronze"}
+
+
+def test_enrich_broadcasts_dim(engine, spark):
+    engine.create_topic("dim", TopicConfig(partitions=1))
+    _produce_kv(engine, spark, "dim", [("u1", "gold"), ("u2", "silver")])
+    dim = dim_from_topic(engine, "dim", decode=_decode)
+    facts = spark.createDataFrame(
+        [("u1", 10), ("u2", 20), ("u9", 30)], "user string, amount int"
+    )
+    out = enrich(facts, dim, "user")
+    got = {r["user"]: r["segment"] for r in out.collect()}
+    assert got == {"u1": "gold", "u2": "silver", "u9": None}
+    # the dim side must be broadcast — no shuffle of the fact side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_enrich_stream_sees_dim_updates_between_runs(engine, spark, tmp_path):
+    """The dim snapshot is rebuilt per micro-batch: facts processed after
+    a dim update join against the NEW dim rows (processing-time KTable
+    semantics), while the checkpoint keeps fact offsets exactly-once."""
+    engine.create_topic("facts", TopicConfig(partitions=1))
+    engine.create_topic("dim", TopicConfig(partitions=1))
+    _produce_kv(engine, spark, "dim", [("u1", "gold")])
+    _produce_kv(engine, spark, "facts", [("u1", "e1")])
+
+    out_dir = str(tmp_path / "enriched")
+    builds = []
+
+    def dim_builder():
+        d = dim_from_topic(engine, "dim", decode=_decode)
+        builds.append(1)
+        return d
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def run():
+        stream = engine.log_stream("facts").select(
+            F.col("key").cast("string").alias("user"),
+            F.col("value").cast("string").alias("event"),
+        )
+        q = enrich_stream(
+            stream,
+            dim_builder,
+            "user",
+            sink,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {(r["user"], r["event"]): r["segment"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("u1", "e1"): "gold"}
+
+    # dim update + new fact; resume from checkpoint -> only the new fact
+    # processes, against the UPDATED dim
+    _produce_kv(engine, spark, "dim", [("u1", "platinum")])
+    _produce_kv(engine, spark, "facts", [("u1", "e2")])
+    run()
+    got = {(r["user"], r["event"]): r["segment"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("u1", "e1"): "gold", ("u1", "e2"): "platinum"}
+    assert len(builds) >= 2
