@@ -40,6 +40,7 @@ _PRIORITY = [
     "doc_repetition",
     "dedup_semantic",
     "events_enrich",
+    "events_asof",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -3438,3 +3438,41 @@ LEFT JOIN customer c ON c.c_custkey = e.user_id
 
 QUERIES.update({"events_enrich": q_events_enrich})
 ORACLES.update({"events_enrich": SQL_EVENTS_ENRICH})
+
+
+# -- As-of (temporal) join ---------------------------------------------------
+
+
+def q_events_asof(spark, sf_dir):
+    """Event-time temporal join: odd events are state updates (a versioned
+    dim history per user), even events are facts — each fact picks up the
+    state in effect AT ITS OWN ts. One shuffle on user_id (union-window
+    as-of, operators/asof.py); the oracle replays it with DuckDB's native
+    ASOF JOIN, so the semantics are checked against an independent
+    implementation, not our own algebra."""
+    from redpanda_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    versions = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("state"))
+    )
+    facts = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(facts, versions, on="user_id", facts_time="ts", versions_time="ts")
+    return out.select("event_id", "user_id", "event_type", "state")
+
+
+SQL_EVENTS_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, max_by(event_type, event_id) AS state
+  FROM events WHERE event_id % 2 = 1 GROUP BY user_id, ts),
+f AS (SELECT event_id, user_id, ts, event_type FROM events WHERE event_id % 2 = 0)
+SELECT f.event_id, f.user_id, f.event_type, v.state
+FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts
+"""
+
+QUERIES.update({"events_asof": q_events_asof})
+ORACLES.update({"events_asof": SQL_EVENTS_ASOF})

@@ -4,6 +4,8 @@ log_truncate_test.cc, compaction_e2e_test.cc scenarios)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -151,3 +153,51 @@ def test_compaction_tombstone_grace(spark):
     ).collect()
     keys = sorted(r["key"] for r in out)
     assert keys == ["b", "c"]
+
+
+def test_asof_join_basic_and_equal_time(spark):
+    """Non-strict: a version AT t applies to a fact AT t; strict: it
+    doesn't. Facts before any version get NULL (left semantics)."""
+    from redpanda_spark.operators.asof import asof_join
+
+    versions = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 15, "x")],
+        "k string, ts long, state string",
+    )
+    facts = spark.createDataFrame(
+        [("u1", 5, 1), ("u1", 10, 2), ("u1", 19, 3), ("u1", 20, 4),
+         ("u2", 14, 5), ("u3", 99, 6)],
+        "k string, ts long, fid int",
+    )
+    out = {
+        r["fid"]: r["state"]
+        for r in asof_join(facts, versions, on="k").collect()
+    }
+    assert out == {1: None, 2: "a", 3: "a", 4: "b", 5: None, 6: None}
+
+    strict = {
+        r["fid"]: r["state"]
+        for r in asof_join(facts, versions, on="k", strict=True).collect()
+    }
+    assert strict[2] is None and strict[4] == "a"  # co-timed version excluded
+
+
+def test_asof_join_payload_collision_rejected(spark):
+    from redpanda_spark.operators.asof import asof_join
+
+    versions = spark.createDataFrame([("u1", 1, "a")], "k string, ts long, fid string")
+    facts = spark.createDataFrame([("u1", 2, 7)], "k string, ts long, fid int")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(facts, versions, on="k")
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    """The as-of must compile to ONE exchange on the key (union-window),
+    not a range join: at 100 TB a facts x versions range join explodes."""
+    from redpanda_spark.operators.asof import asof_join
+
+    versions = spark.createDataFrame([("u1", 1, "a")], "k string, ts long, state string")
+    facts = spark.createDataFrame([("u1", 2, 7)], "k string, ts long, fid int")
+    plan = asof_join(facts, versions, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
