@@ -41,6 +41,7 @@ _PRIORITY = [
     "dedup_semantic",
     "events_enrich",
     "events_asof",
+    "events_interval",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -3476,3 +3476,46 @@ FROM f ASOF LEFT JOIN v ON f.user_id = v.user_id AND f.ts >= v.ts
 
 QUERIES.update({"events_asof": q_events_asof})
 ORACLES.update({"events_asof": SQL_EVENTS_ASOF})
+
+
+# -- Interval (range-overlap) join -------------------------------------------
+
+
+def q_events_interval(spark, sf_dir):
+    """Window-coverage attribution: odd events open 1-hour windows per
+    user, even events are facts — per covered fact, how many windows
+    cover it and the earliest covering window. Bucketed equi-join
+    (operators/interval.py), no nested loop; the oracle replays the raw
+    range join in DuckDB (IEJoin) independently."""
+    from redpanda_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        F.col("event_id").alias("window_id"),
+    )
+    facts = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id", "ts")
+    pairs = interval_join(facts, iv, on="user_id", end_exclusive=True)
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.min("window_id").alias("first_window"),
+    )
+
+
+SQL_EVENTS_INTERVAL = """
+WITH iv AS (
+  SELECT user_id, ts AS start, ts + INTERVAL 1 HOUR AS "end",
+         event_id AS window_id
+  FROM events WHERE event_id % 2 = 1),
+f AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0)
+SELECT f.event_id, f.user_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       MIN(iv.window_id) AS first_window
+FROM f JOIN iv ON f.user_id = iv.user_id
+               AND f.ts >= iv.start AND f.ts < iv."end"
+GROUP BY f.event_id, f.user_id
+"""
+
+QUERIES.update({"events_interval": q_events_interval})
+ORACLES.update({"events_interval": SQL_EVENTS_INTERVAL})

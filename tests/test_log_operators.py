@@ -201,3 +201,56 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = asof_join(facts, versions, on="k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_interval_join_matches_and_boundaries(spark):
+    from redpanda_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame(
+        [("u1", 100, 200, "w1"), ("u1", 150, 250, "w2"), ("u2", 0, 50, "w3")],
+        "k string, start long, end long, wid string",
+    )
+    facts = spark.createDataFrame(
+        [("u1", 100, 1), ("u1", 175, 2), ("u1", 200, 3), ("u1", 250, 4),
+         ("u1", 99, 5), ("u2", 50, 6), ("u3", 10, 7)],
+        "k string, ts long, fid int",
+    )
+    got = {
+        (r["fid"], r["wid"])
+        for r in interval_join(
+            facts, iv, on="k", bucket=100, time_unit_is_timestamp=False
+        ).collect()
+    }
+    # inclusive ends: ts=200 in w1 and w2; ts=250 in w2; ts=50 in w3
+    assert got == {(1, "w1"), (2, "w1"), (2, "w2"), (3, "w1"), (3, "w2"),
+                   (4, "w2"), (6, "w3")}
+    excl = {
+        (r["fid"], r["wid"])
+        for r in interval_join(
+            facts, iv, on="k", bucket=100, time_unit_is_timestamp=False,
+            end_exclusive=True,
+        ).collect()
+    }
+    assert excl == {(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2")}
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    from redpanda_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame([("u1", 0, 10, "w")], "k string, start long, end long, wid string")
+    facts = spark.createDataFrame([("u1", 5, 1)], "k string, ts long, fid int")
+    plan = interval_join(
+        facts, iv, on="k", bucket=10, time_unit_is_timestamp=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_interval_join_overlong_interval_rejected(spark):
+    from redpanda_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame([("u1", 0, 10_000_000, "w")], "k string, start long, end long, wid string")
+    facts = spark.createDataFrame([("u1", 5, 1)], "k string, ts long, fid int")
+    with pytest.raises(ValueError, match="buckets"):
+        interval_join(
+            facts, iv, on="k", bucket=10, time_unit_is_timestamp=False
+        ).count()
