@@ -42,6 +42,8 @@ _PRIORITY = [
     "events_enrich",
     "events_asof",
     "events_interval",
+    "doc_span_dedup",
+    "pipeline_sample",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

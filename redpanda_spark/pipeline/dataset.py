@@ -166,3 +166,30 @@ def pack_offsets(
         .withColumn("spans", (F.col("end_win") - F.col("begin_win") + F.lit(1)))
         .drop("cum_tokens")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the importance-sampling
+    step of published data recipes (domain reweighting on The Pile /
+    RedPajama lines: keep p_s of stratum s). A row survives iff its
+    Knuth-hash bucket < rate_s * BUCKETS: a pure function of (id, salt),
+    so the sample is reproducible across runs/partitionings (unlike
+    rand(seed)), NARROW (no shuffle, no sort — unlike weighted_mix,
+    which needs a per-source running total for an exact token budget),
+    and nested samples at increasing rates (a 1% sample is a subset of
+    the 10% sample — same hash order). Strata absent from ``rates`` keep
+    ``default_rate``."""
+    bucket = split_bucket(id_col, salt)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
+    return df.where(bucket < rate * F.lit(BUCKETS))

@@ -3519,3 +3519,88 @@ GROUP BY f.event_id, f.user_id
 
 QUERIES.update({"events_interval": q_events_interval})
 ORACLES.update({"events_interval": SQL_EVENTS_INTERVAL})
+
+
+# -- Cross-document repeated-span (line-level) dedup -------------------------
+
+
+def q_doc_span_dedup(spark, sf_dir):
+    """RefinedWeb-style span dedup profile: fixed 10-token spans, spans
+    shared by >=2 distinct docs are boilerplate; per-doc counts +
+    scrubbed-text fingerprint (dedup/spans.py — two shuffles, no UDFs)."""
+    from redpanda_spark.dedup.spans import span_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup_stats(docs, span_tokens=10, min_docs=2)
+
+
+SQL_DOC_SPAN_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+         unnest(generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT))) AS span_idx
+        FROM toks),
+hashed AS (
+  SELECT doc_id, span_idx,
+         array_to_string(t[((span_idx-1)*10+1):(span_idx*10)], ' ') AS span,
+         md5(array_to_string(t[((span_idx-1)*10+1):(span_idx*10)], ' ')) AS h
+  FROM idx),
+shared AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_spans,
+  ROUND(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) * 1.0
+        / COUNT(*), 6) AS dup_fraction,
+  md5(COALESCE(string_agg(CASE WHEN h NOT IN (SELECT h FROM shared) THEN span END,
+                          ' ' ORDER BY span_idx), '')) AS cleaned_md5
+FROM hashed GROUP BY doc_id
+"""
+
+QUERIES.update({"doc_span_dedup": q_doc_span_dedup})
+ORACLES.update({"doc_span_dedup": SQL_DOC_SPAN_DEDUP})
+
+
+# -- Stratified (importance) sampling ---------------------------------------
+
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_pipeline_sample(spark, sf_dir):
+    """Deterministic per-domain downsampling (importance sampling):
+    Knuth-hash keep-rule, narrow/no-shuffle, nested across rates.
+    Reports the surviving docs per stratum with token totals."""
+    from redpanda_spark.pipeline.dataset import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, _SAMPLE_RATES)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(TXT.token_count("text")).cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def _sample_sql() -> str:
+    from redpanda_spark.pipeline.dataset import BUCKETS, split_bucket_sql
+
+    b = split_bucket_sql("doc_id")
+    keep = " ".join(
+        f"WHEN source = '{s}' THEN {b} < {int(r * BUCKETS)}"
+        for s, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_TOKCNT_SQL}) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents
+WHERE CASE {keep} ELSE FALSE END
+GROUP BY source
+"""
+
+
+QUERIES.update({"pipeline_sample": q_pipeline_sample})
+ORACLES.update({"pipeline_sample": _sample_sql()})

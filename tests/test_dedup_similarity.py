@@ -241,3 +241,29 @@ def test_semantic_dedup_max_cell_guard_keeps_everything(spark):
     out = semantic_dedup(emb, cents, tau=0.999, max_cell=5)
     assert out.where(F.col("is_dup")).count() == 0
     assert out.count() == 63
+
+
+def test_span_dedup_flags_planted_boilerplate(spark):
+    from redpanda_spark.dedup.spans import span_dedup_stats
+
+    boiler = " ".join(f"nav{i}" for i in range(10))  # one exact 10-token span
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " " + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, boiler + " " + "one two three four five six seven eight nine ten"),
+            (2, "totally unique words here nothing shared at all with others x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 1
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_fraction"] == 0.5
+    assert out[2]["n_dup_spans"] == 0
+    # scrubbing docs 0/1 removes exactly the shared span -> different md5s
+    # (their remainders differ), and doc2's md5 equals md5 of its own text
+    import hashlib
+
+    assert out[2]["cleaned_md5"] == hashlib.md5(
+        "totally unique words here nothing shared at all with others x".encode()
+    ).hexdigest()
+    assert out[0]["cleaned_md5"] != out[1]["cleaned_md5"]

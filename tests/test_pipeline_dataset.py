@@ -162,3 +162,30 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     bench = spark.createDataFrame([Row(doc_id=0, text="alpha beta gamma delta x")])
     plan = contamination_pairs(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from redpanda_spark.pipeline.dataset import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s0" if i % 2 == 0 else "s1") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    a = stratified_sample(docs, {"s0": 0.2, "s1": 0.6})
+    b = stratified_sample(docs, {"s0": 0.2, "s1": 0.6})
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # reproducible
+    # rates land near target per stratum
+    n0 = a.where(F.col("source") == "s0").count()
+    n1 = a.where(F.col("source") == "s1").count()
+    assert abs(n0 / 500 - 0.2) < 0.06 and abs(n1 / 500 - 0.6) < 0.06
+    # nested: the 20% sample of s1 is a subset of the 60% sample
+    small = stratified_sample(docs, {"s1": 0.2})
+    assert {r["doc_id"] for r in small.collect()} <= {
+        r["doc_id"] for r in a.where(F.col("source") == "s1").collect()
+    }
+    # unknown strata default to dropped
+    assert stratified_sample(docs, {}).count() == 0
+    # narrow plan: no Exchange
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
