@@ -44,6 +44,7 @@ _PRIORITY = [
     "events_interval",
     "doc_span_dedup",
     "pipeline_sample",
+    "doc_quality_classifier",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -69,7 +69,10 @@ def semantic_dedup(
             "cell", F.col("id").alias("id"), F.col("v").alias("hi_v")
         )
         # shuffles both sides on cell; within a cell the join is the
-        # paper's quadratic scan, bounded by cell size
+        # paper's quadratic scan, bounded by cell size. Plan note: this
+        # compiles to a sort-merge join on `cell` — the right shape here,
+        # both sides are the same corpus (equal size, no broadcast side)
+        # and SMJ streams each cell without holding it in a hash table.
         dup_of = (
             hi.join(lo, "cell")
             .where(F.col("lo_id") < F.col("id"))

@@ -3604,3 +3604,53 @@ GROUP BY source
 
 QUERIES.update({"pipeline_sample": q_pipeline_sample})
 ORACLES.update({"pipeline_sample": _sample_sql()})
+
+
+# -- Hashing-trick quality classifier ---------------------------------------
+
+_CLF_DIM = 64
+# deterministic integer milli-weights: exact integer fold in both engines
+_CLF_W = [((i * 2654435761) % 1000) - 500 for i in range(_CLF_DIM)]
+
+
+def q_doc_quality_classifier(spark, sf_dir):
+    """Linear quality scoring with fixed hashed-token weights: the
+    UDF-free serving path of functions/classifier.py (train half is
+    exercised in unit tests with real pyspark.ml fits). Integer weight
+    fold -> one double division, so Spark and DuckDB agree exactly."""
+    from redpanda_spark.functions.classifier import token_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.array(*[F.lit(int(x)) for x in _CLF_W])
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w, (token_bucket(t, _CLF_DIM) + 1).cast("int")),
+    )
+    score = F.round(total / (F.lit(1000.0) * F.size(toks)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _clf_sql() -> str:
+    wt_rows = ", ".join(f"({i}, {w})" for i, w in enumerate(_CLF_W))
+    return f"""
+WITH w(i, wt) AS (VALUES {wt_rows}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (SELECT doc_id,
+        CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_CLF_DIM} AS bucket
+      FROM toks),
+s AS (SELECT b.doc_id,
+        ROUND(SUM(w.wt) / (1000.0 * COUNT(*)), 6) AS score
+      FROM b JOIN w ON w.i = b.bucket GROUP BY b.doc_id)
+SELECT doc_id, score, score > 0 AS keep FROM s
+"""
+
+
+QUERIES.update({"doc_quality_classifier": q_doc_quality_classifier})
+ORACLES.update({"doc_quality_classifier": _clf_sql()})

@@ -148,3 +148,59 @@ def test_repetition_metrics_known_values(spark):
     r2 = df2.select(F.round(m["dup_5gram_frac"], 6).alias("d5"),
                     F.round(m["top_2gram_frac"], 6).alias("t2")).first()
     assert r2["d5"] == 1.0 and r2["t2"] == 1.0
+
+
+def test_quality_classifier_train_and_serve(spark):
+    """Train logistic regression on separable token classes; serving the
+    learned weights through the pure-expression scorer must separate the
+    classes (train with ml, serve as JVM expression — no UDF)."""
+    import random
+
+    from redpanda_spark.functions.classifier import (
+        linear_score,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(5)
+    good_vocab = [f"good{i}" for i in range(30)]
+    bad_vocab = [f"bad{i}" for i in range(30)]
+    rows = []
+    for i in range(200):
+        vocab = good_vocab if i % 2 == 0 else bad_vocab
+        text = " ".join(rng.choice(vocab) for _ in range(25))
+        rows.append((i, text, i % 2 == 0))
+    df = spark.createDataFrame(rows, "id long, text string, label boolean")
+    weights, bias = train_quality_classifier(df, dim=64)
+    assert len(weights) == 64
+
+    scored = df.select(
+        "label", linear_score("text", weights, bias).alias("s")
+    ).collect()
+    good = [r["s"] for r in scored if r["label"]]
+    bad = [r["s"] for r in scored if not r["label"]]
+    assert min(good) > max(bad)  # fully separable vocab -> clean margin
+    # no Python stage in the serving plan
+    plan = (
+        df.select(linear_score("text", weights, bias))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_linear_score_matches_manual_fold(spark):
+    import hashlib
+
+    from redpanda_spark.functions.classifier import linear_score
+
+    w = [float(i) for i in range(8)]
+    text = "alpha beta gamma"
+    exp = sum(
+        w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8]
+        for t in text.split()
+    ) / 3.0
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(linear_score("text", w).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(got - round(exp, 6)) < 1e-9

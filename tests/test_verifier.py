@@ -107,3 +107,37 @@ def test_randomized_workload_all_green(spark, tmp_path, seed):
     assert not bad, bad
     ops = {r["op"] for r in reports}
     assert "produce" in ops  # workload actually exercised the surface
+
+
+def test_replicate_topic_incremental_offset_preserving(spark, tmp_path):
+    """MirrorMaker analog: replica matches source byte-for-byte including
+    offsets (empty destination, untruncated source); a second pass copies
+    only the new tail; the verifier passes on the replica."""
+    from redpanda_spark.replication import replicate_topic
+
+    src = TopicEngine(spark, str(tmp_path / "src"))
+    dst = TopicEngine(spark, str(tmp_path / "dst"))
+    src.create_topic("t", TopicConfig(partitions=4))
+    rows = []
+    for i in range(300):
+        key = f"k{i % 40}".encode()
+        rows.append((key, encode_value(key, i)))
+    src.produce(topic="t", batch=spark.createDataFrame(rows, "key binary, value binary"))
+
+    copied = replicate_topic(src, dst, "t")
+    assert sum(copied.values()) == 300
+    cols = ["partition", "offset", "key", "value"]
+    a = sorted(map(tuple, src.log("t").select(cols).collect()))
+    b = sorted(map(tuple, dst.log("t").select(cols).collect()))
+    assert a == b
+    assert src.high_watermarks("t") == dst.high_watermarks("t")
+    assert verify_log_invariants(dst, "t", expected_rows=300)["ok"]
+
+    # incremental: only the new tail copies; no-op pass copies nothing
+    rows2 = [(b"k1", encode_value(b"k1", 1000))]
+    src.produce(topic="t", batch=spark.createDataFrame(rows2, "key binary, value binary"))
+    copied2 = replicate_topic(src, dst, "t")
+    assert sum(copied2.values()) == 1
+    assert replicate_topic(src, dst, "t") == {}
+    assert dst.log("t").count() == 301
+    assert verify_log_invariants(dst, "t", expected_rows=301)["ok"]
