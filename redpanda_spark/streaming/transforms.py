@@ -35,20 +35,55 @@ from redpanda_spark.engine import TopicEngine
 TransformFn = Callable[[dict], Iterable[tuple[str, dict]]]
 
 _OUT_SCHEMA = (
-    "out_topic string, key binary, value binary, timestamp timestamp"
+    "out_topic string, key binary, value binary, timestamp timestamp,"
+    " error string"
 )
 
 
-def _flatmap_batches(fn: TransformFn):
+def _flatmap_batches(fn: TransformFn, dlq_topic: str | None = None):
+    """``dlq_topic`` set: a record whose transform RAISES routes to the
+    dead-letter topic unchanged (key/value/timestamp preserved, the
+    exception text in ``error``) instead of failing the whole job — the
+    Kafka-Connect errors.tolerance=all + DLQ policy; one poison record
+    no longer stalls the stream (the reference's Wasm processor instead
+    retries-forever on a throwing transform, stalling that partition:
+    transform_processor.cc retry loop). Unset: raise, fail the batch —
+    at-least-once redelivery, the reference's default."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"out_topic": [], "key": [], "value": [], "timestamp": []}
+            out: dict[str, list] = {
+                "out_topic": [], "key": [], "value": [], "timestamp": [],
+                "error": [],
+            }
+
+            def emit(topic, key, value, ts, err):
+                out["out_topic"].append(topic)
+                out["key"].append(key)
+                out["value"].append(value)
+                out["timestamp"].append(ts)
+                out["error"].append(err)
+
             for rec in pdf.to_dict("records"):
-                for out_topic, new in fn(rec):
-                    out["out_topic"].append(out_topic)
-                    out["key"].append(new.get("key"))
-                    out["value"].append(new.get("value"))
-                    out["timestamp"].append(new.get("timestamp", rec.get("timestamp")))
+                try:
+                    for out_topic, new in fn(rec):
+                        emit(
+                            out_topic,
+                            new.get("key"),
+                            new.get("value"),
+                            new.get("timestamp", rec.get("timestamp")),
+                            None,
+                        )
+                except Exception as e:  # noqa: BLE001 — poison-pill policy
+                    if dlq_topic is None:
+                        raise
+                    emit(
+                        dlq_topic,
+                        rec.get("key"),
+                        rec.get("value"),
+                        rec.get("timestamp"),
+                        f"{type(e).__name__}: {e}",
+                    )
             yield pd.DataFrame(out)
 
     return gen
@@ -65,11 +100,14 @@ class TransformProcessor:
     name: str = "transform"
     checkpoint_dir: str | None = None
     max_files_per_trigger: int = 64
+    dlq_topic: str | None = None
     _query: object = field(default=None, repr=False)
 
     def _apply(self, df: DataFrame) -> DataFrame:
         cols = [c for c in ("key", "value", "timestamp", "partition", "offset") if c in df.columns]
-        return df.select(*cols).mapInPandas(_flatmap_batches(self.fn), _OUT_SCHEMA)
+        return df.select(*cols).mapInPandas(
+            _flatmap_batches(self.fn, self.dlq_topic), _OUT_SCHEMA
+        )
 
     def run_once_batch(self) -> dict[str, dict[int, int]]:
         """Batch-mode execution over the current topic contents (the
@@ -77,13 +115,38 @@ class TransformProcessor:
         out = self._apply(self.engine.log(self.input_topic))
         return self._route(out)
 
+    def _sinks(self) -> list[str]:
+        return self.output_topics + (
+            [self.dlq_topic]
+            if self.dlq_topic and self.dlq_topic not in self.output_topics
+            else []
+        )
+
+    @staticmethod
+    def _to_records(sub: DataFrame) -> DataFrame:
+        """Drop routing columns; DLQ rows carry the exception text as a
+        ``dlq.error`` record header (the Kafka-Connect DLQ convention)."""
+        with_headers = sub.withColumn(
+            "headers",
+            F.when(
+                F.col("error").isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit("dlq.error").alias("key"),
+                        F.encode(F.col("error"), "utf-8").alias("value"),
+                    )
+                ),
+            ),
+        )
+        return with_headers.drop("out_topic", "error")
+
     def _route(self, out: DataFrame) -> dict[str, dict[int, int]]:
         results: dict[str, dict[int, int]] = {}
-        for t in self.output_topics:
-            sub = out.where(F.col("out_topic") == t).drop("out_topic")
+        for t in self._sinks():
+            sub = out.where(F.col("out_topic") == t)
             if sub.isEmpty():
                 continue
-            results[t] = self.engine.produce(t, sub)
+            results[t] = self.engine.produce(t, self._to_records(sub))
         return results
 
     def start_stream(self, trigger_available_now: bool = True):
@@ -98,10 +161,10 @@ class TransformProcessor:
         out = self._apply(src)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            for t in self.output_topics:
-                sub = batch_df.where(F.col("out_topic") == t).drop("out_topic")
+            for t in self._sinks():
+                sub = batch_df.where(F.col("out_topic") == t)
                 if not sub.isEmpty():
-                    self.engine.produce(t, sub)
+                    self.engine.produce(t, self._to_records(sub))
 
         writer = out.writeStream.foreachBatch(sink).queryName(self.name)
         if self.checkpoint_dir:

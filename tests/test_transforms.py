@@ -152,3 +152,62 @@ def test_streaming_transform_crash_resume_no_dup_no_loss(engine, spark, tmp_path
     q2 = make_tp().start_stream(trigger_available_now=True)
     q2.awaitTermination(120)
     assert values(engine, "cout") == ["a", "b", "c", "d"]  # no dup, no loss
+
+
+def test_dlq_routes_poison_records(engine, spark):
+    """A transform that raises on one record: with a DLQ configured, good
+    records flow, the poison record lands on the DLQ with the exception
+    text as a dlq.error header, and the job completes."""
+    engine.create_topic("pin", TopicConfig(partitions=1))
+    engine.create_topic("pout", TopicConfig(partitions=1))
+    engine.create_topic("pdlq", TopicConfig(partitions=1))
+    produce_strs(engine, spark, "pin", [("k1", "a"), ("k2", "BOOM"), ("k3", "c")])
+
+    def fussy(rec):
+        if rec.get("value") == b"BOOM":
+            raise ValueError("cannot transcode")
+        yield "pout", rec
+
+    tp = TransformProcessor(engine, "pin", fussy, ["pout"], dlq_topic="pdlq")
+    tp.run_once_batch()
+    assert values(engine, "pout") == ["a", "c"]
+    dlq = engine.log("pdlq").collect()
+    assert len(dlq) == 1
+    assert bytes(dlq[0]["value"]) == b"BOOM"
+    hdrs = {h["key"]: bytes(h["value"]).decode() for h in dlq[0]["headers"]}
+    assert "cannot transcode" in hdrs["dlq.error"]
+
+
+def test_no_dlq_poison_fails_job(engine, spark):
+    engine.create_topic("qin", TopicConfig(partitions=1))
+    engine.create_topic("qout", TopicConfig(partitions=1))
+    produce_strs(engine, spark, "qin", [("k1", "BOOM")])
+
+    def fussy(rec):
+        raise ValueError("nope")
+        yield  # pragma: no cover
+
+    tp = TransformProcessor(engine, "qin", fussy, ["qout"])
+    with pytest.raises(Exception, match="nope"):
+        tp.run_once_batch()
+
+
+def test_dlq_streaming_poison_does_not_stall(engine, spark, tmp_path):
+    engine.create_topic("sin2", TopicConfig(partitions=1))
+    engine.create_topic("sout2", TopicConfig(partitions=1))
+    engine.create_topic("sdlq2", TopicConfig(partitions=1))
+    produce_strs(engine, spark, "sin2", [("k1", "x"), ("k2", "BOOM")])
+
+    def fussy(rec):
+        if rec.get("value") == b"BOOM":
+            raise RuntimeError("poison")
+        yield "sout2", rec
+
+    tp = TransformProcessor(
+        engine, "sin2", fussy, ["sout2"],
+        checkpoint_dir=str(tmp_path / "ckpt2"), dlq_topic="sdlq2",
+    )
+    q = tp.start_stream(trigger_available_now=True)
+    q.awaitTermination(120)
+    assert values(engine, "sout2") == ["x"]
+    assert values(engine, "sdlq2") == ["BOOM"]
