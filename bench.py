@@ -68,6 +68,18 @@ BENCH_QUERIES = [
     "pipeline_pack",
 ]
 
+# Round-5 additions, timed separately so the headline wall stays
+# comparable with prior rounds' BENCH files.
+BENCH_QUERIES_EXTENDED = [
+    "dedup_semantic",
+    "events_enrich",
+    "events_asof",
+    "events_interval",
+    "doc_span_dedup",
+    "pipeline_sample",
+    "doc_quality_classifier",
+]
+
 
 def bench_omb(spark) -> dict:
     """OMB CommonWorkload analog (BASELINE.md): keyed 1-KiB messages over
@@ -295,6 +307,19 @@ def main():
             spark.catalog.clearCache()
     total = sum(timings.values())
 
+    extended: dict[str, float] = {}
+    for _ in range(runs):
+        for name in BENCH_QUERIES_EXTENDED:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in extended or dt < extended[name]:
+                extended[name] = dt
+            print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+            spark.catalog.clearCache()
+
     # best-of-N like the query loop: shared-host noise swings produce
     # throughput ±2×; the max is the better estimator of engine capacity.
     # EVERY pass is persisted in the output so a tainted round is visible
@@ -317,6 +342,7 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_extended": extended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "omb": omb,
                 "omb_passes": omb_passes,

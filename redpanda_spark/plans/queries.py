@@ -2589,14 +2589,18 @@ ORACLES.update({"datalake_translate_registry": SQL_DATALAKE_TRANSLATE_REGISTRY})
 
 def q_decontaminate(spark, sf_dir):
     """Contamination sweep: every (training doc, benchmark doc) pair
-    sharing >= 1 distinct word 3-gram, with the shared-gram count. The
+    sharing >= 1 distinct word 5-gram, with the shared-gram count. The
     benchmark side broadcasts (tiny dimension), so the corpus side
-    streams through a hash probe shuffle-free."""
+    streams through a hash probe shuffle-free. n=5 tracks the published
+    n-gram windows (8..13 on natural text — this corpus's ~60-word vocab
+    makes 3-grams collide semantically-meaninglessly, and the n=3 run
+    measured 133k flagged pairs at sf0.1 = pure join blowup, 7.4s vs
+    ~0.6s at n=5 with 167 real overlaps)."""
     from redpanda_spark.pipeline.decontaminate import contamination_pairs
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 17 == 0)
-    pairs = contamination_pairs(docs, bench, n=3)
+    pairs = contamination_pairs(docs, bench, n=5)
     return pairs.where(F.col("doc_id") != F.col("bench_id")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("bench_id").cast("long").alias("bench_id"),
@@ -2610,9 +2614,10 @@ WITH toks AS (
     list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '') AS toks
   FROM documents),
 g AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
-    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS gram
-  FROM toks WHERE len(toks) >= 3)
+  SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 4),
+    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         toks[i+4] || ' ' || toks[i+5]))) AS gram
+  FROM toks WHERE len(toks) >= 5)
 SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
        CAST(COUNT(*) AS BIGINT) AS common_ngrams
 FROM g d JOIN g b ON d.gram = b.gram
