@@ -103,3 +103,62 @@ def test_enrich_stream_sees_dim_updates_between_runs(engine, spark, tmp_path):
     got = {(r["user"], r["event"]): r["segment"] for r in spark.read.parquet(out_dir).collect()}
     assert got == {("u1", "e1"): "gold", ("u1", "e2"): "platinum"}
     assert len(builds) >= 2
+
+
+def test_stream_stream_join_within_skew(engine, spark, tmp_path):
+    """Two topic streams joined on key with a bounded time skew: in-skew
+    pairs emit, out-of-skew records don't, and the plan is a streaming
+    symmetric hash join with watermarks (bounded state)."""
+    import datetime
+
+    from redpanda_spark.streaming.joins import stream_stream_join
+
+    engine.create_topic("clicks", TopicConfig(partitions=1))
+    engine.create_topic("views", TopicConfig(partitions=1))
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [
+                Row(
+                    key=k.encode(),
+                    value=v.encode(),
+                    timestamp=base + datetime.timedelta(seconds=dt),
+                )
+                for k, v, dt in kvs
+            ],
+            "key binary, value binary, timestamp timestamp",
+        )
+
+    engine.produce("clicks", rows([("u1", "c1", 0), ("u2", "c2", 0)]))
+    # v1 within 5s of c1; v9 outside the skew; u3 unmatched key
+    engine.produce("views", rows([("u1", "v1", 3), ("u1", "v9", 30), ("u3", "vx", 0)]))
+
+    def topic_stream(name):
+        return engine.log_stream(name).select(
+            F.col("key").cast("string").alias("user"),
+            F.col("value").cast("string").alias(f"ev_{name}"),
+            F.col("timestamp"),
+        )
+
+    joined = stream_stream_join(
+        topic_stream("clicks"),
+        topic_stream("views"),
+        on="user",
+        watermark="10 seconds",
+        max_skew="5 seconds",
+    )
+    out_dir = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], r["ev_clicks"], r["ev_views_r"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {("u1", "c1", "v1")}
