@@ -128,6 +128,12 @@ class TopicEngine:
         # — the manifest-level pruning index (Iceberg data-file stats
         # analog). Files without an entry are never pruned.
         self._stats: dict[str, dict[str, list[int]]] = {}
+        # Produce-side idempotence state per topic:
+        # {"<partition>:<producer_id>": [epoch, last_seq]} — the rm_stm
+        # producer-sequence window (`cluster/rm_stm.h:67-73`,
+        # `cluster/producer_state.h:46-98`), committed WITH the data in
+        # the manifest so dedup state and offsets advance atomically.
+        self._producers: dict[str, dict[str, list[int]]] = {}
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -149,6 +155,7 @@ class TopicEngine:
                     "high": self._high.get(topic, {}),
                     "files": files,
                     "stats": {p: stats[p] for p in (files or []) if p in stats},
+                    "producers": self._producers.get(topic, {}),
                 }
             ),
         )
@@ -172,6 +179,7 @@ class TopicEngine:
                 self._high[t] = {int(p): o for p, o in m.get("high", {}).items()}
                 self._files[t] = m.get("files")
                 self._stats[t] = m.get("stats", {})
+                self._producers[t] = m.get("producers", {})
             else:
                 self._high[t] = legacy_high.get(t, {})
                 self._files[t] = None
@@ -220,6 +228,7 @@ class TopicEngine:
         self._high.pop(topic, None)
         self._files.pop(topic, None)
         self._stats.pop(topic, None)
+        self._producers.pop(topic, None)
         self._fsio.delete(self._topic_dir(topic), recursive=True)
         self._fsio.delete(self._manifest_path(topic))
         self._purge_topic_metadata(topic)
@@ -331,6 +340,11 @@ class TopicEngine:
             F.col("_seq").alias("ingest_seq"),
         )
 
+        # Produce-side idempotence (rm_stm window): only when the CALLER
+        # supplied producer columns — plain batches skip the extra job.
+        if "producer_id" in cols and "base_sequence" in cols:
+            df = self._idempotence_gate(topic, df)
+
         base = dict(self._high.get(topic, {}))
         df = LOG.assign_offsets(df, base_offsets=base).drop("ingest_seq")
         # local sort so each file's (partition, offset) footer stats are
@@ -385,6 +399,76 @@ class TopicEngine:
         # any crash.
         self._commit_manifest(topic)
         return bases
+
+    def _idempotence_gate(self, topic: str, df: DataFrame) -> DataFrame:
+        """Broker-side sequence window per (partition, producer): the
+        reference's idempotent_replicate (`cluster/rm_stm.h:296-302`,
+        dedup window `cluster/producer_state.h:46-98`).
+
+        Per (partition, pid): a batch whose sequences were all appended
+        before is DROPPED silently (the duplicate-ack path — the client
+        retried a request the broker already committed); a batch starting
+        beyond last_seq+1 is rejected OUT_OF_ORDER_SEQUENCE_NUMBER; a
+        lower epoch than the fenced-in one is rejected
+        INVALID_PRODUCER_EPOCH; a higher epoch resets the window. State
+        commits in the SAME manifest flip as the data — crash-atomic with
+        the offsets, like the reference's stm snapshot riding raft.
+
+        One extra small aggregation job per produce, only on batches that
+        actually carry producer ids."""
+        stats = (
+            df.where(F.col("producer_id") >= 0)
+            .groupBy("partition", "producer_id", "producer_epoch")
+            .agg(
+                F.min("base_sequence").alias("min_seq"),
+                F.max("base_sequence").alias("max_seq"),
+            )
+            .collect()
+        )
+        if not stats:
+            return df
+        state = self._producers.setdefault(topic, {})
+        drop_all: list[tuple[int, int]] = []
+        trim: list[tuple[int, int, int]] = []  # (partition, pid, last_seq)
+        for r in sorted(stats, key=lambda x: x["producer_epoch"]):
+            key = f"{r['partition']}:{r['producer_id']}"
+            cur = state.get(key)
+            epoch = int(r["producer_epoch"])
+            if cur is not None:
+                if epoch < cur[0]:
+                    raise ProduceError(
+                        "INVALID_PRODUCER_EPOCH",
+                        f"producer {r['producer_id']} epoch {epoch} < fenced {cur[0]}",
+                    )
+                last = -1 if epoch > cur[0] else cur[1]
+            else:
+                last = -1
+            if r["min_seq"] > last + 1:
+                raise ProduceError(
+                    "OUT_OF_ORDER_SEQUENCE_NUMBER",
+                    f"partition {r['partition']} producer {r['producer_id']}: "
+                    f"first seq {r['min_seq']} after last committed {last}",
+                )
+            if r["max_seq"] <= last:
+                drop_all.append((r["partition"], r["producer_id"]))
+            elif r["min_seq"] <= last:
+                trim.append((r["partition"], r["producer_id"], last))
+            state[key] = [epoch, max(last, int(r["max_seq"]))]
+        cond = None
+        for p, pid in drop_all:
+            c = (
+                (F.col("partition") == p)
+                & (F.col("producer_id") == pid)
+            )
+            cond = c if cond is None else cond | c
+        for p, pid, last in trim:
+            c = (
+                (F.col("partition") == p)
+                & (F.col("producer_id") == pid)
+                & (F.col("base_sequence") <= last)
+            )
+            cond = c if cond is None else cond | c
+        return df if cond is None else df.where(~cond)
 
     def _footer_stats(self, paths: list[str]) -> dict[str, list[int]]:
         """Per-file [min_p, max_p, min_o, max_o, rows] from parquet footers

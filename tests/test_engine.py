@@ -457,3 +457,90 @@ def test_rewrite_crash_before_manifest_commit_keeps_old_snapshot(spark, tmp_path
         for r in eng2.log("rc").collect()
     }
     assert rows == {"a": "2", "b": "1"}
+
+
+def _idem_batch(spark, pid, epoch, seqs, partition=0, tag="v"):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(
+            partition=partition,
+            key=f"k{s}".encode(),
+            value=f"{tag}{s}".encode(),
+            producer_id=pid,
+            producer_epoch=epoch,
+            base_sequence=s,
+        )
+        for s in seqs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition int, key binary, value binary, producer_id long,"
+        " producer_epoch smallint, base_sequence int",
+    )
+
+
+def test_produce_idempotence_drops_duplicate_batch(spark, tmp_path):
+    """rm_stm parity: a retried batch whose sequences were already
+    committed appends NOTHING (duplicate-ack path), a partial overlap
+    appends only the new suffix."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path))
+    engine.create_topic("t", TopicConfig(partitions=1))
+    engine.produce("t", _idem_batch(spark, 7, 0, [0, 1, 2]))
+    assert engine.high_watermarks("t")[0] == 3
+    # full retry: silently dropped
+    engine.produce("t", _idem_batch(spark, 7, 0, [0, 1, 2], tag="dup"))
+    assert engine.high_watermarks("t")[0] == 3
+    assert engine.log("t").count() == 3
+    # partial overlap: only seq 3,4 append
+    engine.produce("t", _idem_batch(spark, 7, 0, [2, 3, 4]))
+    assert engine.high_watermarks("t")[0] == 5
+    vals = sorted(bytes(r["value"]).decode() for r in engine.log("t").collect())
+    assert vals == ["v0", "v1", "v2", "v3", "v4"]  # no dup payloads
+
+
+def test_produce_idempotence_rejects_gap_and_stale_epoch(spark, tmp_path):
+    from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path))
+    engine.create_topic("t", TopicConfig(partitions=1))
+    engine.produce("t", _idem_batch(spark, 7, 1, [0, 1]))
+    with pytest.raises(ProduceError, match="OUT_OF_ORDER"):
+        engine.produce("t", _idem_batch(spark, 7, 1, [5, 6]))
+    with pytest.raises(ProduceError, match="INVALID_PRODUCER_EPOCH"):
+        engine.produce("t", _idem_batch(spark, 7, 0, [2]))
+    # higher epoch resets the window (new producer incarnation)
+    engine.produce("t", _idem_batch(spark, 7, 2, [0, 1]))
+    assert engine.high_watermarks("t")[0] == 4
+
+
+def test_produce_idempotence_state_survives_reopen(spark, tmp_path):
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    e1 = TopicEngine(spark, str(tmp_path))
+    e1.create_topic("t", TopicConfig(partitions=1))
+    e1.produce("t", _idem_batch(spark, 9, 0, [0, 1]))
+    # fresh engine over the same root: the window came from the manifest
+    e2 = TopicEngine(spark, str(tmp_path))
+    e2.produce("t", _idem_batch(spark, 9, 0, [0, 1], tag="dup"))
+    assert e2.high_watermarks("t")[0] == 2
+    assert e2.log("t").count() == 2
+
+
+def test_plain_produce_unaffected_by_gate(spark, tmp_path):
+    """Batches without producer columns skip the gate entirely (and two
+    identical plain batches both land — at-most-once is opt-in)."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path))
+    engine.create_topic("t", TopicConfig(partitions=1))
+    b = spark.createDataFrame(
+        [Row(key=b"k", value=b"v")], "key binary, value binary"
+    )
+    engine.produce("t", b)
+    engine.produce("t", b)
+    assert engine.log("t").count() == 2
