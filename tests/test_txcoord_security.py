@@ -292,3 +292,56 @@ def test_delete_topic_purges_tx_and_offset_state(spark, engine):
     assert lo["latest_offset"] == 1
     # no inherited consumer offsets
     assert engine.offset_fetch("g1").where("topic = 'dp'").count() == 0
+
+
+def test_audit_log_dedup_drain_and_query(spark, tmp_path):
+    """API events dedup in the buffer (identical events collapse with a
+    count, audit_log_manager.h multi-index parity), drain lands them on
+    the audit topic, and the typed query reads them back."""
+    from redpanda_spark.audit import AuditLogManager
+    from redpanda_spark.engine import TopicEngine
+
+    engine = TopicEngine(spark, str(tmp_path / "audit_root"))
+    audit = AuditLogManager(engine, excluded_principals={"svc-probe"})
+
+    for _ in range(3):  # identical -> one record, count 3
+        audit.enqueue_api_event("create_topics", "alice", "topic:t1")
+    audit.enqueue_api_event("delete_topics", "bob", "topic:t2", outcome="failure",
+                            reason="unknown topic")
+    audit.enqueue_authn_event("mallory", "failure")
+    assert not audit.enqueue_api_event("create_topics", "svc-probe", "topic:x")
+    assert audit.pending() == 3
+
+    assert audit.drain() == 3
+    assert audit.pending() == 0 and audit.drain() == 0
+
+    ev = {r["api"]: r for r in audit.events().collect()}
+    assert ev["create_topics"]["count"] == 3
+    assert ev["create_topics"]["principal"] == "alice"
+    assert ev["delete_topics"]["outcome"] == "failure"
+    assert ev["SASL-SCRAM"]["class"] == "authentication"
+
+    # second drain appends (offsets advance, prior events intact)
+    audit.enqueue_api_event("alter_configs", "alice", "topic:t1")
+    audit.drain()
+    assert audit.events().count() == 4
+
+
+def test_audited_authorize_records_decisions(spark, tmp_path):
+    from redpanda_spark.audit import AuditLogManager, audited_authorize
+    from redpanda_spark.engine import TopicEngine
+    from redpanda_spark.security import AclBinding, AclStore
+
+    engine = TopicEngine(spark, str(tmp_path / "authz_root"))
+    acls = AclStore()
+    acls.create(
+        AclBinding("alice", "topic", "t1", "literal", "read", "allow")
+    )
+    audit = AuditLogManager(engine)
+    authorize = audited_authorize(acls, audit)
+
+    assert authorize("alice", "read", "topic", "t1") is True
+    assert authorize("eve", "read", "topic", "t1") is False
+    audit.drain()
+    got = {(r["principal"], r["outcome"]) for r in audit.events().collect()}
+    assert got == {("alice", "allowed"), ("eve", "denied")}
