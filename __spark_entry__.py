@@ -45,6 +45,7 @@ _PRIORITY = [
     "doc_span_dedup",
     "pipeline_sample",
     "doc_quality_classifier",
+    "emb_project",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

@@ -3659,3 +3659,47 @@ SELECT doc_id, score, score > 0 AS keep FROM s
 
 QUERIES.update({"doc_quality_classifier": q_doc_quality_classifier})
 ORACLES.update({"doc_quality_classifier": _clf_sql()})
+
+
+# -- Sign random projection (JL dimensionality reduction) --------------------
+
+_SRP_K, _SRP_DIM = 8, 64
+
+
+def q_emb_project(spark, sf_dir):
+    """64-dim embeddings -> 8 exact-integer SRP components (hash-derived
+    ±1 hyperplanes, milli-unit quantization). The all-JVM expression
+    path; the Arrow matmul twin is parity-tested equal in unit tests."""
+    from redpanda_spark.similarity.projection import project_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = project_expr(emb, _SRP_K, _SRP_DIM)
+    return out.select(
+        "vec_id",
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(_SRP_K)],
+    )
+
+
+def _srp_sql() -> str:
+    from redpanda_spark.similarity.projection import _sign
+
+    comps = []
+    for i in range(_SRP_K):
+        terms = " + ".join(
+            f"({'' if _sign(i, j, _SRP_DIM, 0) == 1 else '-'}q[{j + 1}])"
+            for j in range(_SRP_DIM)
+        )
+        comps.append(f"CAST({terms} AS BIGINT) AS p{i}")
+    cols = ", ".join(comps)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(ROUND(x * 1000) AS BIGINT)) AS q
+  FROM embeddings)
+SELECT vec_id, {cols} FROM q
+"""
+
+
+QUERIES.update({"emb_project": q_emb_project})
+ORACLES.update({"emb_project": _srp_sql()})
