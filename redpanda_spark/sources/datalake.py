@@ -693,6 +693,9 @@ def write_datalake(
     snap: dict = {"id": next_id, "files": files}
     if meta:
         snap["meta"] = meta  # e.g. streaming batch_id for replay skipping
+    import time as _time
+
+    snap["ts"] = _time.time()  # commit timestamp — AS OF time travel
     snapshots.append(snap)
     fs.write_text_atomic(
         manifest, json.dumps({"format": fmt, "snapshots": snapshots, "expired": expired})
@@ -869,12 +872,21 @@ def remove_orphan_files(spark, path: str) -> dict:
     return {"deleted_files": deleted}
 
 
-def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
+def read_datalake(
+    spark,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
     """Snapshot read: only files listed in the committed manifest.
 
-    ``snapshot_id`` selects a historical snapshot (Iceberg time-travel
-    analog); default is the latest. Expired snapshots raise a ValueError
-    naming the expiry, never a file-not-found from a dangling list.
+    ``snapshot_id`` selects a historical snapshot, ``as_of`` (unix
+    seconds) the last snapshot committed at or before that time — the
+    two Iceberg time-travel forms. Default is the latest. Expired
+    snapshots raise a ValueError naming the expiry, never a
+    file-not-found from a dangling list. ``mergeSchema`` is on, so a
+    table whose later snapshots added columns (schema evolution) reads
+    with NULLs for pre-evolution rows — Iceberg add-column semantics.
     """
     from redpanda_spark import fsio
 
@@ -882,7 +894,14 @@ def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame
     manifest = os.path.join(path, "_manifest.json")
     m = _load_lake_manifest(fs, manifest)
     snapshots = m["snapshots"]
-    if snapshot_id is None:
+    if snapshot_id is not None and as_of is not None:
+        raise ValueError("pass snapshot_id or as_of, not both")
+    if as_of is not None:
+        eligible = [s for s in snapshots if s.get("ts", 0) <= as_of]
+        if not eligible:
+            raise ValueError(f"no snapshot committed at or before {as_of}")
+        snap = eligible[-1]
+    elif snapshot_id is None:
         if not snapshots:
             raise ValueError(f"no live snapshots in {manifest}")
         snap = snapshots[-1]
@@ -899,5 +918,93 @@ def read_datalake(spark, path: str, snapshot_id: int | None = None) -> DataFrame
     return (
         spark.read.format(m.get("format", "parquet"))
         .option("basePath", path)
+        .option("mergeSchema", "true")
         .load(full)
     )
+
+
+def commit_snapshot(spark, path: str, df: DataFrame, meta: dict | None = None) -> int:
+    """Copy-on-write full-table commit that PRESERVES history: ``df``
+    becomes the new snapshot's complete contents, written to fresh files
+    (prior snapshots keep theirs — time travel intact until
+    ``expire_snapshots``), unlike ``mode="overwrite"``, which physically
+    deletes. The engine-side twin of Iceberg's replace commits. Returns
+    the new snapshot id."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    manifest = os.path.join(path, "_manifest.json")
+    m = _load_lake_manifest(fs, manifest)
+    fmt = m.get("format", "parquet")
+    tmp = fs.normalize(path).rstrip("/") + ".rewrite.tmp"
+    fs.delete(tmp, recursive=True)
+    df.write.mode("overwrite").partitionBy("_hour").format(fmt).save(tmp)
+    next_id = max([s["id"] for s in m["snapshots"]] + m["expired"] + [0]) + 1
+    tmp_root = fs.normalize(tmp)
+    new_rel: list[str] = []
+    for p in sorted(fs.list_files_recursive(tmp)):
+        rel = os.path.relpath(p, tmp_root)
+        dest_rel = os.path.join(
+            os.path.dirname(rel), f"cow-{next_id}-{os.path.basename(rel)}"
+        )
+        dest = os.path.join(path, dest_rel)
+        fs.mkdirs(os.path.dirname(dest))
+        fs.rename(p, dest)
+        new_rel.append(dest_rel)
+    fs.delete(tmp, recursive=True)
+    import time as _time
+
+    snap: dict = {"id": next_id, "files": sorted(new_rel), "ts": _time.time()}
+    if meta:
+        snap["meta"] = meta
+    m["snapshots"].append(snap)
+    fs.write_text_atomic(
+        manifest,
+        json.dumps(
+            {"format": fmt, "snapshots": m["snapshots"], "expired": m["expired"]}
+        ),
+    )
+    return next_id
+
+
+def apply_changelog(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    deleted_col: str = "_deleted",
+) -> dict:
+    """Apply a keyed changelog (CDC / compacted-topic semantics) to the
+    table: upsert rows, delete tombstoned keys, commit copy-on-write.
+
+    ``changes`` carries the table schema plus optionally ``_deleted``
+    boolean, ONE row per key (a duplicated key raises — pre-compact the
+    changelog with keep-latest first; dim_from_topic does exactly that). This is the merge the reference's users run downstream of the
+    datalake sink to turn an append log into a current-state table
+    (Iceberg MERGE INTO analog, copy-on-write strategy: rewrite touched
+    table, single commit)."""
+    live = read_datalake(spark, path)
+    dup = (
+        changes.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "changes carry multiple rows for the same key — pre-compact the "
+            "changelog (keep-latest) so the merge is unambiguous"
+        )
+    has_del = deleted_col in changes.columns
+    dels = (
+        changes.where(F.col(deleted_col)).select(*key_cols)
+        if has_del
+        else changes.limit(0).select(*key_cols)
+    )
+    ups = changes.where(~F.col(deleted_col)) if has_del else changes
+    ups = ups.select(*[c for c in live.columns])
+    touched = changes.select(*key_cols).distinct()
+    kept = live.join(touched, key_cols, "left_anti")
+    merged = kept.unionByName(ups)
+    n_dels = dels.count()
+    sid = commit_snapshot(
+        spark, path, merged, meta={"changelog": True, "deletes": n_dels}
+    )
+    return {"snapshot_id": sid, "deleted_keys": n_dels}

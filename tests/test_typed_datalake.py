@@ -611,3 +611,77 @@ def test_rewrite_data_files_binpacks_and_preserves_rows(spark, tmp_path):
     assert gc["deleted_files"] >= 1
     assert not os.path.exists(out + ".rewrite.tmp")
     assert sorted(r["a"] for r in read_datalake(spark, out).select("a").collect()) == rows_before
+
+
+def test_schema_evolution_and_as_of_time_travel(spark, tmp_path):
+    """Append a snapshot with an added column: old rows read as NULL for
+    the new column (Iceberg add-column); AS OF reads pick the last
+    snapshot committed at or before the given time."""
+    import time as _time
+
+    sch1 = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"}]}'
+    sch2 = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    out = str(tmp_path / "lake_evo")
+    first = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch1, {"a": i}) for i in range(3)]), sch1
+    ).drop("redpanda")
+    write_datalake(first, out)
+    t_between = _time.time()
+    _time.sleep(0.01)
+    second = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch2, {"a": 10, "b": "new"})]), sch2
+    ).drop("redpanda")
+    write_datalake(second, out)
+
+    cur = read_datalake(spark, out)
+    assert set(cur.columns) >= {"a", "b"}
+    rows = {r["a"]: r["b"] for r in cur.collect()}
+    assert rows[10] == "new" and rows[0] is None  # evolution NULLs
+
+    old = read_datalake(spark, out, as_of=t_between)
+    assert old.count() == 3 and "b" not in old.columns
+    with pytest.raises(ValueError, match="at or before"):
+        read_datalake(spark, out, as_of=0.0)
+
+
+def test_apply_changelog_upserts_and_tombstones(spark, tmp_path):
+    """CDC apply: update one key, insert one, delete one — committed
+    copy-on-write so the pre-merge snapshot stays time-travelable."""
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.sources.datalake import apply_changelog
+
+    sch = '{"type":"record","name":"e","fields":[{"name":"a","type":"long"},{"name":"b","type":"string"}]}'
+    out = str(tmp_path / "lake_cdc")
+    base = translate_avro_topic(
+        _log_df(spark, [avro_encode(sch, {"a": i, "b": f"v{i}"}) for i in range(4)]),
+        sch,
+    ).drop("redpanda")
+    write_datalake(base, out)
+    live = read_datalake(spark, out)
+
+    hour = live.select("_hour").first()["_hour"]
+    changes = spark.createDataFrame(
+        [
+            (1, "UPDATED", hour, False),
+            (99, "INSERTED", hour, False),
+            (2, None, hour, True),  # tombstone
+        ],
+        "a long, b string, _hour timestamp, _deleted boolean",
+    ).withColumn("redpanda_ts", F.lit(None))  # extra col ignored by select
+    res = apply_changelog(spark, out, changes.drop("redpanda_ts"), ["a"])
+    assert res["deleted_keys"] == 1
+
+    now = {r["a"]: r["b"] for r in read_datalake(spark, out).collect()}
+    assert now == {0: "v0", 1: "UPDATED", 3: "v3", 99: "INSERTED"}
+    # pre-merge snapshot intact (copy-on-write)
+    pre = {r["a"]: r["b"] for r in read_datalake(spark, out, snapshot_id=1).collect()}
+    assert pre == {0: "v0", 1: "v1", 2: "v2", 3: "v3"}
+
+    # duplicate-key changelog is rejected
+    dup = spark.createDataFrame(
+        [(1, "x", hour, False), (1, "y", hour, False)],
+        "a long, b string, _hour timestamp, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="pre-compact"):
+        apply_changelog(spark, out, dup, ["a"])
