@@ -1,0 +1,155 @@
+"""Consumer client facade — the KafkaConsumer lifecycle over the engine.
+
+The repo has every consumer primitive as a separate surface (group FSM
+in operators/coordinator.py, committed offsets + fetch on the engine);
+this ties them into the loop every Kafka client runs — and every
+reference e2e test drives (`tests/rptest/tests/consumer_group_test.py`):
+
+    subscribe -> JoinGroup/SyncGroup (assignment) -> poll (fetch from
+    committed or auto.offset.reset position) -> commit -> heartbeat /
+    rejoin on rebalance -> close
+
+Poll returns records for THIS member's assigned partitions only,
+starting from the group's committed offset per partition (or the reset
+policy's position when nothing is committed: "earliest" = log start,
+"latest" = high watermark). ``commit()`` records the consumed positions
+through the engine's `_consumer_offsets` keep-latest table, so progress
+survives the member, the group, and the process.
+
+Driver-side control loop; the data path stays DataFrame jobs (the
+fetch). At cluster scale one of these runs per external consumer — the
+engine serves any number concurrently because fetches are reads and
+commits are appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redpanda_spark.operators.coordinator import GroupManager
+
+
+class Consumer:
+    def __init__(
+        self,
+        engine,
+        manager: GroupManager,
+        group_id: str,
+        topics: list[str],
+        auto_offset_reset: str = "earliest",
+        group_instance_id: str | None = None,
+        assignor: str = "range",
+    ):
+        if auto_offset_reset not in ("earliest", "latest"):
+            raise ValueError("auto_offset_reset must be earliest|latest")
+        self.engine = engine
+        self.manager = manager
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.auto_offset_reset = auto_offset_reset
+        self.group_instance_id = group_instance_id
+        self.assignor = assignor
+        self.member_id: str | None = None
+        self.generation = 0
+        self.assignment: dict[str, list[int]] = {}
+        # positions this member will fetch next: {(topic, partition): offset}
+        self._positions: dict[tuple[str, int], int] = {}
+
+    # -- group membership --------------------------------------------------
+
+    def subscribe(self) -> dict[str, list[int]]:
+        """Join + sync until the group is stable and this member holds an
+        assignment (retrying while other members trickle in is the
+        caller's loop — tests drive all members explicitly)."""
+        from redpanda_spark.operators.coordinator import CoordinatorError
+
+        g = self.manager.get(self.group_id)
+        r = g.join_group(
+            self.member_id,
+            {self.assignor: self.topics},
+            group_instance_id=self.group_instance_id,
+        )
+        self.member_id = r["member_id"]
+        self.generation = r["generation"]
+        try:
+            self.assignment = g.sync_group(self.member_id, self.generation)
+        except CoordinatorError as e:
+            if e.code not in ("REBALANCE_IN_PROGRESS", "ILLEGAL_GENERATION"):
+                raise
+            # other members still joining: empty assignment until the
+            # next subscribe()/heartbeat() completes the generation
+            self.assignment = {}
+        self._positions = {}
+        return dict(self.assignment)
+
+    def heartbeat(self) -> str:
+        from redpanda_spark.operators.coordinator import CoordinatorError
+
+        g = self.manager.get(self.group_id)
+        try:
+            code = g.heartbeat(self.member_id, self.generation)
+        except CoordinatorError as e:
+            if e.code != "ILLEGAL_GENERATION":
+                raise
+            code = "REBALANCE_IN_PROGRESS"
+        if code == "REBALANCE_IN_PROGRESS":
+            self.subscribe()  # rejoin, new generation + assignment
+        return code
+
+    def close(self) -> None:
+        """Dynamic members leave (triggers a rebalance); static members
+        just stop — their slot survives for the restarted instance
+        (KIP-345 client behavior)."""
+        if self.member_id and self.group_instance_id is None:
+            self.manager.get(self.group_id).leave_group(self.member_id)
+        self.member_id = None
+
+    # -- consumption -------------------------------------------------------
+
+    def _start_position(self, topic: str, partition: int) -> int:
+        committed = (
+            self.engine.offset_fetch(self.group_id)
+            .where((F.col("topic") == topic) & (F.col("partition") == partition))
+            .collect()
+        )
+        if committed:
+            return int(committed[0]["committed_offset"])
+        if self.auto_offset_reset == "latest":
+            return self.engine.high_watermarks(topic).get(partition, 0)
+        return self.engine._log_starts(topic).get(partition, 0)
+
+    def poll(self, max_records_per_partition: int | None = None) -> dict:
+        """Fetch new records for every assigned partition from the current
+        position; advances in-memory positions (commit() makes them
+        durable). Returns {(topic, partition): [rows...]}."""
+        if not self.assignment:
+            raise RuntimeError("not subscribed / empty assignment")
+        out: dict[tuple[str, int], list] = {}
+        for topic, parts in self.assignment.items():
+            for p in parts:
+                key = (topic, p)
+                if key not in self._positions:
+                    self._positions[key] = self._start_position(topic, p)
+                rows = self.engine.fetch(
+                    topic, p,
+                    offset=self._positions[key],
+                    max_records=max_records_per_partition,
+                ).collect()
+                rows.sort(key=lambda r: r["offset"])
+                if rows:
+                    self._positions[key] = rows[-1]["offset"] + 1
+                out[key] = rows
+        return out
+
+    def commit(self) -> None:
+        """Commit every polled position (OffsetCommit semantics: the
+        committed offset is the NEXT offset to read)."""
+        for (topic, p), off in self._positions.items():
+            self.engine.offset_commit(self.group_id, topic, p, off)
+
+    def __enter__(self) -> "Consumer":
+        self.subscribe()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()

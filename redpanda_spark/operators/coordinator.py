@@ -302,6 +302,18 @@ class GroupCoordinator:
         if not member_id:
             member_id = f"{self.group_id}-member-{self._next_member}"
             self._next_member += 1
+        known = self.members.get(member_id)
+        if (
+            known is not None
+            and self.state == GroupState.STABLE
+            and known.protocols == protocols
+        ):
+            # Kafka's no-op rejoin (group.cc): a known member re-joining a
+            # Stable group with an unchanged subscription gets the CURRENT
+            # generation back — no rebalance churn from heartbeat-path
+            # rejoins
+            known.last_heartbeat = time.monotonic()
+            return self._join_response(member_id)
         m = self.members.get(member_id)
         if m is None:
             m = Member(member_id, protocols, session_timeout_s)
