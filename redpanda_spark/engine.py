@@ -710,6 +710,34 @@ class TopicEngine:
         self._require(topic)
         return dict(self._high.get(topic, {}))
 
+    def topic_stats(self, topic: str) -> dict:
+        """O(1) observability from the manifest — no scan, no Spark job
+        (the reference's per-partition probes /public_metrics surface:
+        segment counts, on-disk bytes, watermarks, log starts). Row count
+        comes from the manifest's per-file stats; files without stats
+        report None rather than a wrong number."""
+        self._require(topic)
+        files = self._files.get(topic)
+        stats = self._stats.get(topic, {})
+        sizes = [
+            self._fsio.getsize(os.path.join(self.root, f)) for f in (files or [])
+        ]
+        rows: int | None = 0
+        for f in files or []:
+            s = stats.get(f)
+            if s is None:
+                rows = None
+                break
+            rows += s[4]
+        return {
+            "segments": len(files or []),
+            "bytes": sum(sizes),
+            "rows": rows,
+            "high_watermarks": dict(self._high.get(topic, {})),
+            "log_starts": self._log_starts(topic),
+            "producers_tracked": len(self._producers.get(topic, {})),
+        }
+
     # -- admin / maintenance ---------------------------------------------
 
     def _log_starts(self, topic: str) -> dict[int, int]:

@@ -105,3 +105,62 @@ def test_static_consumer_restart_keeps_assignment(spark, tmp_path):
     s2 = Consumer(engine, mgr, "g6", ["t"], group_instance_id="app-0")
     assert s2.subscribe() == assigned
     assert s2.generation == gen  # no rebalance happened
+
+
+def test_topic_stats_o1_surface(spark, tmp_path):
+    engine, _ = _setup(spark, tmp_path, n_parts=2, n_msgs=10)
+    st = engine.topic_stats("t")
+    assert st["segments"] >= 1 and st["bytes"] > 0
+    assert st["rows"] == 10
+    assert sum(st["high_watermarks"].values()) == 10
+    assert st["log_starts"] == {} and st["producers_tracked"] == 0
+
+
+def test_eos_consume_transform_produce(spark, tmp_path):
+    """Exactly-once pipeline: consume from 'in', produce transformed
+    records to 'out' and commit the consumer offsets IN THE SAME
+    transaction (TxnOffsetCommit + EndTxn). An aborted attempt leaves
+    neither output records (read_committed) nor advanced offsets; the
+    committed retry leaves both, once."""
+    from redpanda_spark.consumer import Consumer
+    from redpanda_spark.operators.txcoord import TxCoordinator
+    from pyspark.sql import functions as F
+
+    engine, mgr = _setup(spark, tmp_path, n_parts=1, n_msgs=5)
+    engine.create_topic("out", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("etl")
+
+    c = Consumer(engine, mgr, "etl-g", ["t"])
+    c.subscribe()
+    polled = c.poll()[("t", 0)]
+    batch = spark.createDataFrame(
+        [(bytes(r["key"]), bytes(r["value"]).upper()) for r in polled],
+        "key binary, value binary",
+    )
+
+    # attempt 1: produce + stage offsets, then ABORT
+    tc.produce("etl", "out", batch)
+    tc.txn_offset_commit("etl", "etl-g", "t", 0, c._positions[("t", 0)])
+    tc.abort("etl")
+    committed_rows = engine.fetch("out", 0, isolation="read_committed").count()
+    assert committed_rows == 0  # aborted writes invisible
+    assert engine.offset_fetch("etl-g").where(F.col("topic") == "t").count() == 0
+
+    # attempt 2 (retry after abort): produce + stage + COMMIT
+    tc.produce("etl", "out", batch)
+    tc.txn_offset_commit("etl", "etl-g", "t", 0, c._positions[("t", 0)])
+    tc.commit("etl")
+    vals = sorted(
+        bytes(r["value"]).decode()
+        for r in engine.fetch("out", 0, isolation="read_committed").collect()
+    )
+    assert vals == ["V0", "V1", "V2", "V3", "V4"]  # exactly once, committed
+    off = engine.offset_fetch("etl-g").where(F.col("topic") == "t").collect()
+    assert off and off[0]["committed_offset"] == 5
+
+    # a fresh consumer in the group resumes past the processed records
+    c2 = Consumer(engine, mgr, "etl-g", ["t"])
+    c.close()
+    c2.subscribe()
+    assert c2.poll()[("t", 0)] == []
