@@ -7,6 +7,11 @@ Reference endpoints (`src/v/pandaproxy/api/api-doc/rest.json:19-470`,
   GET  /topics/{t}                              topic metadata
   POST /topics/{t}                              produce records
   GET  /topics/{t}/partitions/{p}/records?offset=&count=   fetch
+  POST /consumers/{g}                           create consumer instance
+  POST /consumers/{g}/instances/{i}/subscription   subscribe to topics
+  GET  /consumers/{g}/instances/{i}/records     poll assigned partitions
+  POST /consumers/{g}/instances/{i}/offsets     commit consumed offsets
+  DELETE /consumers/{g}/instances/{i}           remove instance
   GET  /subjects                                registry subjects
   POST /subjects/{s}/versions                   register schema
   GET  /subjects/{s}/versions                   list versions
@@ -46,11 +51,36 @@ class RestApp:
         self.engine = engine
         self.admin = AdminClient(engine)
         self.registry = registry or SchemaRegistry()
+        # consumer-group state (lazy): shared coordinator + live instances
+        self._manager = None
+        self._instances: dict[tuple[str, str], object] = {}
+        self._next_instance = 0
         self.routes = [
             ("GET", r"^/topics$", self._list_topics),
             ("GET", r"^/topics/([^/]+)$", self._topic_meta),
             ("POST", r"^/topics/([^/]+)$", self._produce),
             ("GET", r"^/topics/([^/]+)/partitions/(\d+)/records$", self._fetch),
+            ("POST", r"^/consumers/([^/]+)$", self._consumer_create),
+            (
+                "POST",
+                r"^/consumers/([^/]+)/instances/([^/]+)/subscription$",
+                self._consumer_subscribe,
+            ),
+            (
+                "GET",
+                r"^/consumers/([^/]+)/instances/([^/]+)/records$",
+                self._consumer_records,
+            ),
+            (
+                "POST",
+                r"^/consumers/([^/]+)/instances/([^/]+)/offsets$",
+                self._consumer_commit,
+            ),
+            (
+                "DELETE",
+                r"^/consumers/([^/]+)/instances/([^/]+)$",
+                self._consumer_delete,
+            ),
             ("GET", r"^/subjects$", self._subjects),
             ("POST", r"^/subjects/([^/]+)/versions$", self._register),
             ("GET", r"^/subjects/([^/]+)/versions$", self._versions),
@@ -167,6 +197,94 @@ class RestApp:
         ]
 
     # -- registry handlers ------------------------------------------------
+
+    # -- consumer-group handlers (rest.json /consumers/{g} surface) -------
+
+    def _get_manager(self):
+        from redpanda_spark.operators.coordinator import GroupManager
+
+        parts = {t: c.partitions for t, c in self.engine.list_topics().items()}
+        if self._manager is None:
+            self._manager = GroupManager(parts, engine=self.engine)
+        else:
+            self._manager.topic_partitions.update(parts)
+        return self._manager
+
+    def _consumer_create(self, group, body, query):
+        name = body.get("name") or f"rest-consumer-{self._next_instance}"
+        self._next_instance += 1
+        if (group, name) in self._instances:
+            return 409, {"error_code": 40902, "message": f"instance {name} exists"}
+        self._instances[(group, name)] = {
+            "consumer": None,
+            "reset": body.get("auto.offset.reset", "earliest"),
+        }
+        return 200, {
+            "instance_id": name,
+            "base_uri": f"/consumers/{group}/instances/{name}",
+        }
+
+    def _instance(self, group, inst):
+        try:
+            return self._instances[(group, inst)]
+        except KeyError:
+            raise KeyError(f"no consumer instance {group}/{inst}") from None
+
+    def _consumer_subscribe(self, group, inst, body, query):
+        from redpanda_spark.consumer import Consumer
+
+        slot = self._instance(group, inst)
+        slot["consumer"] = Consumer(
+            self.engine,
+            self._get_manager(),
+            group,
+            list(body["topics"]),
+            auto_offset_reset=slot["reset"],
+        )
+        slot["consumer"].subscribe()
+        return 204, {}
+
+    def _consumer_records(self, group, inst, body, query):
+        slot = self._instance(group, inst)
+        c = slot["consumer"]
+        if c is None:
+            return 409, {"error_code": 40903, "message": "not subscribed"}
+        if not c.assignment:
+            c.subscribe()  # group was mid-rebalance at subscription time
+        else:
+            c.heartbeat()
+        if not c.assignment:
+            return 200, []
+        max_records = query.get("max_records")
+        out = []
+        for (topic, p), rows in c.poll(
+            int(max_records) if max_records else None
+        ).items():
+            for r in rows:
+                out.append(
+                    {
+                        "topic": topic,
+                        "partition": p,
+                        "offset": r["offset"],
+                        "key": _b64e(r["key"]),
+                        "value": _b64e(r["value"]),
+                    }
+                )
+        return 200, out
+
+    def _consumer_commit(self, group, inst, body, query):
+        c = self._instance(group, inst)["consumer"]
+        if c is None:
+            return 409, {"error_code": 40903, "message": "not subscribed"}
+        c.commit()
+        return 200, {}
+
+    def _consumer_delete(self, group, inst, body, query):
+        slot = self._instance(group, inst)
+        if slot["consumer"] is not None:
+            slot["consumer"].close()
+        del self._instances[(group, inst)]
+        return 204, {}
 
     def _subjects(self, body, query):
         return 200, self.registry.subjects()

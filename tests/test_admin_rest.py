@@ -175,3 +175,41 @@ def test_rest_schema_references(engine):
     assert status == 200 and v["references"] == refs
     status, holders = app.handle("GET", "/subjects/addr/versions/1/referencedby")
     assert status == 200 and holders == [sid]
+
+
+def test_rest_consumer_group_lifecycle(engine, spark):
+    """The pandaproxy /consumers surface end-to-end: create instance,
+    subscribe, poll records (base64 payloads), commit, re-poll sees only
+    new data, delete instance."""
+    app = RestApp(engine)
+    engine.create_topic("ct", TopicConfig(partitions=2))
+    recs = [
+        {"partition": i % 2, "key": b64("k%d" % i), "value": b64("v%d" % i)}
+        for i in range(6)
+    ]
+    assert app.handle("POST", "/topics/ct", {"records": recs})[0] == 200
+
+    status, inst = app.handle("POST", "/consumers/cg", {"name": "i1"})
+    assert status == 200 and inst["instance_id"] == "i1"
+    # duplicate instance name -> 409
+    assert app.handle("POST", "/consumers/cg", {"name": "i1"})[0] == 409
+
+    assert app.handle(
+        "POST", "/consumers/cg/instances/i1/subscription", {"topics": ["ct"]}
+    )[0] == 204
+    status, rows = app.handle("GET", "/consumers/cg/instances/i1/records")
+    assert status == 200 and len(rows) == 6
+    import base64
+
+    vals = sorted(base64.b64decode(r["value"]).decode() for r in rows)
+    assert vals == [f"v{i}" for i in range(6)]
+    assert app.handle("POST", "/consumers/cg/instances/i1/offsets")[0] == 200
+
+    # only new records after commit
+    app.handle("POST", "/topics/ct", {"records": [
+        {"partition": 0, "key": b64("kx"), "value": b64("vnew")}]})
+    status, rows = app.handle("GET", "/consumers/cg/instances/i1/records")
+    assert [base64.b64decode(r["value"]).decode() for r in rows] == ["vnew"]
+
+    assert app.handle("DELETE", "/consumers/cg/instances/i1")[0] == 204
+    assert app.handle("GET", "/consumers/cg/instances/i1/records")[0] == 404
