@@ -370,3 +370,74 @@ def test_proto_codec_roundtrip_property(value):
     # proto3 presence: zero-valued scalars still encode here (explicit dict
     # keys), so the round trip is exact
     assert got == value
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=0, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50), st.integers(0, 20)),
+        min_size=1, max_size=15,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_bruteforce(spark, facts_raw, versions_raw):
+    """asof_join == the obvious per-fact python scan, on random inputs
+    (distinct version times per key — ties among versions are the
+    documented caller contract)."""
+    from redpanda_spark.operators.asof import asof_join
+
+    versions = [
+        (k, ts, f"s{idx}")
+        for idx, (k, ts) in enumerate(sorted({(k, t) for k, t, _ in versions_raw}))
+    ]
+    facts = [(k, ts, i) for i, (k, ts) in enumerate(facts_raw)]
+    if not facts:
+        return
+    vdf = spark.createDataFrame(versions, "k string, ts long, state string")
+    fdf = spark.createDataFrame(facts, "k string, ts long, fid int")
+    got = {r["fid"]: r["state"] for r in asof_join(fdf, vdf, on="k").collect()}
+    for k, ts, fid in facts:
+        eligible = [(t, s) for (vk, t, s) in versions if vk == k and t <= ts]
+        expect = max(eligible)[1] if eligible else None
+        assert got[fid] == expect, (k, ts, fid, eligible)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 100)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 100), st.integers(0, 40)),
+        min_size=1, max_size=10,
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_join_matches_bruteforce(spark, facts_raw, iv_raw):
+    """interval_join == the naive range scan on random keys/times/widths
+    — bucket-boundary handling can't drop or duplicate matches."""
+    from redpanda_spark.operators.interval import interval_join
+
+    intervals = [
+        (k, start, start + width, f"w{i}")
+        for i, (k, start, width) in enumerate(iv_raw)
+    ]
+    facts = [(k, ts, i) for i, (k, ts) in enumerate(facts_raw)]
+    ivdf = spark.createDataFrame(intervals, "k string, start long, end long, wid string")
+    fdf = spark.createDataFrame(facts, "k string, ts long, fid int")
+    got = {
+        (r["fid"], r["wid"])
+        for r in interval_join(
+            fdf, ivdf, on="k", bucket=16, time_unit_is_timestamp=False
+        ).collect()
+    }
+    expect = {
+        (fid, wid)
+        for (fk, ts, fid) in facts
+        for (ik, lo, hi, wid) in intervals
+        if fk == ik and lo <= ts <= hi
+    }
+    assert got == expect
