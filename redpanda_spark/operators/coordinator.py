@@ -560,6 +560,32 @@ class GroupManager:
             )
         return self.groups[group_id]
 
+    def refresh_topic_partitions(self, topic_partitions: dict[str, int]) -> list[str]:
+        """Metadata refresh (the reference's topic-metadata watch): update
+        partition counts and force a rebalance on every non-empty group
+        subscribed to a topic whose count changed — members pick up the
+        grown partition set on their next heartbeat/rejoin. Returns the
+        rebalanced group ids."""
+        changed = {
+            t: n
+            for t, n in topic_partitions.items()
+            if self.topic_partitions.get(t) != n
+        }
+        self.topic_partitions.update(topic_partitions)
+        out = []
+        for g in self.groups.values():
+            g.topic_partitions.update(topic_partitions)
+            subscribed = {
+                t
+                for m in g.members.values()
+                for ts in m.protocols.values()
+                for t in ts
+            }
+            if g.members and changed.keys() & subscribed:
+                g._start_rebalance()
+                out.append(g.group_id)
+        return out
+
     def list_groups(self) -> list[dict]:
         return [
             {"group_id": g.group_id, "state": g.state.value}

@@ -158,6 +158,21 @@ class RestApp:
         recs = body.get("records", [])
         if not recs:
             return 422, {"error_code": 42201, "message": "no records"}
+        # client quota enforcement (quota_manager.h token bucket): a
+        # producer_byte_rate quota on the client id returns the Kafka
+        # throttle contract — 429 + throttle_time_ms; the client backs
+        # off and retries (the broker never sleeps a request thread)
+        client = query.get("client_id", body.get("client_id", "anonymous"))
+        nbytes = sum(
+            len(r.get("key") or "") + len(r.get("value") or "") for r in recs
+        )
+        delay = self.admin.throttle(client, nbytes)
+        if delay > 0:
+            return 429, {
+                "error_code": 42901,
+                "message": f"quota exceeded for {client}",
+                "throttle_time_ms": int(delay * 1000),
+            }
         rows = [
             Row(key=_b64d(r.get("key")), value=_b64d(r.get("value")))
             for r in recs

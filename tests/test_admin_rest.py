@@ -213,3 +213,45 @@ def test_rest_consumer_group_lifecycle(engine, spark):
 
     assert app.handle("DELETE", "/consumers/cg/instances/i1")[0] == 204
     assert app.handle("GET", "/consumers/cg/instances/i1/records")[0] == 404
+
+
+def test_rest_produce_quota_throttles(engine, spark):
+    """A producer_byte_rate quota on the client id: an oversized produce
+    returns 429 with throttle_time_ms (quota_manager token bucket);
+    unquota'd clients pass; draining the window lets the client back."""
+    app = RestApp(engine)
+    engine.create_topic("qt", TopicConfig(partitions=1))
+    app.admin.alter_client_quota("slow-client", "producer_byte_rate", 50.0)
+
+    big = {"records": [{"key": b64("k"), "value": b64("x" * 200)}]}
+    status, resp = app.handle("POST", "/topics/qt", big, {"client_id": "slow-client"})
+    # first call drains the bucket (bucket starts full at the limit),
+    # the second must throttle
+    if status == 200:
+        status, resp = app.handle("POST", "/topics/qt", big, {"client_id": "slow-client"})
+    assert status == 429 and resp["throttle_time_ms"] > 0
+
+    # a different client is unaffected
+    assert app.handle("POST", "/topics/qt", big, {"client_id": "other"})[0] == 200
+
+
+def test_partition_growth_rebalances_assignment(engine, spark):
+    """create_partitions + a coordinator aware of the new count: the next
+    rejoin assigns the grown partition set (the reference's metadata
+    refresh -> rebalance path)."""
+    from redpanda_spark.consumer import Consumer
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    engine.create_topic("gt", TopicConfig(partitions=2))
+    mgr = GroupManager({"gt": 2}, engine=engine)
+    c = Consumer(engine, mgr, "gg", ["gt"])
+    assert sorted(c.subscribe()["gt"]) == [0, 1]
+
+    AdminClient(engine).create_partitions("gt", 4)
+    rebalanced = mgr.refresh_topic_partitions(
+        {t: cfg.partitions for t, cfg in engine.list_topics().items()}
+    )
+    assert rebalanced == ["gg"]
+    # the member's next heartbeat sees the rebalance and rejoins
+    c.heartbeat()
+    assert sorted(c.assignment["gt"]) == [0, 1, 2, 3]
