@@ -46,6 +46,7 @@ _PRIORITY = [
     "pipeline_sample",
     "doc_quality_classifier",
     "emb_project",
+    "curation_v2",
     # code changed in round 5 (enum field; flat-layout engine; unpersist)
     "datalake_translate_proto",
     "datalake_translate_avro",

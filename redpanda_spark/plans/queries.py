@@ -3703,3 +3703,101 @@ SELECT vec_id, {cols} FROM q
 
 QUERIES.update({"emb_project": q_emb_project})
 ORACLES.update({"emb_project": _srp_sql()})
+
+
+# -- Curation v2: classifier + span-dedup + repetition composed --------------
+
+
+def q_curation_v2(spark, sf_dir):
+    """The round-5 primitives composed into one keep-decision pipeline:
+    per doc, the trained-classifier-style linear score, the cross-doc
+    boilerplate (span-dup) fraction, and the duplicate-token repetition
+    signal; keep = positive score AND <50% boilerplate AND <30% repeated
+    tokens; per-source keep counts + mean signals. Two shuffles total
+    (the span-dedup pair from dedup/spans.py) + one broadcast-side agg —
+    the published curation recipe (quality filter -> dedup -> repetition
+    gate) as one plan."""
+    from redpanda_spark.dedup.spans import span_dedup_stats
+    from redpanda_spark.functions.classifier import token_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.array(*[F.lit(int(x)) for x in _CLF_W])
+    toks = F.split(F.col("text"), " ")
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(w, (token_bucket(t, _CLF_DIM) + 1).cast("int")),
+    )
+    score = F.round(total / (F.lit(1000.0) * F.size(toks)), 6)
+    rep = F.round(
+        (F.size(toks) - F.size(F.array_distinct(toks))) / F.size(toks), 6
+    )
+    scored = docs.select("doc_id", "source", score.alias("score"), rep.alias("rep"))
+    spans = span_dedup_stats(docs, span_tokens=10, min_docs=2).select(
+        "doc_id", "dup_fraction"
+    )
+    joined = scored.join(spans, "doc_id")
+    keep = (
+        (F.col("score") > 0)
+        & (F.col("dup_fraction") < 0.5)
+        & (F.col("rep") < 0.3)
+    )
+    return (
+        joined.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.avg("dup_fraction"), 6).alias("avg_dup_fraction"),
+            F.round(F.avg("rep"), 6).alias("avg_rep"),
+        )
+    )
+
+
+def _curation_v2_sql() -> str:
+    wt_rows = ", ".join(f"({i}, {w})" for i, w in enumerate(_CLF_W))
+    return f"""
+WITH w(i, wt) AS (VALUES {wt_rows}),
+toks0 AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+clf AS (
+  SELECT b.doc_id, ROUND(SUM(w.wt) / (1000.0 * COUNT(*)), 6) AS score
+  FROM (SELECT doc_id,
+          CAST(concat('0x', substr(md5(unnest(t)), 1, 8)) AS BIGINT) % {_CLF_DIM}
+            AS bucket
+        FROM toks0) b
+  JOIN w ON w.i = b.bucket GROUP BY b.doc_id),
+rep AS (
+  SELECT doc_id,
+    ROUND((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6) AS rep
+  FROM toks0),
+idx AS (SELECT doc_id, t,
+         unnest(generate_series(1, CAST(ceil(len(t)/10.0) AS BIGINT))) AS span_idx
+        FROM toks0),
+hashed AS (
+  SELECT doc_id, span_idx,
+         md5(array_to_string(t[((span_idx-1)*10+1):(span_idx*10)], ' ')) AS h
+  FROM idx),
+shared AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+spans AS (
+  SELECT doc_id,
+    ROUND(SUM(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) * 1.0
+          / COUNT(*), 6) AS dup_fraction
+  FROM hashed GROUP BY doc_id),
+joined AS (
+  SELECT d.doc_id, d.source, clf.score, spans.dup_fraction, rep.rep,
+         (clf.score > 0 AND spans.dup_fraction < 0.5 AND rep.rep < 0.3) AS keep
+  FROM documents d
+  JOIN clf USING (doc_id) JOIN spans USING (doc_id) JOIN rep USING (doc_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(score), 6) AS avg_score,
+       ROUND(AVG(dup_fraction), 6) AS avg_dup_fraction,
+       ROUND(AVG(rep), 6) AS avg_rep
+FROM joined GROUP BY source
+"""
+
+
+QUERIES.update({"curation_v2": q_curation_v2})
+ORACLES.update({"curation_v2": _curation_v2_sql()})
