@@ -248,6 +248,7 @@ def run_workload(
     )
     reports: list[dict] = []
     seq = 0
+    idem_seq = 0  # idempotent producer's sequence counter (pid 42)
     dense = True  # flips False at the first op that legally makes holes
 
     def _produce() -> dict:
@@ -291,7 +292,39 @@ def run_workload(
         engine.optimize_segments(topic, target_file_bytes=1 << 20)
         return {"op": "merge"} | verify_log_invariants(engine, topic, dense=dense)
 
-    ops = [_produce, _produce, _compact, _truncate, _merge]
+    def _produce_idem_with_retry() -> dict:
+        """Idempotent produce + a client retry of the SAME batch: the
+        broker's sequence window must drop the duplicate (rows advance by
+        exactly the batch size), and all invariants still hold."""
+        nonlocal idem_seq, seq
+        n = 30
+        rows = []
+        for i in range(n):
+            # explicit partition routing (Kafka allows it) with NULL keys:
+            # the murmur2-routing invariant applies to keyed records only,
+            # and real idempotent producers track sequences PER PARTITION —
+            # one partition keeps the window gap-free. Payload seq rides
+            # the GLOBAL produce-order counter (ordering invariant);
+            # base_sequence rides the producer's own window.
+            rows.append((0, None, encode_value(b"", seq), 42, 0, idem_seq + i))
+            seq += 1
+        batch = spark.createDataFrame(
+            rows,
+            "partition int, key binary, value binary, producer_id long,"
+            " producer_epoch smallint, base_sequence int",
+        )
+        before = engine.log(topic).count()
+        engine.produce(topic, batch)
+        engine.produce(topic, batch)  # duplicate-ack retry: must no-op
+        idem_seq += n
+        after = engine.log(topic).count()
+        out = {"op": "produce_idem", "rows_added": after - before}
+        inv = verify_log_invariants(engine, topic, dense=dense)
+        out["ok"] = (after - before == n) and inv["ok"]
+        return out | {k: v for k, v in inv.items() if k != "ok"}
+
+    ops = [_produce, _produce, _compact, _truncate, _merge,
+           _produce_idem_with_retry]
     reports.append(_produce())  # always start with data
     for _ in range(n_ops - 1):
         reports.append(rng.choice(ops)())

@@ -141,3 +141,14 @@ def test_replicate_topic_incremental_offset_preserving(spark, tmp_path):
     assert replicate_topic(src, dst, "t") == {}
     assert dst.log("t").count() == 301
     assert verify_log_invariants(dst, "t", expected_rows=301)["ok"]
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_randomized_workload_with_idempotent_retries(spark, tmp_path, seed):
+    reports = run_workload(
+        spark, str(tmp_path / f"wi{seed}"), seed=seed, n_ops=10, rows_per_batch=150
+    )
+    bad = [r for r in reports if not r.get("ok")]
+    assert not bad, bad
+    idem = [r for r in reports if r["op"] == "produce_idem"]
+    assert idem and all(r["rows_added"] == 30 for r in idem)  # retries no-op'd
