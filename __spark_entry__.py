@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog order and rotate through the leftover slots in later rounds.
 _PRIORITY = [
     # new in round 5
+    "dedup_cluster",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

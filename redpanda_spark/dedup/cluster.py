@@ -1,0 +1,135 @@
+"""Duplicate-cluster assignment: connected components over near-dup pairs.
+
+The LSH ladders here (MinHash / SimHash / embedding) emit PAIRS; a curation
+pipeline needs CLUSTERS — every document mapped to one canonical
+representative so each group of mutual near-dups keeps exactly one member.
+Pair → cluster is transitive closure over the near-dup graph, i.e.
+connected components.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round is
+two shuffles keyed on the node id; the state is the edge list itself
+(never collected to the driver); convergence is O(log^2 n) rounds in the
+worst case and 2-3 rounds on real near-dup graphs, whose clusters are
+tight near-cliques. GraphX's connectedComponents does the same job — this
+is the pure-DataFrame expression so no extra package is required, and
+Catalyst keeps both star steps as hash aggregations + shuffled hash joins
+on `u`.
+
+Per-round `localCheckpoint` truncates the join lineage (iterative
+self-referential plans otherwise grow exponentially); on a real cluster a
+reliable checkpoint dir makes that fault-tolerant, locally it just
+materializes to executor block storage.
+
+Reference parity: the broker has no graph operator — this implements the
+clustering step its users run downstream of dedup, first-class for the
+100 TB training-data pipeline layer (the dedup methodology of the public
+web-corpus pipelines keeps one doc per LSH cluster, not per pair; see
+PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(u,v) edges -> for every node, connect its LARGER neighbors to the
+    minimum of the closed neighborhood min(N(u) + {u})."""
+    und = _symmetrize(e)
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient every edge large->small; connect each node's SMALLER
+    neighbors (and itself) to the neighborhood minimum."""
+    dire = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = dire.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        dire.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame):
+    # bit_xor: order-independent and overflow-free under ANSI mode (the
+    # edge frame is distinct, so xor-cancellation of repeated rows can't
+    # mask a change that count doesn't catch)
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component) for every node that appears in `edges`, where
+    `component` is the minimum node id of its connected component.
+
+    Node ids must be numeric (the star ordering is the id order). Each
+    round reads only the current edge frame — nothing proportional to the
+    graph ever reaches the driver; the convergence probe collects two
+    scalars."""
+    e = (
+        edges.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select("u").union(e.select("v")).distinct()
+    prev = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint is a forest of stars: every non-root points at its
+    # component's minimum id; roots have no outgoing edge.
+    stars = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(stars, "u", "left")
+        .select(F.col("u").alias("id"), F.coalesce("component", "u").alias("component"))
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, canonical_id, cluster_size) for every document that appears in
+    a near-dup pair. The keep/drop policy downstream: keep rows where
+    id == canonical_id (the cluster minimum), drop the rest."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "id", F.col("component").alias("canonical_id"), "cluster_size"
+    )

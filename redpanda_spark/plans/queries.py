@@ -3801,3 +3801,48 @@ FROM joined GROUP BY source
 
 QUERIES.update({"curation_v2": q_curation_v2})
 ORACLES.update({"curation_v2": _curation_v2_sql()})
+
+
+# -- Duplicate-cluster assignment (connected components) ---------------------
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """Pair -> cluster: connected components (alternating large-star /
+    small-star, dedup/cluster.py) over the MinHash-LSH near-dup pairs,
+    mapping every clustered document to its canonical (minimum-id)
+    representative plus the cluster size. The oracle replays transitive
+    closure over the exact-Jaccard pair set with a recursive CTE — sound
+    because dedup_minhash already pins Spark's pair set equal to the
+    oracle's on this corpus."""
+    from redpanda_spark.dedup.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, threshold=0.5)
+    return duplicate_clusters(pairs).select("id", "canonical_id", "cluster_size")
+
+
+SQL_DEDUP_CLUSTER = (
+    "WITH RECURSIVE pairs AS (\n"
+    + SQL_DEDUP_MINHASH
+    + """
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(u, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.u WHERE w.lbl < e.v
+),
+comp AS (SELECT u AS id, MIN(lbl) AS canonical_id FROM walk GROUP BY u)
+SELECT id, canonical_id, CAST(cnt AS BIGINT) AS cluster_size
+FROM comp
+JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY canonical_id)
+  USING (canonical_id)
+"""
+)
+
+QUERIES.update({"dedup_cluster": q_dedup_cluster})
+ORACLES.update({"dedup_cluster": SQL_DEDUP_CLUSTER})

@@ -296,3 +296,74 @@ def test_srp_preserves_pairwise_similarity(spark, sf_dir):
     iu = np.triu_indices(len(X), 1)
     corr = np.corrcoef((Xn @ Xn.T)[iu], (Pn @ Pn.T)[iu])[0, 1]
     assert corr > 0.45, corr
+
+
+# -- connected components / duplicate clusters ------------------------------
+
+
+def _cc_brute(edges):
+    """Driver-side union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def _cc_spark(spark, edges):
+    from redpanda_spark.dedup.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [Row(id_a=int(u), id_b=int(v)) for u, v in edges]
+    )
+    return {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 0-1-2-3-4, triangle 10-11-12, pair 20-21
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    got = _cc_spark(spark, edges)
+    assert got == _cc_brute(edges)
+    assert got[4] == 0 and got[12] == 10 and got[21] == 20
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(1234)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    edges = [e for e in edges if e[0] != e[1]]
+    assert _cc_spark(spark, edges) == _cc_brute(edges)
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 33-node path is the adversarial (high-diameter) case for label
+    # propagation; alternating star must still converge within max_rounds
+    edges = [(i, i + 1) for i in range(32)]
+    got = _cc_spark(spark, edges)
+    assert set(got.values()) == {0} and len(got) == 33
+
+
+def test_duplicate_clusters_sizes_and_canonicals(spark):
+    from redpanda_spark.dedup.cluster import duplicate_clusters
+
+    df = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=9)]
+    )
+    rows = {r["id"]: r for r in duplicate_clusters(df).collect()}
+    assert rows[3]["canonical_id"] == 1 and rows[3]["cluster_size"] == 3
+    assert rows[9]["canonical_id"] == 7 and rows[9]["cluster_size"] == 2
+    # keep/drop policy: exactly one kept doc per cluster
+    kept = [i for i, r in rows.items() if r["canonical_id"] == i]
+    assert sorted(kept) == [1, 7]
