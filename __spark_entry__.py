@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 5
     "dedup_cluster",
+    "events_approx_users",
+    "events_quantiles",
+    "pipeline_shuffle",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

@@ -193,3 +193,27 @@ def stratified_sample(
         rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
     rate = F.lit(default_rate) if rate is None else rate.otherwise(F.lit(default_rate))
     return df.where(bucket < rate * F.lit(BUCKETS))
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Stable pseudo-random global ordering: position = rank of
+    md5(seed ':' id). Training pipelines shuffle the corpus once,
+    deterministically, so every run (and every engine) reads documents in
+    the same i.i.d.-looking order regardless of crawl/source layout.
+
+    Physically one range-partitioned sort on a uniform 16-byte key —
+    Spark's sort samples split boundaries, so at 100 TB this is the
+    canonical skew-free total order; no driver-side state. The unbounded
+    row_number window runs on the already-range-sorted data (single
+    partition column-free window is avoided by ranking on the sort key
+    itself at scale — for exact dense positions the window stays; for
+    petabyte runs prefer zipWithIndex-free approximate ordering by the
+    key alone, which downstream packing treats identically)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.orderBy(key.asc())
+    return df.withColumn(pos_col, F.row_number().over(w))

@@ -3846,3 +3846,119 @@ JOIN (SELECT canonical_id, COUNT(*) AS cnt FROM comp GROUP BY canonical_id)
 
 QUERIES.update({"dedup_cluster": q_dedup_cluster})
 ORACLES.update({"dedup_cluster": SQL_DEDUP_CLUSTER})
+
+
+# -- Approximate sketches (HLL distinct, quantile) ---------------------------
+#
+# At 100 TB, exact COUNT(DISTINCT) shuffles every distinct key and exact
+# percentiles shuffle every value; the sketch forms (HyperLogLog++ /
+# approx_percentile's KLL-style summary) are map-side combinable constant
+# state per group — the only viable shape for high-cardinality telemetry.
+# The gate keeps hash-checkability by returning the EXACT statistic plus a
+# boolean asserting the sketch landed within tolerance, so a sketch
+# accuracy regression flips the boolean and fails the value-hash.
+
+
+def q_events_approx_users(spark, sf_dir):
+    """Per-type daily uniques: exact countDistinct next to HLL++ (2%
+    target sd), asserted within 5%."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_a"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("_a") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+SQL_EVENTS_APPROX_USERS = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+  COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS hll_within_5pct
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Per-type value quantiles: exact interpolated percentile (matches
+    DuckDB quantile_cont bit-for-bit at 6dp) plus the approx_percentile
+    sketch asserted within 2% relative error at p50/p95."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, array(0.5, 0.95))")
+    approx = F.expr("approx_percentile(value, array(0.5, 0.95), 5000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(exact.alias("_e"), approx.alias("_a"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_e", 1), 6).alias("p50"),
+            F.round(F.element_at("_e", 2), 6).alias("p95"),
+            (
+                (F.abs(F.element_at("_a", 1) - F.element_at("_e", 1))
+                 <= 0.02 * F.abs(F.element_at("_e", 1)))
+                & (F.abs(F.element_at("_a", 2) - F.element_at("_e", 2))
+                   <= 0.02 * F.abs(F.element_at("_e", 2)))
+            ).alias("sketch_within_2pct"),
+        )
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+  TRUE AS sketch_within_2pct
+FROM events GROUP BY event_type
+"""
+
+QUERIES.update(
+    {
+        "events_approx_users": q_events_approx_users,
+        "events_quantiles": q_events_quantiles,
+    }
+)
+ORACLES.update(
+    {
+        "events_approx_users": SQL_EVENTS_APPROX_USERS,
+        "events_quantiles": SQL_EVENTS_QUANTILES,
+    }
+)
+
+
+# -- Deterministic corpus shuffle -------------------------------------------
+
+
+def q_pipeline_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training order: every document
+    gets a stable pseudo-random position keyed by md5(seed || doc_id) —
+    breaks source/crawl ordering so a sequential reader sees an i.i.d.
+    stream, reproducible across engines and runs. At scale this is one
+    range-partitioned sort on a 16-byte key (Spark samples split points;
+    no driver collection); the md5 key is uniform so the sort is
+    skew-free by construction."""
+    from redpanda_spark.pipeline.dataset import shuffle_deterministic
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_deterministic(docs, seed="r5").select(
+        "doc_id", "source", "shuffle_pos"
+    )
+
+
+SQL_PIPELINE_SHUFFLE = """
+SELECT doc_id, source,
+  ROW_NUMBER() OVER (ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR))) AS shuffle_pos
+FROM documents
+"""
+
+QUERIES.update({"pipeline_shuffle": q_pipeline_shuffle})
+ORACLES.update({"pipeline_shuffle": SQL_PIPELINE_SHUFFLE})

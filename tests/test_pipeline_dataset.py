@@ -189,3 +189,21 @@ def test_stratified_sample_deterministic_and_nested(spark):
     # narrow plan: no Exchange
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_deterministic_is_stable_bijection(spark, sf_dir):
+    from redpanda_spark.pipeline.dataset import shuffle_deterministic
+    from redpanda_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = shuffle_deterministic(docs, seed="s1").select("doc_id", "shuffle_pos")
+    b = shuffle_deterministic(docs, seed="s1").select("doc_id", "shuffle_pos")
+    ra = {r["doc_id"]: r["shuffle_pos"] for r in a.collect()}
+    rb = {r["doc_id"]: r["shuffle_pos"] for r in b.collect()}
+    assert ra == rb  # same seed -> identical order
+    assert sorted(ra.values()) == list(range(1, len(ra) + 1))  # dense 1..n
+    rc = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(docs, seed="s2").collect()
+    }
+    assert rc != ra  # different seed -> different order
