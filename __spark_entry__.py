@@ -39,6 +39,8 @@ _PRIORITY = [
     "events_approx_users",
     "events_quantiles",
     "pipeline_shuffle",
+    "bpe_pair_counts",
+    "bpe_train",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

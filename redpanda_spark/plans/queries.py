@@ -3962,3 +3962,67 @@ FROM documents
 
 QUERIES.update({"pipeline_shuffle": q_pipeline_shuffle})
 ORACLES.update({"pipeline_shuffle": SQL_PIPELINE_SHUFFLE})
+
+
+# -- BPE tokenizer training (distributed inner loop + driver-looped trainer) -
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """The distributed inner loop of BPE training (functions/bpe.py):
+    frequency-weighted adjacent-symbol-pair counts over the word-frequency
+    table (Sennrich trick — iterations touch the vocab, not the corpus).
+    Top-30 pairs with deterministic (cnt DESC, a, b) ranking."""
+    from pyspark.sql import Window
+
+    from redpanda_spark.functions.bpe import _init_symbols, pair_counts, word_freqs
+
+    docs = _t(spark, sf_dir, "documents")
+    pc = pair_counts(_init_symbols(word_freqs(docs)))
+    w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+    return (
+        pc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 30)
+        .select("rank", "a", "b", "cnt")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS word
+  FROM documents),
+wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+sym AS (
+  SELECT freq,
+    list_transform(string_split(word, ''),
+      (c, i) -> CASE WHEN i = len(string_split(word, '')) THEN c || '</w>' ELSE c END) AS s
+  FROM wf),
+idx AS (
+  SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+  FROM sym WHERE len(s) >= 2),
+pc AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM idx GROUP BY s[i], s[i + 1])
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rank, a, b, cnt
+FROM pc ORDER BY cnt DESC, a, b LIMIT 30
+"""
+
+
+def q_bpe_train(spark, sf_dir):
+    """Full BPE training, 8 merges (iterative driver-looped algorithm —
+    rows-only driver check by design; the trainer is pinned value-for-value
+    against a pure-Python reference implementation in unit tests, and its
+    distributed inner loop is the hash-checked bpe_pair_counts gate)."""
+    from redpanda_spark.functions.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, a string, b string, cnt bigint",
+    )
+
+
+QUERIES.update(
+    {"bpe_pair_counts": q_bpe_pair_counts, "bpe_train": q_bpe_train}
+)
+ORACLES.update({"bpe_pair_counts": SQL_BPE_PAIR_COUNTS})

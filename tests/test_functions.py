@@ -204,3 +204,85 @@ def test_linear_score_matches_manual_fold(spark):
         .collect()[0]["s"]
     )
     assert abs(got - round(exp, 6)) < 1e-9
+
+
+# -- BPE tokenizer training -------------------------------------------------
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python Sennrich BPE on a word-frequency dict."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split() if w)
+    sym = {w: [*w[:-1], w[-1] + "</w>"] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        # deterministic: max count, then lexicographically smallest (a, b)
+        top = max(pc.values())
+        best = min(p for p, c in pc.items() if c == top)
+        merges.append((best[0], best[1], pc[best]))
+        a, b = best
+        for w in sym:
+            s, out, i = sym[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = out
+    return merges, sym
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.bpe import train_bpe
+
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest",
+        "the quick brown fox the quick brown the quick the",
+    ]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = train_bpe(docs, 10)
+    want, _ = _bpe_reference(texts, 10)
+    assert got == want
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.bpe import encode_bpe, train_bpe
+
+    texts = ["low lower lowest low low", "newest widest lowest newest"]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    merges = train_bpe(docs, 6)
+    _, sym = _bpe_reference(texts, 6)
+    want = [sum(len(sym[w]) for w in t.split()) for t in texts]
+    got = [
+        r["bpe_tokens"]
+        for r in encode_bpe(docs, merges).orderBy("doc_id").collect()
+    ]
+    assert got == want
+
+
+def test_bpe_greedy_fold_left_to_right(spark):
+    # "aaa" with merge (a,a): left-to-right greedy -> [aa, a</w>]
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.bpe import encode_bpe
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="aaaa")])
+    out = encode_bpe(docs, [("a", "a", 1)]).collect()[0]["bpe_tokens"]
+    # symbols [a, a, a, a</w>]; greedy left-to-right fold gives
+    # [aa, a, a</w>] — the merged "aa" must NOT re-merge with the next "a"
+    assert out == 3
