@@ -1028,6 +1028,47 @@ class TopicEngine:
     def offset_delete(self, group_id: str, topic: str, partition: int) -> None:
         self.offset_commit(group_id, topic, partition, -1, deleted=True)
 
+    def expire_offsets(
+        self,
+        retention_ms: int = 7 * 24 * 3600 * 1000,
+        now_ns: int | None = None,
+        active_group_ids: list[str] | None = None,
+    ) -> int:
+        """GC committed offsets older than offsets.retention.ms for groups
+        with no live members (KIP-211 semantics; the reference expires
+        through the group coordinator's periodic offset GC). Writes
+        tombstone rows in ONE append — the expirable set is control-plane
+        sized (≤ groups × partitions), nothing is collected to the
+        driver."""
+        from redpanda_spark.operators.groups import expired_offsets
+
+        try:
+            commits = self.spark.read.parquet(self._commits_dir())
+        except Exception:
+            return 0
+        now = now_ns if now_ns is not None else time.time_ns()
+        active = None
+        if active_group_ids:
+            active = self.spark.createDataFrame(
+                [(g,) for g in active_group_ids], "group_id string"
+            )
+        exp = expired_offsets(commits, now, retention_ms, active)
+        tomb = exp.select(
+            "group_id",
+            "topic",
+            "partition",
+            F.lit(-1).cast("long").alias("committed_offset"),
+            F.lit(0).alias("leader_epoch"),
+            F.lit("").alias("metadata"),
+            F.lit(now).alias("commit_seq"),
+            F.lit(True).alias("deleted"),
+        ).persist()
+        n = tomb.count()
+        if n:
+            tomb.write.mode("append").parquet(self._commits_dir())
+        tomb.unpersist()
+        return n
+
     def offset_fetch(self, group_id: str | None = None) -> DataFrame:
         try:
             commits = self.spark.read.parquet(self._commits_dir())

@@ -45,3 +45,25 @@ def group_lag(commits: DataFrame, log_ends: DataFrame) -> DataFrame:
     return latest.join(F.broadcast(log_ends), join_keys, "inner").withColumn(
         "lag", F.col("high_watermark") - F.col("committed_offset")
     )
+
+
+def expired_offsets(
+    commits: DataFrame,
+    now_ns: int,
+    retention_ms: int,
+    active_groups: DataFrame | None = None,
+) -> DataFrame:
+    """Offsets eligible for expiry (KIP-211; reference: group offset GC in
+    the group coordinator — `src/v/kafka/server/group.cc` offset_expiry):
+    the LATEST commit per (group, topic, partition) is expirable when it is
+    older than `offsets.retention.ms` AND the group has no live members.
+    Earlier commits never matter (keep-latest shadows them), and a single
+    fresh commit protects its partition slot."""
+    latest = compact_keep_latest(commits, GROUP_KEY, order_col="commit_seq")
+    cutoff = now_ns - retention_ms * 1_000_000
+    exp = latest.where(~F.col("deleted") & (F.col("commit_seq") < cutoff))
+    if active_groups is not None:
+        exp = exp.join(
+            F.broadcast(active_groups.select("group_id")), "group_id", "left_anti"
+        )
+    return exp.select(*GROUP_KEY, "committed_offset", "commit_seq")

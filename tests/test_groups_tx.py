@@ -108,3 +108,59 @@ def test_idempotent_dedup_keeps_first(spark):
     offsets = sorted(r["offset"] for r in out.collect())
     # dup at offset 1 dropped; non-idempotent rows (pid=-1) never deduped
     assert offsets == [0, 2, 3, 4]
+
+
+def test_expired_offsets_kip211_rules(spark):
+    from redpanda_spark.operators.groups import expired_offsets
+
+    ms = 1_000_000  # ns per ms
+    commits = commits_df(
+        spark,
+        [
+            # stale group: latest commit far past retention -> expirable
+            dict(group_id="dead", topic="t", partition=0, committed_offset=5, commit_seq=10 * ms),
+            # fresh commit protects its slot
+            dict(group_id="live", topic="t", partition=0, committed_offset=7, commit_seq=990 * ms),
+            # stale latest, but group has active members -> protected
+            dict(group_id="act", topic="t", partition=0, committed_offset=3, commit_seq=10 * ms),
+            # earlier stale commit shadowed by a fresh one -> protected
+            dict(group_id="live", topic="t", partition=1, committed_offset=1, commit_seq=10 * ms),
+            dict(group_id="live", topic="t", partition=1, committed_offset=2, commit_seq=995 * ms),
+        ],
+    )
+    active = spark.createDataFrame([("act",)], "group_id string")
+    out = expired_offsets(
+        commits, now_ns=1000 * ms, retention_ms=100, active_groups=active
+    ).collect()
+    assert [(r["group_id"], r["partition"]) for r in out] == [("dead", 0)]
+
+
+def test_engine_expire_offsets_tombstones(spark, tmp_path):
+    import time
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic("t", TopicConfig(partitions=2))
+    old = time.time_ns() - 3600 * 1_000_000_000  # an hour ago
+    # doctor an old commit by writing through offset_commit then expiring
+    eng.offset_commit("g_old", "t", 0, 11)
+    eng.offset_commit("g_new", "t", 0, 22)
+    # force g_old's commit_seq into the past
+    import pyspark.sql.functions as F
+
+    d = eng._commits_dir()
+    df = spark.read.parquet(d)
+    rows = df.withColumn(
+        "commit_seq",
+        F.when(F.col("group_id") == "g_old", F.lit(old)).otherwise(
+            F.col("commit_seq")
+        ),
+    ).collect()
+    spark.createDataFrame(rows, df.schema).write.mode("overwrite").parquet(d)
+    n = eng.expire_offsets(retention_ms=600_000)
+    assert n == 1
+    left = {r["group_id"] for r in eng.offset_fetch().collect()}
+    assert left == {"g_new"}
+    # idempotent: second run expires nothing new
+    assert eng.expire_offsets(retention_ms=600_000) == 0
