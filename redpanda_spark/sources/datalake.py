@@ -1008,3 +1008,90 @@ def apply_changelog(
         spark, path, merged, meta={"changelog": True, "deletes": n_dels}
     )
     return {"snapshot_id": sid, "deleted_keys": n_dels}
+
+
+# -- Metadata tables (Iceberg `table.snapshots` / `.files` / `.history`) ----
+
+
+def snapshots_table(spark, path: str) -> DataFrame:
+    """`SELECT * FROM tbl.snapshots` analog: one row per snapshot (live
+    and expired) with commit timestamp, file count, and the commit meta.
+    Driver-side manifest parse — the manifest is control-plane sized."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    m = _load_lake_manifest(fs, os.path.join(path, "_manifest.json"))
+    expired = set(m["expired"])
+    rows = [
+        (
+            int(s["id"]),
+            float(s.get("ts", 0.0)),
+            len(s["files"]),
+            False,
+            json.dumps(s.get("meta", {})),
+        )
+        for s in m["snapshots"]
+    ] + [(int(i), None, None, True, "{}") for i in sorted(expired)]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, committed_at double, n_files int,"
+        " is_expired boolean, meta string",
+    )
+
+
+def files_table(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
+    """`tbl.files` analog for one snapshot (default: current): data file
+    path, partition value, byte size, and record count. Record counts come
+    from a distributed footer scan grouped by input file — never a
+    driver-side loop over files."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, path)
+    m = _load_lake_manifest(fs, os.path.join(path, "_manifest.json"))
+    snaps = m["snapshots"]
+    if not snaps:
+        raise ValueError(f"no live snapshots under {path}")
+    snap = snaps[-1] if snapshot_id is None else next(
+        (s for s in snaps if s["id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not live under {path}")
+    data_files = list(snap["files"])
+    full = [os.path.join(fs.normalize(path), f) for f in data_files]
+    sizes = spark.createDataFrame(
+        [(f, int(fs.getsize(os.path.join(fs.normalize(path), f)))) for f in data_files],
+        "file_path string, size_bytes long",
+    )
+    counts = (
+        spark.read.format(m.get("format", "parquet"))
+        .load(full)
+        .groupBy(F.input_file_name().alias("_full"))
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .withColumn(
+            "file_path",
+            F.regexp_extract(F.col("_full"), r"(_hour=[^/]+/[^/]+)$", 1),
+        )
+        .drop("_full")
+    )
+    part = F.regexp_extract(F.col("file_path"), r"_hour=([^/]+)/", 1)
+    return (
+        sizes.join(counts, "file_path", "left")
+        .select(
+            F.lit(int(snap["id"])).alias("snapshot_id"),
+            "file_path",
+            part.alias("partition_hour"),
+            "size_bytes",
+            F.coalesce("record_count", F.lit(0)).alias("record_count"),
+        )
+    )
+
+
+def history_table(spark, path: str) -> DataFrame:
+    """`tbl.history` analog: commit timeline with the current flag."""
+    snaps = snapshots_table(spark, path)
+    cur = snaps.where(~F.col("is_expired")).agg(F.max("snapshot_id")).collect()[0][0]
+    return snaps.select(
+        "committed_at",
+        "snapshot_id",
+        (F.col("snapshot_id") == F.lit(cur)).alias("is_current_ancestor"),
+    )

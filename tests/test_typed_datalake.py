@@ -685,3 +685,52 @@ def test_apply_changelog_upserts_and_tombstones(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pre-compact"):
         apply_changelog(spark, out, dup, ["a"])
+
+
+def test_metadata_tables_snapshots_files_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.sources.datalake import (
+        expire_snapshots,
+        files_table,
+        history_table,
+        read_datalake,
+        snapshots_table,
+        write_datalake,
+    )
+
+    path = str(tmp_path / "lake")
+    df1 = spark.range(10).select(
+        F.col("id"), F.lit("2024-01-01-00").alias("_hour")
+    )
+    df2 = spark.range(5).select(
+        (F.col("id") + 100).alias("id"), F.lit("2024-01-01-01").alias("_hour")
+    )
+    write_datalake(df1, path)
+    write_datalake(df2, path)
+
+    snaps = snapshots_table(spark, path).orderBy("snapshot_id").collect()
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert all(not s["is_expired"] for s in snaps)
+    assert snaps[0]["committed_at"] <= snaps[1]["committed_at"]
+
+    files = files_table(spark, path).collect()  # current snapshot = 2
+    assert all(f["snapshot_id"] == 2 for f in files)
+    assert sum(f["record_count"] for f in files) == 15
+    hours = {f["partition_hour"] for f in files}
+    assert hours == {"2024-01-01-00", "2024-01-01-01"}
+    assert all(f["size_bytes"] > 0 for f in files)
+    # per-snapshot view: snapshot 1 has only the first write's rows
+    f1 = files_table(spark, path, snapshot_id=1).collect()
+    assert sum(f["record_count"] for f in f1) == 10
+
+    hist = {r["snapshot_id"]: r["is_current_ancestor"]
+            for r in history_table(spark, path).collect()}
+    assert hist == {1: False, 2: True}
+
+    # expiry is reflected: snapshot 1 flips to expired
+    expire_snapshots(spark, path, keep_last=1)
+    snaps = {s["snapshot_id"]: s["is_expired"]
+             for s in snapshots_table(spark, path).collect()}
+    assert snaps == {1: True, 2: False}
+    assert read_datalake(spark, path).count() == 15
