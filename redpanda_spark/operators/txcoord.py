@@ -58,6 +58,9 @@ class TxState:
     partitions: dict = field(default_factory=dict)
     # staged group offsets: {(group, topic, partition): offset}
     staged_offsets: dict = field(default_factory=dict)
+    # transaction.timeout.ms + when the current transaction went Ongoing
+    timeout_ms: int = 60_000
+    started_at_ms: int | None = None
 
 
 class TxCoordinator:
@@ -80,6 +83,8 @@ class TxCoordinator:
             self._next_pid = d["next_pid"]
             for tid, s in d["txs"].items():
                 st = TxState(s["producer_id"], s["producer_epoch"], s["status"])
+                st.timeout_ms = s.get("timeout_ms", 60_000)
+                st.started_at_ms = s.get("started_at_ms")
                 st.partitions = {
                     t: {int(p): tuple(v) for p, v in parts.items()}
                     for t, parts in s["partitions"].items()
@@ -97,6 +102,8 @@ class TxCoordinator:
                     "producer_id": s.producer_id,
                     "producer_epoch": s.producer_epoch,
                     "status": s.status,
+                    "timeout_ms": s.timeout_ms,
+                    "started_at_ms": s.started_at_ms,
                     "partitions": s.partitions,
                     "staged_offsets": {
                         json.dumps(list(k)): v for k, v in s.staged_offsets.items()
@@ -112,9 +119,14 @@ class TxCoordinator:
 
     # -- InitProducerId (22) ---------------------------------------------
 
-    def init_producer_id(self, transactional_id: str) -> tuple[int, int]:
+    def init_producer_id(
+        self, transactional_id: str, transaction_timeout_ms: int = 60_000
+    ) -> tuple[int, int]:
         """Allocate/bump the producer identity; fences the previous epoch
-        (aborting its ongoing transaction, tm_stm re-init semantics)."""
+        (aborting its ongoing transaction, tm_stm re-init semantics).
+        `transaction_timeout_ms` is the client's transaction.timeout.ms —
+        the coordinator aborts Ongoing transactions that outlive it
+        (expire_transactions)."""
         st = self._txs.get(transactional_id)
         if st is None:
             st = TxState(producer_id=self._next_pid, producer_epoch=0)
@@ -125,8 +137,31 @@ class TxCoordinator:
                 self._end(transactional_id, commit=False)
                 st = self._txs[transactional_id]
             st.producer_epoch += 1
+        st.timeout_ms = int(transaction_timeout_ms)
         self._save()
         return st.producer_id, st.producer_epoch
+
+    def expire_transactions(self, now_ms: int | None = None) -> list[str]:
+        """Abort every Ongoing transaction older than its
+        transaction.timeout.ms — tm_stm's periodic expiry (the reference's
+        coordinator aborts hung producers so their open ranges stop
+        holding back the LSO and read_committed consumers). Returns the
+        aborted transactional ids; the abort markers land in `_tx_ranges`
+        exactly like a client abort, so fetch-side filtering needs no new
+        machinery."""
+        import time as _time
+
+        now = now_ms if now_ms is not None else int(_time.time() * 1000)
+        expired = [
+            tid
+            for tid, s in self._txs.items()
+            if s.status == "Ongoing"
+            and s.started_at_ms is not None
+            and now - s.started_at_ms > s.timeout_ms
+        ]
+        for tid in expired:
+            self._end(tid, commit=False)
+        return expired
 
     # -- transactional produce (AddPartitionsToTxn 24 + Produce) ---------
 
@@ -161,6 +196,9 @@ class TxCoordinator:
             st.status = "Ongoing"
             st.partitions = {}
             st.staged_offsets = {}
+            import time as _time
+
+            st.started_at_ms = int(_time.time() * 1000)
         scope = st.partitions.setdefault(topic, {})
         new_open = []
         for p, base in bases.items():

@@ -345,3 +345,38 @@ def test_audited_authorize_records_decisions(spark, tmp_path):
     audit.drain()
     got = {(r["principal"], r["outcome"]) for r in audit.events().collect()}
     assert got == {("alice", "allowed"), ("eve", "denied")}
+
+
+def test_transaction_timeout_expiry_aborts_and_unblocks_lso(spark, engine):
+    """tm_stm periodic expiry: a hung producer's transaction is aborted
+    once it outlives transaction.timeout.ms, releasing the LSO so
+    read_committed readers see later data; a fresh transaction and
+    already-completed ones are untouched."""
+    import time
+
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("hung", transaction_timeout_ms=50)
+    tc.produce("hung", "t", _batch(spark, ["dead1", "dead2"]))
+    tc.init_producer_id("fresh", transaction_timeout_ms=60_000)
+    tc.produce("fresh", "t", _batch(spark, ["live"]))
+    tc.init_producer_id("done", transaction_timeout_ms=50)
+    tc.produce("done", "t", _batch(spark, ["ok"]))
+    tc.commit("done")
+
+    start = tc._txs["hung"].started_at_ms
+    expired = tc.expire_transactions(now_ms=start + 51)
+    assert expired == ["hung"]
+    assert tc.describe_transaction("hung")["state"] == "Aborted"
+    assert tc.describe_transaction("fresh")["state"] == "Ongoing"
+    assert tc.describe_transaction("done")["state"] == "Committed"
+    # second sweep is a no-op
+    assert tc.expire_transactions(now_ms=start + 52) == []
+
+    # hung's rows are filtered as aborted; fresh still gates the LSO
+    tc.commit("fresh")
+    assert _committed_values(engine, "t") == ["live", "ok"]
+
+    # expiry state survives coordinator restart (persisted timeout/start)
+    tc2 = TxCoordinator(engine)
+    assert tc2.describe_transaction("hung")["state"] == "Aborted"
