@@ -54,6 +54,7 @@ class Consumer:
         self.assignment: dict[str, list[int]] = {}
         # positions this member will fetch next: {(topic, partition): offset}
         self._positions: dict[tuple[str, int], int] = {}
+        self._paused: set[tuple[str, int]] = set()
 
     # -- group membership --------------------------------------------------
 
@@ -128,6 +129,8 @@ class Consumer:
         for topic, parts in self.assignment.items():
             for p in parts:
                 key = (topic, p)
+                if key in self._paused:
+                    continue
                 if key not in self._positions:
                     self._positions[key] = self._start_position(topic, p)
                 rows = self.engine.fetch(
@@ -140,6 +143,48 @@ class Consumer:
                     self._positions[key] = rows[-1]["offset"] + 1
                 out[key] = rows
         return out
+
+    def _require_assigned(self, topic: str, partition: int) -> None:
+        if partition not in self.assignment.get(topic, []):
+            raise RuntimeError(f"partition {topic}/{partition} not assigned")
+
+    def seek(self, topic: str, partition: int, offset: int) -> None:
+        """KafkaConsumer.seek: next poll reads this partition from
+        `offset` (commit() then persists it, same as a normal advance)."""
+        self._require_assigned(topic, partition)
+        self._positions[(topic, partition)] = int(offset)
+
+    def seek_to_beginning(self, topic: str, partition: int) -> None:
+        self._require_assigned(topic, partition)
+        self._positions[(topic, partition)] = self.engine._log_starts(topic).get(
+            partition, 0
+        )
+
+    def seek_to_end(self, topic: str, partition: int) -> None:
+        self._require_assigned(topic, partition)
+        self._positions[(topic, partition)] = self.engine.high_watermarks(topic).get(
+            partition, 0
+        )
+
+    def position(self, topic: str, partition: int) -> int:
+        """Next offset poll() will read for this partition."""
+        self._require_assigned(topic, partition)
+        key = (topic, partition)
+        if key not in self._positions:
+            self._positions[key] = self._start_position(topic, partition)
+        return self._positions[key]
+
+    def pause(self, topic: str, partition: int) -> None:
+        """Flow control: poll() skips paused partitions without losing
+        their positions (KafkaConsumer.pause semantics)."""
+        self._require_assigned(topic, partition)
+        self._paused.add((topic, partition))
+
+    def resume(self, topic: str, partition: int) -> None:
+        self._paused.discard((topic, partition))
+
+    def paused(self) -> set[tuple[str, int]]:
+        return set(self._paused)
 
     def commit(self) -> None:
         """Commit every polled position (OffsetCommit semantics: the

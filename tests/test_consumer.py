@@ -164,3 +164,43 @@ def test_eos_consume_transform_produce(spark, tmp_path):
     c.close()
     c2.subscribe()
     assert c2.poll()[("t", 0)] == []
+
+
+def test_seek_pause_resume_position(spark, tmp_path):
+    """KafkaConsumer flow-control surface: seek replays, pause skips a
+    partition without losing its position, resume continues, position
+    reports the next offset to read."""
+    engine, mgr = _setup(spark, tmp_path, n_parts=2, n_msgs=20)
+    c = Consumer(engine, mgr, "gf", ["t"])
+    c.subscribe()
+    assert sorted(c.assignment["t"]) == [0, 1]
+
+    first = c.poll()
+    n_all = sum(len(v) for v in first.values())
+    assert n_all == 20
+    assert c.position("t", 0) == 10  # 20 msgs round-robined over 2 parts
+
+    # seek back and replay partition 0 only
+    c.seek("t", 0, 0)
+    c.pause("t", 1)
+    replay = c.poll()
+    assert ("t", 1) not in replay
+    assert len(replay[("t", 0)]) == 10
+    assert c.paused() == {("t", 1)}
+
+    # resume: partition 1 continues from its kept position (no new data)
+    c.resume("t", 1)
+    again = c.poll()
+    assert again[("t", 1)] == []
+
+    # seek_to_beginning/end bracket the log
+    c.seek_to_beginning("t", 1)
+    assert c.position("t", 1) == 0
+    c.seek_to_end("t", 1)
+    assert c.position("t", 1) == 10
+
+    # unassigned partition is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        c.seek("t", 7, 0)
