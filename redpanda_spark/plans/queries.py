@@ -2057,7 +2057,12 @@ ORACLES.update({"transform_fanout": SQL_TRANSFORM_FANOUT})
 def q_curation_pipeline(spark, sf_dir):
     """quality >= 0.5 AND identified language → per-language kept-doc count,
     unique-fingerprint count (exact-dedup cardinality) and mean quality."""
-    docs = _t(spark, sf_dir, "documents")
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    # the scoring projection is the per-row-heavy stage; a single-split
+    # local parquet file would otherwise evaluate it on one core (no-op at
+    # scale, where the scan has thousands of splits)
+    docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
     toks = F.col("_toks")
     scored = docs.withColumn("_toks", TXT.tokens("text")).select(
         "doc_id",
