@@ -22,8 +22,12 @@ _ATTR_CONFIGS = {
     "retention.bytes": "retention_bytes",
     "message.timestamp.type": "timestamp_type",
     "delete.retention.ms": "delete_retention_ms",
+    "max.message.bytes": "max_message_bytes",
 }
-_INT_CONFIGS = {"retention.ms", "retention.bytes", "delete.retention.ms"}
+_INT_CONFIGS = {
+    "retention.ms", "retention.bytes", "delete.retention.ms",
+    "max.message.bytes",
+}
 
 
 class AdminClient:

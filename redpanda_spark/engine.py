@@ -94,6 +94,11 @@ class TopicConfig:
     # registry wire format (magic 0 + big-endian schema id) with an id
     # registered under this subject. Requires a registry on the engine.
     value_schema_subject: str | None = None
+    # max.message.bytes (kafka::server rejects oversized records with
+    # MESSAGE_TOO_LARGE at produce time). None = unlimited and adds ZERO
+    # cost to the produce hot path; when set, enforcement is one
+    # column-pruned max() over the batch before the write job.
+    max_message_bytes: int | None = None
     configs: dict[str, str] = field(default_factory=dict)
 
 
@@ -292,6 +297,24 @@ class TopicEngine:
 
         if cfg.value_schema_subject is not None:
             self._validate_schema_ids(batch, cfg.value_schema_subject)
+
+        if cfg.max_message_bytes is not None:
+            biggest = batch.agg(
+                F.max(
+                    F.coalesce(F.length("value"), F.lit(0))
+                    + (
+                        F.coalesce(F.length("key"), F.lit(0))
+                        if "key" in batch.columns
+                        else F.lit(0)
+                    )
+                ).alias("m")
+            ).collect()[0]["m"]
+            if biggest is not None and biggest > cfg.max_message_bytes:
+                raise ProduceError(
+                    "MESSAGE_TOO_LARGE",
+                    f"record of {biggest} bytes exceeds max.message.bytes="
+                    f"{cfg.max_message_bytes}",
+                )
 
         files = self._files.get(topic)
         if files and any("partition=" in f for f in files):

@@ -544,3 +544,34 @@ def test_plain_produce_unaffected_by_gate(spark, tmp_path):
     engine.produce("t", b)
     engine.produce("t", b)
     assert engine.log("t").count() == 2
+
+
+def test_max_message_bytes_enforced(spark, tmp_path):
+    """max.message.bytes: oversized records are rejected with
+    MESSAGE_TOO_LARGE before anything lands; within-limit batches and
+    unlimited topics are unaffected (zero extra produce-path actions
+    when unset)."""
+    import pytest
+
+    from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic("cap", TopicConfig(partitions=1, max_message_bytes=16))
+    ok = spark.createDataFrame(
+        [(b"k", b"small", 0)], "key binary, value binary, partition int"
+    )
+    eng.produce("cap", ok)
+    big = spark.createDataFrame(
+        [(b"k", b"x" * 64, 0)], "key binary, value binary, partition int"
+    )
+    with pytest.raises(ProduceError) as ei:
+        eng.produce("cap", big)
+    assert ei.value.code == "MESSAGE_TOO_LARGE"
+    # nothing from the rejected batch landed
+    assert eng.log("cap").count() == 1
+    # null key/value don't crash the size check
+    nulls = spark.createDataFrame(
+        [(None, None, 0)], "key binary, value binary, partition int"
+    )
+    eng.produce("cap", nulls)
+    assert eng.log("cap").count() == 2
