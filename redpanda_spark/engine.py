@@ -1051,6 +1051,38 @@ class TopicEngine:
     def offset_delete(self, group_id: str, topic: str, partition: int) -> None:
         self.offset_commit(group_id, topic, partition, -1, deleted=True)
 
+    def compact_offsets(self) -> dict[str, int]:
+        """Compact the `_consumer_offsets` commit log: keep only the
+        latest commit per (group, topic, partition) and drop delete
+        tombstones entirely (their shadowing work is done once no earlier
+        commit survives) — the reference keeps `__consumer_offsets` small
+        the same way, with keep-latest compaction. Readers do keep-latest
+        at fetch time regardless, so this is purely a storage/read-cost
+        bound: the commits table stays O(live group-partitions) instead
+        of O(all commits ever). Write-to-temp + swap so a concurrent
+        reader sees either the old or the new directory content."""
+        from redpanda_spark.operators.compaction import compact_keep_latest
+
+        d = self._commits_dir()
+        try:
+            commits = self.spark.read.parquet(d)
+        except Exception:
+            return {"before": 0, "after": 0}
+        before = commits.count()
+        latest = compact_keep_latest(
+            commits, ["group_id", "topic", "partition"], order_col="commit_seq"
+        ).where(~F.col("deleted"))
+        tmp = d + ".compact.tmp"
+        self._fsio.delete(tmp, recursive=True)
+        latest.write.mode("overwrite").parquet(tmp)
+        after = self.spark.read.parquet(tmp).count()
+        old = d + ".old"
+        self._fsio.delete(old, recursive=True)
+        self._fsio.rename(d, old)
+        self._fsio.rename(tmp, d)
+        self._fsio.delete(old, recursive=True)
+        return {"before": before, "after": after}
+
     def expire_offsets(
         self,
         retention_ms: int = 7 * 24 * 3600 * 1000,

@@ -164,3 +164,29 @@ def test_engine_expire_offsets_tombstones(spark, tmp_path):
     assert left == {"g_new"}
     # idempotent: second run expires nothing new
     assert eng.expire_offsets(retention_ms=600_000) == 0
+
+
+def test_compact_offsets_bounds_commit_log(spark, tmp_path):
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic("t", TopicConfig(partitions=2))
+    for off in (1, 2, 3):
+        eng.offset_commit("g", "t", 0, off)
+    eng.offset_commit("g", "t", 1, 5)
+    eng.offset_commit("gone", "t", 0, 9)
+    eng.offset_delete("gone", "t", 0)
+    stats = eng.compact_offsets()
+    assert stats["before"] == 6 and stats["after"] == 2
+    out = {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in eng.offset_fetch().collect()
+    }
+    # latest offsets survive, tombstoned group is gone for good
+    assert out == {("g", 0): 3, ("g", 1): 5}
+    # commits after compaction still win keep-latest
+    eng.offset_commit("g", "t", 0, 7)
+    assert {
+        r["committed_offset"]
+        for r in eng.offset_fetch("g").where("partition = 0").collect()
+    } == {7}
