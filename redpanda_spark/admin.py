@@ -23,11 +23,13 @@ _ATTR_CONFIGS = {
     "message.timestamp.type": "timestamp_type",
     "delete.retention.ms": "delete_retention_ms",
     "max.message.bytes": "max_message_bytes",
+    "min.cleanable.dirty.ratio": "min_cleanable_dirty_ratio",
 }
 _INT_CONFIGS = {
     "retention.ms", "retention.bytes", "delete.retention.ms",
     "max.message.bytes",
 }
+_FLOAT_CONFIGS = {"min.cleanable.dirty.ratio"}
 
 
 class AdminClient:
@@ -76,7 +78,15 @@ class AdminClient:
                 if v is None:
                     setattr(cfg, _ATTR_CONFIGS[k], TopicConfig().__getattribute__(_ATTR_CONFIGS[k]))
                 else:
-                    setattr(cfg, _ATTR_CONFIGS[k], int(v) if k in _INT_CONFIGS else v)
+                    setattr(
+                        cfg,
+                        _ATTR_CONFIGS[k],
+                        int(v)
+                        if k in _INT_CONFIGS
+                        else float(v)
+                        if k in _FLOAT_CONFIGS
+                        else v,
+                    )
             elif v is None:
                 cfg.configs.pop(k, None)
             else:

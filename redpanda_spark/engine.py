@@ -99,6 +99,11 @@ class TopicConfig:
     # cost to the produce hot path; when set, enforcement is one
     # column-pruned max() over the batch before the write job.
     max_message_bytes: int | None = None
+    # min.cleanable.dirty.ratio: run_cleanup skips keep-latest compaction
+    # until this fraction of the log was appended since the last pass
+    # (storage/compaction policy analog) — avoids rewriting an
+    # already-clean log every maintenance tick.
+    min_cleanable_dirty_ratio: float = 0.5
     configs: dict[str, str] = field(default_factory=dict)
 
 
@@ -139,6 +144,9 @@ class TopicEngine:
         # `cluster/producer_state.h:46-98`), committed WITH the data in
         # the manifest so dedup state and offsets advance atomically.
         self._producers: dict[str, dict[str, list[int]]] = {}
+        # rows in the log right after the last compaction (manifest-side
+        # dirty-ratio bookkeeping; 0 = never compacted => everything dirty)
+        self._clean_rows: dict[str, int] = {}
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -161,6 +169,7 @@ class TopicEngine:
                     "files": files,
                     "stats": {p: stats[p] for p in (files or []) if p in stats},
                     "producers": self._producers.get(topic, {}),
+                    "clean_rows": self._clean_rows.get(topic, 0),
                 }
             ),
         )
@@ -185,6 +194,7 @@ class TopicEngine:
                 self._files[t] = m.get("files")
                 self._stats[t] = m.get("stats", {})
                 self._producers[t] = m.get("producers", {})
+                self._clean_rows[t] = m.get("clean_rows", 0)
             else:
                 self._high[t] = legacy_high.get(t, {})
                 self._files[t] = None
@@ -804,13 +814,48 @@ class TopicEngine:
     def run_cleanup(self, topic: str, now_ms: int | None = None) -> None:
         """Dispatch on cleanup.policy — 'delete', 'compact', or the combined
         'compact,delete' the reference also supports: compact first (keep
-        latest per key), then age/size out what remains."""
+        latest per key), then age/size out what remains. Compaction is
+        gated on min.cleanable.dirty.ratio so an already-clean log is not
+        rewritten on every maintenance tick."""
         cfg = self._require(topic)
         policies = {p.strip() for p in cfg.cleanup_policy.split(",")}
-        if "compact" in policies:
+        if "compact" in policies and (
+            self.dirty_ratio(topic) >= cfg.min_cleanable_dirty_ratio
+        ):
             self.run_compaction(topic, now_ms)
         if "delete" in policies:
             self.run_retention(topic, now_ms)
+
+    def _stats_rows(self, topic: str) -> int | None:
+        """Total live rows from the manifest's per-file stats — no Spark
+        job. None when any live file lacks stats (unknown => treat as
+        fully dirty)."""
+        files = self._files.get(topic)
+        if not files:
+            return 0 if files == [] else None
+        stats = self._stats.get(topic, {})
+        total = 0
+        for f in files:
+            st = stats.get(f)
+            if st is None or len(st) < 5:
+                return None
+            total += st[4]
+        return total
+
+    def dirty_ratio(self, topic: str) -> float:
+        """Fraction of live rows appended since the last compaction
+        (segment-granularity dirty ratio, like the reference's
+        min_cleanable_dirty_ratio policy). Never-compacted or
+        stats-unknown logs read as 1.0 (fully dirty); an empty log as
+        0.0."""
+        self._require(topic)
+        total = self._stats_rows(topic)
+        if total is None:
+            return 1.0
+        if total == 0:
+            return 0.0
+        clean = min(self._clean_rows.get(topic, 0), total)
+        return (total - clean) / total
 
     def run_compaction(self, topic: str, now_ms: int | None = None) -> None:
         """Keep-latest-per-key + tombstone grace (cleanup.policy=compact).
@@ -862,6 +907,10 @@ class TopicEngine:
             cfg.delete_retention_ms,
         ).select(*log.columns)
         self._rewrite(topic, compacted.unionByName(in_open.select(*log.columns)))
+        # stamp the clean baseline for the dirty-ratio trigger; the stats
+        # were just refreshed by the rewrite, so this is manifest-side math
+        self._clean_rows[topic] = self._stats_rows(topic) or 0
+        self._commit_manifest(topic)
 
     def optimize_segments(
         self, topic: str, target_file_bytes: int = 128 * 1024 * 1024

@@ -575,3 +575,54 @@ def test_max_message_bytes_enforced(spark, tmp_path):
     )
     eng.produce("cap", nulls)
     assert eng.log("cap").count() == 2
+
+
+def test_dirty_ratio_gates_compaction(spark, tmp_path):
+    """min.cleanable.dirty.ratio: a freshly compacted log skips the next
+    cleanup's compaction pass; new appends push the ratio back over the
+    threshold and compaction runs again."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic(
+        "c",
+        TopicConfig(
+            partitions=1, cleanup_policy="compact", min_cleanable_dirty_ratio=0.5
+        ),
+    )
+
+    def put(vals):
+        eng.produce(
+            "c",
+            spark.createDataFrame(
+                [Row(partition=0, key=k.encode(), value=v.encode()) for k, v in vals],
+                "partition int, key binary, value binary",
+            ),
+        )
+
+    put([("a", "1"), ("a", "2"), ("b", "1")])
+    assert eng.dirty_ratio("c") == 1.0  # never compacted
+    eng.run_cleanup("c")
+    assert eng.log("c").count() == 2  # keep-latest ran
+    assert eng.dirty_ratio("c") == 0.0
+
+    put([("a", "3")])  # 1 new row / 3 live = 0.33 < 0.5
+    assert 0.0 < eng.dirty_ratio("c") < 0.5
+    files_before = list(eng._files["c"])
+    eng.run_cleanup("c")
+    assert eng._files["c"] == files_before  # compaction skipped
+
+    put([("a", "4"), ("b", "2"), ("b", "3")])  # 4 dirty / 6 live >= 0.5
+    assert eng.dirty_ratio("c") >= 0.5
+    eng.run_cleanup("c")
+    assert eng.log("c").count() == 2
+    vals = {
+        bytes(r["key"]).decode(): bytes(r["value"]).decode()
+        for r in eng.log("c").collect()
+    }
+    assert vals == {"a": "4", "b": "3"}
+    # baseline survives restart (persisted in the manifest)
+    eng2 = TopicEngine(spark, str(tmp_path / "root"))
+    assert eng2.dirty_ratio("c") == 0.0
