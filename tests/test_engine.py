@@ -382,7 +382,7 @@ def test_manifest_records_per_file_stats(engine, spark):
     total_rows = sum(stats[f][4] for f in files)
     assert total_rows == 20
     for f in files:
-        min_p, max_p, min_o, max_o, rows = stats[f]
+        min_p, max_p, min_o, max_o, rows = stats[f][:5]
         assert 0 <= min_p <= max_p <= 3
         assert 0 <= min_o <= max_o
 
@@ -626,3 +626,53 @@ def test_dirty_ratio_gates_compaction(spark, tmp_path):
     # baseline survives restart (persisted in the manifest)
     eng2 = TopicEngine(spark, str(tmp_path / "root"))
     assert eng2.dirty_ratio("c") == 0.0
+
+
+def test_time_retention_segment_fast_path(spark, tmp_path):
+    """Time-only retention classifies segments from manifest timestamp
+    stats: fully-expired files are dropped without a job, untouched files
+    are not rewritten (same physical names), boundary files get a
+    row-level filter — results identical to the full row filter."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic("t", TopicConfig(partitions=1, retention_ms=3_600_000))
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def put(ts_list, tag):
+        rows = [
+            Row(partition=0, key=None, value=f"{tag}{i}".encode(), timestamp=t)
+            for i, t in enumerate(ts_list)
+        ]
+        eng.produce(
+            "t",
+            spark.createDataFrame(
+                rows, "partition int, key binary, value binary, timestamp timestamp"
+            ),
+        )
+
+    put([now - dt.timedelta(hours=5), now - dt.timedelta(hours=4)], "old")  # expired file
+    put([now - dt.timedelta(hours=2), now - dt.timedelta(minutes=30)], "mix")  # boundary
+    put([now - dt.timedelta(minutes=10), now - dt.timedelta(minutes=5)], "new")  # live
+
+    files_before = list(eng._files["t"])
+    assert len(files_before) == 3
+    now_ms = int(now.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    eng.run_retention("t", now_ms=now_ms)
+
+    vals = sorted(bytes(r["value"]).decode() for r in eng.log("t").collect())
+    assert vals == ["mix1", "new0", "new1"]
+    files_after = eng._files["t"]
+    # the live file survived by NAME (not rewritten); expired+boundary gone
+    assert files_before[2] in files_after
+    assert files_before[0] not in files_after and files_before[1] not in files_after
+    # second tick with nothing newly expired: zero changes
+    snap = list(files_after)
+    eng.run_retention("t", now_ms=now_ms)
+    assert eng._files["t"] == snap
+    # offsets/fetch still consistent after the manifest surgery
+    assert eng.fetch("t", 0, offset=0).count() == 3
