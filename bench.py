@@ -78,6 +78,11 @@ BENCH_QUERIES_EXTENDED = [
     "doc_span_dedup",
     "pipeline_sample",
     "doc_quality_classifier",
+    "dedup_cluster",
+    "bpe_pair_counts",
+    "pipeline_shuffle",
+    "events_approx_users",
+    "events_quantiles",
 ]
 
 

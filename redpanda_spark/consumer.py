@@ -45,7 +45,12 @@ class Consumer:
         self.engine = engine
         self.manager = manager
         self.group_id = group_id
-        self.topics = list(topics)
+        # KafkaConsumer.subscribe(pattern=...) analog: a "~"-prefixed entry
+        # is a regex resolved against the live topic catalog at every
+        # subscribe/rejoin, so topics created later join the subscription
+        # on the next rebalance (metadata-refresh semantics).
+        self._topic_spec = list(topics)
+        self.topics = self._resolve_topics()
         self.auto_offset_reset = auto_offset_reset
         self.group_instance_id = group_instance_id
         self.assignor = assignor
@@ -56,6 +61,32 @@ class Consumer:
         self._positions: dict[tuple[str, int], int] = {}
         self._paused: set[tuple[str, int]] = set()
 
+    def _resolve_topics(self) -> list[str]:
+        import re
+
+        out: list[str] = []
+        for spec in self._topic_spec:
+            if spec.startswith("~"):
+                rx = re.compile(spec[1:])
+                out += [t for t in sorted(self.engine.list_topics()) if rx.fullmatch(t)]
+            else:
+                out.append(spec)
+        return list(dict.fromkeys(out))  # stable order, deduped
+
+    def offsets_for_times(self, ts) -> dict[tuple[str, int], int | None]:
+        """KafkaConsumer.offsets_for_times over the assignment: first
+        offset with timestamp >= ts per assigned partition (engine
+        timequery; None where no such record)."""
+        out: dict[tuple[str, int], int | None] = {}
+        for topic, parts in self.assignment.items():
+            hits = {
+                r["partition"]: r["offset"]
+                for r in self.engine.timequery(topic, ts).collect()
+            }
+            for p in parts:
+                out[(topic, p)] = hits.get(p)
+        return out
+
     # -- group membership --------------------------------------------------
 
     def subscribe(self) -> dict[str, list[int]]:
@@ -64,6 +95,7 @@ class Consumer:
         caller's loop — tests drive all members explicitly)."""
         from redpanda_spark.operators.coordinator import CoordinatorError
 
+        self.topics = self._resolve_topics()
         g = self.manager.get(self.group_id)
         r = g.join_group(
             self.member_id,

@@ -204,3 +204,31 @@ def test_seek_pause_resume_position(spark, tmp_path):
 
     with _pytest.raises(RuntimeError):
         c.seek("t", 7, 0)
+
+
+def test_pattern_subscription_and_offsets_for_times(spark, tmp_path):
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    engine = TopicEngine(spark, str(tmp_path / "root"))
+    for t in ("app.a", "app.b", "other"):
+        engine.create_topic(t, TopicConfig(partitions=1))
+        engine.produce(
+            t,
+            spark.createDataFrame(
+                [Row(partition=0, key=None, value=t.encode(),
+                     timestamp=__import__("datetime").datetime(2024, 1, 2))],
+                "partition int, key binary, value binary, timestamp timestamp",
+            ),
+        )
+    mgr = GroupManager({t: 1 for t in ("app.a", "app.b", "other")}, engine=engine)
+    c = Consumer(engine, mgr, "gp", ["~app\\..*"])
+    c.subscribe()
+    assert sorted(c.assignment) == ["app.a", "app.b"]
+    got = {k: [bytes(r["value"]).decode() for r in v] for k, v in c.poll().items()}
+    assert got == {("app.a", 0): ["app.a"], ("app.b", 0): ["app.b"]}
+
+    offs = c.offsets_for_times("2024-01-01 00:00:00")
+    assert offs == {("app.a", 0): 0, ("app.b", 0): 0}
+    offs_late = c.offsets_for_times("2024-06-01 00:00:00")
+    assert offs_late == {("app.a", 0): None, ("app.b", 0): None}
