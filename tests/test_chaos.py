@@ -155,3 +155,67 @@ def test_crashed_produce_leaves_no_visible_orphans(spark, tmp_path):
     assert rec.high_watermarks("t") == hwm_before  # watermarks untouched
     # orphan files physically GC'd on reopen
     assert len(rec._segment_files("t")) == n_before
+
+
+def test_crash_sweep_segment_retention_atomic(spark, tmp_path):
+    """Kill-point sweep over the segment-granularity time-retention path
+    (manifest commit + physical deletes): recovery after any crash lands
+    on exactly the pre- or post-retention snapshot — dropped files never
+    half-disappear because the manifest swap is the only visibility
+    point and deletes happen after it."""
+    import datetime as dt
+
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    now_ms = int(now.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    def tbatch(hours_ago_list):
+        rows = [
+            Row(
+                partition=i % 2,
+                key=None,
+                value=f"r{h}".encode(),
+                timestamp=now - dt.timedelta(hours=h),
+            )
+            for i, h in enumerate(hours_ago_list)
+        ]
+        return spark.createDataFrame(
+            rows, "partition int, key binary, value binary, timestamp timestamp"
+        )
+
+    def seed(engine):
+        engine.create_topic("t", TopicConfig(partitions=2, retention_ms=3_600_000))
+        engine.produce("t", tbatch([5, 4, 5, 4]))       # fully expired file
+        engine.produce("t", tbatch([2, 0.5, 2, 0.25]))  # boundary file
+        engine.produce("t", tbatch([0.2, 0.1]))         # untouched file
+
+    ref_root = str(tmp_path / "ref")
+    ref = TopicEngine(spark, ref_root)
+    seed(ref)
+    before = _snapshot(ref, "t")
+    ref.run_retention("t", now_ms=now_ms)
+    after = _snapshot(ref, "t")
+    assert len(after[0]) == 4 and len(before[0]) == 10  # fast path did work
+
+    crashes = 0
+    for budget in range(1, 30):
+        root = str(tmp_path / f"b{budget}")
+        engine = TopicEngine(spark, root)
+        seed(engine)
+        engine._fsio = FaultInjectingFS(engine._fsio, budget)
+        try:
+            engine.run_retention("t", now_ms=now_ms)
+            completed = True
+        except CrashError:
+            completed = False
+            crashes += 1
+        spark.catalog.clearCache()
+        rec = TopicEngine(spark, root)
+        got = _snapshot(rec, "t")
+        assert got in (before, after), (
+            f"budget {budget}: recovered state is neither pre- nor post-op "
+            f"(rows={len(got[0])})"
+        )
+        if completed:
+            assert got == after
+            break
+    assert crashes > 0
