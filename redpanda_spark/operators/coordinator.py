@@ -168,6 +168,9 @@ ASSIGNORS = {
     "range": range_assign,
     "roundrobin": roundrobin_assign,
     "sticky": sticky_assign,
+    # cooperative-sticky computes the same TARGET; the two-phase revoke/
+    # grant protocol around it lives in sync_group/heartbeat (KIP-429)
+    "cooperative-sticky": sticky_assign,
 }
 
 
@@ -187,6 +190,9 @@ class GroupCoordinator:
         self.generation = 0
         self.leader: str | None = None
         self.protocol: str | None = None
+        # KIP-429: a cooperative rebalance that revoked partitions owes the
+        # group one follow-up rebalance to grant them to the new owners
+        self._coop_followup = False
         self.members: dict[str, Member] = {}
         # KIP-345: group_instance_id -> current member_id binding
         self._static: dict[str, str] = {}
@@ -216,6 +222,7 @@ class GroupCoordinator:
                 for mid, m in self.members.items()
             },
             "next_member": self._next_member,
+            "coop_followup": self._coop_followup,
         }
 
     @classmethod
@@ -235,6 +242,7 @@ class GroupCoordinator:
         g.protocol = snap.get("protocol")
         g.leader = snap.get("leader")
         g._next_member = snap.get("next_member", len(snap.get("members", {})))
+        g._coop_followup = snap.get("coop_followup", False)
         for mid, md in snap.get("members", {}).items():
             m = Member(
                 mid,
@@ -444,6 +452,8 @@ class GroupCoordinator:
                     assignments = ASSIGNORS[self.protocol or "range"](
                         subs, self.topic_partitions, prev
                     )
+                if self.protocol == "cooperative-sticky":
+                    assignments = self._cooperative_phase(assignments)
                 for mid, a in assignments.items():
                     if mid in self.members:
                         self.members[mid].assignment = a
@@ -460,9 +470,42 @@ class GroupCoordinator:
     def heartbeat(self, member_id: str, generation: int) -> str:
         self._check_member(member_id, generation)
         self.members[member_id].last_heartbeat = time.monotonic()
+        if self.state == GroupState.STABLE and self._coop_followup:
+            # phase 2 of a cooperative rebalance: everyone rejoins; the
+            # revoked partitions are unowned now, so the sticky target is
+            # reached with no partition ever double-owned
+            self._coop_followup = False
+            self._start_rebalance()
         if self.state == GroupState.PREPARING_REBALANCE:
             return "REBALANCE_IN_PROGRESS"
         return "NONE"
+
+    def _cooperative_phase(
+        self, target: dict[str, dict[str, list[int]]]
+    ) -> dict[str, dict[str, list[int]]]:
+        """KIP-429 incremental rebalance, phase 1: a partition moving
+        between two live members is assigned to NEITHER this generation —
+        the old owner revokes it (its new assignment simply lacks it) and
+        the new owner receives it in the follow-up rebalance. Partitions
+        whose owner is unchanged, or that were unowned, assign
+        immediately, so unaffected members never stop consuming."""
+        prev_owner: dict[tuple[str, int], str] = {}
+        for mid, m in self.members.items():
+            for t, parts in m.assignment.items():
+                for part in parts:
+                    prev_owner[(t, part)] = mid
+        out: dict[str, dict[str, list[int]]] = {mid: {} for mid in target}
+        withheld = False
+        for mid, topics in target.items():
+            for t, parts in topics.items():
+                for part in parts:
+                    po = prev_owner.get((t, part))
+                    if po is not None and po != mid and po in self.members:
+                        withheld = True  # moving between live members
+                        continue
+                    out[mid].setdefault(t, []).append(part)
+        self._coop_followup = withheld
+        return out
 
     def remove_static_member(self, group_instance_id: str) -> None:
         """Admin removal of a static instance (the

@@ -357,3 +357,83 @@ def test_static_binding_survives_snapshot_restore():
     r = g2.join_group(None, {"range": ["t1"]}, group_instance_id="app-0")
     assert r["member_id"] != m1
     assert g2.generation == gen and g2.state == GroupState.STABLE
+
+
+# -- KIP-429 cooperative (incremental) rebalancing --------------------------
+
+
+def _owned(g):
+    """{(topic, partition): member} across the group; asserts no dupes."""
+    seen = {}
+    for mid, m in g.members.items():
+        for t, parts in m.assignment.items():
+            for p in parts:
+                assert (t, p) not in seen, f"double-owned {(t, p)}"
+                seen[(t, p)] = mid
+    return seen
+
+
+def test_cooperative_sticky_two_phase_rebalance():
+    g = GroupCoordinator("cg", {"t": 4})
+    ra = g.join_group(None, {"cooperative-sticky": ["t"]})
+    a_id = ra["member_id"]
+    a1 = g.sync_group(a_id, ra["generation"])
+    assert a1 == {"t": [0, 1, 2, 3]}
+
+    # B joins -> phase 1: partitions moving A->B are assigned to NEITHER
+    rb = g.join_group(None, {"cooperative-sticky": ["t"]})
+    b_id = rb["member_id"]
+    ra2 = g.join_group(a_id, {"cooperative-sticky": ["t"]})
+    gen2 = ra2["generation"]
+    a2 = g.sync_group(a_id, gen2)
+    b2 = g.sync_group(b_id, gen2)
+    owned = _owned(g)  # never double-owned
+    kept = sorted(a2.get("t", []))
+    assert len(kept) == 2 and set(kept) <= {0, 1, 2, 3}  # A keeps 2, revokes 2
+    assert b2 == {}  # B waits for the follow-up grant
+    assert len(owned) == 2
+
+    # heartbeat triggers phase 2; both rejoin; target reached
+    assert g.heartbeat(a_id, gen2) == "REBALANCE_IN_PROGRESS"
+    g.join_group(a_id, {"cooperative-sticky": ["t"]})
+    rb3 = g.join_group(b_id, {"cooperative-sticky": ["t"]})
+    gen3 = rb3["generation"]  # generation advances when the last member rejoins
+    a3 = g.sync_group(a_id, gen3)
+    b3 = g.sync_group(b_id, gen3)
+    assert sorted(a3["t"]) == kept  # unchanged member keeps its partitions
+    assert sorted(b3["t"]) == sorted(set(range(4)) - set(kept))
+    assert len(_owned(g)) == 4
+    # settled: no further follow-up
+    assert g.heartbeat(a_id, gen3) == "NONE"
+
+
+def test_cooperative_no_followup_when_nothing_moves():
+    g = GroupCoordinator("cg2", {"t": 2})
+    r = g.join_group(None, {"cooperative-sticky": ["t"]})
+    g.sync_group(r["member_id"], r["generation"])
+    # rejoin with the same single member: same target, nothing withheld
+    r2 = g.join_group(r["member_id"], {"cooperative-sticky": ["t"]})
+    out = g.sync_group(r["member_id"], r2["generation"])
+    assert out == {"t": [0, 1]}
+    assert g.heartbeat(r["member_id"], r2["generation"]) == "NONE"
+
+
+def test_cooperative_followup_survives_restart():
+    store = {}
+
+    def persist(snap):
+        store["snap"] = snap
+
+    g = GroupCoordinator("cg3", {"t": 2}, persist=persist)
+    ra = g.join_group(None, {"cooperative-sticky": ["t"]})
+    a_id = ra["member_id"]
+    g.sync_group(a_id, ra["generation"])
+    rb = g.join_group(None, {"cooperative-sticky": ["t"]})
+    b_id = rb["member_id"]
+    ra2 = g.join_group(a_id, {"cooperative-sticky": ["t"]})
+    g.sync_group(a_id, ra2["generation"])
+    g.sync_group(b_id, ra2["generation"])
+
+    g2 = GroupCoordinator.restore(store["snap"].snapshot(), {"t": 2}, persist=persist)
+    # the pending follow-up was persisted: first heartbeat re-triggers it
+    assert g2._coop_followup is True
