@@ -495,7 +495,7 @@ class TopicEngine:
                 drop_all.append((r["partition"], r["producer_id"]))
             elif r["min_seq"] <= last:
                 trim.append((r["partition"], r["producer_id"], last))
-            state[key] = [epoch, max(last, int(r["max_seq"]))]
+            state[key] = [epoch, max(last, int(r["max_seq"])), int(time.time() * 1000)]
         cond = None
         for p, pid in drop_all:
             c = (
@@ -1198,6 +1198,32 @@ class TopicEngine:
 
     def offset_delete(self, group_id: str, topic: str, partition: int) -> None:
         self.offset_commit(group_id, topic, partition, -1, deleted=True)
+
+    def expire_producers(
+        self, topic: str, max_idle_ms: int = 24 * 3600 * 1000,
+        now_ms: int | None = None,
+    ) -> int:
+        """Evict idle producer sequence windows (producer.id.expiration.ms;
+        rm_stm evicts idle producer_state the same way) so the per-topic
+        idempotence map stays O(active producers), not O(every producer
+        ever). An evicted producer that resumes starts a fresh window —
+        exactly Kafka's semantics (its duplicates can no longer be
+        detected, which is why the default idle window is a day). Entries
+        from pre-timestamp manifests count as idle-forever. Returns the
+        eviction count; the shrunken map commits with the manifest."""
+        self._require(topic)
+        state = self._producers.get(topic) or {}
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        gone = [
+            k
+            for k, v in state.items()
+            if now - (v[2] if len(v) > 2 else 0) > max_idle_ms
+        ]
+        for k in gone:
+            del state[k]
+        if gone:
+            self._commit_manifest(topic)
+        return len(gone)
 
     def compact_offsets(self) -> dict[str, int]:
         """Compact the `_consumer_offsets` commit log: keep only the

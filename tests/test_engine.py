@@ -676,3 +676,41 @@ def test_time_retention_segment_fast_path(spark, tmp_path):
     assert eng._files["t"] == snap
     # offsets/fetch still consistent after the manifest surgery
     assert eng.fetch("t", 0, offset=0).count() == 3
+
+
+def test_expire_producers_evicts_idle_windows(spark, tmp_path):
+    import time as _t
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic("t", TopicConfig(partitions=1))
+
+    def idem(seq, pid=7):
+        return spark.createDataFrame(
+            [Row(partition=0, key=None, value=b"v", producer_id=pid,
+                 producer_epoch=0, base_sequence=seq)],
+            "partition int, key binary, value binary, producer_id long,"
+            " producer_epoch smallint, base_sequence int",
+        )
+
+    eng.produce("t", idem(0))
+    eng.produce("t", idem(1))
+    assert len(eng._producers["t"]) == 1
+    now = int(_t.time() * 1000)
+    # fresh window is not evicted
+    assert eng.expire_producers("t", max_idle_ms=3_600_000, now_ms=now) == 0
+    # a day later it is; state survives via manifest until then
+    assert eng.expire_producers("t", max_idle_ms=3_600_000,
+                                now_ms=now + 4_000_000) == 1
+    assert eng._producers["t"] == {}
+    # resumed producer starts a fresh window: stale-looking seq 0 accepted
+    eng.produce("t", idem(0))
+    assert eng.log("t").count() == 3
+    # and the fresh window enforces ordering again
+    import pytest as _pytest
+
+    with _pytest.raises(ProduceError):
+        eng.produce("t", idem(5))
