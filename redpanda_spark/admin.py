@@ -162,15 +162,24 @@ class AdminClient:
     def describe_client_quotas(self) -> dict[str, dict[str, float]]:
         return {c: dict(q) for c, q in self.quotas.items()}
 
-    def throttle(self, client_id: str, bytes_requested: int, window_s: float = 1.0) -> float:
-        """Token-bucket produce throttle (quota_manager.h:101-112): returns
-        the delay in seconds the caller should wait. 0 = no throttling."""
-        limit = self.quotas.get(client_id, {}).get("producer_byte_rate")
+    def throttle(
+        self,
+        client_id: str,
+        bytes_requested: int,
+        window_s: float = 1.0,
+        key: str = "producer_byte_rate",
+    ) -> float:
+        """Token-bucket throttle (quota_manager.h:101-112) for the given
+        quota key — producer_byte_rate on produce, consumer_byte_rate on
+        fetch, each with its own bucket. Returns the delay in seconds the
+        caller should wait; 0 = no throttling."""
+        limit = self.quotas.get(client_id, {}).get(key)
         if not limit:
             return 0.0
-        bucket = self.quotas.setdefault(client_id, {}).setdefault("_bucket", limit)
+        bk, lk = f"_bucket:{key}", f"_last:{key}"
+        bucket = self.quotas.setdefault(client_id, {}).setdefault(bk, limit)
         now = time.monotonic()
-        last = self.quotas[client_id].get("_last", now)
+        last = self.quotas[client_id].get(lk, now)
         bucket = min(limit, bucket + (now - last) * limit / window_s)
         delay = 0.0
         if bytes_requested > bucket:
@@ -178,8 +187,8 @@ class AdminClient:
             bucket = 0.0
         else:
             bucket -= bytes_requested
-        self.quotas[client_id]["_bucket"] = bucket
-        self.quotas[client_id]["_last"] = now
+        self.quotas[client_id][bk] = bucket
+        self.quotas[client_id][lk] = now
         return delay
 
 

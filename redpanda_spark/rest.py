@@ -200,6 +200,19 @@ class RestApp:
         out = self.engine.fetch(
             topic, int(partition), offset=offset, max_records=count
         ).collect()
+        # consumer_byte_rate quota: same throttle contract as produce —
+        # 429 + throttle_time_ms charged on the bytes actually read
+        client = query.get("client_id", "anonymous")
+        nbytes = sum(
+            len(r["key"] or b"") + len(r["value"] or b"") for r in out
+        )
+        delay = self.admin.throttle(client, nbytes, key="consumer_byte_rate")
+        if delay > 0:
+            return 429, {
+                "error_code": 42901,
+                "message": f"quota exceeded for {client}",
+                "throttle_time_ms": int(delay * 1000),
+            }
         return 200, [
             {
                 "topic": topic,

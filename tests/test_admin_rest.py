@@ -255,3 +255,39 @@ def test_partition_growth_rebalances_assignment(engine, spark):
     # the member's next heartbeat sees the rebalance and rejoins
     c.heartbeat()
     assert sorted(c.assignment["gt"]) == [0, 1, 2, 3]
+
+
+def test_rest_fetch_quota_throttles(engine, spark):
+    """consumer_byte_rate on the client id throttles the fetch endpoint
+    with the same 429 + throttle_time_ms contract as produce; other
+    clients and the produce quota bucket are unaffected."""
+    from pyspark.sql import Row
+
+    engine.create_topic("fq", TopicConfig(partitions=1))
+    engine.produce(
+        "fq",
+        spark.createDataFrame(
+            [Row(key=None, value=b"x" * 200, partition=0) for _ in range(5)],
+            "key binary, value binary, partition int",
+        ),
+    )
+    app = RestApp(engine)
+    app.admin.alter_client_quota("slow-reader", "consumer_byte_rate", 100.0)
+    code, body = app.handle(
+        "GET", "/topics/fq/partitions/0/records",
+        query={"offset": "0", "count": "5", "client_id": "slow-reader"},
+    )
+    code2, body2 = app.handle(
+        "GET", "/topics/fq/partitions/0/records",
+        query={"offset": "0", "count": "5", "client_id": "slow-reader"},
+    )
+    codes = {code, code2}
+    assert 429 in codes  # 1000 bytes against a 100 B/s budget throttles
+    throttled = body if code == 429 else body2
+    assert throttled["throttle_time_ms"] > 0
+    # an unthrottled client reads freely
+    code3, body3 = app.handle(
+        "GET", "/topics/fq/partitions/0/records",
+        query={"offset": "0", "count": "5", "client_id": "fast"},
+    )
+    assert code3 == 200 and len(body3) == 5
