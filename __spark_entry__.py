@@ -41,6 +41,7 @@ _PRIORITY = [
     "pipeline_shuffle",
     "bpe_pair_counts",
     "bpe_train",
+    "curation_dedup",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

@@ -4031,3 +4031,54 @@ QUERIES.update(
     {"bpe_pair_counts": q_bpe_pair_counts, "bpe_train": q_bpe_train}
 )
 ORACLES.update({"bpe_pair_counts": SQL_BPE_PAIR_COUNTS})
+
+
+# -- Curation with cluster-level dedup (keep one per near-dup cluster) -------
+
+
+def q_curation_dedup(spark, sf_dir):
+    """The keep/drop decision a dedup pipeline actually ships: every
+    document keeps iff it is its near-dup cluster's canonical (minimum id)
+    or belongs to no cluster; per-source kept/dropped counts + kept token
+    volume. Composes near_dup_pairs → connected components → anti-join,
+    all distributed."""
+    from redpanda_spark.dedup.cluster import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(near_dup_pairs(docs, threshold=0.5))
+    dropped = clusters.where(F.col("id") != F.col("canonical_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    flagged = docs.join(
+        F.broadcast(dropped.withColumn("_drop", F.lit(True))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_drop"), 0).otherwise(1)).cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("_drop"), 0).otherwise(TXT.token_count("text"))
+            ).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CURATION_DEDUP = (
+    "WITH RECURSIVE clusters AS (\n"
+    + SQL_DEDUP_CLUSTER
+    + """
+),
+dropped AS (SELECT id AS doc_id FROM clusters WHERE id <> canonical_id)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dropped) THEN 0 ELSE """
+    + _TOKCNT_SQL
+    + """ END) AS BIGINT) AS kept_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+)
+
+QUERIES.update({"curation_dedup": q_curation_dedup})
+ORACLES.update({"curation_dedup": SQL_CURATION_DEDUP})
