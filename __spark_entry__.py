@@ -42,6 +42,7 @@ _PRIORITY = [
     "bpe_pair_counts",
     "bpe_train",
     "curation_dedup",
+    "dedup_incremental",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

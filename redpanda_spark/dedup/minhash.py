@@ -240,3 +240,91 @@ def near_dup_pairs(
     id_col = kwargs.get("id_col", "doc_id")
     jac = jaccard_pairs(docs, pairs, text_col, id_col, shingle_n)
     return jac.where(F.col("jaccard") >= F.lit(threshold))
+
+
+def incremental_candidates(
+    corpus_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs for INCREMENTAL dedup: only pairs whose larger
+    (newer) side is a new document. ``corpus_sigs`` is the stored
+    signature table from previous runs — the corpus is never re-shingled
+    and corpus×corpus pairs are never generated, which is the whole point:
+    deduping a daily increment against a 100 TB corpus costs
+    O(increment + matching buckets), not O(corpus²) or even O(corpus).
+
+    Bucket shape mirrors candidate_pairs: one aggregation on (band,
+    band_hash) moving (id, is_new) pairs only, bucket cap, then JVM-side
+    pair expansion (new member × smaller ids in the same bucket)."""
+    ba = lsh_bands(corpus_sigs, id_col, bands).withColumn("is_new", F.lit(False))
+    bn = lsh_bands(new_sigs, id_col, bands).withColumn("is_new", F.lit(True))
+    bucketed = (
+        ba.unionByName(bn)
+        .groupBy("band", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("is_new")))
+            ).alias("ms")
+        )
+        .where(F.size("ms").between(2, max_bucket))
+        .where(F.exists("ms", lambda m: m["is_new"]))
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.filter(F.col("ms"), lambda m: m["is_new"]),
+                lambda y: F.transform(
+                    F.filter(F.col("ms"), lambda x: x["id"] < y["id"]),
+                    lambda x: F.struct(
+                        x["id"].alias("id_a"), y["id"].alias("id_b")
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        bucketed.select(pair_expr.alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def incremental_dedup_ids(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """Ids of new documents that SURVIVE incremental dedup: a new doc is
+    dropped iff its exact shingle Jaccard with any lower-id document
+    (corpus, or an earlier doc in the same increment) reaches the
+    threshold. ``all_docs`` supplies text for the exact-verify stage —
+    only candidate-pair docs are ever shingled (jaccard_pairs semi-join).
+    Returns the kept (id) frame; callers union it with the corpus id set
+    and append the increment's signatures to the signature store."""
+    new_docs = parallelize_narrow(new_docs)
+    if "bands" not in kwargs:
+        kwargs["bands"] = pick_bands(num_hashes, threshold)
+    new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
+    cands = incremental_candidates(
+        corpus_sigs,
+        new_sigs,
+        id_col,
+        bands=kwargs["bands"],
+        max_bucket=kwargs.get("max_bucket", 1000),
+    )
+    scored = jaccard_pairs(all_docs, cands, text_col, id_col, shingle_n)
+    dropped = (
+        scored.where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return new_docs.select(id_col).join(dropped, id_col, "left_anti")

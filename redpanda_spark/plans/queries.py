@@ -4082,3 +4082,43 @@ FROM documents GROUP BY source ORDER BY source
 
 QUERIES.update({"curation_dedup": q_curation_dedup})
 ORACLES.update({"curation_dedup": SQL_CURATION_DEDUP})
+
+
+# -- Incremental dedup (new batch vs stored corpus signatures) ---------------
+
+_INC_SPLIT = 250  # doc_id < split = "corpus", >= split = arriving increment
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental MinHash dedup: the arriving increment is checked
+    against the corpus via its STORED signature table (the corpus is
+    never re-shingled; corpus x corpus pairs are never generated) plus
+    against earlier docs in the same increment. Returns the surviving
+    new-doc ids. At 100 TB this is the daily-ingest shape: cost scales
+    with the increment and the touched buckets, not the corpus."""
+    from redpanda_spark.dedup.minhash import (
+        incremental_dedup_ids,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < _INC_SPLIT)
+    new = docs.where(F.col("doc_id") >= _INC_SPLIT)
+    # stands in for the signature store persisted by the previous run
+    corpus_sigs = minhash_signature(corpus)
+    return incremental_dedup_ids(corpus_sigs, new, docs, threshold=0.5)
+
+
+SQL_DEDUP_INCREMENTAL = (
+    "WITH pairs AS (\n"
+    + SQL_DEDUP_MINHASH
+    + f"""
+)
+SELECT doc_id FROM documents d
+WHERE d.doc_id >= {_INC_SPLIT}
+  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id)
+"""
+)
+
+QUERIES.update({"dedup_incremental": q_dedup_incremental})
+ORACLES.update({"dedup_incremental": SQL_DEDUP_INCREMENTAL})

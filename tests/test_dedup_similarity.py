@@ -367,3 +367,41 @@ def test_duplicate_clusters_sizes_and_canonicals(spark):
     # keep/drop policy: exactly one kept doc per cluster
     kept = [i for i, r in rows.items() if r["canonical_id"] == i]
     assert sorted(kept) == [1, 7]
+
+
+# -- incremental dedup ------------------------------------------------------
+
+
+def test_incremental_dedup_drops_vs_corpus_and_within_increment(spark):
+    from redpanda_spark.dedup.minhash import (
+        incremental_candidates,
+        incremental_dedup_ids,
+        minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content about spark partitions and shuffles"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=uniq),
+            # increment: 10 dups corpus doc 1; 11 unique; 12 dups 11
+            Row(doc_id=10, text=base),
+            Row(doc_id=11, text="novel text that matches nothing else in the corpus at all"),
+            Row(doc_id=12, text="novel text that matches nothing else in the corpus at all"),
+        ]
+    )
+    corpus = docs.where("doc_id < 10")
+    new = docs.where("doc_id >= 10")
+    corpus_sigs = minhash_signature(corpus)
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_ids(corpus_sigs, new, docs, threshold=0.7).collect()
+    )
+    assert kept == [11]  # 10 dropped vs corpus, 12 dropped vs 11
+
+    # structural: corpus x corpus pairs are never generated
+    new_sigs = minhash_signature(new)
+    cands = incremental_candidates(corpus_sigs, new_sigs).collect()
+    assert cands, "expected candidates"
+    assert all(c["id_b"] >= 10 for c in cands)
