@@ -43,6 +43,7 @@ _PRIORITY = [
     "bpe_train",
     "curation_dedup",
     "dedup_incremental",
+    "doc_perplexity",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

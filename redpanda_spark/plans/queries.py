@@ -4122,3 +4122,63 @@ WHERE d.doc_id >= {_INC_SPLIT}
 
 QUERIES.update({"dedup_incremental": q_dedup_incremental})
 ORACLES.update({"dedup_incremental": SQL_DEDUP_INCREMENTAL})
+
+
+# -- N-gram LM perplexity scoring (CCNet-style quality filter) ---------------
+
+
+def q_doc_perplexity(spark, sf_dir):
+    """Train an add-one-smoothed bigram LM on the corpus, score every
+    document by mean -ln P(w2|w1) (functions/lm.py). The top-level
+    statistic: per-source doc counts and the corpus' best/worst document
+    by cross-entropy — the bucketing decision a CCNet-style filter
+    makes."""
+    from redpanda_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs)
+    scored = score_perplexity(docs, lm).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
+            F.round(F.min("cross_entropy"), 6).alias("min_ce"),
+            F.round(F.max("cross_entropy"), 6).alias("max_ce"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, source, t,
+          unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+big AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c) AS ctx FROM big GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+lm AS (
+  SELECT w1, w2, (c + 1.0) / (ctx + v) AS p
+  FROM big JOIN ctx USING (w1) CROSS JOIN vocab),
+scored AS (
+  SELECT doc_id, ANY_VALUE(source) AS source,
+    ROUND(AVG(ROUND(-ln(p), 9)), 6) AS ce
+  FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(AVG(ce), 6) AS avg_ce,
+  ROUND(MIN(ce), 6) AS min_ce,
+  ROUND(MAX(ce), 6) AS max_ce
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"doc_perplexity": q_doc_perplexity})
+ORACLES.update({"doc_perplexity": SQL_DOC_PERPLEXITY})

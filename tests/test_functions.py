@@ -286,3 +286,38 @@ def test_bpe_greedy_fold_left_to_right(spark):
     # symbols [a, a, a, a</w>]; greedy left-to-right fold gives
     # [aa, a, a</w>] — the merged "aa" must NOT re-merge with the next "a"
     assert out == 3
+
+
+# -- n-gram LM perplexity ---------------------------------------------------
+
+
+def test_bigram_lm_probabilities_and_scoring(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="a b a c"),
+        ]
+    )
+    lm = {(r["w1"], r["w2"]): r["p"] for r in train_bigram_lm(docs).collect()}
+    # corpus bigrams: (a,b)x3 (b,a)x2 (a,c)x1; vocab = {a,b,c} -> V=3
+    assert math.isclose(lm[("a", "b")], (3 + 1) / (4 + 3))
+    assert math.isclose(lm[("b", "a")], (2 + 1) / (2 + 3))
+    assert math.isclose(lm[("a", "c")], (1 + 1) / (4 + 3))
+
+    scored = {
+        r["doc_id"]: r
+        for r in score_perplexity(docs, train_bigram_lm(docs)).collect()
+    }
+    assert scored[1]["n_bigrams"] == 3 and scored[2]["n_bigrams"] == 3
+    # doc 1 repeats the dominant pattern -> lower cross-entropy
+    assert scored[1]["cross_entropy"] < scored[2]["cross_entropy"]
+    want1 = round(
+        sum(round(-math.log(p), 9) for p in
+            (lm[("a", "b")], lm[("b", "a")], lm[("a", "b")])) / 3, 6)
+    assert abs(scored[1]["cross_entropy"] - want1) < 1e-9
