@@ -328,3 +328,54 @@ def incremental_dedup_ids(
         .distinct()
     )
     return new_docs.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def process_increment(
+    spark,
+    store_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> dict:
+    """Continuous-ingest dedup: maintain a deduplicated corpus store at
+    ``store_path`` (parquet: id, text, sig) and fold one increment into
+    it. The corpus side is read as SIGNATURES ONLY for candidate
+    generation (never re-shingled); texts are touched solely for the
+    exact verify of candidate pairs. Surviving docs append to the store
+    with their signatures, so the next increment reuses them — the
+    foreachBatch body of a streaming dedup pipeline (pair it with
+    engine.log_stream / export machinery for end-to-end exactly-once).
+
+    Returns {"kept": n, "dropped": n}."""
+    import os as _os
+
+    new_docs = parallelize_narrow(new_docs).select(id_col, text_col)
+    new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
+    new_full = new_docs.join(new_sigs, id_col)
+    has_store = _os.path.exists(store_path)
+    if has_store:
+        store = spark.read.parquet(store_path)
+        corpus_sigs = store.select(id_col, "sig")
+        all_docs = store.select(id_col, text_col).unionByName(new_docs)
+    else:
+        corpus_sigs = new_sigs.limit(0)
+        all_docs = new_docs
+    bands = pick_bands(num_hashes, threshold)
+    cands = incremental_candidates(corpus_sigs, new_sigs, id_col, bands=bands)
+    scored = jaccard_pairs(all_docs, cands, text_col, id_col, shingle_n)
+    dropped_ids = (
+        scored.where(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = new_full.join(dropped_ids, id_col, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_kept = kept.count()
+    kept.write.mode("append").parquet(store_path)
+    kept.unpersist()
+    n_new = new_docs.count()
+    return {"kept": n_kept, "dropped": n_new - n_kept}

@@ -405,3 +405,37 @@ def test_incremental_dedup_drops_vs_corpus_and_within_increment(spark):
     cands = incremental_candidates(corpus_sigs, new_sigs).collect()
     assert cands, "expected candidates"
     assert all(c["id_b"] >= 10 for c in cands)
+
+
+def test_process_increment_maintains_deduped_store(spark, tmp_path):
+    from redpanda_spark.dedup.minhash import jaccard_pairs, process_increment
+
+    store = str(tmp_path / "corpus_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "spark shuffles partition data across the cluster during wide operations"
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=other)]
+    )
+    r1 = process_increment(spark, store, b1, threshold=0.7)
+    assert r1 == {"kept": 2, "dropped": 0}
+
+    # batch 2: dup of stored doc 1, dup pair within the batch, one novel
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),
+            Row(doc_id=11, text="genuinely novel sentence with brand new words entirely"),
+            Row(doc_id=12, text="genuinely novel sentence with brand new words entirely"),
+        ]
+    )
+    r2 = process_increment(spark, store, b2, threshold=0.7)
+    assert r2 == {"kept": 1, "dropped": 2}
+
+    stored = spark.read.parquet(store)
+    assert sorted(r["doc_id"] for r in stored.collect()) == [1, 2, 11]
+    assert "sig" in stored.columns  # signatures persisted for reuse
+
+    # invariant: the store stays near-dup free end to end
+    from redpanda_spark.dedup.minhash import near_dup_pairs
+
+    assert near_dup_pairs(stored.select("doc_id", "text"), threshold=0.7).count() == 0
