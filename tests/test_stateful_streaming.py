@@ -164,3 +164,54 @@ def test_idempotent_dedup_stream_per_partition_sequences(spark, tmp_path):
     got = _run_stream(idempotent_dedup_stream(stream), spark, _mem_name())
     vals = sorted(bytes(r["value"]).decode() for r in got.collect())
     assert vals == ["p0-a", "p0-b", "p1-a", "p1-b"]
+
+
+def test_streaming_dedup_store_over_topic(spark, tmp_path):
+    """End-to-end streaming dedup: documents produced onto a topic flow
+    through foreachBatch -> process_increment, maintaining the deduped
+    signature store across micro-batches (each batch is checked against
+    everything kept before it)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.dedup.minhash import near_dup_pairs, process_increment
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("docs", TopicConfig(partitions=1))
+    store = str(tmp_path / "dedup_store")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def put(doc_id, text):
+        eng.produce(
+            "docs",
+            spark.createDataFrame(
+                [Row(partition=0, key=str(doc_id).encode(), value=text.encode())],
+                "partition int, key binary, value binary",
+            ),
+        )
+
+    put(1, base)
+    put(2, "an unrelated document about structured streaming state stores")
+    put(10, base)  # near-dup of doc 1, lands in a later file/micro-batch
+
+    def fold(batch_df, batch_id):
+        docs = batch_df.select(
+            F.col("key").cast("string").cast("long").alias("doc_id"),
+            F.col("value").cast("string").alias("text"),
+        )
+        if docs.take(1):
+            process_increment(spark, store, docs, threshold=0.7)
+
+    q = (
+        eng.log_stream("docs", max_files_per_trigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    stored = spark.read.parquet(store)
+    assert sorted(r["doc_id"] for r in stored.collect()) == [1, 2]
+    assert near_dup_pairs(stored.select("doc_id", "text"), threshold=0.7).count() == 0
