@@ -44,6 +44,7 @@ _PRIORITY = [
     "curation_dedup",
     "dedup_incremental",
     "doc_perplexity",
+    "log_max_timestamp",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

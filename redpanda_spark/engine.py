@@ -759,6 +759,10 @@ class TopicEngine:
     def timequery(self, topic: str, ts) -> DataFrame:
         return LOG.timequery(self.log(topic), ts)
 
+    def max_timestamp_offsets(self, topic: str) -> DataFrame:
+        """ListOffsets MAX_TIMESTAMP (-3, KIP-734)."""
+        return LOG.max_timestamp_offsets(self.log(topic))
+
     def high_watermarks(self, topic: str) -> dict[int, int]:
         self._require(topic)
         return dict(self._high.get(topic, {}))

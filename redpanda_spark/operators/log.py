@@ -83,6 +83,25 @@ def list_offsets(log: DataFrame) -> DataFrame:
     )
 
 
+def max_timestamp_offsets(log: DataFrame) -> DataFrame:
+    """ListOffsets special -3 (MAX_TIMESTAMP, KIP-734): per partition, the
+    offset of the record carrying the largest timestamp (ties -> highest
+    offset, matching the broker's scan order) plus that timestamp. One
+    partial-aggregated max over (timestamp, offset) struct ordering — no
+    sort, no window."""
+    best = F.max(F.struct(F.col("timestamp"), F.col("offset"))).alias("b")
+    return (
+        log.groupBy("partition")
+        .agg(best)
+        .select(
+            "partition",
+            F.col("b.offset").alias("offset"),
+            F.col("b.timestamp").alias("max_timestamp"),
+        )
+        .orderBy("partition")
+    )
+
+
 def timequery(log: DataFrame, ts) -> DataFrame:
     """timestamp→offset: first offset with timestamp >= ts, per partition.
 

@@ -4182,3 +4182,33 @@ FROM scored GROUP BY source ORDER BY source
 
 QUERIES.update({"doc_perplexity": q_doc_perplexity})
 ORACLES.update({"doc_perplexity": SQL_DOC_PERPLEXITY})
+
+
+# -- ListOffsets MAX_TIMESTAMP (-3, KIP-734) ---------------------------------
+
+
+def q_log_max_timestamp(spark, sf_dir):
+    """Per partition: offset + value of the record with the largest
+    timestamp (ListOffsets -3; ties break to the higher offset, the
+    broker's scan order). One struct-max aggregation — no sort/window."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).withColumnRenamed("ts", "timestamp")
+    return LOG.max_timestamp_offsets(log).select(
+        F.col("partition").cast("int"),
+        F.col("offset").cast("long"),
+        F.col("max_timestamp").cast("timestamp"),
+    )
+
+
+SQL_LOG_MAX_TIMESTAMP = f"""
+WITH {LOG_CTE}
+SELECT CAST(l.partition AS INTEGER) AS partition,
+       CAST(MAX(l."offset") AS BIGINT) AS "offset",
+       CAST(m.mt AS TIMESTAMP) AS max_timestamp
+FROM log l
+JOIN (SELECT partition, MAX(ts) AS mt FROM log GROUP BY partition) m
+  ON l.partition = m.partition AND l.ts = m.mt
+GROUP BY l.partition, m.mt
+"""
+
+QUERIES.update({"log_max_timestamp": q_log_max_timestamp})
+ORACLES.update({"log_max_timestamp": SQL_LOG_MAX_TIMESTAMP})
