@@ -441,3 +441,66 @@ def test_interval_join_matches_bruteforce(spark, facts_raw, iv_raw):
         if fk == ik and lo <= ts <= hi
     }
     assert got == expect
+
+
+# -- connected components vs union-find (property) --------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_edges)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    from pyspark.sql import Row
+
+    from redpanda_spark.dedup.cluster import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame([Row(id_a=int(u), id_b=int(v)) for u, v in edges])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+# -- distributed BPE vs sequential reference (property) ---------------------
+
+_texts = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "abc", "abab", "ba", "cab", "a", "bc"]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(_texts)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bpe_train_matches_reference_on_random_corpora(spark, texts):
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.bpe import train_bpe
+    from tests.test_functions import _bpe_reference
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    assert train_bpe(docs, 5) == _bpe_reference(texts, 5)[0]
