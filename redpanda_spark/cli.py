@@ -1,0 +1,229 @@
+"""rpk-style command-line interface over the engine.
+
+The reference ships `rpk` (`src/go/rpk/`) as the operator surface: topic
+CRUD, produce/consume, group inspection, offset management, cluster info.
+This is the same surface over a TopicEngine root:
+
+    python -m redpanda_spark --root /data topic create t -p 8
+    echo '{"key":"k1","value":"v1"}' | python -m redpanda_spark --root /data topic produce t
+    python -m redpanda_spark --root /data topic consume t -p 0 -o 0 -n 10
+    python -m redpanda_spark --root /data topic list
+    python -m redpanda_spark --root /data topic describe t
+    python -m redpanda_spark --root /data group list
+    python -m redpanda_spark --root /data group describe g
+    python -m redpanda_spark --root /data cluster info
+
+Keys/values are UTF-8 strings in JSON lines on stdin (base64 via
+"key_b64"/"value_b64" for binary payloads), records print as JSON lines
+on stdout — the `rpk topic produce/consume` contract. The Spark session
+is created lazily with the engine-tuned defaults; `--master` overrides
+for a real cluster."""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import sys
+
+from pyspark.sql import Row
+
+
+def _engine(args):
+    from redpanda_spark.engine import TopicEngine
+    from redpanda_spark.session import get_spark
+
+    import os
+
+    if args.master:
+        os.environ["SPARK_MASTER"] = args.master
+    spark = get_spark("redpanda-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return TopicEngine(spark, args.root)
+
+
+def _b(rec: dict, key: str):
+    if f"{key}_b64" in rec:
+        return base64.b64decode(rec[f"{key}_b64"])
+    v = rec.get(key)
+    return v.encode() if isinstance(v, str) else v
+
+
+def cmd_topic_create(args) -> int:
+    from redpanda_spark.engine import TopicConfig
+
+    eng = _engine(args)
+    eng.create_topic(args.topic, TopicConfig(partitions=args.partitions))
+    if args.config:
+        from redpanda_spark.admin import AdminClient
+
+        changes = dict(kv.partition("=")[::2] for kv in args.config)
+        AdminClient(eng).alter_configs(args.topic, changes)
+    print(json.dumps({"topic": args.topic, "partitions": args.partitions}))
+    return 0
+
+
+def cmd_topic_list(args) -> int:
+    eng = _engine(args)
+    for t, cfg in sorted(eng.list_topics().items()):
+        print(json.dumps({"topic": t, "partitions": cfg.partitions,
+                          "cleanup_policy": cfg.cleanup_policy}))
+    return 0
+
+
+def cmd_topic_delete(args) -> int:
+    _engine(args).delete_topic(args.topic)
+    print(json.dumps({"deleted": args.topic}))
+    return 0
+
+
+def cmd_topic_describe(args) -> int:
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    admin = AdminClient(eng)
+    meta = admin.metadata([args.topic])["topics"][args.topic]
+    out = {
+        "topic": args.topic,
+        "partitions": meta.get("partitions", {}),
+        "configs": admin.describe_configs(args.topic),
+    }
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_topic_produce(args) -> int:
+    eng = _engine(args)
+    rows = []
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        r = {"key": _b(rec, "key"), "value": _b(rec, "value")}
+        if "partition" in rec:
+            r["partition"] = int(rec["partition"])
+        rows.append(r)
+    if not rows:
+        print(json.dumps({"produced": 0}))
+        return 0
+    if any("partition" in r for r in rows):
+        # explicit routing for some records: fill the rest with the
+        # client-side murmur2 default so one schema covers the batch
+        from redpanda_spark.functions.hashes import murmur2_partition
+
+        n_parts = eng.list_topics()[args.topic].partitions
+        for r in rows:
+            if "partition" not in r:
+                r["partition"] = (
+                    murmur2_partition(r["key"], n_parts)
+                    if r["key"] is not None
+                    else 0
+                )
+        schema = "key binary, value binary, partition int"
+    else:
+        schema = "key binary, value binary"
+    df = eng.spark.createDataFrame([Row(**r) for r in rows], schema)
+    bases = eng.produce(args.topic, df)
+    print(json.dumps({"produced": len(rows), "base_offsets": bases}))
+    return 0
+
+
+def cmd_topic_consume(args) -> int:
+    eng = _engine(args)
+    df = eng.fetch(
+        args.topic, args.partition, offset=args.offset,
+        max_records=args.num, isolation=args.isolation,
+    )
+    for r in sorted(df.collect(), key=lambda x: x["offset"]):
+        print(json.dumps({
+            "partition": r["partition"],
+            "offset": r["offset"],
+            "key": (bytes(r["key"]).decode("utf-8", "replace")
+                    if r["key"] is not None else None),
+            "value": (bytes(r["value"]).decode("utf-8", "replace")
+                      if r["value"] is not None else None),
+        }))
+    return 0
+
+
+def cmd_group_list(args) -> int:
+    eng = _engine(args)
+    for r in eng.offset_fetch().select("group_id").distinct().collect():
+        print(json.dumps({"group": r["group_id"]}))
+    return 0
+
+
+def cmd_group_describe(args) -> int:
+    eng = _engine(args)
+    rows = eng.offset_fetch(args.group).collect()
+    for r in sorted(rows, key=lambda x: (x["topic"], x["partition"])):
+        hwm = eng.high_watermarks(r["topic"]).get(r["partition"], 0)
+        print(json.dumps({
+            "group": args.group, "topic": r["topic"],
+            "partition": r["partition"],
+            "committed": r["committed_offset"],
+            "high_watermark": hwm,
+            "lag": hwm - r["committed_offset"],
+        }))
+    return 0
+
+
+def cmd_cluster_info(args) -> int:
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    meta = AdminClient(eng).metadata()
+    print(json.dumps(meta, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="redpanda_spark")
+    p.add_argument("--root", required=True, help="engine root directory/URI")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="noun", required=True)
+
+    topic = sub.add_parser("topic").add_subparsers(dest="verb", required=True)
+    c = topic.add_parser("create")
+    c.add_argument("topic")
+    c.add_argument("-p", "--partitions", type=int, default=1)
+    c.add_argument("-c", "--config", action="append", metavar="K=V")
+    c.set_defaults(fn=cmd_topic_create)
+    topic.add_parser("list").set_defaults(fn=cmd_topic_list)
+    d = topic.add_parser("delete")
+    d.add_argument("topic")
+    d.set_defaults(fn=cmd_topic_delete)
+    ds = topic.add_parser("describe")
+    ds.add_argument("topic")
+    ds.set_defaults(fn=cmd_topic_describe)
+    pr = topic.add_parser("produce")
+    pr.add_argument("topic")
+    pr.set_defaults(fn=cmd_topic_produce)
+    co = topic.add_parser("consume")
+    co.add_argument("topic")
+    co.add_argument("-p", "--partition", type=int, default=0)
+    co.add_argument("-o", "--offset", type=int, default=0)
+    co.add_argument("-n", "--num", type=int, default=None)
+    co.add_argument("--isolation", default="read_uncommitted",
+                    choices=["read_uncommitted", "read_committed"])
+    co.set_defaults(fn=cmd_topic_consume)
+
+    group = sub.add_parser("group").add_subparsers(dest="verb", required=True)
+    group.add_parser("list").set_defaults(fn=cmd_group_list)
+    gd = group.add_parser("describe")
+    gd.add_argument("group")
+    gd.set_defaults(fn=cmd_group_describe)
+
+    cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
+    cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

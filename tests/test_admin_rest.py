@@ -291,3 +291,49 @@ def test_rest_fetch_quota_throttles(engine, spark):
         query={"offset": "0", "count": "5", "client_id": "fast"},
     )
     assert code3 == 200 and len(body3) == 5
+
+
+def test_cli_topic_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    """rpk-parity CLI: create -> produce (stdin JSON lines) -> consume ->
+    describe -> group describe -> delete, all through main(argv)."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "cli_root")
+    assert main(["--root", root, "topic", "create", "t", "-p", "2"]) == 0
+    capsys.readouterr()
+
+    lines = "\n".join(
+        _json.dumps(r)
+        for r in [
+            {"key": "a", "value": "v1"},
+            {"key": "b", "value": "v2", "partition": 1},
+        ]
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    assert main(["--root", root, "topic", "produce", "t"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["produced"] == 2
+
+    assert main(["--root", root, "topic", "consume", "t", "-p", "1", "-o", "0"]) == 0
+    recs = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [r["value"] for r in recs] == ["v2"]
+    assert recs[0]["offset"] == 0
+
+    assert main(["--root", root, "topic", "list"]) == 0
+    assert _json.loads(capsys.readouterr().out)["topic"] == "t"
+
+    assert main(["--root", root, "topic", "describe", "t"]) == 0
+    desc = _json.loads(capsys.readouterr().out)
+    assert desc["configs"]["cleanup.policy"] == "delete"
+
+    from redpanda_spark.engine import TopicEngine
+
+    TopicEngine(spark, root).offset_commit("g1", "t", 1, 1)
+    assert main(["--root", root, "group", "describe", "g1"]) == 0
+    g = _json.loads(capsys.readouterr().out)
+    assert g["lag"] == 0  # committed 1 == hwm 1
+
+    assert main(["--root", root, "topic", "delete", "t"]) == 0
