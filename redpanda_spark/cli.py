@@ -147,6 +147,43 @@ def cmd_topic_consume(args) -> int:
     return 0
 
 
+def cmd_topic_alter_config(args) -> int:
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    changes = dict(kv.partition("=")[::2] for kv in args.config)
+    AdminClient(eng).alter_configs(args.topic, changes)
+    print(json.dumps({"topic": args.topic, "altered": changes}))
+    return 0
+
+
+def cmd_topic_truncate(args) -> int:
+    eng = _engine(args)
+    eng.delete_records(args.topic, {args.partition: args.before_offset})
+    print(json.dumps({"topic": args.topic, "partition": args.partition,
+                      "new_start_offset": args.before_offset}))
+    return 0
+
+
+def cmd_group_seek(args) -> int:
+    """rpk group seek: reset committed offsets (to earliest/end/explicit)."""
+    eng = _engine(args)
+    parts = range(eng.list_topics()[args.topic].partitions)
+    if args.partition is not None:
+        parts = [args.partition]
+    for p in parts:
+        if args.to == "start":
+            off = eng._log_starts(args.topic).get(p, 0)
+        elif args.to == "end":
+            off = eng.high_watermarks(args.topic).get(p, 0)
+        else:
+            off = int(args.to)
+        eng.offset_commit(args.group, args.topic, p, off)
+        print(json.dumps({"group": args.group, "topic": args.topic,
+                          "partition": p, "committed": off}))
+    return 0
+
+
 def cmd_group_list(args) -> int:
     eng = _engine(args)
     for r in eng.offset_fetch().select("group_id").distinct().collect():
@@ -209,11 +246,28 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["read_uncommitted", "read_committed"])
     co.set_defaults(fn=cmd_topic_consume)
 
+    ac = topic.add_parser("alter-config")
+    ac.add_argument("topic")
+    ac.add_argument("-c", "--config", action="append", required=True, metavar="K=V")
+    ac.set_defaults(fn=cmd_topic_alter_config)
+    tr = topic.add_parser("truncate")
+    tr.add_argument("topic")
+    tr.add_argument("-p", "--partition", type=int, required=True)
+    tr.add_argument("--before-offset", type=int, required=True)
+    tr.set_defaults(fn=cmd_topic_truncate)
+
     group = sub.add_parser("group").add_subparsers(dest="verb", required=True)
     group.add_parser("list").set_defaults(fn=cmd_group_list)
     gd = group.add_parser("describe")
     gd.add_argument("group")
     gd.set_defaults(fn=cmd_group_describe)
+    gs = group.add_parser("seek")
+    gs.add_argument("group")
+    gs.add_argument("-t", "--topic", required=True)
+    gs.add_argument("-p", "--partition", type=int, default=None)
+    gs.add_argument("--to", required=True,
+                    help="'start', 'end', or an explicit offset")
+    gs.set_defaults(fn=cmd_group_seek)
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)

@@ -337,3 +337,45 @@ def test_cli_topic_lifecycle(spark, tmp_path, capsys, monkeypatch):
     assert g["lag"] == 0  # committed 1 == hwm 1
 
     assert main(["--root", root, "topic", "delete", "t"]) == 0
+
+
+def test_cli_seek_truncate_alter(spark, tmp_path, capsys, monkeypatch):
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "cli2")
+    main(["--root", root, "topic", "create", "t", "-p", "1"])
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO("\n".join(_json.dumps({"key": "k", "value": f"v{i}"})
+                               for i in range(6))),
+    )
+    main(["--root", root, "topic", "produce", "t"])
+    capsys.readouterr()
+
+    # truncate prefix, then consume sees only the tail
+    assert main(["--root", root, "topic", "truncate", "t", "-p", "0",
+                 "--before-offset", "4"]) == 0
+    capsys.readouterr()
+    main(["--root", root, "topic", "consume", "t", "-p", "0", "-o", "0"])
+    recs = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [r["offset"] for r in recs] == [4, 5]
+
+    # group seek to start = log start (4 after truncation), then end
+    assert main(["--root", root, "group", "seek", "g", "-t", "t",
+                 "--to", "start"]) == 0
+    seek = _json.loads(capsys.readouterr().out)
+    assert seek["committed"] == 4
+    assert main(["--root", root, "group", "seek", "g", "-t", "t",
+                 "--to", "end"]) == 0
+    assert _json.loads(capsys.readouterr().out)["committed"] == 6
+
+    # alter-config round-trips through describe
+    assert main(["--root", root, "topic", "alter-config", "t",
+                 "-c", "retention.ms=1234"]) == 0
+    capsys.readouterr()
+    main(["--root", root, "topic", "describe", "t"])
+    desc = _json.loads(capsys.readouterr().out)
+    assert str(desc["configs"]["retention.ms"]) == "1234"
