@@ -45,6 +45,7 @@ _PRIORITY = [
     "dedup_incremental",
     "doc_perplexity",
     "log_max_timestamp",
+    "corpus_report",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

@@ -4212,3 +4212,53 @@ GROUP BY l.partition, m.mt
 
 QUERIES.update({"log_max_timestamp": q_log_max_timestamp})
 ORACLES.update({"log_max_timestamp": SQL_LOG_MAX_TIMESTAMP})
+
+
+# -- Corpus datasheet (one-row dataset report) -------------------------------
+
+
+def q_corpus_report(spark, sf_dir):
+    """The dataset-datasheet numbers every released corpus publishes
+    (counts, token volume, language/source spread, quality mean, exact
+    duplicate rate), computed in one scan + one global aggregate. At
+    100 TB this is the cheapest full-corpus job there is: every statistic
+    is map-side combinable, and the duplicate rate rides the same pass as
+    a countDistinct over the text hash."""
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    base = docs.withColumn("_toks", TXT.tokens("text"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.countDistinct(TXT.lang_id("text", toks=toks)).alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(TXT.quality_score("text", toks=toks)), 6).alias("avg_quality"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+SQL_CORPUS_REPORT = f"""
+WITH q AS ({SQL_DOC_QUALITY}),
+l AS ({SQL_DOC_LANG_ID})
+SELECT COUNT(*) AS n_docs,
+  CAST(SUM({_TOKCNT_SQL}) AS BIGINT) AS n_tokens,
+  (SELECT COUNT(DISTINCT lang_pred) FROM l) AS n_langs,
+  COUNT(DISTINCT source) AS n_sources,
+  ROUND((SELECT AVG(quality) FROM q), 6) AS avg_quality,
+  ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*), 6)
+    AS exact_dup_rate,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+QUERIES.update({"corpus_report": q_corpus_report})
+ORACLES.update({"corpus_report": SQL_CORPUS_REPORT})
