@@ -237,6 +237,45 @@ def bench_omb_small_batches(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_e2e_latency(spark, n: int = 7) -> dict:
+    """Produce -> fetch-visible latency (OMB e2e-latency analog;
+    BASELINE.md's ms-scale validator rows are per-message on a broker —
+    a micro-batch table engine pays a Spark job per hop, so this reports
+    the honest batch-granularity figure next to them)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    root = tempfile.mkdtemp(prefix="omblat_")
+    try:
+        engine = TopicEngine(spark, root)
+        engine.create_topic("lat", TopicConfig(partitions=1))
+        lats = []
+        for i in range(n):
+            df = spark.createDataFrame(
+                [Row(partition=0, key=b"k", value=b"v%d" % i)],
+                "partition int, key binary, value binary",
+            )
+            t0 = time.time()
+            engine.produce("lat", df)
+            got = engine.fetch("lat", 0, offset=i).collect()
+            lats.append((time.time() - t0) * 1000)
+            assert len(got) == 1
+        lats.sort()
+        return {
+            "workload": "e2e_visible_latency",
+            "samples": n,
+            "p50_ms": round(lats[len(lats) // 2], 1),
+            "min_ms": round(lats[0], 1),
+            "max_ms": round(lats[-1], 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_drain(spark, target_mb: int = 1024) -> dict:
     """Backlog-drain read at >=1 GB (TS-read gate analog, BASELINE.md
     40 MB/s): sequential scan+aggregate of a freshly produced backlog big
@@ -338,6 +377,8 @@ def main():
     omb_small = max(omb_small_passes, key=lambda o: o["produce_msg_s"])
     print(f"# omb_small (best of {len(omb_small_passes)}): {omb_small}", file=sys.stderr)
     drain = bench_drain(spark)
+    e2e = bench_e2e_latency(spark)
+    print(f"# e2e latency: {e2e}", file=sys.stderr)
     print(f"# drain: {drain}", file=sys.stderr)
 
     print(
@@ -354,6 +395,7 @@ def main():
                 "omb_small": omb_small,
                 "omb_small_passes": omb_small_passes,
                 "drain_1gb": drain,
+                "e2e_latency": e2e,
                 "trend": _trend(total, omb),
             }
         )
