@@ -70,17 +70,29 @@ def score_perplexity(
     lm: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    oov_p: float | None = None,
 ) -> DataFrame:
-    """(id, n_bigrams, cross_entropy): mean -ln P(w2|w1) over the doc's
-    bigrams — the quality signal (lower = more in-distribution). Each
-    -ln term is pre-rounded to 9 decimals so independent engines' libm
-    ulp differences can't leak into the 6-decimal result."""
+    """(id, n_bigrams, n_oov, cross_entropy): mean -ln P(w2|w1) over the
+    doc's bigrams — the quality signal (lower = more in-distribution).
+
+    Bigrams absent from the model (never the case when scoring the
+    training corpus itself; routine when scoring NEW documents) follow
+    ``oov_p``: None excludes them from the mean (their count is still
+    reported in n_oov so a caller can gate on OOV fraction), a float
+    charges that floor probability — the add-one-smoothing unseen mass
+    is ``1 / vocabulary_size``. Each -ln term is pre-rounded to 9
+    decimals so independent engines' libm ulp differences can't leak
+    into the 6-decimal result."""
     bg = doc_bigrams(docs, text_col, id_col)
+    p = F.col("p") if oov_p is None else F.coalesce("p", F.lit(float(oov_p)))
     return (
         bg.join(lm, ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.round(-F.log(F.col("p")), 9)), 6).alias("cross_entropy"),
+            F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(F.avg(F.round(-F.log(p), 9)), 6).alias("cross_entropy"),
         )
     )

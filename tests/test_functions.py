@@ -321,3 +321,27 @@ def test_bigram_lm_probabilities_and_scoring(spark):
         sum(round(-math.log(p), 9) for p in
             (lm[("a", "b")], lm[("b", "a")], lm[("a", "b")])) / 3, 6)
     assert abs(scored[1]["cross_entropy"] - want1) < 1e-9
+
+
+def test_lm_scoring_oov_policy(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.functions.lm import score_perplexity, train_bigram_lm
+
+    train = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+    lm = train_bigram_lm(train)
+    new = spark.createDataFrame([Row(doc_id=9, text="a b z q")])  # (b,z),(z,q) OOV
+    skip = score_perplexity(new, lm).collect()[0]
+    assert skip["n_bigrams"] == 3 and skip["n_oov"] == 2
+    # skip policy: only the known (a,b) term contributes
+    p_ab = {(r["w1"], r["w2"]): r["p"] for r in lm.collect()}[("a", "b")]
+    assert abs(skip["cross_entropy"] - round(round(-math.log(p_ab), 9), 6)) < 1e-9
+    # floor policy: OOV bigrams charged the unseen mass
+    floor = score_perplexity(new, lm, oov_p=0.01).collect()[0]
+    want = round(
+        (round(-math.log(p_ab), 9) + 2 * round(-math.log(0.01), 9)) / 3, 6
+    )
+    assert abs(floor["cross_entropy"] - want) < 1e-9
+    assert floor["cross_entropy"] > skip["cross_entropy"]
