@@ -46,6 +46,7 @@ _PRIORITY = [
     "doc_perplexity",
     "log_max_timestamp",
     "corpus_report",
+    "events_funnel",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

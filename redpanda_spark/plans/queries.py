@@ -4262,3 +4262,70 @@ FROM documents
 
 QUERIES.update({"corpus_report": q_corpus_report})
 ORACLES.update({"corpus_report": SQL_CORPUS_REPORT})
+
+
+# -- Funnel analysis (ordered event sequence per user) -----------------------
+
+
+def q_events_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel: per-user earliest qualifying
+    timestamp per stage (each stage strictly after the previous one),
+    counted corpus-wide. One aggregation per stage over (user, type)
+    slices — conditional min-timestamps with map-side combine, no
+    self-joins, no windows; the standard product-analytics funnel at
+    event-log scale."""
+    ev = _t(spark, sf_dir, "events")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    agg = ev.groupBy("user_id").agg(
+        t_view.alias("t1"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            )
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
+    )
+    # earliest click strictly after t1; earliest purchase strictly after t2
+    t2 = F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    funnel = agg.select(
+        "user_id", "t1", t2.alias("t2"), F.col("purchases")
+    ).select(
+        "user_id",
+        "t1",
+        "t2",
+        F.array_min(
+            F.filter("purchases", lambda p: p > F.col("t2"))
+        ).alias("t3"),
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("stage_view"),
+        F.count("t2").alias("stage_click"),
+        F.count("t3").alias("stage_purchase"),
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM t1) AS stage_view,
+       (SELECT COUNT(*) FROM t2) AS stage_click,
+       (SELECT COUNT(*) FROM t3) AS stage_purchase
+"""
+
+QUERIES.update({"events_funnel": q_events_funnel})
+ORACLES.update({"events_funnel": SQL_EVENTS_FUNNEL})
