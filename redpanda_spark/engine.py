@@ -793,6 +793,7 @@ class TopicEngine:
             "high_watermarks": dict(self._high.get(topic, {})),
             "log_starts": self._log_starts(topic),
             "producers_tracked": len(self._producers.get(topic, {})),
+            "dirty_ratio": round(self.dirty_ratio(topic), 6),
         }
 
     # -- admin / maintenance ---------------------------------------------
