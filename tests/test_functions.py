@@ -345,3 +345,15 @@ def test_lm_scoring_oov_policy(spark):
     )
     assert abs(floor["cross_entropy"] - want) < 1e-9
     assert floor["cross_entropy"] > skip["cross_entropy"]
+
+
+def test_bpe_train_on_testdata_corpus_matches_reference(spark, sf_dir):
+    """bpe_train's driver gate row is rows-only (iterative algorithm);
+    this pins the trained merges value-for-value on the real documents
+    table against the sequential reference."""
+    from redpanda_spark.functions.bpe import train_bpe
+    from redpanda_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert train_bpe(docs, 8) == _bpe_reference(texts, 8)[0]
