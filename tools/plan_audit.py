@@ -46,6 +46,11 @@ EXPECTED = {
     # scalar subqueries — bounded work, scale-safe.
     "tpch_q11ish": {"nested-loop-join"},
     "tpch_q22ish": {"nested-loop-join"},
+    # bigram-LM scorer: the vocabulary size is a 1-row global aggregate
+    # broadcast-crossed into the model probabilities — same bounded
+    # scalar-subquery shape as Q11/Q22.
+    "doc_perplexity": {"nested-loop-join"},
+    "corpus_report": {"nested-loop-join"},
 }
 
 
