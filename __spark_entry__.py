@@ -47,6 +47,7 @@ _PRIORITY = [
     "log_max_timestamp",
     "corpus_report",
     "events_funnel",
+    "mm_image_dedup",
     "datalake_translate_registry",
     "decontaminate",
     "doc_repetition",

@@ -119,3 +119,48 @@ def simhash_near_dups(
         .distinct()
         .where(F.col("hamming") <= F.lit(max_hamming))
     )
+
+
+def hash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Generic banded hamming join over any precomputed bit-hash column
+    (SimHash, image dHash/pHash, audio fingerprints): (id_a < id_b,
+    hamming) pairs within ``max_hamming``. With the default
+    ``n_bands = max_hamming + 1`` recall is exactly 1.0 by pigeonhole —
+    ≤ k differing bits cannot touch all k+1 bands — so the banded output
+    equals the full pairwise filter while shuffling only (band_val, id)
+    pairs."""
+    n_bands = n_bands or (max_hamming + 1)
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("sh"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), i * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    ).persist()
+    a = banded.select("band", "band_val", F.col("id").alias("id_a"),
+                      F.col("sh").alias("sh_a"))
+    b = banded.select("band", "band_val", F.col("id").alias("id_b"),
+                      F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -27,6 +27,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 try:  # capability check: full deployment images ship PIL
     from PIL import Image as _PILImage  # type: ignore
@@ -467,3 +468,98 @@ def _sniff_format(b: bytes) -> str:
     if b[:4] == b"RIFF":
         return "riff"
     return "unknown"
+
+
+_CRC_TABLE = None
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal real PNG encoder (filter 0, zlib): grayscale HxW or RGB
+    HxWx3 uint8 → spec-compliant bytes the decoder side round-trips.
+    Fixture-side twin of decode_png, same as encode_wav/encode_y4m."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        color_type, data = 0, arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, data = 2, arr
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = data.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + data[r].tobytes() for r in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 9x8 block-mean resize →
+    horizontal gradient sign bits (row-major, bit 63 first). Invariant to
+    uniform brightness/contrast shifts — the standard perceptual
+    near-dup signature."""
+    g = img.astype(np.float64).mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    h, w = g.shape
+    # block-mean resize to 8 rows x 9 cols (no interpolation libs)
+    rows = np.array_split(np.arange(h), 8)
+    cols = np.array_split(np.arange(w), 9)
+    small = np.array([[g[np.ix_(r, c)].mean() for c in cols] for r in rows])
+    bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64).ravel()
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    # drop the top bit so the value fits a signed Spark bigint
+    return int(out >> np.uint64(1))
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
+) -> DataFrame:
+    """(media_id, dhash): perceptual difference-hash per image through the
+    decode capability ladder — Arrow-batched, 63 useful bits as bigint."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    hv = _dhash64(_decode_image(bytes(payload)))
+                except Exception:
+                    hv = None
+                out.append({"media_id": mid, "dhash": hv})
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        gen, "media_id long, dhash long"
+    )
+
+
+def image_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Perceptual image dedup: dHash + banded hamming join (exact recall
+    by pigeonhole, shuffles (band, id) pairs only — the image twin of the
+    SimHash text ladder)."""
+    from redpanda_spark.dedup.simhash import hash_near_dup_pairs
+
+    hashes = image_dhash(media, id_col, bin_col).where(F.col("dhash").isNotNull())
+    return hash_near_dup_pairs(
+        hashes, id_col="media_id", hash_col="dhash",
+        max_hamming=max_hamming, bits=63,
+    )

@@ -4329,3 +4329,59 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
 
 QUERIES.update({"events_funnel": q_events_funnel})
 ORACLES.update({"events_funnel": SQL_EVENTS_FUNNEL})
+
+
+# -- Perceptual image dedup (dHash + banded hamming join) --------------------
+
+
+def q_mm_image_dedup(spark, sf_dir):
+    """Image near-dup detection over REAL PNG wire bytes: per media id a
+    32x32 grayscale pattern keyed by class = id % 23 (md5-seeded), with a
+    per-member uniform brightness offset — different bytes, same
+    gradients. dHash is brightness-invariant, so every same-class pair
+    lands at hamming 0 and the oracle enumerates pairs arithmetically;
+    cross-class patterns are random 63-bit hashes (no pair within 4 bits
+    on this fixed fixture set)."""
+    from redpanda_spark.functions.multimodal import image_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    @F.pandas_udf("binary")
+    def make_png(mids: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        from redpanda_spark.functions.multimodal import encode_png
+
+        out = []
+        for mid in mids:
+            mid = int(mid)
+            cls, member = mid % 23, mid // 23
+            seed = int.from_bytes(
+                hashlib.md5(f"imgcls-{cls}".encode()).digest()[:4], "big"
+            )
+            rng = np.random.RandomState(seed)
+            base = rng.randint(0, 180, (32, 32)).astype(np.int64)
+            img = (base + (member * 13) % 40).astype(np.uint8)
+            out.append(encode_png(img))
+        return pd.Series(out)
+
+    media = ids.select("media_id", make_png("media_id").alias("payload"))
+    return image_near_dups(media, max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int")
+    )
+
+
+SQL_MM_IMAGE_DEDUP = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 23 = b.doc_id % 23
+WHERE a.doc_id < 100 AND b.doc_id < 100
+"""
+
+QUERIES.update({"mm_image_dedup": q_mm_image_dedup})
+ORACLES.update({"mm_image_dedup": SQL_MM_IMAGE_DEDUP})

@@ -394,3 +394,45 @@ def test_image_metadata_real_jpeg(spark):
     )
     r = image_metadata(df).first()
     assert (r["width"], r["height"], r["channels"], r["format"]) == (14, 10, 3, "jpeg")
+
+
+def test_encode_png_roundtrips_through_decoder():
+    import numpy as np
+
+    from redpanda_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (12, 11), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (7, 9, 3), dtype=np.uint8)
+    out_g = decode_png(encode_png(gray))
+    assert out_g.squeeze().tolist() == gray.tolist()
+    out_rgb = decode_png(encode_png(rgb))
+    assert out_rgb.tolist() == rgb.tolist()
+
+
+def test_image_near_dups_perceptual(spark):
+    """dHash dedup: exact copies pair at hamming 0, a uniformly
+    brightened copy still pairs (gradient signs survive), unrelated
+    patterns don't pair."""
+    import numpy as np
+
+    from redpanda_spark.functions.multimodal import encode_png, image_near_dups
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 200, (32, 32), dtype=np.uint8)
+    other = rng.randint(0, 200, (32, 32), dtype=np.uint8)
+    bright = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base))),
+        (2, bytearray(encode_png(base))),       # exact dup of 1
+        (3, bytearray(encode_png(bright))),     # perceptual dup of 1
+        (4, bytearray(encode_png(other))),      # unrelated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dups(media, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
