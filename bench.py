@@ -83,6 +83,11 @@ BENCH_QUERIES_EXTENDED = [
     "pipeline_shuffle",
     "events_approx_users",
     "events_quantiles",
+    "doc_perplexity",
+    "events_funnel",
+    "corpus_report",
+    "dedup_incremental",
+    "mm_image_dedup",
 ]
 
 
