@@ -122,16 +122,22 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Build a real PCM WAV container (16-bit mono) from int16 samples —
-    fixture encoder for the audio path, stdlib ``wave``."""
+    """Build a real PCM WAV container (16-bit mono) — fixture encoder for
+    the audio path, stdlib ``wave``. Integer input is written as-is;
+    floating input is treated as [-1, 1] and scaled to full-range int16
+    (a silent truncation of float samples to near-zero integers is the
+    classic fixture bug this guards against)."""
     import wave
 
+    arr = np.asarray(samples)
+    if np.issubdtype(arr.dtype, np.floating):
+        arr = np.clip(arr, -1.0, 1.0) * 32767.0
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
         wf.setsampwidth(2)
         wf.setframerate(sample_rate)
-        wf.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+        wf.writeframes(np.ascontiguousarray(arr, dtype="<i2").tobytes())
     return buf.getvalue()
 
 
@@ -561,5 +567,64 @@ def image_near_dups(
     hashes = image_dhash(media, id_col, bin_col).where(F.col("dhash").isNotNull())
     return hash_near_dup_pairs(
         hashes, id_col="media_id", hash_col="dhash",
+        max_hamming=max_hamming, bits=63,
+    )
+
+
+def _audio_fingerprint63(samples: np.ndarray) -> int:
+    """63-bit energy-envelope fingerprint: 64 equal windows → log energy →
+    gradient sign bits. Gain-invariant (uniform volume scaling shifts
+    every log energy equally, leaving gradients untouched) — the
+    dHash idea applied to audio."""
+    if samples.size == 0:
+        return 0
+    wins = np.array_split(samples.astype(np.float64), 64)
+    e = np.array([float(np.square(w).mean()) + 1e-12 for w in wins])
+    g = np.log(e)
+    bits = (g[:-1] > g[1:]).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)
+
+
+def audio_fingerprint(
+    media: DataFrame, id_col: str = "media_id", bin_col: str = "payload"
+) -> DataFrame:
+    """(media_id, afp): per-clip fingerprint through the audio decode
+    ladder (real WAV), Arrow-batched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                try:
+                    x, _sr = _decode_audio(bytes(payload))
+                    hv = _audio_fingerprint63(x)
+                except Exception:
+                    hv = None
+                out.append({"media_id": mid, "afp": hv})
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return media.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        gen, "media_id long, afp long"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    bin_col: str = "payload",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Audio near-dup detection: envelope fingerprint + the banded
+    hamming join — same scale shape as the text/image ladders."""
+    from redpanda_spark.dedup.simhash import hash_near_dup_pairs
+
+    hashes = audio_fingerprint(media, id_col, bin_col).where(
+        F.col("afp").isNotNull()
+    )
+    return hash_near_dup_pairs(
+        hashes, id_col="media_id", hash_col="afp",
         max_hamming=max_hamming, bits=63,
     )

@@ -436,3 +436,32 @@ def test_image_near_dups_perceptual(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_near_dups_gain_invariant(spark):
+    """Envelope fingerprint: a volume-scaled copy of a clip pairs with
+    the original at hamming 0; an unrelated clip doesn't pair."""
+    import numpy as np
+
+    from redpanda_spark.functions.multimodal import audio_near_dups, encode_wav
+
+    rng = np.random.RandomState(4)
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    # amplitude-modulated tone -> distinctive energy envelope
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 1.3 * t))
+    a = (np.sin(2 * np.pi * 440 * t) * env * 0.5).astype(np.float32)
+    quiet = (a * 0.25).astype(np.float32)  # gain-scaled copy
+    other = (rng.randn(sr * 2) * 0.3).astype(np.float32)
+    rows = [
+        (1, bytearray(encode_wav(a, sr))),
+        (2, bytearray(encode_wav(quiet, sr))),
+        (3, bytearray(encode_wav(other, sr))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dups(media, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert not any(3 in p for p in pairs)
