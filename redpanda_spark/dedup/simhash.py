@@ -157,10 +157,17 @@ def hash_near_dup_pairs(
                       F.col("sh").alias("sh_a"))
     b = banded.select("band", "band_val", F.col("id").alias("id_b"),
                       F.col("sh").alias("sh_b"))
-    return (
+    out = (
         a.join(b, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= F.lit(max_hamming))
+        # materialize the (candidate-bounded) pair set so the banded cache
+        # can be released HERE instead of leaking across invocations in a
+        # long-lived session (same discipline as minhash.jaccard_pairs)
+        .persist()
     )
+    out.count()
+    banded.unpersist()
+    return out
