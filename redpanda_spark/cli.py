@@ -206,6 +206,33 @@ def cmd_group_describe(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """The nightly maintenance tick: per topic run cleanup (dirty-ratio
+    gated compaction + retention with the segment fast path) and
+    small-segment merging; then GC stale consumer offsets, compact the
+    offsets log, and expire idle producer state."""
+    eng = _engine(args)
+    topics = [args.topic] if args.topic else sorted(eng.list_topics())
+    for t in topics:
+        before = eng.topic_stats(t)
+        eng.run_cleanup(t)
+        merged = eng.optimize_segments(t)
+        after = eng.topic_stats(t)
+        print(json.dumps({
+            "topic": t,
+            "rows": {"before": before["rows"], "after": after["rows"]},
+            "segments": {"before": before["segments"], "after": after["segments"]},
+            "dirty_ratio": after["dirty_ratio"],
+            "merge": merged,
+            "producers_expired": eng.expire_producers(t),
+        }))
+    print(json.dumps({
+        "offsets_expired": eng.expire_offsets(),
+        "offsets_log": eng.compact_offsets(),
+    }))
+    return 0
+
+
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
@@ -271,6 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
+    mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
+    mr = mt.add_parser("run")
+    mr.add_argument("-t", "--topic", default=None)
+    mr.set_defaults(fn=cmd_maintain)
     return p
 
 

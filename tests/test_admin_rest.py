@@ -379,3 +379,32 @@ def test_cli_seek_truncate_alter(spark, tmp_path, capsys, monkeypatch):
     main(["--root", root, "topic", "describe", "t"])
     desc = _json.loads(capsys.readouterr().out)
     assert str(desc["configs"]["retention.ms"]) == "1234"
+
+
+def test_cli_maintenance_run(spark, tmp_path, capsys, monkeypatch):
+    """The nightly tick through the CLI: compaction (dirty-gated),
+    retention, segment merge, offsets GC — one verb, JSON report."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "mroot")
+    main(["--root", root, "topic", "create", "c", "-p", "1",
+          "-c", "cleanup.policy=compact"])
+    lines = "\n".join(
+        _json.dumps({"key": "k%d" % (i % 2), "value": "v%d" % i})
+        for i in range(8)
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    main(["--root", root, "topic", "produce", "c"])
+    capsys.readouterr()
+
+    assert main(["--root", root, "maintenance", "run"]) == 0
+    reports = [_json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    topic_report = next(r for r in reports if r.get("topic") == "c")
+    assert topic_report["rows"]["before"] == 8
+    assert topic_report["rows"]["after"] == 2  # keep-latest per key
+    assert topic_report["dirty_ratio"] == 0.0
+    tail = reports[-1]
+    assert "offsets_expired" in tail and "offsets_log" in tail
