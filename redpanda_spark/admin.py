@@ -93,6 +93,33 @@ class AdminClient:
                 cfg.configs[k] = v
         self.engine._save_state()
 
+    def quota_deficit(self, client_id: str, key: str, window_s: float = 1.0) -> float:
+        """Post-paid quota, phase 1 (Kafka fetch semantics — the broker
+        returns the data and delays SUBSEQUENT requests): refill the
+        bucket and return the seconds until it is non-negative. Callers
+        reject with 429 BEFORE doing any work when this is > 0."""
+        limit = self.quotas.get(client_id, {}).get(key)
+        if not limit:
+            return 0.0
+        bk, lk = f"_bucket:{key}", f"_last:{key}"
+        q = self.quotas.setdefault(client_id, {})
+        bucket = q.setdefault(bk, limit)
+        now = time.monotonic()
+        last = q.get(lk, now)
+        bucket = min(limit, bucket + (now - last) * limit / window_s)
+        q[bk], q[lk] = bucket, now
+        return (-bucket) / (limit / window_s) if bucket < 0 else 0.0
+
+    def quota_charge(self, client_id: str, nbytes: int, key: str) -> None:
+        """Post-paid quota, phase 2: charge completed work. The bucket may
+        go negative (the bytes were already read); the debt is repaid by
+        refill time before the next request passes quota_deficit."""
+        if not self.quotas.get(client_id, {}).get(key):
+            return
+        bk = f"_bucket:{key}"
+        q = self.quotas[client_id]
+        q[bk] = q.get(bk, 0.0) - nbytes
+
     # -- CreatePartitions (37) --------------------------------------------
 
     def create_partitions(self, topic: str, new_count: int) -> None:

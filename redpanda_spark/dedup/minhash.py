@@ -258,7 +258,11 @@ def incremental_candidates(
 
     Bucket shape mirrors candidate_pairs: one aggregation on (band,
     band_hash) moving (id, is_new) pairs only, bucket cap, then JVM-side
-    pair expansion (new member × smaller ids in the same bucket)."""
+    pair expansion. A new member pairs with EVERY corpus member in the
+    bucket (regardless of id order — corpus ids need not be smaller than
+    increment ids) and with smaller-id new members; the new document is
+    always the id_b side, which is the side the dedup policy drops. Ids
+    must be unique across store + increment."""
     ba = lsh_bands(corpus_sigs, id_col, bands).withColumn("is_new", F.lit(False))
     bn = lsh_bands(new_sigs, id_col, bands).withColumn("is_new", F.lit(True))
     bucketed = (
@@ -277,7 +281,11 @@ def incremental_candidates(
             F.transform(
                 F.filter(F.col("ms"), lambda m: m["is_new"]),
                 lambda y: F.transform(
-                    F.filter(F.col("ms"), lambda x: x["id"] < y["id"]),
+                    F.filter(
+                        F.col("ms"),
+                        lambda x: (~x["is_new"] & (x["id"] != y["id"]))
+                        | (x["is_new"] & (x["id"] < y["id"])),
+                    ),
                     lambda x: F.struct(
                         x["id"].alias("id_a"), y["id"].alias("id_b")
                     ),
@@ -350,17 +358,16 @@ def process_increment(
     engine.log_stream / export machinery for end-to-end exactly-once).
 
     Returns {"kept": n, "dropped": n}."""
-    import os as _os
-
     new_docs = parallelize_narrow(new_docs).select(id_col, text_col)
     new_sigs = minhash_signature(new_docs, text_col, id_col, num_hashes, shingle_n)
     new_full = new_docs.join(new_sigs, id_col)
-    has_store = _os.path.exists(store_path)
-    if has_store:
+    # probe via a read attempt, not os.path — the store may live on an
+    # object-store URI where a POSIX existence check is always False
+    try:
         store = spark.read.parquet(store_path)
         corpus_sigs = store.select(id_col, "sig")
         all_docs = store.select(id_col, text_col).unionByName(new_docs)
-    else:
+    except Exception:
         corpus_sigs = new_sigs.limit(0)
         all_docs = new_docs
     bands = pick_bands(num_hashes, threshold)

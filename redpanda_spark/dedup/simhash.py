@@ -86,38 +86,15 @@ def simhash_near_dups(
     equals the full pairwise hamming filter — which is what the SQL oracle
     computes for the md5-variant gate query."""
     docs = parallelize_narrow(docs)
-    band_bits = bits // N_BANDS
     sh = docs.select(
         F.col(id_col).alias("id"),
         simhash(F.col(text_col), bits=bits, token_hash=token_hash).alias("sh"),
     )
-    mask = (1 << band_bits) - 1
-    # Persisted: the LSH self-join below reads both sides from cache instead
-    # of recomputing the signature fold per side.
-    banded = sh.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), i * band_bits).bitwiseAND(F.lit(mask))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
-    ).persist()
-    a = banded.select(
-        F.col("band"), F.col("band_val"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    b = banded.select(
-        F.col("band"), F.col("band_val"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    return (
-        a.join(b, ["band", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .distinct()
-        .where(F.col("hamming") <= F.lit(max_hamming))
+    # one banding implementation for every bit-hash ladder (text SimHash,
+    # image dHash, audio fingerprints): the generic banded hamming join
+    return hash_near_dup_pairs(
+        sh, id_col="id", hash_col="sh",
+        max_hamming=max_hamming, bits=bits, n_bands=N_BANDS,
     )
 
 

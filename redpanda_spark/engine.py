@@ -120,13 +120,26 @@ class TopicEngine:
         self.registry = registry  # SchemaRegistry, for schema-id validation
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # min/max statistics, which would blind the manifest's timestamp
-        # pruning index (segment-level retention). Runtime-settable conf.
+        # pruning index (segment-level retention). There is no per-write
+        # knob (the writer ignores an outputTimestampType option —
+        # verified), so this is a session-level setting; it also affects
+        # other parquet writes on the shared session, which is why it is
+        # documented here and in the README. If the set fails the engine
+        # still behaves correctly (retention falls back to full
+        # rewrites), but that degradation should be visible, not silent.
         try:
             spark.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
         except Exception:
-            pass
+            import warnings
+
+            warnings.warn(
+                "could not set spark.sql.parquet.outputTimestampType; "
+                "timestamp footer stats will be absent and time retention "
+                "will use full rewrites",
+                stacklevel=2,
+            )
         # Plain paths use POSIX fast calls; URI roots (file:, hdfs:, s3a:,
         # gs:, abfss:) route every metadata/listing/maintenance operation
         # through the Hadoop FS API — same engine code on object stores
@@ -775,17 +788,10 @@ class TopicEngine:
         report None rather than a wrong number."""
         self._require(topic)
         files = self._files.get(topic)
-        stats = self._stats.get(topic, {})
         sizes = [
             self._fsio.getsize(os.path.join(self.root, f)) for f in (files or [])
         ]
-        rows: int | None = 0
-        for f in files or []:
-            s = stats.get(f)
-            if s is None:
-                rows = None
-                break
-            rows += s[4]
+        rows = self._stats_rows(topic)
         return {
             "segments": len(files or []),
             "bytes": sum(sizes),
@@ -902,6 +908,7 @@ class TopicEngine:
                 dest = os.path.join(d, os.path.basename(f))
                 self._fsio.rename(f, dest)
                 new_rel.append(os.path.relpath(dest, self.root))
+        rows_before = self._stats_rows(topic)
         gone = set(drop) | set(boundary)
         kept = [f for f in files if f not in gone]
         self._files[topic] = kept + new_rel
@@ -910,6 +917,7 @@ class TopicEngine:
             self._footer_stats([os.path.join(self.root, f) for f in new_rel])
         )
         self._stats[topic] = st_map
+        self._adjust_clean_baseline(topic, rows_before)
         self._commit_manifest(topic)  # atomic switch; then physical delete
         for f in gone:
             self._fsio.delete(os.path.join(self.root, f))
@@ -929,6 +937,25 @@ class TopicEngine:
             self.run_compaction(topic, now_ms)
         if "delete" in policies:
             self.run_retention(topic, now_ms)
+
+    def _adjust_clean_baseline(self, topic: str, rows_before: int | None) -> None:
+        """Keep the dirty-ratio baseline honest across row-REMOVING
+        rewrites (retention, delete-records, merges): rows removed are
+        assumed to come from the CLEAN (oldest) portion first, so the
+        baseline shrinks by the removed count — a conservative estimate
+        that can only make compaction run earlier, never starve it.
+        (run_compaction re-stamps the baseline right after, overriding
+        this for the compaction path.) Unknown row counts reset the
+        baseline to 0 = everything dirty."""
+        clean = self._clean_rows.get(topic, 0)
+        if not clean:
+            return
+        rows_after = self._stats_rows(topic)
+        if rows_before is None or rows_after is None:
+            self._clean_rows[topic] = 0
+            return
+        removed = max(0, rows_before - rows_after)
+        self._clean_rows[topic] = max(0, clean - removed)
 
     def _stats_rows(self, topic: str) -> int | None:
         """Total live rows from the manifest's per-file stats — no Spark
@@ -1064,6 +1091,7 @@ class TopicEngine:
         cfg = self._require(topic)
         d = self._topic_dir(topic)
         old_files = self._live_abs_files(topic)
+        rows_before = self._stats_rows(topic)
         tmp = d + ".rewrite.tmp"
         self._fsio.delete(tmp, recursive=True)
         rp = (
@@ -1081,6 +1109,7 @@ class TopicEngine:
             new_abs.append(dest)
         self._files[topic] = [os.path.relpath(p, self.root) for p in new_abs]
         self._stats[topic] = self._footer_stats(new_abs)
+        self._adjust_clean_baseline(topic, rows_before)
         self._commit_manifest(topic)  # atomic old→new snapshot switch
         for f in old_files:
             self._fsio.delete(f)
@@ -1238,8 +1267,11 @@ class TopicEngine:
         the same way, with keep-latest compaction. Readers do keep-latest
         at fetch time regardless, so this is purely a storage/read-cost
         bound: the commits table stays O(live group-partitions) instead
-        of O(all commits ever). Write-to-temp + swap so a concurrent
-        reader sees either the old or the new directory content."""
+        of O(all commits ever). Compacted rows append into the
+        live directory before the superseded files are deleted, so a
+        concurrent reader always sees a complete keep-latest-equivalent
+        view (never a missing directory), and commits racing in during
+        the job are untouched."""
         from redpanda_spark.operators.compaction import compact_keep_latest
 
         d = self._commits_dir()
@@ -1248,18 +1280,25 @@ class TopicEngine:
         except Exception:
             return {"before": 0, "after": 0}
         before = commits.count()
+        # snapshot the file list BEFORE compacting: commits appended while
+        # the job runs are not in the snapshot and therefore survive
+        old_files = list(self._fsio.list_files_recursive(d))
         latest = compact_keep_latest(
-            commits, ["group_id", "topic", "partition"], order_col="commit_seq"
+            self.spark.read.parquet(*old_files),
+            ["group_id", "topic", "partition"],
+            order_col="commit_seq",
         ).where(~F.col("deleted"))
-        tmp = d + ".compact.tmp"
-        self._fsio.delete(tmp, recursive=True)
-        latest.write.mode("overwrite").parquet(tmp)
-        after = self.spark.read.parquet(tmp).count()
-        old = d + ".old"
-        self._fsio.delete(old, recursive=True)
-        self._fsio.rename(d, old)
-        self._fsio.rename(tmp, d)
-        self._fsio.delete(old, recursive=True)
+        # append the compacted rows INTO the live dir under fresh part
+        # names, then delete the old files. There is no moment when the
+        # directory is missing or a key's latest commit is absent: during
+        # the overlap a reader sees (old ∪ compacted) rows — duplicates of
+        # identical (key, commit_seq) rows, which keep-latest readers
+        # collapse to the same values. Tombstones drop only once nothing
+        # they shadow remains.
+        latest.write.mode("append").parquet(d)
+        for f in old_files:
+            self._fsio.delete(f)
+        after = self.spark.read.parquet(d).count()
         return {"before": before, "after": after}
 
     def expire_offsets(

@@ -65,21 +65,26 @@ def pair_counts(sym: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
-    """Rebuild every symbol array with adjacent (a, b) joined into ab —
-    a left fold as a JVM `aggregate` expression, no Python on the path."""
+def merge_fold_expr(sym_expr, a: str, b: str):
+    """THE merge fold (shared by training apply and encoding): rebuild a
+    symbol array with adjacent (a, b) joined into ab — greedy
+    left-to-right, as a JVM `aggregate` expression, no Python on the
+    path."""
     la, lb = F.lit(a), F.lit(b)
-    merged = F.aggregate(
-        F.col("sym"),
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
+
+    def fold(acc, s):
+        return F.when(
             (F.size(acc) > 0)
             & (F.element_at(acc, -1) == la)
             & (s == lb),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(la, lb))),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
-    return sym.withColumn("sym", merged)
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(sym_expr, F.array().cast("array<string>"), fold)
+
+
+def _apply_merge(sym: DataFrame, a: str, b: str) -> DataFrame:
+    return sym.withColumn("sym", merge_fold_expr(F.col("sym"), a, b))
 
 
 def train_bpe(
@@ -128,26 +133,10 @@ def encode_bpe(
         ).otherwise(c),
     )
 
-    def _step(cur, a: str, b: str):
-        la, lb = F.lit(a), F.lit(b)
-
-        def fold(acc, s):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == la)
-                & (s == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(la, lb)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s)))
-
-        return F.aggregate(cur, F.array().cast("array<string>"), fold)
-
     def fold_merges(sym_expr):
         cur = sym_expr
         for a, b, _ in merges:
-            cur = _step(cur, a, b)
+            cur = merge_fold_expr(cur, a, b)
         return cur
 
     n_tokens = F.aggregate(

@@ -576,9 +576,13 @@ def _audio_fingerprint63(samples: np.ndarray) -> int:
     gradient sign bits. Gain-invariant (uniform volume scaling shifts
     every log energy equally, leaving gradients untouched) — the
     dHash idea applied to audio."""
-    if samples.size == 0:
-        return 0
-    wins = np.array_split(samples.astype(np.float64), 64)
+    x = samples.astype(np.float64)
+    if x.size < 64:
+        # sub-window clips: zero-pad so no window is empty (an empty
+        # window's mean is NaN, and NaN comparisons would zero whole bit
+        # runs — making unrelated short clips collide as false near-dups)
+        x = np.pad(x, (0, 64 - x.size))
+    wins = np.array_split(x, 64)
     e = np.array([float(np.square(w).mean()) + 1e-12 for w in wins])
     g = np.log(e)
     bits = (g[:-1] > g[1:]).astype(np.uint64)
@@ -600,7 +604,10 @@ def audio_fingerprint(
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
                 try:
                     x, _sr = _decode_audio(bytes(payload))
-                    hv = _audio_fingerprint63(x)
+                    # clips shorter than the window count carry no usable
+                    # envelope — emit NULL (excluded from pairing) rather
+                    # than a near-constant hash that false-pairs them
+                    hv = _audio_fingerprint63(x) if x.size >= 64 else None
                 except Exception:
                     hv = None
                 out.append({"media_id": mid, "afp": hv})

@@ -197,22 +197,28 @@ class RestApp:
     def _fetch(self, topic, partition, body, query):
         offset = int(query.get("offset", 0))
         count = int(query.get("count", 100))
-        out = self.engine.fetch(
-            topic, int(partition), offset=offset, max_records=count
-        ).collect()
-        # consumer_byte_rate quota: same throttle contract as produce —
-        # 429 + throttle_time_ms charged on the bytes actually read
+        # consumer_byte_rate quota, POST-PAID like Kafka's fetch throttle:
+        # a request arriving while the bucket is in deficit is rejected
+        # BEFORE any read happens (no wasted Spark job, and the deficit
+        # drains with wall time so the client's backoff always succeeds
+        # eventually); completed reads then charge their actual bytes,
+        # letting the bucket go negative for oversized fetches instead of
+        # starving them forever.
         client = query.get("client_id", "anonymous")
-        nbytes = sum(
-            len(r["key"] or b"") + len(r["value"] or b"") for r in out
-        )
-        delay = self.admin.throttle(client, nbytes, key="consumer_byte_rate")
+        delay = self.admin.quota_deficit(client, "consumer_byte_rate")
         if delay > 0:
             return 429, {
                 "error_code": 42901,
                 "message": f"quota exceeded for {client}",
                 "throttle_time_ms": int(delay * 1000),
             }
+        out = self.engine.fetch(
+            topic, int(partition), offset=offset, max_records=count
+        ).collect()
+        nbytes = sum(
+            len(r["key"] or b"") + len(r["value"] or b"") for r in out
+        )
+        self.admin.quota_charge(client, nbytes, "consumer_byte_rate")
         return 200, [
             {
                 "topic": topic,

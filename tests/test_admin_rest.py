@@ -277,14 +277,15 @@ def test_rest_fetch_quota_throttles(engine, spark):
         "GET", "/topics/fq/partitions/0/records",
         query={"offset": "0", "count": "5", "client_id": "slow-reader"},
     )
+    # post-paid: the first (oversized) read SUCCEEDS — the broker returns
+    # the data and puts the bucket in deficit; the next request is
+    # rejected before any read with the wait that drains the debt
+    assert code == 200 and len(body) == 5
     code2, body2 = app.handle(
         "GET", "/topics/fq/partitions/0/records",
         query={"offset": "0", "count": "5", "client_id": "slow-reader"},
     )
-    codes = {code, code2}
-    assert 429 in codes  # 1000 bytes against a 100 B/s budget throttles
-    throttled = body if code == 429 else body2
-    assert throttled["throttle_time_ms"] > 0
+    assert code2 == 429 and body2["throttle_time_ms"] > 0
     # an unthrottled client reads freely
     code3, body3 = app.handle(
         "GET", "/topics/fq/partitions/0/records",

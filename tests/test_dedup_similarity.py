@@ -439,3 +439,28 @@ def test_process_increment_maintains_deduped_store(spark, tmp_path):
     from redpanda_spark.dedup.minhash import near_dup_pairs
 
     assert near_dup_pairs(stored.select("doc_id", "text"), threshold=0.7).count() == 0
+
+
+def test_incremental_dedup_corpus_ids_larger_than_increment(spark):
+    """Review regression: a new doc duplicating a corpus doc with a
+    HIGHER id must still be dropped — candidate generation cannot assume
+    monotonically increasing ids across store generations."""
+    from redpanda_spark.dedup.minhash import incremental_dedup_ids, minhash_signature
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=900, text=base),  # corpus, id ABOVE the increment
+            Row(doc_id=100, text=base),  # new dup of corpus doc 900
+            Row(doc_id=101, text="fresh words that appear nowhere else in this tiny corpus"),
+        ]
+    )
+    corpus = docs.where("doc_id = 900")
+    new = docs.where("doc_id < 200")
+    kept = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_ids(
+            minhash_signature(corpus), new, docs, threshold=0.7
+        ).collect()
+    )
+    assert kept == [101]

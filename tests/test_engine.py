@@ -714,3 +714,45 @@ def test_expire_producers_evicts_idle_windows(spark, tmp_path):
 
     with _pytest.raises(ProduceError):
         eng.produce("t", idem(5))
+
+
+def test_dirty_ratio_survives_retention_shrink(spark, tmp_path):
+    """Regression: retention removing (clean) rows must shrink the clean
+    baseline too, or fresh dirty appends hide behind the stale baseline
+    and compaction starves (review finding)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    eng = TopicEngine(spark, str(tmp_path / "root"))
+    eng.create_topic(
+        "c",
+        TopicConfig(partitions=1, cleanup_policy="compact,delete",
+                    retention_ms=3_600_000, min_cleanable_dirty_ratio=0.5),
+    )
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    now_ms = int(now.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    def put(vals, hours_ago):
+        rows = [
+            Row(partition=0, key=k.encode(), value=v.encode(),
+                timestamp=now - dt.timedelta(hours=hours_ago))
+            for k, v in vals
+        ]
+        eng.produce("c", spark.createDataFrame(
+            rows, "partition int, key binary, value binary, timestamp timestamp"))
+
+    put([("a", "1"), ("b", "1"), ("c", "1"), ("d", "1")], hours_ago=2)  # will expire
+    put([("e", "1"), ("f", "1")], hours_ago=0.5)
+    eng.run_compaction("c", now_ms=now_ms)  # baseline = 6 clean rows
+    assert eng.dirty_ratio("c") == 0.0
+    eng.run_retention("c", now_ms=now_ms)  # 4 old rows drop -> 2 live
+    put([("e", "2"), ("f", "2")], hours_ago=0.1)  # 2 dirty / 4 live
+    # stale-baseline bug would report 0.0 here and starve compaction
+    assert abs(eng.dirty_ratio("c") - 0.5) < 1e-9
+    eng.run_cleanup("c", now_ms=now_ms)
+    vals = {bytes(r["key"]).decode(): bytes(r["value"]).decode()
+            for r in eng.log("c").collect()}
+    assert vals == {"e": "2", "f": "2"}
