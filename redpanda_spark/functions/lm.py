@@ -85,8 +85,11 @@ def score_perplexity(
     into the 6-decimal result."""
     bg = doc_bigrams(docs, text_col, id_col)
     p = F.col("p") if oov_p is None else F.coalesce("p", F.lit(float(oov_p)))
+    # the model is vocabulary-sized (and pruned at web scale, see module
+    # docstring) while the bigram side is corpus-sized: broadcast the
+    # model so scoring never shuffles the corpus
     return (
-        bg.join(lm, ["w1", "w2"], "left")
+        bg.join(F.broadcast(lm), ["w1", "w2"], "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
