@@ -105,12 +105,22 @@ def connected_components(
     )
     nodes = e.select("u").union(e.select("v")).distinct()
     prev = None
+    converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # never return silently-wrong labels: alternating star converges
+        # in O(log^2 n) rounds, so hitting this bound means max_rounds is
+        # set far too low for the graph, not a transient condition
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; raise max_rounds"
+        )
     # fixpoint is a forest of stars: every non-root points at its
     # component's minimum id; roots have no outgoing edge.
     stars = e.groupBy("u").agg(F.min("v").alias("component"))

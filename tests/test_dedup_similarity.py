@@ -464,3 +464,18 @@ def test_incremental_dedup_corpus_ids_larger_than_increment(spark):
         ).collect()
     )
     assert kept == [101]
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    import pytest
+
+    from redpanda_spark.dedup.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(16)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=1)
+    # ample rounds: same graph resolves fine
+    out = connected_components(edges, max_rounds=25)
+    assert {r["component"] for r in out.collect()} == {0}
