@@ -33,6 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # listed here run FIRST so entries without a recent driver row (and this
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
+#
+# ROUND-6 ROTATION NOTE: this round's priority list fills 49 of 50 slots
+# with round-5-new/changed queries plus the 20 queries that only had r3
+# rows. The 45 queries NOT in this list all hold green r4 driver rows;
+# next round, swap this list for (new r6 queries + those 45, oldest rows
+# first) so no row ages past one round.
 _PRIORITY = [
     # new in round 5
     "dedup_cluster",
