@@ -206,6 +206,39 @@ def cmd_group_describe(args) -> int:
     return 0
 
 
+def cmd_group_export(args) -> int:
+    """rpk-style offsets backup: committed offsets as JSON lines."""
+    eng = _engine(args)
+    for r in sorted(
+        eng.offset_fetch(args.group).collect(),
+        key=lambda x: (x["topic"], x["partition"]),
+    ):
+        print(json.dumps({
+            "group": args.group, "topic": r["topic"],
+            "partition": r["partition"], "offset": r["committed_offset"],
+        }))
+    return 0
+
+
+def cmd_group_import(args) -> int:
+    """Restore/migrate committed offsets from JSON lines on stdin (the
+    export format; an optional per-line 'group' is overridden by the
+    target group argument)."""
+    eng = _engine(args)
+    n = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        eng.offset_commit(
+            args.group, rec["topic"], int(rec["partition"]), int(rec["offset"])
+        )
+        n += 1
+    print(json.dumps({"group": args.group, "imported": n}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """The nightly maintenance tick: per topic run cleanup (dirty-ratio
     gated compaction + retention with the segment fast path) and
@@ -295,6 +328,12 @@ def build_parser() -> argparse.ArgumentParser:
     gs.add_argument("--to", required=True,
                     help="'start', 'end', or an explicit offset")
     gs.set_defaults(fn=cmd_group_seek)
+    ge = group.add_parser("export")
+    ge.add_argument("group")
+    ge.set_defaults(fn=cmd_group_export)
+    gi = group.add_parser("import")
+    gi.add_argument("group")
+    gi.set_defaults(fn=cmd_group_import)
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)

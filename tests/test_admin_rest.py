@@ -409,3 +409,34 @@ def test_cli_maintenance_run(spark, tmp_path, capsys, monkeypatch):
     assert topic_report["dirty_ratio"] == 0.0
     tail = reports[-1]
     assert "offsets_expired" in tail and "offsets_log" in tail
+
+
+def test_cli_group_export_import(spark, tmp_path, capsys, monkeypatch):
+    """Offsets backup/restore: export a group's committed offsets, import
+    them into a NEW group (the migration workflow)."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+    from redpanda_spark.engine import TopicEngine
+
+    root = str(tmp_path / "gexp")
+    main(["--root", root, "topic", "create", "t", "-p", "2"])
+    eng = TopicEngine(spark, root)
+    eng.offset_commit("src", "t", 0, 4)
+    eng.offset_commit("src", "t", 1, 9)
+    capsys.readouterr()
+
+    assert main(["--root", root, "group", "export", "src"]) == 0
+    dump = capsys.readouterr().out
+    lines = [_json.loads(x) for x in dump.splitlines()]
+    assert [(r["partition"], r["offset"]) for r in lines] == [(0, 4), (1, 9)]
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(dump))
+    assert main(["--root", root, "group", "import", "dst"]) == 0
+    assert _json.loads(capsys.readouterr().out)["imported"] == 2
+    got = {
+        r["partition"]: r["committed_offset"]
+        for r in eng.offset_fetch("dst").collect()
+    }
+    assert got == {0: 4, 1: 9}
