@@ -504,3 +504,37 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, texts):
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
     assert train_bpe(docs, 5) == _bpe_reference(texts, 5)[0]
+
+
+# -- banded hamming join vs brute force (property) --------------------------
+
+_hashes = st.lists(
+    st.integers(min_value=0, max_value=(1 << 63) - 1),
+    min_size=2,
+    max_size=24,
+    unique=True,
+)
+
+
+@given(_hashes, st.integers(min_value=0, max_value=6))
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_banded_hamming_join_matches_brute_force(spark, hs, max_h):
+    """The generic LSH banding must return EXACTLY the brute-force pair
+    set (pigeonhole recall + post-filter precision) for any hash values
+    and threshold."""
+    from redpanda_spark.dedup.simhash import hash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hs)], "id long, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hash_near_dup_pairs(df, max_hamming=max_h, bits=63).collect()
+    }
+    want = {}
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= max_h:
+                want[(i, j)] = d
+    assert got == want
