@@ -215,3 +215,58 @@ def test_streaming_dedup_store_over_topic(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert sorted(r["doc_id"] for r in stored.collect()) == [1, 2]
     assert near_dup_pairs(stored.select("doc_id", "text"), threshold=0.7).count() == 0
+
+
+def test_streaming_windowed_approx_distinct(spark, tmp_path):
+    """HLL sketches in Structured Streaming: windowed
+    approx_count_distinct over a watermarked stream matches the exact
+    per-window distinct count on this data — the streaming shape of the
+    events_approx_users gate (sketch state merges incrementally across
+    micro-batches, the only workable form at 100 TB)."""
+    import datetime as dt
+    import uuid as _uuid
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for m in range(20):
+        for u in range(m % 5 + 1):  # window 0: users 0..; varying counts
+            rows.append((base + dt.timedelta(minutes=m), u * 7))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .select(F.col("w.start").alias("start"), "approx_users")
+    )
+    name = "s" + _uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["start"]: r["approx_users"]
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    exact = {
+        r["start"]: r["n"]
+        for r in df.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+        .collect()
+    }
+    assert set(got) == set(exact) and len(exact) == 4
+    for k in exact:
+        assert got[k] == exact[k], (k, got[k], exact[k])  # exact at 1% rsd here
