@@ -266,6 +266,65 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def _registry(args):
+    import os as _os
+
+    from redpanda_spark.registry.store import SchemaRegistry
+
+    _os.makedirs(args.root, exist_ok=True)
+    return SchemaRegistry(_os.path.join(args.root, "_schema_registry.json"))
+
+
+def cmd_registry_register(args) -> int:
+    """rpk registry schema create: schema text on stdin, persisted under
+    the engine root (same store the engine's schema-id validation and
+    registry-driven datalake dispatch read)."""
+    reg = _registry(args)
+    sid = reg.register(args.subject, sys.stdin.read(), schema_type=args.type.upper())
+    print(json.dumps({"subject": args.subject, "id": sid,
+                      "version": reg.versions(args.subject)[-1]}))
+    return 0
+
+
+def cmd_registry_subjects(args) -> int:
+    reg = _registry(args)
+    for sub in reg.subjects():
+        print(json.dumps({"subject": sub, "versions": reg.versions(sub)}))
+    return 0
+
+
+def cmd_registry_get(args) -> int:
+    reg = _registry(args)
+    v = (
+        reg.get_latest(args.subject)
+        if args.version is None
+        else reg.get_version(args.subject, args.version)
+    )
+    print(json.dumps({
+        "subject": args.subject, "id": v.id, "version": v.version,
+        "type": v.type, "schema": v.schema,
+    }))
+    return 0
+
+
+def cmd_registry_compat(args) -> int:
+    """Check a candidate schema (stdin) against the subject's latest under
+    the configured compatibility level — 0 exit = compatible."""
+    from redpanda_spark.registry.store import test_compatibility
+
+    reg = _registry(args)
+    latest = reg.get_latest(args.subject)
+    ok, why = test_compatibility(
+        latest.schema,
+        sys.stdin.read(),
+        args.type.upper(),
+        reg.get_compatibility(args.subject),
+    )
+    print(json.dumps({"subject": args.subject, "is_compatible": bool(ok),
+                      "reason": why}))
+    return 0 if ok else 1
+
+
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
@@ -337,6 +396,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
+    reg = sub.add_parser("registry").add_subparsers(dest="verb", required=True)
+    rr = reg.add_parser("register")
+    rr.add_argument("subject")
+    rr.add_argument("--type", default="avro", choices=["avro", "json", "protobuf"])
+    rr.set_defaults(fn=cmd_registry_register)
+    reg.add_parser("subjects").set_defaults(fn=cmd_registry_subjects)
+    rg = reg.add_parser("get")
+    rg.add_argument("subject")
+    rg.add_argument("-v", "--version", type=int, default=None)
+    rg.set_defaults(fn=cmd_registry_get)
+    rc = reg.add_parser("compat")
+    rc.add_argument("subject")
+    rc.add_argument("--type", default="avro", choices=["avro", "json", "protobuf"])
+    rc.set_defaults(fn=cmd_registry_compat)
+
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")
     mr.add_argument("-t", "--topic", default=None)

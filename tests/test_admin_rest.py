@@ -440,3 +440,46 @@ def test_cli_group_export_import(spark, tmp_path, capsys, monkeypatch):
         for r in eng.offset_fetch("dst").collect()
     }
     assert got == {0: 4, 1: 9}
+
+
+def test_cli_registry_lifecycle(spark, tmp_path, capsys, monkeypatch):
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "reg")
+    v1 = _json.dumps({"type": "record", "name": "E",
+                      "fields": [{"name": "a", "type": "long"}]})
+    v2 = _json.dumps({"type": "record", "name": "E",
+                      "fields": [{"name": "a", "type": "long"},
+                                 {"name": "b", "type": "string",
+                                  "default": ""}]})
+    bad = _json.dumps({"type": "record", "name": "E",
+                       "fields": [{"name": "a", "type": "string"}]})
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(v1))
+    assert main(["--root", root, "registry", "register", "ev-value"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["version"] == 1 and out["id"] >= 1
+
+    # compatible evolution passes the check, then registers as v2
+    monkeypatch.setattr("sys.stdin", io.StringIO(v2))
+    assert main(["--root", root, "registry", "compat", "ev-value"]) == 0
+    assert _json.loads(capsys.readouterr().out)["is_compatible"] is True
+    monkeypatch.setattr("sys.stdin", io.StringIO(v2))
+    main(["--root", root, "registry", "register", "ev-value"])
+    assert _json.loads(capsys.readouterr().out)["version"] == 2
+
+    # incompatible type change fails the check (exit 1)
+    monkeypatch.setattr("sys.stdin", io.StringIO(bad))
+    assert main(["--root", root, "registry", "compat", "ev-value"]) == 1
+    capsys.readouterr()
+
+    # store persists across CLI invocations
+    assert main(["--root", root, "registry", "subjects"]) == 0
+    subs = _json.loads(capsys.readouterr().out)
+    assert subs == {"subject": "ev-value", "versions": [1, 2]}
+    assert main(["--root", root, "registry", "get", "ev-value", "-v", "1"]) == 0
+    got = _json.loads(capsys.readouterr().out)
+    assert got["version"] == 1 and "record" in got["schema"]
