@@ -114,11 +114,14 @@ class AdminClient:
         """Post-paid quota, phase 2: charge completed work. The bucket may
         go negative (the bytes were already read); the debt is repaid by
         refill time before the next request passes quota_deficit."""
-        if not self.quotas.get(client_id, {}).get(key):
+        limit = self.quotas.get(client_id, {}).get(key)
+        if not limit:
             return
         bk = f"_bucket:{key}"
         q = self.quotas[client_id]
-        q[bk] = q.get(bk, 0.0) - nbytes
+        # seed at `limit` like quota_deficit/throttle do, so a charge that
+        # lands first doesn't forfeit the client's initial burst allowance
+        q[bk] = q.get(bk, limit) - nbytes
 
     # -- CreatePartitions (37) --------------------------------------------
 

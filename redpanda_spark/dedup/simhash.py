@@ -105,6 +105,7 @@ def hash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     n_bands: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Generic banded hamming join over any precomputed bit-hash column
     (SimHash, image dHash/pHash, audio fingerprints): (id_a < id_b,
@@ -112,7 +113,17 @@ def hash_near_dup_pairs(
     ``n_bands = max_hamming + 1`` recall is exactly 1.0 by pigeonhole —
     ≤ k differing bits cannot touch all k+1 bands — so the banded output
     equals the full pairwise filter while shuffling only (band_val, id)
-    pairs."""
+    pairs.
+
+    ``max_bucket`` (default off, preserving the exact-recall guarantee)
+    drops band buckets with more members than the cap before the
+    self-join — the skew valve for degenerate corpora (thousands of
+    byte-identical images land every copy in every bucket, an O(n²)
+    fan-out in ONE task). With the cap, a pair is reported only if it
+    co-occurs in at least one under-cap bucket; exact duplicates beyond
+    the cap should be removed by an upstream exact-dedup pass (cheap:
+    groupBy the hash itself). Mirrors ``minhash.candidate_pairs``'s cap.
+    """
     n_bands = n_bands or (max_hamming + 1)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -130,21 +141,36 @@ def hash_near_dup_pairs(
             )
         ).alias("band", "band_val"),
     ).persist()
-    a = banded.select("band", "band_val", F.col("id").alias("id_a"),
-                      F.col("sh").alias("sh_a"))
-    b = banded.select("band", "band_val", F.col("id").alias("id_b"),
-                      F.col("sh").alias("sh_b"))
+    if max_bucket is not None:
+        # oversized-bucket set is tiny by construction (only degenerate
+        # collisions exceed the cap) → broadcast anti-join, no extra shuffle
+        # of the banded frame beyond the size count
+        oversized = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .drop("_n")
+        )
+        banded_join = banded.join(
+            F.broadcast(oversized), ["band", "band_val"], "left_anti"
+        )
+    else:
+        banded_join = banded
+    a = banded_join.select("band", "band_val", F.col("id").alias("id_a"),
+                           F.col("sh").alias("sh_a"))
+    b = banded_join.select("band", "band_val", F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b"))
     out = (
         a.join(b, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= F.lit(max_hamming))
-        # materialize the (candidate-bounded) pair set so the banded cache
-        # can be released HERE instead of leaking across invocations in a
-        # long-lived session (same discipline as minhash.jaccard_pairs)
-        .persist()
+        # materialize the (candidate-bounded) pair set via localCheckpoint:
+        # unlike persist(), the blocks are released by the ContextCleaner
+        # when the returned frame is garbage-collected, so repeated
+        # invocations in a long-lived session don't pin pair-sets forever
+        .localCheckpoint(eager=True)
     )
-    out.count()
     banded.unpersist()
     return out

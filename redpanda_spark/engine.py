@@ -561,9 +561,15 @@ class TopicEngine:
                                 raise ValueError("no min/max")
                             mn, mx = s.min, s.max
                             if isinstance(mn, _dt.datetime):
-                                ep = _dt.timezone.utc
-                                mn = int(mn.replace(tzinfo=mn.tzinfo or ep).timestamp() * 1e6)
-                                mx = int(mx.replace(tzinfo=mx.tzinfo or ep).timestamp() * 1e6)
+                                # integer micros via timedelta floor-div:
+                                # float .timestamp()*1e6 has ~0.25us
+                                # representation error which can misplace
+                                # a segment at the exact cutoff microsecond
+                                ep = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                                us = _dt.timedelta(microseconds=1)
+                                utc = _dt.timezone.utc
+                                mn = (mn.replace(tzinfo=mn.tzinfo or utc) - ep) // us
+                                mx = (mx.replace(tzinfo=mx.tzinfo or utc) - ep) // us
                             cur = agg.get(c.path_in_schema)
                             if cur is None:
                                 agg[c.path_in_schema] = [int(mn), int(mx)]
@@ -844,8 +850,11 @@ class TopicEngine:
         log = self.log(topic)
         if cfg.retention_ms is not None:
             now = (now_ms or int(time.time() * 1000)) / 1000.0
-            cutoff = F.timestamp_seconds(F.lit(now - cfg.retention_ms / 1000.0))
-            log = LOG.retain_by_time(log, cutoff)
+            # same integer-microsecond cutoff the segment fast path uses
+            # (_retention_time_segments), so the two paths are row-identical
+            # even at the exact cutoff microsecond
+            cutoff_us = int((now - cfg.retention_ms / 1000.0) * 1e6)
+            log = log.where(F.unix_micros(F.col("timestamp")) >= F.lit(cutoff_us))
         if cfg.retention_bytes is not None:
             sized = log.withColumn(
                 "_nbytes",
@@ -893,7 +902,7 @@ class TopicEngine:
         if boundary:
             bdf = self.spark.read.parquet(
                 *[os.path.join(self.root, f) for f in boundary]
-            ).where(F.col("timestamp") >= F.timestamp_seconds(F.lit(cutoff_s)))
+            ).where(F.unix_micros(F.col("timestamp")) >= F.lit(cutoff_us))
             tmp = d + ".rewrite.tmp"
             self._fsio.delete(tmp, recursive=True)
             (

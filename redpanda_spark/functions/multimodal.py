@@ -527,8 +527,10 @@ def _dhash64(img: np.ndarray) -> int:
     out = np.uint64(0)
     for b in bits:
         out = (out << np.uint64(1)) | b
-    # drop the top bit so the value fits a signed Spark bigint
-    return int(out >> np.uint64(1))
+    # mask off the top (first) gradient bit so the value fits a signed
+    # Spark bigint — all 63 remaining gradient bits participate in
+    # hamming distance (a shift here would instead discard the LAST bit)
+    return int(out & np.uint64((1 << 63) - 1))
 
 
 def image_dhash(

@@ -1062,26 +1062,42 @@ def files_table(spark, path: str, snapshot_id: int | None = None) -> DataFrame:
         [(f, int(fs.getsize(os.path.join(fs.normalize(path), f)))) for f in data_files],
         "file_path string, size_bytes long",
     )
+    # Match scan-side input_file_name() (a URI, possibly percent-escaped)
+    # back to manifest-relative paths by decoded-suffix match, not a
+    # layout-specific regexp — robust to non-hour layouts and URI escaping.
+    # This is a metadata table over the snapshot's file list, so the
+    # broadcast suffix join is over #files rows, not data rows.
     counts = (
         spark.read.format(m.get("format", "parquet"))
         .load(full)
         .groupBy(F.input_file_name().alias("_full"))
         .agg(F.count(F.lit(1)).alias("record_count"))
-        .withColumn(
-            "file_path",
-            F.regexp_extract(F.col("_full"), r"(_hour=[^/]+/[^/]+)$", 1),
+        .withColumn("_full", F.url_decode(F.col("_full")))
+        .join(
+            F.broadcast(sizes.select("file_path")),
+            F.col("_full").endswith(F.concat(F.lit("/"), F.col("file_path"))),
+            "left",
         )
-        .drop("_full")
     )
+    unmatched = counts.where(F.col("file_path").isNull())
+    if unmatched.limit(1).count():
+        bad = [r["_full"] for r in unmatched.select("_full").limit(5).collect()]
+        raise ValueError(
+            f"files_table: scanned file(s) not matched to the snapshot "
+            f"manifest (layout/URI mismatch): {bad}"
+        )
+    counts = counts.select("file_path", "record_count")
     part = F.regexp_extract(F.col("file_path"), r"_hour=([^/]+)/", 1)
     return (
         sizes.join(counts, "file_path", "left")
         .select(
             F.lit(int(snap["id"])).alias("snapshot_id"),
             "file_path",
-            part.alias("partition_hour"),
+            F.when(part != "", part).alias("partition_hour"),
             "size_bytes",
-            F.coalesce("record_count", F.lit(0)).alias("record_count"),
+            # a manifest file the scan never yielded rows/footers for is
+            # surfaced as NULL, not silently coalesced to 0
+            F.col("record_count"),
         )
     )
 

@@ -479,3 +479,30 @@ def test_connected_components_raises_on_round_exhaustion(spark):
     # ample rounds: same graph resolves fine
     out = connected_components(edges, max_rounds=25)
     assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_banded_hamming_max_bucket_caps_degenerate_corpus(spark):
+    """Skew valve: 1k byte-identical items land every copy in every band
+    bucket (an O(n^2) fan-out in one task without the cap). With
+    max_bucket set, the degenerate buckets are dropped — the join
+    completes within the cap and still finds pairs that co-occur in an
+    under-cap bucket."""
+    from redpanda_spark.dedup.simhash import hash_near_dup_pairs
+
+    n = 1000
+    rows = [Row(id=i, h=0x0F0F0F0F0F0F0F0) for i in range(n)]
+    # two distinct near-dup singletons (1 bit apart) outside the hot value
+    rows += [Row(id=n, h=0x123456789ABCDE0), Row(id=n + 1, h=0x123456789ABCDE1)]
+    hashes = spark.createDataFrame(rows)
+    out = hash_near_dup_pairs(
+        hashes, hash_col="h", max_hamming=3, max_bucket=100
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # degenerate cluster contributes no pairs (every one of its buckets
+    # is over the cap) — exact dups are upstream exact-dedup's job
+    assert pairs == {(n, n + 1)}
+
+    # cap off on a small identical set: full C(n,2) pigeonhole recall
+    small = spark.createDataFrame([Row(id=i, h=99) for i in range(6)])
+    full = hash_near_dup_pairs(small, hash_col="h", max_hamming=3).collect()
+    assert len(full) == 15 and all(r["hamming"] == 0 for r in full)
