@@ -329,6 +329,64 @@ def bench_drain(spark, target_mb: int = 1024) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# sf1 scale-validation subset: the queries whose cost is data-volume-bound
+# (scans, shuffles, the dedup ladder, ANN) — fixed-cost control-plane
+# queries are excluded since 10x data doesn't move them.
+SF1_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q9ish",
+    "log_fetch",
+    "log_compact",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_cluster",
+    "dedup_incremental",
+    "doc_token_stats",
+    "ann_topk",
+    "curation_pipeline",
+    "events_daily",
+    "decontaminate",
+]
+
+
+def bench_sf1(spark) -> dict | None:
+    """One timed pass at sf1 (10x the gate SF), generating the fixtures on
+    first use (tools/make_sf1.py — deterministic 10x scale-up of sf0.1).
+    Scale claims stop being extrapolations: any query whose wall grows
+    super-linearly in SF shows up here as >10x its sf0.1 number."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(here, ".fixtures", "sf1")
+    )
+    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+        try:
+            sys.path.insert(0, os.path.join(here, "tools"))
+            from make_sf1 import make_sf1
+
+            make_sf1(sf1_dir)
+        except Exception as e:  # missing source data / read-only fs
+            print(f"# sf1 fixtures unavailable: {e}", file=sys.stderr)
+            return None
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        n = QUERIES[name](spark, sf1_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        print(f"# sf1 {name}: {n} rows in {dt}s", file=sys.stderr)
+        spark.catalog.clearCache()
+    return {
+        "sf": 1.0,
+        "suite_wall_s": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -386,25 +444,61 @@ def main():
     print(f"# e2e latency: {e2e}", file=sys.stderr)
     print(f"# drain: {drain}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_extended": extended,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "omb": omb,
-                "omb_passes": omb_passes,
-                "omb_small": omb_small,
-                "omb_small_passes": omb_small_passes,
-                "drain_1gb": drain,
-                "e2e_latency": e2e,
-                "trend": _trend(total, omb),
-            }
-        )
-    )
+    sf1 = bench_sf1(spark)
+
+    detail = {
+        "metric": "bench_detail",
+        "queries": timings,
+        "queries_extended": extended,
+        "omb_passes": omb_passes,
+        "omb_small_passes": omb_small_passes,
+        "omb": omb,
+        "omb_small": omb_small,
+        "drain_1gb": drain,
+        "e2e_latency": e2e,
+        "sf1": sf1,
+        "trend": _trend(total, omb),
+    }
+    # full per-pass record: an EARLIER stdout line + a file, so the driver's
+    # fixed-size tail capture of stdout only ever has to hold the compact
+    # headline line below (r5 post-mortem: one giant line overflowed the
+    # 2000-char tail and recorded "parsed": null)
+    print(json.dumps(detail))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    compact = {
+        "metric": "headline_suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "extended_wall_s": round(sum(extended.values()), 2),
+        "gates": {
+            "produce_mb_s": omb["produce_mb_s"],
+            "produce_msg_s": omb["produce_msg_s"],
+            "consume_mb_s": omb["consume_mb_s"],
+            "small_batches_msg_s": omb_small["produce_msg_s"],
+            "drain_mb_s": drain["drain_mb_s"],
+            "e2e_p50_ms": e2e["p50_ms"],
+        },
+        "sf1": {
+            "suite_wall_s": sf1.get("suite_wall_s"),
+            "queries": {k: round(v, 1) for k, v in sf1.get("queries", {}).items()},
+        }
+        if sf1
+        else None,
+        "trend": {
+            r: [v.get("suite_wall_s"), v.get("produce_mb_s")]
+            for r, v in _trend(total, omb)["prior_rounds"].items()
+        },
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # stay under the driver's 2000-char tail capture
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
