@@ -242,15 +242,18 @@ def bench_omb_small_batches(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_e2e_latency(spark, n: int = 7) -> dict:
-    """Produce -> fetch-visible latency (OMB e2e-latency analog;
-    BASELINE.md's ms-scale validator rows are per-message on a broker —
-    a micro-batch table engine pays a Spark job per hop, so this reports
-    the honest batch-granularity figure next to them)."""
+def bench_e2e_latency(spark, n: int = 25) -> dict:
+    """Produce -> fetch-visible latency (OMB e2e-latency analog).
+
+    The produce side is the engine's record-list API (the producer-client
+    shape: driver-side routing/offsets/validation + pyarrow segment write
+    + atomic manifest commit, zero Spark jobs); the consume side is
+    ``fetch_poll``, which serves the committed rows from the hot-tail
+    cache (the reference's batch cache). The durable-but-cold DataFrame
+    scan path is timed alongside as ``scan_p50_ms`` so the Spark-job
+    fixed cost stays visible."""
     import shutil
     import tempfile
-
-    from pyspark.sql import Row
 
     from redpanda_spark.engine import TopicConfig, TopicEngine
 
@@ -258,24 +261,26 @@ def bench_e2e_latency(spark, n: int = 7) -> dict:
     try:
         engine = TopicEngine(spark, root)
         engine.create_topic("lat", TopicConfig(partitions=1))
-        lats = []
+        lats, scan_lats = [], []
         for i in range(n):
-            df = spark.createDataFrame(
-                [Row(partition=0, key=b"k", value=b"v%d" % i)],
-                "partition int, key binary, value binary",
-            )
             t0 = time.time()
-            engine.produce("lat", df)
-            got = engine.fetch("lat", 0, offset=i).collect()
+            engine.produce("lat", [{"partition": 0, "key": b"k", "value": b"v%d" % i}])
+            got = engine.fetch_poll("lat", 0, offset=i)
             lats.append((time.time() - t0) * 1000)
+            assert len(got) == 1 and got[0]["offset"] == i
+            t0 = time.time()
+            got = engine.fetch("lat", 0, offset=i).collect()
+            scan_lats.append((time.time() - t0) * 1000)
             assert len(got) == 1
         lats.sort()
+        scan_lats.sort()
         return {
             "workload": "e2e_visible_latency",
             "samples": n,
             "p50_ms": round(lats[len(lats) // 2], 1),
             "min_ms": round(lats[0], 1),
             "max_ms": round(lats[-1], 1),
+            "scan_p50_ms": round(scan_lats[len(scan_lats) // 2], 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

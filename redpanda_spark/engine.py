@@ -169,6 +169,17 @@ class TopicEngine:
         # rows in the log right after the last compaction (manifest-side
         # dirty-ratio bookkeeping; 0 = never compacted => everything dirty)
         self._clean_rows: dict[str, int] = {}
+        # Hot-tail read cache (the reference's batch cache,
+        # `storage/batch_cache.h:101`: just-committed batches served from
+        # memory without touching storage). Per topic per partition:
+        # (tail_start_offset, [row dicts]) covering the CONTIGUOUS range
+        # [tail_start, high-watermark). Strictly read-through: populated
+        # only AFTER a successful manifest commit by the local produce
+        # path, invalidated by EVERY manifest flip (_commit_manifest), so
+        # it can never serve rows the durable log doesn't have.
+        self._tail: dict[str, dict[int, tuple[int, list[dict]]]] = {}
+        self._tail_max_rows = 2048  # per partition
+        self._tail_max_bytes = 16 << 20  # per topic (batch_cache reservation)
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -181,6 +192,9 @@ class TopicEngine:
         live file list become durable in one atomic rename. Everything
         written before this call is provisional; everything after is
         cleanup."""
+        # any manifest flip invalidates the hot tail; the produce paths
+        # repopulate it post-commit, every other mutator leaves it cold
+        self._tail.pop(topic, None)
         files = self._files.get(topic)
         stats = self._stats.get(topic, {})
         self._fsio.write_text_atomic(
@@ -265,6 +279,7 @@ class TopicEngine:
         self._high.pop(topic, None)
         self._files.pop(topic, None)
         self._stats.pop(topic, None)
+        self._tail.pop(topic, None)
         self._producers.pop(topic, None)
         self._fsio.delete(self._topic_dir(topic), recursive=True)
         self._fsio.delete(self._manifest_path(topic))
@@ -326,6 +341,20 @@ class TopicEngine:
         """
         cfg = self._require(topic)
         n_parts = cfg.partitions
+
+        # Small-batch fast path: a batch the driver already holds — a list
+        # of record dicts/Rows (the producer-client shape: REST produce,
+        # interactive producers) or a genuinely local DataFrame plan — is
+        # appended entirely driver-side with zero Spark jobs.
+        if isinstance(batch, (list, tuple)):
+            out = self._produce_local(topic, cfg, None, records=batch)
+            if out is not None:
+                return out
+            batch = self._records_to_df(batch)  # URI root/legacy: DF path
+        else:
+            out = self._produce_local(topic, cfg, batch)
+            if out is not None:
+                return out
 
         if cfg.value_schema_subject is not None:
             self._validate_schema_ids(batch, cfg.value_schema_subject)
@@ -455,6 +484,429 @@ class TopicEngine:
         self._commit_manifest(topic)
         return bases
 
+    # record-list produce column types (fallback DF conversion + REST)
+    _RECORD_COL_TYPES = {
+        "partition": "int",
+        "timestamp": "timestamp",
+        "key": "binary",
+        "value": "binary",
+        "headers": "array<struct<key:string,value:binary>>",
+        "producer_id": "bigint",
+        "producer_epoch": "smallint",
+        "base_sequence": "int",
+        "is_transactional": "boolean",
+        "is_control": "boolean",
+    }
+
+    def _records_to_df(self, records) -> DataFrame:
+        """List-of-records → DataFrame, for when the local fast path
+        declines (URI root, legacy hive layout) and the batch must go
+        through the distributed produce pipeline."""
+        rows = [r.asDict() if hasattr(r, "asDict") else dict(r) for r in records]
+        cols = list(rows[0]) if rows else ["key", "value"]
+        schema = ", ".join(f"{c} {self._RECORD_COL_TYPES[c]}" for c in cols)
+        return self.spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in rows], schema
+        )
+
+    def _produce_local(
+        self, topic: str, cfg: TopicConfig, batch: DataFrame | None, records=None
+    ):
+        """Driver-side append for driver-held batches — zero Spark jobs.
+
+        A batch the driver already holds (a list of record dicts — the
+        producer-client shape used by REST produce and interactive
+        producers — or a DataFrame whose plan is a true local relation)
+        gains nothing from the distributed pipeline: 2-3 Spark jobs
+        (~250ms each) of pure scheduling overhead for a few KiB of rows.
+        This path runs the IDENTICAL produce semantics in-process —
+        murmur2/explicit routing, timestamp-type rewrite, schema-id +
+        max.message.bytes validation, producer idempotence window,
+        contiguous offsets, a (partition, offset)-sorted parquet segment
+        with footer stats, and the same atomic manifest commit — then
+        leaves the committed rows in the hot-tail cache for fetch_poll.
+
+        This is the reference's produce shape: the partition leader
+        handles a small append on its own shard without a scatter
+        (`kafka/server/handlers/produce.cc:311-500`), and the committed
+        batch stays in the batch cache (`storage/batch_cache.h:101`) so
+        the next fetch never touches storage. Returns None to decline
+        (non-local plan, URI root, oversized, legacy layout, exotic
+        column types) — the caller falls through to the distributed path.
+        """
+        import datetime as _dt
+
+        if not isinstance(self._fsio, fsio.LocalFS):
+            return None  # object-store roots: pyarrow can't write there
+        files = self._files.get(topic)
+        if files and any("partition=" in f for f in files):
+            return None  # legacy hive layout: distributed path migrates it
+        if records is not None:
+            rows = [
+                r.asDict() if hasattr(r, "asDict") else dict(r) for r in records
+            ]
+            cols = set(rows[0]) if rows else set()
+            for r in rows[1:]:
+                if set(r) != cols:
+                    raise ProduceError(
+                        "INVALID_RECORD",
+                        "heterogeneous record fields in produce batch",
+                    )
+            bad_cols = cols - set(self._RECORD_COL_TYPES)
+            if bad_cols:
+                raise ProduceError(
+                    "INVALID_RECORD", f"unknown record fields {sorted(bad_cols)}"
+                )
+        else:
+            try:
+                if not batch.isLocal():
+                    return None
+                # LocalTableScan: executeCollect, no executors involved
+                rows = [r.asDict() for r in batch.collect()]
+            except Exception:
+                return None
+            cols = set(batch.columns)
+        if len(rows) > 200_000:
+            return None  # large local batch: distributed write parallelism
+        n_parts = cfg.partitions
+
+        # -- validations (before any state mutation) ----------------------
+        if cfg.value_schema_subject is not None:
+            self._validate_schema_ids_local(rows, cfg.value_schema_subject)
+        if cfg.max_message_bytes is not None:
+            for r in rows:
+                sz = len(r["value"]) if r["value"] is not None else 0
+                if "key" in cols and r["key"] is not None:
+                    sz += len(r["key"])
+                if sz > cfg.max_message_bytes:
+                    raise ProduceError(
+                        "MESSAGE_TOO_LARGE",
+                        f"record of {sz} bytes exceeds max.message.bytes="
+                        f"{cfg.max_message_bytes}",
+                    )
+
+        # -- timestamps (integer-us; same rewrite rule as the DF path) ----
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        one_us = _dt.timedelta(microseconds=1)
+        tzname = "UTC"
+        try:
+            tzname = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+        if tzname in ("UTC", "Etc/UTC", "GMT"):
+            session_tz = _dt.timezone.utc
+        else:
+            try:
+                from zoneinfo import ZoneInfo
+
+                session_tz = ZoneInfo(tzname)
+            except Exception:
+                return None
+        now_us = (_dt.datetime.now(_dt.timezone.utc) - epoch) // one_us
+        use_append = "timestamp" not in cols or cfg.timestamp_type == "LogAppendTime"
+        if use_append:
+            ts_us = [now_us] * len(rows)
+        else:
+            ts_us = []
+            for r in rows:
+                t = r["timestamp"]
+                if t is None:
+                    ts_us.append(now_us)
+                elif isinstance(t, _dt.datetime):
+                    if t.tzinfo is None:
+                        t = t.replace(tzinfo=session_tz)
+                    ts_us.append((t - epoch) // one_us)
+                else:
+                    return None  # exotic timestamp type: decline pre-mutation
+
+        # -- routing (byte-compat murmur2 / explicit / round-robin) -------
+        from redpanda_spark.functions.hashes import murmur2_partition
+
+        if "partition" in cols:
+            parts = [int(r["partition"]) for r in rows]
+        else:
+            parts = []
+            for i, r in enumerate(rows):
+                k = r["key"] if "key" in cols else None
+                parts.append(
+                    murmur2_partition(bytes(k), n_parts)
+                    if k is not None
+                    else i % n_parts
+                )
+
+        def val(r, name, default=None):
+            return r[name] if name in cols else default
+
+        # -- producer idempotence window (shared decision logic) ----------
+        keep = list(range(len(rows)))
+        if "producer_id" in cols and "base_sequence" in cols:
+            groups: dict[tuple[int, int, int], list[int]] = {}
+            for i, r in enumerate(rows):
+                pid = val(r, "producer_id", -1)
+                if pid is None or int(pid) < 0:
+                    continue
+                gk = (parts[i], int(pid), int(val(r, "producer_epoch", -1) or -1))
+                sq = int(r["base_sequence"])
+                g = groups.get(gk)
+                groups[gk] = (
+                    [min(g[0], sq), max(g[1], sq)] if g else [sq, sq]
+                )
+            if groups:
+                stats = [
+                    {
+                        "partition": p,
+                        "producer_id": pid,
+                        "producer_epoch": ep,
+                        "min_seq": g[0],
+                        "max_seq": g[1],
+                    }
+                    for (p, pid, ep), g in groups.items()
+                ]
+                drop_all, trim = self._idempotence_decide(topic, stats)
+                dropset = set(drop_all)
+                trimmap = {(p, pid): last for p, pid, last in trim}
+                keep = []
+                for i, r in enumerate(rows):
+                    pid = val(r, "producer_id", -1)
+                    if pid is not None and int(pid) >= 0:
+                        kp = (parts[i], int(pid))
+                        if kp in dropset:
+                            continue
+                        if kp in trimmap and int(r["base_sequence"]) <= trimmap[kp]:
+                            continue
+                    keep.append(i)
+
+        # -- contiguous offsets from the stored watermark ------------------
+        base = dict(self._high.get(topic, {}))
+        counters = dict(base)
+        offs = {}
+        for i in keep:
+            p = parts[i]
+            o = counters.get(p, 0)
+            offs[i] = o
+            counters[p] = o + 1
+
+        prev_files = self._files.get(topic)
+        if prev_files is None:
+            # legacy topic without a manifest: adopt everything on disk
+            prev_files = sorted(
+                os.path.relpath(f, self.root) for f in self._segment_files(topic)
+            )
+
+        bases: dict[int, int] = {}
+        rel_new: list[str] = []
+        recs: list[dict] = []
+        if keep:
+            order = sorted(keep, key=lambda i: (parts[i], offs[i]))
+            for i in order:
+                r = rows[i]
+                hdrs = val(r, "headers")
+                recs.append(
+                    {
+                        "partition": parts[i],
+                        "timestamp": ts_us[i],
+                        "key": bytes(r["key"])
+                        if "key" in cols and r["key"] is not None
+                        else None,
+                        "value": bytes(r["value"]) if r["value"] is not None else None,
+                        "headers": [
+                            {"key": h["key"], "value": bytes(h["value"]) if h["value"] is not None else None}
+                            for h in hdrs
+                        ]
+                        if hdrs is not None
+                        else None,
+                        "producer_id": int(val(r, "producer_id", -1) or -1),
+                        "producer_epoch": int(val(r, "producer_epoch", -1) or -1),
+                        "base_sequence": int(val(r, "base_sequence", -1) or -1),
+                        "is_transactional": bool(val(r, "is_transactional", False) or False),
+                        "is_control": bool(val(r, "is_control", False) or False),
+                        "offset": offs[i],
+                    }
+                )
+            rel = self._write_local_segment(topic, cfg, recs)
+            rel_new.append(rel)
+            touched = {parts[i] for i in keep}
+            bases = {p: base.get(p, 0) for p in touched}
+            for p in touched:
+                self._high.setdefault(topic, {})[p] = counters[p]
+            self._files[topic] = prev_files + rel_new
+            self._stats.setdefault(topic, {})[rel] = [
+                min(r["partition"] for r in recs),
+                max(r["partition"] for r in recs),
+                min(r["offset"] for r in recs),
+                max(r["offset"] for r in recs),
+                len(recs),
+                min(r["timestamp"] for r in recs),
+                max(r["timestamp"] for r in recs),
+            ]
+        else:
+            self._files[topic] = prev_files
+
+        prev_tail = dict(self._tail.get(topic) or {})
+        self._commit_manifest(topic)  # atomic visibility point (clears tail)
+        self._update_tail(topic, prev_tail, recs, bases, session_tz, epoch, one_us)
+        return bases
+
+    def _write_local_segment(
+        self, topic: str, cfg: TopicConfig, recs: list[dict]
+    ) -> str:
+        """One (partition, offset)-sorted parquet segment via pyarrow,
+        byte-compatible with the Spark-written ones (same schema, micros
+        timestamps, dictionary off). Returns the root-relative path."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = self._topic_dir(topic)
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema(
+            [
+                ("partition", pa.int32()),
+                ("timestamp", pa.timestamp("us", tz="UTC")),
+                ("key", pa.binary()),
+                ("value", pa.binary()),
+                (
+                    "headers",
+                    pa.list_(
+                        pa.struct([("key", pa.string()), ("value", pa.binary())])
+                    ),
+                ),
+                ("producer_id", pa.int64()),
+                ("producer_epoch", pa.int16()),
+                ("base_sequence", pa.int32()),
+                ("is_transactional", pa.bool_()),
+                ("is_control", pa.bool_()),
+                ("offset", pa.int64()),
+            ]
+        )
+        arrays = [
+            pa.array([r["partition"] for r in recs], pa.int32()),
+            pa.array([r["timestamp"] for r in recs], pa.int64()).cast(
+                pa.timestamp("us", tz="UTC")
+            ),
+            pa.array([r["key"] for r in recs], pa.binary()),
+            pa.array([r["value"] for r in recs], pa.binary()),
+            pa.array([r["headers"] for r in recs], schema.field("headers").type),
+            pa.array([r["producer_id"] for r in recs], pa.int64()),
+            pa.array([r["producer_epoch"] for r in recs], pa.int16()),
+            pa.array([r["base_sequence"] for r in recs], pa.int32()),
+            pa.array([r["is_transactional"] for r in recs], pa.bool_()),
+            pa.array([r["is_control"] for r in recs], pa.bool_()),
+            pa.array([r["offset"] for r in recs], pa.int64()),
+        ]
+        codec = {
+            "snappy": "snappy",
+            "zstd": "zstd",
+            "gzip": "gzip",
+            "lz4": "lz4",
+            "none": "none",
+            "uncompressed": "none",
+            "producer": "snappy",
+        }.get(cfg.compression, "snappy")
+        dest = os.path.join(d, f"local-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=schema),
+            dest,
+            compression=codec,
+            use_dictionary=False,
+        )
+        return os.path.relpath(dest, self.root)
+
+    def _validate_schema_ids_local(self, rows, subject: str) -> None:
+        """Driver-side twin of _validate_schema_ids (same error surface)."""
+        if self.registry is None:
+            raise ProduceError(
+                "INVALID_CONFIG", "schema-id validation requires a registry"
+            )
+        ids = {
+            int(self.registry.get_version(subject, v).id)
+            for v in self.registry.versions(subject)
+        }
+        bad = 0
+        for r in rows:
+            v = r["value"]
+            if v is None:
+                continue
+            v = bytes(v)
+            if (
+                len(v) < 5
+                or v[0] != 0
+                or (int.from_bytes(v[1:5], "big") not in ids if ids else True)
+            ):
+                bad += 1
+        if bad:
+            raise ProduceError(
+                "INVALID_RECORD",
+                f"{bad} record(s) failed schema-id validation for subject {subject}",
+            )
+
+    def _update_tail(
+        self, topic, prev_tail, recs, bases, session_tz, epoch, one_us
+    ) -> None:
+        """Post-commit hot-tail maintenance: extend contiguous coverage,
+        trim to the row/byte budgets from the OLD end (so coverage always
+        stays [start, high))."""
+        new_tail: dict[int, tuple[int, list[dict]]] = dict(prev_tail)
+        by_part: dict[int, list[dict]] = {}
+        for r in recs:
+            row = dict(r)
+            # store timestamps the way a Spark collect() returns them:
+            # naive datetime in the session timezone
+            ts = (epoch + row["timestamp"] * one_us).astimezone(session_tz)
+            row["timestamp"] = ts.replace(tzinfo=None)
+            by_part.setdefault(row["partition"], []).append(row)
+        for p, lst in by_part.items():
+            prev = prev_tail.get(p)
+            if prev and prev[1] and prev[1][-1]["offset"] + 1 == bases[p]:
+                start, merged = prev[0], prev[1] + lst
+            else:
+                start, merged = bases[p], lst
+            if len(merged) > self._tail_max_rows:
+                cut = len(merged) - self._tail_max_rows
+                merged = merged[cut:]
+                start = merged[0]["offset"]
+            new_tail[p] = (start, merged)
+        # topic-level byte budget (batch_cache memory reservation analog)
+        def nbytes(row):
+            return (
+                16
+                + (len(row["key"]) if row["key"] else 0)
+                + (len(row["value"]) if row["value"] else 0)
+            )
+
+        total = sum(nbytes(r) for _, (_s, lst) in new_tail.items() for r in lst)
+        if total > self._tail_max_bytes:
+            for p in list(new_tail):
+                if total <= self._tail_max_bytes:
+                    break
+                start, lst = new_tail[p]
+                while lst and total > self._tail_max_bytes:
+                    total -= nbytes(lst[0])
+                    lst = lst[1:]
+                if lst:
+                    new_tail[p] = (lst[0]["offset"], lst)
+                else:
+                    del new_tail[p]
+        self._tail[topic] = new_tail
+
+    def _tail_fetch(self, topic, partition, offset, isolation):
+        """Serve a fetch from the hot tail without a Spark job, or None if
+        the tail can't FULLY answer it (read_committed needs LSO gating,
+        offsets before tail_start need the parquet path)."""
+        if isolation == "read_committed":
+            return None
+        t = self._tail.get(topic, {}).get(partition)
+        if t is None:
+            return None
+        start, lst = t
+        if offset < start:
+            return None
+        from pyspark.sql import Row
+
+        cut = max(offset, self._log_starts(topic).get(partition, 0))
+        return [Row(**r) for r in lst if r["offset"] >= cut]
+
     def _idempotence_gate(self, topic: str, df: DataFrame) -> DataFrame:
         """Broker-side sequence window per (partition, producer): the
         reference's idempotent_replicate (`cluster/rm_stm.h:296-302`,
@@ -482,6 +934,33 @@ class TopicEngine:
         )
         if not stats:
             return df
+        drop_all, trim = self._idempotence_decide(topic, stats)
+        cond = None
+        for p, pid in drop_all:
+            c = (
+                (F.col("partition") == p)
+                & (F.col("producer_id") == pid)
+            )
+            cond = c if cond is None else cond | c
+        for p, pid, last in trim:
+            c = (
+                (F.col("partition") == p)
+                & (F.col("producer_id") == pid)
+                & (F.col("base_sequence") <= last)
+            )
+            cond = c if cond is None else cond | c
+        return df if cond is None else df.where(~cond)
+
+    def _idempotence_decide(
+        self, topic: str, stats
+    ) -> tuple[list[tuple[int, int]], list[tuple[int, int, int]]]:
+        """Shared producer-window decision for both produce paths.
+
+        ``stats``: mappings with partition / producer_id / producer_epoch /
+        min_seq / max_seq per (partition, pid>=0, epoch) group. Mutates the
+        manifest-committed window state; returns (drop_all [(p, pid)],
+        trim [(p, pid, last_seq)]). Raises on fencing/sequence-gap errors
+        exactly like the reference rm_stm (`cluster/rm_stm.h:296-302`)."""
         state = self._producers.setdefault(topic, {})
         drop_all: list[tuple[int, int]] = []
         trim: list[tuple[int, int, int]] = []  # (partition, pid, last_seq)
@@ -509,21 +988,7 @@ class TopicEngine:
             elif r["min_seq"] <= last:
                 trim.append((r["partition"], r["producer_id"], last))
             state[key] = [epoch, max(last, int(r["max_seq"])), int(time.time() * 1000)]
-        cond = None
-        for p, pid in drop_all:
-            c = (
-                (F.col("partition") == p)
-                & (F.col("producer_id") == pid)
-            )
-            cond = c if cond is None else cond | c
-        for p, pid, last in trim:
-            c = (
-                (F.col("partition") == p)
-                & (F.col("producer_id") == pid)
-                & (F.col("base_sequence") <= last)
-            )
-            cond = c if cond is None else cond | c
-        return df if cond is None else df.where(~cond)
+        return drop_all, trim
 
     def _footer_stats(self, paths: list[str]) -> dict[str, list[int]]:
         """Per-file [min_p, max_p, min_o, max_o, rows, min_ts_us, max_ts_us]
@@ -711,17 +1176,26 @@ class TopicEngine:
         at least ``min_records`` are visible, or whatever is there when
         ``max_wait_s`` expires (fetch.cc op_context min_bytes/max_wait,
         `fetch.h:34`). Driver-side poll loop — streaming consumers should
-        use ``log_stream`` instead."""
+        use ``log_stream`` instead.
+
+        Hot path: when the requested range is fully covered by the
+        hot-tail cache (the just-committed batches,
+        `storage/batch_cache.h:101`), the rows are served in-process with
+        ZERO Spark jobs — the interactive consumer latency path. Anything
+        older than the tail falls back to the pruned parquet scan."""
         deadline = time.monotonic() + max_wait_s
         while True:
-            rows = self.fetch(
-                topic, partition, offset=offset, isolation=isolation
-            ).collect()
-            # Belt-and-braces for the ordering contract: collect() returns
-            # Spark partitions in index order, which the plan already makes
-            # offset-ordered, but the poll slice is small so a driver-side
-            # sort is free and makes the contract unconditional.
-            rows.sort(key=lambda r: r["offset"])
+            rows = self._tail_fetch(topic, partition, offset, isolation)
+            if rows is None:
+                rows = self.fetch(
+                    topic, partition, offset=offset, isolation=isolation
+                ).collect()
+                # Belt-and-braces for the ordering contract: collect()
+                # returns Spark partitions in index order, which the plan
+                # already makes offset-ordered, but the poll slice is small
+                # so a driver-side sort is free and makes the contract
+                # unconditional.
+                rows.sort(key=lambda r: r["offset"])
             if len(rows) >= min_records or time.monotonic() >= deadline:
                 return rows
             time.sleep(poll_interval_s)

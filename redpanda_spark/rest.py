@@ -31,7 +31,6 @@ import base64
 import json
 import re
 
-from pyspark.sql import Row
 
 from redpanda_spark.admin import AdminClient
 from redpanda_spark.engine import TopicConfig, TopicEngine
@@ -173,21 +172,24 @@ class RestApp:
                 "message": f"quota exceeded for {client}",
                 "throttle_time_ms": int(delay * 1000),
             }
-        rows = [
-            Row(key=_b64d(r.get("key")), value=_b64d(r.get("value")))
-            for r in recs
-        ]
-        df = self.engine.spark.createDataFrame(rows, "key binary, value binary")
+        # record-list produce: the engine's driver-side fast path appends
+        # these with zero Spark jobs (falls back to a DataFrame produce on
+        # URI roots / legacy layouts automatically)
         if any("partition" in r for r in recs):
-            parts = [int(r.get("partition", 0)) for r in recs]
             rows = [
-                Row(key=_b64d(r.get("key")), value=_b64d(r.get("value")), partition=p)
-                for r, p in zip(recs, parts)
+                {
+                    "key": _b64d(r.get("key")),
+                    "value": _b64d(r.get("value")),
+                    "partition": int(r.get("partition", 0)),
+                }
+                for r in recs
             ]
-            df = self.engine.spark.createDataFrame(
-                rows, "key binary, value binary, partition int"
-            )
-        bases = self.engine.produce(topic, df)
+        else:
+            rows = [
+                {"key": _b64d(r.get("key")), "value": _b64d(r.get("value"))}
+                for r in recs
+            ]
+        bases = self.engine.produce(topic, rows)
         return 200, {
             "offsets": [
                 {"partition": p, "base_offset": b} for p, b in sorted(bases.items())

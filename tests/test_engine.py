@@ -756,3 +756,142 @@ def test_dirty_ratio_survives_retention_shrink(spark, tmp_path):
     vals = {bytes(r["key"]).decode(): bytes(r["value"]).decode()
             for r in eng.log("c").collect()}
     assert vals == {"e": "2", "f": "2"}
+
+
+# -- record-list produce (driver-side fast path) + hot-tail fetch ----------
+
+
+def test_record_produce_zero_spark_jobs(spark, tmp_path):
+    """The produce->fetch_poll hot path must not launch ANY Spark job
+    (the whole point: broker-grade interactive latency)."""
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("hot", TopicConfig(partitions=2))
+    sc = spark.sparkContext
+    sc.setJobGroup("hotpath", "hot path must be job-free")
+    try:
+        for i in range(5):
+            bases = eng.produce(
+                "hot", [{"partition": i % 2, "key": b"k", "value": b"v%d" % i}]
+            )
+            assert bases == {i % 2: i // 2}
+            rows = eng.fetch_poll("hot", i % 2, offset=i // 2)
+            assert len(rows) == 1 and bytes(rows[0]["value"]) == b"v%d" % i
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("hotpath")) == []
+
+
+def test_record_produce_matches_dataframe_produce(spark, tmp_path):
+    """Identical batch via the record-list path and the DataFrame path
+    yields identical log contents (routing, offsets, defaults)."""
+    # keyed records only: murmur2 routing is deterministic on both paths;
+    # null-key round-robin placement is client-incidental (Kafka's sticky
+    # partitioner likewise) so it is not part of the parity contract
+    recs = [
+        {"key": b"alpha", "value": b"1"},
+        {"key": b"charlie", "value": b"2"},
+        {"key": b"bravo", "value": None},  # tombstone
+    ]
+    eng_a = TopicEngine(spark, str(tmp_path / "a"))
+    eng_a.create_topic("t", TopicConfig(partitions=4))
+    eng_a.produce("t", recs)
+    eng_b = TopicEngine(spark, str(tmp_path / "b"))
+    eng_b.create_topic("t", TopicConfig(partitions=4))
+    eng_b.produce(
+        "t",
+        spark.createDataFrame(
+            [Row(key=r["key"], value=r["value"]) for r in recs],
+            "key binary, value binary",
+        ),
+    )
+    cols = ["partition", "offset", "key", "value", "producer_id",
+            "producer_epoch", "base_sequence", "is_transactional", "is_control"]
+    a = sorted(map(tuple, eng_a.log("t").select(cols).collect()))
+    b = sorted(map(tuple, eng_b.log("t").select(cols).collect()))
+    assert a == b
+
+
+def test_record_produce_validations(spark, tmp_path):
+    from redpanda_spark.engine import ProduceError
+
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("v", TopicConfig(partitions=1, max_message_bytes=10))
+    with pytest.raises(ProduceError, match="MESSAGE_TOO_LARGE"):
+        eng.produce("v", [{"key": b"k", "value": b"x" * 100}])
+    with pytest.raises(ProduceError, match="INVALID_RECORD"):
+        eng.produce("v", [{"key": b"k", "value": b"x", "bogus_field": 1}])
+    # LogAppendTime rewrite: stored timestamp is broker time, not 1970
+    import datetime as dt
+
+    eng.create_topic(
+        "lat", TopicConfig(partitions=1, timestamp_type="LogAppendTime")
+    )
+    eng.produce(
+        "lat",
+        [{"partition": 0, "key": b"k", "value": b"v",
+          "timestamp": dt.datetime(1970, 1, 2)}],
+    )
+    [r] = eng.log("lat").collect()
+    assert r["timestamp"].year >= 2024
+
+
+def test_record_produce_idempotence_window(spark, tmp_path):
+    """The driver-side path runs the same rm_stm sequence window: a
+    retried batch (same producer/epoch/sequence) is dropped silently."""
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("idem", TopicConfig(partitions=1))
+    batch = [
+        {"partition": 0, "key": b"k", "value": b"v0", "producer_id": 7,
+         "producer_epoch": 0, "base_sequence": 0},
+        {"partition": 0, "key": b"k", "value": b"v1", "producer_id": 7,
+         "producer_epoch": 0, "base_sequence": 1},
+    ]
+    eng.produce("idem", batch)
+    eng.produce("idem", batch)  # client retry: already committed -> dropped
+    assert eng.log("idem").count() == 2
+    from redpanda_spark.engine import ProduceError
+
+    with pytest.raises(ProduceError, match="OUT_OF_ORDER_SEQUENCE_NUMBER"):
+        eng.produce(
+            "idem",
+            [{"partition": 0, "key": b"k", "value": b"v9", "producer_id": 7,
+              "producer_epoch": 0, "base_sequence": 9}],
+        )
+
+
+def test_hot_tail_invalidated_by_maintenance(spark, tmp_path):
+    """Compaction/retention flips the manifest -> the tail cache must not
+    serve pre-rewrite rows; fetch_poll falls back to the scan."""
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("c", TopicConfig(partitions=1, cleanup_policy="compact"))
+    eng.produce("c", [{"partition": 0, "key": b"k", "value": b"old"}])
+    eng.produce("c", [{"partition": 0, "key": b"k", "value": b"new"}])
+    assert len(eng.fetch_poll("c", 0, offset=0, min_records=2)) == 2
+    eng.run_compaction("c")
+    assert eng._tail.get("c") is None  # invalidated at the manifest flip
+    rows = eng.fetch_poll("c", 0, offset=0, max_wait_s=1.0)
+    assert [bytes(r["value"]) for r in rows] == [b"new"]
+
+
+def test_hot_tail_respects_delete_records(spark, tmp_path):
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("d", TopicConfig(partitions=1))
+    for i in range(4):
+        eng.produce("d", [{"partition": 0, "key": b"k", "value": b"v%d" % i}])
+    eng.delete_records("d", {0: 2})  # prefix truncate to offset 2
+    rows = eng.fetch_poll("d", 0, offset=0, min_records=1)
+    assert [r["offset"] for r in rows] == [2, 3]
+
+
+def test_hot_tail_extends_and_trims(spark, tmp_path):
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng._tail_max_rows = 8
+    eng.create_topic("e", TopicConfig(partitions=1))
+    for i in range(12):
+        eng.produce("e", [{"partition": 0, "key": b"k", "value": b"v%d" % i}])
+    start, lst = eng._tail["e"][0]
+    assert start == 4 and len(lst) == 8  # trimmed from the old end
+    assert [r["offset"] for r in lst] == list(range(4, 12))
+    # offsets before the tail fall back to the full scan
+    rows = eng.fetch_poll("e", 0, offset=0, min_records=12)
+    assert [r["offset"] for r in rows] == list(range(12))
