@@ -325,6 +325,17 @@ def cmd_registry_compat(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_registry_mode(args) -> int:
+    """rpk registry mode get/set (api-doc/schema_registry.json /mode):
+    with a mode argument sets it (optionally per --subject), else reads."""
+    reg = _registry(args)
+    if args.mode is not None:
+        reg.set_mode(args.mode.upper(), args.subject)
+    print(json.dumps({"mode": reg.get_mode(args.subject),
+                      "subject": args.subject}))
+    return 0
+
+
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
@@ -410,6 +421,11 @@ def build_parser() -> argparse.ArgumentParser:
     rc.add_argument("subject")
     rc.add_argument("--type", default="avro", choices=["avro", "json", "protobuf"])
     rc.set_defaults(fn=cmd_registry_compat)
+    rm = reg.add_parser("mode")
+    rm.add_argument("mode", nargs="?", default=None,
+                    help="READWRITE|READONLY|IMPORT; omit to read")
+    rm.add_argument("--subject", default=None)
+    rm.set_defaults(fn=cmd_registry_mode)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

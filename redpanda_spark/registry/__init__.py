@@ -1,7 +1,8 @@
 from redpanda_spark.registry.store import (
     CompatibilityError,
+    ModeError,
     SchemaRegistry,
     SchemaVersion,
 )
 
-__all__ = ["SchemaRegistry", "SchemaVersion", "CompatibilityError"]
+__all__ = ["SchemaRegistry", "SchemaVersion", "CompatibilityError", "ModeError"]

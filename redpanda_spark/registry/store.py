@@ -48,6 +48,14 @@ class CompatibilityError(Exception):
     pass
 
 
+class ModeError(Exception):
+    """Write rejected by the registry mode (READONLY/IMPORT gating,
+    `seq_writer.cc:122-123` mode_is_readonly; REST maps this to 42205)."""
+
+
+MODES = ("READWRITE", "READONLY", "IMPORT")
+
+
 @dataclass
 class SchemaVersion:
     subject: str
@@ -68,6 +76,10 @@ class SchemaRegistry:
         self._by_id: dict[int, SchemaVersion] = {}
         self._compat: dict[str, str] = {}
         self._global_compat = "BACKWARD"
+        # operating mode, global + per-subject overrides
+        # (api-doc/schema_registry.json /mode, types.h:50-54)
+        self._mode: dict[str, str] = {}
+        self._global_mode = "READWRITE"
         self._next_id = 1
         if path and os.path.exists(path):
             self._load()
@@ -83,6 +95,8 @@ class SchemaRegistry:
         self._by_id = {v.id: v for vs in self._subjects.values() for v in vs}
         self._compat = raw["compat"]
         self._global_compat = raw["global_compat"]
+        self._mode = raw.get("mode", {})
+        self._global_mode = raw.get("global_mode", "READWRITE")
         self._next_id = raw["next_id"]
 
     def _save(self) -> None:
@@ -96,6 +110,8 @@ class SchemaRegistry:
                     },
                     "compat": self._compat,
                     "global_compat": self._global_compat,
+                    "mode": self._mode,
+                    "global_mode": self._global_mode,
                     "next_id": self._next_id,
                 },
                 f,
@@ -109,6 +125,7 @@ class SchemaRegistry:
         schema: str,
         schema_type: str = "AVRO",
         references: list[dict] | None = None,
+        schema_id: int | None = None,
     ) -> int:
         """Register a schema version; returns the global schema id.
         Re-registering an identical schema returns the existing id.
@@ -117,9 +134,32 @@ class SchemaRegistry:
         `schema_reference`) must point at live versions; referenced
         versions become undeletable while a live referencing schema
         exists (the reference's 409 "has references" rule,
-        `sharded_store.cc` delete guards)."""
+        `sharded_store.cc` delete guards).
+
+        Mode gating (`seq_writer.cc:122-123`): READONLY rejects all
+        writes; IMPORT accepts only registrations carrying an explicit
+        ``schema_id`` (the migration flow — ids must survive the copy);
+        READWRITE rejects explicit ids (they're broker-assigned)."""
         if schema_type not in SCHEMA_TYPES:
             raise ValueError(f"unknown schema type: {schema_type}")
+        mode = self.get_mode(subject)
+        if mode == "READONLY":
+            raise ModeError(f"subject {subject} is in READONLY mode")
+        if mode == "IMPORT" and schema_id is None:
+            raise ModeError(
+                f"subject {subject} is in IMPORT mode: registration "
+                "requires an explicit schema id"
+            )
+        if mode == "READWRITE" and schema_id is not None:
+            raise ModeError(
+                "explicit schema ids are only accepted in IMPORT mode"
+            )
+        if schema_id is not None and schema_id in self._by_id:
+            existing = self._by_id[schema_id]
+            raise ValueError(
+                f"schema id {schema_id} already taken by "
+                f"{existing.subject} v{existing.version}"
+            )
         for ref in references or []:
             # raises KeyError if the referenced version doesn't exist/live
             self.get_version(ref["subject"], ref["version"])
@@ -138,8 +178,12 @@ class SchemaRegistry:
             check_against = live if level.endswith("_TRANSITIVE") else [live[-1]]
             for prev in check_against:
                 self._check_pair(prev, schema, schema_type, level)
-        sid = self._next_id
-        self._next_id += 1
+        if schema_id is not None:
+            sid = schema_id
+            self._next_id = max(self._next_id, sid + 1)
+        else:
+            sid = self._next_id
+            self._next_id += 1
         ver = SchemaVersion(
             subject=subject,
             version=(live[-1].version + 1) if live else 1,
@@ -207,6 +251,8 @@ class SchemaRegistry:
         ]
 
     def delete_version(self, subject: str, version: int) -> None:
+        if self.get_mode(subject) == "READONLY":
+            raise ModeError(f"subject {subject} is in READONLY mode")
         holders = self.referenced_by(subject, version)
         if holders:
             raise CompatibilityError(
@@ -216,6 +262,8 @@ class SchemaRegistry:
         self._save()
 
     def delete_subject(self, subject: str) -> list[int]:
+        if self.get_mode(subject) == "READONLY":
+            raise ModeError(f"subject {subject} is in READONLY mode")
         for v in self._subjects.get(subject, []):
             if not v.deleted:
                 holders = [
@@ -284,9 +332,39 @@ class SchemaRegistry:
 
     # -- compatibility config --------------------------------------------
 
+    # -- mode (api-doc/schema_registry.json /mode, types.h:50-54) ---------
+
+    def set_mode(self, mode: str, subject: str | None = None) -> None:
+        """Global or per-subject mode: READWRITE | READONLY | IMPORT.
+        Mode changes themselves are always allowed (the reference stores
+        mode on the _schemas topic but gates only schema/config writes —
+        otherwise READONLY could never be left)."""
+        if mode not in MODES:
+            raise ValueError(f"unknown mode: {mode} (expected one of {MODES})")
+        if subject is None:
+            self._global_mode = mode
+        else:
+            self._mode[subject] = mode
+        self._save()
+
+    def get_mode(self, subject: str | None = None) -> str:
+        if subject is not None and subject in self._mode:
+            return self._mode[subject]
+        return self._global_mode
+
+    def delete_mode(self, subject: str) -> str:
+        """Drop a subject override; the subject falls back to the global
+        mode (DELETE /mode/{subject})."""
+        return self._mode.pop(subject, self._global_mode)
+
     def set_compatibility(self, level: str, subject: str | None = None) -> None:
         if level not in COMPAT_LEVELS:
             raise ValueError(f"unknown level {level}")
+        if self.get_mode(subject) == "READONLY":
+            raise ModeError(
+                f"{'subject ' + subject if subject else 'registry'} is in "
+                "READONLY mode"
+            )
         if subject is None:
             self._global_compat = level
         else:

@@ -34,7 +34,7 @@ import re
 
 from redpanda_spark.admin import AdminClient
 from redpanda_spark.engine import TopicConfig, TopicEngine
-from redpanda_spark.registry import CompatibilityError, SchemaRegistry
+from redpanda_spark.registry import CompatibilityError, ModeError, SchemaRegistry
 
 
 def _b64e(b):
@@ -92,6 +92,11 @@ class RestApp:
             ("GET", r"^/schemas/ids/(\d+)$", self._schema_by_id),
             ("GET", r"^/config$", self._get_config),
             ("PUT", r"^/config$", self._put_config),
+            ("GET", r"^/mode$", self._get_mode),
+            ("PUT", r"^/mode$", self._put_mode),
+            ("GET", r"^/mode/([^/]+)$", self._get_mode_subject),
+            ("PUT", r"^/mode/([^/]+)$", self._put_mode_subject),
+            ("DELETE", r"^/mode/([^/]+)$", self._delete_mode_subject),
         ]
 
     # -- dispatch ---------------------------------------------------------
@@ -109,6 +114,9 @@ class RestApp:
                     return 404, {"error_code": 404, "message": str(e)}
                 except CompatibilityError as e:
                     return 409, {"error_code": 409, "message": str(e)}
+                except ModeError as e:
+                    # Confluent/reference mode-violation contract: 42205
+                    return 422, {"error_code": 42205, "message": str(e)}
                 except ValueError as e:
                     return 422, {"error_code": 422, "message": str(e)}
         return 404, {"error_code": 404, "message": f"no route {method} {path}"}
@@ -373,3 +381,22 @@ class RestApp:
     def _put_config(self, body, query):
         self.registry.set_compatibility(body["compatibility"])
         return 200, {"compatibility": body["compatibility"]}
+
+    # -- registry mode (api-doc/schema_registry.json /mode) ---------------
+
+    def _get_mode(self, body, query):
+        return 200, {"mode": self.registry.get_mode()}
+
+    def _put_mode(self, body, query):
+        self.registry.set_mode(body["mode"])
+        return 200, {"mode": body["mode"]}
+
+    def _get_mode_subject(self, subject, body, query):
+        return 200, {"mode": self.registry.get_mode(subject)}
+
+    def _put_mode_subject(self, subject, body, query):
+        self.registry.set_mode(body["mode"], subject)
+        return 200, {"mode": body["mode"]}
+
+    def _delete_mode_subject(self, subject, body, query):
+        return 200, {"mode": self.registry.delete_mode(subject)}

@@ -411,3 +411,105 @@ def test_schema_references_persistence(tmp_path):
     v = reg2.get_latest("person")
     assert v.references and v.references[0]["name"] == "Address"
     assert json.loads(reg2.resolved_schema(v))["fields"][1]["type"]["name"] == "Address"
+
+
+# -- operating mode (api-doc/schema_registry.json /mode, types.h:50-54) ----
+
+
+def test_mode_readonly_gates_writes():
+    from redpanda_spark.registry import ModeError
+
+    reg = SchemaRegistry()
+    reg.register("s", V1)
+    assert reg.get_mode() == "READWRITE"
+    reg.set_mode("READONLY")
+    with pytest.raises(ModeError, match="READONLY"):
+        reg.register("s", V2_ADD_DEFAULT)
+    with pytest.raises(ModeError, match="READONLY"):
+        reg.delete_version("s", 1)
+    with pytest.raises(ModeError, match="READONLY"):
+        reg.delete_subject("s")
+    with pytest.raises(ModeError, match="READONLY"):
+        reg.set_compatibility("NONE")
+    # reads stay open, and leaving READONLY is always possible
+    assert reg.get_latest("s").version == 1
+    reg.set_mode("READWRITE")
+    reg.register("s", V2_ADD_DEFAULT)
+    assert reg.get_latest("s").version == 2
+
+
+def test_mode_subject_override_and_fallback():
+    from redpanda_spark.registry import ModeError
+
+    reg = SchemaRegistry()
+    reg.set_mode("READONLY", subject="frozen")
+    assert reg.get_mode("frozen") == "READONLY"
+    assert reg.get_mode("other") == "READWRITE"
+    with pytest.raises(ModeError):
+        reg.register("frozen", V1)
+    reg.register("other", V1)  # unaffected
+    reg.delete_mode("frozen")  # falls back to global
+    reg.register("frozen", V1)
+    with pytest.raises(ValueError, match="unknown mode"):
+        reg.set_mode("BOGUS")
+
+
+def test_mode_import_requires_explicit_id():
+    from redpanda_spark.registry import ModeError
+
+    reg = SchemaRegistry()
+    reg.register("live", V1)  # takes id 1
+    reg.set_mode("IMPORT", subject="mig")
+    with pytest.raises(ModeError, match="IMPORT"):
+        reg.register("mig", V1)  # no id -> rejected in IMPORT
+    sid = reg.register("mig", V1, schema_id=100)
+    assert sid == 100 and reg.get_by_id(100).subject == "mig"
+    with pytest.raises(ValueError, match="already taken"):
+        reg.register("mig", V2_ADD_DEFAULT, schema_id=1)
+    # broker-assigned ids resume past the imported one
+    assert reg.register("live", V2_ADD_DEFAULT) == 101
+    # explicit ids are an IMPORT-only affordance
+    with pytest.raises(ModeError, match="IMPORT"):
+        reg.register("live", V2_PROMOTE, schema_id=200)
+
+
+def test_mode_persistence(tmp_path):
+    p = str(tmp_path / "reg.json")
+    reg = SchemaRegistry(p)
+    reg.set_mode("READONLY", subject="s")
+    reg.set_mode("IMPORT")
+    reg2 = SchemaRegistry(p)
+    assert reg2.get_mode() == "IMPORT"
+    assert reg2.get_mode("s") == "READONLY"
+
+
+def test_mode_rest_endpoints(tmp_path):
+    from redpanda_spark.rest import RestApp
+
+    # registry-only surface: no engine/Spark needed for the mode routes
+    app = RestApp.__new__(RestApp)
+    app.registry = SchemaRegistry()
+    import re as _re
+
+    routes = [
+        ("GET", r"^/mode$", app._get_mode),
+        ("PUT", r"^/mode$", app._put_mode),
+        ("GET", r"^/mode/([^/]+)$", app._get_mode_subject),
+        ("PUT", r"^/mode/([^/]+)$", app._put_mode_subject),
+        ("DELETE", r"^/mode/([^/]+)$", app._delete_mode_subject),
+    ]
+
+    def call(method, path, body=None):
+        for m, pat, fn in routes:
+            if m == method and _re.match(pat, path):
+                g = _re.match(pat, path).groups()
+                return fn(*g, body=body or {}, query={})
+        raise AssertionError("no route")
+
+    assert call("GET", "/mode") == (200, {"mode": "READWRITE"})
+    assert call("PUT", "/mode", {"mode": "READONLY"}) == (200, {"mode": "READONLY"})
+    assert call("GET", "/mode") == (200, {"mode": "READONLY"})
+    assert call("PUT", "/mode/s", {"mode": "READWRITE"})[0] == 200
+    assert call("GET", "/mode/s") == (200, {"mode": "READWRITE"})
+    assert call("DELETE", "/mode/s")[0] == 200
+    assert call("GET", "/mode/s") == (200, {"mode": "READONLY"})  # fallback
