@@ -88,6 +88,8 @@ BENCH_QUERIES_EXTENDED = [
     "corpus_report",
     "dedup_incremental",
     "mm_image_dedup",
+    # round 6
+    "doc_perplexity_serve",
 ]
 
 

@@ -4385,3 +4385,95 @@ WHERE a.doc_id < 100 AND b.doc_id < 100
 
 QUERIES.update({"mm_image_dedup": q_mm_image_dedup})
 ORACLES.update({"mm_image_dedup": SQL_MM_IMAGE_DEDUP})
+
+
+# -- Train-once perplexity serving (persisted model table) -------------------
+
+
+def q_doc_perplexity_serve(spark, sf_dir):
+    """CCNet's actual deployment shape: the bigram LM is trained ONCE on a
+    deterministic 10% sample (doc_id % 10 == 0), persisted as a model
+    table, and every scoring call joins the corpus against the PERSISTED
+    model — no training pass in the serving path. OOV bigrams (routine
+    when the model saw only a sample) are excluded from the mean and
+    surfaced as a per-source OOV rate, the gate a CCNet-style filter
+    puts on out-of-distribution text.
+
+    At 100 TB this is the whole point of train-once: the model is
+    vocabulary-sized and broadcast; serving is one corpus pass with a
+    map-side join — retraining per scoring run would add a full
+    shuffle-aggregate over the corpus every time."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from redpanda_spark.functions.lm import score_perplexity, train_bigram_lm
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    docs = _t(spark, sf_dir, "documents")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_lm",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    model_path = os.path.join(cache, "bigram_lm.parquet")
+    if not os.path.isdir(model_path):
+        tmp = f"{model_path}.tmp-{os.getpid()}"
+        train_bigram_lm(
+            docs.where(F.col("doc_id") % 10 == 0)
+        ).write.mode("overwrite").parquet(tmp)
+        try:
+            os.replace(tmp, model_path)  # atomic vs concurrent trainers
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # raced: loser yields
+    lm = spark.read.parquet(model_path)
+    # the bigram explode is per-row-heavy and the small parquet arrives as
+    # one split: spread the scoring pass across cores (no-op at scale)
+    scored = score_perplexity(parallelize_narrow(docs), lm).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
+            F.round(F.sum("n_oov") / F.sum("n_bigrams"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_PERPLEXITY_SERVE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, source, t,
+          unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+big AS (SELECT w1, w2, COUNT(*) AS c FROM bg
+        WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c) AS ctx FROM big GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 = 0)),
+lm AS (
+  SELECT w1, w2, (c + 1.0) / (ctx + v) AS p
+  FROM big JOIN ctx USING (w1) CROSS JOIN vocab),
+scored AS (
+  SELECT bg.doc_id, ANY_VALUE(bg.source) AS source,
+    COUNT(*) AS n_bigrams,
+    SUM(CASE WHEN lm.p IS NULL THEN 1 ELSE 0 END) AS n_oov,
+    ROUND(AVG(ROUND(-ln(lm.p), 9)), 6) AS ce
+  FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+  GROUP BY bg.doc_id)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(AVG(ce), 6) AS avg_ce,
+  ROUND(SUM(n_oov) * 1.0 / SUM(n_bigrams), 6) AS oov_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"doc_perplexity_serve": q_doc_perplexity_serve})
+ORACLES.update({"doc_perplexity_serve": SQL_DOC_PERPLEXITY_SERVE})
