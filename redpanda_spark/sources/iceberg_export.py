@@ -1,0 +1,561 @@
+"""Iceberg v2 export: standard-format lakehouse interop for datalake tables.
+
+``export_iceberg(spark, lake_path, out_path)`` converts an engine-written
+datalake table (``write_datalake`` layout + ``_manifest.json`` snapshot
+history) into a REAL Apache Iceberg v2 table on disk:
+
+  out/
+    data/_hour=…/part-….parquet        copied data files (layout preserved)
+    metadata/<uuid>-m0.avro            manifest (Avro OCF, manifest_entry)
+    metadata/snap-<id>-…-ml.avro       manifest list (Avro OCF, manifest_file)
+    metadata/v1.metadata.json          table metadata (Iceberg v2 spec)
+    metadata/version-hint.text         filesystem-catalog pointer
+
+Reference parity: this is the output surface of `src/v/iceberg/` —
+manifest/manifest-list Avro schemas (`avroschemas/manifest_entry.schema.
+json`, `manifest_file.schema.json`, reproduced here from the public
+Iceberg spec), table metadata JSON (`table_metadata.cc` / `json_utils.cc`),
+and the filesystem catalog's vN.metadata.json + version-hint convention
+(`filesystem_catalog.cc`). The reference's hour partition spec
+(`datalake/table_definition.cc:57-66`: hour transform on the redpanda
+timestamp, field-id 1000) dissolves here into an IDENTITY transform on the
+already-materialized ``_hour`` column — same pruning power, truthful to
+this layout's physical partitioning.
+
+Avro container files are written with the repo's from-spec datum codec
+(registry/avro_codec.py) plus the OCF framing implemented below from the
+Apache Avro 1.11 spec (magic, metadata map, sync-marker-delimited blocks).
+No Iceberg runtime is needed to produce the table; any Iceberg reader
+(Spark+iceberg-runtime, Trino, DuckDB iceberg extension) can consume it,
+and a plain parquet reader can consume ``out/data`` directly.
+
+Scale note: the export is a metadata operation plus a data-file copy. The
+metadata side is O(files) driver-side — the same cardinality any Iceberg
+committer handles — and the copy is byte-for-byte (no decode/re-encode);
+on an object store it becomes a server-side copy per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import uuid
+from typing import Any
+
+import pyarrow.parquet as pq
+
+from redpanda_spark.registry.avro_codec import (
+    _write_long,
+    decode_datum,
+    encode_datum,
+    resolve_names,
+)
+
+# ---------------------------------------------------------------------------
+# Avro Object Container File framing (Avro 1.11 spec §Object Container Files)
+# ---------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def avro_ocf_write(
+    path: str, schema: dict, records: list[dict], meta: dict[str, bytes] | None = None
+) -> None:
+    """One-block Avro OCF with null codec — metadata-scale record counts."""
+    resolved = resolve_names(schema)
+    out = bytearray(_OCF_MAGIC)
+    md = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    md.update(meta or {})
+    encode_datum(resolve_names(_META_SCHEMA), md, out)
+    sync = uuid.uuid4().bytes  # 16 bytes
+    out += sync
+    block = bytearray()
+    for r in records:
+        encode_datum(resolved, r, block)
+    _write_long(out, len(records))
+    _write_long(out, len(block))
+    out += block
+    out += sync
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def avro_ocf_read(path: str) -> tuple[dict, dict, list[Any]]:
+    """(schema, metadata, records) — the verification-side reader."""
+    buf = open(path, "rb").read()
+    if buf[:4] != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    md, pos = decode_datum(resolve_names(_META_SCHEMA), buf, 4)
+    schema = json.loads(md["avro.schema"])
+    if md.get("avro.codec", b"null") not in (b"null", None):
+        raise ValueError("only null codec supported")
+    sync, pos = buf[pos : pos + 16], pos + 16
+    resolved = resolve_names(schema)
+    records: list[Any] = []
+    while pos < len(buf):
+        from redpanda_spark.registry.avro_codec import _read_long
+
+        n, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        for _ in range(n):
+            rec, pos = decode_datum(resolved, buf, pos)
+            records.append(rec)
+        if pos != end:
+            raise ValueError("avro block size mismatch")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+    return schema, {k: v for k, v in md.items()}, records
+
+
+# ---------------------------------------------------------------------------
+# Spark schema -> Iceberg schema JSON (v2 spec §Schemas, with field ids)
+# ---------------------------------------------------------------------------
+
+_PRIMS = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "binary": "binary",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "date": "date",
+}
+
+
+def _iceberg_type(dt, next_id) -> Any:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, next_id),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id(), next_id()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, next_id),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, next_id),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamptz" if isinstance(dt, T.TimestampType) else "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    name = dt.simpleString()
+    if name in _PRIMS:
+        return _PRIMS[name]
+    raise ValueError(f"no iceberg mapping for spark type {name}")
+
+
+def iceberg_schema(spark_schema) -> dict:
+    """Iceberg schema JSON with spec-compliant sequential field ids."""
+    counter = {"id": 0}
+
+    def next_id():
+        counter["id"] += 1
+        return counter["id"]
+
+    top = _iceberg_type(spark_schema, next_id)
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": top["fields"],
+        "_last_column_id": counter["id"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# manifest / manifest-list Avro schemas (Iceberg v2 spec; the reference
+# ships the same documents as src/v/iceberg/avroschemas/*.schema.json)
+# ---------------------------------------------------------------------------
+
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": p["name"],
+                "type": ["null", p["avro_type"]],
+                "default": None,
+                "field-id": p["field_id"],
+            }
+            for p in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                    "element-id": 508,
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# the export
+# ---------------------------------------------------------------------------
+
+
+def _hour_to_micros(hour_dir_value: str) -> int | None:
+    """'_hour=2024-03-01 10%3A00%3A00' dir value -> epoch micros (UTC)."""
+    import datetime as dt
+    from urllib.parse import unquote
+
+    try:
+        d = dt.datetime.strptime(unquote(hour_dir_value), "%Y-%m-%d %H:%M:%S")
+        return (d.replace(tzinfo=dt.timezone.utc) - dt.datetime(
+            1970, 1, 1, tzinfo=dt.timezone.utc
+        )) // dt.timedelta(microseconds=1)
+    except ValueError:
+        return None
+
+
+def export_iceberg(
+    spark, lake_path: str, out_path: str, snapshot_id: int | None = None
+) -> dict:
+    """One-shot layout conversion of a datalake table snapshot into an
+    Apache Iceberg v2 table (see module docstring). Returns a summary
+    dict {table_uuid, snapshot_id, n_files, n_rows, metadata_path}.
+
+    The exported table is self-contained: data files are copied under
+    ``out/data`` (byte-for-byte), all metadata paths inside the manifest
+    list / metadata.json are absolute to ``out_path`` per the spec.
+    """
+    import time as _time
+
+    from redpanda_spark.sources.datalake import (
+        _load_lake_manifest,
+        read_datalake,
+    )
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, lake_path)
+    m = _load_lake_manifest(fs, os.path.join(lake_path, "_manifest.json"))
+    snaps = m["snapshots"]
+    if not snaps:
+        raise ValueError(f"no live snapshots under {lake_path}")
+    snap = (
+        snaps[-1]
+        if snapshot_id is None
+        else next((s for s in snaps if s["id"] == snapshot_id), None)
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not live under {lake_path}")
+    if m.get("format", "parquet") != "parquet":
+        raise ValueError("iceberg export requires parquet data files")
+
+    out_abs = os.path.abspath(out_path)
+    data_dir = os.path.join(out_abs, "data")
+    meta_dir = os.path.join(out_abs, "metadata")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    # schema: from the snapshot read (mergeSchema view — what a reader gets)
+    df_schema = read_datalake(spark, lake_path, snapshot_id=snap["id"]).schema
+    schema = iceberg_schema(df_schema)
+    last_column_id = schema.pop("_last_column_id")
+    hour_field = next(
+        (f for f in schema["fields"] if f["name"] == "_hour"), None
+    )
+
+    # partition spec: identity on the materialized _hour column (see
+    # module docstring vs the reference's hour transform, field-id 1000)
+    part_fields = []
+    if hour_field is not None:
+        part_fields = [
+            {
+                "name": "_hour",
+                "source_id": hour_field["id"],
+                "field_id": 1000,
+                "transform": "identity",
+                "avro_type": "long",  # timestamptz partition value: micros
+            }
+        ]
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": p["source_id"],
+                "field-id": p["field_id"],
+            }
+            for p in part_fields
+        ],
+    }
+
+    # copy data files + collect per-file stats (footer-only reads)
+    snap_id = int(snap["id"])
+    entries = []
+    total_rows = 0
+    src_root = fs.normalize(lake_path)
+    for rel in snap["files"]:
+        src = os.path.join(src_root, rel)
+        dst = os.path.join(data_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        md = pq.ParquetFile(dst).metadata
+        total_rows += md.num_rows
+        part_val = None
+        if part_fields and "_hour=" in rel:
+            part_val = _hour_to_micros(
+                rel.split("_hour=", 1)[1].split(os.sep, 1)[0].split("/", 1)[0]
+            )
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {"_hour": part_val} if part_fields else {},
+                    "record_count": int(md.num_rows),
+                    "file_size_in_bytes": int(os.path.getsize(dst)),
+                },
+            }
+        )
+
+    table_uuid = str(uuid.uuid4())
+    now_ms = int(_time.time() * 1000)
+
+    # manifest (…-m0.avro)
+    entry_schema = _manifest_entry_schema(part_fields)
+    manifest_path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    avro_ocf_write(
+        manifest_path,
+        entry_schema,
+        entries,
+        meta={
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        },
+    )
+
+    # manifest list (snap-<id>-….avro)
+    part_vals = [
+        e["data_file"]["partition"].get("_hour")
+        for e in entries
+        if part_fields
+    ]
+    partitions_summary = (
+        [
+            {
+                "contains_null": any(v is None for v in part_vals),
+                "contains_nan": False,
+                "lower_bound": struct.pack(
+                    "<q", min(v for v in part_vals if v is not None)
+                )
+                if any(v is not None for v in part_vals)
+                else None,
+                "upper_bound": struct.pack(
+                    "<q", max(v for v in part_vals if v is not None)
+                )
+                if any(v is not None for v in part_vals)
+                else None,
+            }
+        ]
+        if part_fields
+        else None
+    )
+    mlist_path = os.path.join(
+        meta_dir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+    )
+    avro_ocf_write(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": partitions_summary,
+            }
+        ],
+    )
+
+    # table metadata (v2 spec §Table Metadata) + filesystem-catalog pointer
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": out_abs,
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_column_id,
+        "current-schema-id": 0,
+        "schemas": [schema],
+        "default-spec-id": 0,
+        "partition-specs": [spec],
+        "last-partition-id": 1000 if part_fields else 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": 1,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(total_rows),
+                },
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "metadata-log": [],
+    }
+    metadata_path = os.path.join(meta_dir, "v1.metadata.json")
+    with open(metadata_path, "w") as f:
+        json.dump(metadata, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")
+    return {
+        "table_uuid": table_uuid,
+        "snapshot_id": snap_id,
+        "n_files": len(entries),
+        "n_rows": total_rows,
+        "metadata_path": metadata_path,
+    }
