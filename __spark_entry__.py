@@ -34,65 +34,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
 #
-# ROUND-6 ROTATION NOTE: this round's priority list fills 49 of 50 slots
-# with round-5-new/changed queries plus the 20 queries that only had r3
-# rows. The 45 queries NOT in this list all hold green r4 driver rows;
-# next round, swap this list for (new r6 queries + those 45, oldest rows
-# first) so no row ages past one round.
+# ROUND-7 ROTATION NOTE: this list = round-6-new queries + the 46 queries
+# whose newest driver row is r4 (everything not in CORRECTNESS_r05), so
+# after this round no row is older than one round. The 45 r5-row queries
+# rotate back next round: swap this list for (new r7 queries + those 45).
 _PRIORITY = [
-    # new in round 5
-    "dedup_cluster",
-    "events_approx_users",
-    "events_quantiles",
-    "pipeline_shuffle",
-    "bpe_pair_counts",
-    "bpe_train",
-    "curation_dedup",
-    "dedup_incremental",
-    "doc_perplexity",
-    "log_max_timestamp",
-    "corpus_report",
-    "events_funnel",
-    "mm_image_dedup",
-    "datalake_translate_registry",
-    "decontaminate",
-    "doc_repetition",
-    "dedup_semantic",
-    "events_enrich",
-    "events_asof",
-    "events_interval",
-    "doc_span_dedup",
-    "pipeline_sample",
-    "doc_quality_classifier",
-    "emb_project",
-    "curation_v2",
-    # code changed in round 5 (enum field; flat-layout engine; unpersist)
-    "datalake_translate_proto",
-    "datalake_translate_avro",
-    "dedup_minhash",
-    "dedup_ngram",
-    # only r3 driver rows — rotate in so no query's row is older than one
-    # round (the gate checks the first 50 queries() entries)
-    "events_props_extract",
-    "events_topk_users",
-    "tpch_q6",
-    "tpch_q10ish",
-    "mm_image_metadata",
-    "mm_frame_sample",
-    "mm_video_metadata",
-    "mm2_routing",
-    "doc_quality",
-    "tpch_q4ish",
-    "tpch_q14",
-    "tpch_q18",
-    "doc_bpe_tokens",
-    "tpch_q7ish",
-    "tpch_q19ish",
-    "stream_idempotent_dedup",
-    "tpch_q13ish",
-    "tpch_q15ish",
-    "transform_fanout",
-    "curation_pipeline",
+    # new / changed in round 6
+    "doc_perplexity_serve",
+    "log_fetch",  # engine produce/fetch hot path + tail cache touched
+    "dedup_simhash",  # banded join: localCheckpoint + max_bucket
+    "mm_image_dedup",  # dhash top-bit mask change
+    "log_retention_time",  # integer-us cutoff unification
+    # only r4 driver rows — rotate in so no row ages past one round
+    "log_list_offsets",
+    "log_timequery",
+    "log_delete_records",
+    "log_compact",
+    "log_idempotent_dedup",
+    "group_offset_fetch",
+    "group_lag",
+    "tx_read_committed",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "events_daily",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "emb_near_dup",
+    "ann_topk",
+    "ann_ivf",
+    "log_compact_tombstones",
+    "log_retention_size",
+    "group_list_groups",
+    "events_sessionize",
+    "mm_audio_metadata",
+    "mm_jpeg_metadata",
+    "stream_window_stats",
+    "stream_sessionize",
+    "emb_quantize",
+    "tpch_q8ish",
+    "tpch_q17ish",
+    "datalake_translate",
+    "tpch_q12ish",
+    "tpch_q2ish",
+    "tpch_q9ish",
+    "tpch_q11ish",
+    "tpch_q16ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    "pipeline_split",
+    "pipeline_mix",
+    "pipeline_redact",
+    "pipeline_pack",
 ]
 
 
