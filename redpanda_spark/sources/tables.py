@@ -71,7 +71,14 @@ def parallelize_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # exact split count straight off the JVM physical plan — avoids
+        # df.rdd, which wraps the query in a Python-serializer RDD
+        # conversion on every probe
+        n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # e.g. Spark Connect: no _jdf
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
