@@ -1208,6 +1208,7 @@ class TopicEngine:
         max_records: int | None = None,
         isolation: str = "read_uncommitted",
         tx_ranges: DataFrame | None = None,
+        max_bytes: int | None = None,
     ) -> DataFrame:
         self._require(topic)
         # manifest-level pruning: only segments whose stats overlap the
@@ -1223,6 +1224,12 @@ class TopicEngine:
             if "topic" in ranges.columns:
                 ranges = ranges.where(F.col("topic") == topic)
             log = _read_committed(log, ranges)
+        if max_bytes is not None:
+            # Kafka byte budget (max.partition.fetch.bytes): whole records
+            # until the budget is spent, first record always returned
+            log = LOG.fetch_max_bytes(
+                log, max_bytes, partition=partition, start_offset=offset
+            )
         return LOG.fetch(log, partition=partition, start_offset=offset, max_records=max_records)
 
     def list_offsets(self, topic: str, isolation: str = "read_uncommitted") -> DataFrame:

@@ -198,3 +198,42 @@ def assign_offsets(batch: DataFrame, base_offsets: dict[int, int] | None = None)
 def high_watermark(log: DataFrame) -> DataFrame:
     """HWM per partition = last offset + 1 (single-writer, fully replicated)."""
     return log.groupBy("partition").agg((F.max("offset") + F.lit(1)).alias("high_watermark"))
+
+
+def fetch_max_bytes(
+    log: DataFrame,
+    max_bytes: int,
+    partition: int | None = None,
+    start_offset: int = 0,
+) -> DataFrame:
+    """Fetch with the Kafka byte budget (max.partition.fetch.bytes /
+    fetch.max.bytes, `handlers/fetch.cc` op_context byte accounting): per
+    partition, records from ``start_offset`` in offset order until the
+    cumulative record size (16-byte overhead + key + value, the same
+    convention the engine's size retention uses) exceeds the budget — and
+    like the broker, the FIRST record always returns even when it alone
+    is over budget, so a consumer can never stall on a large record.
+
+    One running-sum window per partition (the offset order is the log's
+    native sort, so the window reuses the existing distribution); the
+    predicate keeps whole records, never truncating one mid-byte."""
+    out = log
+    if partition is not None:
+        out = out.where(F.col("partition") == F.lit(partition))
+    out = out.where(F.col("offset") >= F.lit(start_offset))
+    size = (
+        F.lit(16)
+        + F.coalesce(F.length("key"), F.lit(0))
+        + F.coalesce(F.length("value"), F.lit(0))
+    )
+    w = (
+        Window.partitionBy("partition")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("_sz", size)
+        .withColumn("_cum", F.sum("_sz").over(w))
+        .where((F.col("_cum") - F.col("_sz") < F.lit(max_bytes)))
+        .drop("_sz", "_cum")
+    )

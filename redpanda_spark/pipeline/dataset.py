@@ -217,3 +217,117 @@ def shuffle_deterministic(
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     w = Window.orderBy(key.asc())
     return df.withColumn(pos_col, F.row_number().over(w))
+
+
+def chunk_documents(
+    df: DataFrame,
+    window_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG-index / long-context
+    training-split operator: each document yields chunks of
+    ``window_tokens`` whitespace tokens, starting every ``stride`` tokens
+    (default = window, i.e. non-overlapping). The final partial chunk is
+    kept (min 1 token); documents shorter than a window yield one chunk.
+
+    One narrow pass: tokens -> sequence of chunk starts -> slice + join.
+    No shuffle, no UDF; array expressions stay JVM-side, so the operator
+    scales as a map over the corpus. Emits (id, chunk_idx, n_chunks,
+    chunk_text, n_tokens)."""
+    from redpanda_spark.functions.text import tokens
+
+    stride = stride or window_tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, … < n (empty docs: no chunks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(toks, s + 1, window_tokens).alias("ctoks"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.size(starts).alias("n_chunks"), chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx"),
+            "n_chunks",
+            F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"),
+            F.size("c.ctoks").alias("n_tokens"),
+        )
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Dataset-mixture solver (the planning half of DoReMi-style domain
+    reweighting): given target mixture ``weights`` and a total
+    ``token_budget``, compute per-source available tokens, the target
+    token allocation, the sampling rate (capped at 1.0 — a source can't
+    supply more than it has), the epochs-over-source factor when the
+    target EXCEEDS availability (how many repetitions the trainer must
+    schedule), and the realized deficit. Pure aggregation — one shuffle
+    on source."""
+    w = None
+    for name, wt in weights.items():
+        cond = F.col(source_col) == F.lit(name)
+        w = F.when(cond, F.lit(wt)) if w is None else w.when(cond, F.lit(wt))
+    w = F.lit(0.0) if w is None else w.otherwise(F.lit(0.0))
+    per = df.groupBy(source_col).agg(
+        F.sum(token_col).alias("available_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(w).alias("weight"),
+    )
+    target = F.round(F.col("weight") * F.lit(float(token_budget))).cast("long")
+    return per.select(
+        source_col,
+        "n_docs",
+        "available_tokens",
+        target.alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("available_tokens")), 6
+        ).alias("sample_rate"),
+        F.round(target / F.col("available_tokens"), 6).alias("epochs"),
+        F.greatest(F.lit(0), target - F.col("available_tokens")).alias(
+            "deficit_tokens"
+        ),
+    )
+
+
+def upsample_by_quality(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    max_copies: int = 16,
+) -> DataFrame:
+    """Quality-weighted deterministic repetition: a document with weight w
+    appears floor(w) times plus one more with probability frac(w), decided
+    by the id's Knuth-hash bucket — reproducible across runs and
+    partitionings (same property as stratified_sample; rand() would not
+    be). Emits one row per copy with ``copy`` in [0, n). ``max_copies``
+    bounds the explode fan-out (a runaway weight column can't OOM a
+    task). The standard trick for quality-upweighting scarce
+    high-quality sources in a fixed token budget."""
+    w = F.least(F.col(weight_col).cast("double"), F.lit(float(max_copies)))
+    frac_keep = (
+        split_bucket(id_col, salt) < (w - F.floor(w)) * F.lit(BUCKETS)
+    ).cast("int")
+    n_copies = (F.floor(w).cast("int") + frac_keep).alias("n_copies")
+    out = df.withColumn("n_copies", n_copies).where(F.col("n_copies") > 0)
+    return out.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy")
+    ).drop("n_copies")

@@ -4477,3 +4477,189 @@ FROM scored GROUP BY source ORDER BY source
 
 QUERIES.update({"doc_perplexity_serve": q_doc_perplexity_serve})
 ORACLES.update({"doc_perplexity_serve": SQL_DOC_PERPLEXITY_SERVE})
+
+
+# -- Fetch byte budget (max.partition.fetch.bytes) ---------------------------
+
+
+def q_log_fetch_bytes(spark, sf_dir):
+    """Fetch with the Kafka byte budget (`handlers/fetch.cc` op_context
+    byte accounting): records of one partition from a start offset until
+    the cumulative wire size exceeds the budget — whole records only,
+    first record always returned."""
+    log = topic_view(spark, sf_dir, NUM_PARTITIONS).select(
+        "partition",
+        "offset",
+        "event_id",
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+    )
+    return LOG.fetch_max_bytes(
+        log, max_bytes=4096, partition=2, start_offset=50
+    ).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        "event_id",
+        F.length("value").cast("int").alias("n_value_bytes"),
+    )
+
+
+SQL_LOG_FETCH_BYTES = f"""
+WITH {LOG_CTE},
+sized AS (
+  SELECT partition, "offset", event_id,
+         16 + octet_length(encode(CAST(user_id AS VARCHAR))) + octet_length(encode(props)) AS sz
+  FROM log WHERE partition = 2 AND "offset" >= 50),
+runsum AS (
+  SELECT *, SUM(sz) OVER (PARTITION BY partition ORDER BY "offset"
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized)
+SELECT CAST(partition AS INTEGER) AS partition,
+       CAST("offset" AS BIGINT) AS "offset",
+       event_id,
+       CAST(octet_length(encode((SELECT props FROM log l
+                          WHERE l.partition = runsum.partition
+                            AND l."offset" = runsum."offset"))) AS INTEGER)
+         AS n_value_bytes
+FROM runsum WHERE cum - sz < 4096
+"""
+
+QUERIES.update({"log_fetch_bytes": q_log_fetch_bytes})
+ORACLES.update({"log_fetch_bytes": SQL_LOG_FETCH_BYTES})
+
+
+# -- Document chunking (RAG / long-context training windows) -----------------
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (window=32, stride=24): the
+    RAG-index / training-split operator, one narrow JVM pass."""
+    from redpanda_spark.pipeline.dataset import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, 32, 24).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+SQL_DOC_CHUNK = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+starts AS (
+  SELECT doc_id, t, CAST(ceil(len(t) / 24.0) AS INTEGER) AS n_chunks,
+         unnest(range(0, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0)
+SELECT doc_id, CAST(s / 24 AS INTEGER) AS chunk_idx, n_chunks,
+  array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+  CAST(len(t[s + 1 : s + 32]) AS INTEGER) AS n_tokens
+FROM starts
+"""
+
+QUERIES.update({"doc_chunk": q_doc_chunk})
+ORACLES.update({"doc_chunk": SQL_DOC_CHUNK})
+
+
+# -- Dataset mixture planning ------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15}
+_MIX_BUDGET = 4000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """DoReMi-style mixture planning: target token allocation, capped
+    sampling rate, epochs-over-source, and deficit per source for a fixed
+    token budget and target weights."""
+    from redpanda_spark.functions.text import token_count
+    from redpanda_spark.pipeline.dataset import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("n_tokens")
+    )
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET).orderBy("source")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+)
+SQL_MIXTURE_PLAN = rf"""
+WITH sized AS (
+  SELECT source,
+    len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))
+      AS n_tokens,
+    CASE {_MIX_CASE} ELSE 0.0 END AS weight
+  FROM documents),
+per AS (
+  SELECT source, SUM(n_tokens) AS available_tokens,
+         COUNT(*) AS n_docs, ANY_VALUE(weight) AS weight
+  FROM sized GROUP BY source)
+SELECT source, n_docs, available_tokens,
+  CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT) AS target_tokens,
+  ROUND(LEAST(1.0, CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+                   / available_tokens), 6) AS sample_rate,
+  ROUND(CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+        / available_tokens, 6) AS epochs,
+  GREATEST(0, CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+              - available_tokens) AS deficit_tokens
+FROM per ORDER BY source
+"""
+
+QUERIES.update({"mixture_plan": q_mixture_plan})
+ORACLES.update({"mixture_plan": SQL_MIXTURE_PLAN})
+
+
+# -- Quality-weighted upsampling ---------------------------------------------
+
+
+def q_pipeline_upsample(spark, sf_dir):
+    """Deterministic quality-weighted repetition: weight = 1 + 2 *
+    stopword_ratio (a cheap quality proxy) -> floor copies + hash-decided
+    fractional copy. Returns per-source copy counts (stable aggregate of
+    the exploded set)."""
+    from redpanda_spark.pipeline.dataset import upsample_by_quality
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.lit(1.0) + F.lit(2.0) * F.round(TXT.stopword_ratio("text"), 6)).alias(
+            "w"
+        ),
+    )
+    up = upsample_by_quality(docs, "w")
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy").cast("int").alias("max_copy"),
+    ).orderBy("source")
+
+
+SQL_PIPELINE_UPSAMPLE = rf"""
+WITH sized AS (
+  SELECT doc_id, source,
+    1.0 + 2.0 * ROUND(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) > 0
+      THEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> lower(t) IN ({_SW}))) AS DOUBLE)
+           / len(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))
+      ELSE 0.0 END, 6) AS w
+  FROM documents),
+counted AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(w) AS INTEGER)
+    + CASE WHEN (doc_id % 2147483647) * 2654435761 % 1000000
+                < (w - FLOOR(w)) * 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM sized),
+exploded AS (
+  SELECT doc_id, source, unnest(range(0, n_copies)) AS copy
+  FROM counted WHERE n_copies > 0)
+SELECT source, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(MAX(copy) AS INTEGER) AS max_copy
+FROM exploded GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"pipeline_upsample": q_pipeline_upsample})
+ORACLES.update({"pipeline_upsample": SQL_PIPELINE_UPSAMPLE})

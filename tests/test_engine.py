@@ -895,3 +895,15 @@ def test_hot_tail_extends_and_trims(spark, tmp_path):
     # offsets before the tail fall back to the full scan
     rows = eng.fetch_poll("e", 0, offset=0, min_records=12)
     assert [r["offset"] for r in rows] == list(range(12))
+
+
+def test_engine_fetch_max_bytes(spark, tmp_path):
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("b", TopicConfig(partitions=1))
+    for i in range(6):
+        eng.produce("b", [{"partition": 0, "key": b"k", "value": bytes(100)}])
+    # 117 bytes/record (16 + 1 key + 100 value): budget 300 -> 3 records
+    got = [r["offset"] for r in eng.fetch("b", 0, max_bytes=300).collect()]
+    assert got == [0, 1, 2]
+    got = eng.fetch("b", 0, offset=5, max_bytes=1).collect()
+    assert len(got) == 1  # oversized first record still served

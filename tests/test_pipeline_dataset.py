@@ -207,3 +207,87 @@ def test_shuffle_deterministic_is_stable_bijection(spark, sf_dir):
         for r in shuffle_deterministic(docs, seed="s2").collect()
     }
     assert rc != ra  # different seed -> different order
+
+
+# -- chunking / mixture / upsample / fetch byte budget (round 6) -----------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from redpanda_spark.pipeline.dataset import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g"), Row(doc_id=2, text="x"),
+         Row(doc_id=3, text="")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window_tokens=3, stride=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"], r["n_chunks"])
+        )
+    # doc1: starts 0,2,4,6 -> 4 chunks, last is the 1-token tail
+    assert by[1] == [
+        (0, "a b c", 3, 4), (1, "c d e", 3, 4),
+        (2, "e f g", 3, 4), (3, "g", 1, 4),
+    ]
+    # short doc: one chunk; empty doc: no chunks
+    assert by[2] == [(0, "x", 1, 1)]
+    assert 3 not in by
+
+
+def test_mixture_plan_caps_and_deficit(spark):
+    from redpanda_spark.pipeline.dataset import mixture_plan
+
+    docs = spark.createDataFrame(
+        [Row(source="a", n_tokens=100), Row(source="a", n_tokens=100),
+         Row(source="b", n_tokens=50)],
+        "source string, n_tokens long",
+    )
+    out = {r["source"]: r for r in
+           mixture_plan(docs, {"a": 0.5, "b": 0.5}, 1000).collect()}
+    # a: target 500 > available 200 -> rate capped at 1.0, epochs 2.5
+    assert out["a"]["target_tokens"] == 500
+    assert out["a"]["sample_rate"] == 1.0
+    assert out["a"]["epochs"] == 2.5
+    assert out["a"]["deficit_tokens"] == 300
+    # b: target 500 > available 50 -> epochs 10
+    assert out["b"]["epochs"] == 10.0
+
+
+def test_upsample_deterministic_and_bounded(spark):
+    from redpanda_spark.pipeline.dataset import upsample_by_quality
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, w=2.5) for i in range(200)], "doc_id long, w double"
+    )
+    a = upsample_by_quality(docs, "w").groupBy("doc_id").count().collect()
+    b = upsample_by_quality(docs, "w").groupBy("doc_id").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    counts = {r["doc_id"]: r["count"] for r in a}
+    assert set(counts.values()) <= {2, 3}  # floor=2 plus hash-decided extra
+    frac = sum(1 for v in counts.values() if v == 3) / len(counts)
+    assert 0.3 < frac < 0.7  # ~0.5 of ids get the fractional copy
+    # runaway weights are clamped
+    big = spark.createDataFrame([Row(doc_id=1, w=1e9)], "doc_id long, w double")
+    assert upsample_by_quality(big, "w", max_copies=4).count() == 4
+
+
+def test_fetch_max_bytes_first_record_always_returns(spark):
+    from redpanda_spark.operators import log as LOG
+
+    rows = [
+        Row(partition=0, offset=i, key=None, value=bytes(100)) for i in range(5)
+    ]
+    log = spark.createDataFrame(
+        rows, "partition int, offset long, key binary, value binary"
+    )
+    # budget 250: records cost 116 each -> keep offsets 0,1,2 (cum-before
+    # 0,116,232 < 250; offset 3 starts at 348)
+    got = [r["offset"] for r in
+           LOG.fetch_max_bytes(log, 250, partition=0).collect()]
+    assert got == [0, 1, 2]
+    # budget smaller than one record: the first record still returns
+    got = [r["offset"] for r in
+           LOG.fetch_max_bytes(log, 10, partition=0, start_offset=3).collect()]
+    assert got == [3]
