@@ -611,7 +611,7 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 SQL_DEDUP_NGRAM = """
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id AS id, unnest(list_distinct(
     list_transform(range(len(toks) - 1),
       i -> toks[i + 1] || ' ' || toks[i + 2]))) AS s
@@ -656,7 +656,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 SQL_DEDUP_MINHASH = r"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
   SELECT doc_id AS id, unnest(list_distinct(
     list_transform(range(len(toks) - 2),
       i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS s
@@ -3827,7 +3827,7 @@ def q_dedup_cluster(spark, sf_dir):
 
 
 SQL_DEDUP_CLUSTER = (
-    "WITH RECURSIVE pairs AS (\n"
+    "WITH RECURSIVE pairs AS MATERIALIZED (\n"
     + SQL_DEDUP_MINHASH
     + """
 ),
@@ -4066,7 +4066,7 @@ def q_curation_dedup(spark, sf_dir):
 
 
 SQL_CURATION_DEDUP = (
-    "WITH RECURSIVE clusters AS (\n"
+    "WITH RECURSIVE clusters AS MATERIALIZED (\n"
     + SQL_DEDUP_CLUSTER
     + """
 ),
