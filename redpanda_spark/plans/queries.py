@@ -4663,3 +4663,82 @@ FROM exploded GROUP BY source ORDER BY source
 
 QUERIES.update({"pipeline_upsample": q_pipeline_upsample})
 ORACLES.update({"pipeline_upsample": SQL_PIPELINE_UPSAMPLE})
+
+
+# -- Iceberg export metadata gate --------------------------------------------
+
+
+def q_iceberg_export_counts(spark, sf_dir):
+    """Round-trips the Iceberg v2 export (sources/iceberg_export.py): a
+    deterministic events-derived datalake table is exported once (cached),
+    and the MANIFEST ENTRIES — decoded from the Avro container file, not
+    from the data — report per-hour record counts. The oracle recomputes
+    the same counts from the raw events table in DuckDB, so a lie anywhere
+    in the export chain (partition value encoding, entry record_count,
+    file copy) breaks the value hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import (
+        avro_ocf_read,
+        export_iceberg,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_ice",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    meta_file = os.path.join(cache, "ice", "metadata", "v1.metadata.json")
+    if not os.path.exists(meta_file):
+        # export in place (the metadata embeds absolute paths, so a
+        # tmp+rename dance would orphan them); a half-built cache from a
+        # crash is rebuilt from scratch
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        df = ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_trunc("hour", F.col("ts")).alias("_hour"),
+        )
+        write_datalake(df, os.path.join(cache, "lake"))
+        export_iceberg(
+            spark, os.path.join(cache, "lake"), os.path.join(cache, "ice")
+        )
+    # manifest-list path out of the (path-rewritten) table metadata
+    import json as _json
+
+    meta = _json.load(open(meta_file))
+    [snap] = meta["snapshots"]
+    _s, _m, mfiles = avro_ocf_read(snap["manifest-list"])
+    rows = []
+    for mf in mfiles:
+        _es, _em, entries = avro_ocf_read(mf["manifest_path"])
+        for e in entries:
+            rows.append(
+                (
+                    int(e["data_file"]["partition"]["_hour"]),
+                    int(e["data_file"]["record_count"]),
+                )
+            )
+    agg: dict[int, int] = {}
+    for h, n in rows:
+        agg[h] = agg.get(h, 0) + n
+    return spark.createDataFrame(
+        sorted(agg.items()), "hour_us long, n_rows long"
+    )
+
+
+SQL_ICEBERG_EXPORT_COUNTS = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES.update({"iceberg_export_counts": q_iceberg_export_counts})
+ORACLES.update({"iceberg_export_counts": SQL_ICEBERG_EXPORT_COUNTS})
