@@ -4742,3 +4742,60 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"iceberg_export_counts": q_iceberg_export_counts})
 ORACLES.update({"iceberg_export_counts": SQL_ICEBERG_EXPORT_COUNTS})
+
+
+# -- Windowed top-k (per tumbling window, per type) --------------------------
+
+
+def q_events_window_topk(spark, sf_dir):
+    """Top-3 users per (1-hour tumbling window, event_type) by event
+    count, user_id tiebreak — the windowed leaderboard shape (streaming
+    twin in streaming/stateful tests). rank-over-aggregate: the heavy
+    aggregation is map-side combinable; the rank window runs over the
+    already-reduced per-(window,type,user) rows, never over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "user_id",
+            "n",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("win_start_us", "event_type").orderBy(
+            F.col("n").desc(), F.col("user_id")
+        )
+    )
+    return (
+        agg.withColumn("rank", rk.cast("int"))
+        .where(F.col("rank") <= 3)
+        .orderBy("win_start_us", "event_type", "rank")
+    )
+
+
+SQL_EVENTS_WINDOW_TOPK = """
+WITH agg AS (
+  SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_start_us,
+         event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY win_start_us, event_type
+      ORDER BY n DESC, user_id) AS INTEGER) AS rank
+  FROM agg)
+SELECT win_start_us, event_type, user_id, n, rank
+FROM ranked WHERE rank <= 3
+ORDER BY win_start_us, event_type, rank
+"""
+
+QUERIES.update({"events_window_topk": q_events_window_topk})
+ORACLES.update({"events_window_topk": SQL_EVENTS_WINDOW_TOPK})

@@ -164,3 +164,52 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def windowed_topk_sink(
+    events: DataFrame,
+    state: dict,
+    k: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming windowed leaderboard: watermarked tumbling-window counts
+    per (window, type, key) flow through foreachBatch, which folds each
+    micro-batch's UPDATED groups into ``state`` and re-ranks only the
+    touched (window, type) leaderboards — rank never runs over raw
+    events, and the fold is O(updated groups), not O(state).
+
+    Returns the writeStream query (update mode). ``state`` maps
+    (win_start, type) -> {key: n}; ``state['topk']`` holds the current
+    top-k per leaderboard as [(key, n), ...] sorted by (-n, key)."""
+    agg = (
+        _tz_aware(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_dur).alias("w"),
+            F.col(type_col).alias("etype"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "etype", "key", "n")
+    )
+    topk = state.setdefault("topk", {})
+
+    def fold(batch_df: DataFrame, _epoch: int) -> None:
+        touched = set()
+        for r in batch_df.collect():  # bounded: updated groups only
+            lb = state.setdefault((r["win_start"], r["etype"]), {})
+            lb[r["key"]] = r["n"]
+            touched.add((r["win_start"], r["etype"]))
+        for t in touched:
+            board = sorted(state[t].items(), key=lambda kv: (-kv[1], kv[0]))
+            topk[t] = board[:k]
+
+    return (
+        agg.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

@@ -270,3 +270,50 @@ def test_streaming_windowed_approx_distinct(spark, tmp_path):
     assert set(got) == set(exact) and len(exact) == 4
     for k in exact:
         assert got[k] == exact[k], (k, got[k], exact[k])  # exact at 1% rsd here
+
+
+def test_streaming_windowed_topk_matches_batch(spark, tmp_path):
+    """The streaming leaderboard (windowed_topk_sink) over a two-batch
+    event stream must converge to the same top-k the batch rank query
+    computes over the full data."""
+    from redpanda_spark.streaming.stateful import windowed_topk_sink
+
+    src = str(tmp_path / "ev")
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                i,
+                "2024-03-01 10:%02d:00" % (i % 50),
+                i % 5,  # user 0..4
+                "click" if i % 2 == 0 else "view",
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type")
+    df.where(F.col("event_id") < 30).write.parquet(src + "/b1")
+    df.where(F.col("event_id") >= 30).write.mode("append").parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src + "/b1")
+    )
+    state: dict = {}
+    q = windowed_topk_sink(stream, state, k=2).start()
+    q.awaitTermination(180)
+
+    batch = (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expect: dict = {}
+    for r in batch:
+        expect.setdefault((r["w"]["start"], r["event_type"]), []).append(
+            (r["user_id"], r["n"])
+        )
+    for key, vals in expect.items():
+        vals.sort(key=lambda kv: (-kv[1], kv[0]))
+        assert state["topk"][key] == vals[:2], key
