@@ -34,13 +34,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
 #
-# ROUND-7 ROTATION NOTE: this list = round-6-new queries + the 46 queries
-# whose newest driver row is r4 (everything not in CORRECTNESS_r05), so
-# after this round no row is older than one round. The 45 r5-row queries
-# rotate back next round: swap this list for (new r7 queries + those 45).
+# ROUND-7 ROTATION NOTE: this list = round-6-new queries (7, no rows yet)
+# + the queries whose newest driver row is r4. The catalog (102) now
+# exceeds 2x the gate (50), so a strict every-row-within-one-round is no
+# longer possible; the invariant becomes "no row older than two rounds".
+# Next round's priority: new r7 queries + pipeline_split/mix/redact/pack
+# (r4 rows, displaced past slot 50 this round — put them FIRST) + the 45
+# r5-row holders.
 _PRIORITY = [
-    # new / changed in round 6
+    # new in round 6 (no driver row yet)
     "doc_perplexity_serve",
+    "log_fetch_bytes",
+    "doc_chunk",
+    "mixture_plan",
+    "pipeline_upsample",
+    "events_window_topk",
+    "iceberg_export_counts",
+    # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket
     "mm_image_dedup",  # dhash top-bit mask change

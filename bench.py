@@ -90,6 +90,12 @@ BENCH_QUERIES_EXTENDED = [
     "mm_image_dedup",
     # round 6
     "doc_perplexity_serve",
+    "log_fetch_bytes",
+    "doc_chunk",
+    "mixture_plan",
+    "pipeline_upsample",
+    "events_window_topk",
+    "iceberg_export_counts",
 ]
 
 
