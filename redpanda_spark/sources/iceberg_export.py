@@ -559,3 +559,74 @@ def export_iceberg(
         "n_rows": total_rows,
         "metadata_path": metadata_path,
     }
+
+
+# ---------------------------------------------------------------------------
+# the import side: consume an Iceberg v2 table without an Iceberg runtime
+# ---------------------------------------------------------------------------
+
+
+def _current_metadata(path: str) -> dict:
+    """Resolve the live vN.metadata.json via the filesystem-catalog
+    convention (version-hint.text; falls back to the highest vN present —
+    `filesystem_catalog.cc` resolution order)."""
+    meta_dir = os.path.join(path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        v = open(hint).read().strip()
+        p = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(p):
+            return json.load(open(p))
+    vs = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    if not vs:
+        raise ValueError(f"no vN.metadata.json under {meta_dir}")
+    return json.load(open(os.path.join(meta_dir, f"v{vs[-1]}.metadata.json")))
+
+
+def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+    """Read an Iceberg v2 table through its OWN metadata — current (or
+    ``snapshot_id``) snapshot resolved from table metadata, data files
+    enumerated from the manifest list + manifests (never a directory
+    LIST), then read as parquet. Deleted/existing entry statuses are
+    honored (status 2 = DELETED entries are skipped); delete files
+    (content != 0) are rejected loudly rather than silently misread.
+
+    This is the consume half of the interop story: any Iceberg table an
+    external writer committed (same layout rules) is queryable here with
+    no Iceberg runtime, exactly how `manifest_io.cc` materializes a
+    snapshot's file set in the reference."""
+    meta = _current_metadata(path)
+    if meta.get("format-version") != 2:
+        raise ValueError(f"unsupported iceberg format-version {meta.get('format-version')}")
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not in table metadata")
+    _schema, _md, manifests = avro_ocf_read(snaps[sid]["manifest-list"])
+    files: list[str] = []
+    for mf in manifests:
+        if mf.get("content", 0) != 0:
+            raise ValueError("delete manifests not supported")
+        _es, _em, entries = avro_ocf_read(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) != 0:
+                raise ValueError("equality/position delete files not supported")
+            if d["file_format"].upper() != "PARQUET":
+                raise ValueError(f"unsupported file format {d['file_format']}")
+            files.append(d["file_path"])
+    if not files:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame([], T.StructType([]))
+    return (
+        spark.read.option("basePath", os.path.join(path, "data"))
+        .option("mergeSchema", "true")
+        .parquet(*files)
+    )

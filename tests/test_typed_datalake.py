@@ -940,3 +940,31 @@ spark.stop()
     line = next(l for l in proc.stdout.splitlines() if l.startswith("ROWS="))
     plain_rows = [tuple(r) for r in json.loads(line[len("ROWS="):])]
     assert plain_rows == [tuple(r) for r in engine_rows]
+
+
+def test_read_iceberg_roundtrip_and_time_shape(spark, tmp_path):
+    """read_iceberg consumes the export through its OWN metadata chain
+    (version-hint -> metadata.json -> manifest list -> manifests) and
+    matches read_datalake row-for-row; unknown snapshots raise."""
+    from redpanda_spark.sources.datalake import read_datalake
+    from redpanda_spark.sources.iceberg_export import (
+        export_iceberg,
+        read_iceberg,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake)
+    res = export_iceberg(spark, lake, out)
+    a = sorted(
+        (r["id"], r["v"], str(r["_hour"]))
+        for r in read_iceberg(spark, out).collect()
+    )
+    b = sorted(
+        (r["id"], r["v"], str(r["_hour"]))
+        for r in read_datalake(spark, lake).collect()
+    )
+    assert a == b and len(a) == 12
+    assert read_iceberg(spark, out, snapshot_id=res["snapshot_id"]).count() == 12
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, out, snapshot_id=999)
