@@ -50,6 +50,7 @@ _PRIORITY = [
     "pipeline_upsample",
     "events_window_topk",
     "iceberg_export_counts",
+    "ann_pq",
     # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket

@@ -96,6 +96,7 @@ BENCH_QUERIES_EXTENDED = [
     "pipeline_upsample",
     "events_window_topk",
     "iceberg_export_counts",
+    "ann_pq",
 ]
 
 

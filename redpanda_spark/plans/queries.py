@@ -4799,3 +4799,81 @@ ORDER BY win_start_us, event_type, rank
 
 QUERIES.update({"events_window_topk": q_events_window_topk})
 ORACLES.update({"events_window_topk": SQL_EVENTS_WINDOW_TOPK})
+
+
+# -- Product-quantization ANN (ADC) ------------------------------------------
+
+
+def q_ann_pq(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank (similarity/pq.py): codebooks fit
+    on a deterministic id-hash sample, vectors encoded to 8x16 codes, the
+    query scored JVM-side via an unrolled lookup-table sum. Output = the
+    EXACT top-10 by squared L2 (hash-checkable against the oracle's list
+    arithmetic) plus `recall_ok` asserting the 50-wide ADC shortlist
+    captured >= 50% of the exact top-10 — a PQ accuracy regression flips
+    the boolean and fails the value hash (same sketch-gate pattern as the
+    HLL/quantile queries)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb)
+    q = np.array(
+        emb.where(F.col("vec_id") == 1)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    codes = pq_encode(parallelize_narrow(emb), books)
+    shortlist = {
+        r["vec_id"] for r in pq_adc_topk(codes, q, books, k=50).collect()
+    }
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        emb.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = sum(1 for i in exact_ids if i in shortlist) >= 5
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+SQL_ANN_PQ = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+d AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(len(qv)),
+      i -> (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1])
+           * (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1]))) AS dd
+  FROM embeddings, q),
+r AS (
+  SELECT vec_id, dd,
+    CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS INTEGER) AS rank
+  FROM d)
+SELECT rank, vec_id, ROUND(dd, 6) AS dist, TRUE AS recall_ok
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES.update({"ann_pq": q_ann_pq})
+ORACLES.update({"ann_pq": SQL_ANN_PQ})

@@ -506,3 +506,47 @@ def test_banded_hamming_max_bucket_caps_degenerate_corpus(spark):
     small = spark.createDataFrame([Row(id=i, h=99) for i in range(6)])
     full = hash_near_dup_pairs(small, hash_col="h", max_hamming=3).collect()
     assert len(full) == 15 and all(r["hamming"] == 0 for r in full)
+
+
+def test_pq_adc_recall_and_determinism(spark, sf_dir):
+    """PQ codes: deterministic under repartitioning (id-hash sample, not
+    df.sample), and the ADC shortlist at 5x overfetch captures most of
+    the exact top-10 on the real embeddings table."""
+    import numpy as np
+
+    from redpanda_spark.functions.vectors import as_double
+    from redpanda_spark.similarity.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = fit_pq_codebooks(emb)
+    b2 = fit_pq_codebooks(emb.repartition(7))
+    assert np.allclose(b1, b2)  # partitioning-independent fit
+
+    q = np.array(
+        emb.where(F.col("vec_id") == 3)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    codes = pq_encode(emb, b1)
+    short = [r["vec_id"] for r in pq_adc_topk(codes, q, b1, k=50).collect()]
+    assert len(short) == 50 and short[0] == 3  # self is nearest at dist ~0
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = [
+        r["vec_id"]
+        for r in emb.select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    recall = sum(1 for i in exact if i in set(short)) / 10.0
+    assert recall >= 0.5, recall
