@@ -637,6 +637,9 @@ class TopicEngine:
         def val(r, name, default=None):
             return r[name] if name in cols else default
 
+        def _i(x, default):
+            return default if x is None else int(x)
+
         # -- producer idempotence window (shared decision logic) ----------
         keep = list(range(len(rows)))
         if "producer_id" in cols and "base_sequence" in cols:
@@ -645,7 +648,8 @@ class TopicEngine:
                 pid = val(r, "producer_id", -1)
                 if pid is None or int(pid) < 0:
                     continue
-                gk = (parts[i], int(pid), int(val(r, "producer_epoch", -1) or -1))
+                ep = val(r, "producer_epoch")
+                gk = (parts[i], int(pid), -1 if ep is None else int(ep))
                 sq = int(r["base_sequence"])
                 g = groups.get(gk)
                 groups[gk] = (
@@ -715,9 +719,11 @@ class TopicEngine:
                         ]
                         if hdrs is not None
                         else None,
-                        "producer_id": int(val(r, "producer_id", -1) or -1),
-                        "producer_epoch": int(val(r, "producer_epoch", -1) or -1),
-                        "base_sequence": int(val(r, "base_sequence", -1) or -1),
+                        # NB: `x or -1` would collapse legitimate
+                        # zeros (epoch 0 / pid 0 / seq 0) to -1
+                        "producer_id": _i(val(r, "producer_id"), -1),
+                        "producer_epoch": _i(val(r, "producer_epoch"), -1),
+                        "base_sequence": _i(val(r, "base_sequence"), -1),
                         "is_transactional": bool(val(r, "is_transactional", False) or False),
                         "is_control": bool(val(r, "is_control", False) or False),
                         "offset": offs[i],

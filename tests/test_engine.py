@@ -907,3 +907,37 @@ def test_engine_fetch_max_bytes(spark, tmp_path):
     assert got == [0, 1, 2]
     got = eng.fetch("b", 0, offset=5, max_bytes=1).collect()
     assert len(got) == 1  # oversized first record still served
+
+
+def test_record_produce_zero_valued_producer_fields(spark, tmp_path):
+    """pid 0 / epoch 0 / seq 0 are legitimate values and must be stored
+    faithfully (regression: `x or -1` collapsed zeros to -1), and a
+    DataFrame-path produce followed by a record-path produce under the
+    same (pid 0, epoch 0) must share one sequence window — not raise a
+    spurious INVALID_PRODUCER_EPOCH."""
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("z", TopicConfig(partitions=1))
+    eng.produce(
+        "z",
+        spark.createDataFrame(
+            [Row(partition=0, key=b"k", value=b"v0", producer_id=0,
+                 producer_epoch=0, base_sequence=0)],
+            "partition int, key binary, value binary, producer_id long, "
+            "producer_epoch smallint, base_sequence int",
+        ),
+    )
+    eng.produce(
+        "z",
+        [{"partition": 0, "key": b"k", "value": b"v1", "producer_id": 0,
+          "producer_epoch": 0, "base_sequence": 1}],
+    )
+    rows = sorted(eng.log("z").collect(), key=lambda r: r["offset"])
+    assert [(r["producer_id"], r["producer_epoch"], r["base_sequence"])
+            for r in rows] == [(0, 0, 0), (0, 0, 1)]
+    # retry of seq 1 via the record path is deduped, not appended
+    eng.produce(
+        "z",
+        [{"partition": 0, "key": b"k", "value": b"v1", "producer_id": 0,
+          "producer_epoch": 0, "base_sequence": 1}],
+    )
+    assert eng.log("z").count() == 2
