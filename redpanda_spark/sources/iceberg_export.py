@@ -337,9 +337,26 @@ def _hour_to_micros(hour_dir_value: str) -> int | None:
 def export_iceberg(
     spark, lake_path: str, out_path: str, snapshot_id: int | None = None
 ) -> dict:
-    """One-shot layout conversion of a datalake table snapshot into an
-    Apache Iceberg v2 table (see module docstring). Returns a summary
-    dict {table_uuid, snapshot_id, n_files, n_rows, metadata_path}.
+    """Layout conversion of a datalake table snapshot into an Apache
+    Iceberg v2 table (see module docstring). Returns a summary dict
+    {table_uuid, snapshot_id, n_files, n_rows, metadata_path}.
+
+    INCREMENTAL: calling again for a later engine snapshot appends an
+    Iceberg snapshot to the SAME table — the reference committer's shape
+    (`datalake/coordinator/iceberg_file_committer.cc` commits one Iceberg
+    snapshot per translated batch). Only new data files are copied;
+    previously-exported files enter the new manifest as EXISTING entries
+    carrying their original (snapshot_id, sequence_number); a new
+    vN.metadata.json keeps every prior snapshot (time travel across
+    exports works through ``read_iceberg(snapshot_id=...)``), the
+    metadata-log records the superseded metadata file, and version-hint
+    advances. Files dropped between engine snapshots simply leave the new
+    manifest (full-state manifests per snapshot); their bytes stay on
+    disk for the older snapshots that reference them. Re-exporting an
+    already-exported snapshot is an idempotent no-op. Export bookkeeping
+    (file -> first-export snapshot/sequence) lives in
+    ``metadata/_export_state.json`` — engine-side state, not part of the
+    Iceberg spec surface.
 
     The exported table is self-contained: data files are copied under
     ``out/data`` (byte-for-byte), all metadata paths inside the manifest
@@ -373,6 +390,27 @@ def export_iceberg(
     meta_dir = os.path.join(out_abs, "metadata")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(meta_dir, exist_ok=True)
+
+    # incremental: pick up the prior table state when one exists
+    prior = None
+    state: dict[str, list] = {}  # rel path -> [added_snapshot_id, seq]
+    state_path = os.path.join(meta_dir, "_export_state.json")
+    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        prior = _current_metadata(out_abs)
+        if os.path.exists(state_path):
+            state = json.load(open(state_path))
+        done = {s["snapshot-id"] for s in prior.get("snapshots", [])}
+        if int(snap["id"]) in done:  # idempotent re-export
+            return {
+                "table_uuid": prior["table-uuid"],
+                "snapshot_id": int(snap["id"]),
+                "n_files": len(snap["files"]),
+                "n_rows": None,
+                "metadata_path": os.path.join(
+                    meta_dir,
+                    f"v{open(os.path.join(meta_dir, 'version-hint.text')).read().strip()}.metadata.json",
+                ),
+            }
 
     # schema: from the snapshot read (mergeSchema view — what a reader gets)
     df_schema = read_datalake(spark, lake_path, snapshot_id=snap["id"]).schema
@@ -408,16 +446,21 @@ def export_iceberg(
         ],
     }
 
-    # copy data files + collect per-file stats (footer-only reads)
+    # copy NEW data files + collect per-file stats (footer-only reads);
+    # files already exported enter as EXISTING entries with their original
+    # (snapshot_id, sequence_number) per the v2 spec
     snap_id = int(snap["id"])
+    seq = (prior["last-sequence-number"] + 1) if prior else 1
     entries = []
-    total_rows = 0
+    total_rows = added_rows = 0
+    n_added = n_existing = 0
     src_root = fs.normalize(lake_path)
     for rel in snap["files"]:
         src = os.path.join(src_root, rel)
         dst = os.path.join(data_dir, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
+        if not os.path.exists(dst):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
         md = pq.ParquetFile(dst).metadata
         total_rows += md.num_rows
         part_val = None
@@ -425,12 +468,20 @@ def export_iceberg(
             part_val = _hour_to_micros(
                 rel.split("_hour=", 1)[1].split(os.sep, 1)[0].split("/", 1)[0]
             )
+        if rel in state:
+            status, e_snap, e_seq = 0, int(state[rel][0]), int(state[rel][1])
+            n_existing += 1
+        else:
+            status, e_snap, e_seq = 1, snap_id, None  # ADDED: seq inherited
+            state[rel] = [snap_id, seq]
+            n_added += 1
+            added_rows += md.num_rows
         entries.append(
             {
-                "status": 1,  # ADDED
-                "snapshot_id": snap_id,
-                "sequence_number": None,  # inherited from the manifest
-                "file_sequence_number": None,
+                "status": status,
+                "snapshot_id": e_snap,
+                "sequence_number": e_seq,
+                "file_sequence_number": e_seq,
                 "data_file": {
                     "content": 0,  # DATA
                     "file_path": dst,
@@ -442,8 +493,9 @@ def export_iceberg(
             }
         )
 
-    table_uuid = str(uuid.uuid4())
+    table_uuid = prior["table-uuid"] if prior else str(uuid.uuid4())
     now_ms = int(_time.time() * 1000)
+    min_seq = min((int(state[rel][1]) for rel in snap["files"]), default=seq)
 
     # manifest (…-m0.avro)
     entry_schema = _manifest_entry_schema(part_fields)
@@ -488,7 +540,7 @@ def export_iceberg(
         else None
     )
     mlist_path = os.path.join(
-        meta_dir, f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+        meta_dir, f"snap-{snap_id}-{seq}-{uuid.uuid4()}.avro"
     )
     avro_ocf_write(
         mlist_path,
@@ -499,14 +551,14 @@ def export_iceberg(
                 "manifest_length": os.path.getsize(manifest_path),
                 "partition_spec_id": 0,
                 "content": 0,
-                "sequence_number": 1,
-                "min_sequence_number": 1,
+                "sequence_number": seq,
+                "min_sequence_number": min_seq,
                 "added_snapshot_id": snap_id,
-                "added_data_files_count": len(entries),
-                "existing_data_files_count": 0,
+                "added_data_files_count": n_added,
+                "existing_data_files_count": n_existing,
                 "deleted_data_files_count": 0,
-                "added_rows_count": total_rows,
-                "existing_rows_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": total_rows - added_rows,
                 "deleted_rows_count": 0,
                 "partitions": partitions_summary,
             }
@@ -514,15 +566,62 @@ def export_iceberg(
     )
 
     # table metadata (v2 spec §Table Metadata) + filesystem-catalog pointer
+    if prior:
+        version = int(
+            open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+        ) + 1
+        schemas = list(prior["schemas"])
+        cur = next(
+            s for s in schemas if s["schema-id"] == prior["current-schema-id"]
+        )
+        if {k: v for k, v in schema.items() if k != "schema-id"} == {
+            k: v for k, v in cur.items() if k != "schema-id"
+        }:
+            schema_id = cur["schema-id"]
+        else:  # schema evolution: register the new schema
+            schema_id = max(s["schema-id"] for s in schemas) + 1
+            schema = {**schema, "schema-id": schema_id}
+            schemas.append(schema)
+        snapshots = list(prior["snapshots"])
+        snapshot_log = list(prior.get("snapshot-log", []))
+        metadata_log = list(prior.get("metadata-log", [])) + [
+            {
+                "timestamp-ms": prior["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version - 1}.metadata.json"
+                ),
+            }
+        ]
+        last_column_id = max(last_column_id, prior["last-column-id"])
+    else:
+        version, schema_id = 1, 0
+        schemas, snapshots, snapshot_log, metadata_log = [schema], [], [], []
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(n_added),
+                "added-records": str(added_rows),
+                "total-records": str(total_rows),
+                "total-data-files": str(len(entries)),
+            },
+            "schema-id": schema_id,
+        }
+    )
+    snapshot_log.append({"timestamp-ms": now_ms, "snapshot-id": snap_id})
     metadata = {
         "format-version": 2,
         "table-uuid": table_uuid,
         "location": out_abs,
-        "last-sequence-number": 1,
+        "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_column_id,
-        "current-schema-id": 0,
-        "schemas": [schema],
+        "current-schema-id": schema_id,
+        "schemas": schemas,
         "default-spec-id": 0,
         "partition-specs": [spec],
         "last-partition-id": 1000 if part_fields else 999,
@@ -530,28 +629,18 @@ def export_iceberg(
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": snap_id,
-        "snapshots": [
-            {
-                "snapshot-id": snap_id,
-                "sequence-number": 1,
-                "timestamp-ms": now_ms,
-                "manifest-list": mlist_path,
-                "summary": {
-                    "operation": "append",
-                    "added-data-files": str(len(entries)),
-                    "added-records": str(total_rows),
-                },
-                "schema-id": 0,
-            }
-        ],
-        "snapshot-log": [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
-        "metadata-log": [],
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log,
+        "metadata-log": metadata_log,
     }
-    metadata_path = os.path.join(meta_dir, "v1.metadata.json")
+    metadata_path = os.path.join(meta_dir, f"v{version}.metadata.json")
     with open(metadata_path, "w") as f:
         json.dump(metadata, f, indent=1)
+    with open(state_path, "w") as f:
+        json.dump(state, f)
+    # hint last: the commit point (readers resolve metadata through it)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write("1")
+        f.write(str(version))
     return {
         "table_uuid": table_uuid,
         "snapshot_id": snap_id,

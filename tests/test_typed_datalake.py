@@ -968,3 +968,60 @@ def test_read_iceberg_roundtrip_and_time_shape(spark, tmp_path):
     assert read_iceberg(spark, out, snapshot_id=res["snapshot_id"]).count() == 12
     with pytest.raises(ValueError, match="not in table metadata"):
         read_iceberg(spark, out, snapshot_id=999)
+
+
+def test_export_iceberg_incremental_snapshots(spark, tmp_path):
+    """Second export appends an Iceberg snapshot to the SAME table: new
+    files ADDED, prior files EXISTING with their original sequence, both
+    snapshots time-travelable via read_iceberg, metadata-log/version-hint
+    advanced, re-export idempotent."""
+    import json as _json
+
+    from redpanda_spark.sources.datalake import read_datalake, write_datalake
+    from redpanda_spark.sources.iceberg_export import (
+        avro_ocf_read,
+        export_iceberg,
+        read_iceberg,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    df1 = spark.range(6).select(
+        F.col("id"), F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("_hour")
+    )
+    write_datalake(df1, lake)
+    r1 = export_iceberg(spark, lake, out)
+
+    df2 = spark.range(6, 10).select(
+        F.col("id"), F.to_timestamp(F.lit("2024-03-01 11:00:00")).alias("_hour")
+    )
+    write_datalake(df2, lake)
+    r2 = export_iceberg(spark, lake, out)
+    assert r2["table_uuid"] == r1["table_uuid"]
+    assert r2["metadata_path"].endswith("v2.metadata.json")
+
+    meta = _json.load(open(r2["metadata_path"]))
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [1, 2]
+    assert meta["last-sequence-number"] == 2
+    assert len(meta["metadata-log"]) == 1
+    # manifest entry statuses: snapshot 2 carries EXISTING + ADDED
+    snap2 = meta["snapshots"][-1]
+    _s, _m, [mf] = avro_ocf_read(snap2["manifest-list"])
+    assert mf["added_data_files_count"] > 0
+    assert mf["existing_data_files_count"] > 0
+    assert mf["sequence_number"] == 2 and mf["min_sequence_number"] == 1
+    _es, _em, entries = avro_ocf_read(mf["manifest_path"])
+    ex = [e for e in entries if e["status"] == 0]
+    assert ex and all(e["sequence_number"] == 1 for e in ex)
+
+    # time travel through the Iceberg metadata matches the engine
+    got1 = sorted(r["id"] for r in read_iceberg(spark, out, snapshot_id=1).collect())
+    got2 = sorted(r["id"] for r in read_iceberg(spark, out).collect())
+    eng1 = sorted(r["id"] for r in read_datalake(spark, lake, snapshot_id=1).collect())
+    eng2 = sorted(r["id"] for r in read_datalake(spark, lake).collect())
+    assert got1 == eng1 and got2 == eng2 and len(got2) == 10
+
+    # idempotent re-export: no new version
+    r3 = export_iceberg(spark, lake, out, snapshot_id=2)
+    assert r3["metadata_path"].endswith("v2.metadata.json")
+    assert _json.load(open(r3["metadata_path"]))["last-sequence-number"] == 2
