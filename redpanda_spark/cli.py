@@ -336,6 +336,50 @@ def cmd_registry_mode(args) -> int:
     return 0
 
 
+def cmd_datalake_export(args) -> int:
+    """Topic -> hour-partitioned datalake snapshot (registry/Avro/JSON
+    decode per flags; the reference's datalake mode in batch form)."""
+    eng = _engine(args)
+    from redpanda_spark.sources.datalake import export_topic
+
+    import os as _os
+
+    kw = {}
+    if args.avro_schema:
+        kw["avro_schema"] = open(args.avro_schema).read()
+        kw["wire_framed"] = args.wire_framed
+    elif args.subject:
+        from redpanda_spark.registry.store import SchemaRegistry
+
+        kw["registry"] = SchemaRegistry(
+            _os.path.join(args.root, "_schema_registry.json")
+        )
+        kw["subject"] = args.subject
+    elif args.json_schema:
+        kw["json_schema"] = args.json_schema  # Spark DDL, e.g. "a long, b string"
+        kw["wire_framed"] = args.wire_framed
+    else:
+        raise SystemExit(
+            "pass --subject (registry dispatch), --avro-schema FILE, or "
+            "--json-schema 'col type, ...'"
+        )
+    files = export_topic(eng, args.topic, args.path, **kw)
+    print(json.dumps({"topic": args.topic, "path": args.path,
+                      "snapshot_files": len(files)}))
+    return 0
+
+
+def cmd_datalake_export_iceberg(args) -> int:
+    """Datalake table -> Apache Iceberg v2 table (incremental: each call
+    appends the newest engine snapshot as an Iceberg snapshot)."""
+    eng = _engine(args)
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    out = export_iceberg(eng.spark, args.path, args.out)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
@@ -426,6 +470,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="READWRITE|READONLY|IMPORT; omit to read")
     rm.add_argument("--subject", default=None)
     rm.set_defaults(fn=cmd_registry_mode)
+
+    dl = sub.add_parser("datalake").add_subparsers(dest="verb", required=True)
+    de = dl.add_parser("export")
+    de.add_argument("topic")
+    de.add_argument("path")
+    de.add_argument("--subject", default=None,
+                    help="registry subject for per-record schema dispatch")
+    de.add_argument("--avro-schema", default=None,
+                    help="path to an Avro schema JSON file")
+    de.add_argument("--json-schema", default=None,
+                    help="Spark DDL for JSON values, e.g. 'a long, b string'")
+    de.add_argument("--wire-framed", action="store_true",
+                    help="values carry the registry wire header")
+    de.set_defaults(fn=cmd_datalake_export)
+    di = dl.add_parser("export-iceberg")
+    di.add_argument("path", help="datalake table path")
+    di.add_argument("out", help="Iceberg table output path")
+    di.set_defaults(fn=cmd_datalake_export_iceberg)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")
