@@ -51,6 +51,7 @@ _PRIORITY = [
     "events_window_topk",
     "iceberg_export_counts",
     "ann_pq",
+    "doc_gopher_rules",
     # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket

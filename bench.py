@@ -97,6 +97,7 @@ BENCH_QUERIES_EXTENDED = [
     "events_window_topk",
     "iceberg_export_counts",
     "ann_pq",
+    "doc_gopher_rules",
 ]
 
 

@@ -209,3 +209,58 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    col: Column | str, min_words: int = 50, min_stopwords: int = 2
+) -> dict[str, Column]:
+    """Gopher quality-filter signals (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1 repetition/quality heuristics — the rule
+    set every published web-corpus recipe since reuses): word count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), fraction of words containing an alphabetic character, and
+    the required-stopword count. Pure JVM expressions over one token
+    split — no UDF, one pass, map-only at any scale.
+
+    Returns the named signal columns plus ``gopher_pass`` (all rules).
+    Thresholds default to the published ones: 50 <= words <= 100000,
+    3 <= mean_word_len <= 10, symbol_ratio <= 0.1, alpha_frac >= 0.8,
+    >= 2 of the 8 required stopwords present. ``min_words`` /
+    ``min_stopwords`` are tunable — corpora whose register lacks English
+    function words (code, tables, synthetic fixtures) use a lower
+    stopword floor, exactly how deployments retune this rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))  # avoid /0 on empty docs (they fail anyway)
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / nz
+    n_hash = F.size(F.split(c, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(c, r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis) / nz
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz
+    )
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(sw, lambda s: F.array_contains(F.transform(toks, F.lower), s))
+    )
+    out = {
+        "n_words": n.cast("int"),
+        "mean_word_len": F.round(mean_len, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "alpha_frac": F.round(alpha_frac, 6),
+        "stopword_hits": stop_hits.cast("int"),
+    }
+    out["gopher_pass"] = (
+        n.between(min_words, 100_000)
+        & F.round(mean_len, 6).between(3.0, 10.0)
+        & (F.round(symbol_ratio, 6) <= 0.1)
+        & (F.round(alpha_frac, 6) >= 0.8)
+        & (stop_hits >= min_stopwords)
+    )
+    return out

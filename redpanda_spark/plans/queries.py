@@ -4877,3 +4877,54 @@ FROM r WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"ann_pq": q_ann_pq})
 ORACLES.update({"ann_pq": SQL_ANN_PQ})
+
+
+# -- Gopher quality rules ------------------------------------------------------
+
+
+def q_doc_gopher_rules(spark, sf_dir):
+    """Per-document Gopher quality signals + verdict (functions/text.py
+    gopher_rules; Rae et al. 2021 thresholds)."""
+    docs = _t(spark, sf_dir, "documents")
+    # synthetic-corpus tuning (documented in gopher_rules): the fixture
+    # vocabulary carries few English function words, so the stopword
+    # floor drops to 1 — the verdict then actually discriminates
+    sig = TXT.gopher_rules("text", min_words=50, min_stopwords=1)
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in sig.items()]
+    )
+
+
+_GSW = ", ".join(f"'{w}'" for w in TXT.GOPHER_STOPWORDS)
+SQL_DOC_GOPHER_RULES = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    GREATEST(len(toks), 1) AS nz,
+    list_sum(list_transform(toks, x -> length(x))) AS charsum,
+    len(string_split(text, '#')) - 1 AS n_hash,
+    len(string_split(text, '...')) - 1 AS n_ellipsis,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    len(list_filter([{_GSW}],
+        s -> list_contains(list_transform(toks, x -> lower(x)), s))) AS stop_hits
+  FROM t)
+SELECT doc_id,
+  CAST(n AS INTEGER) AS n_words,
+  ROUND(COALESCE(charsum, 0) * 1.0 / nz, 6) AS mean_word_len,
+  ROUND((n_hash + n_ellipsis) * 1.0 / nz, 6) AS symbol_ratio,
+  ROUND(n_alpha * 1.0 / nz, 6) AS alpha_frac,
+  CAST(stop_hits AS INTEGER) AS stopword_hits,
+  (n BETWEEN 50 AND 100000
+   AND ROUND(COALESCE(charsum, 0) * 1.0 / nz, 6) BETWEEN 3.0 AND 10.0
+   AND ROUND((n_hash + n_ellipsis) * 1.0 / nz, 6) <= 0.1
+   AND ROUND(n_alpha * 1.0 / nz, 6) >= 0.8
+   AND stop_hits >= 1) AS gopher_pass
+FROM sig
+"""
+
+QUERIES.update({"doc_gopher_rules": q_doc_gopher_rules})
+ORACLES.update({"doc_gopher_rules": SQL_DOC_GOPHER_RULES})
