@@ -548,6 +548,7 @@ def export_topic_stream(
     msg_name: str | None = None,
     wire_framed: bool = True,
     trigger_available_now: bool = False,
+    iceberg_out: str | None = None,
 ):
     """Continuous topic → datalake export (the reference's datalake mode:
     `datalake/coordinator/` drains partitions into Iceberg continuously).
@@ -556,7 +557,13 @@ def export_topic_stream(
     batch (crash between snapshot commit and checkpoint advance) is
     SKIPPED when its id already committed — exactly-once table commits
     over the at-least-once foreachBatch contract, the same
-    offset-tracking idea the reference's coordinator persists."""
+    offset-tracking idea the reference's coordinator persists.
+
+    ``iceberg_out``: additionally commit each micro-batch's snapshot to a
+    real Apache Iceberg v2 table (sources/iceberg_export.py) — the full
+    `iceberg_file_committer.cc` shape: one Iceberg snapshot per batch,
+    idempotent under foreachBatch replays (an already-exported snapshot
+    is a no-op)."""
     stream = engine.log_stream(topic)
     typed = _translate_any(
         stream,
@@ -569,9 +576,16 @@ def export_topic_stream(
         wire_framed=wire_framed,
     )
 
-    writer = typed.writeStream.foreachBatch(
-        lambda batch_df, batch_id: commit_stream_batch(path, batch_df, batch_id)
-    ).option("checkpointLocation", checkpoint)
+    def _commit(batch_df, batch_id):
+        commit_stream_batch(path, batch_df, batch_id)
+        if iceberg_out is not None:
+            from redpanda_spark.sources.iceberg_export import export_iceberg
+
+            export_iceberg(batch_df.sparkSession, path, iceberg_out)
+
+    writer = typed.writeStream.foreachBatch(_commit).option(
+        "checkpointLocation", checkpoint
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

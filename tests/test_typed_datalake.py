@@ -1025,3 +1025,49 @@ def test_export_iceberg_incremental_snapshots(spark, tmp_path):
     r3 = export_iceberg(spark, lake, out, snapshot_id=2)
     assert r3["metadata_path"].endswith("v2.metadata.json")
     assert _json.load(open(r3["metadata_path"]))["last-sequence-number"] == 2
+
+
+def test_export_topic_stream_to_iceberg(spark, tmp_path):
+    """Continuous lakehouse commit: the streaming export also commits
+    each micro-batch's snapshot to a real Iceberg v2 table; a second
+    stream run over new records APPENDS an Iceberg snapshot, and
+    read_iceberg always matches the engine's read_datalake."""
+    import json as _json
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+    from redpanda_spark.sources.datalake import export_topic_stream
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+
+    eng = TopicEngine(spark, str(tmp_path / "topics"))
+    eng.create_topic("exi", TopicConfig(partitions=2))
+    eng.produce(
+        "exi",
+        [
+            {"key": str(i).encode(), "value": _json.dumps({"a": i}).encode()}
+            for i in range(5)
+        ],
+    )
+    lake = str(tmp_path / "lake_i")
+    ice = str(tmp_path / "ice_i")
+    kw = dict(json_schema="a long", trigger_available_now=True, iceberg_out=ice)
+    q = export_topic_stream(eng, "exi", lake, str(tmp_path / "ck1"), **kw)
+    q.awaitTermination(120)
+    assert sorted(
+        r["a"] for r in read_iceberg(spark, ice).collect()
+    ) == list(range(5))
+
+    eng.produce(
+        "exi",
+        [
+            {"key": str(i).encode(), "value": _json.dumps({"a": i}).encode()}
+            for i in range(5, 8)
+        ],
+    )
+    q = export_topic_stream(eng, "exi", lake, str(tmp_path / "ck1"), **kw)
+    q.awaitTermination(120)
+    got = sorted(r["a"] for r in read_iceberg(spark, ice).collect())
+    assert got == list(range(8))
+    meta = _json.load(
+        open(os.path.join(ice, "metadata", "v2.metadata.json"))
+    )
+    assert len(meta["snapshots"]) == 2  # one Iceberg snapshot per batch
