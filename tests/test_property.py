@@ -538,3 +538,71 @@ def test_banded_hamming_join_matches_brute_force(spark, hs, max_h):
             if d <= max_h:
                 want[(i, j)] = d
     assert got == want
+
+
+# -- chunking ≡ pure-Python reference --------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_matches_model(spark, docs_words, window, stride):
+    from pyspark.sql import Row
+
+    from redpanda_spark.pipeline.dataset import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(w)) for i, w in enumerate(docs_words)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, window, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"], r["n_chunks"])
+        )
+    for i, words in enumerate(docs_words):
+        starts = list(range(0, len(words), stride))
+        want = [
+            (j, " ".join(words[s : s + window]),
+             len(words[s : s + window]), len(starts))
+            for j, s in enumerate(starts)
+        ]
+        assert sorted(got.get(i, [])) == want, (i, window, stride)
+
+
+# -- fetch byte budget ≡ pure-Python reference ------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=400),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fetch_max_bytes_matches_model(spark, sizes, budget):
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators import log as LOG
+
+    rows = [
+        Row(partition=0, offset=i, key=None, value=bytes(sz))
+        for i, sz in enumerate(sizes)
+    ]
+    log = spark.createDataFrame(
+        rows, "partition int, offset long, key binary, value binary"
+    )
+    got = [r["offset"] for r in
+           LOG.fetch_max_bytes(log, budget, partition=0).collect()]
+    want, cum = [], 0
+    for i, sz in enumerate(sizes):
+        if cum >= budget:
+            break
+        want.append(i)
+        cum += 16 + sz
+    assert sorted(got) == want, (sizes, budget)
