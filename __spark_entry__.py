@@ -38,9 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # + the queries whose newest driver row is r4. The catalog (102) now
 # exceeds 2x the gate (50), so a strict every-row-within-one-round is no
 # longer possible; the invariant becomes "no row older than two rounds".
-# Next round's priority: new r7 queries + tpch_q21ish/tpch_q22ish/
-# pipeline_split/mix/redact/pack (r4 rows, displaced past slot 50 this
-# round — put them FIRST) + the 45 r5-row holders.
+# Next round's priority: new r7 queries + the displaced r4-row holders
+# (tpch_q20ish/q21ish/q22ish, pipeline_split/mix/redact/pack — put them
+# FIRST) + the 45 r5-row holders.
 _PRIORITY = [
     # new in round 6 (no driver row yet)
     "doc_perplexity_serve",
@@ -52,6 +52,7 @@ _PRIORITY = [
     "iceberg_export_counts",
     "ann_pq",
     "doc_gopher_rules",
+    "ann_ivfpq",
     # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket

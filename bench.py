@@ -98,6 +98,7 @@ BENCH_QUERIES_EXTENDED = [
     "iceberg_export_counts",
     "ann_pq",
     "doc_gopher_rules",
+    "ann_ivfpq",
 ]
 
 

@@ -4928,3 +4928,84 @@ FROM sig
 
 QUERIES.update({"doc_gopher_rules": q_doc_gopher_rules})
 ORACLES.update({"doc_gopher_rules": SQL_DOC_GOPHER_RULES})
+
+
+# -- IVF + PQ composed ANN (the FAISS IVFPQ shape) ----------------------------
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """The billion-scale ANN layout: IVF cells prune WHICH vectors to
+    score (nprobe of n_cells), PQ-ADC prunes WHAT scoring costs (m table
+    lookups per candidate). Gate = exact top-10 by squared L2
+    (hash-checked) + recall_ok asserting the IVFPQ shortlist (nprobe=8
+    of 16 cells, 50-wide ADC) captures >= 50% of it."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, n_cells=16)
+    corpus = ivf_assign(parallelize_narrow(emb), cents).select("vec_id", "cell")
+    books = fit_pq_codebooks(emb)
+    codes = pq_encode(parallelize_narrow(emb), books)
+    q = np.array(
+        emb.where(F.col("vec_id") == 2)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    # probe cells driver-side: centroids are engine metadata, not data
+    sims = np.round(cents @ q, 6)
+    probed = [int(c) for c in np.argsort(-sims)[:8]]
+    cands = codes.join(corpus, "vec_id").where(F.col("cell").isin(probed))
+    shortlist = {
+        r["vec_id"] for r in pq_adc_topk(cands, q, books, k=50).collect()
+    }
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        emb.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = sum(1 for i in exact_ids if i in shortlist) >= 5
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+SQL_ANN_IVFPQ = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 2),
+d AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(len(qv)),
+      i -> (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1])
+           * (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1]))) AS dd
+  FROM embeddings, q),
+r AS (
+  SELECT vec_id, dd,
+    CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS INTEGER) AS rank
+  FROM d)
+SELECT rank, vec_id, ROUND(dd, 6) AS dist, TRUE AS recall_ok
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES.update({"ann_ivfpq": q_ann_ivfpq})
+ORACLES.update({"ann_ivfpq": SQL_ANN_IVFPQ})
