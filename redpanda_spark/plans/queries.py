@@ -4567,8 +4567,8 @@ ORACLES.update({"doc_chunk": SQL_DOC_CHUNK})
 
 # -- Dataset mixture planning ------------------------------------------------
 
-_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15}
-_MIX_BUDGET = 4000
+_PLAN_WEIGHTS = {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15}
+_PLAN_BUDGET = 4000
 
 
 def q_mixture_plan(spark, sf_dir):
@@ -4581,11 +4581,11 @@ def q_mixture_plan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "source", token_count("text").alias("n_tokens")
     )
-    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET).orderBy("source")
+    return mixture_plan(docs, _PLAN_WEIGHTS, _PLAN_BUDGET).orderBy("source")
 
 
 _MIX_CASE = " ".join(
-    f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items()
+    f"WHEN source = '{s}' THEN {w}" for s, w in _PLAN_WEIGHTS.items()
 )
 SQL_MIXTURE_PLAN = rf"""
 WITH sized AS (
@@ -4599,12 +4599,12 @@ per AS (
          COUNT(*) AS n_docs, ANY_VALUE(weight) AS weight
   FROM sized GROUP BY source)
 SELECT source, n_docs, available_tokens,
-  CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT) AS target_tokens,
-  ROUND(LEAST(1.0, CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+  CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
+  ROUND(LEAST(1.0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
                    / available_tokens), 6) AS sample_rate,
-  ROUND(CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+  ROUND(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
         / available_tokens, 6) AS epochs,
-  GREATEST(0, CAST(ROUND(weight * {_MIX_BUDGET}) AS BIGINT)
+  GREATEST(0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
               - available_tokens) AS deficit_tokens
 FROM per ORDER BY source
 """
