@@ -82,6 +82,13 @@ class RestApp:
             ),
             ("GET", r"^/subjects$", self._subjects),
             ("POST", r"^/subjects/([^/]+)/versions$", self._register),
+            ("POST", r"^/subjects/([^/]+)$", self._lookup_schema),
+            ("DELETE", r"^/subjects/([^/]+)$", self._delete_subject),
+            (
+                "DELETE",
+                r"^/subjects/([^/]+)/versions/(\d+)$",
+                self._delete_version,
+            ),
             ("GET", r"^/subjects/([^/]+)/versions$", self._versions),
             ("GET", r"^/subjects/([^/]+)/versions/([^/]+)$", self._get_version),
             (
@@ -341,6 +348,34 @@ class RestApp:
             references=body.get("references"),
         )
         return 200, {"id": sid}
+
+    def _lookup_schema(self, subject, body, query):
+        """POST /subjects/{s}: is this exact schema already registered?
+        (api-doc post_subject). Returns the registered coordinates, 404
+        with the Confluent 40403 code when absent — never registers."""
+        from redpanda_spark.registry.store import _canonical
+
+        stype = body.get("schemaType", "AVRO")
+        canon = _canonical(body["schema"], stype)
+        for ver in self.registry.versions(subject):
+            v = self.registry.get_version(subject, ver)
+            if v.type == stype and _canonical(v.schema, v.type) == canon:
+                return 200, {
+                    "subject": subject,
+                    "id": v.id,
+                    "version": v.version,
+                    "schema": v.schema,
+                }
+        return 404, {"error_code": 40403, "message": "schema not found"}
+
+    def _delete_subject(self, subject, body, query):
+        """DELETE /subjects/{s}: soft-delete all live versions; returns
+        the deleted version list (api-doc delete_subject)."""
+        return 200, self.registry.delete_subject(subject)
+
+    def _delete_version(self, subject, version, body, query):
+        self.registry.delete_version(subject, int(version))
+        return 200, int(version)
 
     def _versions(self, subject, body, query):
         vs = self.registry.versions(subject)

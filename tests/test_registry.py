@@ -513,3 +513,29 @@ def test_mode_rest_endpoints(tmp_path):
     assert call("GET", "/mode/s") == (200, {"mode": "READWRITE"})
     assert call("DELETE", "/mode/s")[0] == 200
     assert call("GET", "/mode/s") == (200, {"mode": "READONLY"})  # fallback
+
+
+def test_rest_schema_lookup_and_deletes():
+    """POST /subjects/{s} lookup + DELETE subject/version routes
+    (api-doc post_subject / delete_subject)."""
+    from redpanda_spark.rest import RestApp
+
+    app = RestApp.__new__(RestApp)
+    app.registry = SchemaRegistry()
+    sid = app.registry.register("s", V1)
+    app.registry.register("s", V2_ADD_DEFAULT)
+
+    code, out = app._lookup_schema("s", {"schema": V1}, {})
+    assert code == 200 and out["id"] == sid and out["version"] == 1
+    # whitespace-insensitive lookup (canonical form)
+    code, out = app._lookup_schema("s", {"schema": V1.replace(",", " , ")}, {})
+    assert code == 200 and out["id"] == sid
+    code, out = app._lookup_schema("s", {"schema": V2_PROMOTE}, {})
+    assert code == 404 and out["error_code"] == 40403
+
+    code, out = app._delete_version("s", "1", {}, {})
+    assert code == 200
+    assert app.registry.versions("s") == [2]
+    code, out = app._delete_subject("s", {}, {})
+    assert code == 200 and out == [2]
+    assert app.registry.subjects() == []
