@@ -97,6 +97,13 @@ class RestApp:
                 self._referenced_by,
             ),
             ("GET", r"^/schemas/ids/(\d+)$", self._schema_by_id),
+            ("GET", r"^/schemas/ids/(\d+)/versions$", self._id_versions),
+            ("GET", r"^/schemas/ids/(\d+)/subjects$", self._id_subjects),
+            (
+                "POST",
+                r"^/compatibility/subjects/([^/]+)/versions/([^/]+)$",
+                self._compat_check,
+            ),
             ("GET", r"^/config$", self._get_config),
             ("PUT", r"^/config$", self._put_config),
             ("GET", r"^/mode$", self._get_mode),
@@ -409,6 +416,36 @@ class RestApp:
         if v.references:
             out["references"] = v.references
         return 200, out
+
+    def _id_versions(self, sid, body, query):
+        """GET /schemas/ids/{id}/versions (api-doc get_schema_versions):
+        every (subject, version) carrying this global id."""
+        v = self.registry.get_by_id(int(sid))
+        return 200, [{"subject": v.subject, "version": v.version}]
+
+    def _id_subjects(self, sid, body, query):
+        v = self.registry.get_by_id(int(sid))
+        return 200, [v.subject]
+
+    def _compat_check(self, subject, version, body, query):
+        """POST /compatibility/subjects/{s}/versions/{v}: would this
+        candidate register cleanly against that version under the
+        configured level? (api-doc compatibility_subject_version)"""
+        from redpanda_spark.registry.store import test_compatibility
+
+        v = (
+            self.registry.get_latest(subject)
+            if version == "latest"
+            else self.registry.get_version(subject, int(version))
+        )
+        level = self.registry.get_compatibility(subject)
+        ok, why = test_compatibility(
+            v.schema,
+            body["schema"],
+            body.get("schemaType", v.type),
+            level.replace("_TRANSITIVE", ""),
+        )
+        return 200, {"is_compatible": bool(ok)}
 
     def _get_config(self, body, query):
         return 200, {"compatibilityLevel": self.registry.get_compatibility()}

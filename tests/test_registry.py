@@ -539,3 +539,19 @@ def test_rest_schema_lookup_and_deletes():
     code, out = app._delete_subject("s", {}, {})
     assert code == 200 and out == [2]
     assert app.registry.subjects() == []
+
+
+def test_rest_id_lookups_and_compat_check():
+    from redpanda_spark.rest import RestApp
+
+    app = RestApp.__new__(RestApp)
+    app.registry = SchemaRegistry()
+    sid = app.registry.register("s", V1)
+    code, out = app._id_versions(str(sid), {}, {})
+    assert code == 200 and out == [{"subject": "s", "version": 1}]
+    code, out = app._id_subjects(str(sid), {}, {})
+    assert code == 200 and out == ["s"]
+    code, out = app._compat_check("s", "latest", {"schema": V2_ADD_DEFAULT}, {})
+    assert code == 200 and out == {"is_compatible": True}
+    code, out = app._compat_check("s", "1", {"schema": V2_NARROW}, {})
+    assert code == 200 and out == {"is_compatible": False}
