@@ -151,10 +151,20 @@ class Consumer:
             return self.engine.high_watermarks(topic).get(partition, 0)
         return self.engine._log_starts(topic).get(partition, 0)
 
-    def poll(self, max_records_per_partition: int | None = None) -> dict:
+    def poll(
+        self,
+        max_records_per_partition: int | None = None,
+        max_partition_fetch_bytes: int | None = None,
+    ) -> dict:
         """Fetch new records for every assigned partition from the current
         position; advances in-memory positions (commit() makes them
-        durable). Returns {(topic, partition): [rows...]}."""
+        durable). Returns {(topic, partition): [rows...]}.
+
+        Served through the engine's hot-tail cache when it covers the
+        positions (zero Spark jobs — the interactive consumer path);
+        ``max_partition_fetch_bytes`` applies the Kafka per-partition
+        byte budget (whole records, oversized first record still
+        returned)."""
         if not self.assignment:
             raise RuntimeError("not subscribed / empty assignment")
         out: dict[tuple[str, int], list] = {}
@@ -165,12 +175,12 @@ class Consumer:
                     continue
                 if key not in self._positions:
                     self._positions[key] = self._start_position(topic, p)
-                rows = self.engine.fetch(
+                rows = self.engine.fetch_rows(
                     topic, p,
                     offset=self._positions[key],
                     max_records=max_records_per_partition,
-                ).collect()
-                rows.sort(key=lambda r: r["offset"])
+                    max_bytes=max_partition_fetch_bytes,
+                )
                 if rows:
                     self._positions[key] = rows[-1]["offset"] + 1
                 out[key] = rows

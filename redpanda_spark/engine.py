@@ -896,6 +896,47 @@ class TopicEngine:
                     del new_tail[p]
         self._tail[topic] = new_tail
 
+    def fetch_rows(
+        self,
+        topic: str,
+        partition: int,
+        offset: int = 0,
+        max_records: int | None = None,
+        max_bytes: int | None = None,
+        isolation: str = "read_uncommitted",
+    ) -> list:
+        """Row-level fetch for interactive consumers: served from the
+        hot-tail cache when it covers the range (ZERO Spark jobs), else
+        the pruned parquet scan. Byte budget first, then the record cap —
+        the same order the relational path applies them."""
+        rows = self._tail_fetch(topic, partition, offset, isolation)
+        if rows is None:
+            rows = self.fetch(
+                topic,
+                partition,
+                offset=offset,
+                max_records=max_records,
+                max_bytes=max_bytes,
+                isolation=isolation,
+            ).collect()
+            rows.sort(key=lambda r: r["offset"])
+            return rows
+        if max_bytes is not None:
+            kept, cum = [], 0
+            for r in rows:  # first record always returns (broker contract)
+                if cum >= max_bytes:
+                    break
+                kept.append(r)
+                cum += (
+                    16
+                    + (len(r["key"]) if r["key"] else 0)
+                    + (len(r["value"]) if r["value"] else 0)
+                )
+            rows = kept
+        if max_records is not None:
+            rows = rows[:max_records]
+        return rows
+
     def _tail_fetch(self, topic, partition, offset, isolation):
         """Serve a fetch from the hot tail without a Spark job, or None if
         the tail can't FULLY answer it (read_committed needs LSO gating,
@@ -1191,17 +1232,7 @@ class TopicEngine:
         older than the tail falls back to the pruned parquet scan."""
         deadline = time.monotonic() + max_wait_s
         while True:
-            rows = self._tail_fetch(topic, partition, offset, isolation)
-            if rows is None:
-                rows = self.fetch(
-                    topic, partition, offset=offset, isolation=isolation
-                ).collect()
-                # Belt-and-braces for the ordering contract: collect()
-                # returns Spark partitions in index order, which the plan
-                # already makes offset-ordered, but the poll slice is small
-                # so a driver-side sort is free and makes the contract
-                # unconditional.
-                rows.sort(key=lambda r: r["offset"])
+            rows = self.fetch_rows(topic, partition, offset=offset, isolation=isolation)
             if len(rows) >= min_records or time.monotonic() >= deadline:
                 return rows
             time.sleep(poll_interval_s)

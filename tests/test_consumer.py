@@ -232,3 +232,33 @@ def test_pattern_subscription_and_offsets_for_times(spark, tmp_path):
     assert offs == {("app.a", 0): 0, ("app.b", 0): 0}
     offs_late = c.offsets_for_times("2024-06-01 00:00:00")
     assert offs_late == {("app.a", 0): None, ("app.b", 0): None}
+
+
+def test_consumer_poll_hot_tail_zero_jobs_and_byte_budget(spark, tmp_path):
+    """A consumer polling freshly produced records is served from the
+    engine's hot-tail cache with ZERO Spark jobs, and the Kafka
+    per-partition byte budget truncates at whole records."""
+    from redpanda_spark.consumer import Consumer
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("hotc", TopicConfig(partitions=1))
+    mgr = GroupManager({"hotc": 1}, engine=eng)
+    c = Consumer(eng, mgr, "g-hot", ["hotc"], auto_offset_reset="earliest")
+    c.subscribe()
+    c.poll()  # resolve start positions (one-time lookup, job-bearing)
+    for i in range(6):
+        eng.produce("hotc", [{"partition": 0, "key": b"k", "value": bytes(100)}])
+    sc = spark.sparkContext
+    sc.setJobGroup("consumer-hot", "poll must be job-free")
+    try:
+        # 117 bytes/record: budget 300 -> 3 records this poll
+        out = c.poll(max_partition_fetch_bytes=300)
+        assert [r["offset"] for r in out[("hotc", 0)]] == [0, 1, 2]
+        out = c.poll()  # rest of the tail
+        assert [r["offset"] for r in out[("hotc", 0)]] == [3, 4, 5]
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("consumer-hot")) == []
