@@ -292,6 +292,25 @@ def run_workload(
         engine.optimize_segments(topic, target_file_bytes=1 << 20)
         return {"op": "merge"} | verify_log_invariants(engine, topic, dense=dense)
 
+    def _produce_records() -> dict:
+        """Record-list produce (the zero-job driver-side path): the SAME
+        invariants must hold as for the DataFrame path, plus the hot-tail
+        cache must match the durable log byte-for-byte."""
+        nonlocal seq
+        recs = []
+        for _ in range(40):
+            key = f"k{rng.randrange(key_space)}".encode()
+            recs.append({"key": key, "value": encode_value(key, seq)})
+            seq += 1
+        engine.produce(topic, recs)
+        out = {"op": "produce_records"} | verify_log_invariants(
+            engine, topic, dense=dense
+        )
+        tail = verify_tail_consistency(engine, topic)
+        out["tail_ok"] = tail["ok"]
+        out["ok"] = out["ok"] and tail["ok"]
+        return out
+
     def _produce_idem_with_retry() -> dict:
         """Idempotent produce + a client retry of the SAME batch: the
         broker's sequence window must drop the duplicate (rows advance by
@@ -323,9 +342,36 @@ def run_workload(
         out["ok"] = (after - before == n) and inv["ok"]
         return out | {k: v for k, v in inv.items() if k != "ok"}
 
-    ops = [_produce, _produce, _compact, _truncate, _merge,
-           _produce_idem_with_retry]
+    ops = [_produce, _produce, _produce_records, _compact, _truncate,
+           _merge, _produce_idem_with_retry]
     reports.append(_produce())  # always start with data
     for _ in range(n_ops - 1):
         reports.append(rng.choice(ops)())
     return reports
+
+
+def verify_tail_consistency(engine, topic: str) -> dict:
+    """Hot-tail cache ≡ durable log over the covered range: the zero-job
+    read path (engine._tail, served by fetch_rows/fetch_poll) must be
+    indistinguishable from the parquet scan — same offsets, keys, and
+    payload bytes. The read-path twin of the contiguity invariant."""
+
+    def norm(r):
+        return (
+            r["offset"],
+            bytes(r["key"]) if r["key"] is not None else None,
+            bytes(r["value"]) if r["value"] is not None else None,
+        )
+
+    checked = mismatches = 0
+    for p, (start, rows) in sorted((engine._tail.get(topic) or {}).items()):
+        checked += 1
+        want = engine.fetch(topic, p, offset=start).collect()
+        want.sort(key=lambda r: r["offset"])
+        if [norm(r) for r in rows] != [norm(r) for r in want]:
+            mismatches += 1
+    return {
+        "tail_partitions_checked": checked,
+        "tail_mismatches": mismatches,
+        "ok": mismatches == 0,
+    }
