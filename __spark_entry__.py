@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # exceeds 2x the gate (50), so a strict every-row-within-one-round is no
 # longer possible; the invariant becomes "no row older than two rounds".
 # Next round's priority: new r7 queries + the displaced r4-row holders
-# (tpch_q20ish/q21ish/q22ish, pipeline_split/mix/redact/pack — put them
-# FIRST) + the 45 r5-row holders.
+# (tpch_q16ish/q20ish/q21ish/q22ish, pipeline_split/mix/redact/pack —
+# put them FIRST) + the 45 r5-row holders.
 _PRIORITY = [
     # new in round 6 (no driver row yet)
     "doc_perplexity_serve",
@@ -53,6 +53,7 @@ _PRIORITY = [
     "ann_pq",
     "doc_gopher_rules",
     "ann_ivfpq",
+    "events_rollup",
     # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket

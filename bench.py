@@ -99,6 +99,7 @@ BENCH_QUERIES_EXTENDED = [
     "ann_pq",
     "doc_gopher_rules",
     "ann_ivfpq",
+    "events_rollup",
 ]
 
 

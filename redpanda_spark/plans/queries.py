@@ -5009,3 +5009,60 @@ FROM r WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"ann_ivfpq": q_ann_ivfpq})
 ORACLES.update({"ann_ivfpq": SQL_ANN_IVFPQ})
+
+
+# -- Continuous rollup (hypertable downsampling) -----------------------------
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (streaming/rollup.py): the
+    events table is folded into the rollup store in TWO incremental
+    merges (odd/even event ids — every window is touched twice, so the
+    stored+new combine path actually runs), then read back. The oracle is
+    a single-pass SQL GROUP BY over the full input: the merge algebra is
+    hash-checked value-for-value, not assumed."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from redpanda_spark.streaming.rollup import merge_rollup, read_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_rollup",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    marker = os.path.join(cache, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        merge_rollup(cache, ev.where(F.col("event_id") % 2 == 0))
+        merge_rollup(cache, ev.where(F.col("event_id") % 2 == 1))
+        open(marker, "w").write("1")
+    out = read_rollup(spark, cache)
+    return out.select(
+        F.unix_micros("window_start").alias("win_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    ).orderBy("win_us", "event_type")
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
+  event_type, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value,
+  ROUND(MIN(value), 6) AS min_value,
+  ROUND(MAX(value), 6) AS max_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES.update({"events_rollup": q_events_rollup})
+ORACLES.update({"events_rollup": SQL_EVENTS_ROLLUP})

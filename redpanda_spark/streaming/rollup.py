@@ -1,0 +1,131 @@
+"""Continuous aggregate rollup — the hypertable-downsampling operator.
+
+A telemetry topic at 100 TB/day cannot be re-aggregated per dashboard
+query; the standard answer (TimescaleDB continuous aggregates, Druid
+rollup segments, Kafka Streams windowed KTables) is a MAINTAINED rollup
+table: per (tumbling window, dimension) mergeable partial aggregates,
+updated incrementally as data arrives, queryable as a plain table.
+
+Spark-first shape:
+- the per-batch work is one map-side-combinable aggregation of the
+  micro-batch (count / sum / min / max — all mergeable), touching only
+  the windows the batch contains;
+- the merge re-aggregates STORED rows for touched window-days only
+  (partition-pruned read: the rollup is laid out by ``window_date``),
+  unions the batch partials, and combines — O(touched windows), never
+  O(rollup);
+- the store commit is an atomic directory swap per touched day
+  (write-new + os.replace), the same crash story as the engine manifest:
+  a reader sees the old day or the new day, never a half-written one;
+- late data within the watermark simply lands in its (old) window's
+  partials and re-merges — rollup correctness is order-independent
+  because every aggregate is mergeable.
+
+The batch gate query (``events_rollup``) drives the SAME merge code in
+two halves and hash-checks the result against a straight SQL GROUP BY of
+the full input — the merge algebra is verified value-for-value, not
+assumed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROLLUP_SCHEMA = (
+    "window_start timestamp, event_type string, n bigint,"
+    " sum_value decimal(18,4), min_value double, max_value double"
+)
+
+
+def _partials(batch: DataFrame, window_dur: str) -> DataFrame:
+    """Mergeable partials for one micro-batch: one map-side-combinable
+    aggregation, rows only for the windows the batch touches."""
+    return (
+        batch.groupBy(
+            F.window("ts", window_dur)["start"].alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL sum: exact and order-free, so merging partial
+            # sums is bit-identical to a single-pass aggregate (the repo's
+            # cross-engine float convention)
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def _combine(parts: DataFrame) -> DataFrame:
+    """Merge partial rows (stored + new) — the aggregate algebra."""
+    return parts.groupBy("window_start", "event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").cast("decimal(18,4)").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") -> int:
+    """Fold one micro-batch into the rollup store; returns the number of
+    touched window-days. Day partitions not touched by the batch are
+    never read or rewritten."""
+    spark = batch.sparkSession
+    partials = _partials(batch, window_dur).withColumn(
+        "window_date", F.to_date("window_start")
+    )
+    days = [r["window_date"] for r in partials.select("window_date").distinct().collect()]
+    if not days:
+        return 0
+    for day in days:  # touched days only: O(batch), not O(rollup)
+        day_dir = os.path.join(store_path, f"window_date={day.isoformat()}")
+        new = partials.where(F.col("window_date") == F.lit(day)).drop("window_date")
+        if os.path.isdir(day_dir):
+            stored = spark.read.parquet(day_dir)
+            new = _combine(stored.unionByName(new))
+        else:
+            new = _combine(new)
+        tmp = day_dir + ".merge.tmp"
+        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = day_dir + ".old"
+        if os.path.isdir(day_dir):
+            os.replace(day_dir, old)
+        os.replace(tmp, day_dir)  # atomic visibility flip per day
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    return len(days)
+
+
+def read_rollup(spark, store_path: str) -> DataFrame:
+    """The rollup as a plain partition-pruned table (plus derived avg —
+    never stored: only mergeable aggregates persist)."""
+    df = spark.read.option("basePath", store_path).parquet(store_path)
+    return df.withColumn(
+        "avg_value", F.col("sum_value").cast("double") / F.col("n")
+    )
+
+
+def rollup_sink(
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = False,
+):
+    """Streaming maintenance: watermarked events flow through foreachBatch
+    into merge_rollup — the continuous-aggregate refresh policy."""
+    from redpanda_spark.streaming.stateful import _tz_aware
+
+    src = _tz_aware(events, "ts").withWatermark("ts", watermark)
+    writer = src.writeStream.foreachBatch(
+        lambda b, _id: merge_rollup(store_path, b, window_dur)
+    ).option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -317,3 +317,61 @@ def test_streaming_windowed_topk_matches_batch(spark, tmp_path):
     for key, vals in expect.items():
         vals.sort(key=lambda kv: (-kv[1], kv[0]))
         assert state["topk"][key] == vals[:2], key
+
+
+def test_continuous_rollup_stream_matches_batch(spark, tmp_path):
+    """rollup_sink maintains the continuous aggregate across micro-batches
+    (including a late row re-merging into an already-stored window);
+    the final store equals the batch GROUP BY."""
+    from redpanda_spark.streaming.rollup import (
+        merge_rollup,
+        read_rollup,
+        rollup_sink,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (i, "2024-03-01 10:%02d:00" % (i % 50), "click" if i % 2 == 0 else "view",
+         float(i) / 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    df.repartition(4).write.parquet(src)
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")  # several merge rounds
+        .parquet(src)
+    )
+    q = rollup_sink(stream, store, str(tmp_path / "ck"),
+                    trigger_available_now=True)
+    q.awaitTermination(180)
+
+    # a late event for the same (stored) window merges, not duplicates
+    late = spark.createDataFrame(
+        [(99, "2024-03-01 10:05:00", "click", 100.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    merge_rollup(store, late)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]):
+            (r["n"], float(r["sum_value"]), r["min_value"], r["max_value"])
+        for r in read_rollup(spark, store).collect()
+    }
+    want_df = df.unionByName(late).groupBy(
+        F.window("ts", "1 hour")["start"].alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    want = {
+        (str(r["w"]), r["event_type"]): (r["n"], float(r["s"]), r["mn"], r["mx"])
+        for r in want_df.collect()
+    }
+    assert got == want and len(got) == 2
