@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # exceeds 2x the gate (50), so a strict every-row-within-one-round is no
 # longer possible; the invariant becomes "no row older than two rounds".
 # Next round's priority: new r7 queries + the displaced r4-row holders
-# (tpch_q16ish/q20ish/q21ish/q22ish, pipeline_split/mix/redact/pack —
-# put them FIRST) + the 45 r5-row holders.
+# (tpch_q12ish onward through pipeline_pack — every r4-row holder past
+# slot 50; put them FIRST) + the 45 r5-row holders.
 _PRIORITY = [
     # new in round 6 (no driver row yet)
     "doc_perplexity_serve",
@@ -54,6 +54,7 @@ _PRIORITY = [
     "doc_gopher_rules",
     "ann_ivfpq",
     "events_rollup",
+    "doc_lang_eval",
     # changed in round 6
     "log_fetch",  # engine produce/fetch hot path + tail cache touched
     "dedup_simhash",  # banded join: localCheckpoint + max_bucket

@@ -100,6 +100,7 @@ BENCH_QUERIES_EXTENDED = [
     "doc_gopher_rules",
     "ann_ivfpq",
     "events_rollup",
+    "doc_lang_eval",
 ]
 
 

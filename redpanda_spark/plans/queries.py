@@ -5066,3 +5066,44 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES.update({"events_rollup": q_events_rollup})
 ORACLES.update({"events_rollup": SQL_EVENTS_ROLLUP})
+
+
+# -- Language-ID evaluation (confusion matrix) -------------------------------
+
+
+def q_doc_lang_eval(spark, sf_dir):
+    """Language-filter evaluation: confusion matrix of the labeled `lang`
+    column vs the marker-heuristic prediction, with per-label fractions —
+    the quality dashboard any lang-filtered corpus pipeline keeps. One
+    scan + one small groupBy; the per-label normalization joins the
+    already-reduced matrix (25 rows), never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    cm = (
+        docs.select("lang", TXT.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("t"))
+    return (
+        cm.join(tot, "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t"), 6).alias("frac"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+SQL_DOC_LANG_EVAL = f"""
+WITH scored AS (SELECT lang, {_lang_scores_select} FROM documents),
+pred AS (SELECT lang, {_lang_case} AS lang_pred FROM scored),
+cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS t FROM cm GROUP BY 1)
+SELECT cm.lang, lang_pred, n, ROUND(n * 1.0 / t, 6) AS frac
+FROM cm JOIN tot USING (lang) ORDER BY 1, 2
+"""
+
+QUERIES.update({"doc_lang_eval": q_doc_lang_eval})
+ORACLES.update({"doc_lang_eval": SQL_DOC_LANG_EVAL})
