@@ -89,14 +89,19 @@ def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") 
             new = _combine(stored.unionByName(new))
         else:
             new = _combine(new)
-        tmp = day_dir + ".merge.tmp"
+        # scratch dirs are "_"-prefixed: Spark's file index skips _/.
+        # paths, so a crash between write and replace can NEVER surface
+        # half-merged rows (or a bogus partition value) to read_rollup
+        tmp = os.path.join(store_path, f"_merge_tmp_{day.isoformat()}")
+        old = os.path.join(store_path, f"_merge_old_{day.isoformat()}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # stale-crash GC
+        shutil.rmtree(old, ignore_errors=True)
         new.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = day_dir + ".old"
         if os.path.isdir(day_dir):
             os.replace(day_dir, old)
         os.replace(tmp, day_dir)  # atomic visibility flip per day
-        import shutil
-
         shutil.rmtree(old, ignore_errors=True)
     return len(days)
 

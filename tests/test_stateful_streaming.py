@@ -375,3 +375,34 @@ def test_continuous_rollup_stream_matches_batch(spark, tmp_path):
         for r in want_df.collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_rollup_crash_leftovers_invisible_to_readers(spark, tmp_path):
+    """A crash between the scratch write and the atomic swap must leave
+    NOTHING a reader can see: scratch dirs are _-prefixed (skipped by
+    Spark's file index) and GC'd by the next merge."""
+    import os
+
+    from redpanda_spark.streaming.rollup import merge_rollup, read_rollup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", "click", 2.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    merge_rollup(store, df)
+    # simulate a crashed merge: scratch dir with plausible parquet content
+    crash = os.path.join(store, "_merge_tmp_2024-03-01")
+    spark.createDataFrame(
+        [("2024-03-01 10:00:00", "click", 999, 999.0, 0.0, 999.0)],
+        "window_start string, event_type string, n long,"
+        " sum_value string, min_value double, max_value double",
+    ).write.parquet(crash)
+    rows = read_rollup(spark, store).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 1  # leftovers invisible
+    # next merge GCs the leftover and stays correct
+    merge_rollup(store, df)
+    assert not os.path.isdir(crash)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 2
