@@ -297,10 +297,15 @@ def mixture_plan(
         "n_docs",
         "available_tokens",
         target.alias("target_tokens"),
-        F.round(
-            F.least(F.lit(1.0), target / F.col("available_tokens")), 6
-        ).alias("sample_rate"),
-        F.round(target / F.col("available_tokens"), 6).alias("epochs"),
+        # decimal(18,6), not ROUND(double, 6): a rounded double's last-bit
+        # representation differs across engines (Spark vs DuckDB) under a
+        # full-precision value hash; decimals are representation-exact.
+        F.round(F.least(F.lit(1.0), target / F.col("available_tokens")), 6)
+        .cast("decimal(18,6)")
+        .alias("sample_rate"),
+        F.round(target / F.col("available_tokens"), 6)
+        .cast("decimal(18,6)")
+        .alias("epochs"),
         F.greatest(F.lit(0), target - F.col("available_tokens")).alias(
             "deficit_tokens"
         ),

@@ -4600,10 +4600,10 @@ per AS (
   FROM sized GROUP BY source)
 SELECT source, n_docs, available_tokens,
   CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
-  ROUND(LEAST(1.0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
-                   / available_tokens), 6) AS sample_rate,
-  ROUND(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
-        / available_tokens, 6) AS epochs,
+  CAST(ROUND(LEAST(1.0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
+                   / available_tokens), 6) AS DECIMAL(18,6)) AS sample_rate,
+  CAST(ROUND(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
+        / available_tokens, 6) AS DECIMAL(18,6)) AS epochs,
   GREATEST(0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
               - available_tokens) AS deficit_tokens
 FROM per ORDER BY source
@@ -5029,10 +5029,23 @@ def q_events_rollup(spark, sf_dir):
     from redpanda_spark.streaming.rollup import merge_rollup, read_rollup
 
     ev = _t(spark, sf_dir, "events")
+    # cache key = path + input fingerprint (size/mtime of every file under
+    # the events parquet): regenerating fixtures in place MUST invalidate
+    # the store — a path-only key silently replays a stale rollup
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = [os.path.join(src, f) for f in sorted(os.listdir(src))]
+    fp = ";".join(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}"
+        for p in parts
+        if os.path.exists(p)
+        for st in [os.stat(p)]
+    )
     cache = os.path.join(
         tempfile.gettempdir(),
         "redpanda_spark_rollup",
-        hashlib.md5(sf_dir.encode()).hexdigest(),
+        hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest(),
     )
     marker = os.path.join(cache, "_built")
     if not os.path.exists(marker):

@@ -67,10 +67,21 @@ def fit_ivf_centroids(
 
     At 100 TB the sample fraction drops accordingly — centroid fitting cost
     is independent of corpus size.
+
+    The sample is DETERMINISTIC under any physical partitioning: rows are
+    chosen by a content hash (xxhash64 of the vector) bucket filter and
+    collected in hash order — never ``df.sample``/bare ``limit``, whose
+    output depends on partition layout and would let a repartition shift
+    the centroids (and flip downstream recall gates).
     """
+    modulus = max(1, int(round(1.0 / max(sample_fraction, 1e-9))))
+    h = F.pmod(F.xxhash64(F.col("v")), F.lit(modulus))
     sample = (
         emb.select(as_double(vec_col).alias("v"))
-        .sample(fraction=sample_fraction, seed=seed)
+        .withColumn("h", h)
+        .where(F.col("h") == 0)
+        .withColumn("ho", F.xxhash64(F.col("v")))
+        .orderBy("ho")
         .limit(100_000)
         .collect()
     )

@@ -81,23 +81,31 @@ def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") 
     days = [r["window_date"] for r in partials.select("window_date").distinct().collect()]
     if not days:
         return 0
+    import shutil
+
     for day in days:  # touched days only: O(batch), not O(rollup)
         day_dir = os.path.join(store_path, f"window_date={day.isoformat()}")
+        # scratch dirs are "_"-prefixed: Spark's file index skips _/.
+        # paths, so a crash between write and replace can NEVER surface
+        # half-merged rows (or a bogus partition value) to read_rollup
+        tmp = os.path.join(store_path, f"_merge_tmp_{day.isoformat()}")
+        old = os.path.join(store_path, f"_merge_old_{day.isoformat()}")
+        # Crash recovery BEFORE any GC: a crash between the two os.replace
+        # calls below leaves the day's only committed copy in `old` (and
+        # the merged copy in `tmp`) with day_dir missing — restore `old`
+        # as the visible day (roll BACK, never promote tmp: the
+        # interrupted batch re-merges via checkpoint replay, and a
+        # promoted tmp would double-apply it).
+        if not os.path.isdir(day_dir) and os.path.isdir(old):
+            os.replace(old, day_dir)
+        shutil.rmtree(tmp, ignore_errors=True)  # stale-crash GC
+        shutil.rmtree(old, ignore_errors=True)
         new = partials.where(F.col("window_date") == F.lit(day)).drop("window_date")
         if os.path.isdir(day_dir):
             stored = spark.read.parquet(day_dir)
             new = _combine(stored.unionByName(new))
         else:
             new = _combine(new)
-        # scratch dirs are "_"-prefixed: Spark's file index skips _/.
-        # paths, so a crash between write and replace can NEVER surface
-        # half-merged rows (or a bogus partition value) to read_rollup
-        tmp = os.path.join(store_path, f"_merge_tmp_{day.isoformat()}")
-        old = os.path.join(store_path, f"_merge_old_{day.isoformat()}")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # stale-crash GC
-        shutil.rmtree(old, ignore_errors=True)
         new.coalesce(1).write.mode("overwrite").parquet(tmp)
         if os.path.isdir(day_dir):
             os.replace(day_dir, old)

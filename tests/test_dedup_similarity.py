@@ -508,6 +508,20 @@ def test_banded_hamming_max_bucket_caps_degenerate_corpus(spark):
     assert len(full) == 15 and all(r["hamming"] == 0 for r in full)
 
 
+def test_ivf_centroid_fit_partition_invariant(spark, sf_dir):
+    """fit_ivf_centroids must yield identical centroids under any physical
+    partitioning (content-hash sample, not df.sample — the round-6 PQ
+    lesson applied to the IVF fit; a layout change must not be able to
+    shift centroids and flip a recall-floor gate)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = fit_ivf_centroids(emb, n_cells=8)
+    b = fit_ivf_centroids(emb.repartition(7), n_cells=8)
+    c = fit_ivf_centroids(emb.coalesce(1), n_cells=8)
+    assert np.allclose(a, b) and np.allclose(a, c)
+
+
 def test_pq_adc_recall_and_determinism(spark, sf_dir):
     """PQ codes: deterministic under repartitioning (id-hash sample, not
     df.sample), and the ADC shortlist at 5x overfetch captures most of

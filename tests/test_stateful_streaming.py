@@ -406,3 +406,69 @@ def test_rollup_crash_leftovers_invisible_to_readers(spark, tmp_path):
     assert not os.path.isdir(crash)
     [r] = read_rollup(spark, store).collect()
     assert r["n"] == 2
+
+
+def test_rollup_crash_between_swaps_recovers_committed_day(spark, tmp_path):
+    """A crash BETWEEN the two os.replace calls leaves the day's only
+    committed copy in _merge_old_<day> (day_dir missing, merged copy in
+    _merge_tmp_<day>). The next merge must restore the committed copy
+    before GC — rolling back, never promoting tmp (the interrupted batch
+    replays via the checkpoint, so a promoted tmp would double-apply)."""
+    import os
+
+    from redpanda_spark.streaming.rollup import merge_rollup, read_rollup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", "click", 2.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    merge_rollup(store, df)
+    day_dir = os.path.join(store, "window_date=2024-03-01")
+    old = os.path.join(store, "_merge_old_2024-03-01")
+    tmp = os.path.join(store, "_merge_tmp_2024-03-01")
+    # simulate the mid-swap crash: committed day shunted to old, merged
+    # (would-double-apply) copy sitting in tmp, day_dir gone
+    os.replace(day_dir, old)
+    spark.createDataFrame(
+        [("2024-03-01 10:00:00", "click", 2, "4.0000", 2.0, 2.0)],
+        "window_start string, event_type string, n long,"
+        " sum_value string, min_value double, max_value double",
+    ).write.parquet(tmp)
+    assert not os.path.isdir(day_dir)
+    # the replayed batch re-merges; prior aggregates must NOT be lost
+    merge_rollup(store, df)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 2 and float(r["sum_value"]) == 4.0
+    assert not os.path.isdir(old) and not os.path.isdir(tmp)
+
+
+def test_rollup_gate_cache_invalidated_on_fixture_rewrite(spark, tmp_path):
+    """q_events_rollup's store cache must key on the INPUT parquet's
+    fingerprint, not just the sf_dir path: regenerating fixtures in place
+    must not replay a stale rollup."""
+    import time
+
+    from redpanda_spark.plans.queries import QUERIES
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+
+    def write_events(n):
+        spark.createDataFrame(
+            [(i, "2024-03-01 10:00:00", i, "click", 1.0, "{}") for i in range(n)],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    write_events(4)
+    [r] = QUERIES["events_rollup"](spark, sf).collect()
+    assert r["n"] == 4
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    write_events(7)  # regenerate in place
+    [r] = QUERIES["events_rollup"](spark, sf).collect()
+    assert r["n"] == 7  # stale path-keyed cache would still say 4

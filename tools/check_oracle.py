@@ -27,7 +27,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6f}"
+        # Full-precision repr, NOT a fixed-dp format: the driver's gate
+        # hashes full-precision values, and a 6-dp normalization here once
+        # masked a last-bit representation mismatch the driver failed
+        # (mixture_plan, round 6). The local gate must be at least as
+        # strict as the driver's.
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()[:26]
     return str(v)
