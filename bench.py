@@ -274,12 +274,18 @@ def bench_e2e_latency(spark, n: int = 25) -> dict:
     try:
         engine = TopicEngine(spark, root)
         engine.create_topic("lat", TopicConfig(partitions=1))
-        lats, scan_lats = [], []
+        lats, scan_lats, rc_lats = [], [], []
         for i in range(n):
             t0 = time.time()
             engine.produce("lat", [{"partition": 0, "key": b"k", "value": b"v%d" % i}])
             got = engine.fetch_poll("lat", 0, offset=i)
             lats.append((time.time() - t0) * 1000)
+            assert len(got) == 1 and got[0]["offset"] == i
+            # read_committed consumers ride the tail too (LSO bound +
+            # aborted filter applied in-process from the tx-ranges mirror)
+            t0 = time.time()
+            got = engine.fetch_poll("lat", 0, offset=i, isolation="read_committed")
+            rc_lats.append((time.time() - t0) * 1000)
             assert len(got) == 1 and got[0]["offset"] == i
             t0 = time.time()
             got = engine.fetch("lat", 0, offset=i).collect()
@@ -287,12 +293,14 @@ def bench_e2e_latency(spark, n: int = 25) -> dict:
             assert len(got) == 1
         lats.sort()
         scan_lats.sort()
+        rc_lats.sort()
         return {
             "workload": "e2e_visible_latency",
             "samples": n,
             "p50_ms": round(lats[len(lats) // 2], 1),
             "min_ms": round(lats[0], 1),
             "max_ms": round(lats[-1], 1),
+            "rc_p50_ms": round(rc_lats[len(rc_lats) // 2], 1),
             "scan_p50_ms": round(scan_lats[len(scan_lats) // 2], 1),
         }
     finally:
@@ -500,6 +508,7 @@ def main():
             "small_batches_msg_s": omb_small["produce_msg_s"],
             "drain_mb_s": drain["drain_mb_s"],
             "e2e_p50_ms": e2e["p50_ms"],
+            "e2e_rc_p50_ms": e2e["rc_p50_ms"],
         },
         "sf1": {
             "suite_wall_s": sf1.get("suite_wall_s"),

@@ -180,6 +180,10 @@ class TopicEngine:
         self._tail: dict[str, dict[int, tuple[int, list[dict]]]] = {}
         self._tail_max_rows = 2048  # per partition
         self._tail_max_bytes = 16 << 20  # per topic (batch_cache reservation)
+        # driver-side mirror of the (tiny) _tx_ranges side table, keyed by
+        # the dir's file listing — lets the hot tail serve read_committed
+        # with zero Spark jobs (LSO bound + aborted filter in-process)
+        self._tx_local_cache: tuple[tuple[str, ...], list[dict]] | None = None
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -557,10 +561,30 @@ class TopicEngine:
                 raise ProduceError(
                     "INVALID_RECORD", f"unknown record fields {sorted(bad_cols)}"
                 )
+            if rows and "value" not in cols:
+                # same error surface as the other validations — not a raw
+                # KeyError mid-produce (null value = tombstone is fine,
+                # an absent value FIELD is not a record)
+                raise ProduceError(
+                    "INVALID_RECORD",
+                    "records must carry a 'value' field (null = tombstone)",
+                )
         else:
             try:
+                # isLocal() only looks at the ANALYZED plan, so a foldable
+                # projection over a driver-held batch (e.g. the tx
+                # coordinator's withColumn(lit(pid))) reads as non-local
+                # even though ConvertToLocalRelation collapses it — check
+                # the OPTIMIZED plan too before declining
                 if not batch.isLocal():
-                    return None
+                    opt = (
+                        batch._jdf.queryExecution()
+                        .optimizedPlan()
+                        .getClass()
+                        .getSimpleName()
+                    )
+                    if opt != "LocalRelation":
+                        return None
                 # LocalTableScan: executeCollect, no executors involved
                 rows = [r.asDict() for r in batch.collect()]
             except Exception:
@@ -750,7 +774,7 @@ class TopicEngine:
 
         prev_tail = dict(self._tail.get(topic) or {})
         self._commit_manifest(topic)  # atomic visibility point (clears tail)
-        self._update_tail(topic, prev_tail, recs, bases, session_tz, epoch, one_us)
+        self._update_tail(topic, prev_tail, recs, bases)
         return bases
 
     def _write_local_segment(
@@ -847,20 +871,25 @@ class TopicEngine:
                 f"{bad} record(s) failed schema-id validation for subject {subject}",
             )
 
-    def _update_tail(
-        self, topic, prev_tail, recs, bases, session_tz, epoch, one_us
-    ) -> None:
+    def _update_tail(self, topic, prev_tail, recs, bases) -> None:
         """Post-commit hot-tail maintenance: extend contiguous coverage,
         trim to the row/byte budgets from the OLD end (so coverage always
         stays [start, high))."""
+        import datetime as _dt
+
         new_tail: dict[int, tuple[int, list[dict]]] = dict(prev_tail)
         by_part: dict[int, list[dict]] = {}
         for r in recs:
             row = dict(r)
-            # store timestamps the way a Spark collect() returns them:
-            # naive datetime in the session timezone
-            ts = (epoch + row["timestamp"] * one_us).astimezone(session_tz)
-            row["timestamp"] = ts.replace(tzinfo=None)
+            # store timestamps EXACTLY the way a Spark collect() returns
+            # them: TimestampType.fromInternal = datetime.fromtimestamp
+            # (OS-local naive) — NOT the session timezone, which diverges
+            # from collect() whenever the two differ (the tail and the
+            # parquet scan must be indistinguishable, timestamps included)
+            us = row["timestamp"]
+            row["timestamp"] = _dt.datetime.fromtimestamp(
+                us // 1_000_000
+            ).replace(microsecond=us % 1_000_000)
             by_part.setdefault(row["partition"], []).append(row)
         for p, lst in by_part.items():
             prev = prev_tail.get(p)
@@ -937,12 +966,55 @@ class TopicEngine:
             rows = rows[:max_records]
         return rows
 
+    def _tx_ranges_local(self) -> list[dict]:
+        """Driver-side (zero Spark jobs) replica of ``tx_ranges()``'s live
+        view: final rows + open rows not superseded by a final row for the
+        same (topic, partition, producer, first_offset). The side table is
+        tiny by design (one row per transaction outcome), read via pyarrow
+        and cached on the dir's file listing — an os.listdir per poll, a
+        re-parse only when EndTxn/purge actually changed the table."""
+        d = self._tx_ranges_dir()
+        try:
+            files = tuple(
+                sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            )
+        except OSError:
+            return []
+        if self._tx_local_cache is not None and self._tx_local_cache[0] == files:
+            return self._tx_local_cache[1]
+        rows: list[dict] = []
+        if files:
+            import pyarrow.parquet as _pq
+
+            for f in files:
+                rows.extend(_pq.read_table(os.path.join(d, f)).to_pylist())
+        final = [r for r in rows if r["outcome"] != "open"]
+        fkeys = {
+            (r["topic"], r["partition"], r["producer_id"], r["first_offset"])
+            for r in final
+        }
+        live = final + [
+            r
+            for r in rows
+            if r["outcome"] == "open"
+            and (r["topic"], r["partition"], r["producer_id"], r["first_offset"])
+            not in fkeys
+        ]
+        self._tx_local_cache = (files, live)
+        return live
+
     def _tail_fetch(self, topic, partition, offset, isolation):
         """Serve a fetch from the hot tail without a Spark job, or None if
-        the tail can't FULLY answer it (read_committed needs LSO gating,
-        offsets before tail_start need the parquet path)."""
-        if isolation == "read_committed":
-            return None
+        the tail can't FULLY answer it (offsets before tail_start need the
+        parquet path).
+
+        read_committed is served too — the reference's batch cache answers
+        ALL fetches, with the LSO applied as a read bound
+        (`handlers/fetch.cc:355-399`): the LSO (min open-txn first_offset,
+        else HWM), the aborted-range filter, and the control-row drop are
+        applied in-process from the driver-side tx-ranges mirror — the
+        same predicates operators/transactions.py::read_committed runs
+        relationally."""
         t = self._tail.get(topic, {}).get(partition)
         if t is None:
             return None
@@ -952,7 +1024,36 @@ class TopicEngine:
         from pyspark.sql import Row
 
         cut = max(offset, self._log_starts(topic).get(partition, 0))
-        return [Row(**r) for r in lst if r["offset"] >= cut]
+        if isolation != "read_committed":
+            return [Row(**r) for r in lst if r["offset"] >= cut]
+        ranges = [
+            r
+            for r in self._tx_ranges_local()
+            if r["topic"] == topic and r["partition"] == partition
+        ]
+        hwm = self._high.get(topic, {}).get(partition, 0)
+        open_first = min(
+            (r["first_offset"] for r in ranges if r["outcome"] == "open"),
+            default=None,
+        )
+        lso = hwm if open_first is None else min(open_first, hwm)
+        aborted = [
+            (r["producer_id"], r["first_offset"], r["last_offset"])
+            for r in ranges
+            if r["outcome"] == "aborted"
+        ]
+        out = []
+        for r in lst:
+            o = r["offset"]
+            if o < cut or o >= lso or r["is_control"]:
+                continue
+            if r["is_transactional"] and any(
+                pid == r["producer_id"] and fo <= o <= lo
+                for pid, fo, lo in aborted
+            ):
+                continue
+            out.append(Row(**r))
+        return out
 
     def _idempotence_gate(self, topic: str, df: DataFrame) -> DataFrame:
         """Broker-side sequence window per (partition, producer): the

@@ -165,19 +165,35 @@ class TxCoordinator:
 
     # -- transactional produce (AddPartitionsToTxn 24 + Produce) ---------
 
-    def produce(self, transactional_id: str, topic: str, batch: DataFrame) -> dict[int, int]:
+    def produce(self, transactional_id: str, topic: str, batch) -> dict[int, int]:
         """Append a batch under the transaction's scope. The partition set
         joins the transaction implicitly (AddPartitionsToTxn), and the
-        written offset ranges are recorded for the eventual marker."""
+        written offset ranges are recorded for the eventual marker.
+
+        ``batch`` may be a DataFrame (distributed pipeline) or a list of
+        record dicts/Rows — the latter rides the engine's zero-job
+        driver-side produce path, so interactive transactional producers
+        get the same hot-path latency as plain ones."""
         st = self._require(transactional_id)
         if st.status not in ("Empty", "Committed", "Aborted", "Ongoing"):
             raise TxError("INVALID_TXN_STATE")
-        df = (
-            batch.withColumn("producer_id", F.lit(st.producer_id).cast("bigint"))
-            .withColumn("producer_epoch", F.lit(st.producer_epoch).cast("smallint"))
-            .withColumn("is_transactional", F.lit(True))
-        )
-        bases = self.engine.produce(topic, df)
+        if isinstance(batch, (list, tuple)):
+            recs = [
+                dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+                for r in batch
+            ]
+            for r in recs:
+                r["producer_id"] = st.producer_id
+                r["producer_epoch"] = st.producer_epoch
+                r["is_transactional"] = True
+            bases = self.engine.produce(topic, recs)
+        else:
+            df = (
+                batch.withColumn("producer_id", F.lit(st.producer_id).cast("bigint"))
+                .withColumn("producer_epoch", F.lit(st.producer_epoch).cast("smallint"))
+                .withColumn("is_transactional", F.lit(True))
+            )
+            bases = self.engine.produce(topic, df)
         highs = self.engine.high_watermarks(topic)
         self.record_produced(transactional_id, topic, bases, highs)
         return bases

@@ -361,6 +361,7 @@ def verify_tail_consistency(engine, topic: str) -> dict:
             r["offset"],
             bytes(r["key"]) if r["key"] is not None else None,
             bytes(r["value"]) if r["value"] is not None else None,
+            r["timestamp"],  # the cache stores collect()-identical values
         )
 
     checked = mismatches = 0
@@ -369,6 +370,18 @@ def verify_tail_consistency(engine, topic: str) -> dict:
         want = engine.fetch(topic, p, offset=start).collect()
         want.sort(key=lambda r: r["offset"])
         if [norm(r) for r in rows] != [norm(r) for r in want]:
+            mismatches += 1
+        # read_committed twin: the zero-job tail path (LSO bound + aborted
+        # filter + control drop applied in-process) must equal the
+        # relational read_committed scan over the same range
+        got_rc = engine._tail_fetch(topic, p, start, "read_committed")
+        want_rc = engine.fetch(
+            topic, p, offset=start, isolation="read_committed"
+        ).collect()
+        want_rc.sort(key=lambda r: r["offset"])
+        if got_rc is None or [norm(r) for r in got_rc] != [
+            norm(r) for r in want_rc
+        ]:
             mismatches += 1
     return {
         "tail_partitions_checked": checked,

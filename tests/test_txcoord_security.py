@@ -380,3 +380,85 @@ def test_transaction_timeout_expiry_aborts_and_unblocks_lso(spark, engine):
     # expiry state survives coordinator restart (persisted timeout/start)
     tc2 = TxCoordinator(engine)
     assert tc2.describe_transaction("hung")["state"] == "Aborted"
+
+
+def _rc_tail(engine, topic, offset=0):
+    rows = engine._tail_fetch(topic, 0, offset, "read_committed")
+    assert rows is not None, "tail declined a read_committed poll"
+    return [bytes(r["value"]).decode() for r in rows]
+
+
+def _rc_scan(engine, topic, offset=0):
+    rows = engine.fetch(topic, 0, offset=offset, isolation="read_committed").collect()
+    rows.sort(key=lambda r: r["offset"])
+    return [bytes(r["value"]).decode() for r in rows]
+
+
+def test_read_committed_served_from_hot_tail_zero_jobs(spark, engine):
+    """read_committed polls are served by the zero-job hot-tail path
+    (reference: the batch cache answers ALL fetches with the LSO applied
+    as a bound, `handlers/fetch.cc:355-399`): the in-process LSO gate,
+    aborted-range filter, and control drop must match the relational
+    read_committed scan through open/commit/abort interleavings — with
+    ZERO Spark jobs on the tail calls."""
+    from redpanda_spark.verifier import verify_tail_consistency
+
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txA")
+    engine.produce("t", [{"key": None, "value": b"plain0", "partition": 0}])
+    # record-list tx produce: rides the zero-job path, keeps the tail warm
+    tc.produce("txA", "t", [
+        {"key": None, "value": b"tx1", "partition": 0},
+        {"key": None, "value": b"tx2", "partition": 0},
+    ])  # offsets 1,2 open
+
+    # open txn: LSO = 1 gates the tail answer (scan agrees)
+    assert _rc_scan(engine, "t") == ["plain0"]
+    sc = spark.sparkContext
+    sc.setJobGroup("rc-tail", "read_committed tail must be job-free")
+    try:
+        assert _rc_tail(engine, "t") == ["plain0"]
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("rc-tail")) == []
+
+    # commit: LSO advances, tx rows visible from the tail
+    tc.commit("txA")
+    assert _rc_tail(engine, "t") == _rc_scan(engine, "t") == [
+        "plain0", "tx1", "tx2"
+    ]
+
+    # abort a second txn: its rows stay in the tail but are filtered
+    tc.produce("txA", "t", [
+        {"key": None, "value": b"dead1", "partition": 0},
+        {"key": None, "value": b"dead2", "partition": 0},
+    ])  # offsets 3,4
+    tc.abort("txA")
+    assert _rc_tail(engine, "t") == _rc_scan(engine, "t") == [
+        "plain0", "tx1", "tx2"
+    ]
+
+    # non-transactional append after the abort is visible immediately
+    engine.produce("t", [{"key": None, "value": b"plain5", "partition": 0}])
+    assert _rc_tail(engine, "t") == _rc_scan(engine, "t") == [
+        "plain0", "tx1", "tx2", "plain5"
+    ]
+    # mid-tail start offset honors the same filters
+    assert _rc_tail(engine, "t", offset=3) == _rc_scan(engine, "t", offset=3)
+
+    # the verifier's invariant (read_uncommitted AND read_committed twins)
+    assert verify_tail_consistency(engine, "t")["ok"]
+
+
+def test_record_produce_missing_value_field_is_invalid(spark, engine):
+    """A record dict without a 'value' field raises INVALID_RECORD (clean
+    error surface), not a raw KeyError mid-produce."""
+    from redpanda_spark.engine import ProduceError
+
+    engine.create_topic("t", TopicConfig(partitions=1, max_message_bytes=1024))
+    with pytest.raises(ProduceError) as ei:
+        engine.produce("t", [{"key": b"k"}])
+    assert ei.value.code == "INVALID_RECORD"
+    # and nothing was committed
+    assert engine.high_watermarks("t") == {0: 0}
