@@ -1,0 +1,119 @@
+"""Iceberg v2 export spec-conformance via a genuinely INDEPENDENT reader.
+
+``tools/iceberg_conformance.py`` shares no code with the exporter
+(`redpanda_spark/sources/iceberg_export.py`) or its Avro codec
+(`redpanda_spark/registry/avro_codec.py`): its Avro binary decoder + OCF
+framing are written directly from the public Apache Avro 1.11 spec, and
+its traversal + required-field-id checks from the public Apache Iceberg
+table spec v2. If the writer emitted self-consistent-but-wrong bytes,
+this reader cannot inherit the bug.
+
+Reference parity target: `src/v/iceberg/table_metadata.cc`,
+`filesystem_catalog.cc` (the reference's Iceberg metadata chain).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tools.iceberg_conformance import read_ocf, traverse
+
+
+def _mk_lake(spark, path, lo, hi, hour):
+    from redpanda_spark.sources.datalake import write_datalake
+
+    df = spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.to_timestamp(F.lit(hour)).alias("_hour"),
+    )
+    write_datalake(df, path)
+
+
+def test_independent_reader_traverses_committed_chain(spark, tmp_path):
+    """version-hint → vN.metadata.json → manifest-list → manifest →
+    data files: the whole chain read by the from-spec implementation,
+    record counts matching both the engine and the parquet footers."""
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 8, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)
+
+    res = traverse(out)
+    assert res["schema_errors"] == []
+    assert res["version"] == 1
+    assert res["live_record_count"] == 8
+    assert set(res["entry_statuses"]) == {1}  # first snapshot: all ADDED
+    for f in res["data_files"]:
+        assert os.path.exists(f["file_path"])
+        assert f["file_path"].startswith(os.path.join(out, "data"))
+        assert os.path.getsize(f["file_path"]) == f["file_size_in_bytes"]
+        # the manifest's record_count must match the parquet footer an
+        # arbitrary engine would trust for scan planning
+        assert pq.read_metadata(f["file_path"]).num_rows == f["record_count"]
+        assert f["file_format"] == "PARQUET"
+        assert f["content"] == 0  # data, not deletes
+
+    # snapshot summary totals agree with what the reader counted
+    assert int(res["summary"]["total-records"]) == 8
+
+
+def test_independent_reader_incremental_snapshot_statuses(spark, tmp_path):
+    """After an incremental export the independent reader sees the new
+    version, EXISTING + ADDED entries, a grown snapshot-log, and the
+    full live row count."""
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 6, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)
+    _mk_lake(spark, lake, 6, 10, "2024-03-01 11:00:00")
+    export_iceberg(spark, lake, out)
+
+    res = traverse(out)
+    assert res["schema_errors"] == []
+    assert res["version"] == 2
+    assert res["sequence_number"] == 2
+    assert res["live_record_count"] == 10
+    assert 0 in res["entry_statuses"] and 1 in res["entry_statuses"]
+    assert len(res["snapshot_log"]) == 2
+    assert len(res["metadata_log"]) == 1
+
+
+def test_independent_ocf_decoder_agrees_with_jvm_avro(spark, tmp_path):
+    """Decoder cross-validation: the from-spec OCF reader and the OFFICIAL
+    Apache Avro JVM library (bundled with Spark) must see the same record
+    count in both container files — two independent decoders agreeing on
+    the writer's bytes."""
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 8, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)
+
+    import json
+
+    meta_dir = os.path.join(out, "metadata")
+    v = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip())
+    md = json.load(open(os.path.join(meta_dir, f"v{v}.metadata.json")))
+    [snap] = md["snapshots"]
+    _, _, manifests = read_ocf(snap["manifest-list"])
+    jvm = spark._jvm
+    for path in [snap["manifest-list"]] + [m["manifest_path"] for m in manifests]:
+        _, _, mine = read_ocf(path)
+        rdr = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        n = 0
+        while rdr.hasNext():
+            rdr.next()
+            n += 1
+        assert n == len(mine), (path, n, len(mine))
