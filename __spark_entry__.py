@@ -34,67 +34,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
 #
-# ROUND-7 ROTATION NOTE: this list = round-6-new queries (7, no rows yet)
-# + the queries whose newest driver row is r4. The catalog (102) now
-# exceeds 2x the gate (50), so a strict every-row-within-one-round is no
-# longer possible; the invariant becomes "no row older than two rounds".
-# Next round's priority: new r7 queries + the displaced r4-row holders
-# (tpch_q12ish onward through pipeline_pack — every r4-row holder past
-# slot 50; put them FIRST) + the 45 r5-row holders.
+# ROUND-7 ROTATION (current list): new r7 queries (3) + queries whose CODE
+# changed this round (mixture_plan decimal fix, curation_pipeline
+# score-once persist, IVF deterministic sampling → ann_ivf/ann_ivfpq/
+# dedup_semantic/emb_near_dup, rollup cache key → events_rollup, engine
+# hot-tail read_committed → tx_read_committed/log_fetch/log_fetch_bytes)
+# + the 9 r4-row holders + as many r5-row holders as fit. The catalog
+# (110) is >2x the gate, so the invariant is "no query's newest driver
+# row older than two rounds".
+#
+# ROUND-8 ROTATION NOTE: priority = new r8 queries + whatever r5-row
+# holders missed this round's 50 slots (they'll be 3 rounds stale
+# otherwise — check CORRECTNESS_r07.json for which of the r5 list below
+# got rows) + any query whose code changes in r8.
 _PRIORITY = [
-    # new in round 6 (no driver row yet)
-    "doc_perplexity_serve",
-    "log_fetch_bytes",
-    "doc_chunk",
-    "mixture_plan",
-    "pipeline_upsample",
-    "events_window_topk",
-    "iceberg_export_counts",
-    "ann_pq",
-    "doc_gopher_rules",
-    "ann_ivfpq",
-    "events_rollup",
-    "doc_lang_eval",
-    # changed in round 6
-    "log_fetch",  # engine produce/fetch hot path + tail cache touched
-    "dedup_simhash",  # banded join: localCheckpoint + max_bucket
-    "mm_image_dedup",  # dhash top-bit mask change
-    "log_retention_time",  # integer-us cutoff unification
-    # only r4 driver rows — rotate in so no row ages past one round
-    "log_list_offsets",
-    "log_timequery",
-    "log_delete_records",
-    "log_compact",
-    "log_idempotent_dedup",
-    "group_offset_fetch",
-    "group_lag",
-    "tx_read_committed",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5ish",
-    "events_daily",
-    "doc_token_stats",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "dedup_exact",
-    "emb_near_dup",
-    "ann_topk",
+    # new in round 7 (no driver row yet)
+    "doc_bm25",
+    "events_retention",
+    "dedup_rate_by_source",
+    # changed in round 7
+    "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
+    "curation_pipeline",  # score-once persist rewrite
+    "dedup_semantic",  # IVF centroid sampling now content-hash
     "ann_ivf",
-    "log_compact_tombstones",
-    "log_retention_size",
-    "group_list_groups",
-    "events_sessionize",
-    "mm_audio_metadata",
-    "mm_jpeg_metadata",
-    "stream_window_stats",
-    "stream_sessionize",
-    "emb_quantize",
-    "tpch_q8ish",
-    "tpch_q17ish",
-    "datalake_translate",
-    "tpch_q12ish",
-    "tpch_q2ish",
-    "tpch_q9ish",
+    "ann_ivfpq",
+    "emb_near_dup",
+    "events_rollup",  # store cache fingerprint key
+    "tx_read_committed",  # read_committed hot-tail path
+    "log_fetch",
+    "log_fetch_bytes",
+    # only r4 driver rows — must re-row this round
     "tpch_q11ish",
     "tpch_q16ish",
     "tpch_q20ish",
@@ -104,6 +73,53 @@ _PRIORITY = [
     "pipeline_mix",
     "pipeline_redact",
     "pipeline_pack",
+    # r5-row holders (oldest remaining), catalog order
+    "dedup_ngram",
+    "dedup_minhash",
+    "events_props_extract",
+    "events_topk_users",
+    "tpch_q6",
+    "tpch_q10ish",
+    "mm_image_metadata",
+    "mm_frame_sample",
+    "mm_video_metadata",
+    "mm2_routing",
+    "doc_quality",
+    "tpch_q4ish",
+    "tpch_q14",
+    "tpch_q18",
+    "doc_bpe_tokens",
+    "tpch_q7ish",
+    "tpch_q19ish",
+    "stream_idempotent_dedup",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "transform_fanout",
+    "datalake_translate_avro",
+    "datalake_translate_proto",
+    "datalake_translate_registry",
+    "decontaminate",
+    "doc_repetition",
+    "events_enrich",
+    "events_asof",
+    "events_interval",
+    "doc_span_dedup",
+    "pipeline_sample",
+    "doc_quality_classifier",
+    "emb_project",
+    "curation_v2",
+    "dedup_cluster",
+    "events_approx_users",
+    "events_quantiles",
+    "pipeline_shuffle",
+    "bpe_pair_counts",
+    "bpe_train",
+    "curation_dedup",
+    "dedup_incremental",
+    "doc_perplexity",
+    "log_max_timestamp",
+    "corpus_report",
+    "events_funnel",
 ]
 
 

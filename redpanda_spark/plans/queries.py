@@ -5162,3 +5162,167 @@ FROM cm JOIN tot USING (lang) ORDER BY 1, 2
 
 QUERIES.update({"doc_lang_eval": q_doc_lang_eval})
 ORACLES.update({"doc_lang_eval": SQL_DOC_LANG_EVAL})
+
+
+# -- BM25 ranked keyword retrieval (round 7) ---------------------------------
+
+_BM25_TERMS = ["hash", "join", "window"]
+
+
+def q_doc_bm25(spark, sf_dir):
+    """BM25 top-20 for a fixed query-term set (similarity/bm25.py): the
+    sparse lexical retriever of the search family — tf from token-array
+    filters (no explode, no shuffle), 1-row corpus-stats broadcast,
+    fixed-order per-term sum (9dp inner round, the repo's cross-engine
+    ln convention), distributed TakeOrderedAndProject top-k."""
+    from redpanda_spark.similarity.bm25 import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+def _bm25_sql() -> str:
+    k1, b = 1.2, 0.75
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_sum = "\n      + ".join(
+        f"ROUND(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0} / (tf_{i} + {k1} *"
+        f" (1.0 - {b} + {b} * dl / avgdl)), 9)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH tokd AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''),
+      t -> lower(t)) AS toks
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    {tf_cols}
+  FROM tokd),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl, {df_cols}
+  FROM per_doc),
+scored AS (
+  SELECT doc_id,
+    CAST(ROUND({term_sum}, 6) AS DECIMAL(18,6)) AS score
+  FROM per_doc, stats),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+           AS rank, doc_id, score
+  FROM scored WHERE score > 0)
+SELECT rank, doc_id, score FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
+QUERIES.update({"doc_bm25": q_doc_bm25})
+ORACLES.update({"doc_bm25": _bm25_sql()})
+
+
+# -- Day-over-day user retention (round 7) -----------------------------------
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort retention: per activity day, distinct active users and how
+    many are active again the NEXT day. Scale shape: ONE shuffle on
+    user_id (groupBy + collect_set of the bounded per-user day set), the
+    consecutive-day flag is an array lookup, and the per-day counts are a
+    map-side-combinable aggregate over the exploded (user, day) rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).groupBy("user_id").agg(F.collect_set("d").alias("days"))
+    flagged = per_user.select(
+        "user_id",
+        F.explode("days").alias("day"),
+        F.col("days").alias("_days"),
+    ).select(
+        "user_id",
+        "day",
+        F.array_contains(F.col("_days"), F.date_add(F.col("day"), 1))
+        .cast("int")
+        .alias("retained"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum("retained").cast("long").alias("retained_next_day"),
+        )
+        .select(
+            "day",
+            "active_users",
+            "retained_next_day",
+            F.round(
+                F.col("retained_next_day") / F.col("active_users"), 6
+            ).cast("decimal(18,6)").alias("retention_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT a.day, COUNT(*) AS active_users,
+  SUM(CASE WHEN EXISTS (
+        SELECT 1 FROM daily b
+        WHERE b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY)
+      THEN 1 ELSE 0 END) AS retained_next_day,
+  CAST(ROUND(SUM(CASE WHEN EXISTS (
+        SELECT 1 FROM daily b
+        WHERE b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY)
+      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DECIMAL(18,6))
+    AS retention_rate
+FROM daily a GROUP BY a.day ORDER BY a.day
+"""
+
+QUERIES.update({"events_retention": q_events_retention})
+ORACLES.update({"events_retention": SQL_EVENTS_RETENTION})
+
+
+# -- Per-source dedup-rate observability (round 7) ---------------------------
+
+
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate observability per source: the dedup dashboard any
+    corpus build keeps (how dirty is each feed). countDistinct over the
+    md5 of the text — the hash (not the text) is what shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary")))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
+            ).cast("decimal(18,6)").alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_RATE_BY_SOURCE = """
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(DISTINCT md5(text)) AS n_unique,
+  CAST(ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*), 6)
+       AS DECIMAL(18,6)) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+QUERIES.update({"dedup_rate_by_source": q_dedup_rate_by_source})
+ORACLES.update({"dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE})

@@ -1,0 +1,124 @@
+"""BM25 ranked keyword retrieval over a document corpus.
+
+The missing sibling of the embedding ANN ladder: sparse lexical retrieval
+(Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework: BM25
+and Beyond") — the standard first-stage retriever every RAG / training-
+data-curation stack pairs with dense search.
+
+Spark-first shape for a FIXED small query-term set (the interactive
+search case):
+- per-document term frequencies come from ``F.filter`` over the token
+  array — one narrow projection, NO explode and NO shuffle for tf;
+- corpus statistics (N, avgdl, per-term document frequencies) reduce in
+  ONE map-side-combinable aggregate to a single row, which broadcast-
+  joins back (a 1-row build side);
+- the final score is a fixed-order sum of per-term scores (no aggregate,
+  so no float-summation-order nondeterminism), inner-rounded to 9dp
+  (the repo's cross-engine ln convention, see functions/lm.py) and
+  emitted as decimal(18,6);
+- top-k compiles to TakeOrderedAndProject (no full sort).
+
+At 100 TB: both passes are full scans with only a 1-row exchange between
+them; a `text rlike term1|term2|...` pre-filter is pushed into the
+scoring scan so only candidate documents are tokenized (the stats pass
+must see every document — that's what corpus statistics mean).
+
+The reference has no lexical search engine; this extends the repo's
+training-data toolkit per the brief (similarity-search family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, rank, score) — BM25 top-k for a fixed query-term list.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    """
+    if not terms:
+        raise ValueError("bm25_topk: empty query-term list")
+    toks = F.filter(
+        F.transform(tokens(F.col(text_col)), F.lower),
+        lambda t: t != F.lit(""),
+    )
+
+    def _eq(term: str):
+        # NB: a `term=term` default-arg closure would give the lambda
+        # arity 2, which F.filter interprets as (element, index)
+        return lambda t: t == F.lit(term)
+
+    def per_doc_of(src: DataFrame) -> DataFrame:
+        base = src.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        tf_cols = [
+            F.size(F.filter(F.col("_toks"), _eq(t_)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t_ in enumerate(terms)
+        ]
+        return base.select(
+            "doc_id", F.size("_toks").cast("double").alias("dl"), *tf_cols
+        )
+
+    per_doc = per_doc_of(docs)
+    # one-row corpus stats: N, avgdl, df per term — map-side combinable
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # candidate pruning for the scoring pass: a pushed-down substring
+    # pre-filter (superset of token matches — exact tf still decides);
+    # the stats pass above must see every document
+    import re as _re
+
+    pat = "|".join(_re.escape(t) for t in terms)
+    cand = per_doc_of(docs.where(F.lower(F.col(text_col)).rlike(pat)))
+    scored = cand.join(F.broadcast(stats))
+    term_scores = []
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        # inner 9dp round: collapses last-bit ln() differences between
+        # engines before the fixed-order sum (functions/lm.py convention)
+        term_scores.append(F.round(idf * tf * F.lit(k1 + 1.0) / denom, 9))
+    total = term_scores[0]
+    for ts in term_scores[1:]:
+        total = total + ts
+    out = scored.select(
+        "doc_id",
+        F.round(total, 6).cast("decimal(18,6)").alias("score"),
+    ).where(F.col("score") > 0)
+    # distributed top-k FIRST (TakeOrderedAndProject — no global sort, no
+    # single-partition window over the candidate set), then rank the k
+    # survivors with a window over k rows
+    top = out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
+    )

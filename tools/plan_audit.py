@@ -46,6 +46,10 @@ EXPECTED = {
     # scalar subqueries — bounded work, scale-safe.
     "tpch_q11ish": {"nested-loop-join"},
     "tpch_q22ish": {"nested-loop-join"},
+    # BM25: the corpus-stats row (N, avgdl, per-term df) is a 1-row
+    # global aggregate broadcast-crossed into the scoring scan — the
+    # same bounded scalar-subquery shape.
+    "doc_bm25": {"nested-loop-join"},
     # bigram-LM scorer: the vocabulary size is a 1-row global aggregate
     # broadcast-crossed into the model probabilities — same bounded
     # scalar-subquery shape as Q11/Q22.
