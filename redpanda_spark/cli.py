@@ -380,6 +380,23 @@ def cmd_datalake_export_iceberg(args) -> int:
     return 0
 
 
+def cmd_datalake_register_iceberg(args) -> int:
+    """Register an exported Iceberg table's current metadata-location
+    with a REST catalog (no Spark session needed — pure metadata)."""
+    from redpanda_spark.sources.iceberg_catalog import register_table
+
+    out = register_table(
+        args.table_path,
+        args.catalog_uri,
+        args.namespace,
+        args.table_name,
+        token=args.token,
+        dry_run=args.dry_run,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
@@ -488,6 +505,15 @@ def build_parser() -> argparse.ArgumentParser:
     di.add_argument("path", help="datalake table path")
     di.add_argument("out", help="Iceberg table output path")
     di.set_defaults(fn=cmd_datalake_export_iceberg)
+    dr = dl.add_parser("register-iceberg")
+    dr.add_argument("table_path", help="exported Iceberg table path")
+    dr.add_argument("catalog_uri", help="REST catalog base URI")
+    dr.add_argument("namespace", help="dot-separated namespace, e.g. lake.prod")
+    dr.add_argument("table_name")
+    dr.add_argument("--token", default=None, help="bearer token")
+    dr.add_argument("--dry-run", action="store_true",
+                    help="print the request plan without any I/O")
+    dr.set_defaults(fn=cmd_datalake_register_iceberg)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

@@ -117,3 +117,81 @@ def test_independent_ocf_decoder_agrees_with_jvm_avro(spark, tmp_path):
             rdr.next()
             n += 1
         assert n == len(mine), (path, n, len(mine))
+
+
+def test_rest_catalog_registration_flow(spark, tmp_path):
+    """The REST-catalog client registers an exported table's CURRENT
+    metadata-location against a live (in-process) HTTP server speaking
+    the Iceberg REST catalog shapes: config handshake, namespace create
+    (409 tolerated), RegisterTableRequest. Also covers dry_run."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from redpanda_spark.sources.iceberg_catalog import (
+        CatalogError,
+        register_table,
+    )
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 6, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)
+
+    seen = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _reply(self, code, body):
+            raw = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_GET(self):
+            seen.append(("GET", self.path, None))
+            self._reply(200, {"defaults": {}, "overrides": {}})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            seen.append(("POST", self.path, body))
+            if self.path.endswith("/v1/namespaces"):
+                self._reply(409, {"error": {"message": "exists"}})
+            else:
+                self._reply(200, {"metadata-location": body.get("metadata-location")})
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        uri = f"http://127.0.0.1:{srv.server_port}"
+        res = register_table(out, uri, "lake.prod", "events")
+        assert [s[0] for s in seen] == ["GET", "POST", "POST"]
+        assert seen[0][1] == "/v1/config"
+        assert seen[1][2] == {"namespace": ["lake", "prod"], "properties": {}}
+        reg = seen[2]
+        assert reg[1] == "/v1/namespaces/lake%1Fprod/register"
+        assert reg[2]["name"] == "events"
+        # points at the CURRENT committed metadata, which must exist
+        assert reg[2]["metadata-location"].endswith("v1.metadata.json")
+        assert os.path.exists(reg[2]["metadata-location"])
+        assert res["responses"][1]["status"] == 409  # benign exists
+        assert res["responses"][2]["status"] == 200
+    finally:
+        srv.shutdown()
+
+    # dry run: request plan only, no I/O
+    dr = register_table(out, "http://nowhere.invalid", "ns", "t", dry_run=True)
+    assert len(dr["requests"]) == 3 and dr["responses"] == []
+
+    # unreachable catalog surfaces cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(CatalogError, match="unreachable"):
+        register_table(out, "http://127.0.0.1:9", "ns", "t", timeout_s=2)
