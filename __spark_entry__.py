@@ -52,6 +52,8 @@ _PRIORITY = [
     "doc_bm25",
     "events_retention",
     "dedup_rate_by_source",
+    "doc_ngram_topk",
+    "events_anomaly",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

@@ -20,7 +20,7 @@ import os
 from collections.abc import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from redpanda_spark.dedup.exact import exact_dedup_ids
@@ -5326,3 +5326,109 @@ FROM documents GROUP BY source ORDER BY source
 
 QUERIES.update({"dedup_rate_by_source": q_dedup_rate_by_source})
 ORACLES.update({"dedup_rate_by_source": SQL_DEDUP_RATE_BY_SOURCE})
+
+
+# -- Corpus n-gram heavy hitters (round 7) -----------------------------------
+
+
+def q_doc_ngram_topk(spark, sf_dir):
+    """Top-20 word bigrams corpus-wide — the heavy-hitter scan every
+    corpus datasheet includes (and the contamination screen's unit of
+    account). Scale shape: bigram explode feeds ONE map-side-combinable
+    count aggregate; top-k is TakeOrderedAndProject after the reduced
+    (distinct-bigram-sized) table, never a global sort of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "bigram").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "bigram")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "bigram", "cnt"
+    )
+
+
+SQL_DOC_NGRAM_TOPK = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t
+  FROM documents),
+bi AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)),
+c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY bigram)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS INT) AS rank,
+       bigram, cnt
+FROM c ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+QUERIES.update({"doc_ngram_topk": q_doc_ngram_topk})
+ORACLES.update({"doc_ngram_topk": SQL_DOC_NGRAM_TOPK})
+
+
+# -- Daily-volume anomaly screen (round 7) -----------------------------------
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Per event-type daily-volume z-scores with |z| > 2 flags — the
+    topic-health anomaly screen. Cross-engine exactness: mean/variance
+    are derived from EXACT integer sums (sum, sum of squares, day count)
+    with an identical expression order on both sides — never
+    stddev_samp, whose streaming accumulation is summation-order-
+    dependent. Two tiny aggregates (days x types, then types)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("d"),
+    )
+    mean = F.col("s1") / F.col("d")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("d")) / (
+        F.col("d") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(F.col("d") > 1)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(z, 6).cast("decimal(18,6)").alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS d
+  FROM daily GROUP BY 1)
+SELECT daily.event_type, day, n,
+  CAST(ROUND((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1)), 6)
+       AS DECIMAL(18,6)) AS z,
+  abs((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1))) > 2 AS is_anomaly
+FROM daily JOIN stats USING (event_type)
+WHERE d > 1
+ORDER BY event_type, day
+"""
+
+QUERIES.update({"events_anomaly": q_events_anomaly})
+ORACLES.update({"events_anomaly": SQL_EVENTS_ANOMALY})

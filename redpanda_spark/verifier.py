@@ -19,6 +19,9 @@ Invariants checked (verify_log_invariants):
                no gaps, no duplicates (the reference's contiguous-offset
                guarantee, `storage/disk_log_appender.cc`)
   hwm          stored high watermarks equal max(offset)+1 per partition
+               (>= once maintenance may have removed the log tail —
+               e.g. compaction dropping an aborted-tx row at max offset;
+               watermarks never move backwards)
   ordering     within a partition, produce order (embedded seq) is
                monotone in offset — append never reorders
   routing      each keyed record lives on murmur2(key) % n_parts — the
@@ -103,7 +106,12 @@ def verify_log_invariants(
                 gaps += 1
             if dense and r["min_o"] != starts.get(r["partition"], 0):
                 gaps += 1
-            if hwm.get(r["partition"], 0) != r["max_o"] + 1:
+            h = hwm.get(r["partition"], 0)
+            # strict equality only while the log is dense: compaction may
+            # legally remove the tail record (an aborted-tx row is dropped
+            # even at max offset), after which the stored HWM stays AHEAD
+            # of max(offset)+1 — watermarks never move backwards
+            if (h != r["max_o"] + 1) if dense else (h < r["max_o"] + 1):
                 hwm_bad += 1
 
         # ordering: embedded seq monotone in offset within a partition.
@@ -265,8 +273,29 @@ def run_workload(
     def _compact() -> dict:
         nonlocal dense
         # persist (memory+disk) pins the pre-compaction snapshot: the
-        # rewrite deletes the files this frame was planned over
-        before = engine.log(topic).persist()
+        # rewrite deletes the files this frame was planned over.
+        # Aborted-tx rows are excluded from the expectation the same way
+        # compaction's tx_reducer drops them first — an aborted write
+        # must never be expected to win keep-latest.
+        before = engine.log(topic)
+        ranges = engine.tx_ranges()
+        if "topic" in ranges.columns:
+            ranges = ranges.where(F.col("topic") == topic)
+        aborted = ranges.where(F.col("outcome") == "aborted").select(
+            F.col("partition").alias("a_partition"),
+            F.col("producer_id").alias("a_pid"),
+            "first_offset",
+            "last_offset",
+        )
+        cond = (
+            (F.col("partition") == F.col("a_partition"))
+            & (F.col("producer_id") == F.col("a_pid"))
+            & F.col("offset").between(
+                F.col("first_offset"), F.col("last_offset")
+            )
+            & F.col("is_transactional")
+        )
+        before = before.join(F.broadcast(aborted), cond, "left_anti").persist()
         before.count()
         engine.run_compaction(topic)
         dense = False
@@ -342,8 +371,38 @@ def run_workload(
         out["ok"] = (after - before == n) and inv["ok"]
         return out | {k: v for k, v in inv.items() if k != "ok"}
 
+    def _tx_interleave() -> dict:
+        """Transactional produce via the record-list (hot-tail) path with
+        a random outcome, then pin the read_committed tail answer against
+        the relational read_committed scan (verify_tail_consistency runs
+        BOTH isolation twins) — the rc-visibility analog of the
+        byte-for-byte tail invariant, under whatever compaction/
+        truncation state the workload has built up."""
+        nonlocal seq
+        from redpanda_spark.operators.txcoord import TxCoordinator
+
+        tc = TxCoordinator(engine)
+        txid = f"wl_{seed}"
+        if tc._txs.get(txid) is None:
+            tc.init_producer_id(txid)
+        recs = []
+        for _ in range(20):
+            key = f"k{rng.randrange(key_space)}".encode()
+            recs.append({"key": key, "value": encode_value(key, seq)})
+            seq += 1
+        tc.produce(txid, topic, recs)
+        outcome = rng.choice(["commit", "abort"])
+        (tc.commit if outcome == "commit" else tc.abort)(txid)
+        out = {"op": f"tx_{outcome}"} | verify_log_invariants(
+            engine, topic, dense=dense
+        )
+        tail = verify_tail_consistency(engine, topic)
+        out["tail_ok"] = tail["ok"]
+        out["ok"] = out["ok"] and tail["ok"]
+        return out
+
     ops = [_produce, _produce, _produce_records, _compact, _truncate,
-           _merge, _produce_idem_with_retry]
+           _merge, _produce_idem_with_retry, _tx_interleave]
     reports.append(_produce())  # always start with data
     for _ in range(n_ops - 1):
         reports.append(rng.choice(ops)())

@@ -143,7 +143,7 @@ def test_replicate_topic_incremental_offset_preserving(spark, tmp_path):
     assert verify_log_invariants(dst, "t", expected_rows=301)["ok"]
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", [10])  # seed draws produce_idem under the 8-op mix
 def test_randomized_workload_with_idempotent_retries(spark, tmp_path, seed):
     reports = run_workload(
         spark, str(tmp_path / f"wi{seed}"), seed=seed, n_ops=10, rows_per_batch=150
@@ -171,3 +171,24 @@ def test_workload_covers_record_path_and_tail(spark, tmp_path):
         rec_ops = [r for r in reports if r["op"] == "produce_records"]
         assert all(r["ok"] for r in reports)
     assert rec_ops and all(r["tail_ok"] for r in rec_ops)
+
+
+def test_workload_tx_interleavings_hold_invariants(spark, tmp_path):
+    """Transactional commit/abort ops mixed into the randomized workload:
+    log invariants + BOTH tail-isolation twins (read_uncommitted byte
+    parity and read_committed LSO/aborted parity) stay green, including
+    compaction over a log that contains aborted ranges."""
+    from redpanda_spark.verifier import run_workload
+
+    found = []
+    for seed in (2, 5, 13):
+        reports = run_workload(
+            spark, str(tmp_path / f"t{seed}"), seed=seed, n_ops=12,
+            rows_per_batch=150,
+        )
+        assert all(r["ok"] for r in reports), [r for r in reports if not r["ok"]]
+        found += [r for r in reports if r["op"].startswith("tx_")]
+        if {"tx_commit", "tx_abort"} <= {r["op"] for r in found}:
+            break
+    assert {"tx_commit", "tx_abort"} <= {r["op"] for r in found}, found
+    assert all(r["tail_ok"] for r in found)
