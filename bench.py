@@ -101,6 +101,12 @@ BENCH_QUERIES_EXTENDED = [
     "ann_ivfpq",
     "events_rollup",
     "doc_lang_eval",
+    # round 7
+    "doc_bm25",
+    "events_retention",
+    "dedup_rate_by_source",
+    "doc_ngram_topk",
+    "events_anomaly",
 ]
 
 
@@ -373,6 +379,10 @@ SF1_QUERIES = [
     "curation_pipeline",
     "events_daily",
     "decontaminate",
+    # round 7
+    "doc_bm25",
+    "doc_ngram_topk",
+    "events_retention",
 ]
 
 

@@ -5337,7 +5337,10 @@ def q_doc_ngram_topk(spark, sf_dir):
     account). Scale shape: bigram explode feeds ONE map-side-combinable
     count aggregate; top-k is TakeOrderedAndProject after the reduced
     (distinct-bigram-sized) table, never a global sort of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    # local fixtures arrive as 1-2 splits; the explode is per-row-heavy
+    docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
     toks = TXT.tokens("text")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
