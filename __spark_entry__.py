@@ -54,6 +54,7 @@ _PRIORITY = [
     "dedup_rate_by_source",
     "doc_ngram_topk",
     "events_anomaly",
+    "log_segments",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

@@ -107,6 +107,7 @@ BENCH_QUERIES_EXTENDED = [
     "dedup_rate_by_source",
     "doc_ngram_topk",
     "events_anomaly",
+    "log_segments",
 ]
 
 

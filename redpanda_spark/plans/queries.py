@@ -5435,3 +5435,100 @@ ORDER BY event_type, day
 
 QUERIES.update({"events_anomaly": q_events_anomaly})
 ORACLES.update({"events_anomaly": SQL_EVENTS_ANOMALY})
+
+
+# -- Segment manifest stats (round 7) ----------------------------------------
+
+
+def q_log_segments(spark, sf_dir):
+    """The engine's manifest pruning index, value-for-value: a real topic
+    is built from events in four deterministic record batches (one
+    segment each), and each segment's footer stats — partition range,
+    offset range, row count, timestamp range in integer µs — are emitted
+    in append order. The oracle recomputes every stat from the events
+    table alone, so the sparse-index analog the fetch path prunes with
+    (reference `storage/index_state.h`) is hash-checked, not assumed.
+    The driver-side build is gate-SF test scaffolding (cached by input
+    fingerprint, like events_rollup's store); at scale segments are
+    born from produce batches and the stats ride the same manifest."""
+    import datetime as _dt
+    import hashlib
+    import shutil
+    import tempfile
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_segments",
+        hashlib.md5(f"{sf_dir}|{_doc_fingerprint(sf_dir)}".encode()).hexdigest(),
+    )
+    marker = os.path.join(root, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        # ts arrives as TIMESTAMP or (nanosAsLong sessions) as LONG nanos
+        ts_us = (
+            F.unix_micros(F.col("ts"))
+            if ev.schema["ts"].dataType.typeName().startswith("timestamp")
+            else F.expr("ts div 1000").cast("long")
+        )
+        rows = (
+            ev.select(
+                "event_id",
+                F.pmod(F.col("user_id"), F.lit(NUM_PARTITIONS))
+                .cast("int")
+                .alias("p"),
+                ts_us.alias("ts_us"),
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        eng = TopicEngine(spark, root)
+        eng.create_topic("seg", TopicConfig(partitions=NUM_PARTITIONS))
+        utc = _dt.timezone.utc
+        for b in range(4):
+            recs = [
+                {
+                    "partition": r["p"],
+                    "value": str(r["event_id"]).encode(),
+                    "timestamp": _dt.datetime.fromtimestamp(
+                        r["ts_us"] / 1e6, tz=utc
+                    ),
+                }
+                for r in rows
+                if r["event_id"] % 4 == b
+            ]
+            eng.produce("seg", recs)
+        open(marker, "w").write("1")
+    eng = TopicEngine(spark, root)
+    stats = eng._stats["seg"]
+    out = [
+        (i, s[0], s[1], s[2], s[3], s[4], s[5], s[6])
+        for i, f in enumerate(eng._files["seg"])
+        for s in [stats[f]]
+    ]
+    return spark.createDataFrame(
+        out,
+        "seg int, min_partition int, max_partition int, base_offset bigint,"
+        " last_offset bigint, n_rows bigint, min_ts_us bigint, max_ts_us bigint",
+    ).orderBy("seg")
+
+
+SQL_LOG_SEGMENTS = f"""
+WITH sim AS (
+  SELECT CAST(event_id % 4 AS INTEGER) AS seg,
+    CAST(user_id % {NUM_PARTITIONS} AS INTEGER) AS partition,
+    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY user_id % {NUM_PARTITIONS}
+      ORDER BY event_id % 4, event_id) - 1 AS BIGINT) AS "offset"
+  FROM events)
+SELECT seg, MIN(partition) AS min_partition, MAX(partition) AS max_partition,
+  MIN("offset") AS base_offset, MAX("offset") AS last_offset,
+  COUNT(*) AS n_rows, MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+FROM sim GROUP BY seg ORDER BY seg
+"""
+
+QUERIES.update({"log_segments": q_log_segments})
+ORACLES.update({"log_segments": SQL_LOG_SEGMENTS})
