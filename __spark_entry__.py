@@ -62,10 +62,18 @@ _PRIORITY = [
     "ann_ivf",
     "ann_ivfpq",
     "emb_near_dup",
-    "events_rollup",  # store cache fingerprint key
+    "events_rollup",  # store cache fingerprint key + decimal sum_value
     "tx_read_committed",  # read_committed hot-tail path
     "log_fetch",
     "log_fetch_bytes",
+    # money-sum outputs converted to exact decimal (ROUND-on-double
+    # diverges across engines above ~9e9 — caught by the strict sf1
+    # sweep); the other converted queries already hold earlier slots
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
+    "tpch_q9ish",
+    "events_daily",
     # only r4 driver rows — must re-row this round
     "tpch_q11ish",
     "tpch_q16ish",

@@ -380,6 +380,29 @@ def cmd_datalake_export_iceberg(args) -> int:
     return 0
 
 
+def cmd_avro_import(args) -> int:
+    """.avro OCF file(s) -> parquet (the ingest-once path; no connector
+    jar needed — pure-Python decode in Arrow-batched tasks)."""
+    from redpanda_spark.sources.avro_source import read_avro_ocf
+
+    eng = _engine(args)
+    df = read_avro_ocf(eng.spark, args.path)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rows": df.count(), "out": args.out}))
+    return 0
+
+
+def cmd_avro_export(args) -> int:
+    """Parquet -> .avro OCF files (one per partition)."""
+    from redpanda_spark.sources.avro_source import write_avro_ocf
+
+    eng = _engine(args)
+    df = eng.spark.read.parquet(args.path)
+    paths = write_avro_ocf(df, args.out)
+    print(json.dumps({"files": len(paths), "out": args.out}))
+    return 0
+
+
 def cmd_datalake_register_iceberg(args) -> int:
     """Register an exported Iceberg table's current metadata-location
     with a REST catalog (no Spark session needed — pure metadata)."""
@@ -514,6 +537,16 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--dry-run", action="store_true",
                     help="print the request plan without any I/O")
     dr.set_defaults(fn=cmd_datalake_register_iceberg)
+
+    av = sub.add_parser("avro").add_subparsers(dest="verb", required=True)
+    ai = av.add_parser("import")
+    ai.add_argument("path", help=".avro file, directory, or glob")
+    ai.add_argument("out", help="parquet output path")
+    ai.set_defaults(fn=cmd_avro_import)
+    ae = av.add_parser("export")
+    ae.add_argument("path", help="parquet input path")
+    ae.add_argument("out", help="directory for .avro files")
+    ae.set_defaults(fn=cmd_avro_export)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

@@ -386,12 +386,9 @@ def q_tpch_q1(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
-                6,
-            ).alias("sum_disc_price"),
+            F.round(F.sum(dec("l_quantity")), 6).cast("decimal(38,6)").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 6).cast("decimal(38,6)").alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("sum_disc_price"),
             F.round(
                 (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 6
             ).alias("avg_qty"),
@@ -403,9 +400,9 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS sum_disc_price,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -427,10 +424,7 @@ def q_tpch_q3(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
-                6,
-            ).alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -439,7 +433,7 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -468,10 +462,7 @@ def q_tpch_q5ish(spark, sf_dir):
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
-                6,
-            ).alias("revenue"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -479,7 +470,7 @@ def q_tpch_q5ish(spark, sf_dir):
 
 SQL_TPCH_Q5ISH = """
 SELECT r_name, n_name,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -498,7 +489,7 @@ def q_events_daily(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias(
                 "sum_value"
             ),
             F.countDistinct("user_id").alias("n_users"),
@@ -508,7 +499,7 @@ def q_events_daily(spark, sf_dir):
 
 SQL_EVENTS_DAILY = """
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type, CAST(ts AS DATE)
 """
@@ -1033,7 +1024,7 @@ def q_events_topk_users(spark, sf_dir):
     """Top-10 users by exact total value (decimal-safe), id tiebreak."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("total_value"),
         F.count("*").alias("n"),
     )
     return agg.orderBy(F.col("total_value").desc(), F.col("user_id")).limit(10)
@@ -1041,7 +1032,7 @@ def q_events_topk_users(spark, sf_dir):
 
 SQL_EVENTS_TOPK_USERS = """
 SELECT user_id,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS total_value,
        COUNT(*) AS n
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 10
@@ -1060,14 +1051,14 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"), 6).alias("revenue"),
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 6).cast("decimal(38,6)").alias("revenue"),
             F.count("*").alias("n"),
         )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1091,10 +1082,7 @@ def q_tpch_q10ish(spark, sf_dir):
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).cast("double"),
-                6,
-            ).alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1103,7 +1091,7 @@ def q_tpch_q10ish(spark, sf_dir):
 
 SQL_TPCH_Q10ISH = """
 SELECT c_custkey, c_name, n_name,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1540,7 +1528,7 @@ def q_tpch_q18(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 6).alias("sum_qty"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("sum_qty"))
         .where(F.col("sum_qty") > Q18_QTY)
     )
     return (
@@ -1563,7 +1551,7 @@ SQL_TPCH_Q18 = f"""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
   SELECT l_orderkey,
-         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 ) big
 JOIN orders ON big.l_orderkey = o_orderkey
@@ -1778,14 +1766,14 @@ def q_tpch_q7ish(spark, sf_dir):
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(vol).cast("double"), 6).alias("revenue"))
+        .agg(F.round(F.sum(vol), 6).cast("decimal(38,6)").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 SQL_TPCH_Q7ISH = f"""
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(CAST(SUM(volume) AS DOUBLE), 6) AS revenue
+       CAST(ROUND(SUM(volume), 6) AS DECIMAL(38,6)) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -1819,14 +1807,14 @@ def q_tpch_q19ish(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 40)))
     )
     return j.agg(
-        F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
+        F.round(F.sum(rev), 6).cast("decimal(38,6)").alias("revenue"),
         F.count("*").alias("n"),
     )
 
 
 SQL_TPCH_Q19ISH = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
@@ -1950,7 +1938,7 @@ def q_tpch_q15ish(spark, sf_dir):
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(vol).cast("double"), 6).alias("total_revenue"))
+        .agg(F.round(F.sum(vol), 6).cast("decimal(38,6)").alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -1964,8 +1952,8 @@ def q_tpch_q15ish(spark, sf_dir):
 SQL_TPCH_Q15ISH = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6))
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2824,17 +2812,17 @@ def q_tpch_q9ish(spark, sf_dir):
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit).cast("double"), 6).alias("profit"))
+        .agg(F.round(F.sum(profit), 6).cast("decimal(38,6)").alias("profit"))
         .orderBy("n_name", F.desc("o_year"))
     )
 
 
 SQL_TPCH_Q9ISH = """
 SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
              - CAST(0.1 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))
-                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS profit
+                 * CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2876,7 +2864,7 @@ def q_tpch_q11ish(spark, sf_dir):
         per_part.join(F.broadcast(total), F.col("part_val") > F.col("threshold"))
         .select(
             F.col("l_partkey").cast("long").alias("partkey"),
-            F.round(F.col("part_val").cast("double"), 6).alias("total_value"),
+            F.round(F.col("part_val"), 6).cast("decimal(38,6)").alias("total_value"),
         )
         .orderBy(F.desc("total_value"), "partkey")
         .limit(100)
@@ -2892,7 +2880,7 @@ WITH natsupply AS (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q11_NATION}')
 SELECT CAST(l_partkey AS BIGINT) AS partkey,
-       ROUND(CAST(SUM(val) AS DOUBLE), 6) AS total_value
+       CAST(ROUND(SUM(val), 6) AS DECIMAL(38,6)) AS total_value
 FROM natsupply GROUP BY 1
 HAVING SUM(val) > (SELECT SUM(val) * {_Q11_FRACTION} FROM natsupply)
 ORDER BY total_value DESC, partkey LIMIT 100
@@ -3110,9 +3098,7 @@ def q_tpch_q22ish(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 6
-            ).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -3127,7 +3113,7 @@ idle AS (
     WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 6) AS DECIMAL(38,6))
          AS totacctbal
 FROM idle GROUP BY 1 ORDER BY 1
 """
@@ -5101,7 +5087,7 @@ def q_events_rollup(spark, sf_dir):
         F.unix_micros("window_start").alias("win_us"),
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        F.round(F.col("sum_value"), 6).cast("decimal(38,6)").alias("sum_value"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
         F.round("avg_value", 6).alias("avg_value"),
@@ -5111,7 +5097,7 @@ def q_events_rollup(spark, sf_dir):
 SQL_EVENTS_ROLLUP = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
   event_type, COUNT(*) AS n,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
   ROUND(MIN(value), 6) AS min_value,
   ROUND(MAX(value), 6) AS max_value,
   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
