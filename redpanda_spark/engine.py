@@ -397,10 +397,17 @@ class TopicEngine:
             # expression tree costs ~1.3s of driver-side analysis PER
             # produce, measured; the UDF keeps the per-batch plan small,
             # which dominates small-batch produce latency.)
-            part = F.when(
-                F.col("key").isNotNull(),
-                murmur2_partition_udf(n_parts)(F.col("key")),
-            ).otherwise(F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int"))
+            # key-less batches (legal: null key = no routing affinity)
+            # round-robin on the monotonic id, like null-keyed rows
+            rr = F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int")
+            part = (
+                F.when(
+                    F.col("key").isNotNull(),
+                    murmur2_partition_udf(n_parts)(F.col("key")),
+                ).otherwise(rr)
+                if "key" in cols
+                else rr
+            )
         ts = (
             F.current_timestamp()
             if "timestamp" not in cols or cfg.timestamp_type == "LogAppendTime"
@@ -419,7 +426,9 @@ class TopicEngine:
         df = df.select(
             part.alias("partition"),
             ts.alias("timestamp"),
-            F.col("key"),
+            (F.col("key") if "key" in cols else F.lit(None).cast("binary")).alias(
+                "key"
+            ),
             F.col("value"),
             *[
                 (F.col(c) if c in cols else d.alias(c))

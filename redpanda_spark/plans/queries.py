@@ -5452,7 +5452,11 @@ def q_log_segments(spark, sf_dir):
     marker = os.path.join(root, "_built")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
-        ev = _t(spark, sf_dir, "events")
+        # bounded build: ≤400k events → ≤100k records per batch, which
+        # keeps every batch on the deterministic record-list produce path
+        # (the DF fallback writes one file per task — segment ordinals
+        # would no longer be the 4 batches). No-op at the gate SF.
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 400_000)
         # ts arrives as TIMESTAMP or (nanosAsLong sessions) as LONG nanos
         ts_us = (
             F.unix_micros(F.col("ts"))
@@ -5509,7 +5513,7 @@ WITH sim AS (
     CAST(ROW_NUMBER() OVER (
       PARTITION BY user_id % {NUM_PARTITIONS}
       ORDER BY event_id % 4, event_id) - 1 AS BIGINT) AS "offset"
-  FROM events)
+  FROM events WHERE event_id < 400000)
 SELECT seg, MIN(partition) AS min_partition, MAX(partition) AS max_partition,
   MIN("offset") AS base_offset, MAX("offset") AS last_offset,
   COUNT(*) AS n_rows, MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us

@@ -941,3 +941,23 @@ def test_record_produce_zero_valued_producer_fields(spark, tmp_path):
           "producer_epoch": 0, "base_sequence": 1}],
     )
     assert eng.log("z").count() == 2
+
+
+def test_dataframe_produce_without_key_column(spark, tmp_path):
+    """A batch with no key column is legal (null key = no routing
+    affinity): rows round-robin across partitions and the log stores
+    null keys. Regression: the produce pipeline referenced F.col('key')
+    unconditionally and threw UNRESOLVED_COLUMN."""
+    eng = TopicEngine(spark, str(tmp_path / "t"))
+    eng.create_topic("nk", TopicConfig(partitions=4))
+    df = spark.createDataFrame(
+        [(b"v%d" % i,) for i in range(40)], "value binary"
+    )
+    eng.produce("nk", df)
+    rows = eng.log("nk").collect()
+    assert len(rows) == 40
+    assert all(r["key"] is None for r in rows)
+    # placement is round-robin on the monotonic id — client-incidental
+    # (same note as null-keyed rows); only validity is contractual
+    assert all(0 <= r["partition"] < 4 for r in rows)
+    assert sum(eng.high_watermarks("nk").values()) == 40
