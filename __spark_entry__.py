@@ -43,10 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (110) is >2x the gate, so the invariant is "no query's newest driver
 # row older than two rounds".
 #
-# ROUND-8 ROTATION NOTE: priority = new r8 queries + whatever r5-row
-# holders missed this round's 50 slots (they'll be 3 rounds stale
-# otherwise — check CORRECTNESS_r07.json for which of the r5 list below
-# got rows) + any query whose code changes in r8.
+# ROUND-8 ROTATION NOTE: run `python tools/rotate_priority.py --changed
+# <queries-touched-in-r8>` — it derives this list mechanically from the
+# CORRECTNESS_r*.json history (new -> changed -> oldest-newest-row first)
+# and prints a staleness report. With the catalog at 114 and 50 slots,
+# the steady-state worst staleness is 3 rounds (ceil(114/50) rotations);
+# r8 priority = new r8 queries + the 14 r5-row holders the tool flags.
 _PRIORITY = [
     # new in round 7 (no driver row yet)
     "doc_bm25",
@@ -55,6 +57,7 @@ _PRIORITY = [
     "doc_ngram_topk",
     "events_anomaly",
     "log_segments",
+    "ann_nsw",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

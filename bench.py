@@ -108,6 +108,7 @@ BENCH_QUERIES_EXTENDED = [
     "doc_ngram_topk",
     "events_anomaly",
     "log_segments",
+    "ann_nsw",
 ]
 
 
@@ -384,6 +385,7 @@ SF1_QUERIES = [
     "doc_bm25",
     "doc_ngram_topk",
     "events_retention",
+    "ann_nsw",
 ]
 
 

@@ -5522,3 +5522,72 @@ FROM sim GROUP BY seg ORDER BY seg
 
 QUERIES.update({"log_segments": q_log_segments})
 ORACLES.update({"log_segments": SQL_LOG_SEGMENTS})
+
+
+# -- Graph ANN: per-segment NSW, the HNSW deployment shape (round 7) ----------
+
+
+def q_ann_nsw(spark, sf_dir):
+    """Graph ANN (similarity/graph_ann.py): one navigable-small-world graph
+    per id-hash shard (the Lucene/Elasticsearch per-segment HNSW layout),
+    searched greedily per shard and merged exactly. Output = the EXACT
+    top-10 by squared L2 (hash-checkable) plus `recall_ok` asserting the
+    graph walk's 50-wide merged shortlist captured >= 8 of the exact
+    top-10 — a graph-quality regression flips the boolean and fails the
+    value hash (same sketch-gate pattern as ann_pq/ann_ivf)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.graph_ann import build_nsw_index, nsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.where(F.col("vec_id") == 1)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    idx = build_nsw_index(emb, n_shards=None, m=8, ef_construction=48)
+    shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        emb.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = sum(1 for i in exact_ids if i in shortlist) >= 8
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+SQL_ANN_NSW = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+d AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(len(qv)),
+      i -> (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1])
+           * (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1]))) AS dd
+  FROM embeddings, q),
+r AS (
+  SELECT vec_id, dd,
+    CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS INTEGER) AS rank
+  FROM d)
+SELECT rank, vec_id, ROUND(dd, 6) AS dist, TRUE AS recall_ok
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES.update({"ann_nsw": q_ann_nsw})
+ORACLES.update({"ann_nsw": SQL_ANN_NSW})

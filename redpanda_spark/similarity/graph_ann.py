@@ -1,0 +1,229 @@
+"""Graph ANN: per-segment navigable-small-world (NSW) indexes.
+
+This closes the ANN ladder (brute -> IVF -> PQ -> IVFPQ -> graph) with the
+HNSW-equivalent shape every production vector store deploys at scale:
+Lucene/Elasticsearch build ONE small-world graph PER SEGMENT, search every
+segment's graph independently (sublinear in segment size), and merge the
+per-segment top-k exactly. That per-segment layout — not one global graph —
+is the distributed-engine form of HNSW, and it maps 1:1 onto Spark:
+
+- segment = deterministic id-hash shard (pure function of vec_id, so the
+  index is identical under any physical partitioning or session config);
+- graph build = one ``applyInPandas`` task per shard (numpy inside; a
+  shard is bounded — at 100 TB you raise ``n_shards`` so each task stays
+  ~1M vectors, build cost per task is O(n·ef·M), embarrassingly parallel);
+- search = one Arrow-batched task per shard doing a greedy best-first walk
+  visiting ~ef·M of the shard's vectors instead of all of them, then a
+  global exact merge of the tiny per-shard candidate lists.
+
+Everything is deterministic: insertion order, neighbor selection, and walk
+expansion all break distance ties by vec_id, so the same corpus yields the
+same graph and the same candidates under any partitioning (the property
+the repo's PQ/IVF fits also guarantee; see similarity/pq.py _sample_rows).
+
+Published basis: Malkov & Yashunin, "Efficient and robust approximate
+nearest neighbor search using Hierarchical Navigable Small World graphs"
+(IEEE TPAMI 2018) — built here as the single-layer NSW variant with a
+fixed entry point, which is what per-segment sharding needs (segments are
+small enough that the hierarchy's log-n hop saving is immaterial; the
+sharding supplies the scale-out instead). The reference engine has no
+native ANN; this extends the training-data similarity toolkit per the
+brief, matching Lucene's per-segment HNSW deployment model.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from redpanda_spark.functions.vectors import as_double
+
+INDEX_SCHEMA = "shard int, vec_id long, v array<double>, neighbors array<long>"
+CAND_SCHEMA = "vec_id long, d double"
+
+
+def _knuth_shard(id_col: str, n_shards: int) -> F.Column:
+    """Shard id as a pure function of the row id (layout-independent)."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(2147483647)) * F.lit(2654435761),
+        F.lit(n_shards),
+    ).cast("int")
+
+
+def _greedy_search(
+    x: np.ndarray,
+    adj: list[list[int]],
+    bound: int,
+    q: np.ndarray,
+    ef: int,
+) -> list[tuple[float, int]]:
+    """Best-first walk over nodes [0, bound) from entry node 0.
+
+    Returns up to ``ef`` (dist, local_idx) pairs, ascending. Ties break by
+    local index (== vec_id order) everywhere, so the walk is a pure
+    function of the data.
+    """
+    if bound <= 0:
+        return []
+    d0 = float(((x[0] - q) ** 2).sum())
+    visited = {0}
+    cand: list[tuple[float, int]] = [(d0, 0)]  # min-heap
+    res: list[tuple[float, int]] = [(-d0, 0)]  # max-heap (neg dist)
+    while cand:
+        d, u = heapq.heappop(cand)
+        if d > -res[0][0] and len(res) >= ef:
+            break
+        new = [w for w in adj[u] if w < bound and w not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        # one vectorized distance batch per expanded node (the hot loop)
+        dists = ((x[new] - q) ** 2).sum(axis=1)
+        for w, dw in zip(new, dists):
+            dw = float(dw)
+            if len(res) < ef or dw < -res[0][0] or (dw == -res[0][0] and w < res[0][1]):
+                heapq.heappush(cand, (dw, w))
+                heapq.heappush(res, (-dw, w))
+                if len(res) > ef:
+                    heapq.heappop(res)
+    return sorted(((-nd, i) for nd, i in res))
+
+
+def _select_neighbors(x: np.ndarray, node: int, cands: list[int], m: int) -> list[int]:
+    """HNSW's neighbor-selection heuristic (Malkov & Yashunin, Alg. 4).
+
+    Walking candidates nearest-first, keep one only if NO already-kept
+    neighbor is closer to it than the node is — so well-separated regions
+    keep their bridge edges instead of being pruned to m same-cluster
+    links (distance-only pruning disconnects planted clusters and strands
+    the greedy walk at the entry point's cluster). Discarded candidates
+    back-fill to m (the keepPrunedConnections variant) to hold the degree.
+    Ties break by index everywhere — deterministic.
+    """
+    uniq = sorted(set(cands) - {node})
+    if len(uniq) <= m:
+        return uniq
+    d_node = ((x[uniq] - x[node]) ** 2).sum(axis=1)
+    order = sorted(range(len(uniq)), key=lambda i: (d_node[i], uniq[i]))
+    kept: list[int] = []
+    discarded: list[int] = []
+    for oi in order:
+        c = uniq[oi]
+        if len(kept) >= m:
+            break
+        covered = bool(
+            kept
+            and (((x[kept] - x[c]) ** 2).sum(axis=1) < float(d_node[oi])).any()
+        )
+        (discarded if covered else kept).append(c)
+    for c in discarded:
+        if len(kept) >= m:
+            break
+        kept.append(c)
+    return sorted(kept)
+
+
+def _build_shard(x: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
+    """Insertion-order NSW build over one shard (rows sorted by vec_id).
+
+    Node i links to m candidates chosen by the HNSW heuristic from the
+    ef_construction nodes a graph search finds; links are bidirectional
+    and over-full lists are re-selected (same heuristic) back to 2m.
+    """
+    n = len(x)
+    m_max = 2 * m
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _greedy_search(x, adj, i, x[i], ef_construction)
+        links = _select_neighbors(x, i, [j for _, j in found], m)
+        for j in links:
+            adj[i].append(j)
+            adj[j].append(i)
+            if len(adj[j]) > m_max:
+                adj[j] = _select_neighbors(x, j, adj[j], m_max)
+        adj[i] = sorted(set(adj[i]))
+    return adj
+
+
+def build_nsw_index(
+    emb: DataFrame,
+    n_shards: int | None = 4,
+    m: int = 8,
+    ef_construction: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_shard_rows: int = 1024,
+) -> DataFrame:
+    """(shard, vec_id, v, neighbors) — one NSW graph per id-hash shard.
+
+    Neighbors hold vec_ids (not local indices) so the index is
+    self-describing and survives being written/read as parquet. One build
+    task per shard. ``n_shards=None`` sizes shards from the corpus count
+    (one count job) at ~``target_shard_rows`` rows each, never below 4 —
+    insertion cost per shard is superlinear, so bounded shards keep the
+    build wall-clock flat as the corpus grows (shards build in parallel;
+    at 100 TB raise target_shard_rows to ~1M and let the shard count
+    carry the scale). The shard hash is a pure function of the id, so a
+    given (corpus, n_shards) always yields the same index.
+    """
+    if n_shards is None:
+        n_shards = max(4, -(-emb.count() // target_shard_rows))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        adj = _build_shard(x, m, ef_construction)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "vec_id": ids,
+                "v": list(pdf["v"]),
+                "neighbors": [[int(ids[j]) for j in row] for row in adj],
+            }
+        )
+
+    shards = emb.select(
+        _knuth_shard(id_col, n_shards).alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("v"),
+    )
+    return shards.groupBy("shard").applyInPandas(build, INDEX_SCHEMA)
+
+
+def nsw_topk(
+    index: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    ef_search: int = 64,
+) -> DataFrame:
+    """Search every shard's graph, merge exactly: (vec_id, d) top-k.
+
+    Each shard task walks ~ef_search·m nodes instead of scanning the
+    shard; the merge input is n_shards × ef_search rows — tiny. The final
+    order is exact squared-L2 ascending, ties by vec_id.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    bq = index.sparkSession.sparkContext.broadcast(q)
+    ef = max(ef_search, k)
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj = [[pos[n] for n in row if n in pos] for row in pdf["neighbors"]]
+        found = _greedy_search(x, adj, len(x), bq.value, ef)
+        return pd.DataFrame(
+            {
+                "vec_id": [int(ids[i]) for _, i in found],
+                "d": [d for d, _ in found],
+            }
+        )
+
+    cands = index.groupBy("shard").applyInPandas(search, CAND_SCHEMA)
+    return cands.orderBy(F.col("d"), F.col("vec_id")).limit(k)
