@@ -156,7 +156,7 @@ def build_nsw_index(
     ef_construction: int = 48,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    target_shard_rows: int = 1024,
+    target_shard_rows: int = 512,
 ) -> DataFrame:
     """(shard, vec_id, v, neighbors) — one NSW graph per id-hash shard.
 
