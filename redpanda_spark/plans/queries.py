@@ -5591,3 +5591,51 @@ FROM r WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"ann_nsw": q_ann_nsw})
 ORACLES.update({"ann_nsw": SQL_ANN_NSW})
+
+
+# -- Skew-salted join (round 7) -----------------------------------------------
+
+
+def q_events_skew_join(spark, sf_dir):
+    """Salted fact-dim join (operators/skew.py): hot user_ids detected by
+    share (deterministic count threshold), their fact rows spread over 8
+    hash-of-event_id sub-keys and the matching dim rows replicated per
+    sub-key — then the usual segment rollup. The oracle is the PLAIN
+    join+aggregate: salting must be row-invisible, which is exactly what
+    the hash check proves. At 100 TB this is the shape that keeps one
+    10%-of-the-corpus user from pinning a single reducer."""
+    from redpanda_spark.operators.skew import detect_hot_keys, salted_join
+
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = detect_hot_keys(events, "user_id", min_share=0.005)
+    joined = salted_join(
+        events, cust, key="user_id", spread_col="event_id",
+        salt_factor=8, hot_keys=hot,
+    )
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+SQL_EVENTS_SKEW_JOIN = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+QUERIES.update({"events_skew_join": q_events_skew_join})
+ORACLES.update({"events_skew_join": SQL_EVENTS_SKEW_JOIN})
