@@ -309,7 +309,7 @@ def bench_e2e_latency(spark, n: int = 25) -> dict:
             "p50_ms": round(lats[len(lats) // 2], 1),
             "min_ms": round(lats[0], 1),
             "max_ms": round(lats[-1], 1),
-            "rc_p50_ms": round(rc_lats[len(rc_lats) // 2], 1),
+            "rc_p50_ms": round(rc_lats[len(rc_lats) // 2], 3),
             "scan_p50_ms": round(scan_lats[len(scan_lats) // 2], 1),
         }
     finally:
@@ -387,6 +387,7 @@ SF1_QUERIES = [
     "doc_ngram_topk",
     "events_retention",
     "ann_nsw",
+    "events_skew_join",
 ]
 
 
