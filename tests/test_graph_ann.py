@@ -116,3 +116,74 @@ def test_nsw_shard_count_preserves_corpus(spark, sf_dir, n_shards):
     idx = build_nsw_index(emb, n_shards=n_shards, m=6)
     assert idx.count() == emb.count()
     assert idx.select("vec_id").distinct().count() == emb.count()
+
+
+# -- property tests (pure numpy; no Spark round-trip) --------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_corpus = st.integers(min_value=2, max_value=60).flatmap(
+    lambda n: st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=n, max_size=n,
+    )
+)
+
+
+@given(_corpus)
+@settings(max_examples=150, deadline=None)
+def test_build_shard_structural_invariants(vecs):
+    x = np.array(vecs, dtype=np.float64)
+    m = 4
+    adj = _build_shard(x, m=m, ef_construction=12)
+    assert len(adj) == len(x)
+    for i, nbrs in enumerate(adj):
+        assert len(nbrs) <= 2 * m                 # degree bound
+        assert nbrs == sorted(set(nbrs))          # sorted, unique
+        assert i not in nbrs                      # no self-loop
+        assert all(0 <= j < len(x) for j in nbrs)
+        if i > 0:
+            assert len(nbrs) >= 1                 # every insert links
+
+
+@given(_corpus)
+@settings(max_examples=150, deadline=None)
+def test_select_neighbors_properties(vecs):
+    from redpanda_spark.similarity.graph_ann import _select_neighbors
+
+    x = np.array(vecs, dtype=np.float64)
+    cands = list(range(len(x)))
+    m = 3
+    kept = _select_neighbors(x, 0, cands, m)
+    assert len(kept) <= m
+    assert kept == sorted(set(kept))
+    assert 0 not in kept                          # never links to itself
+    assert set(kept) <= set(cands)
+    if len(x) > 1:
+        # the globally nearest candidate is never "covered": something at
+        # its distance survives (ties break by index)
+        d = ((x[1:] - x[0]) ** 2).sum(axis=1)
+        assert any(
+            float(((x[k] - x[0]) ** 2).sum()) <= float(d.min()) for k in kept
+        )
+
+
+@given(_corpus, st.integers(min_value=1, max_value=20))
+@settings(max_examples=150, deadline=None)
+def test_greedy_search_output_contract(vecs, ef):
+    x = np.array(vecs, dtype=np.float64)
+    adj = _build_shard(x, m=4, ef_construction=12)
+    q = x[0] + 0.1
+    found = _greedy_search(x, adj, len(x), q, ef)
+    assert len(found) <= max(ef, 1)
+    ids = [i for _, i in found]
+    assert len(ids) == len(set(ids))              # unique
+    ds = [d for d, _ in found]
+    assert ds == sorted(ds)                       # ascending distance
+    # reported distances are the true distances
+    for d, i in found:
+        assert d == float(((x[i] - q) ** 2).sum())

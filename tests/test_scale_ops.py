@@ -155,3 +155,31 @@ def test_assert_no_exchange_catches_shuffle(spark):
     df = spark.range(100).groupBy((F.col("id") % 3).alias("g")).count()
     with pytest.raises(AssertionError):
         assert_no_exchange(df)
+
+
+# -- property test: salting is row-invisible under random skew -----------------
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=8),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_salted_join_property_row_identical(spark, big_keys, dim_keys, factor, how):
+    big = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(big_keys)], "event_id long, user_id long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"s{k}") for k in sorted(set(dim_keys))], "user_id long, seg string"
+    )
+    plain = big.join(small, "user_id", how)
+    for hot in (None, sorted(set(big_keys))[:2]):
+        salted = salted_join(
+            big, small, "user_id", "event_id", factor, hot, how=how
+        )
+        assert _norm(salted.select(*plain.columns)) == _norm(plain)
