@@ -334,6 +334,46 @@ def _hour_to_micros(hour_dir_value: str) -> int | None:
         return None
 
 
+def _rebuild_state(prior: dict, data_dir: str) -> dict:
+    """Recover the file -> [added_snapshot_id, sequence] map from the
+    committed manifest chain (current snapshot's manifest list -> manifest
+    entries). Used whenever ``_export_state.json`` is missing or stamped
+    with a version other than the committed hint — the manifests are the
+    source of truth; the state file is only a cache of them. Sequence/
+    snapshot inheritance for ADDED entries follows the spec: a null field
+    inherits from the manifest-list record that carries the manifest."""
+    snap = next(
+        s
+        for s in prior["snapshots"]
+        if s["snapshot-id"] == prior["current-snapshot-id"]
+    )
+    state: dict[str, list] = {}
+    _, _, manifests = avro_ocf_read(snap["manifest-list"])
+    for mf in manifests:
+        _, _, entries = avro_ocf_read(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:  # DELETED: not live
+                continue
+            rel = os.path.relpath(e["data_file"]["file_path"], data_dir)
+            e_snap = e.get("snapshot_id")
+            if e_snap is None:
+                e_snap = mf["added_snapshot_id"]
+            e_seq = e.get("sequence_number")
+            if e_seq is None:
+                e_seq = mf["sequence_number"]
+            state[rel] = [int(e_snap), int(e_seq)]
+    return state
+
+
+def _write_atomic(path: str, data: str) -> None:
+    """tmp + rename: a crashed write can never leave a truncated commit
+    file (metadata.json / state / version-hint)."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def export_iceberg(
     spark, lake_path: str, out_path: str, snapshot_id: int | None = None
 ) -> dict:
@@ -397,8 +437,22 @@ def export_iceberg(
     state_path = os.path.join(meta_dir, "_export_state.json")
     if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
         prior = _current_metadata(out_abs)
+        hint_version = int(
+            open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+        )
+        # the state file is a CACHE keyed to the committed hint version: a
+        # crash between the state write and the hint flip (or a rolled-back
+        # hint) leaves state describing an UNCOMMITTED attempt — trusting it
+        # would mark that attempt's files EXISTING under a snapshot id the
+        # table never committed (a spec violation the conformance reader
+        # now checks). On any mismatch, rebuild from the committed manifest
+        # chain, which is authoritative by definition.
         if os.path.exists(state_path):
-            state = json.load(open(state_path))
+            raw = json.load(open(state_path))
+            if raw.pop("_hint_version", None) == hint_version:
+                state = raw
+        if not state:
+            state = _rebuild_state(prior, data_dir)
         done = {s["snapshot-id"] for s in prior.get("snapshots", [])}
         if int(snap["id"]) in done:  # idempotent re-export
             return {
@@ -634,13 +688,13 @@ def export_iceberg(
         "metadata-log": metadata_log,
     }
     metadata_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    with open(metadata_path, "w") as f:
-        json.dump(metadata, f, indent=1)
-    with open(state_path, "w") as f:
-        json.dump(state, f)
+    _write_atomic(metadata_path, json.dumps(metadata, indent=1))
+    # state is stamped with the version it belongs to; a crash before the
+    # hint flip leaves the stamp != hint, and the next export rebuilds
+    # from the committed manifests instead of trusting this file
+    _write_atomic(state_path, json.dumps({**state, "_hint_version": version}))
     # hint last: the commit point (readers resolve metadata through it)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(version))
+    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
     return {
         "table_uuid": table_uuid,
         "snapshot_id": snap_id,

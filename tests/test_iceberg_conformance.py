@@ -195,3 +195,67 @@ def test_rest_catalog_registration_flow(spark, tmp_path):
 
     with _pytest.raises(CatalogError, match="unreachable"):
         register_table(out, "http://127.0.0.1:9", "ns", "t", timeout_s=2)
+
+
+def test_crash_between_state_and_hint_cannot_poison_next_export(spark, tmp_path):
+    """The export-state file is written BEFORE the hint flip; a crash in
+    that window (or a hint rollback) must not let the next export mark
+    the aborted attempt's files EXISTING under a never-committed snapshot
+    id. The state cache is stamped with its hint version and rebuilt from
+    the committed manifests on mismatch; the conformance reader now flags
+    dangling snapshot references, so the failure mode is visible."""
+    from redpanda_spark.sources.iceberg_export import export_iceberg, read_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    hint = os.path.join(out, "metadata", "version-hint.text")
+
+    _mk_lake(spark, lake, 0, 8, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)                       # v1 committed
+
+    _mk_lake(spark, lake, 8, 12, "2024-03-01 11:00:00")
+    export_iceberg(spark, lake, out)                       # v2 committed
+    # simulate the crash window: metadata+state for v2 exist, but the
+    # commit point never flipped
+    with open(hint, "w") as f:
+        f.write("1")
+
+    _mk_lake(spark, lake, 12, 20, "2024-03-01 12:00:00")
+    summary = export_iceberg(spark, lake, out)             # retries as v2
+    assert summary["n_rows"] == 20
+
+    res = traverse(out)
+    assert res["schema_errors"] == []                      # no dangling refs
+    assert res["live_record_count"] == 20
+    # hour-2 and hour-3 files were never committed before, so they must be
+    # ADDED (status 1) in this snapshot, not EXISTING under a ghost id
+    committed = {s["snapshot-id"] for s in
+                 __import__("json").load(open(summary["metadata_path"]))["snapshots"]}
+    assert res["snapshot_id"] in committed
+    assert read_iceberg(spark, out).count() == 20
+
+
+def test_stale_state_without_crash_is_equivalent(spark, tmp_path):
+    """Deleting the state cache entirely must change nothing: the rebuild
+    path reproduces the same EXISTING/ADDED split the cache would give."""
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 8, "2024-03-01 10:00:00")
+    export_iceberg(spark, lake, out)
+    os.remove(os.path.join(out, "metadata", "_export_state.json"))
+    _mk_lake(spark, lake, 8, 14, "2024-03-01 11:00:00")
+    export_iceberg(spark, lake, out)
+
+    res = traverse(out)
+    assert res["schema_errors"] == []
+    assert res["live_record_count"] == 14
+    # hour-1 files are EXISTING (rebuilt state found them), hour-2 ADDED
+    assert set(res["entry_statuses"]) == {0, 1}
+    existing_rows = sum(
+        f["record_count"]
+        for f, s in zip(res["data_files"], res["entry_statuses"])
+        if s == 0
+    )
+    assert existing_rows == 8  # exactly the v1 rows stayed EXISTING

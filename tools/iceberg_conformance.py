@@ -255,6 +255,15 @@ def traverse(table_path: str) -> dict:
             statuses.append(e["status"])
             if e["status"] != 2:  # 2 = DELETED (spec: not live)
                 files.append(e["data_file"])
+                # spec: an entry's snapshot-id names the snapshot that
+                # added (or last updated) the file — it must be a snapshot
+                # this table actually committed. A dangling reference is
+                # the signature of metadata written from uncommitted state.
+                e_snap = e.get("snapshot_id")
+                if e_snap is not None and e_snap not in snaps:
+                    errs.append(
+                        f"manifest entry references unknown snapshot {e_snap}"
+                    )
     live_rows = sum(f["record_count"] for f in files)
     return {
         "version": version,
