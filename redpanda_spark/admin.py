@@ -257,6 +257,11 @@ class _ProducerIdAllocator:
 
     def _save(self):
         import json
+        import os
 
-        with open(self.path, "w") as f:
+        # tmp + rename: producer-id state survives a crash mid-write
+        # (losing it would reissue pids and break epoch fencing)
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as f:
             json.dump({"next_id": self.next_id, "tx_ids": self.tx_ids}, f)
+        os.replace(tmp, self.path)

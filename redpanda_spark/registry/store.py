@@ -102,7 +102,11 @@ class SchemaRegistry:
     def _save(self) -> None:
         if not self._path:
             return
-        with open(self._path, "w") as f:
+        # tmp + rename: the registry is the whole cluster's schema state;
+        # a crash mid-write must never truncate it (the reference keeps it
+        # in a compacted topic, crash-safe by append — `_schemas`)
+        tmp = f"{self._path}.tmp"
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "subjects": {
@@ -116,6 +120,7 @@ class SchemaRegistry:
                 },
                 f,
             )
+        os.replace(tmp, self._path)
 
     # -- registration -----------------------------------------------------
 

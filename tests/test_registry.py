@@ -555,3 +555,35 @@ def test_rest_id_lookups_and_compat_check():
     assert code == 200 and out == {"is_compatible": True}
     code, out = app._compat_check("s", "1", {"schema": V2_NARROW}, {})
     assert code == 200 and out == {"is_compatible": False}
+
+
+def test_store_save_is_atomic_under_crash(tmp_path, monkeypatch):
+    """A crash mid-save must leave the previous registry state intact:
+    _save writes a tmp file and renames, so the target is never
+    truncated (the reference's compacted-topic store is append-only and
+    crash-safe; the file analog must match)."""
+    import os as _os
+
+    from redpanda_spark.registry.store import SchemaRegistry
+
+    path = str(tmp_path / "registry.json")
+    reg = SchemaRegistry(path)
+    reg.register("s-value", '{"type": "string"}', "AVRO")
+    before = open(path).read()
+
+    real_replace = _os.replace
+
+    def boom(src, dst):
+        raise OSError("simulated crash before rename")
+
+    monkeypatch.setattr("redpanda_spark.registry.store.os.replace", boom)
+    try:
+        reg.register("s2-value", '{"type": "int"}', "AVRO")
+    except OSError:
+        pass
+    monkeypatch.setattr("redpanda_spark.registry.store.os.replace", real_replace)
+
+    # the durable file still holds the pre-crash state, parseable
+    assert open(path).read() == before
+    reloaded = SchemaRegistry(path)
+    assert reloaded.get_latest("s-value").schema == '{"type": "string"}'
