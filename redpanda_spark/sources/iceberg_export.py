@@ -514,7 +514,12 @@ def export_iceberg(
         dst = os.path.join(data_dir, rel)
         if not os.path.exists(dst):
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(src, dst)
+            # tmp + rename: dst is either absent or complete — a crash
+            # mid-copy must not leave a truncated parquet that the retry's
+            # exists-check would then trust
+            tmp_dst = f"{dst}.tmp"
+            shutil.copyfile(src, tmp_dst)
+            os.replace(tmp_dst, dst)
         md = pq.ParquetFile(dst).metadata
         total_rows += md.num_rows
         part_val = None
