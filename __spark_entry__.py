@@ -58,6 +58,7 @@ _PRIORITY = [
     "events_anomaly",
     "log_segments",
     "ann_nsw",
+    "ann_nsw_incremental",
     "events_skew_join",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)

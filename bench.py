@@ -109,6 +109,7 @@ BENCH_QUERIES_EXTENDED = [
     "events_anomaly",
     "log_segments",
     "ann_nsw",
+    "ann_nsw_incremental",
     "events_skew_join",
 ]
 

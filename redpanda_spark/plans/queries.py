@@ -5639,3 +5639,62 @@ ORDER BY c_mktsegment, event_type
 
 QUERIES.update({"events_skew_join": q_events_skew_join})
 ORACLES.update({"events_skew_join": SQL_EVENTS_SKEW_JOIN})
+
+
+# -- Graph ANN incremental maintenance (round 7) -------------------------------
+
+
+def q_ann_nsw_incremental(spark, sf_dir):
+    """Incremental NSW maintenance (similarity/graph_ann.py nsw_insert):
+    the index is built on 80% of the corpus, the remaining vectors fold in
+    WITHOUT a rebuild (O(increment) work, untouched shards pass through
+    unchanged — the continuous-ingest story, same shape as
+    dedup_incremental). Output = the EXACT top-10 on the full corpus plus
+    `recall_ok` asserting the maintained index's 50-wide shortlist still
+    captures >= 8 of the exact top-10 — an insert-path regression that
+    degrades the graph flips the boolean and fails the value hash."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.graph_ann import (
+        build_nsw_index,
+        nsw_insert,
+        nsw_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    inc = emb.where(F.col("vec_id") % 5 == 0)
+    q = np.array(
+        emb.where(F.col("vec_id") == 1)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    idx = nsw_insert(build_nsw_index(base, n_shards=None), inc)
+    shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        emb.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = sum(1 for i in exact_ids if i in shortlist) >= 8
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+QUERIES.update({"ann_nsw_incremental": q_ann_nsw_incremental})
+ORACLES.update({"ann_nsw_incremental": SQL_ANN_NSW})

@@ -42,7 +42,10 @@ from pyspark.sql import functions as F
 
 from redpanda_spark.functions.vectors import as_double
 
-INDEX_SCHEMA = "shard int, vec_id long, v array<double>, neighbors array<long>"
+INDEX_SCHEMA = (
+    "shard int, vec_id long, v array<double>, neighbors array<long>,"
+    " n_shards int"
+)
 CAND_SCHEMA = "vec_id long, d double"
 
 
@@ -127,17 +130,21 @@ def _select_neighbors(x: np.ndarray, node: int, cands: list[int], m: int) -> lis
     return sorted(kept)
 
 
-def _build_shard(x: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
-    """Insertion-order NSW build over one shard (rows sorted by vec_id).
+def _insert_nodes(
+    x: np.ndarray,
+    adj: list[list[int]],
+    start: int,
+    m: int,
+    ef_construction: int,
+) -> None:
+    """Insert nodes [start, len(x)) into an existing graph in index order.
 
-    Node i links to m candidates chosen by the HNSW heuristic from the
+    Each node links to m candidates chosen by the HNSW heuristic from the
     ef_construction nodes a graph search finds; links are bidirectional
     and over-full lists are re-selected (same heuristic) back to 2m.
     """
-    n = len(x)
     m_max = 2 * m
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for i in range(1, n):
+    for i in range(max(start, 1), len(x)):
         found = _greedy_search(x, adj, i, x[i], ef_construction)
         links = _select_neighbors(x, i, [j for _, j in found], m)
         for j in links:
@@ -146,6 +153,12 @@ def _build_shard(x: np.ndarray, m: int, ef_construction: int) -> list[list[int]]
             if len(adj[j]) > m_max:
                 adj[j] = _select_neighbors(x, j, adj[j], m_max)
         adj[i] = sorted(set(adj[i]))
+
+
+def _build_shard(x: np.ndarray, m: int, ef_construction: int) -> list[list[int]]:
+    """Insertion-order NSW build over one shard (rows sorted by vec_id)."""
+    adj: list[list[int]] = [[] for _ in range(len(x))]
+    _insert_nodes(x, adj, 0, m, ef_construction)
     return adj
 
 
@@ -173,6 +186,8 @@ def build_nsw_index(
     if n_shards is None:
         n_shards = max(4, -(-emb.count() // target_shard_rows))
 
+    shard_count = int(n_shards)
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         x = np.array(list(pdf["v"]), dtype=np.float64)
@@ -184,6 +199,7 @@ def build_nsw_index(
                 "vec_id": ids,
                 "v": list(pdf["v"]),
                 "neighbors": [[int(ids[j]) for j in row] for row in adj],
+                "n_shards": shard_count,
             }
         )
 
@@ -227,3 +243,64 @@ def nsw_topk(
 
     cands = index.groupBy("shard").applyInPandas(search, CAND_SCHEMA)
     return cands.orderBy(F.col("d"), F.col("vec_id")).limit(k)
+
+
+def nsw_insert(
+    index: DataFrame,
+    new_emb: DataFrame,
+    m: int = 8,
+    ef_construction: int = 48,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold new vectors into an existing index WITHOUT a full rebuild —
+    the continuous-ingest sibling of ``build_nsw_index`` (same shape as
+    dedup/minhash.py's incremental store: O(increment) work, stored
+    structure reused).
+
+    New ids hash to their shard with the index's own recorded shard count
+    (``n_shards`` column — the index is self-describing, so the caller
+    cannot desync the routing); each touched shard re-enters one
+    ``applyInPandas`` task that replays ONLY the new nodes through the
+    same insertion loop the builder uses (existing adjacency is loaded,
+    not recomputed). Untouched shards pass through unchanged, so the cost
+    is O(new vectors · ef), independent of corpus size. Deterministic:
+    existing graphs are stored state, and new nodes insert in vec_id
+    order with the builder's tie-breaking.
+    """
+    n_shards = int(index.select("n_shards").first()["n_shards"])
+    new = new_emb.select(
+        _knuth_shard(id_col, n_shards).alias("shard"),
+        F.col(id_col).alias("vec_id"),
+        as_double(vec_col).alias("v"),
+        F.lit(None).cast("array<long>").alias("neighbors"),
+        F.lit(n_shards).alias("n_shards"),
+    )
+    combined = index.select(
+        "shard", "vec_id", "v", "neighbors", "n_shards"
+    ).unionByName(new)
+
+    def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_new = pdf["neighbors"].isna()
+        old = pdf[~is_new].sort_values("vec_id").reset_index(drop=True)
+        add = pdf[is_new].sort_values("vec_id").reset_index(drop=True)
+        if len(add) == 0:
+            return pdf
+        ids = list(old["vec_id"]) + list(add["vec_id"])
+        x = np.array(list(old["v"]) + list(add["v"]), dtype=np.float64)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj = [
+            [pos[n] for n in row if n in pos] for row in old["neighbors"]
+        ] + [[] for _ in range(len(add))]
+        _insert_nodes(x, adj, len(old), m, ef_construction)
+        return pd.DataFrame(
+            {
+                "shard": [pdf["shard"].iloc[0]] * len(ids),
+                "vec_id": ids,
+                "v": list(old["v"]) + list(add["v"]),
+                "neighbors": [[int(ids[j]) for j in row] for row in adj],
+                "n_shards": [n_shards] * len(ids),
+            }
+        )
+
+    return combined.groupBy("shard").applyInPandas(upd, INDEX_SCHEMA)

@@ -187,3 +187,62 @@ def test_greedy_search_output_contract(vecs, ef):
     # reported distances are the true distances
     for d, i in found:
         assert d == float(((x[i] - q) ** 2).sum())
+
+
+# -- incremental insert (nsw_insert) -------------------------------------------
+
+from redpanda_spark.similarity.graph_ann import nsw_insert
+
+
+def test_nsw_insert_preserves_corpus_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    inc = emb.where(F.col("vec_id") % 5 == 0)
+    idx = build_nsw_index(base, n_shards=4, m=8)
+    idx2 = nsw_insert(idx, inc, m=8).cache()
+    try:
+        assert idx2.count() == emb.count()
+        assert idx2.select("vec_id").distinct().count() == emb.count()
+        q = _query_vec(emb)
+        got = {r["vec_id"] for r in nsw_topk(idx2, q, k=10, ef_search=64).collect()}
+        exact = _exact_topk(emb, q, 10)
+        assert sum(1 for i in exact if i in got) >= 8
+    finally:
+        idx2.unpersist()
+
+
+def test_nsw_insert_untouched_shards_unchanged(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base = emb.where(F.col("vec_id") != 3)
+    one = emb.where(F.col("vec_id") == 3)
+    idx = build_nsw_index(base, n_shards=4, m=6)
+    before = {
+        r["vec_id"]: tuple(r["neighbors"])
+        for r in idx.collect()
+    }
+    touched_shard = nsw_insert(idx, one, m=6).where(
+        F.col("vec_id") == 3
+    ).collect()[0]["shard"]
+    after_rows = nsw_insert(idx, one, m=6).collect()
+    for r in after_rows:
+        if r["shard"] != touched_shard and r["vec_id"] != 3:
+            assert tuple(r["neighbors"]) == before[r["vec_id"]]
+
+
+def test_nsw_insert_deterministic_under_repartition(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    inc = emb.where(F.col("vec_id") % 4 == 0)
+    idx = build_nsw_index(base, n_shards=3, m=6)
+    norm = lambda rows: sorted((r["vec_id"], tuple(r["neighbors"])) for r in rows)
+    a = nsw_insert(idx, inc.repartition(2), m=6).collect()
+    b = nsw_insert(idx, inc.repartition(9), m=6).collect()
+    assert norm(a) == norm(b)
+
+
+def test_nsw_insert_empty_increment_is_identity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    idx = build_nsw_index(emb, n_shards=2, m=6)
+    inc = emb.where(F.lit(False))
+    norm = lambda rows: sorted((r["vec_id"], tuple(r["neighbors"])) for r in rows)
+    assert norm(nsw_insert(idx, inc).collect()) == norm(idx.collect())
