@@ -60,6 +60,7 @@ _PRIORITY = [
     "ann_nsw",
     "ann_nsw_incremental",
     "events_skew_join",
+    "events_bucketed_join",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

@@ -5698,3 +5698,83 @@ def q_ann_nsw_incremental(spark, sf_dir):
 
 QUERIES.update({"ann_nsw_incremental": q_ann_nsw_incremental})
 ORACLES.update({"ann_nsw_incremental": SQL_ANN_NSW})
+
+
+# -- Bucketed co-located join (round 7) ----------------------------------------
+
+
+def q_events_bucketed_join(spark, sf_dir):
+    """Bucketed fact-dim join (sources/bucketed.py): both tables are
+    written bucketBy(8, user_id).sortBy once per fixture fingerprint,
+    and the join then runs with ZERO Exchange nodes — asserted IN the
+    query (a planner regression that reintroduces a shuffle errors the
+    gate row, not just a unit test). The oracle is the plain join+agg:
+    bucketing must be value-invisible. At 100 TB this is the
+    write-once/amortize-forever shuffle eliminator for every recurring
+    join/groupBy on the bucket key (the read-side payoff of the
+    reference's producer-side murmur2 partitioning)."""
+    import hashlib
+    import tempfile
+
+    from redpanda_spark.sources.bucketed import assert_no_exchange
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    cu = os.path.join(sf_dir, "customer.parquet")
+
+    def _fp(path):
+        parts = [path]
+        if os.path.isdir(path):
+            parts = [os.path.join(path, f) for f in sorted(os.listdir(path))]
+        return ";".join(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}"
+            for p in parts
+            if os.path.exists(p)
+            for st in [os.stat(p)]
+        )
+
+    tag = hashlib.md5(f"{sf_dir}|{_fp(ev)}|{_fp(cu)}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"rp_bucketed_{tag}")
+    t_ev, t_cu = f"rp_bkt_events_{tag}", f"rp_bkt_customer_{tag}"
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    # bucket metadata is session-catalog state: (re)register every run —
+    # the data rewrite is keyed to the fingerprint path, so regenerated
+    # fixtures can never replay stale buckets (rollup/segments pattern)
+    events.write.format("parquet").mode("overwrite").bucketBy(8, "user_id").sortBy(
+        "user_id"
+    ).option("path", os.path.join(root, "ev")).saveAsTable(t_ev)
+    cust.write.format("parquet").mode("overwrite").bucketBy(8, "user_id").sortBy(
+        "user_id"
+    ).option("path", os.path.join(root, "cu")).saveAsTable(t_cu)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_ev).join(spark.table(t_cu), "user_id")
+        out = (
+            joined.groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("v"), 6).cast("decimal(38,6)").alias("sum_value"),
+            )
+            .orderBy("c_mktsegment", "event_type")
+        )
+        assert_no_exchange(joined)  # the property this operator exists for
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+SQL_EVENTS_BUCKETED_JOIN = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+QUERIES.update({"events_bucketed_join": q_events_bucketed_join})
+ORACLES.update({"events_bucketed_join": SQL_EVENTS_BUCKETED_JOIN})
