@@ -59,6 +59,7 @@ _PRIORITY = [
     "log_segments",
     "ann_nsw",
     "ann_nsw_incremental",
+    "ann_nsw_delete",
     "events_skew_join",
     "events_bucketed_join",
     # changed in round 7

@@ -110,6 +110,7 @@ BENCH_QUERIES_EXTENDED = [
     "log_segments",
     "ann_nsw",
     "ann_nsw_incremental",
+    "ann_nsw_delete",
     "events_skew_join",
     "events_bucketed_join",
 ]

@@ -5778,3 +5778,82 @@ ORDER BY c_mktsegment, event_type
 
 QUERIES.update({"events_bucketed_join": q_events_bucketed_join})
 ORACLES.update({"events_bucketed_join": SQL_EVENTS_BUCKETED_JOIN})
+
+
+# -- Graph ANN soft delete (round 7) --------------------------------------------
+
+
+def q_ann_nsw_delete(spark, sf_dir):
+    """Tombstoned ANN (similarity/graph_ann.py nsw_delete): every vec_id
+    divisible by 7 is soft-deleted — the rows stay in the graph as routing
+    waypoints (hnswlib mark_deleted / Lucene liveDocs semantics) but can
+    never be returned. Output = the EXACT top-10 over the SURVIVORS (the
+    oracle recomputes it with a WHERE) plus `recall_ok` asserting the
+    tombstone-aware walk still captures >= 8 of that top-10 — returning a
+    deleted id or losing routing recall flips the boolean."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.graph_ann import (
+        build_nsw_index,
+        nsw_delete,
+        nsw_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.where(F.col("vec_id") == 1)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    dels = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    idx = nsw_delete(build_nsw_index(emb, n_shards=None), dels)
+    hits = nsw_topk(idx, q, k=50, ef_search=64).collect()
+    shortlist = {r["vec_id"] for r in hits}
+    no_deleted_returned = all(r["vec_id"] % 7 != 0 for r in hits)
+    survivors = emb.where(F.col("vec_id") % 7 != 0)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        survivors.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = (
+        sum(1 for i in exact_ids if i in shortlist) >= 8 and no_deleted_returned
+    )
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+SQL_ANN_NSW_DELETE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+d AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(len(qv)),
+      i -> (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1])
+           * (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1]))) AS dd
+  FROM embeddings, q WHERE vec_id % 7 <> 0),
+r AS (
+  SELECT vec_id, dd,
+    CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS INTEGER) AS rank
+  FROM d)
+SELECT rank, vec_id, ROUND(dd, 6) AS dist, TRUE AS recall_ok
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES.update({"ann_nsw_delete": q_ann_nsw_delete})
+ORACLES.update({"ann_nsw_delete": SQL_ANN_NSW_DELETE})

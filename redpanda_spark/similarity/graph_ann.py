@@ -63,22 +63,29 @@ def _greedy_search(
     bound: int,
     q: np.ndarray,
     ef: int,
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Best-first walk over nodes [0, bound) from entry node 0.
 
     Returns up to ``ef`` (dist, local_idx) pairs, ascending. Ties break by
     local index (== vec_id order) everywhere, so the walk is a pure
-    function of the data.
+    function of the data. ``allowed`` (tombstone mask) gates only what the
+    RESULT set may contain — the walk still routes through disallowed
+    nodes, the hnswlib mark_deleted semantics.
     """
     if bound <= 0:
         return []
+
+    def ok(i: int) -> bool:
+        return allowed is None or bool(allowed[i])
+
     d0 = float(((x[0] - q) ** 2).sum())
     visited = {0}
     cand: list[tuple[float, int]] = [(d0, 0)]  # min-heap
-    res: list[tuple[float, int]] = [(-d0, 0)]  # max-heap (neg dist)
+    res: list[tuple[float, int]] = [(-d0, 0)] if ok(0) else []  # max-heap
     while cand:
         d, u = heapq.heappop(cand)
-        if d > -res[0][0] and len(res) >= ef:
+        if res and len(res) >= ef and d > -res[0][0]:
             break
         new = [w for w in adj[u] if w < bound and w not in visited]
         if not new:
@@ -88,11 +95,16 @@ def _greedy_search(
         dists = ((x[new] - q) ** 2).sum(axis=1)
         for w, dw in zip(new, dists):
             dw = float(dw)
-            if len(res) < ef or dw < -res[0][0] or (dw == -res[0][0] and w < res[0][1]):
+            if (
+                len(res) < ef
+                or dw < -res[0][0]
+                or (dw == -res[0][0] and w < res[0][1])
+            ):
                 heapq.heappush(cand, (dw, w))
-                heapq.heappush(res, (-dw, w))
-                if len(res) > ef:
-                    heapq.heappop(res)
+                if ok(w):
+                    heapq.heappush(res, (-dw, w))
+                    if len(res) > ef:
+                        heapq.heappop(res)
     return sorted(((-nd, i) for nd, i in res))
 
 
@@ -233,7 +245,10 @@ def nsw_topk(
         ids = pdf["vec_id"].to_numpy()
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[n] for n in row if n in pos] for row in pdf["neighbors"]]
-        found = _greedy_search(x, adj, len(x), bq.value, ef)
+        allowed = (
+            ~pdf["deleted"].to_numpy() if "deleted" in pdf.columns else None
+        )
+        found = _greedy_search(x, adj, len(x), bq.value, ef, allowed)
         return pd.DataFrame(
             {
                 "vec_id": [int(ids[i]) for _, i in found],
@@ -269,16 +284,20 @@ def nsw_insert(
     order with the builder's tie-breaking.
     """
     n_shards = int(index.select("n_shards").first()["n_shards"])
+    has_tombstones = "deleted" in index.columns
     new = new_emb.select(
         _knuth_shard(id_col, n_shards).alias("shard"),
         F.col(id_col).alias("vec_id"),
         as_double(vec_col).alias("v"),
         F.lit(None).cast("array<long>").alias("neighbors"),
         F.lit(n_shards).alias("n_shards"),
+        F.lit(False).alias("deleted"),
     )
-    combined = index.select(
-        "shard", "vec_id", "v", "neighbors", "n_shards"
+    base = index if has_tombstones else index.withColumn("deleted", F.lit(False))
+    combined = base.select(
+        "shard", "vec_id", "v", "neighbors", "n_shards", "deleted"
     ).unionByName(new)
+    out_schema = INDEX_SCHEMA + ", deleted boolean"
 
     def upd(pdf: pd.DataFrame) -> pd.DataFrame:
         is_new = pdf["neighbors"].isna()
@@ -300,7 +319,60 @@ def nsw_insert(
                 "v": list(old["v"]) + list(add["v"]),
                 "neighbors": [[int(ids[j]) for j in row] for row in adj],
                 "n_shards": [n_shards] * len(ids),
+                "deleted": list(old["deleted"]) + [False] * len(add),
             }
         )
 
-    return combined.groupBy("shard").applyInPandas(upd, INDEX_SCHEMA)
+    result = combined.groupBy("shard").applyInPandas(upd, out_schema)
+    # an index that never saw a delete keeps its lean schema
+    return result if has_tombstones else result.drop("deleted")
+
+
+def nsw_delete(index: DataFrame, ids_df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Soft-delete: tombstone the given ids (hnswlib ``mark_deleted`` /
+    Lucene liveDocs semantics). The rows STAY in the graph as routing
+    waypoints — physically removing a node also removes the paths through
+    it and degrades recall for its neighborhood — but ``nsw_topk`` never
+    returns them. One narrow broadcast-join pass; no graph surgery.
+    Reclaim space later with ``nsw_compact``."""
+    dels = ids_df.select(F.col(id_col).alias("vec_id")).distinct().withColumn(
+        "_del", F.lit(True)
+    )
+    joined = index.join(F.broadcast(dels), "vec_id", "left")
+    deleted = (
+        F.coalesce(F.col("_del"), F.col("deleted"))
+        if "deleted" in index.columns
+        else F.coalesce(F.col("_del"), F.lit(False))
+    )
+    keep = [c for c in index.columns if c != "deleted"]
+    return joined.select(*keep, deleted.alias("deleted"))
+
+
+def nsw_compact(
+    index: DataFrame, m: int = 8, ef_construction: int = 48
+) -> DataFrame:
+    """Physically drop tombstoned rows and rebuild each affected shard's
+    graph over the survivors — the Lucene segment-merge analog. Shards
+    with no tombstones pass through unchanged; rebuild cost is per-shard
+    and parallel, like the original build."""
+    if "deleted" not in index.columns:
+        return index
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not pdf["deleted"].any():
+            return pdf.drop(columns=["deleted"])
+        live = pdf[~pdf["deleted"]].sort_values("vec_id").reset_index(drop=True)
+        x = np.array(list(live["v"]), dtype=np.float64)
+        ids = live["vec_id"].to_numpy()
+        adj = _build_shard(x, m, ef_construction)
+        return pd.DataFrame(
+            {
+                "shard": live["shard"],
+                "vec_id": ids,
+                "v": list(live["v"]),
+                "neighbors": [[int(ids[j]) for j in row] for row in adj],
+                "n_shards": live["n_shards"],
+            }
+        )
+
+    return index.groupBy("shard").applyInPandas(rebuild, INDEX_SCHEMA)

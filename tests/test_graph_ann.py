@@ -246,3 +246,68 @@ def test_nsw_insert_empty_increment_is_identity(spark, sf_dir):
     inc = emb.where(F.lit(False))
     norm = lambda rows: sorted((r["vec_id"], tuple(r["neighbors"])) for r in rows)
     assert norm(nsw_insert(idx, inc).collect()) == norm(idx.collect())
+
+
+# -- soft delete + compaction ---------------------------------------------------
+
+from redpanda_spark.similarity.graph_ann import nsw_compact, nsw_delete
+
+
+def test_nsw_delete_excludes_from_results_but_keeps_routing(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    exact = _exact_topk(emb, q, 10)
+    # tombstone the 3 nearest neighbors: results must exclude them AND
+    # recall on the remainder must hold (deleted nodes still route)
+    dels = spark.createDataFrame([(i,) for i in exact[:3]], "vec_id long")
+    idx = nsw_delete(build_nsw_index(emb, n_shards=4, m=8), dels).cache()
+    try:
+        got = [r["vec_id"] for r in nsw_topk(idx, q, k=10, ef_search=64).collect()]
+        assert not set(got) & set(exact[:3])
+        remaining_exact = _exact_topk(
+            emb.where(~F.col("vec_id").isin(*exact[:3])), q, 10
+        )
+        assert sum(1 for i in remaining_exact if i in got) >= 8
+    finally:
+        idx.unpersist()
+
+
+def test_nsw_delete_is_idempotent_and_compact_drops_rows(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    dels = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_del = dels.count()
+    idx = build_nsw_index(emb, n_shards=3, m=6)
+    once = nsw_delete(idx, dels)
+    twice = nsw_delete(once, dels)
+    assert once.where("deleted").count() == n_del
+    assert twice.where("deleted").count() == n_del
+    compacted = nsw_compact(twice, m=6)
+    assert "deleted" not in compacted.columns
+    assert compacted.count() == emb.count() - n_del
+    # survivors' neighbor lists contain no tombstoned ids
+    dead = {r["vec_id"] for r in dels.collect()}
+    for r in compacted.collect():
+        assert not set(r["neighbors"]) & dead
+
+
+def test_nsw_compact_search_recall_on_survivors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    dels = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    idx = nsw_compact(nsw_delete(build_nsw_index(emb, n_shards=4, m=8), dels), m=8)
+    got = {r["vec_id"] for r in nsw_topk(idx, q, k=10, ef_search=64).collect()}
+    survivors = emb.where(F.col("vec_id") % 3 != 0)
+    exact = _exact_topk(survivors, q, 10)
+    assert sum(1 for i in exact if i in got) >= 8
+
+
+def test_nsw_insert_after_delete_preserves_tombstones(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    inc = emb.where(F.col("vec_id") % 4 == 0)
+    dels = base.where(F.col("vec_id") % 9 == 0).select("vec_id")
+    idx = nsw_delete(build_nsw_index(base, n_shards=3, m=6), dels)
+    grown = nsw_insert(idx, inc, m=6)
+    assert "deleted" in grown.columns
+    assert grown.where("deleted").count() == dels.count()
+    assert grown.count() == emb.count()
