@@ -60,6 +60,7 @@ _PRIORITY = [
     "ann_nsw",
     "ann_nsw_incremental",
     "ann_nsw_delete",
+    "ann_nsw_filtered",
     "events_skew_join",
     "events_bucketed_join",
     # changed in round 7

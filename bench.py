@@ -111,6 +111,7 @@ BENCH_QUERIES_EXTENDED = [
     "ann_nsw",
     "ann_nsw_incremental",
     "ann_nsw_delete",
+    "ann_nsw_filtered",
     "events_skew_join",
     "events_bucketed_join",
 ]

@@ -5857,3 +5857,77 @@ FROM r WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"ann_nsw_delete": q_ann_nsw_delete})
 ORACLES.update({"ann_nsw_delete": SQL_ANN_NSW_DELETE})
+
+
+# -- Filtered graph ANN (round 7) -----------------------------------------------
+
+
+def q_ann_nsw_filtered(spark, sf_dir):
+    """Pre-filtered vector search (similarity/graph_ann.py nsw_topk
+    allow_col): the predicate (label = 3, joined metadata, plain Spark
+    expression) masks the walk's RESULT set while deleted/filtered nodes
+    keep routing — the pgvector/qdrant filtered-ANN semantics, reusing
+    the tombstone machinery. Output = the EXACT top-10 among matching
+    rows (oracle recomputes with a WHERE) + `recall_ok` asserting the
+    filtered walk captured >= 8 of it and returned only matching ids."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from redpanda_spark.similarity.graph_ann import build_nsw_index, nsw_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = np.array(
+        emb.where(F.col("vec_id") == 1)
+        .select(as_double("embedding").alias("v"))
+        .collect()[0]["v"]
+    )
+    idx = build_nsw_index(emb, n_shards=None).join(
+        emb.select("vec_id", (F.col("label") == 3).alias("_match")), "vec_id"
+    )
+    hits = nsw_topk(idx, q, k=50, ef_search=64, allow_col="_match").collect()
+    shortlist = {r["vec_id"] for r in hits}
+    matching = emb.where(F.col("label") == 3)
+    only_matching = shortlist <= {r["vec_id"] for r in matching.select("vec_id").collect()}
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.aggregate(
+        F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        matching.select("vec_id", dist.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.col("d"), F.col("vec_id"))).cast("int"),
+        )
+        .where(F.col("rank") <= 10)
+    )
+    exact_ids = [r["vec_id"] for r in ranked.select("vec_id").collect()]
+    recall_ok = sum(1 for i in exact_ids if i in shortlist) >= 8 and only_matching
+    return ranked.select(
+        "rank",
+        "vec_id",
+        F.round("d", 6).alias("dist"),
+        F.lit(bool(recall_ok)).alias("recall_ok"),
+    ).orderBy("rank")
+
+
+SQL_ANN_NSW_FILTERED = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+d AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(len(qv)),
+      i -> (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1])
+           * (CAST(embedding AS DOUBLE[])[i + 1] - qv[i + 1]))) AS dd
+  FROM embeddings, q WHERE label = 3),
+r AS (
+  SELECT vec_id, dd,
+    CAST(ROW_NUMBER() OVER (ORDER BY dd, vec_id) AS INTEGER) AS rank
+  FROM d)
+SELECT rank, vec_id, ROUND(dd, 6) AS dist, TRUE AS recall_ok
+FROM r WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES.update({"ann_nsw_filtered": q_ann_nsw_filtered})
+ORACLES.update({"ann_nsw_filtered": SQL_ANN_NSW_FILTERED})

@@ -228,12 +228,23 @@ def nsw_topk(
     query_vec: np.ndarray,
     k: int = 10,
     ef_search: int = 64,
+    allow_col: str | None = None,
 ) -> DataFrame:
     """Search every shard's graph, merge exactly: (vec_id, d) top-k.
 
     Each shard task walks ~ef_search·m nodes instead of scanning the
     shard; the merge input is n_shards × ef_search rows — tiny. The final
     order is exact squared-L2 ascending, ties by vec_id.
+
+    FILTERED SEARCH: ``allow_col`` names a boolean column on ``index``
+    (join any metadata and compute the predicate with normal Spark
+    expressions first); rows where it is false are treated exactly like
+    tombstones — the walk still routes through them, the result set never
+    contains them. This is the pre-filtered vector-search semantics
+    (pgvector/qdrant "filtered ANN"): correct for any predicate, with
+    recall degrading gracefully as the allowed set thins instead of the
+    graph disconnecting (post-filtering would return < k; hard-filtering
+    the graph would strand the walk).
     """
     q = np.asarray(query_vec, dtype=np.float64)
     bq = index.sparkSession.sparkContext.broadcast(q)
@@ -245,9 +256,14 @@ def nsw_topk(
         ids = pdf["vec_id"].to_numpy()
         pos = {int(v): i for i, v in enumerate(ids)}
         adj = [[pos[n] for n in row if n in pos] for row in pdf["neighbors"]]
-        allowed = (
-            ~pdf["deleted"].to_numpy() if "deleted" in pdf.columns else None
-        )
+        allowed = None
+        if "deleted" in pdf.columns or allow_col is not None:
+            mask = np.ones(len(pdf), dtype=bool)
+            if "deleted" in pdf.columns:
+                mask &= ~pdf["deleted"].to_numpy().astype(bool)
+            if allow_col is not None:
+                mask &= pdf[allow_col].to_numpy().astype(bool)
+            allowed = mask
         found = _greedy_search(x, adj, len(x), bq.value, ef, allowed)
         return pd.DataFrame(
             {

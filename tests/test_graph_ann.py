@@ -311,3 +311,41 @@ def test_nsw_insert_after_delete_preserves_tombstones(spark, sf_dir):
     assert "deleted" in grown.columns
     assert grown.where("deleted").count() == dels.count()
     assert grown.count() == emb.count()
+
+
+# -- filtered search (allow_col) -------------------------------------------------
+
+
+def test_nsw_filtered_search_only_matching_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(emb)
+    idx = build_nsw_index(emb, n_shards=4, m=8).join(
+        emb.select("vec_id", (F.col("label") % 2 == 0).alias("_ok")), "vec_id"
+    )
+    got = [
+        r["vec_id"]
+        for r in nsw_topk(idx, q, k=10, ef_search=64, allow_col="_ok").collect()
+    ]
+    allowed_ids = {
+        r["vec_id"] for r in emb.where(F.col("label") % 2 == 0).collect()
+    }
+    assert set(got) <= allowed_ids
+    exact = _exact_topk(emb.where(F.col("label") % 2 == 0), q, 10)
+    assert sum(1 for i in exact if i in got) >= 8
+
+
+def test_nsw_filtered_composes_with_tombstones(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    q = _query_vec(emb)
+    dels = emb.where(F.col("vec_id") % 11 == 0).select("vec_id")
+    idx = nsw_delete(build_nsw_index(emb, n_shards=3, m=8), dels).join(
+        emb.select("vec_id", (F.col("label") < 5).alias("_ok")), "vec_id"
+    )
+    got = [
+        r["vec_id"]
+        for r in nsw_topk(idx, q, k=10, ef_search=64, allow_col="_ok").collect()
+    ]
+    for i in got:
+        assert i % 11 != 0                        # tombstones excluded
+    allowed = {r["vec_id"] for r in emb.where(F.col("label") < 5).collect()}
+    assert set(got) <= allowed                    # predicate enforced
