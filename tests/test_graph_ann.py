@@ -349,3 +349,52 @@ def test_nsw_filtered_composes_with_tombstones(spark, sf_dir):
         assert i % 11 != 0                        # tombstones excluded
     allowed = {r["vec_id"] for r in emb.where(F.col("label") < 5).collect()}
     assert set(got) <= allowed                    # predicate enforced
+
+
+# -- streaming ingest: foreachBatch folds micro-batches into the index ----------
+
+
+def test_streaming_nsw_ingest_maintains_index(spark, sf_dir, tmp_path):
+    """Continuous-ingest ANN: embedding micro-batches stream in via
+    foreachBatch -> nsw_insert over a parquet-persisted index (the same
+    read-modify-write store shape as the streaming dedup store). After
+    the stream drains, the maintained index answers with full-corpus
+    recall — no rebuild ever ran."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    inc = emb.where(F.col("vec_id") % 3 != 0)
+    store = str(tmp_path / "nsw_store")
+    build_nsw_index(base, n_shards=3, m=8).write.parquet(store)
+
+    src_dir = str(tmp_path / "incoming")
+    # two appends -> several files -> several micro-batches (1 file each)
+    inc.where(F.col("vec_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+    inc.where(F.col("vec_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def fold(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        idx = spark.read.parquet(store)
+        grown = nsw_insert(idx, batch_df, m=8).collect()
+        cols = ["shard", "vec_id", "v", "neighbors", "n_shards"]
+        spark.createDataFrame(grown).select(*cols).write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(store)
+    assert final.count() == emb.count()
+    qv = _query_vec(emb)
+    got = {r["vec_id"] for r in nsw_topk(final, qv, k=10, ef_search=64).collect()}
+    exact = _exact_topk(emb, qv, 10)
+    assert sum(1 for i in exact if i in got) >= 8
