@@ -299,7 +299,10 @@ def nsw_insert(
     existing graphs are stored state, and new nodes insert in vec_id
     order with the builder's tie-breaking.
     """
-    n_shards = int(index.select("n_shards").first()["n_shards"])
+    head = index.select("n_shards").first()
+    if head is None:
+        raise ValueError("nsw_insert: index has no rows — build_nsw_index first")
+    n_shards = int(head["n_shards"])
     has_tombstones = "deleted" in index.columns
     new = new_emb.select(
         _knuth_shard(id_col, n_shards).alias("shard"),
