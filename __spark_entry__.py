@@ -40,15 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_semantic/emb_near_dup, rollup cache key → events_rollup, engine
 # hot-tail read_committed → tx_read_committed/log_fetch/log_fetch_bytes)
 # + the 9 r4-row holders + as many r5-row holders as fit. The catalog
-# (110) is >2x the gate, so the invariant is "no query's newest driver
-# row older than two rounds".
+# (119 after the late-session additions) is >2x the gate; steady-state
+# worst newest-row staleness is therefore ceil(119/50) = 3 rounds.
 #
 # ROUND-8 ROTATION NOTE: run `python tools/rotate_priority.py --changed
 # <queries-touched-in-r8>` — it derives this list mechanically from the
 # CORRECTNESS_r*.json history (new -> changed -> oldest-newest-row first)
-# and prints a staleness report. With the catalog at 114 and 50 slots,
-# the steady-state worst staleness is 3 rounds (ceil(114/50) rotations);
-# r8 priority = new r8 queries + the 14 r5-row holders the tool flags.
+# and prints a staleness report. With the catalog at 119 and 50 slots,
+# the steady-state worst staleness is 3 rounds (ceil(119/50) rotations);
+# r8 priority = new r8 queries + the r5-row holders the tool flags
+# (the 6 late-r7 additions pushed ~6 more of them past this round's 50).
 _PRIORITY = [
     # new in round 7 (no driver row yet)
     "doc_bm25",
