@@ -5527,6 +5527,47 @@ ORACLES.update({"log_segments": SQL_LOG_SEGMENTS})
 # -- Graph ANN: per-segment NSW, the HNSW deployment shape (round 7) ----------
 
 
+_NSW_CACHE: dict = {}
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    """size/mtime fingerprint of the embeddings parquet (the
+    cache-invalidation key — regenerated fixtures must rebuild)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = [os.path.join(src, f) for f in sorted(os.listdir(src))]
+    return ";".join(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}"
+        for p in parts
+        if os.path.exists(p)
+        for st in [os.stat(p)]
+    )
+
+
+def _nsw_full_index(spark, sf_dir):
+    """The full-corpus NSW index, built once per (fixture fingerprint,
+    session) and shared by ann_nsw / ann_nsw_delete / ann_nsw_filtered —
+    the three queries would otherwise each rebuild the identical
+    structure (curation_pipeline's score-once pattern). Cached in-memory:
+    the index is O(corpus) rows but the gate fixtures are small; at real
+    scale this would be a parquet-persisted index (see
+    test_nsw_index_parquet_roundtrip) reused across queries the same way.
+    """
+    from redpanda_spark.similarity.graph_ann import build_nsw_index
+
+    key = (sf_dir, _emb_fingerprint(sf_dir))
+    hit = _NSW_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        hit = build_nsw_index(emb, n_shards=None, m=8, ef_construction=48).cache()
+        hit.count()  # materialize under the cache
+        for k in [k for k in _NSW_CACHE if k[0] == sf_dir and k != key]:
+            _NSW_CACHE.pop(k).unpersist()
+        _NSW_CACHE[key] = hit
+    return hit
+
+
 def q_ann_nsw(spark, sf_dir):
     """Graph ANN (similarity/graph_ann.py): one navigable-small-world graph
     per id-hash shard (the Lucene/Elasticsearch per-segment HNSW layout),
@@ -5538,7 +5579,7 @@ def q_ann_nsw(spark, sf_dir):
     import numpy as np
     from pyspark.sql import Window as W
 
-    from redpanda_spark.similarity.graph_ann import build_nsw_index, nsw_topk
+    from redpanda_spark.similarity.graph_ann import nsw_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = np.array(
@@ -5546,7 +5587,7 @@ def q_ann_nsw(spark, sf_dir):
         .select(as_double("embedding").alias("v"))
         .collect()[0]["v"]
     )
-    idx = build_nsw_index(emb, n_shards=None, m=8, ef_construction=48)
+    idx = _nsw_full_index(spark, sf_dir)
     shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dist = F.aggregate(
@@ -5794,11 +5835,7 @@ def q_ann_nsw_delete(spark, sf_dir):
     import numpy as np
     from pyspark.sql import Window as W
 
-    from redpanda_spark.similarity.graph_ann import (
-        build_nsw_index,
-        nsw_delete,
-        nsw_topk,
-    )
+    from redpanda_spark.similarity.graph_ann import nsw_delete, nsw_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = np.array(
@@ -5807,7 +5844,7 @@ def q_ann_nsw_delete(spark, sf_dir):
         .collect()[0]["v"]
     )
     dels = emb.where(F.col("vec_id") % 7 == 0).select("vec_id")
-    idx = nsw_delete(build_nsw_index(emb, n_shards=None), dels)
+    idx = nsw_delete(_nsw_full_index(spark, sf_dir), dels)
     hits = nsw_topk(idx, q, k=50, ef_search=64).collect()
     shortlist = {r["vec_id"] for r in hits}
     no_deleted_returned = all(r["vec_id"] % 7 != 0 for r in hits)
@@ -5873,7 +5910,7 @@ def q_ann_nsw_filtered(spark, sf_dir):
     import numpy as np
     from pyspark.sql import Window as W
 
-    from redpanda_spark.similarity.graph_ann import build_nsw_index, nsw_topk
+    from redpanda_spark.similarity.graph_ann import nsw_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = np.array(
@@ -5881,7 +5918,7 @@ def q_ann_nsw_filtered(spark, sf_dir):
         .select(as_double("embedding").alias("v"))
         .collect()[0]["v"]
     )
-    idx = build_nsw_index(emb, n_shards=None).join(
+    idx = _nsw_full_index(spark, sf_dir).join(
         emb.select("vec_id", (F.col("label") == 3).alias("_match")), "vec_id"
     )
     hits = nsw_topk(idx, q, k=50, ef_search=64, allow_col="_match").collect()
