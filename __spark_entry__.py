@@ -64,6 +64,7 @@ _PRIORITY = [
     "ann_nsw_filtered",
     "events_skew_join",
     "events_bucketed_join",
+    "doc_hybrid_search",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

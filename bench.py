@@ -114,6 +114,7 @@ BENCH_QUERIES_EXTENDED = [
     "ann_nsw_filtered",
     "events_skew_join",
     "events_bucketed_join",
+    "doc_hybrid_search",
 ]
 
 

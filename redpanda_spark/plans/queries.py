@@ -5973,3 +5973,117 @@ FROM r WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"ann_nsw_filtered": q_ann_nsw_filtered})
 ORACLES.update({"ann_nsw_filtered": SQL_ANN_NSW_FILTERED})
+
+
+# -- Hybrid retrieval: BM25 + dense ANN via reciprocal-rank fusion (round 7) ---
+
+
+def q_doc_hybrid_search(spark, sf_dir):
+    """Hybrid first-stage retrieval — the standard RAG/curation shape:
+    a lexical leg (BM25 top-50, similarity/bm25.py) and a dense leg
+    (exact cosine top-50 around document 1's embedding, similarity/ann.py)
+    fused by reciprocal-rank fusion, rrf = sum 1/(60 + rank_leg)
+    (Cormack, Clarke & Buettcher, SIGIR 2009 — rank-only fusion, no score
+    calibration across legs needed, which is why every hybrid search
+    engine ships it). Both legs are existing oracle-proven operators; the
+    fusion is a full-outer join of two <=50-row frames — free. RRF values
+    are small division-derived doubles (safe as ROUND(double, 9) per the
+    repo's cross-engine float law)."""
+    from redpanda_spark.similarity.ann import brute_force_topk
+    from redpanda_spark.similarity.bm25 import bm25_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.where(F.col("vec_id") == 1).withColumnRenamed("vec_id", "query_id")
+    dense = brute_force_topk(emb, qv, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dr")
+    )
+    lex = bm25_topk(docs, _BM25_TERMS, k=50).select(
+        "doc_id", F.col("rank").alias("lr")
+    )
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("dr")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+    )
+    from pyspark.sql import Window as W
+
+    fused = dense.join(lex, "doc_id", "full").select(
+        "doc_id", F.round(rrf, 9).alias("rrf")
+    )
+    w = W.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("rank", "doc_id", "rrf")
+        .orderBy("rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    k1, b = 1.2, 0.75
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_sum = "\n      + ".join(
+        f"ROUND(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0} / (tf_{i} + {k1} *"
+        f" (1.0 - {b} + {b} * dl / avgdl)), 9)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return rf"""
+WITH tokd AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''),
+      t -> lower(t)) AS toks
+  FROM documents),
+per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    {tf_cols}
+  FROM tokd),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl, {df_cols}
+  FROM per_doc),
+bm_scored AS (
+  SELECT doc_id,
+    CAST(ROUND({term_sum}, 6) AS DECIMAL(18,6)) AS score
+  FROM per_doc, stats),
+lex AS (
+  SELECT doc_id, rank AS lr FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank, doc_id
+    FROM bm_scored WHERE score > 0)
+  WHERE rank <= 50),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qe AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+cos_scored AS (
+  SELECT c.vec_id AS doc_id,
+    ROUND(list_dot_product(qe.qv, c.v) /
+          (sqrt(list_dot_product(qe.qv, qe.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+  FROM qe, e c WHERE c.vec_id != 1),
+dense AS (
+  SELECT doc_id, rank AS dr FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+             AS rank, doc_id
+    FROM cos_scored)
+  WHERE rank <= 50),
+fused AS (
+  SELECT COALESCE(dense.doc_id, lex.doc_id) AS doc_id,
+    ROUND(COALESCE(1.0 / (60 + dr), 0.0) + COALESCE(1.0 / (60 + lr), 0.0), 9)
+      AS rrf
+  FROM dense FULL JOIN lex ON dense.doc_id = lex.doc_id)
+SELECT rank, doc_id, rrf FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+           AS rank, doc_id, rrf
+  FROM fused)
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+QUERIES.update({"doc_hybrid_search": q_doc_hybrid_search})
+ORACLES.update({"doc_hybrid_search": _hybrid_sql()})

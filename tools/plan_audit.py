@@ -55,6 +55,12 @@ EXPECTED = {
     # scalar-subquery shape as Q11/Q22.
     "doc_perplexity": {"nested-loop-join"},
     "corpus_report": {"nested-loop-join"},
+    # Hybrid retrieval composes two already-adjudicated shapes: the dense
+    # leg's 1-row query-vector broadcast cross (ann_topk) and BM25's
+    # 1-row corpus-stats cross. The fusion full-outer join runs on two
+    # <=50-row frames (Spark cannot broadcast a full outer, hence a tiny
+    # sort-merge — bounded by k, not by the corpus).
+    "doc_hybrid_search": {"nested-loop-join"},
 }
 
 
