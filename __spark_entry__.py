@@ -65,6 +65,7 @@ _PRIORITY = [
     "events_skew_join",
     "events_bucketed_join",
     "doc_hybrid_search",
+    "decontaminate_semantic",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

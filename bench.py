@@ -115,6 +115,7 @@ BENCH_QUERIES_EXTENDED = [
     "events_skew_join",
     "events_bucketed_join",
     "doc_hybrid_search",
+    "decontaminate_semantic",
 ]
 
 

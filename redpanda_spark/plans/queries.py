@@ -6087,3 +6087,64 @@ WHERE rank <= 10 ORDER BY rank
 
 QUERIES.update({"doc_hybrid_search": q_doc_hybrid_search})
 ORACLES.update({"doc_hybrid_search": _hybrid_sql()})
+
+
+# -- Semantic decontamination (round 7) ----------------------------------------
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic complement
+    of the n-gram `decontaminate` gate (paraphrased eval questions leak
+    past n-gram matching; cosine against the benchmark's embeddings
+    catches them). Benchmark = docs 0-24 (same convention as the n-gram
+    gate's benchmark slice); every other document reports its max cosine
+    against the benchmark set and a contaminated verdict at 0.80.
+    Scale shape: the benchmark embeddings BROADCAST (a benchmark is small
+    by definition) and the corpus side never shuffles — one narrow
+    map-side pass, exactly `pipeline/decontaminate.py`'s probe shape in
+    dense space. Max-per-row, ties irrelevant; cosine rounded 6dp (the
+    ann_topk convention) so the verdict boundary is cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("bench_id"), as_double("embedding").alias("bv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 25).select(
+        F.col("vec_id").alias("doc_id"), as_double("embedding").alias("cv")
+    )
+    from redpanda_spark.functions.vectors import cosine
+
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    scored = (
+        parallelize_narrow(corpus)
+        .join(F.broadcast(bench))
+        .select(
+            "doc_id",
+            F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("cos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return scored.select(
+        "doc_id",
+        "max_cos",
+        (F.col("max_cos") > 0.80).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE_SEMANTIC = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id < 25),
+corpus AS (SELECT vec_id AS doc_id, v AS cv FROM e WHERE vec_id >= 25),
+scored AS (
+  SELECT doc_id,
+    MAX(ROUND(list_dot_product(cv, bv) /
+        (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv))), 6))
+      AS max_cos
+  FROM corpus, bench GROUP BY doc_id)
+SELECT doc_id, max_cos, max_cos > 0.80 AS contaminated
+FROM scored ORDER BY doc_id
+"""
+
+QUERIES.update({"decontaminate_semantic": q_decontaminate_semantic})
+ORACLES.update({"decontaminate_semantic": SQL_DECONTAMINATE_SEMANTIC})

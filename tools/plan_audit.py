@@ -61,6 +61,10 @@ EXPECTED = {
     # <=50-row frames (Spark cannot broadcast a full outer, hence a tiny
     # sort-merge — bounded by k, not by the corpus).
     "doc_hybrid_search": {"nested-loop-join"},
+    # Semantic decontamination: the benchmark embedding set (small by
+    # definition) broadcast-crosses the corpus scan — the same bounded
+    # probe shape as the brute-force ANN legs (ann_topk/emb_near_dup).
+    "decontaminate_semantic": {"nested-loop-join"},
 }
 
 
