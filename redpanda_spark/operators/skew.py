@@ -40,24 +40,30 @@ def detect_hot_keys(
 ) -> list:
     """Keys holding more than ``min_share`` of the rows.
 
-    One map-side-combinable count aggregation; at most ``1/min_share``
-    keys can exceed the share, so the collect is bounded by construction
-    (and capped at ``max_keys`` as a belt). Sorted by count desc, ties by
-    key — deterministic.
+    One map-side-combinable count aggregation over ONE scan of the fact
+    table (the total row count derives from the persisted per-key counts
+    — a second full scan for df.count() would double the probe's I/O at
+    the 100 TB target); at most ``1/min_share`` keys can exceed the
+    share, so the collect is bounded by construction (and capped at
+    ``max_keys`` as a belt). Sorted by count desc, ties by key —
+    deterministic.
     """
-    total = df.count()
-    if total == 0:
-        return []
-    floor = max(1, int(total * min_share))
-    rows = (
-        df.groupBy(key)
-        .count()
-        .where(F.col("count") > floor)
-        .orderBy(F.col("count").desc(), F.col(key))
-        .limit(max_keys)
-        .collect()
-    )
-    return [r[key] for r in rows]
+    counts = df.groupBy(key).count().persist()
+    try:
+        total_row = counts.agg(F.sum("count").alias("t")).collect()[0]
+        total = int(total_row["t"] or 0)
+        if total == 0:
+            return []
+        floor = max(1, int(total * min_share))
+        rows = (
+            counts.where(F.col("count") > floor)
+            .orderBy(F.col("count").desc(), F.col(key))
+            .limit(max_keys)
+            .collect()
+        )
+        return [r[key] for r in rows]
+    finally:
+        counts.unpersist()
 
 
 def salted_join(
@@ -88,6 +94,12 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        # withColumn would silently OVERWRITE caller data and the final
+        # drop would remove it — breaking the column-identity guarantee
+        raise ValueError(
+            f"salted_join: input already has a {SALT_COL!r} column — rename it"
+        )
 
     def is_hot(col: Column) -> Column:
         if hot_keys is None:

@@ -5796,22 +5796,22 @@ def q_events_bucketed_join(spark, sf_dir):
     cust.write.format("parquet").mode("overwrite").bucketBy(8, "user_id").sortBy(
         "user_id"
     ).option("path", os.path.join(root, "cu")).saveAsTable(t_cu)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table(t_ev).join(spark.table(t_cu), "user_id")
-        out = (
-            joined.groupBy("c_mktsegment", "event_type")
-            .agg(
-                F.count("*").alias("n"),
-                F.round(F.sum("v"), 6).cast("decimal(38,6)").alias("sum_value"),
-            )
-            .orderBy("c_mktsegment", "event_type")
+    from redpanda_spark.sources.bucketed import bucketed_join
+
+    # the merge hint inside bucketed_join pins SMJ (no session-conf
+    # fiddling needed — a broadcast would be correct but defeat the
+    # co-location this gate exists to prove)
+    joined = bucketed_join(spark, t_ev, t_cu, "user_id")
+    out = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 6).cast("decimal(38,6)").alias("sum_value"),
         )
-        assert_no_exchange(joined)  # the property this operator exists for
-        return out
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        .orderBy("c_mktsegment", "event_type")
+    )
+    assert_no_exchange(joined)  # the property this operator exists for
+    return out
 
 
 SQL_EVENTS_BUCKETED_JOIN = """

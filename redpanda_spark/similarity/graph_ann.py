@@ -82,7 +82,11 @@ def _greedy_search(
     d0 = float(((x[0] - q) ** 2).sum())
     visited = {0}
     cand: list[tuple[float, int]] = [(d0, 0)]  # min-heap
-    res: list[tuple[float, int]] = [(-d0, 0)] if ok(0) else []  # max-heap
+    # result max-heap holds (-d, -i): the root is then the worst distance
+    # and, among worst-distance ties, the LARGEST index — so eviction
+    # removes the larger id and "ties prefer smaller vec_id" actually
+    # holds (storing (-d, i) would pop the smaller id first on ties)
+    res: list[tuple[float, int]] = [(-d0, 0)] if ok(0) else []
     while cand:
         d, u = heapq.heappop(cand)
         if res and len(res) >= ef and d > -res[0][0]:
@@ -98,14 +102,14 @@ def _greedy_search(
             if (
                 len(res) < ef
                 or dw < -res[0][0]
-                or (dw == -res[0][0] and w < res[0][1])
+                or (dw == -res[0][0] and w < -res[0][1])
             ):
                 heapq.heappush(cand, (dw, w))
                 if ok(w):
-                    heapq.heappush(res, (-dw, w))
+                    heapq.heappush(res, (-dw, -w))
                     if len(res) > ef:
                         heapq.heappop(res)
-    return sorted(((-nd, i) for nd, i in res))
+    return sorted(((-nd, -ni) for nd, ni in res))
 
 
 def _select_neighbors(x: np.ndarray, node: int, cands: list[int], m: int) -> list[int]:
@@ -246,8 +250,10 @@ def nsw_topk(
     graph disconnecting (post-filtering would return < k; hard-filtering
     the graph would strand the walk).
     """
+    # plain closure capture (the query vector is tiny); an explicit
+    # sparkContext.broadcast here would leak one broadcast block per call
+    # in a long-lived query service
     q = np.asarray(query_vec, dtype=np.float64)
-    bq = index.sparkSession.sparkContext.broadcast(q)
     ef = max(ef_search, k)
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -264,7 +270,7 @@ def nsw_topk(
             if allow_col is not None:
                 mask &= pdf[allow_col].to_numpy().astype(bool)
             allowed = mask
-        found = _greedy_search(x, adj, len(x), bq.value, ef, allowed)
+        found = _greedy_search(x, adj, len(x), q, ef, allowed)
         return pd.DataFrame(
             {
                 "vec_id": [int(ids[i]) for _, i in found],
@@ -304,6 +310,15 @@ def nsw_insert(
         raise ValueError("nsw_insert: index has no rows — build_nsw_index first")
     n_shards = int(head["n_shards"])
     has_tombstones = "deleted" in index.columns
+    # idempotent under redelivery: an id already indexed is dropped (the
+    # at-least-once streaming case — without this, the shard's vec_id ->
+    # position map would silently remap stored edges onto the duplicate
+    # row and top-k could return the same id twice)
+    new_emb = new_emb.join(
+        index.select("vec_id").withColumnRenamed("vec_id", id_col),
+        id_col,
+        "left_anti",
+    )
     new = new_emb.select(
         _knuth_shard(id_col, n_shards).alias("shard"),
         F.col(id_col).alias("vec_id"),

@@ -137,8 +137,13 @@ def write_bucketed(
     recurring lineitem⋈orders shuffle is the single largest cost a
     layout decision can delete — asserted shuffle-free in
     test_bucketed_join_is_shuffle_free). Spark's bucketing requires a
-    saved table (catalog-managed), not a bare path."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
-    if sort:
-        writer = writer.sortBy(bucket_col)
-    writer.saveAsTable(table)
+    saved table (catalog-managed), not a bare path.
+
+    Thin wrapper over sources/bucketed.py's implementation (one file per
+    bucket via aligned repartition, optional external path) — kept for
+    signature compatibility; don't fork the logic again."""
+    from redpanda_spark.sources import bucketed
+
+    bucketed.write_bucketed(
+        df, table, bucket_col, buckets=n_buckets, mode=mode, sort=sort
+    )

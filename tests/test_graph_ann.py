@@ -398,3 +398,31 @@ def test_streaming_nsw_ingest_maintains_index(spark, sf_dir, tmp_path):
     got = {r["vec_id"] for r in nsw_topk(final, qv, k=10, ef_search=64).collect()}
     exact = _exact_topk(emb, qv, 10)
     assert sum(1 for i in exact if i in got) >= 8
+
+
+# -- code-review regression tests ----------------------------------------------
+
+
+def test_greedy_search_tie_keeps_smaller_index():
+    # two equidistant nodes at the ef=1 boundary: the SMALLER index must
+    # survive eviction (res heap stores (-d, -i) so ties evict the larger)
+    x = np.array([[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0]])
+    adj = [[1, 2], [0], [0]]
+    found = _greedy_search(x, adj, 3, np.array([0.0, 0.0]), 1)
+    # node 0 is exact; raise query off origin so 1 and 2 tie non-trivially
+    found = _greedy_search(x, adj, 3, np.array([0.0, 5.0]), 2)
+    ids = [i for _, i in found]
+    assert ids[0] == 0 and ids[1] == 1  # 1 and 2 tie; smaller id kept
+
+
+def test_nsw_insert_redelivery_is_idempotent(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    inc = emb.where(F.col("vec_id") % 4 == 0)
+    idx = build_nsw_index(base, n_shards=3, m=6)
+    once = nsw_insert(idx, inc, m=6)
+    # redelivery: the SAME increment (plus some already-base ids) again
+    twice = nsw_insert(once, inc.unionByName(base.limit(5)), m=6)
+    norm = lambda rows: sorted((r["vec_id"], tuple(r["neighbors"])) for r in rows)
+    assert norm(twice.collect()) == norm(once.collect())
+    assert twice.count() == emb.count()  # no duplicate rows

@@ -130,17 +130,31 @@ def bucketed_pair(spark, tmp_path):
 
 
 def test_bucketed_join_no_exchange_and_correct(spark, bucketed_pair):
+    # no threshold juggling: bucketed_join's merge hint pins SMJ even
+    # when the dim side is under autoBroadcastJoinThreshold
     facts, dims = bucketed_pair
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = bucketed_join(spark, "t_facts", "t_dims", "k")
-        assert_no_exchange(joined)
-        assert "SortMergeJoin" in plan_string(joined)
-        expected = _norm(facts.join(dims, "k"))
-        assert _norm(joined.select(*facts.join(dims, "k").columns)) == expected
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    joined = bucketed_join(spark, "t_facts", "t_dims", "k")
+    assert_no_exchange(joined)
+    assert "SortMergeJoin" in plan_string(joined)
+    expected = _norm(facts.join(dims, "k"))
+    assert _norm(joined.select(*facts.join(dims, "k").columns)) == expected
+
+
+def test_write_bucketed_one_file_per_bucket(spark, bucketed_pair, tmp_path):
+    import glob
+    import os
+
+    files = [
+        f
+        for f in glob.glob(str(tmp_path / "f" / "*"))
+        if f.endswith(".parquet") and os.path.basename(f).startswith("part-")
+    ]
+    assert len(files) == 8  # aligned repartition -> exactly one per bucket
+
+
+def test_assert_no_exchange_ignores_exchange_in_identifiers(spark):
+    df = spark.range(10).withColumnRenamed("id", "ExchangeRate")
+    assert_no_exchange(df)  # substring match would false-positive here
 
 
 def test_bucketed_groupby_no_exchange(spark, bucketed_pair):
@@ -183,3 +197,11 @@ def test_salted_join_property_row_identical(spark, big_keys, dim_keys, factor, h
             big, small, "user_id", "event_id", factor, hot, how=how
         )
         assert _norm(salted.select(*plain.columns)) == _norm(plain)
+
+
+def test_salted_join_rejects_salt_column_collision(spark):
+    big, small = _skewed_frames(spark)
+    with pytest.raises(ValueError):
+        salted_join(
+            big.withColumn(SALT_COL, F.lit(1)), small, "user_id", "event_id", 4
+        )
