@@ -40,16 +40,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_semantic/emb_near_dup, rollup cache key → events_rollup, engine
 # hot-tail read_committed → tx_read_committed/log_fetch/log_fetch_bytes)
 # + the 9 r4-row holders + as many r5-row holders as fit. The catalog
-# (119 after the late-session additions) is >2x the gate; steady-state
-# worst newest-row staleness is therefore ceil(119/50) = 3 rounds.
+# (124 after the late-session additions) is >2x the gate; steady-state
+# worst newest-row staleness is therefore ceil(124/50) = 3 rounds.
 #
 # ROUND-8 ROTATION NOTE: run `python tools/rotate_priority.py --changed
 # <queries-touched-in-r8>` — it derives this list mechanically from the
 # CORRECTNESS_r*.json history (new -> changed -> oldest-newest-row first)
-# and prints a staleness report. With the catalog at 119 and 50 slots,
-# the steady-state worst staleness is 3 rounds (ceil(119/50) rotations);
+# and prints a staleness report. With the catalog at 124 and 50 slots,
+# the steady-state worst staleness is 3 rounds (ceil(124/50) rotations);
 # r8 priority = new r8 queries + the r5-row holders the tool flags
-# (the 6 late-r7 additions pushed ~6 more of them past this round's 50).
+# (the 11 late-r7 additions pushed ~11 more of them past this round's 50).
 _PRIORITY = [
     # new in round 7 (no driver row yet)
     "doc_bm25",
@@ -66,6 +66,9 @@ _PRIORITY = [
     "events_bucketed_join",
     "doc_hybrid_search",
     "decontaminate_semantic",
+    "emb_kmeans",
+    "pipeline_dsir",
+    "events_sketch_merge",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

@@ -116,6 +116,9 @@ BENCH_QUERIES_EXTENDED = [
     "events_bucketed_join",
     "doc_hybrid_search",
     "decontaminate_semantic",
+    "emb_kmeans",
+    "pipeline_dsir",
+    "events_sketch_merge",
 ]
 
 

@@ -6148,3 +6148,165 @@ FROM scored ORDER BY doc_id
 
 QUERIES.update({"decontaminate_semantic": q_decontaminate_semantic})
 ORACLES.update({"decontaminate_semantic": SQL_DECONTAMINATE_SEMANTIC})
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding corpus (similarity/kmeans.py)
+# ---------------------------------------------------------------------------
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Topic clustering for curation: 2 distributed Lloyd iterations over
+    the embeddings table, k=8, deterministic lowest-id init. Output is
+    the surviving clusters' size and first two centroid components —
+    every float is ROUND(avg, 6) (division-derived) and every distance
+    argmin is 9-decimal pre-rounded, so an independent engine reproduces
+    the run value-for-value (the oracle below unrolls both iterations in
+    SQL). Scale shape: per iteration one narrow JVM scan + one k-group
+    map-side-combinable agg; driver sees k rows."""
+    from redpanda_spark.similarity.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=8, iters=2).orderBy("cluster_id")
+
+
+def _kmeans_sql(k: int = 8, dims: int = 64) -> str:
+    cent_list = ", ".join(f"ROUND(avg(v[{i + 1}]), 6)" for i in range(dims))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}),
+k0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       FROM seed),
+d1 AS (SELECT e.vec_id, e.v, k0.cid,
+         ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, k0.v)
+               + list_dot_product(k0.v, k0.v), 9) AS d
+       FROM e CROSS JOIN k0),
+a1 AS (SELECT vec_id, v, cid FROM (
+         SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+k1 AS (SELECT cid, [{cent_list}] AS v FROM a1 GROUP BY cid),
+d2 AS (SELECT e.vec_id, e.v, k1.cid,
+         ROUND(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, k1.v)
+               + list_dot_product(k1.v, k1.v), 9) AS d
+       FROM e CROSS JOIN k1),
+a2 AS (SELECT vec_id, v, cid FROM (
+         SELECT vec_id, v, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1)
+SELECT cid AS cluster_id, COUNT(*) AS n_points,
+  ROUND(avg(v[1]), 6) AS c0, ROUND(avg(v[2]), 6) AS c1
+FROM a2 GROUP BY cid ORDER BY cluster_id
+"""
+
+
+QUERIES.update({"emb_kmeans": q_emb_kmeans})
+ORACLES.update({"emb_kmeans": _kmeans_sql()})
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (pipeline/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_dsir(spark, sf_dir):
+    """Importance-resampling selection (Xie et al. 2023): score every
+    document by its mean per-token log p_target/p_raw (target = the
+    English slice), keep the top 20% by score-quantile threshold. All
+    floats follow the cross-engine law (per-ln ROUND 9, per-doc ROUND 6,
+    exact interpolated percentile threshold). Scale shape: two
+    partial-aggregated count passes, broadcast vocab-sized weight
+    table, scalar threshold — no global sort."""
+    from redpanda_spark.pipeline.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", 0.2).orderBy("doc_id")
+
+
+SQL_PIPELINE_DSIR = r"""
+WITH tokd AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''))
+      AS t
+  FROM documents),
+raw AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS cr,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+  FROM tokd GROUP BY t),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nr,
+    CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz,
+    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS nt
+  FROM tokd),
+w AS (
+  SELECT t,
+    ROUND(ln((ct + 1.0) / (nt + vsz)), 9)
+      - ROUND(ln((cr + 1.0) / (nr + vsz)), 9) AS lw
+  FROM raw, tot),
+scored AS (
+  SELECT doc_id, ROUND(avg(lw), 6) + 0.0 AS dsir_score
+  FROM tokd JOIN w ON tokd.t = w.t GROUP BY doc_id),
+thr AS (SELECT ROUND(quantile_cont(dsir_score, 0.8), 6) + 0.0 AS th FROM scored)
+SELECT doc_id, dsir_score, dsir_score >= th AS selected
+FROM scored, thr ORDER BY doc_id
+"""
+
+
+QUERIES.update({"pipeline_dsir": q_pipeline_dsir})
+ORACLES.update({"pipeline_dsir": SQL_PIPELINE_DSIR})
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch re-aggregation: daily HLL partials -> weekly uniques
+# ---------------------------------------------------------------------------
+
+
+def q_events_sketch_merge(spark, sf_dir):
+    """The re-aggregation algebra behind every rollup hierarchy: build
+    one Datasketches HLL sketch per (event_type, day) — the partial a
+    continuous rollup would persist — then MERGE the daily partials
+    into weekly estimates with `hll_union_agg`, never re-touching the
+    raw events. The gate asserts the merged estimate lands within 5% of
+    the exact weekly distinct count (computed side-by-side), so sketch
+    regressions fail the value hash. At 100 TB the daily sketch table
+    is O(types x days) rows of constant-size state; the weekly roll
+    reads partials only — the same contract as streaming/rollup.py's
+    decimal sums, extended to the non-additive COUNT DISTINCT."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.to_date(F.col("ts")).alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("event_type", "week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(weekly, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_5pct"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+SQL_EVENTS_SKETCH_MERGE = """
+SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+  COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS merged_within_5pct
+FROM events GROUP BY event_type, CAST(date_trunc('week', ts) AS DATE)
+ORDER BY event_type, week
+"""
+
+
+QUERIES.update({"events_sketch_merge": q_events_sketch_merge})
+ORACLES.update({"events_sketch_merge": SQL_EVENTS_SKETCH_MERGE})

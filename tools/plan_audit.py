@@ -65,6 +65,11 @@ EXPECTED = {
     # definition) broadcast-crosses the corpus scan — the same bounded
     # probe shape as the brute-force ANN legs (ann_topk/emb_near_dup).
     "decontaminate_semantic": {"nested-loop-join"},
+    # DSIR: two 1-row broadcast crosses — the global count totals into
+    # the vocab-sized weight table, and the scalar score-quantile
+    # threshold back onto the scored docs. Same bounded scalar-subquery
+    # shape as Q11/Q22/doc_bm25.
+    "pipeline_dsir": {"nested-loop-join"},
 }
 
 
