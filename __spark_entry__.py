@@ -69,6 +69,7 @@ _PRIORITY = [
     "emb_kmeans",
     "pipeline_dsir",
     "events_sketch_merge",
+    "iceberg_delete_read",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

@@ -119,6 +119,7 @@ BENCH_QUERIES_EXTENDED = [
     "emb_kmeans",
     "pipeline_dsir",
     "events_sketch_merge",
+    "iceberg_delete_read",
 ]
 
 

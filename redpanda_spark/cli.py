@@ -380,6 +380,49 @@ def cmd_datalake_export_iceberg(args) -> int:
     return 0
 
 
+def cmd_iceberg_delete(args) -> int:
+    """Row-level delete on an exported Iceberg table via v2 position-
+    delete files (merge-on-read; no data file rewritten)."""
+    eng = _engine(args)
+    from redpanda_spark.sources.iceberg_maintain import delete_where
+
+    print(json.dumps(delete_where(eng.spark, args.table_path, args.predicate)))
+    return 0
+
+
+def cmd_iceberg_compact(args) -> int:
+    """Bin-pack small data files into a REPLACE snapshot, applying any
+    outstanding position deletes during the rewrite."""
+    eng = _engine(args)
+    from redpanda_spark.sources.iceberg_maintain import compact_data_files
+
+    print(
+        json.dumps(
+            compact_data_files(
+                eng.spark, args.table_path, target_bytes=args.target_bytes
+            )
+        )
+    )
+    return 0
+
+
+def cmd_iceberg_expire(args) -> int:
+    """Expire old snapshots (keeping the current) and GC files only they
+    referenced. No Spark session needed — pure metadata + file ops."""
+    from redpanda_spark.sources.iceberg_maintain import expire_snapshots
+
+    print(
+        json.dumps(
+            expire_snapshots(
+                args.table_path,
+                keep_last=args.keep_last,
+                older_than_ms=args.older_than_ms,
+            )
+        )
+    )
+    return 0
+
+
 def cmd_avro_import(args) -> int:
     """.avro OCF file(s) -> parquet (the ingest-once path; no connector
     jar needed — pure-Python decode in Arrow-batched tasks)."""
@@ -537,6 +580,19 @@ def build_parser() -> argparse.ArgumentParser:
     dr.add_argument("--dry-run", action="store_true",
                     help="print the request plan without any I/O")
     dr.set_defaults(fn=cmd_datalake_register_iceberg)
+    idel = dl.add_parser("iceberg-delete")
+    idel.add_argument("table_path", help="exported Iceberg table path")
+    idel.add_argument("predicate", help="SQL predicate, e.g. \"user_id = 42\"")
+    idel.set_defaults(fn=cmd_iceberg_delete)
+    icp = dl.add_parser("iceberg-compact")
+    icp.add_argument("table_path", help="exported Iceberg table path")
+    icp.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    icp.set_defaults(fn=cmd_iceberg_compact)
+    iex = dl.add_parser("iceberg-expire")
+    iex.add_argument("table_path", help="exported Iceberg table path")
+    iex.add_argument("--keep-last", type=int, default=None)
+    iex.add_argument("--older-than-ms", type=int, default=None)
+    iex.set_defaults(fn=cmd_iceberg_expire)
 
     av = sub.add_parser("avro").add_subparsers(dest="verb", required=True)
     ai = av.add_parser("import")

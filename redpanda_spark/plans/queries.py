@@ -6310,3 +6310,111 @@ ORDER BY event_type, week
 
 QUERIES.update({"events_sketch_merge": q_events_sketch_merge})
 ORACLES.update({"events_sketch_merge": SQL_EVENTS_SKETCH_MERGE})
+
+
+# ---------------------------------------------------------------------------
+# Iceberg maintenance lifecycle: position deletes -> compaction -> expiry
+# (sources/iceberg_maintain.py)
+# ---------------------------------------------------------------------------
+
+
+def q_iceberg_delete_read(spark, sf_dir):
+    """Full v2 maintenance lifecycle against an events-derived Iceberg
+    table: position-delete every 7th event (merge-on-read, no data file
+    rewritten), COMPACT the small files (REPLACE snapshot that applies
+    the deletes and drops the absorbed delete file), then EXPIRE the
+    superseded snapshots and GC their files. The gate reads the table
+    back through read_iceberg and aggregates per event type; the oracle
+    recomputes the same numbers from raw events minus the deleted
+    slice, so a row lost/duplicated/resurrected anywhere in the
+    delete->compact->expire chain breaks the value hash.
+    ``maintained_ok`` additionally pins the STRUCTURAL facts (deletes
+    committed, compaction reduced the file count, expiry pruned to one
+    snapshot) the value columns alone can't see."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import (
+        export_iceberg,
+        read_iceberg,
+        _current_metadata,
+    )
+    from redpanda_spark.sources.iceberg_maintain import (
+        compact_data_files,
+        delete_where,
+        expire_snapshots,
+        live_entries,
+    )
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_ice_maint",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    marker = os.path.join(cache, "_maint_done.json")
+    import json as _json
+
+    if not os.path.exists(marker):
+        # a half-built cache (crash mid-lifecycle) is rebuilt from scratch
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        # day-grained partitions (the exporter keys on the column NAME
+        # _hour), hash-split 6 ways so every partition holds several
+        # small files — the layout compaction exists to fix
+        df = ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.date_trunc("day", F.col("ts")).alias("_hour"),
+        ).repartition(6, F.col("event_id"))
+        ice = os.path.join(cache, "ice")
+        write_datalake(df, os.path.join(cache, "lake"))
+        export_iceberg(spark, os.path.join(cache, "lake"), ice)
+        files_before = len(live_entries(_current_metadata(ice))[0])
+        dres = delete_where(spark, ice, "event_id % 7 = 0")
+        cres = compact_data_files(spark, ice, target_bytes=256 * 1024 * 1024)
+        eres = expire_snapshots(ice, keep_last=1)
+        ok = (
+            dres["deleted_rows"] > 0
+            and cres["new_files"] > 0
+            and len(live_entries(_current_metadata(ice))[0]) < files_before
+            and eres["expired"] >= 2
+            and len(_current_metadata(ice)["snapshots"]) == 1
+        )
+        with open(marker + ".tmp", "w") as f:
+            _json.dump({"maintained_ok": ok}, f)
+        os.replace(marker + ".tmp", marker)
+    ok = _json.load(open(marker))["maintained_ok"]
+    ice = os.path.join(cache, "ice")
+    return (
+        read_iceberg(spark, ice)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn("maintained_ok", F.lit(bool(ok)))
+        .orderBy("event_type")
+    )
+
+
+SQL_ICEBERG_DELETE_READ = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users,
+  TRUE AS maintained_ok
+FROM events WHERE event_id % 7 != 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update({"iceberg_delete_read": q_iceberg_delete_read})
+ORACLES.update({"iceberg_delete_read": SQL_ICEBERG_DELETE_READ})

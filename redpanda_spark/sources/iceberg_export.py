@@ -735,18 +735,49 @@ def _current_metadata(path: str) -> dict:
     return json.load(open(os.path.join(meta_dir, f"v{vs[-1]}.metadata.json")))
 
 
-def read_iceberg(spark, path: str, snapshot_id: int | None = None):
+def fs_path_col(col):
+    """Normalize Spark's `_metadata.file_path` URI to the filesystem path
+    form manifests store: strip the file: scheme and URL-decode (%20
+    spaces, %25 for the literal % hive-escaping puts in partition dirs).
+    url_decode also maps '+' to space — the writer's file names (uuid /
+    part-NNNNN / hive-escaped hour dirs) never contain a literal '+'."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
+
+
+def read_iceberg(
+    spark,
+    path: str,
+    snapshot_id: int | None = None,
+    with_metadata: bool = False,
+):
     """Read an Iceberg v2 table through its OWN metadata — current (or
     ``snapshot_id``) snapshot resolved from table metadata, data files
     enumerated from the manifest list + manifests (never a directory
     LIST), then read as parquet. Deleted/existing entry statuses are
-    honored (status 2 = DELETED entries are skipped); delete files
-    (content != 0) are rejected loudly rather than silently misread.
+    honored (status 2 = DELETED entries are skipped).
+
+    POSITION DELETES (v2 merge-on-read) are applied: delete files
+    (content=1) from delete manifests become a (file_path, pos) frame,
+    restricted by the spec's sequence-number rule (a position delete
+    applies to data files whose sequence_number <= the delete's) via a
+    manifest-sized broadcast lookup, then LEFT ANTI-joined against the
+    data scan's (_metadata.file_path, _metadata.row_index). The delete
+    frame is small relative to the data and broadcasts; the data side
+    never shuffles. Equality deletes (content=2) are rejected loudly
+    rather than silently misread.
+
+    ``with_metadata=True`` keeps the physical address columns
+    (_file_path normalized to the manifest's path form, _row_index) —
+    the hook `iceberg_maintain.delete_where` uses to locate rows.
 
     This is the consume half of the interop story: any Iceberg table an
     external writer committed (same layout rules) is queryable here with
     no Iceberg runtime, exactly how `manifest_io.cc` materializes a
     snapshot's file set in the reference."""
+    from pyspark.sql import functions as F
+
     meta = _current_metadata(path)
     if meta.get("format-version") != 2:
         raise ValueError(f"unsupported iceberg format-version {meta.get('format-version')}")
@@ -755,26 +786,60 @@ def read_iceberg(spark, path: str, snapshot_id: int | None = None):
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
     _schema, _md, manifests = avro_ocf_read(snaps[sid]["manifest-list"])
-    files: list[str] = []
+    files: list[tuple[str, int]] = []  # (path, effective sequence number)
+    del_files: list[tuple[str, int]] = []
     for mf in manifests:
-        if mf.get("content", 0) != 0:
-            raise ValueError("delete manifests not supported")
         _es, _em, entries = avro_ocf_read(mf["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
             d = e["data_file"]
-            if d.get("content", 0) != 0:
-                raise ValueError("equality/position delete files not supported")
+            eff_seq = e.get("sequence_number")
+            if eff_seq is None:  # spec inheritance from the manifest record
+                eff_seq = mf["sequence_number"]
+            content = d.get("content", 0)
+            if content == 2:
+                raise ValueError("equality delete files not supported")
             if d["file_format"].upper() != "PARQUET":
                 raise ValueError(f"unsupported file format {d['file_format']}")
-            files.append(d["file_path"])
+            if content == 1:
+                del_files.append((d["file_path"], int(eff_seq)))
+            else:
+                files.append((d["file_path"], int(eff_seq)))
     if not files:
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType([]))
-    return (
+    df = (
         spark.read.option("basePath", os.path.join(path, "data"))
         .option("mergeSchema", "true")
-        .parquet(*files)
+        .parquet(*[p for p, _ in files])
     )
+    need_addr = bool(del_files) or with_metadata
+    if need_addr:
+        df = df.withColumn(
+            "_file_path", fs_path_col(F.col("_metadata.file_path"))
+        ).withColumn("_row_index", F.col("_metadata.row_index"))
+    if del_files:
+        dels = spark.read.parquet(*[p for p, _ in del_files])
+        # sequence rule: tag each delete FILE with its seq, each data file
+        # with its seq (manifest-sized lookup), keep dels where
+        # delete.seq >= data.seq
+        dseq = F.create_map(
+            *[x for p, s in del_files for x in (F.lit(p), F.lit(s))]
+        )
+        # which delete file a row came from -> its sequence number
+        dels = dels.withColumn("_dseq", dseq[fs_path_col(F.col("_metadata.file_path"))])
+        fseq = F.create_map(*[x for p, s in files for x in (F.lit(p), F.lit(s))])
+        dels = dels.withColumn("_fseq", fseq[F.col("file_path")]).where(
+            F.col("_fseq").isNull() | (F.col("_dseq") >= F.col("_fseq"))
+        )
+        df = df.join(
+            F.broadcast(dels.select("file_path", "pos")),
+            (df["_file_path"] == F.col("file_path"))
+            & (df["_row_index"] == F.col("pos")),
+            "left_anti",
+        )
+    if need_addr and not with_metadata:
+        df = df.drop("_file_path", "_row_index")
+    return df

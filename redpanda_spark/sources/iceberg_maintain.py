@@ -1,0 +1,700 @@
+"""Iceberg v2 table maintenance: row-level deletes (position deletes,
+merge-on-read), snapshot expiry with orphan GC, and small-file
+compaction (a REPLACE snapshot).
+
+These complete the lakehouse lifecycle around `iceberg_export.py`'s
+writer/reader pair. The reference's datalake sink is append-only
+(`datalake/coordinator/iceberg_file_committer.cc` commits data-file
+appends), so deletes/expiry/compaction have no reference analog — they
+are the table-maintenance half every Iceberg deployment runs out-of-band
+(Spark's `rewrite_data_files` / `expire_snapshots` procedures), and a
+training-data pipeline needs them for right-to-be-forgotten removal and
+small-file hygiene at 100 TB.
+
+Design notes (all three ops follow the exporter's commit discipline —
+every commit file is tmp+os.replace, version-hint flips LAST, and
+readers resolve state only through the hint):
+
+- **Position deletes** (`delete_where`): matching rows are located with
+  Spark's parquet metadata columns (`_metadata.file_path` +
+  `_metadata.row_index`) — one distributed scan, no row rewriting. The
+  delete file is parquet with the spec's reserved schema
+  (file_path: field-id 2147483546, pos: 2147483545), sorted by
+  (file_path, pos), written via pyarrow so the field-ids are real.
+  The commit appends a delete manifest (content=1) and a new snapshot
+  whose sequence number exceeds every live data file's — the v2 rule
+  "a position delete applies to data files with sequence_number <=
+  delete's" therefore covers the whole current table, and files added
+  LATER carry higher sequence numbers so the delete never touches them.
+- **Merge-on-read** happens in `iceberg_export.read_iceberg`: delete
+  files are read as a (file_path, pos) frame, restricted by the
+  sequence-number rule via a manifest-sized broadcast lookup, and
+  anti-joined against the data scan's (file_path, row_index). At scale
+  the delete frame is a fraction of the data and broadcasts; the data
+  side never shuffles.
+- **Compaction** (`compact_data_files`): per-partition bin-packing of
+  live data files below `small_bytes` into `target_bytes` bins; each
+  bin is read WITH its outstanding position deletes applied and
+  rewritten as one file, committed as a REPLACE snapshot (rewritten
+  files leave the manifest, untouched files stay EXISTING with their
+  original snapshot/sequence). Delete files whose every target path was
+  rewritten are dropped; the rest stay and keep applying to the
+  untouched files (new files have a higher sequence number, so stale
+  entries are inert by both the sequence rule and the path anti-join).
+- **Expiry** (`expire_snapshots`): trims the snapshot list in a new
+  metadata version (hint flips last = the commit point), THEN garbage-
+  collects manifest lists / manifests / data+delete files referenced
+  only by expired snapshots. A crash between the hint flip and the GC
+  leaves orphan files, never a broken table (GC is best-effort
+  hygiene; the commit point is the hint flip).
+
+All driver-side metadata work is O(manifest entries) — bounded control
+material, never data-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import time
+import uuid
+
+from redpanda_spark.sources.iceberg_export import (
+    _MANIFEST_FILE_SCHEMA,
+    _current_metadata,
+    _manifest_entry_schema,
+    _write_atomic,
+    avro_ocf_read,
+    avro_ocf_write,
+)
+
+# Iceberg spec: reserved field ids for position-delete file columns.
+_DEL_FILE_PATH_FID = 2147483546
+_DEL_POS_FID = 2147483545
+
+
+# ---------------------------------------------------------------------------
+# shared metadata plumbing
+# ---------------------------------------------------------------------------
+
+
+def _snapshot(meta: dict, snapshot_id: int | None = None) -> dict:
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    return next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+
+
+def live_entries(meta: dict, snapshot_id: int | None = None):
+    """(data_entries, delete_entries) for a snapshot, with spec
+    inheritance resolved: a null snapshot_id / sequence_number on an
+    ADDED entry inherits from the manifest-list record. Entries are the
+    raw manifest dicts plus resolved ``snapshot_id``/``sequence_number``;
+    DELETED (status 2) entries are skipped."""
+    snap = _snapshot(meta, snapshot_id)
+    data, dels = [], []
+    _, _, manifests = avro_ocf_read(snap["manifest-list"])
+    for mf in manifests:
+        _, _, entries = avro_ocf_read(mf["manifest_path"])
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            if e.get("snapshot_id") is None:
+                e["snapshot_id"] = mf["added_snapshot_id"]
+            if e.get("sequence_number") is None:
+                e["sequence_number"] = mf["sequence_number"]
+            e["file_sequence_number"] = e.get("file_sequence_number") or e[
+                "sequence_number"
+            ]
+            (dels if e["data_file"].get("content", 0) != 0 else data).append(e)
+    return data, dels
+
+
+def _part_fields_of(meta: dict) -> list[dict]:
+    """Reconstruct the exporter's partition-field descriptors from the
+    table's default spec (identity-on-_hour or unpartitioned)."""
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    return [
+        {
+            "name": f["name"],
+            "source_id": f["source-id"],
+            "field_id": f["field-id"],
+            "transform": f["transform"],
+            "avro_type": "long",
+        }
+        for f in spec["fields"]
+    ]
+
+
+def _partitions_summary(entries: list[dict], part_fields: list[dict]):
+    if not part_fields:
+        return None
+    name = part_fields[0]["name"]
+    vals = [e["data_file"]["partition"].get(name) for e in entries]
+    nn = [v for v in vals if v is not None]
+    return [
+        {
+            "contains_null": any(v is None for v in vals),
+            "contains_nan": False,
+            "lower_bound": struct.pack("<q", min(nn)) if nn else None,
+            "upper_bound": struct.pack("<q", max(nn)) if nn else None,
+        }
+    ]
+
+
+def _write_manifest(
+    meta_dir: str,
+    entries: list[dict],
+    part_fields: list[dict],
+    schema: dict,
+    content: str,
+) -> str:
+    path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    avro_ocf_write(
+        path,
+        _manifest_entry_schema(part_fields),
+        entries,
+        meta={
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(
+                [
+                    {
+                        "name": p["name"],
+                        "transform": p["transform"],
+                        "source-id": p["source_id"],
+                        "field-id": p["field_id"],
+                    }
+                    for p in part_fields
+                ]
+            ).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": content.encode(),
+        },
+    )
+    return path
+
+
+def _manifest_file_record(
+    path: str,
+    entries: list[dict],
+    content: int,
+    seq: int,
+    snap_id: int,
+    part_fields: list[dict],
+) -> dict:
+    added = [e for e in entries if e["status"] == 1]
+    existing = [e for e in entries if e["status"] == 0]
+    return {
+        "manifest_path": path,
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": 0,
+        "content": content,
+        "sequence_number": seq,
+        "min_sequence_number": min(
+            (int(e["sequence_number"]) for e in entries), default=seq
+        ),
+        "added_snapshot_id": snap_id,
+        "added_data_files_count": len(added),
+        "existing_data_files_count": len(existing),
+        "deleted_data_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in added),
+        "existing_rows_count": sum(e["data_file"]["record_count"] for e in existing),
+        "deleted_rows_count": 0,
+        "partitions": _partitions_summary(entries, part_fields),
+    }
+
+
+def _commit_snapshot(
+    table_path: str,
+    meta: dict,
+    manifest_records: list[dict],
+    snap_id: int,
+    seq: int,
+    operation: str,
+    summary_extra: dict[str, str],
+    schema_id: int,
+) -> dict:
+    """Write the manifest list + next vN.metadata.json and flip the hint.
+    Returns the new metadata dict."""
+    meta_dir = os.path.join(os.path.abspath(table_path), "metadata")
+    now_ms = int(time.time() * 1000)
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{seq}-{uuid.uuid4()}.avro")
+    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, manifest_records)
+    version = int(
+        open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+    ) + 1
+    snapshots = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": mlist_path,
+            "summary": {"operation": operation, **summary_extra},
+            "schema-id": schema_id,
+        }
+    ]
+    new_meta = {
+        **meta,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "current-snapshot-id": snap_id,
+        "snapshots": snapshots,
+        "snapshot-log": list(meta.get("snapshot-log", []))
+        + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+        "metadata-log": list(meta.get("metadata-log", []))
+        + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version - 1}.metadata.json"
+                ),
+            }
+        ],
+    }
+    _write_atomic(
+        os.path.join(meta_dir, f"v{version}.metadata.json"),
+        json.dumps(new_meta, indent=1),
+    )
+    # hint flips LAST — the commit point
+    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
+    return new_meta
+
+
+def _next_ids(meta: dict) -> tuple[int, int]:
+    """(snapshot_id, sequence_number) for a maintenance commit. Lake
+    exports use the lake's own small snapshot ids; maintenance ids live
+    1e6 above the current max so the two ranges can never collide."""
+    snap_id = max(s["snapshot-id"] for s in meta["snapshots"]) + 1_000_000
+    return snap_id, meta["last-sequence-number"] + 1
+
+
+# ---------------------------------------------------------------------------
+# position deletes
+# ---------------------------------------------------------------------------
+
+
+def _strip_scheme(col):
+    from redpanda_spark.sources.iceberg_export import fs_path_col
+
+    return fs_path_col(col)
+
+
+def delete_where(spark, table_path: str, predicate: str) -> dict:
+    """Delete rows matching ``predicate`` (a SQL expression over the
+    table's columns) via v2 position-delete files — no data file is
+    rewritten. Returns {deleted_rows, snapshot_id}; a predicate matching
+    nothing is a no-op that commits nothing.
+
+    The matched (file_path, pos) set is materialized on the driver to
+    write one spec-schema sorted parquet — right for the
+    right-to-be-forgotten deletes this exists for (a tiny fraction of
+    the table). Bulk deletes at 100 TB would instead sort+write the
+    frame distributed (one delete file per partition) and enter each in
+    the manifest; the commit path below is unchanged by that swap."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    # read through the normal merge-on-read path so already-deleted rows
+    # can't be deleted twice (their positions would duplicate), keeping
+    # the row's physical address columns
+    live = read_iceberg(spark, table_path, with_metadata=True)
+    hits = (
+        live.where(F.expr(predicate))
+        # _file_path is already normalized (scheme-stripped + URL-decoded)
+        # by read_iceberg's with_metadata branch
+        .select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_row_index").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+        .collect()
+    )
+    if not hits:
+        return {"deleted_rows": 0, "snapshot_id": None}
+
+    data_entries, del_entries = live_entries(meta)
+    part_fields = _part_fields_of(meta)
+    snap_id, seq = _next_ids(meta)
+
+    # spec-schema delete file (sorted by file_path, pos), real field-ids
+    dfile = os.path.join(table_path, "data", f"delete-{uuid.uuid4()}.parquet")
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_DEL_FILE_PATH_FID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_DEL_POS_FID).encode()},
+            ),
+        ]
+    )
+    tbl = pa.table(
+        {
+            "file_path": [r["file_path"] for r in hits],
+            "pos": [r["pos"] for r in hits],
+        },
+        schema=schema,
+    )
+    tmp = f"{dfile}.tmp"
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, dfile)
+
+    meta_dir = os.path.join(table_path, "metadata")
+    table_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    # full-state manifests, the exporter's invariant: one data manifest
+    # (everything EXISTING) + one delete manifest (prior deletes EXISTING
+    # + the new file ADDED)
+    data_existing = [
+        {**e, "status": 0, "file_sequence_number": e["sequence_number"]}
+        for e in data_entries
+    ]
+    del_existing = [
+        {**e, "status": 0, "file_sequence_number": e["sequence_number"]}
+        for e in del_entries
+    ]
+    new_del_entry = {
+        "status": 1,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": dfile,
+            "file_format": "PARQUET",
+            "partition": {p["name"]: None for p in part_fields},
+            "record_count": len(hits),
+            "file_size_in_bytes": os.path.getsize(dfile),
+        },
+    }
+    dm = _write_manifest(
+        meta_dir,
+        del_existing + [new_del_entry],
+        part_fields,
+        table_schema,
+        "deletes",
+    )
+    dmf = _manifest_file_record(
+        dm, del_existing + [new_del_entry], 1, seq, snap_id, part_fields
+    )
+    records = [dmf]
+    if data_existing:
+        datam = _write_manifest(
+            meta_dir, data_existing, part_fields, table_schema, "data"
+        )
+        records.insert(
+            0, _manifest_file_record(datam, data_existing, 0, seq, snap_id, part_fields)
+        )
+    total = sum(e["data_file"]["record_count"] for e in data_entries)
+    prior_del = sum(e["data_file"]["record_count"] for e in del_entries)
+    _commit_snapshot(
+        table_path,
+        meta,
+        records,
+        snap_id,
+        seq,
+        "delete",
+        {
+            "added-position-delete-files": "1",
+            "added-position-deletes": str(len(hits)),
+            "total-records": str(total),
+            "total-position-deletes": str(prior_del + len(hits)),
+            "total-data-files": str(len(data_entries)),
+        },
+        meta["current-schema-id"],
+    )
+    return {"deleted_rows": len(hits), "snapshot_id": snap_id}
+
+
+# ---------------------------------------------------------------------------
+# compaction (REPLACE snapshot)
+# ---------------------------------------------------------------------------
+
+
+def compact_data_files(
+    spark,
+    table_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+    min_input_files: int = 2,
+) -> dict:
+    """Bin-pack live data files smaller than ``small_bytes`` (default
+    target/2) into ~``target_bytes`` outputs, per partition. Outstanding
+    position deletes for the rewritten files are APPLIED during the
+    rewrite (the rewritten data is clean); delete files whose every
+    target was rewritten are dropped from the new snapshot. Commits one
+    REPLACE snapshot; a table with nothing to compact is a no-op."""
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    data_entries, del_entries = live_entries(meta)
+    part_fields = _part_fields_of(meta)
+    small = small_bytes if small_bytes is not None else target_bytes // 2
+
+    # bin-pack per partition value (files can't merge across partitions)
+    by_part: dict[tuple, list[dict]] = {}
+    for e in data_entries:
+        if e["data_file"]["file_size_in_bytes"] >= small:
+            continue
+        key = tuple(sorted(e["data_file"]["partition"].items()))
+        by_part.setdefault(key, []).append(e)
+    bins: list[list[dict]] = []
+    for _key, group in sorted(by_part.items()):
+        group.sort(key=lambda e: e["data_file"]["file_path"])
+        cur: list[dict] = []
+        size = 0
+        for e in group:
+            cur.append(e)
+            size += e["data_file"]["file_size_in_bytes"]
+            if size >= target_bytes:
+                bins.append(cur)
+                cur, size = [], 0
+        if len(cur) >= min_input_files:
+            bins.append(cur)
+    bins = [b for b in bins if len(b) >= min_input_files]
+    if not bins:
+        return {"rewritten_files": 0, "new_files": 0, "snapshot_id": None}
+
+    snap_id, seq = _next_ids(meta)
+    rewritten = {e["data_file"]["file_path"] for b in bins for e in b}
+
+    # (file_path, pos) frame of ALL live position deletes, once
+    del_paths = [e["data_file"]["file_path"] for e in del_entries]
+    del_df = (
+        spark.read.parquet(*del_paths).select("file_path", "pos")
+        if del_paths
+        else None
+    )
+
+    new_entries: list[dict] = []
+    for b in bins:
+        paths = [e["data_file"]["file_path"] for e in b]
+        df = spark.read.parquet(*paths).withColumn(
+            "_fp", _strip_scheme(F.col("_metadata.file_path"))
+        ).withColumn("_pos", F.col("_metadata.row_index"))
+        if del_df is not None:
+            df = df.join(
+                F.broadcast(del_df),
+                (df["_fp"] == del_df["file_path"]) & (df["_pos"] == del_df["pos"]),
+                "left_anti",
+            )
+        df = df.drop("_fp", "_pos")
+        # one output file per bin, placed beside its inputs so the
+        # hive-partition directory (identity _hour) keeps working
+        out_dir = os.path.dirname(paths[0])
+        out = os.path.join(out_dir, f"compact-{uuid.uuid4()}.parquet")
+        tmpd = os.path.join(table_path, f"_compact_tmp_{uuid.uuid4()}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        part = next(
+            f for f in os.listdir(tmpd) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmpd, part), out)
+        shutil.rmtree(tmpd, ignore_errors=True)
+        md = papq.ParquetFile(out).metadata
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": out,
+                    "file_format": "PARQUET",
+                    "partition": dict(b[0]["data_file"]["partition"]),
+                    "record_count": int(md.num_rows),
+                    "file_size_in_bytes": int(os.path.getsize(out)),
+                },
+            }
+        )
+
+    # delete files fully absorbed by the rewrite drop out of the snapshot
+    kept_dels = []
+    for e in del_entries:
+        targets = set(
+            papq.read_table(e["data_file"]["file_path"], columns=["file_path"])
+            .column("file_path")
+            .to_pylist()
+        )
+        if not targets <= rewritten:
+            kept_dels.append(e)
+
+    meta_dir = os.path.join(table_path, "metadata")
+    table_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    survivors = [
+        {**e, "status": 0}
+        for e in data_entries
+        if e["data_file"]["file_path"] not in rewritten
+    ]
+    entries = survivors + new_entries
+    records = [
+        _manifest_file_record(
+            _write_manifest(meta_dir, entries, part_fields, table_schema, "data"),
+            entries,
+            0,
+            seq,
+            snap_id,
+            part_fields,
+        )
+    ]
+    if kept_dels:
+        kd = [{**e, "status": 0} for e in kept_dels]
+        records.append(
+            _manifest_file_record(
+                _write_manifest(meta_dir, kd, part_fields, table_schema, "deletes"),
+                kd,
+                1,
+                seq,
+                snap_id,
+                part_fields,
+            )
+        )
+    _commit_snapshot(
+        table_path,
+        meta,
+        records,
+        snap_id,
+        seq,
+        "replace",
+        {
+            "deleted-data-files": str(len(rewritten)),
+            "added-data-files": str(len(new_entries)),
+            "total-data-files": str(len(entries)),
+            "total-records": str(
+                sum(e["data_file"]["record_count"] for e in entries)
+            ),
+        },
+        meta["current-schema-id"],
+    )
+    return {
+        "rewritten_files": len(rewritten),
+        "new_files": len(new_entries),
+        "snapshot_id": snap_id,
+    }
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry + orphan GC
+# ---------------------------------------------------------------------------
+
+
+def _referenced_files(meta: dict, snapshot_ids: set[int]) -> set[str]:
+    """Every path (manifest list, manifest, data/delete file) a set of
+    snapshots can reach."""
+    refs: set[str] = set()
+    for s in meta["snapshots"]:
+        if s["snapshot-id"] not in snapshot_ids:
+            continue
+        refs.add(s["manifest-list"])
+        _, _, manifests = avro_ocf_read(s["manifest-list"])
+        for mf in manifests:
+            refs.add(mf["manifest_path"])
+            _, _, entries = avro_ocf_read(mf["manifest_path"])
+            for e in entries:
+                if e["status"] != 2:
+                    refs.add(e["data_file"]["file_path"])
+    return refs
+
+
+def expire_snapshots(
+    table_path: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> dict:
+    """Expire snapshots (always keeping the current one), then GC every
+    file only they referenced. The metadata trim commits first (hint
+    flip); GC runs after, so a crash leaves orphans — never a broken
+    table — and the next expiry's reachability sweep collects them."""
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+    cur = meta["current-snapshot-id"]
+    keep_ids = {cur}
+    if keep_last is not None:
+        keep_ids |= {s["snapshot-id"] for s in snaps[-keep_last:]}
+    if older_than_ms is not None:
+        keep_ids |= {
+            s["snapshot-id"] for s in snaps if s["timestamp-ms"] >= older_than_ms
+        }
+    if keep_last is None and older_than_ms is None:
+        raise ValueError("pass keep_last and/or older_than_ms")
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {"expired": 0, "files_deleted": 0}
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version = int(
+        open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+    ) + 1
+    now_ms = int(time.time() * 1000)
+    kept_snaps = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    # writer-defined property: EXISTING manifest entries keep the
+    # snapshot id that first added their file, which may now be expired.
+    # Recording the expired ids lets the independent conformance reader
+    # tell "references a legitimately expired snapshot" apart from
+    # "references a snapshot the table never committed" (the exporter
+    # crash-bug signature it exists to catch).
+    prev_expired = meta.get("properties", {}).get("history.expired-snapshot-ids", "")
+    all_expired = sorted(
+        {int(x) for x in prev_expired.split(",") if x}
+        | {s["snapshot-id"] for s in expired}
+    )
+    new_meta = {
+        **meta,
+        "properties": {
+            **meta.get("properties", {}),
+            "history.expired-snapshot-ids": ",".join(map(str, all_expired)),
+        },
+        "last-updated-ms": now_ms,
+        "snapshots": kept_snaps,
+        "snapshot-log": [
+            e
+            for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids
+        ],
+        "metadata-log": list(meta.get("metadata-log", []))
+        + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": os.path.join(
+                    meta_dir, f"v{version - 1}.metadata.json"
+                ),
+            }
+        ],
+    }
+    _write_atomic(
+        os.path.join(meta_dir, f"v{version}.metadata.json"),
+        json.dumps(new_meta, indent=1),
+    )
+    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
+
+    # GC: reachable-from-kept minus reachable-from-expired
+    kept_refs = _referenced_files(meta, keep_ids)
+    dead = _referenced_files(meta, {s["snapshot-id"] for s in expired}) - kept_refs
+    n = 0
+    for p in sorted(dead):
+        try:
+            os.remove(p)
+            n += 1
+        except FileNotFoundError:
+            pass
+    return {"expired": len(expired), "files_deleted": n}

@@ -1,0 +1,238 @@
+"""Iceberg v2 maintenance (sources/iceberg_maintain.py): position
+deletes with merge-on-read, compaction as a REPLACE snapshot, snapshot
+expiry with orphan GC — each step re-validated by the independent
+from-spec conformance reader."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as papq
+import pytest
+from pyspark.sql import functions as F
+
+from redpanda_spark.sources.iceberg_export import export_iceberg, read_iceberg
+from redpanda_spark.sources.iceberg_maintain import (
+    compact_data_files,
+    delete_where,
+    expire_snapshots,
+    live_entries,
+    _current_metadata,
+)
+from tools.iceberg_conformance import traverse
+
+
+def _mk_table(spark, tmp_path, n=100, parts=1):
+    """lake -> exported iceberg table with n rows over two hours."""
+    from redpanda_spark.sources.datalake import write_datalake
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.when(F.col("id") % 2 == 0, F.to_timestamp(F.lit("2024-03-01 10:00:00")))
+        .otherwise(F.to_timestamp(F.lit("2024-03-01 11:00:00")))
+        .alias("_hour"),
+    )
+    if parts > 1:
+        df = df.repartition(parts)
+    write_datalake(df, lake)
+    export_iceberg(spark, lake, out)
+    return out
+
+
+def test_delete_where_merge_on_read(spark, tmp_path):
+    out = _mk_table(spark, tmp_path, n=100)
+    pre_snap = _current_metadata(out)["current-snapshot-id"]
+
+    res = delete_where(spark, out, "id % 10 = 0")
+    assert res["deleted_rows"] == 10
+
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # time travel to the pre-delete snapshot still sees every row
+    pre = read_iceberg(spark, out, snapshot_id=pre_snap)
+    assert pre.count() == 100
+    # conformance: chain stays spec-valid, delete file accounted
+    t = traverse(out)
+    assert t["schema_errors"] == []
+    assert t["position_delete_count"] == 10
+    assert t["live_record_count"] == 100  # data files untouched
+    assert t["summary"]["operation"] == "delete"
+
+    # idempotence: the same predicate now matches nothing -> no commit
+    again = delete_where(spark, out, "id % 10 = 0")
+    assert again == {"deleted_rows": 0, "snapshot_id": None}
+    assert _current_metadata(out)["current-snapshot-id"] == res["snapshot_id"]
+
+    # a second, overlapping-free delete stacks on the first
+    delete_where(spark, out, "id < 5")
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0 and i >= 5]
+
+
+def test_delete_file_is_spec_schema_and_sorted(spark, tmp_path):
+    out = _mk_table(spark, tmp_path, n=40)
+    delete_where(spark, out, "id >= 30")
+    _, dels = live_entries(_current_metadata(out))
+    [entry] = dels
+    path = entry["data_file"]["file_path"]
+    tbl = papq.read_table(path)
+    # reserved field-ids from the spec, real in the parquet schema
+    assert (
+        tbl.schema.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    )
+    assert tbl.schema.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+    rows = list(zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()))
+    assert rows == sorted(rows)
+    # delete rows address live data files of the table
+    data_paths = {
+        e["data_file"]["file_path"]
+        for e in live_entries(_current_metadata(out))[0]
+    }
+    assert {r[0] for r in rows} <= data_paths
+
+
+def test_compact_applies_deletes_and_replaces(spark, tmp_path):
+    out = _mk_table(spark, tmp_path, n=100, parts=6)
+    pre = traverse(out)
+    assert len(pre["data_files"]) > 2  # several small files per hour
+    delete_where(spark, out, "id % 10 = 0")
+    pre_snap = _current_metadata(out)["current-snapshot-id"]
+
+    res = compact_data_files(spark, out, target_bytes=64 * 1024 * 1024)
+    assert res["rewritten_files"] == len(pre["data_files"])
+    assert res["new_files"] == 2  # one bin per _hour partition
+
+    t = traverse(out)
+    assert t["schema_errors"] == []
+    assert t["summary"]["operation"] == "replace"
+    assert len(t["data_files"]) == 2
+    # deletes were applied during the rewrite and their file dropped
+    assert t["position_delete_count"] == 0
+    assert t["live_record_count"] == 90
+
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+    # the _hour partition column still materializes from the layout
+    hours = read_iceberg(spark, out).select("_hour").distinct().count()
+    assert hours == 2
+    # time travel: the pre-compaction snapshot still reads (with deletes)
+    assert read_iceberg(spark, out, snapshot_id=pre_snap).count() == 90
+
+    # nothing left to compact -> no-op, no new snapshot
+    cur = _current_metadata(out)["current-snapshot-id"]
+    again = compact_data_files(spark, out, target_bytes=64 * 1024 * 1024)
+    assert again["new_files"] == 0 and again["snapshot_id"] is None
+    assert _current_metadata(out)["current-snapshot-id"] == cur
+
+
+def test_compact_keeps_deletes_for_untouched_files(spark, tmp_path):
+    """A delete targeting a file OUTSIDE the compaction scope must keep
+    applying after the REPLACE commit."""
+    out = _mk_table(spark, tmp_path, n=100, parts=6)
+    delete_where(spark, out, "id % 10 = 0")
+    # compact with a tiny small-file threshold so NO file qualifies:
+    meta = _current_metadata(out)
+    res = compact_data_files(spark, out, target_bytes=64, small_bytes=1)
+    assert res["new_files"] == 0
+    # now rewrite only files under one partition by raising the bar for
+    # a subset: compact everything; deletes for untouched files keep
+    # applying (exercised through the threshold path below)
+    res = compact_data_files(
+        spark, out, target_bytes=10**9, small_bytes=10**9, min_input_files=3
+    )
+    assert res["new_files"] >= 1
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    out = _mk_table(spark, tmp_path, n=100, parts=6)
+    files_v1 = {f["file_path"] for f in traverse(out)["data_files"]}
+    delete_where(spark, out, "id >= 90")
+    compact_data_files(spark, out, target_bytes=64 * 1024 * 1024)
+    meta = _current_metadata(out)
+    old_snaps = [
+        s["snapshot-id"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] != meta["current-snapshot-id"]
+    ]
+    res = expire_snapshots(out, keep_last=1)
+    assert res["expired"] == len(old_snaps)
+    assert res["files_deleted"] > 0
+
+    # current read unaffected; original small files are gone from disk
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == list(range(90))
+    assert not any(os.path.exists(p) for p in files_v1)
+    # time travel to an expired snapshot now fails loudly
+    with pytest.raises(ValueError):
+        read_iceberg(spark, out, snapshot_id=old_snaps[0])
+    # conformance: EXISTING entries referencing expired snapshot ids are
+    # accepted via the recorded property, everything else still strict
+    t = traverse(out)
+    assert t["schema_errors"] == []
+    assert t["live_record_count"] == 90
+
+    # expiring again is a no-op
+    assert expire_snapshots(out, keep_last=1) == {"expired": 0, "files_deleted": 0}
+
+
+def test_expire_requires_a_policy(spark, tmp_path):
+    out = _mk_table(spark, tmp_path, n=10)
+    with pytest.raises(ValueError):
+        expire_snapshots(out)
+
+
+def test_external_reader_sees_merge_on_read_result(spark, tmp_path):
+    """A plain-Spark read of the table's data files + delete files (no
+    engine code) reproduces read_iceberg's answer — the interop story
+    for position deletes."""
+    out = _mk_table(spark, tmp_path, n=60)
+    delete_where(spark, out, "v >= 400")
+    meta = _current_metadata(out)
+    data_e, del_e = live_entries(meta)
+    data = spark.read.parquet(*[e["data_file"]["file_path"] for e in data_e])
+    dels = spark.read.parquet(*[e["data_file"]["file_path"] for e in del_e])
+    joined = (
+        data.withColumn(
+            "_fp",
+            F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            ),
+        )
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .join(
+            dels,
+            (F.col("_fp") == dels["file_path"]) & (F.col("_pos") == dels["pos"]),
+            "left_anti",
+        )
+    )
+    external = sorted(r["id"] for r in joined.select("id").collect())
+    engine = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert external == engine == list(range(40))
+
+
+def test_cli_maintenance_verbs(spark, tmp_path, capsys, monkeypatch):
+    """datalake iceberg-delete / iceberg-compact / iceberg-expire drive
+    the same lifecycle end-to-end through the CLI surface."""
+    import json
+
+    from redpanda_spark import cli
+
+    out = _mk_table(spark, tmp_path, n=50, parts=4)
+    root = str(tmp_path / "root")
+    # reuse the session the fixture already built
+    monkeypatch.setattr(
+        "redpanda_spark.session.get_spark", lambda *a, **k: spark
+    )
+    assert cli.main(["--root", root, "datalake", "iceberg-delete", out, "id >= 40"]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted_rows"] == 10
+    assert cli.main(["--root", root, "datalake", "iceberg-compact", out]) == 0
+    assert json.loads(capsys.readouterr().out)["new_files"] >= 1
+    assert cli.main(["--root", root, "datalake", "iceberg-expire", out, "--keep-last", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["expired"] == 2
+    got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
+    assert got == list(range(40))

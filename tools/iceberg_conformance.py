@@ -236,11 +236,23 @@ def traverse(table_path: str) -> dict:
     if snap_id not in snaps:
         raise AvroDecodeError(f"current-snapshot-id {snap_id} not in snapshots")
     snap = snaps[snap_id]
+    # ids legitimately removed by snapshot expiry (writer-defined
+    # property): EXISTING entries may still carry them as the snapshot
+    # that first added the file — not the uncommitted-state bug the
+    # dangling-reference check below exists to catch.
+    expired_ids = {
+        int(x)
+        for x in md.get("properties", {})
+        .get("history.expired-snapshot-ids", "")
+        .split(",")
+        if x
+    }
 
     ml_schema, ml_meta, manifests = read_ocf(snap["manifest-list"])
     errs += _check_ids(ml_schema, MANIFEST_FILE_REQUIRED_IDS, "manifest_file")
 
     files: list[dict] = []
+    delete_files: list[dict] = []
     statuses: list[int] = []
     for mf in manifests:
         m_schema, m_meta, entries = read_ocf(mf["manifest_path"])
@@ -254,13 +266,21 @@ def traverse(table_path: str) -> dict:
         for e in entries:
             statuses.append(e["status"])
             if e["status"] != 2:  # 2 = DELETED (spec: not live)
-                files.append(e["data_file"])
+                # content: 0 = data, 1 = position deletes (spec data_file)
+                if e["data_file"].get("content", 0) == 1:
+                    delete_files.append(e["data_file"])
+                else:
+                    files.append(e["data_file"])
                 # spec: an entry's snapshot-id names the snapshot that
                 # added (or last updated) the file — it must be a snapshot
                 # this table actually committed. A dangling reference is
                 # the signature of metadata written from uncommitted state.
                 e_snap = e.get("snapshot_id")
-                if e_snap is not None and e_snap not in snaps:
+                if (
+                    e_snap is not None
+                    and e_snap not in snaps
+                    and e_snap not in expired_ids
+                ):
                     errs.append(
                         f"manifest entry references unknown snapshot {e_snap}"
                     )
@@ -273,6 +293,8 @@ def traverse(table_path: str) -> dict:
         "n_manifests": len(manifests),
         "entry_statuses": statuses,
         "data_files": files,
+        "delete_files": delete_files,
+        "position_delete_count": sum(f["record_count"] for f in delete_files),
         "live_record_count": live_rows,
         "schema_errors": errs,
         "snapshot_log": md.get("snapshot-log", []),
