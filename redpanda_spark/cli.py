@@ -390,6 +390,22 @@ def cmd_iceberg_delete(args) -> int:
     return 0
 
 
+def cmd_iceberg_upsert(args) -> int:
+    """MERGE INTO analog: rows from a parquet path upsert into an
+    exported Iceberg table by key (position delete + append, one
+    snapshot)."""
+    eng = _engine(args)
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    updates = eng.spark.read.parquet(args.updates_path)
+    print(
+        json.dumps(
+            merge_upsert(eng.spark, args.table_path, updates, args.keys.split(","))
+        )
+    )
+    return 0
+
+
 def cmd_iceberg_compact(args) -> int:
     """Bin-pack small data files into a REPLACE snapshot, applying any
     outstanding position deletes during the rewrite."""
@@ -584,6 +600,12 @@ def build_parser() -> argparse.ArgumentParser:
     idel.add_argument("table_path", help="exported Iceberg table path")
     idel.add_argument("predicate", help="SQL predicate, e.g. \"user_id = 42\"")
     idel.set_defaults(fn=cmd_iceberg_delete)
+    ius = dl.add_parser("iceberg-upsert")
+    ius.add_argument("table_path", help="exported Iceberg table path")
+    ius.add_argument("updates_path", help="parquet path with update rows")
+    ius.add_argument("--keys", required=True,
+                     help="comma-separated key columns, e.g. id")
+    ius.set_defaults(fn=cmd_iceberg_upsert)
     icp = dl.add_parser("iceberg-compact")
     icp.add_argument("table_path", help="exported Iceberg table path")
     icp.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)

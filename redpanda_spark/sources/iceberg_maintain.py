@@ -282,49 +282,13 @@ def _strip_scheme(col):
     return fs_path_col(col)
 
 
-def delete_where(spark, table_path: str, predicate: str) -> dict:
-    """Delete rows matching ``predicate`` (a SQL expression over the
-    table's columns) via v2 position-delete files — no data file is
-    rewritten. Returns {deleted_rows, snapshot_id}; a predicate matching
-    nothing is a no-op that commits nothing.
-
-    The matched (file_path, pos) set is materialized on the driver to
-    write one spec-schema sorted parquet — right for the
-    right-to-be-forgotten deletes this exists for (a tiny fraction of
-    the table). Bulk deletes at 100 TB would instead sort+write the
-    frame distributed (one delete file per partition) and enter each in
-    the manifest; the commit path below is unchanged by that swap."""
+def _write_delete_file(table_path: str, hits) -> str:
+    """Write one spec-schema position-delete parquet (reserved field-ids,
+    sorted by file_path then pos) under data/ and return its path.
+    ``hits`` are rows/tuples of (file_path, pos), already sorted."""
     import pyarrow as pa
     import pyarrow.parquet as papq
-    from pyspark.sql import functions as F
 
-    from redpanda_spark.sources.iceberg_export import read_iceberg
-
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
-    # read through the normal merge-on-read path so already-deleted rows
-    # can't be deleted twice (their positions would duplicate), keeping
-    # the row's physical address columns
-    live = read_iceberg(spark, table_path, with_metadata=True)
-    hits = (
-        live.where(F.expr(predicate))
-        # _file_path is already normalized (scheme-stripped + URL-decoded)
-        # by read_iceberg's with_metadata branch
-        .select(
-            F.col("_file_path").alias("file_path"),
-            F.col("_row_index").alias("pos"),
-        )
-        .orderBy("file_path", "pos")
-        .collect()
-    )
-    if not hits:
-        return {"deleted_rows": 0, "snapshot_id": None}
-
-    data_entries, del_entries = live_entries(meta)
-    part_fields = _part_fields_of(meta)
-    snap_id, seq = _next_ids(meta)
-
-    # spec-schema delete file (sorted by file_path, pos), real field-ids
     dfile = os.path.join(table_path, "data", f"delete-{uuid.uuid4()}.parquet")
     schema = pa.schema(
         [
@@ -352,6 +316,49 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
     tmp = f"{dfile}.tmp"
     papq.write_table(tbl, tmp)
     os.replace(tmp, dfile)
+    return dfile
+
+
+def delete_where(spark, table_path: str, predicate: str) -> dict:
+    """Delete rows matching ``predicate`` (a SQL expression over the
+    table's columns) via v2 position-delete files — no data file is
+    rewritten. Returns {deleted_rows, snapshot_id}; a predicate matching
+    nothing is a no-op that commits nothing.
+
+    The matched (file_path, pos) set is materialized on the driver to
+    write one spec-schema sorted parquet — right for the
+    right-to-be-forgotten deletes this exists for (a tiny fraction of
+    the table). Bulk deletes at 100 TB would instead sort+write the
+    frame distributed (one delete file per partition) and enter each in
+    the manifest; the commit path below is unchanged by that swap."""
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    # read through the normal merge-on-read path so already-deleted rows
+    # can't be deleted twice (their positions would duplicate), keeping
+    # the row's physical address columns
+    live = read_iceberg(spark, table_path, with_metadata=True)
+    hits = (
+        live.where(F.expr(predicate))
+        # _file_path is already normalized (scheme-stripped + URL-decoded)
+        # by read_iceberg's with_metadata branch
+        .select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_row_index").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+        .collect()
+    )
+    if not hits:
+        return {"deleted_rows": 0, "snapshot_id": None}
+
+    data_entries, del_entries = live_entries(meta)
+    part_fields = _part_fields_of(meta)
+    snap_id, seq = _next_ids(meta)
+    dfile = _write_delete_file(table_path, hits)
 
     meta_dir = os.path.join(table_path, "metadata")
     table_schema = next(
@@ -419,6 +426,179 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
         meta["current-schema-id"],
     )
     return {"deleted_rows": len(hits), "snapshot_id": snap_id}
+
+
+def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
+    """MERGE INTO analog, merge-on-read flavor: rows of ``updates`` whose
+    key already exists REPLACE the stored row (a position delete covers
+    the old copy); the rest are plain inserts. One snapshot commits both
+    sides — a reader sees the table before the merge or after it, never
+    half. No existing data file is rewritten.
+
+    ``updates`` must be key-unique and carry the table's full column set
+    (including the partition column when the table is partitioned — the
+    new files land in their hive partition directories so the layout
+    keeps materializing the column).
+
+    Scale shape: the match scan is one distributed read of the live
+    table joined (broadcast when small) against the DISTINCT update
+    keys; the update payload itself is written partitionBy() — Spark's
+    parallel write path — and only (file_path, pos) pairs of matched
+    rows ever reach the driver. This is the foreachBatch body for a CDC
+    stream into the lakehouse: Structured Streaming micro-batches call
+    this per batch, giving exactly-once upsert semantics through the
+    snapshot commit point (hint flip)."""
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    data_entries, del_entries = live_entries(meta)
+    part_fields = _part_fields_of(meta)
+    snap_id, seq = _next_ids(meta)
+
+    from redpanda_spark.sources.iceberg_export import (
+        _hour_to_micros,
+        read_iceberg,
+    )
+
+    # 1) locate stored rows whose key is being replaced
+    keys = updates.select(*key_cols).distinct()
+    live = read_iceberg(spark, table_path, with_metadata=True)
+    hits = (
+        live.join(F.broadcast(keys), key_cols, "inner")
+        .select(
+            F.col("_file_path").alias("file_path"),
+            F.col("_row_index").alias("pos"),
+        )
+        .orderBy("file_path", "pos")
+        .collect()
+    )
+
+    # 2) write the update rows as new data files in the table layout
+    part_names = [p["name"] for p in part_fields]
+    tmpd = os.path.join(table_path, f"_upsert_tmp_{uuid.uuid4()}")
+    w = updates.write.mode("overwrite")
+    if part_names:
+        w = w.partitionBy(*part_names)
+    w.parquet(tmpd)
+    new_entries: list[dict] = []
+    added_rows = 0
+    for dirpath, _dirs, files in os.walk(tmpd):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, tmpd)
+            dst_dir = (
+                os.path.join(table_path, "data")
+                if rel_dir == "."
+                else os.path.join(table_path, "data", rel_dir)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, f"upsert-{uuid.uuid4()}.parquet")
+            os.replace(os.path.join(dirpath, fn), dst)
+            md = papq.ParquetFile(dst).metadata
+            part_val = {}
+            if part_names and f"{part_names[0]}=" in rel_dir:
+                part_val = {
+                    part_names[0]: _hour_to_micros(
+                        rel_dir.split(f"{part_names[0]}=", 1)[1].split(os.sep, 1)[0]
+                    )
+                }
+            elif part_names:
+                part_val = {part_names[0]: None}
+            added_rows += md.num_rows
+            new_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": part_val,
+                        "record_count": int(md.num_rows),
+                        "file_size_in_bytes": int(os.path.getsize(dst)),
+                    },
+                }
+            )
+    shutil.rmtree(tmpd, ignore_errors=True)
+    if not new_entries and not hits:
+        return {"matched_rows": 0, "inserted_rows": 0, "snapshot_id": None}
+
+    # 3) one snapshot: delete manifest (if any match) + data manifest
+    meta_dir = os.path.join(table_path, "metadata")
+    table_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    data_all = [{**e, "status": 0} for e in data_entries] + new_entries
+    records = [
+        _manifest_file_record(
+            _write_manifest(meta_dir, data_all, part_fields, table_schema, "data"),
+            data_all,
+            0,
+            seq,
+            snap_id,
+            part_fields,
+        )
+    ]
+    del_all = [{**e, "status": 0} for e in del_entries]
+    if hits:
+        dfile = _write_delete_file(table_path, hits)
+        del_all.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": dfile,
+                    "file_format": "PARQUET",
+                    "partition": {p["name"]: None for p in part_fields},
+                    "record_count": len(hits),
+                    "file_size_in_bytes": os.path.getsize(dfile),
+                },
+            }
+        )
+    if del_all:
+        records.append(
+            _manifest_file_record(
+                _write_manifest(
+                    meta_dir, del_all, part_fields, table_schema, "deletes"
+                ),
+                del_all,
+                1,
+                seq,
+                snap_id,
+                part_fields,
+            )
+        )
+    _commit_snapshot(
+        table_path,
+        meta,
+        records,
+        snap_id,
+        seq,
+        "overwrite",
+        {
+            "added-data-files": str(len(new_entries)),
+            "added-records": str(added_rows),
+            "added-position-deletes": str(len(hits)),
+            "total-data-files": str(len(data_all)),
+            "total-records": str(
+                sum(e["data_file"]["record_count"] for e in data_all)
+            ),
+        },
+        meta["current-schema-id"],
+    )
+    return {
+        "matched_rows": len(hits),
+        "inserted_rows": added_rows - len(hits),
+        "snapshot_id": snap_id,
+    }
 
 
 # ---------------------------------------------------------------------------

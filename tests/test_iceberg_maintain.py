@@ -236,3 +236,121 @@ def test_cli_maintenance_verbs(spark, tmp_path, capsys, monkeypatch):
     assert json.loads(capsys.readouterr().out)["expired"] == 2
     got = sorted(r["id"] for r in read_iceberg(spark, out).select("id").collect())
     assert got == list(range(40))
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    out = _mk_table(spark, tmp_path, n=60)
+    updates = spark.range(50, 71).select(
+        F.col("id"),
+        (F.col("id") * 1000).alias("v"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("_hour"),
+    )
+    res = merge_upsert(spark, out, updates, ["id"])
+    assert res["matched_rows"] == 10 and res["inserted_rows"] == 11
+
+    rows = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert len(rows) == 71
+    assert all(rows[i] == i * 10 for i in range(50))
+    assert all(rows[i] == i * 1000 for i in range(50, 71))
+
+    t = traverse(out)
+    assert t["schema_errors"] == []
+    assert t["summary"]["operation"] == "overwrite"
+    assert t["position_delete_count"] == 10
+
+
+def test_merge_upsert_cdc_chain_then_compact(spark, tmp_path):
+    """Two micro-batch-style upserts touching the same key: the second
+    position-deletes the FIRST upsert's file (not just original files);
+    compaction then folds everything clean."""
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    out = _mk_table(spark, tmp_path, n=20)
+
+    def batch(v_mult):
+        return spark.range(5, 10).select(
+            F.col("id"),
+            (F.col("id") * v_mult).alias("v"),
+            F.to_timestamp(F.lit("2024-03-01 11:00:00")).alias("_hour"),
+        )
+
+    merge_upsert(spark, out, batch(100), ["id"])
+    merge_upsert(spark, out, batch(7000), ["id"])
+    rows = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert len(rows) == 20
+    assert all(rows[i] == i * 7000 for i in range(5, 10))
+    assert all(rows[i] == i * 10 for i in list(range(5)) + list(range(10, 20)))
+
+    compact_data_files(spark, out, target_bytes=64 * 1024 * 1024)
+    expire_snapshots(out, keep_last=1)
+    rows2 = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert rows2 == rows
+    t = traverse(out)
+    assert t["schema_errors"] == []
+    assert t["position_delete_count"] == 0
+
+
+def test_merge_upsert_pure_insert_and_noop(spark, tmp_path):
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    out = _mk_table(spark, tmp_path, n=10)
+    inserts = spark.range(100, 105).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("_hour"),
+    )
+    res = merge_upsert(spark, out, inserts, ["id"])
+    assert res["matched_rows"] == 0 and res["inserted_rows"] == 5
+    assert read_iceberg(spark, out).count() == 15
+
+    empty = inserts.where(F.lit(False))
+    res = merge_upsert(spark, out, empty, ["id"])
+    assert res["snapshot_id"] is None
+    assert read_iceberg(spark, out).count() == 15
+
+
+def test_streaming_cdc_upsert_into_iceberg(spark, tmp_path):
+    """CDC stream -> lakehouse: foreachBatch calls merge_upsert per
+    micro-batch. After the stream drains, the table holds exactly the
+    latest version of every key, and every intermediate state was a
+    committed snapshot (exactly-once through the hint-flip commit
+    point)."""
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    out = _mk_table(spark, tmp_path, n=10)
+    src_dir = str(tmp_path / "cdc")
+    # batch 1: update ids 3,4 ; batch 2: update id 4 again + insert 40
+    b1 = spark.createDataFrame([(3, 333), (4, 444)], ["id", "v"])
+    b2 = spark.createDataFrame([(4, 4444), (40, 400)], ["id", "v"])
+    for b in (b1, b2):
+        b.select(
+            "id", "v", F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("_hour")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    schema = "id long, v long, _hour timestamp"
+
+    def apply_cdc(batch_df, batch_id):
+        if batch_df.take(1):
+            merge_upsert(spark, out, batch_df, ["id"])
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert len(rows) == 11
+    assert rows[3] == 333 and rows[40] == 400
+    # id 4: either batch order gives the LAST writer's value because each
+    # upsert position-deletes the prior copy
+    assert rows[4] in (444, 4444)
+    t = traverse(out)
+    assert t["schema_errors"] == []
