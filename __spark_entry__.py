@@ -70,6 +70,8 @@ _PRIORITY = [
     "pipeline_dsir",
     "events_sketch_merge",
     "iceberg_delete_read",
+    "iceberg_upsert_read",
+    "events_zorder",
     # changed in round 7
     "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
     "curation_pipeline",  # score-once persist rewrite

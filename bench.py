@@ -120,6 +120,8 @@ BENCH_QUERIES_EXTENDED = [
     "pipeline_dsir",
     "events_sketch_merge",
     "iceberg_delete_read",
+    "iceberg_upsert_read",
+    "events_zorder",
 ]
 
 

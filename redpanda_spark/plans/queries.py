@@ -6418,3 +6418,147 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES.update({"iceberg_delete_read": q_iceberg_delete_read})
 ORACLES.update({"iceberg_delete_read": SQL_ICEBERG_DELETE_READ})
+
+
+def q_iceberg_upsert_read(spark, sf_dir):
+    """MERGE INTO analog (merge-on-read): every 11th event's value is
+    bumped by 1000 via merge_upsert (position delete + new data file in
+    ONE snapshot) and 100 synthetic rows are inserted in the same call.
+    The gate reads the table back and aggregates per event type; the
+    oracle recomputes from raw events with the same CASE bump plus the
+    synthetic block — a row that kept its old value (delete missed), was
+    double-counted (old copy resurrected), or never landed (insert lost)
+    breaks the value hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import export_iceberg, read_iceberg
+    from redpanda_spark.sources.iceberg_maintain import merge_upsert
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_ice_upsert",
+        hashlib.md5(sf_dir.encode()).hexdigest(),
+    )
+    marker = os.path.join(cache, "_upsert_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        base = ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.date_trunc("day", F.col("ts")).alias("_hour"),
+        )
+        ice = os.path.join(cache, "ice")
+        write_datalake(base, os.path.join(cache, "lake"))
+        export_iceberg(spark, os.path.join(cache, "lake"), ice)
+        updates = base.where(F.col("event_id") % 11 == 0).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        inserts = spark.range(100).select(
+            (-1 - F.col("id")).alias("event_id"),
+            F.lit("synthetic").alias("event_type"),
+            F.col("id").alias("user_id"),
+            (F.col("id") * 0.5).alias("value"),
+            F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("_hour"),
+        )
+        merge_upsert(spark, ice, updates.unionByName(inserts), ["event_id"])
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    ice = os.path.join(cache, "ice")
+    return (
+        read_iceberg(spark, ice)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ICEBERG_UPSERT_READ = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM (
+  SELECT event_type, user_id,
+    CASE WHEN event_id % 11 = 0 THEN value + 1000.0 ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT 'synthetic', i, i * 0.5 FROM range(0, 100) t(i)
+)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES.update({"iceberg_upsert_read": q_iceberg_upsert_read})
+ORACLES.update({"iceberg_upsert_read": SQL_ICEBERG_UPSERT_READ})
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def q_events_zorder(spark, sf_dir):
+    """Morton-key computation over events — the exact integer algebra
+    behind the z-order layout (operators/zorder.py). Both engines build
+    the key from the same shift/mask ladder and integer division, so
+    the per-bucket histogram (key >> 26 = 64 curve segments — exactly
+    the file boundaries zorder_write would draw) hash-matches
+    bit-for-bit. The layout win itself (file-level min/max pruning on
+    BOTH columns) is asserted in tests/test_zorder.py with real parquet
+    footers."""
+    from redpanda_spark.operators.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    keyed = zorder_key(ev, "user_id", "event_id")
+    return (
+        keyed.groupBy(F.shiftright(F.col("_z"), 26).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_z").alias("z_min"),
+            F.max("_z").alias("z_max"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    from redpanda_spark.operators.zorder import zvalue2_sql
+
+    # the bounds arrive as scalars from the stats CTE (symbolic names,
+    # not literals — unlike the Spark side, which inlines the collected
+    # min/max); the shift/mask ladder itself is shared via zvalue2_sql
+    x = "((user_id - mnu) * 65535) // NULLIF(mxu - mnu, 0)"
+    y = "((event_id - mne) * 65535) // NULLIF(mxe - mne, 0)"
+    z = zvalue2_sql(x, y)
+    return f"""
+WITH stats AS (
+  SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+         MIN(event_id) AS mne, MAX(event_id) AS mxe
+  FROM events),
+keyed AS (
+  SELECT user_id, {z} AS z FROM events, stats)
+SELECT z >> 26 AS bucket, COUNT(*) AS n,
+  MIN(z) AS z_min, MAX(z) AS z_max,
+  MIN(user_id) AS u_min, MAX(user_id) AS u_max
+FROM keyed GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES.update({"events_zorder": q_events_zorder})
+ORACLES.update({"events_zorder": _zorder_sql()})
