@@ -104,6 +104,15 @@ class TopicConfig:
     # (storage/compaction policy analog) — avoids rewriting an
     # already-clean log every maintenance tick.
     min_cleanable_dirty_ratio: float = 0.5
+    # Tiered storage (redpanda.remote.write + retention.local.target.ms,
+    # `cluster/archival/ntp_archiver_service.cc`): with remote_write on,
+    # run_archival moves segments whose NEWEST row is older than
+    # local_retention_ms to the archive tier (any FileSystem root — the
+    # object store). Reads (fetch/timequery/list_offsets) span both tiers
+    # transparently; retention_ms/bytes remain the TOTAL log's retention
+    # (the reference's cloud retention).
+    remote_write: bool = False
+    local_retention_ms: int | None = None
     configs: dict[str, str] = field(default_factory=dict)
 
 
@@ -114,7 +123,13 @@ class ProduceError(Exception):
 
 
 class TopicEngine:
-    def __init__(self, spark: SparkSession, root: str, registry=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        registry=None,
+        archive_root: str | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.registry = registry  # SchemaRegistry, for schema-id validation
@@ -148,6 +163,21 @@ class TopicEngine:
         self._fsio = fsio.for_root(spark, root)
         self.root = self._fsio.normalize(root)
         self._fsio.mkdirs(self.root)
+        # Archive (cold) tier root — defaults to a sibling dir under the
+        # root, but is its own FileSystem so the cold tier can live on a
+        # different store than the hot one (local disk + s3a://, the
+        # reference's deployment shape).
+        self.archive_root = archive_root or os.path.join(self.root, "_archive")
+        self._afsio = fsio.for_root(spark, self.archive_root)
+        self.archive_root = self._afsio.normalize(self.archive_root)
+        # Archived segments per topic (archive-root-relative, manifest
+        # order) + their footer stats — same pruning index as the hot
+        # tier, so cold segments are prunable without being read.
+        self._archived: dict[str, list[str]] = {}
+        self._archived_stats: dict[str, dict[str, list[int]]] = {}
+        # monotone per-topic archival epoch: archive file names are
+        # epoch-prefixed so names never collide across archival batches
+        self._arch_epoch: dict[str, int] = {}
         self._meta_path = os.path.join(root, "_topics.json")
         self._offsets_path = os.path.join(root, "_offsets.json")  # legacy watermarks
         self._topics: dict[str, TopicConfig] = {}
@@ -201,6 +231,8 @@ class TopicEngine:
         self._tail.pop(topic, None)
         files = self._files.get(topic)
         stats = self._stats.get(topic, {})
+        arch = self._archived.get(topic, [])
+        astats = self._archived_stats.get(topic, {})
         self._fsio.write_text_atomic(
             self._manifest_path(topic),
             json.dumps(
@@ -210,6 +242,9 @@ class TopicEngine:
                     "stats": {p: stats[p] for p in (files or []) if p in stats},
                     "producers": self._producers.get(topic, {}),
                     "clean_rows": self._clean_rows.get(topic, 0),
+                    "archived": arch,
+                    "archived_stats": {p: astats[p] for p in arch if p in astats},
+                    "arch_epoch": self._arch_epoch.get(topic, 0),
                 }
             ),
         )
@@ -235,6 +270,9 @@ class TopicEngine:
                 self._stats[t] = m.get("stats", {})
                 self._producers[t] = m.get("producers", {})
                 self._clean_rows[t] = m.get("clean_rows", 0)
+                self._archived[t] = m.get("archived", [])
+                self._archived_stats[t] = m.get("archived_stats", {})
+                self._arch_epoch[t] = m.get("arch_epoch", 0)
             else:
                 self._high[t] = legacy_high.get(t, {})
                 self._files[t] = None
@@ -254,6 +292,17 @@ class TopicEngine:
         live_abs = {os.path.join(self.root, p) for p in live}
         for f in self._segment_files(topic) - live_abs:
             self._fsio.delete(f)
+        # archive tier: a crash between the archival copy and the manifest
+        # commit leaves half-uploaded cold segments; GC anything the
+        # manifest's archived list doesn't own (manifest-mode topics only)
+        ad = self._archive_dir(topic)
+        self._afsio.delete(ad + ".rewrite.tmp", recursive=True)
+        live_arch = {
+            os.path.join(self.archive_root, p)
+            for p in self._archived.get(topic, [])
+        }
+        for f in set(self._afsio.list_segments(ad)) - live_arch:
+            self._afsio.delete(f)
 
     def _save_state(self) -> None:
         self._fsio.write_text_atomic(
@@ -285,7 +334,11 @@ class TopicEngine:
         self._stats.pop(topic, None)
         self._tail.pop(topic, None)
         self._producers.pop(topic, None)
+        self._archived.pop(topic, None)
+        self._archived_stats.pop(topic, None)
+        self._arch_epoch.pop(topic, None)
         self._fsio.delete(self._topic_dir(topic), recursive=True)
+        self._afsio.delete(self._archive_dir(topic), recursive=True)
         self._fsio.delete(self._manifest_path(topic))
         self._purge_topic_metadata(topic)
         self._save_state()
@@ -309,6 +362,9 @@ class TopicEngine:
 
     def _topic_dir(self, topic: str) -> str:
         return os.path.join(self.root, topic)
+
+    def _archive_dir(self, topic: str) -> str:
+        return os.path.join(self.archive_root, topic)
 
     def _segment_files(self, topic: str) -> set[str]:
         """All parquet segment paths of a topic: flat ``*.parquet`` files
@@ -385,7 +441,7 @@ class TopicEngine:
         if files and any("partition=" in f for f in files):
             # one-time migration of a legacy hive-layout topic to flat
             # segments, so the append below never mixes layouts in one dir
-            self._rewrite(topic, self.log(topic))
+            self._rewrite(topic, self._local_log(topic))
 
         cols = batch.columns
         df = batch.withColumn("_seq", F.monotonically_increasing_id())
@@ -1147,18 +1203,22 @@ class TopicEngine:
             state[key] = [epoch, max(last, int(r["max_seq"])), int(time.time() * 1000)]
         return drop_all, trim
 
-    def _footer_stats(self, paths: list[str]) -> dict[str, list[int]]:
+    def _footer_stats(
+        self, paths: list[str], base: str | None = None
+    ) -> dict[str, list[int]]:
         """Per-file [min_p, max_p, min_o, max_o, rows, min_ts_us, max_ts_us]
         from parquet footers — the manifest pruning index entries (Iceberg
         data-file column stats analog). The trailing timestamp pair (epoch
         micros) is optional — older manifests and files without timestamp
         stats keep the 5-element form; consumers must treat entries
         positionally with len checks. Files whose footers can't be read
-        simply get no entry and are never pruned."""
+        simply get no entry and are never pruned. ``base`` picks the root
+        the returned keys are relative to (default: the hot-tier root)."""
         import datetime as _dt
 
         import pyarrow.parquet as pq
 
+        base = base or self.root
         out: dict[str, list[int]] = {}
         for path in paths:
             try:
@@ -1199,12 +1259,12 @@ class TopicEngine:
                                 cur[0] = min(cur[0], int(mn))
                                 cur[1] = max(cur[1], int(mx))
                 if md.num_rows == 0:
-                    out[os.path.relpath(path, self.root)] = [0, -1, 0, -1, 0]
+                    out[os.path.relpath(path, base)] = [0, -1, 0, -1, 0]
                 elif "partition" in agg and "offset" in agg:
                     entry = [*agg["partition"], *agg["offset"], md.num_rows]
                     if "timestamp" in agg:
                         entry += agg["timestamp"]
-                    out[os.path.relpath(path, self.root)] = entry
+                    out[os.path.relpath(path, base)] = entry
             except Exception:
                 continue
         return out
@@ -1241,13 +1301,32 @@ class TopicEngine:
     # -- read paths -------------------------------------------------------
 
     def log(self, topic: str) -> DataFrame:
-        """The topic as a DataFrame.
+        """The topic as a DataFrame — the FULL log, archive tier included
+        (the reference's remote_partition read path: a fetch below the
+        local log start routes to cloud segments transparently,
+        `cloud_storage/remote_partition.cc`).
 
         With a manifest, the scan is over the manifest's explicit live-file
         list — committed snapshot isolation and no directory LIST on the
         read path (the same trick Iceberg uses to avoid O(objects) LIST at
         scale). Without one (legacy/non-listable), falls back to a
         directory read."""
+        self._require(topic)
+        df = self._scan_tiers(
+            topic, self._files.get(topic), self._archived.get(topic, [])
+        )
+        starts = self._log_starts(topic)
+        if starts:
+            df = LOG.delete_records(df, starts)
+        return df
+
+    def _local_log(self, topic: str) -> DataFrame:
+        """The HOT tier only — the maintenance view. Local segment
+        rewrites (compaction, segment merging, local retention) must never
+        pull archived data back into the topic dir, so every maintenance
+        job reads through this instead of ``log`` (the reference's
+        disk_log maintenance likewise operates below the archival
+        boundary)."""
         self._require(topic)
         df = self._scan(topic, self._files.get(topic))
         starts = self._log_starts(topic)
@@ -1278,6 +1357,33 @@ class TopicEngine:
             # empty topic: no files yet
             return empty()
 
+    def _scan_tiers(
+        self, topic: str, files: list[str] | None, archived: list[str]
+    ) -> DataFrame:
+        """One scan over hot + cold segments. Both tiers share the flat
+        record schema, so the union is a single multi-path parquet read —
+        one Spark job, file-level parallelism across tiers."""
+        if not archived:
+            return self._scan(topic, files)
+        arch_abs = [os.path.join(self.archive_root, f) for f in archived]
+        if files is None:
+            # legacy dir-scan hot tier + explicit cold list
+            return self._scan(topic, None).unionByName(self._scan_paths(arch_abs))
+        if any("partition=" in f for f in files):
+            return self._scan(topic, files).unionByName(self._scan_paths(arch_abs))
+        return self._scan_paths(
+            [os.path.join(self.root, f) for f in files] + arch_abs
+        )
+
+    def _scan_paths(self, paths: list[str]) -> DataFrame:
+        from redpanda_spark.datamodel import RECORD_SCHEMA
+
+        if not paths:
+            return self.spark.createDataFrame([], RECORD_SCHEMA).drop(
+                "topic", "timestamp_type"
+            )
+        return self.spark.read.parquet(*paths)
+
     def _pruned_files(
         self,
         topic: str,
@@ -1294,7 +1400,15 @@ class TopicEngine:
         files = self._files.get(topic)
         if files is None:
             return None
-        stats = self._stats.get(topic, {})
+        return self._prune(files, self._stats.get(topic, {}), partition, min_offset)
+
+    @staticmethod
+    def _prune(
+        files: list[str],
+        stats: dict[str, list[int]],
+        partition: int | None,
+        min_offset: int | None,
+    ) -> list[str]:
         keep: list[str] = []
         for f in files:
             s = stats.get(f)
@@ -1306,6 +1420,23 @@ class TopicEngine:
                     continue
             keep.append(f)
         return keep
+
+    def _pruned_archived(
+        self,
+        topic: str,
+        partition: int | None = None,
+        min_offset: int | None = None,
+    ) -> list[str]:
+        """Cold-tier pruning over the SAME stats index — a fetch of recent
+        offsets never opens an archived segment (the reference's manifest
+        lookup deciding local vs cloud, `remote_partition.cc` offset
+        routing)."""
+        return self._prune(
+            self._archived.get(topic, []),
+            self._archived_stats.get(topic, {}),
+            partition,
+            min_offset,
+        )
 
     def log_stream(self, topic: str, max_files_per_trigger: int = 64) -> DataFrame:
         """The topic as a streaming DataFrame — the continuous-consume mode
@@ -1359,9 +1490,12 @@ class TopicEngine:
     ) -> DataFrame:
         self._require(topic)
         # manifest-level pruning: only segments whose stats overlap the
-        # requested (partition, offset-range) reach the Spark scan
-        log = self._scan(
-            topic, self._pruned_files(topic, partition=partition, min_offset=offset)
+        # requested (partition, offset-range) reach the Spark scan —
+        # applied per tier, so hot fetches never open cold segments
+        log = self._scan_tiers(
+            topic,
+            self._pruned_files(topic, partition=partition, min_offset=offset),
+            self._pruned_archived(topic, partition=partition, min_offset=offset),
         )
         starts = self._log_starts(topic)
         if starts:
@@ -1426,10 +1560,23 @@ class TopicEngine:
             self._fsio.getsize(os.path.join(self.root, f)) for f in (files or [])
         ]
         rows = self._stats_rows(topic)
+        arch = self._archived.get(topic, [])
+        astats = self._archived_stats.get(topic, {})
+        arch_rows = (
+            sum(astats[f][4] for f in arch)
+            if arch and all(f in astats for f in arch)
+            else (0 if not arch else None)
+        )
         return {
             "segments": len(files or []),
             "bytes": sum(sizes),
             "rows": rows,
+            "archived_segments": len(arch),
+            "archived_bytes": sum(
+                self._afsio.getsize(os.path.join(self.archive_root, f))
+                for f in arch
+            ),
+            "archived_rows": arch_rows,
             "high_watermarks": dict(self._high.get(topic, {})),
             "log_starts": self._log_starts(topic),
             "producers_tracked": len(self._producers.get(topic, {})),
@@ -1475,55 +1622,108 @@ class TopicEngine:
             and self._retention_time_segments(topic, now_ms)
         ):
             return
-        log = self.log(topic)
-        if cfg.retention_ms is not None:
-            now = (now_ms or int(time.time() * 1000)) / 1000.0
-            # same integer-microsecond cutoff the segment fast path uses
-            # (_retention_time_segments), so the two paths are row-identical
-            # even at the exact cutoff microsecond
-            cutoff_us = int((now - cfg.retention_ms / 1000.0) * 1e6)
-            log = log.where(F.unix_micros(F.col("timestamp")) >= F.lit(cutoff_us))
-        if cfg.retention_bytes is not None:
-            sized = log.withColumn(
-                "_nbytes",
-                F.lit(16)
-                + F.coalesce(F.length("key"), F.lit(0))
-                + F.coalesce(F.length("value"), F.lit(0)),
-            )
-            log = LOG.retain_by_size(sized, cfg.retention_bytes, "_nbytes").drop(
-                "_nbytes"
-            )
-        self._rewrite(topic, log)
 
-    def _retention_time_segments(self, topic: str, now_ms: int | None) -> bool:
-        """Segment-granularity time retention. Returns True when handled
-        (including the nothing-expired no-op); False → caller falls back
-        to the full rewrite (no manifest file list, or a file without
-        timestamp stats)."""
-        cfg = self._require(topic)
-        files = self._files.get(topic)
-        if files is None:
-            return False
-        stats = self._stats.get(topic, {})
-        now = (now_ms or int(time.time() * 1000)) / 1000.0
-        cutoff_s = now - cfg.retention_ms / 1000.0
-        cutoff_us = int(cutoff_s * 1e6)
+        def _filters(log: DataFrame) -> DataFrame:
+            if cfg.retention_ms is not None:
+                now = (now_ms or int(time.time() * 1000)) / 1000.0
+                # same integer-microsecond cutoff the segment fast path
+                # uses (_retention_time_segments), so the two paths are
+                # row-identical even at the exact cutoff microsecond
+                cutoff_us = int((now - cfg.retention_ms / 1000.0) * 1e6)
+                log = log.where(
+                    F.unix_micros(F.col("timestamp")) >= F.lit(cutoff_us)
+                )
+            if cfg.retention_bytes is not None:
+                sized = log.withColumn(
+                    "_nbytes",
+                    F.lit(16)
+                    + F.coalesce(F.length("key"), F.lit(0))
+                    + F.coalesce(F.length("value"), F.lit(0)),
+                )
+                log = LOG.retain_by_size(
+                    sized, cfg.retention_bytes, "_nbytes"
+                ).drop("_nbytes")
+            return log
+
+        archived = self._archived.get(topic, [])
+        if not archived:
+            self._rewrite(topic, _filters(self._local_log(topic)))
+            return
+        # Tiered fallback (size retention, or a file without stats):
+        # retention_ms/bytes govern the TOTAL log, so the filters run over
+        # the tier-tagged union — size retention keeps the newest bytes,
+        # which evicts from the archive (oldest data) first, exactly the
+        # reference's cloud-retention order — then each tier is rewritten
+        # from its own surviving rows. Offsets are untouched.
+        cold = self._scan_paths(
+            [os.path.join(self.archive_root, f) for f in archived]
+        )
+        starts = self._log_starts(topic)
+        if starts:
+            # physically drop DeleteRecords-truncated prefixes from the
+            # cold tier too (the hot tier gets this via _local_log)
+            cold = LOG.delete_records(cold, starts)
+        cold = cold.withColumn("_tier", F.lit("a"))
+        hot = self._local_log(topic).withColumn("_tier", F.lit("l"))
+        kept = _filters(cold.unionByName(hot)).persist()
+        try:
+            self._rewrite(topic, kept.where(F.col("_tier") == "l").drop("_tier"))
+            self._rewrite_archive(
+                topic, kept.where(F.col("_tier") == "a").drop("_tier")
+            )
+        finally:
+            kept.unpersist()
+
+    @staticmethod
+    def _classify_expired(
+        files: list[str], stats: dict[str, list[int]], cutoff_us: int
+    ) -> tuple[list[str], list[str]] | None:
+        """Split a segment list into (fully-expired, boundary) against an
+        integer-µs cutoff using footer stats only. None = a file lacks the
+        stats needed to classify (caller falls back to a full rewrite)."""
         drop: list[str] = []
         boundary: list[str] = []
         for f in files:
             st = stats.get(f)
             if st is None:
-                return False
+                return None
             if st[4] == 0:
                 drop.append(f)  # empty segment: metadata-only removal
                 continue
             if len(st) < 7:
-                return False  # no timestamp stats for a non-empty file
+                return None  # no timestamp stats for a non-empty file
             if st[6] < cutoff_us:
                 drop.append(f)
             elif st[5] < cutoff_us:
                 boundary.append(f)
-        if not drop and not boundary:
+        return drop, boundary
+
+    def _retention_time_segments(self, topic: str, now_ms: int | None) -> bool:
+        """Segment-granularity time retention, BOTH tiers. Returns True
+        when handled (including the nothing-expired no-op); False → caller
+        falls back to the full rewrite (no manifest file list, or a file
+        without timestamp stats). Work is O(expired + boundary files) per
+        tier; for a tiered topic this is the reference's cloud-retention
+        housekeeping (`cluster/archival/archival_policy.cc`): aged cloud
+        segments are dropped from the manifest without touching hot
+        data."""
+        cfg = self._require(topic)
+        files = self._files.get(topic)
+        if files is None:
+            return False
+        stats = self._stats.get(topic, {})
+        archived = self._archived.get(topic, [])
+        astats = self._archived_stats.get(topic, {})
+        now = (now_ms or int(time.time() * 1000)) / 1000.0
+        cutoff_s = now - cfg.retention_ms / 1000.0
+        cutoff_us = int(cutoff_s * 1e6)
+        local_cls = self._classify_expired(files, stats, cutoff_us)
+        arch_cls = self._classify_expired(archived, astats, cutoff_us)
+        if local_cls is None or arch_cls is None:
+            return False
+        drop, boundary = local_cls
+        a_drop, a_boundary = arch_cls
+        if not drop and not boundary and not a_drop and not a_boundary:
             return True  # zero work, zero jobs
         d = self._topic_dir(topic)
         new_rel: list[str] = []
@@ -1545,6 +1745,14 @@ class TopicEngine:
                 dest = os.path.join(d, os.path.basename(f))
                 self._fsio.rename(f, dest)
                 new_rel.append(os.path.relpath(dest, self.root))
+        a_new_rel: list[str] = []
+        if a_boundary:
+            a_new_rel = self._write_archive_segments(
+                topic,
+                self.spark.read.parquet(
+                    *[os.path.join(self.archive_root, f) for f in a_boundary]
+                ).where(F.unix_micros(F.col("timestamp")) >= F.lit(cutoff_us)),
+            )
         rows_before = self._stats_rows(topic)
         gone = set(drop) | set(boundary)
         kept = [f for f in files if f not in gone]
@@ -1554,10 +1762,23 @@ class TopicEngine:
             self._footer_stats([os.path.join(self.root, f) for f in new_rel])
         )
         self._stats[topic] = st_map
+        a_gone = set(a_drop) | set(a_boundary)
+        a_kept = [f for f in archived if f not in a_gone]
+        self._archived[topic] = a_kept + a_new_rel
+        a_map = {f: astats[f] for f in a_kept if f in astats}
+        a_map.update(
+            self._footer_stats(
+                [os.path.join(self.archive_root, f) for f in a_new_rel],
+                base=self.archive_root,
+            )
+        )
+        self._archived_stats[topic] = a_map
         self._adjust_clean_baseline(topic, rows_before)
         self._commit_manifest(topic)  # atomic switch; then physical delete
         for f in gone:
             self._fsio.delete(os.path.join(self.root, f))
+        for f in a_gone:
+            self._afsio.delete(os.path.join(self.archive_root, f))
         return True
 
     def run_cleanup(self, topic: str, now_ms: int | None = None) -> None:
@@ -1638,7 +1859,12 @@ class TopicEngine:
         compaction below the LSO; here it is a broadcast anti-join on the
         open ranges (same effect, per-producer precision)."""
         cfg = self._require(topic)
-        log = self.log(topic)
+        if self._archived.get(topic):
+            # keep-latest over a split log would be wrong (an archived key
+            # could shadow-win); archival refuses compact topics, and this
+            # guard closes the direct-call path
+            raise ValueError("cannot compact a topic with archived segments")
+        log = self._local_log(topic)
         ranges = self.tx_ranges()
         if "topic" in ranges.columns:
             ranges = ranges.where(F.col("topic") == topic)
@@ -1701,11 +1927,118 @@ class TopicEngine:
         n_target = max(1, -(-total // target_file_bytes))
         if len(files) <= n_target:
             return {"files_before": len(files), "files_after": len(files)}
-        self._rewrite(topic, self.log(topic), n_files=n_target)
+        self._rewrite(topic, self._local_log(topic), n_files=n_target)
         return {
             "files_before": len(files),
             "files_after": len(self._live_abs_files(topic)),
         }
+
+    # -- tiered storage (archival) -----------------------------------------
+
+    def run_archival(self, topic: str, now_ms: int | None = None) -> dict:
+        """Move segments whose newest row is older than
+        retention.local.target.ms to the archive tier (the reference's
+        upload loop, `cluster/archival/ntp_archiver_service.cc`: segments
+        past the local target are PUT to object storage and evicted from
+        local disk once the uploaded manifest commits).
+
+        Offsets, stats, and visibility are unchanged — this is a data
+        MOVEMENT operation, not retention: reads transparently span both
+        tiers afterwards. Copy-then-commit-then-delete, so a crash at any
+        point leaves the log intact (half-copied archive files are GC'd on
+        reopen, local bytes are only deleted after the manifest flip).
+        Work is O(segments past the target), not O(log)."""
+        cfg = self._require(topic)
+        if not cfg.remote_write:
+            raise ValueError(f"topic {topic}: archival requires remote_write=True")
+        if "compact" in cfg.cleanup_policy:
+            # the reference constrains compacted topics' tiering the same
+            # way (compacted reuploads are a separate, gated subsystem) —
+            # keep-latest rewrites must not race the archive tier
+            raise ValueError("archival supports cleanup.policy=delete only")
+        if cfg.local_retention_ms is None:
+            raise ValueError("local_retention_ms is not set")
+        files = self._files.get(topic)
+        if files is None:
+            raise ValueError("topic has no manifest file list (legacy state)")
+        stats = self._stats.get(topic, {})
+        now = (now_ms or int(time.time() * 1000)) / 1000.0
+        cutoff_us = int((now - cfg.local_retention_ms / 1000.0) * 1e6)
+        move = [
+            f
+            for f in files
+            if (st := stats.get(f)) is not None
+            and len(st) >= 7
+            and st[4] > 0
+            and st[6] < cutoff_us
+        ]
+        if not move:
+            return {"archived": 0, "remaining_local": len(files)}
+        ad = self._archive_dir(topic)
+        self._afsio.mkdirs(ad)
+        epoch = self._arch_epoch.get(topic, 0)
+        new_rel: list[str] = []
+        for i, f in enumerate(move):
+            dst = os.path.join(ad, f"e{epoch:06d}_{i:05d}.parquet")
+            fsio.copy_file(
+                self._fsio, os.path.join(self.root, f), self._afsio, dst
+            )
+            rel = os.path.relpath(dst, self.archive_root)
+            new_rel.append(rel)
+            # footer stats are byte-identical to the source segment's
+            self._archived_stats.setdefault(topic, {})[rel] = stats[f]
+        self._arch_epoch[topic] = epoch + 1
+        self._archived[topic] = self._archived.get(topic, []) + new_rel
+        gone = set(move)
+        self._files[topic] = [f for f in files if f not in gone]
+        self._commit_manifest(topic)  # atomic tier flip; then local delete
+        for f in move:
+            self._fsio.delete(os.path.join(self.root, f))
+        return {"archived": len(move), "remaining_local": len(self._files[topic])}
+
+    def _write_archive_segments(self, topic: str, df: DataFrame) -> list[str]:
+        """Write ``df`` as new cold-tier segments with epoch-unique names;
+        returns archive-relative paths. Caller owns the manifest commit."""
+        cfg = self._require(topic)
+        ad = self._archive_dir(topic)
+        self._afsio.mkdirs(ad)
+        tmp = ad + ".rewrite.tmp"
+        self._afsio.delete(tmp, recursive=True)
+        (
+            df.repartitionByRange("partition", "offset")
+            .sortWithinPartitions("partition", "offset")
+            .write.mode("overwrite")
+            .option("compression", cfg.compression)
+            .option("parquet.enable.dictionary", "false")
+            .parquet(tmp)
+        )
+        epoch = self._arch_epoch.get(topic, 0)
+        self._arch_epoch[topic] = epoch + 1
+        new_rel: list[str] = []
+        for i, f in enumerate(sorted(self._afsio.list_segments(tmp))):
+            dest = os.path.join(ad, f"e{epoch:06d}_{i:05d}.parquet")
+            self._afsio.rename(f, dest)
+            new_rel.append(os.path.relpath(dest, self.archive_root))
+        self._afsio.delete(tmp, recursive=True)
+        return new_rel
+
+    def _rewrite_archive(self, topic: str, df: DataFrame) -> None:
+        """Replace the topic's COLD tier with ``df`` (tiered retention
+        fallback) — the archive-side twin of _rewrite: write new segments,
+        flip the manifest, delete the old cold files."""
+        old = [
+            os.path.join(self.archive_root, f)
+            for f in self._archived.get(topic, [])
+        ]
+        new_rel = self._write_archive_segments(topic, df)
+        self._archived[topic] = new_rel
+        self._archived_stats[topic] = self._footer_stats(
+            [os.path.join(self.archive_root, f) for f in new_rel],
+            base=self.archive_root,
+        )
+        self._commit_manifest(topic)
+        for f in old:
+            self._afsio.delete(f)
 
     def _live_abs_files(self, topic: str) -> set[str]:
         """Absolute paths of the topic's committed segment files: manifest

@@ -109,6 +109,16 @@ class LocalFS:
                     out.append(os.path.join(root, n))
         return out
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
 
 class HadoopFS:
     is_local = False
@@ -216,3 +226,39 @@ class HadoopFS:
         except Exception:
             pass
         return out
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._p(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        dst = self._p(path)
+        if self._fs.exists(dst):
+            self._fs.delete(dst, False)
+        self._fs.rename(self._p(tmp), dst)
+
+
+def copy_file(src_fs, src: str, dst_fs, dst: str) -> None:
+    """Copy one segment file across (possibly different) filesystems —
+    the archival "upload". Local→local takes the zero-buffer shutil path;
+    any tier on a URI root streams bytes through the driver (segments are
+    bounded by segment_bytes, so this is a bounded transfer, exactly what
+    the reference's archival uploader moves per PUT:
+    `cluster/archival/ntp_archiver_service.cc` segment upload)."""
+    if getattr(src_fs, "is_local", False) and getattr(dst_fs, "is_local", False):
+        tmp = dst + ".tmp"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+        return
+    dst_fs.write_bytes_atomic(dst, src_fs.read_bytes(src))

@@ -6562,3 +6562,211 @@ FROM keyed GROUP BY 1 ORDER BY 1
 
 QUERIES.update({"events_zorder": q_events_zorder})
 ORACLES.update({"events_zorder": _zorder_sql()})
+
+
+# -- Tiered storage: archival + tier-spanning reads + cloud retention ---------
+# (round 8; reference `cluster/archival/ntp_archiver_service.cc` upload
+# loop, `cloud_storage/remote_partition.cc` tier-routing reads,
+# `cluster/archival/archival_policy.cc` cloud retention)
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """size/mtime fingerprint of the events parquet (file or dir) — the
+    cache-invalidation key for engine stores built from events."""
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = [src]
+    if os.path.isdir(src):
+        parts = [os.path.join(src, f) for f in sorted(os.listdir(src))]
+    return ";".join(
+        f"{p}:{st.st_size}:{st.st_mtime_ns}"
+        for p in parts
+        if os.path.exists(p)
+        for st in [os.stat(p)]
+    )
+
+
+# exact integer-µs retention cutoff shared with the oracle: epoch µs of
+# RETENTION_CUTOFF ('2024-01-10'), and a now/retention pair that makes the
+# engine's float cutoff arithmetic land on it exactly (both multiples of
+# 1000 ms, product < 2^53)
+_TIER_RET_CUTOFF_US = 1_704_844_800_000_000
+_TIER_RET_MS = 86_400_000
+_TIER_RET_NOW_MS = _TIER_RET_CUTOFF_US // 1000 + _TIER_RET_MS
+
+
+def _tiered_engine(spark, sf_dir: str, retained: bool):
+    """A real tiered topic built from events: 4 chronological produce
+    batches (one segment each), the older two archived to the cold tier.
+    ``retained`` additionally applies cloud retention at RETENTION_CUTOFF
+    (a separate store — retention mutates the log). Cached per input
+    fingerprint; the driver-side build is gate-SF scaffolding (bounded at
+    400k events), at scale segments are born from produce batches and
+    archival runs as the maintenance tick."""
+    import datetime as _dt
+    import hashlib
+    import shutil
+    import tempfile
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    tag = "tiered_ret" if retained else "tiered"
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"redpanda_spark_{tag}",
+        hashlib.md5(f"{sf_dir}|{_events_fingerprint(sf_dir)}".encode()).hexdigest(),
+    )
+    marker = os.path.join(root, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 400_000)
+        ts_us = (
+            F.unix_micros(F.col("ts"))
+            if ev.schema["ts"].dataType.typeName().startswith("timestamp")
+            else F.expr("ts div 1000").cast("long")
+        )
+        rows = (
+            ev.select(
+                "event_id",
+                F.pmod(F.col("user_id"), F.lit(NUM_PARTITIONS))
+                .cast("int")
+                .alias("p"),
+                ts_us.alias("ts_us"),
+            )
+            .orderBy("ts_us", "event_id")
+            .collect()
+        )
+        eng = TopicEngine(spark, root)
+        eng.create_topic(
+            "tier",
+            TopicConfig(
+                partitions=NUM_PARTITIONS,
+                remote_write=True,
+                local_retention_ms=60_000,
+                retention_ms=_TIER_RET_MS if retained else None,
+            ),
+        )
+        epoch0 = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        n = len(rows)
+        bounds = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for b in range(4):
+            chunk = rows[bounds[b] : bounds[b + 1]]
+            eng.produce(
+                "tier",
+                [
+                    {
+                        "partition": r["p"],
+                        "value": str(r["event_id"]).encode(),
+                        "timestamp": epoch0
+                        + _dt.timedelta(microseconds=r["ts_us"]),
+                    }
+                    for r in chunk
+                ],
+            )
+        # archive the two oldest segments: cutoff 60s past batch 1's max
+        # (archival classifies on max_ts only, so the exact cutoff µs is
+        # non-critical — any value between the batch maxima works)
+        b1_max_us = rows[bounds[2] - 1]["ts_us"]
+        eng.run_archival("tier", now_ms=b1_max_us // 1000 + 120_000)
+        if eng.topic_stats("tier")["archived_segments"] != 2:
+            raise AssertionError("tiered fixture: expected 2 archived segments")
+        if retained:
+            # cloud retention: cutoff EXACTLY at RETENTION_CUTOFF µs —
+            # aged cold segments drop, the straddling one rewrites
+            eng.run_retention("tier", now_ms=_TIER_RET_NOW_MS)
+        open(marker, "w").write("1")
+    from redpanda_spark.engine import TopicEngine as _TE
+
+    return _TE(spark, root)
+
+
+_TIER_SIM_CTE = f"""sim AS (
+  SELECT CAST(user_id % {NUM_PARTITIONS} AS INTEGER) AS partition,
+    CAST(event_id AS BIGINT) AS event_id,
+    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY user_id % {NUM_PARTITIONS}
+      ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS "offset"
+  FROM events WHERE event_id < 400000)"""
+
+
+def q_log_fetch_tiered(spark, sf_dir):
+    """Fetch spanning BOTH tiers: partition 2 from offset 0 over a topic
+    whose two oldest segments live in the archive. The per-tier manifest
+    pruning drops the other partitions' files; the rows themselves are
+    hash-checked against the events recomputation, so the tier move is
+    proven invisible to readers (remote_partition.cc contract)."""
+    eng = _tiered_engine(spark, sf_dir, retained=False)
+    return eng.fetch("tier", partition=2, offset=0).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("value").cast("string").cast("long").alias("event_id"),
+    )
+
+
+SQL_LOG_FETCH_TIERED = f"""
+WITH {_TIER_SIM_CTE}
+SELECT partition, "offset", event_id FROM sim WHERE partition = 2
+"""
+
+
+def q_log_tiered_timequery(spark, sf_dir):
+    """ListOffsets timequery whose answer lies in the ARCHIVED tier
+    (cloud timequery, `cloud_storage/remote_partition.cc` timequery
+    routing): first offset with ts >= 2024-01-15 per partition."""
+    eng = _tiered_engine(spark, sf_dir, retained=False)
+    return eng.timequery("tier", F.to_timestamp(F.lit(TIMEQUERY_TS))).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+    )
+
+
+SQL_LOG_TIERED_TIMEQUERY = f"""
+WITH {_TIER_SIM_CTE}
+SELECT partition, CAST(MIN("offset") AS BIGINT) AS "offset"
+FROM sim WHERE ts_us >= {1_705_276_800_000_000}
+GROUP BY partition
+"""
+
+
+def q_log_tiered_retention(spark, sf_dir):
+    """Cloud retention over a tiered topic: retention_ms bounds the TOTAL
+    log, so the tick drops fully-aged ARCHIVED segments metadata-only and
+    row-filter-rewrites the one cold segment straddling the cutoff —
+    survivors per partition are value-checked against the plain ts >=
+    cutoff recomputation (archival_policy.cc, row-exact here)."""
+    eng = _tiered_engine(spark, sf_dir, retained=True)
+    return (
+        eng.log("tier")
+        .groupBy(F.col("partition").cast("int").alias("partition"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("offset").cast("long").alias("first_kept_offset"),
+            F.max("offset").cast("long").alias("last_offset"),
+        )
+    )
+
+
+SQL_LOG_TIERED_RETENTION = f"""
+WITH {_TIER_SIM_CTE}
+SELECT partition, COUNT(*) AS n_kept,
+  CAST(MIN("offset") AS BIGINT) AS first_kept_offset,
+  CAST(MAX("offset") AS BIGINT) AS last_offset
+FROM sim WHERE ts_us >= {_TIER_RET_CUTOFF_US}
+GROUP BY partition
+"""
+
+
+QUERIES.update(
+    {
+        "log_fetch_tiered": q_log_fetch_tiered,
+        "log_tiered_timequery": q_log_tiered_timequery,
+        "log_tiered_retention": q_log_tiered_retention,
+    }
+)
+ORACLES.update(
+    {
+        "log_fetch_tiered": SQL_LOG_FETCH_TIERED,
+        "log_tiered_timequery": SQL_LOG_TIERED_TIMEQUERY,
+        "log_tiered_retention": SQL_LOG_TIERED_RETENTION,
+    }
+)

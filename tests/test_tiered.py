@@ -1,0 +1,251 @@
+"""Tiered storage: archival to the cold tier + tier-spanning reads +
+cloud retention.
+
+Reference behaviors mirrored (redpanda.remote.write semantics):
+- `cluster/archival/ntp_archiver_service.cc` — segments past
+  retention.local.target.ms are uploaded to object storage, then evicted
+  locally once the uploaded manifest commits.
+- `cloud_storage/remote_partition.cc` — fetch/timequery below the local
+  log start route to cloud segments transparently.
+- `cluster/archival/archival_policy.cc` — retention.ms/bytes govern the
+  TOTAL log (cloud retention); aged cloud segments are dropped from the
+  manifest without touching hot data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from redpanda_spark.engine import TopicConfig, TopicEngine
+
+UTC = dt.timezone.utc
+BASE = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+
+def _ms(t: dt.datetime) -> int:
+    return int(t.timestamp() * 1000)
+
+
+def _build(spark, root, **cfg_kwargs) -> TopicEngine:
+    """4 single-segment batches, 1 hour apart, 10 records each over 2
+    partitions — batch b, record i carries value b:i."""
+    eng = TopicEngine(spark, root)
+    eng.create_topic(
+        "t",
+        TopicConfig(
+            partitions=2,
+            remote_write=True,
+            local_retention_ms=1000,
+            **cfg_kwargs,
+        ),
+    )
+    for b in range(4):
+        eng.produce(
+            "t",
+            [
+                {
+                    "partition": i % 2,
+                    "key": f"k{i}".encode(),
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    return eng
+
+
+def _rowset(df):
+    return sorted(
+        (r["partition"], r["offset"], bytes(r["value"])) for r in df.collect()
+    )
+
+
+def test_archival_moves_segments_and_reads_are_identical(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    before = _rowset(eng.log("t"))
+    # cutoff at BASE+2h: batches 0,1 fully aged past the 1s local target
+    res = eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    assert res == {"archived": 2, "remaining_local": 2}
+    st = eng.topic_stats("t")
+    assert st["segments"] == 2 and st["archived_segments"] == 2
+    assert st["archived_rows"] == 20
+    # local dir holds only the 2 hot segments; archive dir the 2 cold ones
+    local = [f for f in os.listdir(tmp_path / "r" / "t") if f.endswith(".parquet")]
+    cold = os.listdir(eng._archive_dir("t"))
+    assert len(local) == 2 and len(cold) == 2
+    # value-for-value: the full log is unchanged by the tier move
+    assert _rowset(eng.log("t")) == before
+    # second tick: nothing newly aged
+    assert eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))[
+        "archived"
+    ] == 0
+
+
+def test_fetch_spans_tiers_and_prunes_cold_for_hot_offsets(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    rows = eng.fetch("t", 0, offset=0).orderBy("offset").collect()
+    assert len(rows) == 20
+    assert bytes(rows[0]["value"]) == b"0:0"  # archived tier
+    assert bytes(rows[-1]["value"]) == b"3:8"  # hot tier
+    # a fetch of recent offsets must not open any cold segment
+    assert eng._pruned_archived("t", partition=0, min_offset=10) == []
+    assert len(eng._pruned_archived("t", partition=0, min_offset=0)) == 2
+
+
+def test_timequery_and_list_offsets_span_tiers(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    # first offset at/after BASE+30min lives in the ARCHIVED tier
+    tq = {
+        r["partition"]: r["offset"]
+        for r in eng.timequery("t", BASE + dt.timedelta(minutes=30)).collect()
+    }
+    assert tq == {0: 5, 1: 5}
+    lo = {
+        r["partition"]: (r["earliest_offset"], r["latest_offset"])
+        for r in eng.list_offsets("t").collect()
+    }
+    assert lo == {0: (0, 20), 1: (0, 20)}
+
+
+def test_state_survives_reopen(spark, tmp_path):
+    root = str(tmp_path / "r")
+    eng = _build(spark, root)
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    before = _rowset(eng.log("t"))
+    eng2 = TopicEngine(spark, root)
+    assert _rowset(eng2.log("t")) == before
+    assert eng2.topic_stats("t")["archived_segments"] == 2
+
+
+def test_cloud_retention_drops_aged_archived_segments(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"), retention_ms=100_000)
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    # cutoff lands exactly at BASE+1h: batch-0 segment (cold) fully aged,
+    # everything else untouched — metadata-only drop, zero Spark jobs
+    eng.run_retention("t", now_ms=_ms(BASE + dt.timedelta(hours=1)) + 100_000)
+    assert eng.log("t").count() == 30
+    st = eng.topic_stats("t")
+    assert st["archived_segments"] == 1 and st["segments"] == 2
+    # the dropped segment's bytes are gone from the archive dir
+    assert len(os.listdir(eng._archive_dir("t"))) == 1
+
+
+def test_cloud_retention_rewrites_cold_boundary_segment(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"), retention_ms=100_000)
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    # cutoff mid-batch-1 (BASE+1h+5s): batch 0 dropped, batch 1 straddles
+    # → cold boundary rewrite; survivors are rows with ts >= cutoff
+    cutoff = BASE + dt.timedelta(hours=1, seconds=5)
+    eng.run_retention("t", now_ms=_ms(cutoff) + 100_000)
+    vals = {bytes(r["value"]) for r in eng.log("t").collect()}
+    expect = {f"1:{i}".encode() for i in range(5, 10)} | {
+        f"{b}:{i}".encode() for b in (2, 3) for i in range(10)
+    }
+    assert vals == expect
+    assert eng.topic_stats("t")["archived_segments"] >= 1
+
+
+def test_size_retention_evicts_archive_first(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    # budget for roughly half the log per partition: newest bytes win, so
+    # eviction consumes the archive (oldest) tier first
+    cfg = eng._require("t")
+    cfg.retention_bytes = 250
+    eng.run_retention("t")
+    rows = eng.log("t").collect()
+    assert 0 < len(rows) < 40
+    # every archived (batch 0/1) row that survived is newer than every
+    # evicted one per partition — spot-check: batch 3 fully present
+    vals = {bytes(r["value"]) for r in rows}
+    assert {f"3:{i}".encode() for i in range(10)} <= vals
+
+
+def test_crash_between_copy_and_commit_gcs_archive_orphans(spark, tmp_path):
+    root = str(tmp_path / "r")
+    eng = _build(spark, root)
+    ad = eng._archive_dir("t")
+    os.makedirs(ad, exist_ok=True)
+    # a half-uploaded cold segment from a crashed archival tick
+    stray = os.path.join(ad, "e000099_00000.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not a real segment")
+    eng2 = TopicEngine(spark, root)
+    assert not os.path.exists(stray)
+    assert eng2.log("t").count() == 40
+
+
+def test_archival_preconditions(spark, tmp_path):
+    eng = TopicEngine(spark, str(tmp_path / "r"))
+    eng.create_topic("plain", TopicConfig(partitions=1))
+    with pytest.raises(ValueError, match="remote_write"):
+        eng.run_archival("plain")
+    eng.create_topic(
+        "nolocal", TopicConfig(partitions=1, remote_write=True)
+    )
+    with pytest.raises(ValueError, match="local_retention_ms"):
+        eng.run_archival("nolocal")
+    eng.create_topic(
+        "cmp",
+        TopicConfig(
+            partitions=1,
+            remote_write=True,
+            local_retention_ms=1000,
+            cleanup_policy="compact",
+        ),
+    )
+    with pytest.raises(ValueError, match="delete"):
+        eng.run_archival("cmp")
+
+
+def test_compaction_refuses_tiered_topic(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    with pytest.raises(ValueError, match="archived"):
+        eng.run_compaction("t")
+
+
+def test_delete_topic_removes_archive_tier(spark, tmp_path):
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    ad = eng._archive_dir("t")
+    assert os.path.isdir(ad)
+    eng.delete_topic("t")
+    assert not os.path.exists(ad)
+
+
+def test_separate_archive_root(spark, tmp_path):
+    """The cold tier can live on a different root (the object store)."""
+    root = str(tmp_path / "hot")
+    cold_root = str(tmp_path / "cold_store")
+    eng = TopicEngine(spark, root, archive_root=cold_root)
+    eng.create_topic(
+        "t",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(2):
+        eng.produce(
+            "t",
+            [
+                {
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(5)
+            ],
+        )
+    assert (
+        eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=1)))[
+            "archived"
+        ]
+        == 1
+    )
+    assert os.path.isdir(os.path.join(cold_root, "t"))
+    reopened = TopicEngine(spark, root, archive_root=cold_root)
+    assert reopened.log("t").count() == 10
