@@ -125,8 +125,10 @@ def audited_authorize(acls, audit: AuditLogManager):
     """Wrap an AclStore's authorize() so every decision lands in the
     audit buffer (the authz enqueue hook at `audit_log_manager.h:88`)."""
 
-    def authorize(principal, operation, resource_type, resource_name):
-        allowed = acls.authorize(principal, operation, resource_type, resource_name)
+    def authorize(principal, operation, resource_type, resource_name, host=None):
+        allowed = acls.authorize(
+            principal, operation, resource_type, resource_name, host
+        )
         audit.enqueue_authz_event(
             principal, operation, f"{resource_type}:{resource_name}", allowed
         )

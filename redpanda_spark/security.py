@@ -26,9 +26,30 @@ import os
 from dataclasses import asdict, dataclass
 
 RESOURCE_TYPES = ("topic", "group", "cluster", "transactional_id")
-OPERATIONS = ("read", "write", "create", "delete", "alter", "describe", "all")
+OPERATIONS = (
+    "read",
+    "write",
+    "create",
+    "delete",
+    "alter",
+    "describe",
+    "describe_configs",
+    "alter_configs",
+    "idempotent_write",
+    "all",
+)
 PATTERN_TYPES = ("literal", "prefixed")
 PERMISSIONS = ("allow", "deny")
+
+# Kafka's documented operation implications, applied on the ALLOW side
+# only (reference `security/acl.h` acl_implied_ops; upstream
+# AclAuthorizer): holding READ/WRITE/DELETE/ALTER implies DESCRIBE, and
+# ALTER_CONFIGS implies DESCRIBE_CONFIGS. DENY bindings never imply —
+# a deny must name the operation (or ALL) to block it.
+_IMPLIED_BY = {
+    "describe": ("describe", "read", "write", "delete", "alter"),
+    "describe_configs": ("describe_configs", "alter_configs"),
+}
 
 
 @dataclass(frozen=True)
@@ -51,10 +72,30 @@ class AclBinding:
         if self.permission not in PERMISSIONS:
             raise ValueError(f"bad permission {self.permission}")
 
-    def matches(self, principal: str, resource_type: str, resource_name: str) -> bool:
+    def matches(
+        self,
+        principal: str,
+        resource_type: str,
+        resource_name: str,
+        host: str | None = None,
+    ) -> bool:
         if self.resource_type != resource_type:
             return False
         if self.principal not in ("*", principal):
+            return False
+        # host scoping: a "*" binding matches any client host; a named
+        # binding matches only that host. A request without a host (the
+        # embedded/API callers) matches only "*" bindings.
+        if self.host != "*" and (host is None or self.host != host):
+            return False
+        if self.pattern_type == "literal":
+            return self.resource_name in ("*", resource_name)
+        return resource_name.startswith(self.resource_name)
+
+    def matches_resource(self, resource_type: str, resource_name: str) -> bool:
+        """Pattern-only match (any principal/host/op) — the
+        allow.everyone.if.no.acl.found existence probe."""
+        if self.resource_type != resource_type:
             return False
         if self.pattern_type == "literal":
             return self.resource_name in ("*", resource_name)
@@ -63,13 +104,31 @@ class AclBinding:
     def covers_op(self, operation: str) -> bool:
         return self.operation == "all" or self.operation == operation
 
+    def covers_op_implied(self, operation: str) -> bool:
+        """ALLOW-side coverage including Kafka's implied operations."""
+        return self.operation == "all" or self.operation in _IMPLIED_BY.get(
+            operation, (operation,)
+        )
+
 
 class AclStore:
-    """CreateAcls/DeleteAcls/DescribeAcls + authorize()."""
+    """CreateAcls/DeleteAcls/DescribeAcls + authorize().
 
-    def __init__(self, path: str | None = None):
+    ``superusers`` (super.users): principals that bypass authorization
+    entirely. ``allow_everyone_if_no_acl`` (allow.everyone.if.no.acl.found):
+    when NO binding of any kind exists for a resource, requests pass —
+    matching Kafka's documented opt-in open-by-default mode."""
+
+    def __init__(
+        self,
+        path: str | None = None,
+        superusers: set[str] | None = None,
+        allow_everyone_if_no_acl: bool = False,
+    ):
         self._bindings: list[AclBinding] = []
         self._path = path
+        self.superusers = set(superusers or ())
+        self.allow_everyone_if_no_acl = allow_everyone_if_no_acl
         if path and os.path.exists(path):
             with open(path) as f:
                 self._bindings = [AclBinding(**b) for b in json.load(f)]
@@ -107,18 +166,38 @@ class AclStore:
         ]
 
     def authorize(
-        self, principal: str, operation: str, resource_type: str, resource_name: str
+        self,
+        principal: str,
+        operation: str,
+        resource_type: str,
+        resource_name: str,
+        host: str | None = None,
     ) -> bool:
-        """DENY > ALLOW > default-deny (Kafka authorizer semantics)."""
+        """Kafka authorizer semantics end-to-end: super-user bypass →
+        DENY (literal op or ALL) → ALLOW (with implied operations:
+        READ/WRITE/DELETE/ALTER grant DESCRIBE, ALTER_CONFIGS grants
+        DESCRIBE_CONFIGS) → allow.everyone fallback when the resource has
+        no bindings at all → default deny."""
+        if principal in self.superusers:
+            return True
         matched = [
             b
             for b in self._bindings
-            if b.matches(principal, resource_type, resource_name)
-            and b.covers_op(operation)
+            if b.matches(principal, resource_type, resource_name, host)
         ]
-        if any(b.permission == "deny" for b in matched):
+        if any(b.permission == "deny" and b.covers_op(operation) for b in matched):
             return False
-        return any(b.permission == "allow" for b in matched)
+        if any(
+            b.permission == "allow" and b.covers_op_implied(operation)
+            for b in matched
+        ):
+            return True
+        if self.allow_everyone_if_no_acl and not any(
+            b.matches_resource(resource_type, resource_name)
+            for b in self._bindings
+        ):
+            return True
+        return False
 
     def to_df(self, spark):
         """The `_acls` table for introspection queries."""

@@ -180,6 +180,59 @@ def test_acl_wildcard_principal_describe_delete(tmp_path):
     assert not store2.authorize("User:anyone", "describe", "group", "g1")
 
 
+def test_acl_implied_describe():
+    """Kafka's documented implication: READ/WRITE/DELETE/ALTER grant
+    DESCRIBE; ALTER_CONFIGS grants DESCRIBE_CONFIGS (reference
+    `security/acl.h` acl_implied_ops). Implication is ALLOW-side only."""
+    store = AclStore()
+    store.create(AclBinding("User:a", "topic", "t", "literal", "read", "allow"))
+    assert store.authorize("User:a", "describe", "topic", "t")
+    assert not store.authorize("User:a", "write", "topic", "t")
+    store.create(
+        AclBinding("User:b", "topic", "t", "literal", "alter_configs", "allow")
+    )
+    assert store.authorize("User:b", "describe_configs", "topic", "t")
+    assert not store.authorize("User:b", "describe", "topic", "t")
+    # a DENY on read does NOT imply a deny on describe — the allow from
+    # another binding still carries it
+    store.create(AclBinding("User:c", "topic", "t", "literal", "write", "allow"))
+    store.create(AclBinding("User:c", "topic", "t", "literal", "read", "deny"))
+    assert store.authorize("User:c", "describe", "topic", "t")
+    assert not store.authorize("User:c", "read", "topic", "t")
+
+
+def test_acl_host_scoping():
+    store = AclStore()
+    store.create(
+        AclBinding(
+            "User:a", "topic", "t", "literal", "read", "allow", host="10.0.0.5"
+        )
+    )
+    assert store.authorize("User:a", "read", "topic", "t", host="10.0.0.5")
+    assert not store.authorize("User:a", "read", "topic", "t", host="10.0.0.6")
+    # a request without a host matches only "*"-host bindings
+    assert not store.authorize("User:a", "read", "topic", "t")
+    store.create(AclBinding("User:a", "topic", "t", "literal", "read", "deny"))
+    # the wildcard-host deny blocks the host-scoped allow
+    assert not store.authorize("User:a", "read", "topic", "t", host="10.0.0.5")
+
+
+def test_acl_superusers_and_allow_everyone():
+    store = AclStore(superusers={"User:admin"})
+    assert store.authorize("User:admin", "alter", "cluster", "kafka-cluster")
+    assert not store.authorize("User:pleb", "alter", "cluster", "kafka-cluster")
+    open_store = AclStore(allow_everyone_if_no_acl=True)
+    # no bindings anywhere for the resource → everyone passes
+    assert open_store.authorize("User:x", "write", "topic", "t")
+    # ANY binding on the resource (even an unrelated principal's allow)
+    # flips it back to explicit-grant-required
+    open_store.create(
+        AclBinding("User:y", "topic", "t", "literal", "read", "allow")
+    )
+    assert not open_store.authorize("User:x", "write", "topic", "t")
+    assert open_store.authorize("User:x", "write", "topic", "other")
+
+
 def test_acl_store_dataframe_view(spark):
     store = AclStore()
     store.create(AclBinding("User:a", "topic", "t", "literal", "read", "allow"))
