@@ -6770,3 +6770,161 @@ ORACLES.update(
         "log_tiered_retention": SQL_LOG_TIERED_RETENTION,
     }
 )
+
+
+# -- Round-8 analytics: distributed Gram matrix, TF-IDF terms, histogram ------
+
+
+def q_emb_covariance(spark, sf_dir):
+    """Distributed Gram matrix over the embedding corpus — the reduction
+    at the heart of PCA/whitening for a 100 TB embedding store: each Arrow
+    batch contributes a d x d integer partial (numpy X^T X), the shuffle
+    moves ONLY d*d*partitions tiny rows, never vectors. Embeddings are
+    quantized to 1e-3 (round(x*1000) int) so the sums are EXACT integers —
+    order-free, hash-identical on any engine (the emb_quantize
+    discipline); sums ride decimal(38,0), overflow-free at any corpus
+    size. Upper triangle only (the matrix is symmetric). PCA itself is a
+    driver-side eigh of this d x d result (see
+    functions/pca.py:pca_components)."""
+    import pandas as pd  # noqa: F811
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+
+    def gram(batches):
+        import numpy as np
+
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.rint(x * 1000.0).astype(np.int64)
+            acc += q.T @ q
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int32"),
+                "j": (iu[1] + 1).astype("int32"),
+                "partial": acc[iu],
+            }
+        )
+
+    partials = emb.mapInPandas(gram, "i int, j int, partial long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram"))
+        .orderBy("i", "j")
+    )
+
+
+SQL_EMB_COVARIANCE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings)
+SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+       SUM(CAST(v[i] * v[j] AS DECIMAL(38,0))) AS gram
+FROM q, generate_series(1, 64) AS gi(i), generate_series(1, 64) AS gj(j)
+WHERE i <= j GROUP BY i, j ORDER BY i, j
+"""
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """Corpus top-30 terms by total TF-IDF — the signature-term scan of a
+    corpus datasheet (what characterizes this dataset vs the reference
+    corpus). Scale shape: the token explode feeds ONE two-phase aggregate
+    (count + distinct-doc count per term, map-side partial); idf applies
+    to the reduced distinct-term table; top-k is TakeOrderedAndProject.
+    Term = lowercased whitespace token, alphabetic only."""
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
+    n_docs = _t(spark, sf_dir, "documents").count()
+    terms = docs.select(
+        "doc_id", F.explode(TXT.tokens("text")).alias("tok")
+    ).select("doc_id", F.lower("tok").alias("term"))
+    terms = terms.where(F.col("term").rlike("^[a-z]+$"))
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    scored = stats.withColumn(
+        "tfidf",
+        F.round(
+            F.col("total_tf")
+            * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    top = scored.orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    ).limit(30)
+    w = Window.orderBy(F.col("tfidf").desc(), F.col("term"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "term",
+        "total_tf",
+        "df",
+        "tfidf",
+    )
+
+
+SQL_DOC_TFIDF_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, lower(tok) AS term
+  FROM (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t != '')) AS tok
+        FROM documents)
+  WHERE regexp_full_match(lower(tok), '[a-z]+')),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS total_tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term),
+scored AS (
+  SELECT term, total_tf, df,
+    ROUND(total_tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM stats, n)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, term) AS INT) AS rank,
+       term, total_tf, df, tfidf
+FROM scored ORDER BY tfidf DESC, term LIMIT 30
+"""
+
+
+def q_events_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (bin width 10) — the
+    /public_metrics-style distribution probe, exact integer counts in one
+    map-side-combinable aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+SQL_EVENTS_HISTOGRAM = """
+SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bin ORDER BY event_type, bin
+"""
+
+
+QUERIES.update(
+    {
+        "emb_covariance": q_emb_covariance,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "events_histogram": q_events_histogram,
+    }
+)
+ORACLES.update(
+    {
+        "emb_covariance": SQL_EMB_COVARIANCE,
+        "doc_tfidf_terms": SQL_DOC_TFIDF_TERMS,
+        "events_histogram": SQL_EVENTS_HISTOGRAM,
+    }
+)

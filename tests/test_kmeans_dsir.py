@@ -103,3 +103,42 @@ def test_dsir_select_fraction_and_determinism(spark, sf_dir):
 def test_sketch_merge_within_tolerance(spark, sf_dir):
     rows = QUERIES["events_sketch_merge"](spark, sf_dir).collect()
     assert rows and all(r["merged_within_5pct"] for r in rows)
+
+
+# -- PCA (round 8) -------------------------------------------------------
+
+
+def test_pca_components_partition_invariant(spark, sf_dir):
+    from redpanda_spark.functions.pca import pca_components
+    from redpanda_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1, mu1, ev1 = pca_components(emb.repartition(7), "embedding", 64, 4)
+    c2, mu2, ev2 = pca_components(emb.coalesce(1), "embedding", 64, 4)
+    import numpy as np
+
+    assert np.array_equal(c1, c2) and np.array_equal(mu1, mu2)
+    # eigenvalues descending
+    assert all(ev1[i] >= ev1[i + 1] - 1e-12 for i in range(len(ev1) - 1))
+
+
+def test_pca_projection_variance_ordering(spark, sf_dir):
+    from redpanda_spark.functions.pca import pca_components, pca_project
+    from redpanda_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mu, ev = pca_components(emb, "embedding", 64, 3)
+    proj = pca_project(emb, "embedding", comps, mu)
+    from pyspark.sql import functions as F
+
+    stats = proj.agg(
+        *[F.variance(f"pc{k}").alias(f"v{k}") for k in (1, 2, 3)]
+    ).collect()[0]
+    # projected variances follow the eigenvalue order (loose: quantized
+    # components applied to unquantized data)
+    assert stats["v1"] >= stats["v2"] >= stats["v3"]
+    # pc1 variance matches its eigenvalue within quantization tolerance
+    assert abs(stats["v1"] - ev[0]) / max(ev[0], 1e-9) < 0.05
+    # zero Python in the serve plan
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
