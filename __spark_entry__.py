@@ -43,14 +43,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # (124 after the late-session additions) is >2x the gate; steady-state
 # worst newest-row staleness is therefore ceil(124/50) = 3 rounds.
 #
-# ROUND-8 ROTATION NOTE: run `python tools/rotate_priority.py --changed
-# <queries-touched-in-r8>` — it derives this list mechanically from the
-# CORRECTNESS_r*.json history (new -> changed -> oldest-newest-row first)
-# and prints a staleness report. With the catalog at 124 and 50 slots,
-# the steady-state worst staleness is 3 rounds (ceil(124/50) rotations);
-# r8 priority = new r8 queries + the r5-row holders the tool flags
-# (the 11 late-r7 additions pushed ~11 more of them past this round's 50).
+# ROUND-8 ROTATION: the round-7 driver gate never ran (no
+# CORRECTNESS_r07.json), so every r7 addition still lacks its first
+# driver row — they keep their head-of-list slots, joined by the 6 new
+# r8 queries. Next: r7-changed code (their r6 rows predate the change,
+# and the r8 engine read-path change touches the log_* family too),
+# then the 9 r4-row holders. With the catalog at 133 and 50 slots the
+# steady-state worst staleness is ceil(133/50) = 3 rounds; r9 priority =
+# new r9 queries + the r5-row holders below the cutoff (run
+# `python tools/rotate_priority.py --changed <r9-touched>`).
 _PRIORITY = [
+    # new in round 8 (no driver row yet)
+    "log_fetch_tiered",
+    "log_tiered_timequery",
+    "log_tiered_retention",
+    "emb_covariance",
+    "doc_tfidf_terms",
+    "events_histogram",
     # new in round 7 (no driver row yet)
     "doc_bm25",
     "events_retention",

@@ -122,6 +122,13 @@ BENCH_QUERIES_EXTENDED = [
     "iceberg_delete_read",
     "iceberg_upsert_read",
     "events_zorder",
+    # round 8
+    "log_fetch_tiered",
+    "log_tiered_timequery",
+    "log_tiered_retention",
+    "emb_covariance",
+    "doc_tfidf_terms",
+    "events_histogram",
 ]
 
 
@@ -400,6 +407,10 @@ SF1_QUERIES = [
     "events_retention",
     "ann_nsw",
     "events_skew_join",
+    # round 8
+    "log_fetch_tiered",
+    "emb_covariance",
+    "doc_tfidf_terms",
 ]
 
 

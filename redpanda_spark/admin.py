@@ -24,12 +24,16 @@ _ATTR_CONFIGS = {
     "delete.retention.ms": "delete_retention_ms",
     "max.message.bytes": "max_message_bytes",
     "min.cleanable.dirty.ratio": "min_cleanable_dirty_ratio",
+    # tiered storage (redpanda.remote.write + retention.local.target.ms)
+    "redpanda.remote.write": "remote_write",
+    "retention.local.target.ms": "local_retention_ms",
 }
 _INT_CONFIGS = {
     "retention.ms", "retention.bytes", "delete.retention.ms",
-    "max.message.bytes",
+    "max.message.bytes", "retention.local.target.ms",
 }
 _FLOAT_CONFIGS = {"min.cleanable.dirty.ratio"}
+_BOOL_CONFIGS = {"redpanda.remote.write"}
 
 
 class AdminClient:
@@ -85,6 +89,8 @@ class AdminClient:
                         if k in _INT_CONFIGS
                         else float(v)
                         if k in _FLOAT_CONFIGS
+                        else str(v).lower() in ("true", "1", "yes")
+                        if k in _BOOL_CONFIGS
                         else v,
                     )
             elif v is None:

@@ -39,7 +39,9 @@ def _engine(args):
         os.environ["SPARK_MASTER"] = args.master
     spark = get_spark("redpanda-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    return TopicEngine(spark, args.root)
+    return TopicEngine(
+        spark, args.root, archive_root=getattr(args, "archive_root", None)
+    )
 
 
 def _b(rec: dict, key: str):
@@ -250,18 +252,40 @@ def cmd_maintain(args) -> int:
         before = eng.topic_stats(t)
         eng.run_cleanup(t)
         merged = eng.optimize_segments(t)
+        cfg = eng.list_topics()[t]
+        archival = None
+        if cfg.remote_write and cfg.local_retention_ms is not None:
+            archival = eng.run_archival(t)
         after = eng.topic_stats(t)
         print(json.dumps({
             "topic": t,
             "rows": {"before": before["rows"], "after": after["rows"]},
             "segments": {"before": before["segments"], "after": after["segments"]},
+            "archived_segments": after["archived_segments"],
             "dirty_ratio": after["dirty_ratio"],
             "merge": merged,
+            "archival": archival,
             "producers_expired": eng.expire_producers(t),
         }))
     print(json.dumps({
         "offsets_expired": eng.expire_offsets(),
         "offsets_log": eng.compact_offsets(),
+    }))
+    return 0
+
+
+def cmd_topic_archive(args) -> int:
+    """rpk-style archival tick for one topic: move segments past
+    retention.local.target.ms to the cold tier (remote_write analog)."""
+    eng = _engine(args)
+    res = eng.run_archival(args.name)
+    st = eng.topic_stats(args.name)
+    print(json.dumps({
+        "topic": args.name,
+        **res,
+        "archived_segments": st["archived_segments"],
+        "archived_bytes": st["archived_bytes"],
+        "local_bytes": st["bytes"],
     }))
     return 0
 
@@ -491,6 +515,11 @@ def cmd_cluster_info(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="redpanda_spark")
     p.add_argument("--root", required=True, help="engine root directory/URI")
+    p.add_argument(
+        "--archive-root",
+        default=None,
+        help="cold-tier root (object store URI); default <root>/_archive",
+    )
     p.add_argument("--master", default=None, help="spark master override")
     sub = p.add_subparsers(dest="noun", required=True)
 
@@ -625,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
     ae.add_argument("path", help="parquet input path")
     ae.add_argument("out", help="directory for .avro files")
     ae.set_defaults(fn=cmd_avro_export)
+
+    ar = topic.add_parser("archive")
+    ar.add_argument("name")
+    ar.set_defaults(fn=cmd_topic_archive)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

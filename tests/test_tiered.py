@@ -249,3 +249,28 @@ def test_separate_archive_root(spark, tmp_path):
     assert os.path.isdir(os.path.join(cold_root, "t"))
     reopened = TopicEngine(spark, root, archive_root=cold_root)
     assert reopened.log("t").count() == 10
+
+
+def test_cli_create_configure_archive(spark, tmp_path, monkeypatch, capsys):
+    """rpk-parity flow: create with -c redpanda.remote.write=true
+    -c retention.local.target.ms=1000, produce, archive via the CLI."""
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "r")
+    main(
+        [
+            "--root", root, "topic", "create", "t", "-p", "1",
+            "-c", "redpanda.remote.write=true",
+            "-c", "retention.local.target.ms=1000",
+        ]
+    )
+    eng = TopicEngine(spark, root)
+    cfg = eng.list_topics()["t"]
+    assert cfg.remote_write is True and cfg.local_retention_ms == 1000
+    eng.produce("t", [{"value": b"old", "timestamp": BASE}])
+    capsys.readouterr()
+    main(["--root", root, "topic", "archive", "t"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["archived"] == 1 and out["archived_segments"] == 1
