@@ -447,3 +447,157 @@ def verify_tail_consistency(engine, topic: str) -> dict:
         "tail_mismatches": mismatches,
         "ok": mismatches == 0,
     }
+
+
+def verify_tier_move(before: DataFrame, after: DataFrame) -> dict:
+    """Archival is a MOVEMENT, not a mutation: the full log must be
+    byte-for-byte identical across the tier flip (the reference's
+    upload+evict leaves the partition's reader view unchanged,
+    `cloud_storage/remote_partition.cc`)."""
+
+    def rowset(df):
+        return sorted(
+            (
+                r["partition"],
+                r["offset"],
+                bytes(r["key"]) if r["key"] is not None else None,
+                bytes(r["value"]) if r["value"] is not None else None,
+            )
+            for r in df.select("partition", "offset", "key", "value").collect()
+        )
+
+    b, a = rowset(before), rowset(after)
+    return {"rows": len(a), "ok": b == a}
+
+
+def run_workload_tiered(
+    spark: SparkSession,
+    root: str,
+    seed: int = 0,
+    n_ops: int = 12,
+    rows_per_batch: int = 300,
+    partitions: int = 4,
+    key_space: int = 80,
+) -> list[dict]:
+    """The chaos loop for a TIERED (delete-policy) topic: random
+    produce (both paths) / truncate / segment-merge / ARCHIVAL / cloud
+    retention interleave, with the full invariant suite after every step
+    — value thread, contiguity, watermarks — evaluated over the
+    TIER-SPANNING read path, plus the byte-for-byte tier-move invariant
+    and the hot-tail twins. Compaction is excluded by the same rule the
+    engine enforces (archival is delete-policy only)."""
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    rng = random.Random(seed)
+    engine = TopicEngine(spark, root)
+    topic = f"tiered_{seed}"
+    engine.create_topic(
+        topic,
+        TopicConfig(
+            partitions=partitions,
+            remote_write=True,
+            local_retention_ms=0,
+            retention_ms=3_600_000,
+        ),
+    )
+    reports: list[dict] = []
+    seq = 0
+    dense = True
+    # produce timestamps march forward from a fixed epoch so archival and
+    # retention cutoffs are deterministic per seed
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    clock_s = 0
+
+    def _now_dt():
+        return t0 + _dt.timedelta(seconds=clock_s)
+
+    def _produce() -> dict:
+        nonlocal seq, clock_s
+        rows = []
+        for _ in range(rows_per_batch):
+            key = f"k{rng.randrange(key_space)}".encode()
+            rows.append(
+                {
+                    "key": key,
+                    "value": encode_value(key, seq),
+                    "timestamp": _now_dt(),
+                }
+            )
+            seq += 1
+            clock_s += 1
+        engine.produce(topic, rows)
+        out = {"op": "produce"} | verify_log_invariants(
+            engine, topic, dense=dense
+        )
+        tail = verify_tail_consistency(engine, topic)
+        out["tail_ok"] = tail["ok"]
+        out["ok"] = out["ok"] and tail["ok"]
+        return out
+
+    def _truncate() -> dict:
+        nonlocal dense
+        hwm = engine.high_watermarks(topic)
+        if not hwm:
+            return {"op": "truncate", "ok": True}
+        p = rng.choice(sorted(hwm))
+        engine.delete_records(topic, {p: rng.randrange(max(hwm[p], 1))})
+        dense = False
+        return {"op": "truncate"} | verify_truncation(engine, topic)
+
+    def _merge() -> dict:
+        engine.optimize_segments(topic, target_file_bytes=1 << 20)
+        return {"op": "merge"} | verify_log_invariants(
+            engine, topic, dense=dense
+        )
+
+    def _archive() -> dict:
+        before = engine.log(topic).persist()
+        before.count()
+        res = engine.run_archival(
+            topic, now_ms=int(_now_dt().timestamp() * 1000) + 1000
+        )
+        out = {"op": "archive", "moved": res["archived"]} | verify_tier_move(
+            before, engine.log(topic)
+        )
+        before.unpersist()
+        inv = verify_log_invariants(engine, topic, dense=dense)
+        out["invariants_ok"] = inv["ok"]
+        out["ok"] = out["ok"] and inv["ok"]
+        return out
+
+    def _cloud_retention() -> dict:
+        nonlocal dense
+        # cutoff a random distance into the produced clock range: the
+        # expectation is the plain ts >= cutoff filter over the full log
+        if clock_s < 10:
+            return {"op": "retention", "ok": True}
+        cut_s = rng.randrange(clock_s // 4 + 1)
+        cutoff = t0 + _dt.timedelta(seconds=cut_s)
+        cutoff_ms = int(cutoff.timestamp() * 1000)
+        expect = (
+            engine.log(topic)
+            .where(F.col("timestamp") >= F.lit(cutoff))
+            .persist()
+        )
+        expect.count()
+        cfg = engine._require(topic)
+        engine.run_retention(
+            topic, now_ms=cutoff_ms + cfg.retention_ms
+        )
+        out = {"op": "retention", "cut_s": cut_s} | verify_tier_move(
+            expect, engine.log(topic)
+        )
+        expect.unpersist()
+        dense = False
+        inv = verify_log_invariants(engine, topic, dense=dense)
+        out["invariants_ok"] = inv["ok"]
+        out["ok"] = out["ok"] and inv["ok"]
+        return out
+
+    ops = [_produce, _produce, _archive, _truncate, _merge, _cloud_retention]
+    reports.append(_produce())
+    for _ in range(n_ops - 1):
+        reports.append(rng.choice(ops)())
+    return reports

@@ -192,3 +192,18 @@ def test_workload_tx_interleavings_hold_invariants(spark, tmp_path):
             break
     assert {"tx_commit", "tx_abort"} <= {r["op"] for r in found}, found
     assert all(r["tail_ok"] for r in found)
+
+
+def test_tiered_workload_seeds(spark, tmp_path):
+    """Chaos loop over a tiered topic: archival/retention interleaved with
+    produce/truncate/merge, every step green (tier-move byte equality,
+    value thread, contiguity, watermark, hot-tail twins)."""
+    from redpanda_spark.verifier import run_workload_tiered
+
+    for seed in (1, 7):
+        reports = run_workload_tiered(
+            spark, str(tmp_path / f"w{seed}"), seed=seed, n_ops=10
+        )
+        bad = [r for r in reports if not r["ok"]]
+        assert not bad, bad
+        assert any(r["op"] == "archive" and r.get("moved", 0) > 0 for r in reports)
