@@ -253,9 +253,10 @@ def cmd_maintain(args) -> int:
         eng.run_cleanup(t)
         merged = eng.optimize_segments(t)
         cfg = eng.list_topics()[t]
-        archival = None
+        archival = cold_merge = None
         if cfg.remote_write and cfg.local_retention_ms is not None:
             archival = eng.run_archival(t)
+            cold_merge = eng.optimize_archive_segments(t)
         after = eng.topic_stats(t)
         print(json.dumps({
             "topic": t,
@@ -265,6 +266,7 @@ def cmd_maintain(args) -> int:
             "dirty_ratio": after["dirty_ratio"],
             "merge": merged,
             "archival": archival,
+            "cold_merge": cold_merge,
             "producers_expired": eng.expire_producers(t),
         }))
     print(json.dumps({

@@ -1442,7 +1442,14 @@ class TopicEngine:
         """The topic as a streaming DataFrame — the continuous-consume mode
         (Fetch long-poll dissolves into Structured Streaming triggers,
         SURVEY.md §2.6). Micro-batch size is bounded by
-        ``maxFilesPerTrigger`` (maxOffsetsPerTrigger analog)."""
+        ``maxFilesPerTrigger`` (maxOffsetsPerTrigger analog).
+
+        Tiered topics: the file stream covers the HOT tier (a tailing
+        consumer never reads segments old enough to archive — archival
+        moves data past retention.local.target.ms only). Historical
+        backfill below the local boundary goes through ``fetch``/``log``,
+        which span both tiers — the same split the reference makes
+        between the follower fetch path and remote_partition reads."""
         static = self.log(topic)
         return (
             self.spark.readStream.schema(static.schema)
@@ -1996,7 +2003,9 @@ class TopicEngine:
             self._fsio.delete(os.path.join(self.root, f))
         return {"archived": len(move), "remaining_local": len(self._files[topic])}
 
-    def _write_archive_segments(self, topic: str, df: DataFrame) -> list[str]:
+    def _write_archive_segments(
+        self, topic: str, df: DataFrame, n_files: int | None = None
+    ) -> list[str]:
         """Write ``df`` as new cold-tier segments with epoch-unique names;
         returns archive-relative paths. Caller owns the manifest commit."""
         cfg = self._require(topic)
@@ -2004,9 +2013,13 @@ class TopicEngine:
         self._afsio.mkdirs(ad)
         tmp = ad + ".rewrite.tmp"
         self._afsio.delete(tmp, recursive=True)
+        rp = (
+            df.repartitionByRange(n_files, "partition", "offset")
+            if n_files
+            else df.repartitionByRange("partition", "offset")
+        )
         (
-            df.repartitionByRange("partition", "offset")
-            .sortWithinPartitions("partition", "offset")
+            rp.sortWithinPartitions("partition", "offset")
             .write.mode("overwrite")
             .option("compression", cfg.compression)
             .option("parquet.enable.dictionary", "false")
@@ -2022,7 +2035,36 @@ class TopicEngine:
         self._afsio.delete(tmp, recursive=True)
         return new_rel
 
-    def _rewrite_archive(self, topic: str, df: DataFrame) -> None:
+    def optimize_archive_segments(
+        self, topic: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Adjacent-segment merging for the COLD tier — the object-store
+        small-file problem is the scale killer archival creates (every
+        upload is one object; a year of ticks is millions of tiny
+        objects). Same contract as optimize_segments: rows, offsets and
+        watermarks unchanged, one range-shuffle on (partition, offset),
+        atomic manifest flip (the reference's adjacent-segment reupload,
+        `cluster/archival/adjacent_segment_merger.cc`)."""
+        self._require(topic)
+        arch = self._archived.get(topic, [])
+        files = [os.path.join(self.archive_root, f) for f in arch]
+        if not files:
+            return {"files_before": 0, "files_after": 0}
+        total = sum(self._afsio.getsize(f) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        if len(files) <= n_target:
+            return {"files_before": len(files), "files_after": len(files)}
+        self._rewrite_archive(
+            topic, self._scan_paths(files), n_files=n_target
+        )
+        return {
+            "files_before": len(files),
+            "files_after": len(self._archived.get(topic, [])),
+        }
+
+    def _rewrite_archive(
+        self, topic: str, df: DataFrame, n_files: int | None = None
+    ) -> None:
         """Replace the topic's COLD tier with ``df`` (tiered retention
         fallback) — the archive-side twin of _rewrite: write new segments,
         flip the manifest, delete the old cold files."""
@@ -2030,7 +2072,7 @@ class TopicEngine:
             os.path.join(self.archive_root, f)
             for f in self._archived.get(topic, [])
         ]
-        new_rel = self._write_archive_segments(topic, df)
+        new_rel = self._write_archive_segments(topic, df, n_files=n_files)
         self._archived[topic] = new_rel
         self._archived_stats[topic] = self._footer_stats(
             [os.path.join(self.archive_root, f) for f in new_rel],

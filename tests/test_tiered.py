@@ -274,3 +274,52 @@ def test_cli_create_configure_archive(spark, tmp_path, monkeypatch, capsys):
     main(["--root", root, "topic", "archive", "t"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["archived"] == 1 and out["archived_segments"] == 1
+
+
+def test_optimize_archive_segments_merges_cold_files(spark, tmp_path):
+    """Cold-tier small-file compaction: rows/offsets/watermarks unchanged,
+    file count drops to the bin-packed target."""
+    eng = _build(spark, str(tmp_path / "r"))
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=3)))
+    assert eng.topic_stats("t")["archived_segments"] == 3
+    before = _rowset(eng.log("t"))
+    res = eng.optimize_archive_segments("t")
+    assert res["files_before"] == 3 and res["files_after"] < 3
+    assert _rowset(eng.log("t")) == before
+    st = eng.topic_stats("t")
+    assert st["archived_segments"] == res["files_after"]
+    # reopen: merged manifest + stats survive, reads intact
+    eng2 = TopicEngine(spark, str(tmp_path / "r"))
+    assert _rowset(eng2.log("t")) == before
+    # pruning index carried: a hot-offset fetch still opens no cold file
+    assert eng2._pruned_archived("t", partition=0, min_offset=15) == []
+
+
+def test_consumer_group_reads_across_archival(spark, tmp_path):
+    """A consumer group draining a topic whose older half archives
+    mid-consumption: committed-offset resume lands in the COLD tier and
+    the member keeps reading seamlessly (remote_partition read routing
+    under the consumer-group path)."""
+    from redpanda_spark.consumer import Consumer
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    eng = _build(spark, str(tmp_path / "r"))
+    mgr = GroupManager({"t": 2}, engine=eng)
+    c = Consumer(eng, mgr, "g", ["t"])
+    c.subscribe()
+    # consume a prefix, commit, then archive the old half
+    got = []
+    for rows in c.poll(max_records_per_partition=5).values():
+        got += [bytes(r["value"]) for r in rows]
+    c.commit()
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    # resume: positions (< archival boundary) now point into the cold tier
+    for _ in range(10):
+        batches = c.poll(max_records_per_partition=10)
+        n = sum(len(v) for v in batches.values())
+        if n == 0:
+            break
+        for rows in batches.values():
+            got += [bytes(r["value"]) for r in rows]
+    expect = {f"{b}:{i}".encode() for b in range(4) for i in range(10)}
+    assert set(got) == expect and len(got) == 40
