@@ -60,6 +60,7 @@ _PRIORITY = [
     "emb_covariance",
     "doc_tfidf_terms",
     "events_histogram",
+    "pipeline_curriculum",
     # new in round 7 (no driver row yet)
     "doc_bm25",
     "events_retention",

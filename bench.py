@@ -129,6 +129,7 @@ BENCH_QUERIES_EXTENDED = [
     "emb_covariance",
     "doc_tfidf_terms",
     "events_histogram",
+    "pipeline_curriculum",
 ]
 
 

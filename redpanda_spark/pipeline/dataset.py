@@ -336,3 +336,61 @@ def upsample_by_quality(
     return out.select(
         "*", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy")
     ).drop("n_copies")
+
+
+def curriculum_plan(
+    df: DataFrame,
+    quality_col: str = "quality",
+    token_col: str = "n_tokens",
+    n_stages: int = 10,
+) -> DataFrame:
+    """Curriculum-learning schedule (easy -> hard by quality band): bucket
+    the corpus into ``n_stages`` fixed-width quality bands and emit, per
+    stage in training order (highest-quality first), the document count,
+    token budget, exact mean quality, and the cumulative token position
+    where the stage begins. Fixed thresholds, NOT ntile — rank-based
+    bucketing is tie-order-dependent across engines/partitionings, while
+    floor(quality * n) is bit-deterministic for identical inputs. One
+    shuffle (the groupBy); the running totals fold over the n_stages-row
+    result, never the corpus."""
+    stage = F.least(
+        F.floor(F.col(quality_col) * n_stages).cast("int"),
+        F.lit(n_stages - 1),
+    )
+    per = (
+        df.select(
+            stage.alias("stage"),
+            F.col(quality_col).alias("q"),
+            F.col(token_col).alias("t"),
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            # exact decimal sum -> double round: representation-exact
+            F.sum(F.col("q").cast("decimal(18,6)")).alias("_sum_q"),
+        )
+    )
+    w = Window.orderBy(F.col("stage").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per.select(
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                (F.col("_sum_q").cast("double") / F.col("n_docs")), 6
+            ).alias("mean_quality"),
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .cast("long")
+            .alias("start_token"),
+        )
+        .withColumn(
+            "train_order",
+            F.row_number()
+            .over(Window.orderBy(F.col("stage").desc()))
+            .cast("int"),
+        )
+        .orderBy("train_order")
+    )

@@ -6928,3 +6928,60 @@ ORACLES.update(
         "events_histogram": SQL_EVENTS_HISTOGRAM,
     }
 )
+
+
+# -- pipeline_curriculum (round 8) --------------------------------------------
+
+
+def q_pipeline_curriculum(spark, sf_dir):
+    """Curriculum-learning schedule over the corpus: fixed quality bands
+    (easy -> hard training order), per-stage doc/token budgets, exact
+    mean quality, cumulative start positions
+    (pipeline/dataset.py:curriculum_plan)."""
+    from redpanda_spark.pipeline.dataset import curriculum_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = TXT.tokens("text")
+    scored = docs.select(
+        TXT.quality_score("text").alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return curriculum_plan(scored)
+
+
+SQL_PIPELINE_CURRICULUM = f"""
+WITH feats AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) AS n_tok,
+    CASE WHEN length(text) > 0
+      THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text)
+      ELSE 0.0 END AS punct_r,
+    CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != '')) > 0
+      THEN CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> lower(t) IN ({_SW_SQL}))) AS DOUBLE)
+           / len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t != ''))
+      ELSE 0.0 END AS sw_r
+  FROM documents),
+scored AS (
+  SELECT ROUND((least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+       + least(sw_r * 4.0, 1.0)
+       + greatest(1.0 - punct_r * 4.0, 0.0)) / 3.0, 6) AS quality,
+    CAST(n_tok AS BIGINT) AS n_tokens
+  FROM feats),
+per AS (
+  SELECT LEAST(CAST(FLOOR(quality * 10) AS INTEGER), 9) AS stage,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    SUM(CAST(quality AS DECIMAL(18,6))) AS sum_q
+  FROM scored GROUP BY 1)
+SELECT stage, n_docs, n_tokens,
+  ROUND(CAST(sum_q AS DOUBLE) / n_docs, 6) AS mean_quality,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    ORDER BY stage DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS BIGINT) AS start_token,
+  CAST(ROW_NUMBER() OVER (ORDER BY stage DESC) AS INTEGER) AS train_order
+FROM per ORDER BY train_order
+"""
+
+QUERIES.update({"pipeline_curriculum": q_pipeline_curriculum})
+ORACLES.update({"pipeline_curriculum": SQL_PIPELINE_CURRICULUM})
