@@ -178,6 +178,17 @@ class TopicEngine:
         # monotone per-topic archival epoch: archive file names are
         # epoch-prefixed so names never collide across archival batches
         self._arch_epoch: dict[str, int] = {}
+        # Cold-read cache (the reference's cloud_storage/cache_service):
+        # archived segments fetched through the read path are copied to
+        # local disk once and served from there, LRU-bounded by
+        # cold_cache_bytes (0 = pass-through, the default — on this box
+        # both tiers are local disk; set it when archive_root is an
+        # object store). Safe by construction: archive names are
+        # epoch-unique and segments immutable, so a cached copy can never
+        # be stale.
+        self.cold_cache_bytes = 0
+        self._cold_cache_dir: str | None = None
+        self._cold_lru: dict[str, int] = {}  # rel -> size, insertion=LRU order
         self._meta_path = os.path.join(root, "_topics.json")
         self._offsets_path = os.path.join(root, "_offsets.json")  # legacy watermarks
         self._topics: dict[str, TopicConfig] = {}
@@ -339,6 +350,17 @@ class TopicEngine:
         self._arch_epoch.pop(topic, None)
         self._fsio.delete(self._topic_dir(topic), recursive=True)
         self._afsio.delete(self._archive_dir(topic), recursive=True)
+        if self._cold_cache_dir is not None:
+            import shutil as _shutil
+
+            _shutil.rmtree(
+                os.path.join(self._cold_cache_dir, topic), ignore_errors=True
+            )
+            self._cold_lru = {
+                r: s
+                for r, s in self._cold_lru.items()
+                if not r.startswith(topic + os.sep)
+            }
         self._fsio.delete(self._manifest_path(topic))
         self._purge_topic_metadata(topic)
         self._save_state()
@@ -1357,6 +1379,75 @@ class TopicEngine:
             # empty topic: no files yet
             return empty()
 
+    def enable_cold_cache(self, max_bytes: int, cache_dir: str | None = None):
+        """Turn on the cold-read cache (cloud_storage/cache_service
+        analog). ``cache_dir`` must be LOCAL disk; defaults to
+        <root>/_cold_cache for local roots, a /tmp dir keyed by the root
+        otherwise."""
+        import hashlib
+        import tempfile
+
+        self.cold_cache_bytes = max_bytes
+        if cache_dir is None:
+            if getattr(self._fsio, "is_local", False):
+                cache_dir = os.path.join(self.root, "_cold_cache")
+            else:
+                cache_dir = os.path.join(
+                    tempfile.gettempdir(),
+                    "rps_cold_cache",
+                    hashlib.md5(self.root.encode()).hexdigest(),
+                )
+        self._cold_cache_dir = cache_dir
+        os.makedirs(cache_dir, exist_ok=True)
+        # adopt whatever survived a previous process (disposable state —
+        # names are epoch-unique so adoption can't serve wrong bytes)
+        self._cold_lru = {}
+        for dirpath, _dirs, names in os.walk(cache_dir):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                self._cold_lru[os.path.relpath(p, cache_dir)] = os.path.getsize(p)
+
+    def _cold_paths(self, archived: list[str]) -> list[str]:
+        """Map archived relpaths to readable paths — through the local
+        cache when enabled (copy-once + LRU evict), else the archive
+        root directly. Only the (pruned) files a read actually touches
+        are ever copied."""
+        if not self.cold_cache_bytes or self._cold_cache_dir is None:
+            return [os.path.join(self.archive_root, f) for f in archived]
+        out = []
+        pinned = set(archived)  # the scan being assembled needs ALL of these
+        for rel in archived:
+            local = os.path.join(self._cold_cache_dir, rel)
+            if rel in self._cold_lru and os.path.exists(local):
+                self._cold_lru[rel] = self._cold_lru.pop(rel)  # touch: move to MRU
+            else:
+                os.makedirs(os.path.dirname(local), exist_ok=True)
+                fsio.copy_file(
+                    self._afsio,
+                    os.path.join(self.archive_root, rel),
+                    fsio.LocalFS(),
+                    local,
+                )
+                self._cold_lru.pop(rel, None)
+                self._cold_lru[rel] = os.path.getsize(local)
+                self._evict_cold(pinned=pinned)
+            out.append(local)
+        return out
+
+    def _evict_cold(self, pinned: set[str] | None = None) -> None:
+        """LRU-evict down to the byte budget — never touching ``pinned``
+        entries (the current scan's working set may legitimately exceed
+        the budget; it then shrinks on the next unpinned eviction)."""
+        pinned = pinned or set()
+        victims = [r for r in self._cold_lru if r not in pinned]
+        while victims and sum(self._cold_lru.values()) > self.cold_cache_bytes:
+            rel = victims.pop(0)  # least-recently used first
+            self._cold_lru.pop(rel, None)
+            try:
+                os.remove(os.path.join(self._cold_cache_dir, rel))
+            except OSError:
+                pass
+
     def _scan_tiers(
         self, topic: str, files: list[str] | None, archived: list[str]
     ) -> DataFrame:
@@ -1365,7 +1456,7 @@ class TopicEngine:
         one Spark job, file-level parallelism across tiers."""
         if not archived:
             return self._scan(topic, files)
-        arch_abs = [os.path.join(self.archive_root, f) for f in archived]
+        arch_abs = self._cold_paths(archived)
         if files is None:
             # legacy dir-scan hot tier + explicit cold list
             return self._scan(topic, None).unionByName(self._scan_paths(arch_abs))
