@@ -606,3 +606,66 @@ def test_fetch_max_bytes_matches_model(spark, sizes, budget):
         want.append(i)
         cum += 16 + sz
     assert sorted(got) == want, (sizes, budget)
+
+
+# -- tiered classification algebra (round 8) ------------------------------
+
+_stats_entry = st.one_of(
+    # empty segment
+    st.just([0, -1, 0, -1, 0]),
+    # 5-element legacy (no ts stats), non-empty
+    st.tuples(st.integers(0, 7), st.integers(0, 1000)).map(
+        lambda t: [0, t[0], 0, t[1], 1 + t[1]]
+    ),
+    # full 7-element entry with ts range
+    st.tuples(
+        st.integers(0, 7),
+        st.integers(0, 1000),
+        st.integers(0, 10**7),
+        st.integers(0, 10**7),
+    ).map(
+        lambda t: [
+            0,
+            t[0],
+            0,
+            t[1],
+            1 + t[1],
+            min(t[2], t[3]),
+            max(t[2], t[3]),
+        ]
+    ),
+)
+
+
+@given(
+    st.lists(_stats_entry, max_size=12),
+    st.integers(0, 10**7),
+)
+@settings(max_examples=200, deadline=None)
+def test_classify_expired_partitions_the_file_set(entries, cutoff_us):
+    """_classify_expired invariants: (a) None iff some non-empty file
+    lacks ts stats; (b) otherwise drop/boundary/untouched partition the
+    list; (c) drops are provably all-expired, boundary provably
+    straddles, untouched provably all-live — directly from the stats."""
+    from redpanda_spark.engine import TopicEngine
+
+    files = [f"f{i}.parquet" for i in range(len(entries))]
+    stats = dict(zip(files, entries))
+    out = TopicEngine._classify_expired(files, stats, cutoff_us)
+    legacy_nonempty = any(len(e) == 5 and e[4] > 0 for e in entries)
+    if legacy_nonempty:
+        assert out is None
+        return
+    assert out is not None
+    drop, boundary = out
+    untouched = [f for f in files if f not in set(drop) | set(boundary)]
+    assert sorted(drop + boundary + untouched) == sorted(files)
+    for f in drop:
+        e = stats[f]
+        assert e[4] == 0 or e[6] < cutoff_us
+    for f in boundary:
+        e = stats[f]
+        assert e[5] < cutoff_us <= e[6]
+    for f in untouched:
+        e = stats[f]
+        assert e[4] > 0 and e[5] >= cutoff_us
