@@ -365,3 +365,46 @@ def test_cold_cache_adopted_on_restart(spark, tmp_path):
     # the prior process's cache files were adopted, not re-copied
     assert set(eng2._cold_lru) == set(eng._cold_lru)
     assert eng2.log("t").count() == n0
+
+
+def test_datalake_export_spans_tiers(spark, tmp_path):
+    """Batch datalake export of a tiered topic includes archived rows —
+    the sink reads engine.log, which spans tiers (the reference's
+    datalake translator consumes the full partition, remote segments
+    included)."""
+    import json as _json
+
+    from redpanda_spark.sources.datalake import export_topic
+
+    eng = TopicEngine(spark, str(tmp_path / "r"))
+    eng.create_topic(
+        "t",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(2):
+        eng.produce(
+            "t",
+            [
+                {
+                    "value": _json.dumps({"batch": b, "i": i}).encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=1)))
+    assert eng.topic_stats("t")["archived_segments"] == 1
+    out = str(tmp_path / "lake")
+    export_topic(
+        eng,
+        "t",
+        out,
+        json_schema="batch long, i long",
+        wire_framed=False,
+    )
+    from redpanda_spark.sources.datalake import read_datalake
+
+    lake = read_datalake(spark, out)
+    assert lake.count() == 20
+    # cold-tier rows (batch 0) made it into the sink
+    assert lake.where("batch = 0").count() == 10
