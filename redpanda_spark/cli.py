@@ -292,6 +292,20 @@ def cmd_topic_archive(args) -> int:
     return 0
 
 
+def cmd_topic_attach_replica(args) -> int:
+    """Remote Read Replica: serve a topic straight from a source
+    cluster's archive bucket (pass it via --archive-root)."""
+    eng = _engine(args)
+    print(json.dumps({"topic": args.name, **eng.attach_read_replica(args.name)}))
+    return 0
+
+
+def cmd_topic_refresh_replica(args) -> int:
+    eng = _engine(args)
+    print(json.dumps({"topic": args.name, **eng.refresh_read_replica(args.name)}))
+    return 0
+
+
 def _registry(args):
     import os as _os
 
@@ -660,6 +674,12 @@ def build_parser() -> argparse.ArgumentParser:
     ar = topic.add_parser("archive")
     ar.add_argument("name")
     ar.set_defaults(fn=cmd_topic_archive)
+    arr = topic.add_parser("attach-replica")
+    arr.add_argument("name")
+    arr.set_defaults(fn=cmd_topic_attach_replica)
+    rfr = topic.add_parser("refresh-replica")
+    rfr.add_argument("name")
+    rfr.set_defaults(fn=cmd_topic_refresh_replica)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

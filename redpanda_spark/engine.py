@@ -422,6 +422,7 @@ class TopicEngine:
         batch row counts at append, `storage/index_state.h`).
         """
         cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
         n_parts = cfg.partitions
 
         # Small-batch fast path: a batch the driver already holds — a list
@@ -1693,6 +1694,7 @@ class TopicEngine:
     def delete_records(self, topic: str, start_offsets: dict[int, int]) -> None:
         """Advance log start offsets (visibility-immediate prefix truncate)."""
         cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
         cur = self._log_starts(topic)
         for p, o in start_offsets.items():
             cur[p] = max(cur.get(p, 0), o)
@@ -1714,6 +1716,7 @@ class TopicEngine:
         the full filter. Falls back to the full rewrite when size
         retention is also configured or timestamp stats are missing."""
         cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
         if (
             cfg.retention_ms is not None
             and cfg.retention_bytes is None
@@ -1957,6 +1960,7 @@ class TopicEngine:
         compaction below the LSO; here it is a broadcast anti-join on the
         open ranges (same effect, per-producer precision)."""
         cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
         if self._archived.get(topic):
             # keep-latest over a split log would be wrong (an archived key
             # could shadow-win); archival refuses compact topics, and this
@@ -2047,6 +2051,7 @@ class TopicEngine:
         reopen, local bytes are only deleted after the manifest flip).
         Work is O(segments past the target), not O(log)."""
         cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
         if not cfg.remote_write:
             raise ValueError(f"topic {topic}: archival requires remote_write=True")
         if "compact" in cfg.cleanup_policy:
@@ -2093,6 +2098,84 @@ class TopicEngine:
         for f in move:
             self._fsio.delete(os.path.join(self.root, f))
         return {"archived": len(move), "remaining_local": len(self._files[topic])}
+
+    def attach_read_replica(self, topic: str, partitions: int | None = None) -> dict:
+        """Remote Read Replica (the reference's remote-read topics,
+        `cloud_storage/remote_partition.cc` + topic recovery): register a
+        READ-ONLY topic served entirely from the archive tier another
+        cluster wrote. Point this engine's ``archive_root`` at the source
+        cluster's bucket; the replica scans the topic's cold segments,
+        rebuilds the pruning index from parquet footers, and computes
+        watermarks with one column-pruned scan. ``refresh_read_replica``
+        picks up segments the source uploads later — the replica lags the
+        source by its archival interval, exactly the reference's
+        semantics. Produce and all maintenance are refused."""
+        if topic in self._topics:
+            raise ValueError(f"topic {topic} already exists")
+        ad = self._archive_dir(topic)
+        segs = sorted(self._afsio.list_segments(ad))
+        if not segs:
+            raise ValueError(f"no archived segments under {ad}")
+        stats = self._footer_stats(segs, base=self.archive_root)
+        rels = [os.path.relpath(p, self.archive_root) for p in segs]
+        if partitions is None:
+            partitions = 1 + max(
+                (stats[r][1] for r in rels if r in stats), default=0
+            )
+        self._topics[topic] = TopicConfig(
+            partitions=partitions, configs={"_read_replica": "true"}
+        )
+        self._files[topic] = []  # no hot tier, ever
+        self._archived[topic] = rels
+        self._archived_stats[topic] = stats
+        self._high[topic] = self._replica_watermarks(rels)
+        self._save_state()
+        self._commit_manifest(topic)
+        return {"segments": len(rels), "high_watermarks": dict(self._high[topic])}
+
+    def refresh_read_replica(self, topic: str) -> dict:
+        """Pick up segments the source archived since attach/last refresh:
+        O(new files) — footers read only for the additions, watermarks
+        advanced from the new files alone."""
+        cfg = self._require(topic)
+        if cfg.configs.get("_read_replica") != "true":
+            raise ValueError(f"topic {topic} is not a read replica")
+        ad = self._archive_dir(topic)
+        known = set(self._archived.get(topic, []))
+        new_abs = [
+            p
+            for p in sorted(self._afsio.list_segments(ad))
+            if os.path.relpath(p, self.archive_root) not in known
+        ]
+        if not new_abs:
+            return {"added": 0}
+        stats = self._footer_stats(new_abs, base=self.archive_root)
+        rels = [os.path.relpath(p, self.archive_root) for p in new_abs]
+        self._archived[topic] = self._archived.get(topic, []) + rels
+        self._archived_stats.setdefault(topic, {}).update(stats)
+        hwm = self._high.setdefault(topic, {})
+        for p, o in self._replica_watermarks(rels).items():
+            hwm[p] = max(hwm.get(p, 0), o)
+        self._commit_manifest(topic)
+        return {"added": len(rels)}
+
+    def _replica_watermarks(self, rels: list[str]) -> dict[int, int]:
+        df = self._scan_paths(
+            [os.path.join(self.archive_root, r) for r in rels]
+        )
+        return {
+            r["partition"]: r["hwm"]
+            for r in df.groupBy("partition")
+            .agg((F.max("offset") + 1).alias("hwm"))
+            .collect()
+        }
+
+    def _refuse_replica_mutation(self, topic: str) -> None:
+        cfg = self._topics.get(topic)
+        if cfg is not None and cfg.configs.get("_read_replica") == "true":
+            raise ProduceError(
+                "INVALID_TOPIC_EXCEPTION", f"{topic} is a read replica (read-only)"
+            )
 
     def _write_archive_segments(
         self, topic: str, df: DataFrame, n_files: int | None = None

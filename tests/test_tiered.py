@@ -408,3 +408,62 @@ def test_datalake_export_spans_tiers(spark, tmp_path):
     assert lake.count() == 20
     # cold-tier rows (batch 0) made it into the sink
     assert lake.where("batch = 0").count() == 10
+
+
+def test_remote_read_replica(spark, tmp_path):
+    """Remote Read Replica: a SECOND engine (different root) serves the
+    topic straight from the source's archive bucket — fetch/timequery
+    over whatever the source has uploaded, refresh picks up later
+    uploads, every mutation refused."""
+    from redpanda_spark.engine import ProduceError
+
+    src_root = str(tmp_path / "source")
+    bucket = str(tmp_path / "bucket")  # the shared object store
+    src = TopicEngine(spark, src_root, archive_root=bucket)
+    src.create_topic(
+        "t",
+        TopicConfig(partitions=2, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(3):
+        src.produce(
+            "t",
+            [
+                {
+                    "partition": i % 2,
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=1)))  # batch 0
+
+    replica = TopicEngine(spark, str(tmp_path / "replica"), archive_root=bucket)
+    info = replica.attach_read_replica("t")
+    assert info["segments"] == 1
+    assert replica.high_watermarks("t") == {0: 5, 1: 5}
+    vals = {bytes(r["value"]) for r in replica.log("t").collect()}
+    assert vals == {f"0:{i}".encode() for i in range(10)}
+    # replica sees the source's NEXT upload after refresh
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))  # batch 1
+    assert replica.refresh_read_replica("t")["added"] == 1
+    assert replica.log("t").count() == 20
+    assert replica.fetch("t", 0, offset=0).count() == 10
+    tq = {
+        r["partition"]: r["offset"]
+        for r in replica.timequery("t", BASE + dt.timedelta(minutes=30)).collect()
+    }
+    assert tq == {0: 5, 1: 5}
+    # read-only: every mutation path refuses
+    with pytest.raises(ProduceError, match="read replica"):
+        replica.produce("t", [{"value": b"x"}])
+    with pytest.raises(ProduceError, match="read replica"):
+        replica.delete_records("t", {0: 1})
+    with pytest.raises(ProduceError, match="read replica"):
+        replica.run_retention("t")
+    with pytest.raises(ValueError, match="not a read replica"):
+        src.create_topic("plain", TopicConfig(partitions=1)) or None
+        src.refresh_read_replica("plain")
+    # replica state survives ITS OWN reopen (manifest persisted)
+    re2 = TopicEngine(spark, str(tmp_path / "replica"), archive_root=bucket)
+    assert re2.log("t").count() == 20
