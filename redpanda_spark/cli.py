@@ -300,6 +300,14 @@ def cmd_topic_attach_replica(args) -> int:
     return 0
 
 
+def cmd_topic_recover(args) -> int:
+    """Disaster recovery: rebuild a writable topic from its archive tier
+    (pass the bucket via --archive-root)."""
+    eng = _engine(args)
+    print(json.dumps({"topic": args.name, **eng.recover_topic_from_archive(args.name)}))
+    return 0
+
+
 def cmd_topic_refresh_replica(args) -> int:
     eng = _engine(args)
     print(json.dumps({"topic": args.name, **eng.refresh_read_replica(args.name)}))
@@ -680,6 +688,9 @@ def build_parser() -> argparse.ArgumentParser:
     rfr = topic.add_parser("refresh-replica")
     rfr.add_argument("name")
     rfr.set_defaults(fn=cmd_topic_refresh_replica)
+    rec = topic.add_parser("recover")
+    rec.add_argument("name")
+    rec.set_defaults(fn=cmd_topic_recover)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

@@ -2133,6 +2133,52 @@ class TopicEngine:
         self._commit_manifest(topic)
         return {"segments": len(rels), "high_watermarks": dict(self._high[topic])}
 
+    def recover_topic_from_archive(
+        self, topic: str, config: "TopicConfig | None" = None
+    ) -> dict:
+        """Disaster recovery (redpanda.remote.recovery / whole-cluster
+        restore, `cluster/cloud_metadata/`): rebuild a WRITABLE topic from
+        its archive tier after total loss of the hot cluster. The cold
+        segments become the topic's archived list (pruning index from
+        footers), watermarks resume from the recovered maximum, and new
+        produces append to a fresh hot tier — offsets continue without a
+        gap. Unlike attach_read_replica, the result is a normal tiered
+        topic: archival, retention, and reads all operate."""
+        if topic in self._topics:
+            raise ValueError(f"topic {topic} already exists")
+        ad = self._archive_dir(topic)
+        segs = sorted(self._afsio.list_segments(ad))
+        if not segs:
+            raise ValueError(f"no archived segments under {ad}")
+        stats = self._footer_stats(segs, base=self.archive_root)
+        rels = [os.path.relpath(p, self.archive_root) for p in segs]
+        cfg = config or TopicConfig(
+            partitions=1 + max((stats[r][1] for r in rels if r in stats), default=0),
+            remote_write=True,
+            local_retention_ms=86_400_000,
+        )
+        self._topics[topic] = cfg
+        self._files[topic] = []
+        self._archived[topic] = rels
+        self._archived_stats[topic] = stats
+        self._high[topic] = self._replica_watermarks(rels)
+        # archive names continue past the recovered epochs (never collide)
+        max_epoch = -1
+        for r in rels:
+            name = os.path.basename(r)
+            if name.startswith("e") and "_" in name:
+                try:
+                    max_epoch = max(max_epoch, int(name[1:].split("_", 1)[0]))
+                except ValueError:
+                    pass
+        self._arch_epoch[topic] = max_epoch + 1
+        self._save_state()
+        self._commit_manifest(topic)
+        return {
+            "segments": len(rels),
+            "high_watermarks": dict(self._high[topic]),
+        }
+
     def refresh_read_replica(self, topic: str) -> dict:
         """Pick up segments the source archived since attach/last refresh:
         O(new files) — footers read only for the additions, watermarks

@@ -467,3 +467,51 @@ def test_remote_read_replica(spark, tmp_path):
     # replica state survives ITS OWN reopen (manifest persisted)
     re2 = TopicEngine(spark, str(tmp_path / "replica"), archive_root=bucket)
     assert re2.log("t").count() == 20
+
+
+def test_disaster_recovery_from_archive(spark, tmp_path):
+    """Total hot-cluster loss: rebuild the topic from the bucket, then
+    keep producing — offsets continue past the recovered watermark and
+    reads span recovered (cold) + new (hot) data."""
+    bucket = str(tmp_path / "bucket")
+    src = TopicEngine(spark, str(tmp_path / "old_cluster"), archive_root=bucket)
+    src.create_topic(
+        "t",
+        TopicConfig(partitions=2, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(2):
+        src.produce(
+            "t",
+            [
+                {
+                    "partition": i % 2,
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+
+    fresh = TopicEngine(spark, str(tmp_path / "new_cluster"), archive_root=bucket)
+    info = fresh.recover_topic_from_archive(
+        "t",
+        config=TopicConfig(
+            partitions=2, remote_write=True, local_retention_ms=1000
+        ),
+    )
+    assert info["high_watermarks"] == {0: 10, 1: 10}
+    assert fresh.log("t").count() == 20
+    # offsets continue without a gap
+    bases = fresh.produce(
+        "t", [{"partition": 0, "value": b"post-recovery"}]
+    )
+    assert bases == {0: 10}
+    rows = fresh.fetch("t", 0, offset=0).orderBy("offset").collect()
+    assert len(rows) == 11 and bytes(rows[-1]["value"]) == b"post-recovery"
+    # the recovered topic archives ONWARD with non-colliding epochs
+    res = fresh.run_archival("t", now_ms=int(
+        (rows[-1]["timestamp"].timestamp() + 120) * 1000
+    ))
+    assert res["archived"] == 1
+    assert fresh.log("t").count() == 21
