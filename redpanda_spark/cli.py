@@ -89,6 +89,8 @@ def cmd_topic_describe(args) -> int:
         "topic": args.topic,
         "partitions": meta.get("partitions", {}),
         "configs": admin.describe_configs(args.topic),
+        # O(1) manifest-side observability, tier stats included
+        "stats": eng.topic_stats(args.topic),
     }
     print(json.dumps(out, default=str))
     return 0
