@@ -58,17 +58,31 @@ def test_acl_matches_model(bindings, principal, op, resource):
     for b in bindings:
         store.create(b)
 
-    def model_match(b):
+    def model_match(b, ops):
         if b.principal not in ("*", principal):
             return False
-        if b.operation not in ("all", op):
+        if b.operation not in ops:
             return False
         if b.pattern_type == "literal":
             return b.resource_name in ("*", resource)
         return resource.startswith(b.resource_name)
 
-    matched = [b for b in bindings if model_match(b)]
-    expect = bool(matched) and not any(b.permission == "deny" for b in matched)
+    # Kafka algebra (round 8): DENY matches the literal op (or ALL);
+    # ALLOW additionally matches via implication — READ/WRITE/DELETE/
+    # ALTER imply DESCRIBE.
+    deny_ops = {"all", op}
+    allow_ops = (
+        {"all", "describe", "read", "write", "delete", "alter"}
+        if op == "describe"
+        else deny_ops
+    )
+    denied = any(
+        b.permission == "deny" and model_match(b, deny_ops) for b in bindings
+    )
+    allowed = any(
+        b.permission == "allow" and model_match(b, allow_ops) for b in bindings
+    )
+    expect = not denied and allowed
     assert store.authorize(principal, op, "topic", resource) == expect
 
 
