@@ -61,6 +61,7 @@ _PRIORITY = [
     "doc_tfidf_terms",
     "events_histogram",
     "pipeline_curriculum",
+    "log_replica_fetch",
     # new in round 7 (no driver row yet)
     "doc_bm25",
     "events_retention",

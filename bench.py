@@ -130,6 +130,7 @@ BENCH_QUERIES_EXTENDED = [
     "doc_tfidf_terms",
     "events_histogram",
     "pipeline_curriculum",
+    "log_replica_fetch",
 ]
 
 

@@ -6985,3 +6985,48 @@ FROM per ORDER BY train_order
 
 QUERIES.update({"pipeline_curriculum": q_pipeline_curriculum})
 ORACLES.update({"pipeline_curriculum": SQL_PIPELINE_CURRICULUM})
+
+
+# -- log_replica_fetch: remote read replica served from the bucket (round 8) --
+
+
+def q_log_replica_fetch(spark, sf_dir):
+    """Remote Read Replica correctness: a SECOND engine (its own root)
+    attaches the tiered fixture's archive bucket and serves partition 1
+    read-only. The replica sees exactly the source's UPLOADED prefix —
+    the two archived chronological batches, i.e. the first half of the
+    global (ts, event_id) order — which the oracle recomputes from the
+    events table alone (`cloud_storage/remote_partition.cc` remote-read
+    topics)."""
+    src_eng = _tiered_engine(spark, sf_dir, retained=False)
+    replica_root = os.path.join(src_eng.root, "replica")
+    from redpanda_spark.engine import TopicEngine
+
+    rep = TopicEngine(spark, replica_root, archive_root=src_eng.archive_root)
+    if "tier" not in rep.list_topics():
+        rep.attach_read_replica("tier")
+    else:
+        rep.refresh_read_replica("tier")
+    return rep.fetch("tier", partition=1, offset=0).select(
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("value").cast("string").cast("long").alias("event_id"),
+    )
+
+
+SQL_LOG_REPLICA_FETCH = f"""
+WITH ranked AS (
+  SELECT CAST(user_id % {NUM_PARTITIONS} AS INTEGER) AS partition,
+    CAST(event_id AS BIGINT) AS event_id,
+    ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS gr,
+    COUNT(*) OVER () AS n,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY user_id % {NUM_PARTITIONS}
+      ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS "offset"
+  FROM events WHERE event_id < 400000)
+SELECT partition, "offset", event_id
+FROM ranked WHERE gr <= n // 2 AND partition = 1
+"""
+
+QUERIES.update({"log_replica_fetch": q_log_replica_fetch})
+ORACLES.update({"log_replica_fetch": SQL_LOG_REPLICA_FETCH})
