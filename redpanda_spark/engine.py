@@ -1767,6 +1767,10 @@ class TopicEngine:
         cold = cold.withColumn("_tier", F.lit("a"))
         hot = self._local_log(topic).withColumn("_tier", F.lit("l"))
         kept = _filters(cold.unionByName(hot)).persist()
+        # force full materialization BEFORE the first tier swap: the
+        # local rewrite deletes files the archive-side pass would
+        # otherwise re-scan on a cache miss
+        kept.count()
         try:
             self._rewrite(topic, kept.where(F.col("_tier") == "l").drop("_tier"))
             self._rewrite_archive(

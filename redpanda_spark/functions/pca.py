@@ -54,7 +54,7 @@ def gram_and_sums(df: DataFrame, col: str, d: int):
 
     rows = (
         df.select(col)
-        .mapInPandas(part, f"i int, j int, partial long")
+        .mapInPandas(part, "i int, j int, partial long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("v"))
         .collect()
