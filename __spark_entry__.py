@@ -48,8 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row — they keep their head-of-list slots, joined by the 6 new
 # r8 queries. Next: r7-changed code (their r6 rows predate the change,
 # and the r8 engine read-path change touches the log_* family too),
-# then the 9 r4-row holders. With the catalog at 133 and 50 slots the
-# steady-state worst staleness is ceil(133/50) = 3 rounds; r9 priority =
+# then the 9 r4-row holders. With the catalog at 135 and 50 slots the
+# steady-state worst staleness is ceil(135/50) = 3 rounds; r9 priority =
 # new r9 queries + the r5-row holders below the cutoff (run
 # `python tools/rotate_priority.py --changed <r9-touched>`).
 _PRIORITY = [
