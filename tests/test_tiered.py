@@ -515,3 +515,51 @@ def test_disaster_recovery_from_archive(spark, tmp_path):
     ))
     assert res["archived"] == 1
     assert fresh.log("t").count() == 21
+
+
+def test_tiered_on_uri_roots(spark, tmp_path):
+    """Object-store code path: hot root AND archive root as file:// URIs
+    route every archival operation (byte copy, listings, manifest
+    commits, GC) through the Hadoop FileSystem API — the same branch an
+    s3a:// cold tier takes on a real cluster."""
+    root = "file://" + str(tmp_path / "hot")
+    bucket = "file://" + str(tmp_path / "bucket")
+    eng = TopicEngine(spark, root, archive_root=bucket)
+    eng.create_topic(
+        "t",
+        TopicConfig(partitions=2, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(3):
+        eng.produce(
+            "t",
+            [
+                {
+                    "partition": i % 2,
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    before = _rowset(eng.log("t"))
+    res = eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    assert res["archived"] == 2
+    assert _rowset(eng.log("t")) == before
+    # physical layout landed under the URI bucket
+    assert os.path.isdir(str(tmp_path / "bucket" / "t"))
+    # (Hadoop's local FS adds .crc sidecars — count segments only)
+    segs = [
+        f
+        for f in os.listdir(str(tmp_path / "bucket" / "t"))
+        if f.endswith(".parquet")
+    ]
+    assert len(segs) == 2
+    # cloud retention (segment fast path) over the URI tier
+    cfg = eng._require("t")
+    cfg.retention_ms = 100_000
+    eng.run_retention("t", now_ms=_ms(BASE + dt.timedelta(hours=1)) + 100_000)
+    assert eng.log("t").count() == 20
+    # reopen through the URI roots
+    eng2 = TopicEngine(spark, root, archive_root=bucket)
+    assert eng2.log("t").count() == 20
+    assert eng2.topic_stats("t")["archived_segments"] == 1
