@@ -223,6 +223,15 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
             {"name": "partition", "type": part_record, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # v2 equality deletes (spec field 135 / element 136): the
+            # table-schema field ids a delete row matches on; null for
+            # data and position-delete files
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
     return {
@@ -350,10 +359,14 @@ def _rebuild_state(prior: dict, data_dir: str) -> dict:
     state: dict[str, list] = {}
     _, _, manifests = avro_ocf_read(snap["manifest-list"])
     for mf in manifests:
+        if mf.get("content") == 1:
+            continue  # delete manifests are not export state
         _, _, entries = avro_ocf_read(mf["manifest_path"])
         for e in entries:
             if e["status"] == 2:  # DELETED: not live
                 continue
+            if e["data_file"].get("content", 0) != 0:
+                continue  # position/equality delete files: not data state
             rel = os.path.relpath(e["data_file"]["file_path"], data_dir)
             e_snap = e.get("snapshot_id")
             if e_snap is None:
@@ -558,6 +571,8 @@ def export_iceberg(
 
     # manifest (…-m0.avro)
     entry_schema = _manifest_entry_schema(part_fields)
+    for e in entries:  # older entries predate the equality_ids field
+        e["data_file"].setdefault("equality_ids", None)
     manifest_path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     avro_ocf_write(
         manifest_path,
@@ -598,31 +613,49 @@ def export_iceberg(
         if part_fields
         else None
     )
+    mlist_records = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snap_id,
+            "added_data_files_count": n_added,
+            "existing_data_files_count": n_existing,
+            "deleted_data_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": total_rows - added_rows,
+            "deleted_rows_count": 0,
+            "partitions": partitions_summary,
+        }
+    ]
+    # Carry the prior snapshot's DELETE manifests forward (position AND
+    # equality): maintenance commits (iceberg_maintain.delete_where /
+    # equality_delete / merge_upsert) interleave with exports on the same
+    # table, and a new snapshot that silently dropped their delete files
+    # would resurrect deleted rows. The manifest files themselves are
+    # immutable — reference them as-is (the v2 spec explicitly allows a
+    # manifest to be listed by many snapshots).
+    if prior:
+        prior_snap = next(
+            (
+                s
+                for s in prior.get("snapshots", [])
+                if s["snapshot-id"] == prior.get("current-snapshot-id")
+            ),
+            None,
+        )
+        if prior_snap is not None:
+            _pls, _plm, prior_mfs = avro_ocf_read(prior_snap["manifest-list"])
+            for pmf in prior_mfs:
+                if pmf.get("content") == 1:  # delete manifest
+                    mlist_records.append(dict(pmf))
     mlist_path = os.path.join(
         meta_dir, f"snap-{snap_id}-{seq}-{uuid.uuid4()}.avro"
     )
-    avro_ocf_write(
-        mlist_path,
-        _MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": manifest_path,
-                "manifest_length": os.path.getsize(manifest_path),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": min_seq,
-                "added_snapshot_id": snap_id,
-                "added_data_files_count": n_added,
-                "existing_data_files_count": n_existing,
-                "deleted_data_files_count": 0,
-                "added_rows_count": added_rows,
-                "existing_rows_count": total_rows - added_rows,
-                "deleted_rows_count": 0,
-                "partitions": partitions_summary,
-            }
-        ],
-    )
+    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist_records)
 
     # table metadata (v2 spec §Table Metadata) + filesystem-catalog pointer
     if prior:
@@ -788,6 +821,7 @@ def read_iceberg(
     _schema, _md, manifests = avro_ocf_read(snaps[sid]["manifest-list"])
     files: list[tuple[str, int]] = []  # (path, effective sequence number)
     del_files: list[tuple[str, int]] = []
+    eq_files: list[tuple[str, int, tuple[int, ...]]] = []  # (+ equality ids)
     for mf in manifests:
         _es, _em, entries = avro_ocf_read(mf["manifest_path"])
         for e in entries:
@@ -798,11 +832,16 @@ def read_iceberg(
             if eff_seq is None:  # spec inheritance from the manifest record
                 eff_seq = mf["sequence_number"]
             content = d.get("content", 0)
-            if content == 2:
-                raise ValueError("equality delete files not supported")
             if d["file_format"].upper() != "PARQUET":
                 raise ValueError(f"unsupported file format {d['file_format']}")
-            if content == 1:
+            if content == 2:
+                ids = d.get("equality_ids")
+                if not ids:
+                    raise ValueError(
+                        "equality delete file without equality_ids"
+                    )
+                eq_files.append((d["file_path"], int(eff_seq), tuple(ids)))
+            elif content == 1:
                 del_files.append((d["file_path"], int(eff_seq)))
             else:
                 files.append((d["file_path"], int(eff_seq)))
@@ -816,6 +855,14 @@ def read_iceberg(
         .parquet(*[p for p, _ in files])
     )
     need_addr = bool(del_files) or with_metadata
+    need_fseq = bool(eq_files)
+    if need_fseq:
+        fseq_map = F.create_map(
+            *[x for p, s in files for x in (F.lit(p), F.lit(s))]
+        )
+        df = df.withColumn(
+            "_data_seq", fseq_map[fs_path_col(F.col("_metadata.file_path"))]
+        )
     if need_addr:
         df = df.withColumn(
             "_file_path", fs_path_col(F.col("_metadata.file_path"))
@@ -840,6 +887,42 @@ def read_iceberg(
             & (df["_row_index"] == F.col("pos")),
             "left_anti",
         )
+    if eq_files:
+        # EQUALITY DELETES (content=2, spec §Delete Formats): a delete row
+        # hides data rows that match on the listed field-ids and live in
+        # data files with sequence_number STRICTLY LESS than the delete's.
+        # Field-ids resolve against the CURRENT schema; delete frames are
+        # tiny next to the data and broadcast — the data side never
+        # shuffles (one anti-join per distinct equality-id set).
+        cur_schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        id2name = {f["id"]: f["name"] for f in cur_schema["fields"]}
+        by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        for p, s, ids in eq_files:
+            by_ids.setdefault(ids, []).append((p, s))
+        for ids, plist in by_ids.items():
+            try:
+                cols = [id2name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids reference unknown field id {exc}"
+                ) from None
+            eqd = spark.read.parquet(*[p for p, _ in plist])
+            eseq = F.create_map(
+                *[x for p, s in plist for x in (F.lit(p), F.lit(s))]
+            )
+            eqd = eqd.select(
+                *[F.col(c).alias(f"_eq_{c}") for c in cols],
+                eseq[fs_path_col(F.col("_metadata.file_path"))].alias("_eq_seq"),
+            )
+            cond = F.col("_eq_seq") > F.col("_data_seq")
+            for c in cols:
+                # spec: null delete values match null (null-safe equality)
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+            df = df.join(F.broadcast(eqd), cond, "left_anti")
+    if need_fseq:
+        df = df.drop("_data_seq")
     if need_addr and not with_metadata:
         df = df.drop("_file_path", "_row_index")
     return df

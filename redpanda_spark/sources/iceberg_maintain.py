@@ -152,6 +152,8 @@ def _write_manifest(
     content: str,
 ) -> str:
     path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    for e in entries:  # older entries predate the equality_ids field
+        e["data_file"].setdefault("equality_ids", None)
     avro_ocf_write(
         path,
         _manifest_entry_schema(part_fields),
@@ -428,6 +430,131 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
     return {"deleted_rows": len(hits), "snapshot_id": snap_id}
 
 
+_EQ_PA_TYPES = {
+    "int": "int32",
+    "long": "int64",
+    "string": "string",
+    "double": "float64",
+    "boolean": "bool_",
+}
+
+
+def equality_delete(
+    spark, table_path: str, key_cols: list[str], keys: list[dict]
+) -> dict:
+    """Delete BY KEY via a v2 equality-delete file (spec content=2 +
+    equality_ids): every current row matching one of ``keys`` on
+    ``key_cols`` disappears from subsequent reads — without locating row
+    addresses at all (the CDC shape: the writer knows keys, not
+    positions). Rows appended AFTER this commit are untouched (the
+    strict sequence-number rule read_iceberg applies).
+
+    The reference's datalake writes position deletes only; this writer
+    exists for interop completeness — read_iceberg consumes any external
+    v2 table, so the repo must also be able to produce the construct it
+    claims to read. Keys are a driver-side list (CDC-key batches are
+    small); the delete file is one spec-schema parquet with the key
+    columns' field-ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    if not keys:
+        return {"deleted_keys": 0, "snapshot_id": None}
+    table_path = os.path.abspath(table_path)
+    meta = _current_metadata(table_path)
+    table_schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    by_name = {f["name"]: f for f in table_schema["fields"]}
+    ids, pa_fields = [], []
+    for c in key_cols:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(f"unknown key column {c!r}")
+        t = f["type"]
+        if t not in _EQ_PA_TYPES:
+            raise ValueError(f"unsupported equality-delete key type {t!r}")
+        ids.append(int(f["id"]))
+        pa_fields.append(
+            pa.field(
+                c,
+                getattr(pa, _EQ_PA_TYPES[t])(),
+                nullable=True,
+                metadata={b"PARQUET:field_id": str(f["id"]).encode()},
+            )
+        )
+    dfile = os.path.join(table_path, "data", f"eq-delete-{uuid.uuid4()}.parquet")
+    tbl = pa.table(
+        {c: [k.get(c) for k in keys] for c in key_cols}, schema=pa.schema(pa_fields)
+    )
+    tmp = f"{dfile}.tmp"
+    papq.write_table(tbl, tmp)
+    os.replace(tmp, dfile)
+
+    data_entries, del_entries = live_entries(meta)
+    part_fields = _part_fields_of(meta)
+    snap_id, seq = _next_ids(meta)
+    meta_dir = os.path.join(table_path, "metadata")
+    data_existing = [
+        {**e, "status": 0, "file_sequence_number": e["sequence_number"]}
+        for e in data_entries
+    ]
+    del_existing = [
+        {**e, "status": 0, "file_sequence_number": e["sequence_number"]}
+        for e in del_entries
+    ]
+    new_entry = {
+        "status": 1,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,  # EQUALITY_DELETES
+            "file_path": dfile,
+            "file_format": "PARQUET",
+            "partition": {p["name"]: None for p in part_fields},
+            "record_count": len(keys),
+            "file_size_in_bytes": os.path.getsize(dfile),
+            "equality_ids": ids,
+        },
+    }
+    dm = _write_manifest(
+        meta_dir, del_existing + [new_entry], part_fields, table_schema, "deletes"
+    )
+    records = [
+        _manifest_file_record(
+            dm, del_existing + [new_entry], 1, seq, snap_id, part_fields
+        )
+    ]
+    if data_existing:
+        datam = _write_manifest(
+            meta_dir, data_existing, part_fields, table_schema, "data"
+        )
+        records.insert(
+            0,
+            _manifest_file_record(
+                datam, data_existing, 0, seq, snap_id, part_fields
+            ),
+        )
+    total = sum(e["data_file"]["record_count"] for e in data_entries)
+    _commit_snapshot(
+        table_path,
+        meta,
+        records,
+        snap_id,
+        seq,
+        "delete",
+        {
+            "added-equality-delete-files": "1",
+            "added-equality-deletes": str(len(keys)),
+            "total-records": str(total),
+            "total-data-files": str(len(data_entries)),
+        },
+        meta["current-schema-id"],
+    )
+    return {"deleted_keys": len(keys), "snapshot_id": snap_id}
+
+
 def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
     """MERGE INTO analog, merge-on-read flavor: rows of ``updates`` whose
     key already exists REPLACE the stored row (a position delete covers
@@ -655,6 +782,14 @@ def compact_data_files(
     snap_id, seq = _next_ids(meta)
     rewritten = {e["data_file"]["file_path"] for b in bins for e in b}
 
+    if any(e["data_file"].get("content", 0) == 2 for e in del_entries):
+        # applying outstanding EQUALITY deletes during a rewrite needs the
+        # matched-row semantics of the read path; refuse loudly rather
+        # than misread them as positional (read_iceberg handles them)
+        raise ValueError(
+            "compact_data_files: table has equality delete files; "
+            "rewrite via read_iceberg + a fresh export instead"
+        )
     # (file_path, pos) frame of ALL live position deletes, once
     del_paths = [e["data_file"]["file_path"] for e in del_entries]
     del_df = (

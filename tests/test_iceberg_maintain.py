@@ -354,3 +354,132 @@ def test_streaming_cdc_upsert_into_iceberg(spark, tmp_path):
     assert rows[4] in (444, 4444)
     t = traverse(out)
     assert t["schema_errors"] == []
+
+
+# -- equality deletes (round 8) --------------------------------------------
+
+
+def _eq_fixture(spark, tmp_path):
+    """Export a small table, return (lake_root, ice_root)."""
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    lake = str(tmp_path / "lake")
+    ice = str(tmp_path / "ice")
+    df = spark.createDataFrame(
+        [
+            (i, f"u{i % 3}", float(i), "2024-03-01 10:00:00")
+            for i in range(12)
+        ],
+        "id long, user string, v double, h string",
+    ).select("id", "user", "v", F.to_timestamp(F.col("h")).alias("_hour"))
+    write_datalake(df, lake)
+    export_iceberg(spark, lake, ice)
+    return lake, ice
+
+
+def test_equality_delete_roundtrip(spark, tmp_path):
+    """content=2 + equality_ids end to end: matching rows disappear from
+    reads; rows appended AFTER the delete survive (strict sequence
+    rule); the conformance reader still walks the chain."""
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import export_iceberg, read_iceberg
+    from redpanda_spark.sources.iceberg_maintain import equality_delete
+
+    lake, ice = _eq_fixture(spark, tmp_path)
+    res = equality_delete(spark, ice, ["user"], [{"user": "u1"}])
+    assert res["deleted_keys"] == 1
+    out = read_iceberg(spark, ice)
+    users = {r["user"] for r in out.collect()}
+    assert users == {"u0", "u2"} and out.count() == 8
+    # append AFTER the delete: new u1 rows are NOT hidden (seq rule)
+    df2 = spark.createDataFrame(
+        [(100, "u1", 1.0, "2024-03-01 11:00:00")],
+        "id long, user string, v double, h string",
+    ).select("id", "user", "v", F.to_timestamp(F.col("h")).alias("_hour"))
+    write_datalake(df2, lake)
+    export_iceberg(spark, lake, ice)
+    out2 = read_iceberg(spark, ice)
+    assert out2.count() == 9
+    assert out2.where("user = 'u1'").count() == 1
+    assert out2.where("id = 100").count() == 1
+    # multi-column keys + null-safe matching
+    equality_delete(
+        spark, ice, ["user", "id"], [{"user": "u0", "id": 0}]
+    )
+    out3 = read_iceberg(spark, ice)
+    assert out3.count() == 8 and out3.where("id = 0").count() == 0
+    # independent conformance traversal still green on the table
+    import subprocess, sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/iceberg_conformance.py", ice],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_equality_delete_composes_with_position_deletes(spark, tmp_path):
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+    from redpanda_spark.sources.iceberg_maintain import delete_where, equality_delete
+
+    _lake, ice = _eq_fixture(spark, tmp_path)
+    delete_where(spark, ice, "id = 3")  # positional
+    equality_delete(spark, ice, ["user"], [{"user": "u2"}])  # by key
+    out = read_iceberg(spark, ice)
+    assert out.count() == 12 - 1 - 4  # id3 (a u0 row) + the four u2 rows
+    assert out.where("user = 'u2'").count() == 0
+    assert out.where("id = 3").count() == 0
+
+
+def test_compaction_refuses_equality_deletes(spark, tmp_path):
+    import pytest
+
+    from redpanda_spark.sources.iceberg_maintain import (
+        compact_data_files,
+        equality_delete,
+    )
+
+    _lake, ice = _eq_fixture(spark, tmp_path)
+    equality_delete(spark, ice, ["user"], [{"user": "u1"}])
+    with pytest.raises(ValueError, match="equality delete"):
+        compact_data_files(spark, ice, target_bytes=10**9)
+
+
+def test_equality_delete_errors(spark, tmp_path):
+    import pytest
+
+    from redpanda_spark.sources.iceberg_maintain import equality_delete
+
+    _lake, ice = _eq_fixture(spark, tmp_path)
+    assert equality_delete(spark, ice, ["user"], [])["snapshot_id"] is None
+    with pytest.raises(ValueError, match="unknown key column"):
+        equality_delete(spark, ice, ["nope"], [{"nope": 1}])
+
+
+def test_export_after_delete_carries_delete_manifests(spark, tmp_path):
+    """Composition regression (found by the equality-delete work): an
+    incremental export AFTER a maintenance delete must carry the prior
+    snapshot's delete manifests forward — otherwise the new snapshot
+    silently resurrects deleted rows."""
+    from redpanda_spark.sources.datalake import write_datalake
+
+    out = _mk_table(spark, tmp_path, n=40)
+    delete_where(spark, out, "id < 10")
+    assert read_iceberg(spark, out).count() == 30
+    # new lake snapshot + incremental export
+    lake = str(tmp_path / "lake")
+    df2 = spark.range(100, 105).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.to_timestamp(F.lit("2024-03-01 12:00:00")).alias("_hour"),
+    )
+    write_datalake(df2, lake)
+    export_iceberg(spark, lake, out)
+    got = read_iceberg(spark, out)
+    assert got.count() == 35  # 30 survivors + 5 new; deletes NOT resurrected
+    assert got.where("id < 10").count() == 0
+    t = traverse(out)
+    assert t["schema_errors"] == []
