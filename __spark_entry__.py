@@ -62,6 +62,7 @@ _PRIORITY = [
     "events_histogram",
     "pipeline_curriculum",
     "log_replica_fetch",
+    "iceberg_eq_delete_read",
     # new in round 7 (no driver row yet)
     "doc_bm25",
     "events_retention",

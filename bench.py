@@ -131,6 +131,7 @@ BENCH_QUERIES_EXTENDED = [
     "events_histogram",
     "pipeline_curriculum",
     "log_replica_fetch",
+    "iceberg_eq_delete_read",
 ]
 
 

@@ -7052,3 +7052,98 @@ FROM ranked WHERE gr <= n // 2 AND partition = 1
 
 QUERIES.update({"log_replica_fetch": q_log_replica_fetch})
 ORACLES.update({"log_replica_fetch": SQL_LOG_REPLICA_FETCH})
+
+
+# -- iceberg_eq_delete_read: equality deletes end-to-end (round 8) ------------
+
+
+def q_iceberg_eq_delete_read(spark, sf_dir):
+    """Equality deletes (v2 content=2) end-to-end: delete BY KEY —
+    user_ids ending in 3 — via one equality-delete file (no row
+    addresses located, the CDC shape), then append a LATER batch that
+    reuses some of those keys. read_iceberg must hide the old rows and
+    keep the new ones (the spec's strict sequence rule), and the oracle
+    recomputes exactly that from raw events
+    (sources/iceberg_maintain.py:equality_delete)."""
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_export import export_iceberg, read_iceberg
+    from redpanda_spark.sources.iceberg_maintain import equality_delete
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_ice_eqdel",
+        hashlib.md5(f"{sf_dir}|{_events_fingerprint(sf_dir)}".encode()).hexdigest(),
+    )
+    marker = os.path.join(cache, "_done.json")
+    ice = os.path.join(cache, "ice")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        ev = _t(spark, sf_dir, "events")
+        base = ev.where(F.col("event_id") % 2 == 0).select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.date_trunc("day", F.col("ts")).alias("_hour"),
+        )
+        lake = os.path.join(cache, "lake")
+        write_datalake(base, lake)
+        export_iceberg(spark, lake, ice)
+        # delete-by-key: every user_id ending in 3 that exists in base
+        keys = [
+            {"user_id": r["user_id"]}
+            for r in base.where(F.col("user_id") % 10 == 3)
+            .select("user_id")
+            .distinct()
+            .orderBy("user_id")
+            .collect()
+        ]
+        res = equality_delete(spark, ice, ["user_id"], keys)
+        # LATER batch (odd event ids), including rows with deleted keys —
+        # the strict sequence rule must keep every one of them
+        late = ev.where(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "event_type",
+            "user_id",
+            "value",
+            F.date_trunc("day", F.col("ts")).alias("_hour"),
+        )
+        write_datalake(late, lake)
+        export_iceberg(spark, lake, ice)
+        with open(marker + ".tmp", "w") as f:
+            _json.dump({"deleted_keys": res["deleted_keys"]}, f)
+        os.replace(marker + ".tmp", marker)
+    return (
+        read_iceberg(spark, ice)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ICEBERG_EQ_DELETE_READ = """
+WITH live AS (
+  SELECT * FROM events
+  WHERE event_id % 2 = 1                                   -- late batch: all
+     OR user_id % 10 != 3                                  -- base: key kept
+)
+SELECT event_type, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM live GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES.update({"iceberg_eq_delete_read": q_iceberg_eq_delete_read})
+ORACLES.update({"iceberg_eq_delete_read": SQL_ICEBERG_EQ_DELETE_READ})
