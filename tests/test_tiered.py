@@ -563,3 +563,59 @@ def test_tiered_on_uri_roots(spark, tmp_path):
     eng2 = TopicEngine(spark, root, archive_root=bucket)
     assert eng2.log("t").count() == 20
     assert eng2.topic_stats("t")["archived_segments"] == 1
+
+
+def test_streaming_ingest_with_archival_ticks(spark, tmp_path):
+    """Streaming x tiered: a foreachBatch pipeline consumes an upstream
+    topic and produces onto a TIERED downstream topic, with an archival
+    tick after every micro-batch (the maintenance loop interleaving live
+    ingest). The downstream full log equals the upstream input, spanning
+    however many segments each tick moved cold."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    up = TopicEngine(spark, str(tmp_path / "up"))
+    up.create_topic("src", TopicConfig(partitions=1))
+    down = TopicEngine(spark, str(tmp_path / "down"))
+    down.create_topic(
+        "sink",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=0),
+    )
+    for b in range(3):
+        up.produce(
+            "src",
+            spark.createDataFrame(
+                [
+                    Row(partition=0, key=None, value=f"{b}:{i}".encode())
+                    for i in range(5)
+                ],
+                "partition int, key binary, value binary",
+            ),
+        )
+
+    def fold(batch_df, batch_id):
+        rows = batch_df.select("value").collect()
+        if rows:
+            down.produce(
+                "sink", [{"value": bytes(r["value"])} for r in rows]
+            )
+            # the maintenance tick: everything aged moves cold
+            down.run_archival(
+                "sink", now_ms=int(__import__("time").time() * 1000) + 60_000
+            )
+
+    q = (
+        up.log_stream("src", max_files_per_trigger=1)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    st = down.topic_stats("sink")
+    assert st["archived_segments"] >= 2 and st["segments"] == 0
+    vals = {bytes(r["value"]) for r in down.log("sink").collect()}
+    assert vals == {f"{b}:{i}".encode() for b in range(3) for i in range(5)}
+    # consumer-visible watermarks survived the tier moves
+    assert down.high_watermarks("sink") == {0: 15}
