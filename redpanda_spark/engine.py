@@ -2084,12 +2084,32 @@ class TopicEngine:
         ad = self._archive_dir(topic)
         self._afsio.mkdirs(ad)
         epoch = self._arch_epoch.get(topic, 0)
-        new_rel: list[str] = []
-        for i, f in enumerate(move):
-            dst = os.path.join(ad, f"e{epoch:06d}_{i:05d}.parquet")
+        # concurrent uploads (the reference's archiver runs parallel PUTs,
+        # `ntp_archiver_service.cc` upload loop): every copy is
+        # tmp+rename and the manifest commits only after ALL land, so
+        # ordering doesn't matter and a partial failure leaves orphans
+        # the reopen GC collects
+        from concurrent.futures import ThreadPoolExecutor
+
+        dsts = [
+            os.path.join(ad, f"e{epoch:06d}_{i:05d}.parquet")
+            for i in range(len(move))
+        ]
+
+        def _upload(pair):
+            src_rel, dst = pair
             fsio.copy_file(
-                self._fsio, os.path.join(self.root, f), self._afsio, dst
+                self._fsio, os.path.join(self.root, src_rel), self._afsio, dst
             )
+
+        workers = min(8, len(move))
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(_upload, zip(move, dsts)))
+        else:
+            _upload((move[0], dsts[0]))
+        new_rel: list[str] = []
+        for f, dst in zip(move, dsts):
             rel = os.path.relpath(dst, self.archive_root)
             new_rel.append(rel)
             # footer stats are byte-identical to the source segment's
