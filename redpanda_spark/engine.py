@@ -1415,13 +1415,22 @@ class TopicEngine:
         are ever copied."""
         if not self.cold_cache_bytes or self._cold_cache_dir is None:
             return [os.path.join(self.archive_root, f) for f in archived]
-        out = []
         pinned = set(archived)  # the scan being assembled needs ALL of these
+        misses = []
         for rel in archived:
             local = os.path.join(self._cold_cache_dir, rel)
             if rel in self._cold_lru and os.path.exists(local):
                 self._cold_lru[rel] = self._cold_lru.pop(rel)  # touch: move to MRU
             else:
+                misses.append((rel, local))
+        if misses:
+            # concurrent fills (cache_service downloads in parallel): each
+            # is tmp+rename, so a racing or crashed fill never leaves a
+            # truncated segment behind
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _fill(pair):
+                rel, local = pair
                 os.makedirs(os.path.dirname(local), exist_ok=True)
                 fsio.copy_file(
                     self._afsio,
@@ -1429,11 +1438,17 @@ class TopicEngine:
                     fsio.LocalFS(),
                     local,
                 )
+
+            if len(misses) > 1:
+                with ThreadPoolExecutor(max_workers=min(8, len(misses))) as ex:
+                    list(ex.map(_fill, misses))
+            else:
+                _fill(misses[0])
+            for rel, local in misses:
                 self._cold_lru.pop(rel, None)
                 self._cold_lru[rel] = os.path.getsize(local)
-                self._evict_cold(pinned=pinned)
-            out.append(local)
-        return out
+            self._evict_cold(pinned=pinned)
+        return [os.path.join(self._cold_cache_dir, rel) for rel in archived]
 
     def _evict_cold(self, pinned: set[str] | None = None) -> None:
         """LRU-evict down to the byte budget — never touching ``pinned``

@@ -619,3 +619,37 @@ def test_streaming_ingest_with_archival_ticks(spark, tmp_path):
     assert vals == {f"{b}:{i}".encode() for b in range(3) for i in range(5)}
     # consumer-visible watermarks survived the tier moves
     assert down.high_watermarks("sink") == {0: 15}
+
+
+def test_read_committed_across_tiers(spark, tmp_path):
+    """Transactions x tiered: an ABORTED transaction's rows stay hidden
+    from read_committed consumers after their segments move to the cold
+    tier (the LSO/aborted-range filters run over the tier-spanning
+    scan)."""
+    from redpanda_spark.operators.txcoord import TxCoordinator
+
+    eng = TopicEngine(spark, str(tmp_path / "r"))
+    eng.create_topic(
+        "t",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=0),
+    )
+    tc = TxCoordinator(eng)
+    tc.init_producer_id("tx1")
+    tc.produce("tx1", "t", [{"value": b"aborted-1"}, {"value": b"aborted-2"}])
+    tc.abort("tx1")
+    tc.init_producer_id("tx2")
+    tc.produce("tx2", "t", [{"value": b"committed-1"}])
+    tc.commit("tx2")
+    # move EVERYTHING cold
+    import time as _time
+
+    eng.run_archival("t", now_ms=int(_time.time() * 1000) + 60_000)
+    assert eng.topic_stats("t")["segments"] == 0
+    rc = eng.fetch("t", 0, offset=0, isolation="read_committed").collect()
+    vals = {bytes(r["value"]) for r in rc if r["value"] is not None}
+    assert b"committed-1" in vals
+    assert not any(v.startswith(b"aborted") for v in vals)
+    # read_uncommitted still sees the aborted payloads (they exist in the log)
+    ru = eng.fetch("t", 0, offset=0).collect()
+    uvals = {bytes(r["value"]) for r in ru if r["value"] is not None}
+    assert b"aborted-1" in uvals
