@@ -653,3 +653,50 @@ def test_read_committed_across_tiers(spark, tmp_path):
     ru = eng.fetch("t", 0, offset=0).collect()
     uvals = {bytes(r["value"]) for r in ru if r["value"] is not None}
     assert b"aborted-1" in uvals
+
+
+def test_consumer_group_over_read_replica(spark, tmp_path):
+    """The read-replica use case end to end: a consumer group on the
+    REPLICA cluster drains whatever the source has uploaded, commits
+    offsets in the replica's own root, and picks up refreshed uploads."""
+    from redpanda_spark.consumer import Consumer
+    from redpanda_spark.operators.coordinator import GroupManager
+
+    bucket = str(tmp_path / "bucket")
+    src = TopicEngine(spark, str(tmp_path / "src"), archive_root=bucket)
+    src.create_topic(
+        "t",
+        TopicConfig(partitions=2, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(2):
+        src.produce(
+            "t",
+            [
+                {
+                    "partition": i % 2,
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(10)
+            ],
+        )
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=1)))
+
+    rep = TopicEngine(spark, str(tmp_path / "rep"), archive_root=bucket)
+    rep.attach_read_replica("t")
+    mgr = GroupManager({"t": 2}, engine=rep)
+    c = Consumer(rep, mgr, "g", ["t"])
+    c.subscribe()
+    got = []
+    for rows in c.poll().values():
+        got += [bytes(r["value"]) for r in rows]
+    assert set(got) == {f"0:{i}".encode() for i in range(10)}
+    c.commit()
+    # source uploads more; replica refreshes; the group resumes from its
+    # committed positions and reads only the NEW rows
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    rep.refresh_read_replica("t")
+    more = []
+    for rows in c.poll().values():
+        more += [bytes(r["value"]) for r in rows]
+    assert set(more) == {f"1:{i}".encode() for i in range(10)}
