@@ -297,15 +297,18 @@ def mixture_plan(
         "n_docs",
         "available_tokens",
         target.alias("target_tokens"),
-        # decimal(18,6), not ROUND(double, 6): a rounded double's last-bit
-        # representation differs across engines (Spark vs DuckDB) under a
-        # full-precision value hash; decimals are representation-exact.
-        F.round(F.least(F.lit(1.0), target / F.col("available_tokens")), 6)
-        .cast("decimal(18,6)")
-        .alias("sample_rate"),
-        F.round(target / F.col("available_tokens"), 6)
-        .cast("decimal(18,6)")
-        .alias("epochs"),
+        # Pure double division of exact int64s, NO rounding: IEEE-754 `/`
+        # is correctly rounded, so two engines dividing the same exact
+        # integers produce the identical double bit pattern. ROUND(double,6)
+        # diverges in the last bit across engines (r6 red), and emitting
+        # decimal fails the driver's canonicalization (DuckDB .df() renders
+        # DECIMAL as float64; Spark keeps Decimal — r8 red).
+        F.least(
+            F.lit(1.0), target.cast("double") / F.col("available_tokens").cast("double")
+        ).alias("sample_rate"),
+        (target.cast("double") / F.col("available_tokens").cast("double")).alias(
+            "epochs"
+        ),
         F.greatest(F.lit(0), target - F.col("available_tokens")).alias(
             "deficit_tokens"
         ),

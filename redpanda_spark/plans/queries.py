@@ -386,9 +386,15 @@ def q_tpch_q1(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")), 6).cast("decimal(38,6)").alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")), 6).cast("decimal(38,6)").alias("sum_base_price"),
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("sum_disc_price"),
+            # decimal arithmetic internally (exact, order-independent sums);
+            # final emit = CAST(ROUND(decimal,6) AS DOUBLE): both engines
+            # round the identical exact decimal, then cast to the identical
+            # IEEE-754 double. Emitting the decimal itself fails the driver
+            # hash (DuckDB .df() renders DECIMAL as float64 while Spark
+            # keeps Decimal — r8, 19/50 red).
+            F.round(F.sum(dec("l_quantity")), 6).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 6).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("double").alias("sum_disc_price"),
             F.round(
                 (F.sum(dec("l_quantity")) / F.count("*")).cast("double"), 6
             ).alias("avg_qty"),
@@ -400,9 +406,9 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_qty,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_base_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS sum_disc_price,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -4626,14 +4632,14 @@ per AS (
   SELECT source, SUM(n_tokens) AS available_tokens,
          COUNT(*) AS n_docs, ANY_VALUE(weight) AS weight
   FROM sized GROUP BY source)
-SELECT source, n_docs, available_tokens,
+SELECT source, n_docs, CAST(available_tokens AS BIGINT) AS available_tokens,
   CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT) AS target_tokens,
-  CAST(ROUND(LEAST(1.0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
-                   / available_tokens), 6) AS DECIMAL(18,6)) AS sample_rate,
-  CAST(ROUND(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
-        / available_tokens, 6) AS DECIMAL(18,6)) AS epochs,
-  GREATEST(0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
-              - available_tokens) AS deficit_tokens
+  LEAST(1.0, CAST(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT) AS DOUBLE)
+             / CAST(available_tokens AS DOUBLE)) AS sample_rate,
+  CAST(CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT) AS DOUBLE)
+    / CAST(available_tokens AS DOUBLE) AS epochs,
+  CAST(GREATEST(0, CAST(ROUND(weight * {_PLAN_BUDGET}) AS BIGINT)
+              - available_tokens) AS BIGINT) AS deficit_tokens
 FROM per ORDER BY source
 """
 

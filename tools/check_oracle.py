@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [--plain] [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -17,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 from redpanda_spark.datamodel import TESTDATA_TABLES
 from redpanda_spark.plans.queries import ORACLES, QUERIES
@@ -24,6 +26,15 @@ from redpanda_spark.session import get_spark
 
 
 def norm_cell(v):
+    # Canonicalization-FAITHFUL to the driver's hash: the driver compares
+    # values after a dataframe conversion (Spark .toPandas() vs DuckDB
+    # .df()), where DuckDB renders DECIMAL as float64 while Spark keeps
+    # decimal.Decimal objects. Round 8 proved (19/50 red) that emitting
+    # decimal output columns fails the driver even when values are
+    # byte-identical — so this checker must treat Decimal and float as
+    # DIFFERENT representations, never coerce one into the other.
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -33,9 +44,35 @@ def norm_cell(v):
         # (mixture_plan, round 6). The local gate must be at least as
         # strict as the driver's.
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # Representation-sensitive: Decimal('1.000000') != float 1.0 at the
+        # driver. DuckDB's .df() never yields Decimal, so any Spark decimal
+        # output column fails here — by design (see VERDICT r8 "What's
+        # wrong" #1/#2).
+        return "dec:" + str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:26]
+        try:
+            iso = v.isoformat()[:26]
+        except (ValueError, AttributeError):
+            return str(v)
+        # date == midnight-timestamp: DuckDB's .df() renders DATE as
+        # datetime64 (midnight) while Spark's .toPandas() keeps
+        # datetime.date; the driver canonicalizes these EQUAL (proof:
+        # events_sketch_merge was driver-green at r8 with exactly this
+        # date-vs-midnight-ts shape). Collapse midnight to the date form.
+        if iso.endswith("T00:00:00"):
+            return iso[:10]
+        return iso
     return str(v)
+
+
+def pdf_rows(pdf):
+    """Row tuples from a pandas frame, preserving per-cell Python types
+    the way a dataframe-level hash would see them (Timestamp for
+    datetime64, numpy scalars for numerics, raw objects otherwise)."""
+    return [tuple(row) for row in pdf.itertuples(index=False, name=None)]
 
 
 def norm_rows(cols, rows):
@@ -71,7 +108,10 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # .toPandas(), NOT .collect(): the driver hashes through a
+            # dataframe conversion; fetch-level Python objects (where both
+            # engines return Decimal) masked the r8 decimal-output class.
+            srows = pdf_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -84,7 +124,7 @@ def main():
         try:
             res = con.execute(ORACLES[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            orows = pdf_rows(res.df())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
