@@ -430,7 +430,7 @@ def q_tpch_q3(spark, sf_dir):
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -439,7 +439,7 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -468,7 +468,7 @@ def q_tpch_q5ish(spark, sf_dir):
         li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -476,7 +476,7 @@ def q_tpch_q5ish(spark, sf_dir):
 
 SQL_TPCH_Q5ISH = """
 SELECT r_name, n_name,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -495,7 +495,7 @@ def q_events_daily(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("double").alias(
                 "sum_value"
             ),
             F.countDistinct("user_id").alias("n_users"),
@@ -505,7 +505,7 @@ def q_events_daily(spark, sf_dir):
 
 SQL_EVENTS_DAILY = """
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type, CAST(ts AS DATE)
 """
@@ -1030,7 +1030,7 @@ def q_events_topk_users(spark, sf_dir):
     """Top-10 users by exact total value (decimal-safe), id tiebreak."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6).cast("double").alias("total_value"),
         F.count("*").alias("n"),
     )
     return agg.orderBy(F.col("total_value").desc(), F.col("user_id")).limit(10)
@@ -1038,7 +1038,7 @@ def q_events_topk_users(spark, sf_dir):
 
 SQL_EVENTS_TOPK_USERS = """
 SELECT user_id,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS total_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_value,
        COUNT(*) AS n
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 10
@@ -1057,14 +1057,14 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 6).cast("decimal(38,6)").alias("revenue"),
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 6).cast("double").alias("revenue"),
             F.count("*").alias("n"),
         )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1088,7 +1088,7 @@ def q_tpch_q10ish(spark, sf_dir):
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("decimal(38,6)").alias("revenue")
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 6).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1097,7 +1097,7 @@ def q_tpch_q10ish(spark, sf_dir):
 
 SQL_TPCH_Q10ISH = """
 SELECT c_custkey, c_name, n_name,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1534,7 +1534,7 @@ def q_tpch_q18(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("sum_qty"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 6).cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") > Q18_QTY)
     )
     return (
@@ -1557,7 +1557,7 @@ SQL_TPCH_Q18 = f"""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
   SELECT l_orderkey,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_qty
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 ) big
 JOIN orders ON big.l_orderkey = o_orderkey
@@ -1772,14 +1772,14 @@ def q_tpch_q7ish(spark, sf_dir):
     )
     return (
         j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(vol), 6).cast("decimal(38,6)").alias("revenue"))
+        .agg(F.round(F.sum(vol), 6).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 SQL_TPCH_Q7ISH = f"""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(ROUND(SUM(volume), 6) AS DECIMAL(38,6)) AS revenue
+       CAST(ROUND(SUM(volume), 6) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -1813,14 +1813,14 @@ def q_tpch_q19ish(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 40)))
     )
     return j.agg(
-        F.round(F.sum(rev), 6).cast("decimal(38,6)").alias("revenue"),
+        F.round(F.sum(rev), 6).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
 
 SQL_TPCH_Q19ISH = """
 SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6)) AS revenue,
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
@@ -1944,7 +1944,7 @@ def q_tpch_q15ish(spark, sf_dir):
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(vol), 6).cast("decimal(38,6)").alias("total_revenue"))
+        .agg(F.round(F.sum(vol), 6).cast("double").alias("total_revenue"))
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -1959,7 +1959,7 @@ SQL_TPCH_Q15ISH = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DECIMAL(38,6))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2818,7 +2818,7 @@ def q_tpch_q9ish(spark, sf_dir):
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit), 6).cast("decimal(38,6)").alias("profit"))
+        .agg(F.round(F.sum(profit), 6).cast("double").alias("profit"))
         .orderBy("n_name", F.desc("o_year"))
     )
 
@@ -2828,7 +2828,7 @@ SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
              - CAST(0.1 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))
-                 * CAST(l_quantity AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS profit
+                 * CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2870,7 +2870,7 @@ def q_tpch_q11ish(spark, sf_dir):
         per_part.join(F.broadcast(total), F.col("part_val") > F.col("threshold"))
         .select(
             F.col("l_partkey").cast("long").alias("partkey"),
-            F.round(F.col("part_val"), 6).cast("decimal(38,6)").alias("total_value"),
+            F.round(F.col("part_val"), 6).cast("double").alias("total_value"),
         )
         .orderBy(F.desc("total_value"), "partkey")
         .limit(100)
@@ -2886,7 +2886,7 @@ WITH natsupply AS (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q11_NATION}')
 SELECT CAST(l_partkey AS BIGINT) AS partkey,
-       CAST(ROUND(SUM(val), 6) AS DECIMAL(38,6)) AS total_value
+       CAST(ROUND(SUM(val), 6) AS DOUBLE) AS total_value
 FROM natsupply GROUP BY 1
 HAVING SUM(val) > (SELECT SUM(val) * {_Q11_FRACTION} FROM natsupply)
 ORDER BY total_value DESC, partkey LIMIT 100
@@ -3104,7 +3104,7 @@ def q_tpch_q22ish(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").cast("long").alias("numcust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 6).cast("decimal(38,6)").alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 6).cast("double").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -3119,7 +3119,7 @@ idle AS (
     WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 6) AS DECIMAL(38,6))
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 6) AS DOUBLE)
          AS totacctbal
 FROM idle GROUP BY 1 ORDER BY 1
 """
@@ -5113,7 +5113,7 @@ def q_events_rollup(spark, sf_dir):
         F.unix_micros("window_start").alias("win_us"),
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("sum_value"), 6).cast("decimal(38,6)").alias("sum_value"),
+        F.round(F.col("sum_value"), 6).cast("double").alias("sum_value"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
         F.expr(
@@ -5125,7 +5125,7 @@ def q_events_rollup(spark, sf_dir):
 SQL_EVENTS_ROLLUP = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
   event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   ROUND(MIN(value), 6) AS min_value,
   ROUND(MAX(value), 6) AS max_value,
   (CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) * 200 + COUNT(*))
@@ -5226,7 +5226,7 @@ stats AS (
   FROM per_doc),
 scored AS (
   SELECT doc_id,
-    CAST(ROUND({term_sum}, 6) AS DECIMAL(18,6)) AS score
+    CAST(ROUND({term_sum}, 6) AS DOUBLE) AS score
   FROM per_doc, stats),
 ranked AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
@@ -5274,9 +5274,14 @@ def q_events_retention(spark, sf_dir):
             "day",
             "active_users",
             "retained_next_day",
-            F.round(
-                F.col("retained_next_day") / F.col("active_users"), 6
-            ).cast("decimal(18,6)").alias("retention_rate"),
+            # pure double division of exact int64s — IEEE `/` is correctly
+            # rounded, bit-identical across engines; ROUND(double,6)
+            # diverges in the last bit and decimal output fails the
+            # driver's canonicalization (r8).
+            (
+                F.col("retained_next_day").cast("double")
+                / F.col("active_users").cast("double")
+            ).alias("retention_rate"),
         )
         .orderBy("day")
     )
@@ -5286,14 +5291,14 @@ SQL_EVENTS_RETENTION = """
 WITH daily AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
 SELECT a.day, COUNT(*) AS active_users,
-  SUM(CASE WHEN EXISTS (
+  CAST(SUM(CASE WHEN EXISTS (
         SELECT 1 FROM daily b
         WHERE b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY)
-      THEN 1 ELSE 0 END) AS retained_next_day,
-  CAST(ROUND(SUM(CASE WHEN EXISTS (
+      THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day,
+  CAST(SUM(CASE WHEN EXISTS (
         SELECT 1 FROM daily b
         WHERE b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY)
-      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS DECIMAL(18,6))
+      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
     AS retention_rate
 FROM daily a GROUP BY a.day ORDER BY a.day
 """
@@ -5322,9 +5327,12 @@ def q_dedup_rate_by_source(spark, sf_dir):
             "source",
             "n_docs",
             "n_unique",
-            F.round(
-                (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6
-            ).cast("decimal(18,6)").alias("dup_rate"),
+            # exact-int double division, no ROUND: bit-identical across
+            # engines (see retention_rate note).
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
         )
         .orderBy("source")
     )
@@ -5333,8 +5341,8 @@ def q_dedup_rate_by_source(spark, sf_dir):
 SQL_DEDUP_RATE_BY_SOURCE = """
 SELECT source, COUNT(*) AS n_docs,
   COUNT(DISTINCT md5(text)) AS n_unique,
-  CAST(ROUND((COUNT(*) - COUNT(DISTINCT md5(text))) * 1.0 / COUNT(*), 6)
-       AS DECIMAL(18,6)) AS dup_rate
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS dup_rate
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -5424,7 +5432,10 @@ def q_events_anomaly(spark, sf_dir):
             "event_type",
             "day",
             "n",
-            F.round(z, 6).cast("decimal(18,6)").alias("z"),
+            # raw double z, no ROUND: every step (int64->double casts,
+            # -, /, sqrt) is IEEE correctly-rounded with an identical
+            # expression tree on both sides -> bit-identical result.
+            z.alias("z"),
             (F.abs(z) > 2).alias("is_anomaly"),
         )
         .orderBy("event_type", "day")
@@ -5439,8 +5450,7 @@ stats AS (
   SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2, COUNT(*) AS d
   FROM daily GROUP BY 1)
 SELECT daily.event_type, day, n,
-  CAST(ROUND((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1)), 6)
-       AS DECIMAL(18,6)) AS z,
+  (n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1)) AS z,
   abs((n - s1 / d) / sqrt((s2 - s1 * s1 / d) / (d - 1))) > 2 AS is_anomaly
 FROM daily JOIN stats USING (event_type)
 WHERE d > 1
@@ -5699,7 +5709,7 @@ def q_events_skew_join(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -5709,7 +5719,7 @@ def q_events_skew_join(spark, sf_dir):
 
 SQL_EVENTS_SKEW_JOIN = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
@@ -5834,7 +5844,7 @@ def q_events_bucketed_join(spark, sf_dir):
         joined.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("v"), 6).cast("decimal(38,6)").alias("sum_value"),
+            F.round(F.sum("v"), 6).cast("double").alias("sum_value"),
         )
         .orderBy("c_mktsegment", "event_type")
     )
@@ -5844,7 +5854,7 @@ def q_events_bucketed_join(spark, sf_dir):
 
 SQL_EVENTS_BUCKETED_JOIN = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 ORDER BY c_mktsegment, event_type
@@ -6079,7 +6089,7 @@ stats AS (
   FROM per_doc),
 bm_scored AS (
   SELECT doc_id,
-    CAST(ROUND({term_sum}, 6) AS DECIMAL(18,6)) AS score
+    CAST(ROUND({term_sum}, 6) AS DOUBLE) AS score
   FROM per_doc, stats),
 lex AS (
   SELECT doc_id, rank AS lr FROM (
@@ -6425,7 +6435,7 @@ def q_iceberg_delete_read(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -6436,7 +6446,7 @@ def q_iceberg_delete_read(spark, sf_dir):
 
 SQL_ICEBERG_DELETE_READ = """
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users,
   TRUE AS maintained_ok
 FROM events WHERE event_id % 7 != 0
@@ -6507,7 +6517,7 @@ def q_iceberg_upsert_read(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -6517,7 +6527,7 @@ def q_iceberg_upsert_read(spark, sf_dir):
 
 SQL_ICEBERG_UPSERT_READ = """
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM (
   SELECT event_type, user_id,
@@ -6839,7 +6849,16 @@ def q_emb_covariance(spark, sf_dir):
     partials = emb.mapInPandas(gram, "i int, j int, partial long")
     return (
         partials.groupBy("i", "j")
-        .agg(F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram"))
+        # exact decimal(38,0) sum internally; emit as STRING: the values
+        # can exceed 2^53 (float64 would lose digits) and emitting the
+        # decimal itself fails the driver's canonicalization (DuckDB .df()
+        # renders DECIMAL as float64, Spark keeps Decimal — r8 red).
+        # scale-0 decimal stringifies identically on both engines.
+        .agg(
+            F.sum(F.col("partial").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("gram")
+        )
         .orderBy("i", "j")
     )
 
@@ -6850,7 +6869,7 @@ WITH q AS (
            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
   FROM embeddings)
 SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-       SUM(CAST(v[i] * v[j] AS DECIMAL(38,0))) AS gram
+       CAST(SUM(CAST(v[i] * v[j] AS DECIMAL(38,0))) AS VARCHAR) AS gram
 FROM q, generate_series(1, 64) AS gi(i), generate_series(1, 64) AS gj(j)
 WHERE i <= j GROUP BY i, j ORDER BY i, j
 """
@@ -7131,7 +7150,7 @@ def q_iceberg_eq_delete_read(spark, sf_dir):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 6)
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
@@ -7146,7 +7165,7 @@ WITH live AS (
      OR user_id % 10 != 3                                  -- base: key kept
 )
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DECIMAL(38,6)) AS sum_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM live GROUP BY event_type ORDER BY event_type
 """

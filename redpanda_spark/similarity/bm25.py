@@ -15,7 +15,7 @@ search case):
 - the final score is a fixed-order sum of per-term scores (no aggregate,
   so no float-summation-order nondeterminism), inner-rounded to 9dp
   (the repo's cross-engine ln convention, see functions/lm.py) and
-  emitted as decimal(18,6);
+  emitted as double (CAST of the 6dp-rounded value);
 - top-k compiles to TakeOrderedAndProject (no full sort).
 
 At 100 TB: both passes are full scans with only a 1-row exchange between
@@ -112,7 +112,11 @@ def bm25_topk(
         total = total + ts
     out = scored.select(
         "doc_id",
-        F.round(total, 6).cast("decimal(18,6)").alias("score"),
+        # emit double, not decimal: the driver's hash canonicalizes through
+        # a dataframe conversion where DuckDB renders DECIMAL as float64
+        # but Spark keeps Decimal (r8 red class). The 9dp inner round +
+        # fixed-order sum already makes the 6dp value engine-stable.
+        F.round(total, 6).alias("score"),
     ).where(F.col("score") > 0)
     # distributed top-k FIRST (TakeOrderedAndProject — no global sort, no
     # single-partition window over the candidate set), then rank the k
