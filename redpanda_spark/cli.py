@@ -257,8 +257,14 @@ def cmd_maintain(args) -> int:
         cfg = eng.list_topics()[t]
         archival = cold_merge = None
         if cfg.remote_write and cfg.local_retention_ms is not None:
-            archival = eng.run_archival(t)
-            cold_merge = eng.optimize_archive_segments(t)
+            # run_archival raises for compacted topics and for legacy
+            # topics without a manifest; one such topic must not abort
+            # the whole sweep — report the skip per-topic instead.
+            try:
+                archival = eng.run_archival(t)
+                cold_merge = eng.optimize_archive_segments(t)
+            except ValueError as e:
+                archival = {"skipped": str(e)}
         after = eng.topic_stats(t)
         print(json.dumps({
             "topic": t,

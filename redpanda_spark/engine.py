@@ -293,7 +293,18 @@ class TopicEngine:
         """Crash recovery: delete segment files not referenced by the
         manifest (a produce or rewrite that died before its manifest
         commit) and leftover rewrite temp dirs. Safe under the
-        single-writer-per-root model."""
+        single-writer-per-root model.
+
+        NEVER runs for read-replica topics: their archive_root is the
+        SOURCE cluster's bucket, and any segment the source archived after
+        the replica's last refresh is absent from the replica's manifest —
+        GC here would delete the source's live archived data (the
+        reference's remote-read topics likewise never reconcile the
+        bucket; only the cluster with remote_write ownership does,
+        `cloud_storage/remote_partition`)."""
+        cfg = self._topics.get(topic)
+        if cfg is not None and cfg.configs.get("_read_replica") == "true":
+            return
         d = self._topic_dir(topic)
         for leftover in (d + ".rewrite.tmp", d + ".compact.tmp", d + ".old"):
             self._fsio.delete(leftover, recursive=True)
@@ -339,6 +350,14 @@ class TopicEngine:
         scopes this state to the partition's raft log, which dies with the
         topic: `cluster/rm_stm`'s state is per-partition)."""
         self._require(topic)
+        # a read-replica does not OWN its archive tier: the archive_root
+        # is the source cluster's bucket. Dropping the replica must only
+        # remove local metadata/cache — deleting the archive dir would
+        # destroy the source's live archived segments (reference: remote-
+        # read topics never delete bucket data on replica drop).
+        is_replica = (
+            self._topics[topic].configs.get("_read_replica") == "true"
+        )
         del self._topics[topic]
         self._high.pop(topic, None)
         self._files.pop(topic, None)
@@ -349,7 +368,8 @@ class TopicEngine:
         self._archived_stats.pop(topic, None)
         self._arch_epoch.pop(topic, None)
         self._fsio.delete(self._topic_dir(topic), recursive=True)
-        self._afsio.delete(self._archive_dir(topic), recursive=True)
+        if not is_replica:
+            self._afsio.delete(self._archive_dir(topic), recursive=True)
         if self._cold_cache_dir is not None:
             import shutil as _shutil
 
@@ -1781,18 +1801,17 @@ class TopicEngine:
             cold = LOG.delete_records(cold, starts)
         cold = cold.withColumn("_tier", F.lit("a"))
         hot = self._local_log(topic).withColumn("_tier", F.lit("l"))
-        kept = _filters(cold.unionByName(hot)).persist()
-        # force full materialization BEFORE the first tier swap: the
-        # local rewrite deletes files the archive-side pass would
-        # otherwise re-scan on a cache miss
-        kept.count()
-        try:
-            self._rewrite(topic, kept.where(F.col("_tier") == "l").drop("_tier"))
-            self._rewrite_archive(
-                topic, kept.where(F.col("_tier") == "a").drop("_tier")
-            )
-        finally:
-            kept.unpersist()
+        # localCheckpoint, not persist(): the local rewrite deletes the
+        # hot-tier source files before the archive-side pass runs, so a
+        # lost cached partition (executor death) must NOT be recomputable
+        # from the now-deleted inputs. An eager checkpoint severs the
+        # lineage — the surviving rows are durably materialized before the
+        # first tier swap.
+        kept = _filters(cold.unionByName(hot)).localCheckpoint(eager=True)
+        self._rewrite(topic, kept.where(F.col("_tier") == "l").drop("_tier"))
+        self._rewrite_archive(
+            topic, kept.where(F.col("_tier") == "a").drop("_tier")
+        )
 
     @staticmethod
     def _classify_expired(

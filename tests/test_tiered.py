@@ -700,3 +700,56 @@ def test_consumer_group_over_read_replica(spark, tmp_path):
     for rows in c.poll().values():
         more += [bytes(r["value"]) for r in rows]
     assert set(more) == {f"1:{i}".encode() for i in range(10)}
+
+
+def test_replica_reopen_and_drop_never_touch_source_bucket(spark, tmp_path):
+    """r9 regression (ADVICE high/medium): the replica's archive_root is
+    the SOURCE cluster's bucket. (a) Reopening the replica engine after
+    the source archived NEW segments (not yet in the replica manifest)
+    must NOT GC them as orphans — they are the source's live data.
+    (b) Dropping the replica topic must drop local metadata only, never
+    the bucket's archive dir."""
+    src_root = str(tmp_path / "source")
+    bucket = str(tmp_path / "bucket")
+    src = TopicEngine(spark, src_root, archive_root=bucket)
+    src.create_topic(
+        "t",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=1000),
+    )
+    for b in range(2):
+        src.produce(
+            "t",
+            [
+                {
+                    "partition": 0,
+                    "value": f"{b}:{i}".encode(),
+                    "timestamp": BASE + dt.timedelta(hours=b, seconds=i),
+                }
+                for i in range(5)
+            ],
+        )
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=1)))  # batch 0
+    rep_root = str(tmp_path / "replica")
+    rep = TopicEngine(spark, rep_root, archive_root=bucket)
+    rep.attach_read_replica("t")
+    assert rep.log("t").count() == 5
+    # source uploads MORE after the replica's last refresh...
+    src.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))  # batch 1
+    n_bucket = len(src._afsio.list_segments(src._archive_dir("t")))
+    assert n_bucket == 2
+    # ...then the replica engine reopens: the unrefreshed segment must
+    # survive the open-time orphan GC
+    rep2 = TopicEngine(spark, rep_root, archive_root=bucket)
+    assert len(src._afsio.list_segments(src._archive_dir("t"))) == n_bucket
+    assert rep2.refresh_read_replica("t")["added"] == 1
+    assert rep2.log("t").count() == 10
+    # the source still serves all of it
+    assert src.log("t").count() == 10
+    # dropping the replica topic leaves the bucket untouched
+    rep2.delete_topic("t")
+    assert len(src._afsio.list_segments(src._archive_dir("t"))) == n_bucket
+    assert src.log("t").count() == 10
+    # a re-attach after the drop works off the intact bucket
+    rep3 = TopicEngine(spark, str(tmp_path / "replica2"), archive_root=bucket)
+    rep3.attach_read_replica("t")
+    assert rep3.log("t").count() == 10
