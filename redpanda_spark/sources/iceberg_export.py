@@ -898,6 +898,35 @@ def read_iceberg(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
         id2name = {f["id"]: f["name"] for f in cur_schema["fields"]}
+
+        def _delete_file_cols(path: str, ids: tuple[int, ...]) -> list[str]:
+            # Spec: columns in a delete file resolve by parquet field_id,
+            # NOT by name — an external table whose key column was renamed
+            # after the delete file was written still reads correctly.
+            # Name match is only the fallback when ids are absent.
+            import pyarrow.parquet as papq
+
+            fid2col: dict[int, str] = {}
+            try:
+                for fld in papq.read_schema(path):
+                    md = fld.metadata or {}
+                    fid = md.get(b"PARQUET:field_id")
+                    if fid is not None:
+                        fid2col[int(fid)] = fld.name
+            except OSError:
+                fid2col = {}
+            out = []
+            for i in ids:
+                if i in fid2col:
+                    out.append(fid2col[i])
+                elif i in id2name:
+                    out.append(id2name[i])
+                else:
+                    raise ValueError(
+                        f"equality_ids reference unknown field id {i}"
+                    )
+            return out
+
         by_ids: dict[tuple[int, ...], list[tuple[str, int]]] = {}
         for p, s, ids in eq_files:
             by_ids.setdefault(ids, []).append((p, s))
@@ -908,14 +937,21 @@ def read_iceberg(
                 raise ValueError(
                     f"equality_ids reference unknown field id {exc}"
                 ) from None
-            eqd = spark.read.parquet(*[p for p, _ in plist])
-            eseq = F.create_map(
-                *[x for p, s in plist for x in (F.lit(p), F.lit(s))]
-            )
-            eqd = eqd.select(
-                *[F.col(c).alias(f"_eq_{c}") for c in cols],
-                eseq[fs_path_col(F.col("_metadata.file_path"))].alias("_eq_seq"),
-            )
+            frames = []
+            for p, s in plist:
+                src = _delete_file_cols(p, ids)
+                frames.append(
+                    spark.read.parquet(p).select(
+                        *[
+                            F.col(sn).alias(f"_eq_{cn}")
+                            for sn, cn in zip(src, cols)
+                        ],
+                        F.lit(s).alias("_eq_seq"),
+                    )
+                )
+            eqd = frames[0]
+            for fr in frames[1:]:
+                eqd = eqd.unionByName(fr)
             cond = F.col("_eq_seq") > F.col("_data_seq")
             for c in cols:
                 # spec: null delete values match null (null-safe equality)

@@ -459,6 +459,37 @@ def test_equality_delete_errors(spark, tmp_path):
         equality_delete(spark, ice, ["nope"], [{"nope": 1}])
 
 
+def test_equality_delete_resolves_by_field_id(spark, tmp_path):
+    """Spec §Delete Formats: delete-file columns resolve by parquet
+    field_id, not name. Simulate an external v2 table whose key column
+    was renamed AFTER the delete file was written: the delete parquet
+    carries the old name but the correct field_id — the read must still
+    apply it (it used to fail with a missing-column AnalysisException)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+    from redpanda_spark.sources.iceberg_maintain import equality_delete
+
+    _lake, ice = _eq_fixture(spark, tmp_path)
+    equality_delete(spark, ice, ["user"], [{"user": "u1"}])
+    (dfile,) = glob.glob(os.path.join(ice, "data", "eq-delete-*.parquet"))
+    tbl = papq.read_table(dfile)
+    fld = tbl.schema.field(0)
+    renamed = pa.table(
+        {"user_before_rename": tbl.column(0)},
+        schema=pa.schema(
+            [pa.field("user_before_rename", fld.type, metadata=fld.metadata)]
+        ),
+    )
+    papq.write_table(renamed, dfile)
+    out = read_iceberg(spark, ice)
+    assert {r["user"] for r in out.collect()} == {"u0", "u2"}
+    assert out.count() == 8
+
+
 def test_export_after_delete_carries_delete_manifests(spark, tmp_path):
     """Composition regression (found by the equality-delete work): an
     incremental export AFTER a maintenance delete must carry the prior
