@@ -161,8 +161,67 @@ class AdminClient:
             "IncrementalAlterConfigs", "CreatePartitions", "OffsetDelete",
             "DescribeLogDirs", "AlterClientQuotas", "DescribeClientQuotas",
             "DescribeProducers", "DescribeTransactions", "ListTransactions",
+            "OffsetForLeaderEpoch", "SaslHandshake", "SaslAuthenticate",
+            "AlterPartitionReassignments", "ListPartitionReassignments",
         ]
         return {op: 1 for op in ops}
+
+    # -- OffsetForLeaderEpoch (23) ----------------------------------------
+
+    def offset_for_leader_epoch(
+        self, topic: str, partitions: dict[int, int] | None = None
+    ) -> dict[int, dict[str, int]]:
+        """Epoch -> end-offset for follower truncation detection
+        (`handlers/offset_for_leader_epoch.cc:191`). The single-writer
+        engine has no divergent leaders, so the leader epoch is the
+        constant 0 for every partition and the answer for any requested
+        epoch <= 0 is the log end offset; a from-the-future epoch (> 0)
+        is UNDEFINED (-1), mirroring the reference's response for an
+        epoch the leader has never seen."""
+        hwm = self.engine.high_watermarks(topic)
+        req = partitions if partitions is not None else {p: 0 for p in hwm}
+        out = {}
+        for p, epoch in req.items():
+            if p not in hwm:
+                out[p] = {"leader_epoch": -1, "end_offset": -1}
+            elif epoch > 0:
+                out[p] = {"leader_epoch": -1, "end_offset": -1}
+            else:
+                out[p] = {"leader_epoch": 0, "end_offset": hwm[p]}
+        return out
+
+    # -- AlterPartitionReassignments / ListPartitionReassignments (45, 46) -
+
+    def alter_partition_reassignments(
+        self, topic: str, assignments: dict[int, list[int]]
+    ) -> dict[int, dict]:
+        """Replica-placement moves are meaningless under the single-writer
+        Spark engine (there is exactly one 'broker'); the handler exists
+        for API parity (`handlers/alter_partition_reassignments.cc`) and
+        validates the request against the topic catalog, echoing the
+        (unchanged) placement. A move to any replica set other than [0]
+        is rejected the way the reference rejects unknown broker ids."""
+        cat = self.engine.list_topics()
+        if topic not in cat:
+            raise ValueError(f"unknown topic: {topic}")
+        nparts = cat[topic].partitions
+        out = {}
+        for p, replicas in assignments.items():
+            if p < 0 or p >= nparts:
+                out[p] = {"error": "UNKNOWN_TOPIC_OR_PARTITION"}
+            elif replicas is not None and replicas != [0]:
+                out[p] = {"error": "INVALID_REPLICA_ASSIGNMENT"}
+            else:
+                out[p] = {"replicas": [0], "adding": [], "removing": []}
+        return out
+
+    def list_partition_reassignments(
+        self, topics: list[str] | None = None
+    ) -> dict:
+        """No reassignment is ever in progress (placement is static)."""
+        cat = self.engine.list_topics()
+        names = topics if topics is not None else sorted(cat)
+        return {t: {} for t in names if t in cat}
 
     # -- InitProducerId (22) ----------------------------------------------
 

@@ -218,3 +218,61 @@ class AclStore:
             for b in self._bindings
         ]
         return spark.createDataFrame(rows, schema)
+
+
+class SaslSession:
+    """SASL handshake/authenticate allow-all shim (API parity with
+    `handlers/sasl_handshake.h` / `handlers/sasl_authenticate.h`).
+
+    Real authN (SCRAM exchange, GSSAPI, OAUTHBEARER token validation) is
+    out of the analytics engine's scope per SURVEY §2 rows 32-35 — the
+    reference's 19k-LoC security tree dissolves into: negotiate a
+    mechanism, accept the identity, and hand the resulting principal to
+    the REAL authorizer (`AclStore.authorize`), which implements the full
+    Kafka ACL algebra. The session enforces the protocol ORDER the
+    reference enforces: authenticate before handshake is an
+    ILLEGAL_SASL_STATE error, and the mechanism must be one offered in
+    the handshake."""
+
+    MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+
+    def __init__(self, acl_store: AclStore | None = None):
+        self.acls = acl_store
+        self.mechanism: str | None = None
+        self.principal: str | None = None
+
+    def handshake(self, mechanism: str) -> dict:
+        if mechanism not in self.MECHANISMS:
+            # reference returns the supported list on mismatch
+            return {
+                "error": "UNSUPPORTED_SASL_MECHANISM",
+                "mechanisms": list(self.MECHANISMS),
+            }
+        self.mechanism = mechanism
+        return {"error": None, "mechanisms": list(self.MECHANISMS)}
+
+    def authenticate(self, username: str, password: str = "") -> dict:
+        if self.mechanism is None:
+            return {"error": "ILLEGAL_SASL_STATE", "principal": None}
+        # allow-all: any credential is accepted; identity becomes the
+        # Kafka-convention principal consumed by the authorizer
+        self.principal = f"User:{username}"
+        return {"error": None, "principal": self.principal}
+
+    def authorize(
+        self,
+        operation: str,
+        resource_type: str,
+        resource_name: str,
+        host: str | None = None,
+    ) -> bool:
+        """Post-authN authorization through the real ACL algebra; an
+        unauthenticated session is denied everything (no anonymous
+        fallthrough past the shim)."""
+        if self.principal is None:
+            return False
+        if self.acls is None:
+            return True
+        return self.acls.authorize(
+            self.principal, operation, resource_type, resource_name, host
+        )

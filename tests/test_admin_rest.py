@@ -483,3 +483,81 @@ def test_cli_registry_lifecycle(spark, tmp_path, capsys, monkeypatch):
     assert main(["--root", root, "registry", "get", "ev-value", "-v", "1"]) == 0
     got = _json.loads(capsys.readouterr().out)
     assert got["version"] == 1 and "record" in got["schema"]
+
+
+# -- OffsetForLeaderEpoch / reassignments / SASL shim (round 9) -------------
+
+
+def test_offset_for_leader_epoch(admin, engine, spark):
+    engine.create_topic("t", TopicConfig(partitions=2))
+    df = spark.createDataFrame(
+        [(i, f"k{i}", f"v{i}") for i in range(6)], "p long, key string, value string"
+    ).selectExpr("CAST(p % 2 AS INT) AS partition", "key", "value")
+    engine.produce("t", df)
+    hwm = engine.high_watermarks("t")
+    # default request: every partition at the constant epoch 0
+    res = admin.offset_for_leader_epoch("t")
+    assert res == {
+        p: {"leader_epoch": 0, "end_offset": hwm[p]} for p in hwm
+    }
+    # a from-the-future epoch and an unknown partition are UNDEFINED (-1)
+    res = admin.offset_for_leader_epoch("t", {0: 5, 9: 0})
+    assert res[0] == {"leader_epoch": -1, "end_offset": -1}
+    assert res[9] == {"leader_epoch": -1, "end_offset": -1}
+
+
+def test_alter_list_partition_reassignments(admin, engine):
+    engine.create_topic("t", TopicConfig(partitions=2))
+    res = admin.alter_partition_reassignments("t", {0: [0], 1: None})
+    assert res[0] == {"replicas": [0], "adding": [], "removing": []}
+    assert res[1] == {"replicas": [0], "adding": [], "removing": []}
+    res = admin.alter_partition_reassignments("t", {5: [0], 0: [1, 2]})
+    assert res[5]["error"] == "UNKNOWN_TOPIC_OR_PARTITION"
+    assert res[0]["error"] == "INVALID_REPLICA_ASSIGNMENT"
+    with pytest.raises(ValueError):
+        admin.alter_partition_reassignments("ghost", {0: [0]})
+    assert admin.list_partition_reassignments() == {"t": {}}
+    assert admin.list_partition_reassignments(["t", "ghost"]) == {"t": {}}
+
+
+def test_sasl_shim_wired_to_authorizer(tmp_path):
+    from redpanda_spark.security import AclBinding, AclStore, SaslSession
+
+    acls = AclStore(str(tmp_path / "acls.json"))
+    acls.create(
+        AclBinding(
+            principal="User:alice",
+            resource_type="topic",
+            resource_name="orders",
+            pattern_type="literal",
+            operation="read",
+            permission="allow",
+        )
+    )
+    s = SaslSession(acls)
+    # protocol order: authenticate before handshake is illegal
+    assert s.authenticate("alice")["error"] == "ILLEGAL_SASL_STATE"
+    bad = s.handshake("GSSAPI")
+    assert bad["error"] == "UNSUPPORTED_SASL_MECHANISM"
+    assert "PLAIN" in bad["mechanisms"]
+    assert s.handshake("SCRAM-SHA-256")["error"] is None
+    auth = s.authenticate("alice", "any-password-accepted")
+    assert auth == {"error": None, "principal": "User:alice"}
+    # the shim's authorize goes through the REAL ACL algebra
+    assert s.authorize("read", "topic", "orders")
+    assert s.authorize("describe", "topic", "orders")  # implied by read
+    assert not s.authorize("write", "topic", "orders")
+    # unauthenticated session: default deny
+    assert not SaslSession(acls).authorize("read", "topic", "orders")
+
+
+def test_api_versions_lists_new_handlers(admin):
+    vs = admin.api_versions()
+    for op in (
+        "OffsetForLeaderEpoch",
+        "SaslHandshake",
+        "SaslAuthenticate",
+        "AlterPartitionReassignments",
+        "ListPartitionReassignments",
+    ):
+        assert vs[op] == 1
