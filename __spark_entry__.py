@@ -34,132 +34,158 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's fixes/additions) are guaranteed a slot; the remainder keep their
 # catalog order and rotate through the leftover slots in later rounds.
 #
-# ROUND-7 ROTATION (current list): new r7 queries (3) + queries whose CODE
-# changed this round (mixture_plan decimal fix, curation_pipeline
-# score-once persist, IVF deterministic sampling → ann_ivf/ann_ivfpq/
-# dedup_semantic/emb_near_dup, rollup cache key → events_rollup, engine
-# hot-tail read_committed → tx_read_committed/log_fetch/log_fetch_bytes)
-# + the 9 r4-row holders + as many r5-row holders as fit. The catalog
-# (124 after the late-session additions) is >2x the gate; steady-state
-# worst newest-row staleness is therefore ceil(124/50) = 3 rounds.
+# ROUND-9 ROTATION (current list, from `tools/rotate_priority.py --slots 50
+# --changed <the 19 decimal-converted queries>`): the 19 queries whose
+# OUTPUT REPRESENTATION changed this round (the r8 decimal-canonicalization
+# red class, now emitting double/string) take the head slots so every fix
+# gets a fresh driver row; then the r4-row holders (pipeline_mix/redact/
+# pack) and the oldest r5-row holders up to the 50-slot cutoff. With the
+# catalog at 136 and 50 slots, steady-state worst staleness is
+# ceil(136/50) = 3 rounds; after this round no query's newest row is older
+# than 3 rounds (r5 holders events_interval..events_funnel roll next).
 #
-# ROUND-8 ROTATION: the round-7 driver gate never ran (no
-# CORRECTNESS_r07.json), so every r7 addition still lacks its first
-# driver row — they keep their head-of-list slots, joined by the 6 new
-# r8 queries. Next: r7-changed code (their r6 rows predate the change,
-# and the r8 engine read-path change touches the log_* family too),
-# then the 9 r4-row holders. With the catalog at 135 and 50 slots the
-# steady-state worst staleness is ceil(135/50) = 3 rounds; r9 priority =
-# new r9 queries + the r5-row holders below the cutoff (run
-# `python tools/rotate_priority.py --changed <r9-touched>`).
+# CANARY PROTOCOL (policy, from the r8 verdict): any output-representation
+# convention change lands on tpch_q1 + mixture_plan in their own commit
+# FIRST and converts the rest of the catalog in a follow-up commit, so a
+# skipped driver round bounds the blast radius of a wrong convention to 2
+# slots, not 19.
 _PRIORITY = [
-    # new in round 8 (no driver row yet)
-    "log_fetch_tiered",
-    "log_tiered_timequery",
-    "log_tiered_retention",
-    "emb_covariance",
-    "doc_tfidf_terms",
-    "events_histogram",
-    "pipeline_curriculum",
-    "log_replica_fetch",
-    "iceberg_eq_delete_read",
-    # new in round 7 (no driver row yet)
-    "doc_bm25",
-    "events_retention",
-    "dedup_rate_by_source",
-    "doc_ngram_topk",
-    "events_anomaly",
-    "log_segments",
-    "ann_nsw",
-    "ann_nsw_incremental",
-    "ann_nsw_delete",
-    "ann_nsw_filtered",
-    "events_skew_join",
-    "events_bucketed_join",
-    "doc_hybrid_search",
-    "decontaminate_semantic",
-    "emb_kmeans",
-    "pipeline_dsir",
-    "events_sketch_merge",
-    "iceberg_delete_read",
-    "iceberg_upsert_read",
-    "events_zorder",
-    # changed in round 7
-    "mixture_plan",  # decimal(18,6) representation fix (r6 gate red)
-    "curation_pipeline",  # score-once persist rewrite
-    "dedup_semantic",  # IVF centroid sampling now content-hash
-    "ann_ivf",
-    "ann_ivfpq",
-    "emb_near_dup",
-    "events_rollup",  # store cache fingerprint key + decimal sum_value
-    "tx_read_committed",  # read_committed hot-tail path
-    "log_fetch",
-    "log_fetch_bytes",
-    # money-sum outputs converted to exact decimal (ROUND-on-double
-    # diverges across engines above ~9e9 — caught by the strict sf1
-    # sweep); the other converted queries already hold earlier slots
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5ish",
-    "tpch_q9ish",
-    "events_daily",
-    # only r4 driver rows — must re-row this round
-    "tpch_q11ish",
-    "tpch_q16ish",
-    "tpch_q20ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
-    "pipeline_split",
-    "pipeline_mix",
-    "pipeline_redact",
-    "pipeline_pack",
-    # r5-row holders (oldest remaining), catalog order
-    "dedup_ngram",
-    "dedup_minhash",
-    "events_props_extract",
-    "events_topk_users",
-    "tpch_q6",
-    "tpch_q10ish",
-    "mm_image_metadata",
-    "mm_frame_sample",
-    "mm_video_metadata",
-    "mm2_routing",
-    "doc_quality",
-    "tpch_q4ish",
-    "tpch_q14",
-    "tpch_q18",
-    "doc_bpe_tokens",
-    "tpch_q7ish",
-    "tpch_q19ish",
-    "stream_idempotent_dedup",
-    "tpch_q13ish",
-    "tpch_q15ish",
-    "transform_fanout",
-    "datalake_translate_avro",
-    "datalake_translate_proto",
-    "datalake_translate_registry",
-    "decontaminate",
-    "doc_repetition",
-    "events_enrich",
-    "events_asof",
-    "events_interval",
-    "doc_span_dedup",
-    "pipeline_sample",
-    "doc_quality_classifier",
-    "emb_project",
-    "curation_v2",
-    "dedup_cluster",
-    "events_approx_users",
-    "events_quantiles",
-    "pipeline_shuffle",
-    "bpe_pair_counts",
-    "bpe_train",
-    "curation_dedup",
-    "dedup_incremental",
-    "doc_perplexity",
-    "log_max_timestamp",
-    "corpus_report",
-    "events_funnel",
+    "tpch_q1",  # changed
+    "tpch_q3",  # changed
+    "tpch_q5ish",  # changed
+    "tpch_q9ish",  # changed
+    "tpch_q11ish",  # changed
+    "tpch_q22ish",  # changed
+    "events_daily",  # changed
+    "events_rollup",  # changed
+    "events_retention",  # changed
+    "events_anomaly",  # changed
+    "events_skew_join",  # changed
+    "events_bucketed_join",  # changed
+    "iceberg_delete_read",  # changed
+    "iceberg_upsert_read",  # changed
+    "iceberg_eq_delete_read",  # changed
+    "mixture_plan",  # changed
+    "dedup_rate_by_source",  # changed
+    "doc_bm25",  # changed
+    "emb_covariance",  # changed
+    "pipeline_mix",  # r4
+    "pipeline_redact",  # r4
+    "pipeline_pack",  # r4
+    "dedup_ngram",  # r5
+    "dedup_minhash",  # r5
+    "events_props_extract",  # r5
+    "events_topk_users",  # r5
+    "tpch_q6",  # r5
+    "tpch_q10ish",  # r5
+    "mm_image_metadata",  # r5
+    "mm_frame_sample",  # r5
+    "mm_video_metadata",  # r5
+    "mm2_routing",  # r5
+    "doc_quality",  # r5
+    "tpch_q4ish",  # r5
+    "tpch_q14",  # r5
+    "tpch_q18",  # r5
+    "doc_bpe_tokens",  # r5
+    "tpch_q7ish",  # r5
+    "tpch_q19ish",  # r5
+    "stream_idempotent_dedup",  # r5
+    "tpch_q13ish",  # r5
+    "tpch_q15ish",  # r5
+    "transform_fanout",  # r5
+    "datalake_translate_avro",  # r5
+    "datalake_translate_proto",  # r5
+    "datalake_translate_registry",  # r5
+    "decontaminate",  # r5
+    "doc_repetition",  # r5
+    "events_enrich",  # r5
+    "events_asof",  # r5
+    "events_interval",  # r5
+    "doc_span_dedup",  # r5
+    "pipeline_sample",  # r5
+    "doc_quality_classifier",  # r5
+    "emb_project",  # r5
+    "curation_v2",  # r5
+    "dedup_cluster",  # r5
+    "events_approx_users",  # r5
+    "events_quantiles",  # r5
+    "pipeline_shuffle",  # r5
+    "bpe_pair_counts",  # r5
+    "bpe_train",  # r5
+    "curation_dedup",  # r5
+    "dedup_incremental",  # r5
+    "doc_perplexity",  # r5
+    "log_max_timestamp",  # r5
+    "corpus_report",  # r5
+    "events_funnel",  # r5
+    "log_list_offsets",  # r6
+    "log_timequery",  # r6
+    "log_retention_time",  # r6
+    "log_delete_records",  # r6
+    "log_compact",  # r6
+    "log_idempotent_dedup",  # r6
+    "group_offset_fetch",  # r6
+    "group_lag",  # r6
+    "doc_token_stats",  # r6
+    "doc_lang_id",  # r6
+    "doc_fingerprint",  # r6
+    "dedup_exact",  # r6
+    "dedup_simhash",  # r6
+    "ann_topk",  # r6
+    "log_compact_tombstones",  # r6
+    "log_retention_size",  # r6
+    "group_list_groups",  # r6
+    "events_sessionize",  # r6
+    "mm_audio_metadata",  # r6
+    "mm_jpeg_metadata",  # r6
+    "stream_window_stats",  # r6
+    "stream_sessionize",  # r6
+    "emb_quantize",  # r6
+    "tpch_q8ish",  # r6
+    "tpch_q17ish",  # r6
+    "datalake_translate",  # r6
+    "tpch_q12ish",  # r6
+    "tpch_q2ish",  # r6
+    "mm_image_dedup",  # r6
+    "doc_perplexity_serve",  # r6
+    "doc_chunk",  # r6
+    "pipeline_upsample",  # r6
+    "iceberg_export_counts",  # r6
+    "events_window_topk",  # r6
+    "ann_pq",  # r6
+    "doc_gopher_rules",  # r6
+    "doc_lang_eval",  # r6
+    "log_fetch",  # r8
+    "tx_read_committed",  # r8
+    "emb_near_dup",  # r8
+    "ann_ivf",  # r8
+    "curation_pipeline",  # r8
+    "tpch_q16ish",  # r8
+    "tpch_q20ish",  # r8
+    "tpch_q21ish",  # r8
+    "pipeline_split",  # r8
+    "dedup_semantic",  # r8
+    "log_fetch_bytes",  # r8
+    "ann_ivfpq",  # r8
+    "doc_ngram_topk",  # r8
+    "log_segments",  # r8
+    "ann_nsw",  # r8
+    "ann_nsw_incremental",  # r8
+    "ann_nsw_delete",  # r8
+    "ann_nsw_filtered",  # r8
+    "doc_hybrid_search",  # r8
+    "decontaminate_semantic",  # r8
+    "emb_kmeans",  # r8
+    "pipeline_dsir",  # r8
+    "events_sketch_merge",  # r8
+    "events_zorder",  # r8
+    "log_fetch_tiered",  # r8
+    "log_tiered_timequery",  # r8
+    "log_tiered_retention",  # r8
+    "doc_tfidf_terms",  # r8
+    "events_histogram",  # r8
+    "pipeline_curriculum",  # r8
+    "log_replica_fetch",  # r8
 ]
 
 

@@ -457,19 +457,36 @@ def bench_sf1(spark) -> dict | None:
             print(f"# sf1 fixtures unavailable: {e}", file=sys.stderr)
             return None
     timings: dict[str, float] = {}
+    cold_build: dict[str, float] = {}
+    # queries that build a per-box store fixture (archived cold tier) on
+    # first use: one untimed warm pass is recorded separately so the
+    # serve-path number isn't dominated by the one-time store build and a
+    # cache rebuild doesn't read as a serve regression in the trend line
+    store_building = {"log_fetch_tiered", "log_tiered_timequery", "log_tiered_retention"}
     for name in SF1_QUERIES:
         if name not in QUERIES:
             continue
+        if name in store_building:
+            t0 = time.time()
+            QUERIES[name](spark, sf1_dir).count()
+            cold_build[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
         t0 = time.time()
         n = QUERIES[name](spark, sf1_dir).count()
         dt = round(time.time() - t0, 3)
         timings[name] = dt
-        print(f"# sf1 {name}: {n} rows in {dt}s", file=sys.stderr)
+        build = (
+            f" (cold store build+serve {cold_build[name]}s)"
+            if name in cold_build
+            else ""
+        )
+        print(f"# sf1 {name}: {n} rows in {dt}s{build}", file=sys.stderr)
         spark.catalog.clearCache()
     return {
         "sf": 1.0,
         "suite_wall_s": round(sum(timings.values()), 3),
         "queries": timings,
+        "cold_build_s": cold_build,
     }
 
 

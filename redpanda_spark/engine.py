@@ -720,11 +720,18 @@ class TopicEngine:
         # -- timestamps (integer-us; same rewrite rule as the DF path) ----
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         one_us = _dt.timedelta(microseconds=1)
-        tzname = "UTC"
-        try:
-            tzname = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
-        except Exception:
-            pass
+        # cached: spark.conf.get is a py4j round-trip (~1 ms) — on the
+        # zero-job produce hot path that was ~20% of e2e visible latency.
+        # The session timezone doesn't change mid-engine; invalidate by
+        # constructing a new engine.
+        tzname = getattr(self, "_session_tz_name", None)
+        if tzname is None:
+            tzname = "UTC"
+            try:
+                tzname = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
+            self._session_tz_name = tzname
         if tzname in ("UTC", "Etc/UTC", "GMT"):
             session_tz = _dt.timezone.utc
         else:
