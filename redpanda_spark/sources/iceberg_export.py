@@ -176,6 +176,51 @@ def _iceberg_type(dt, next_id) -> Any:
     raise ValueError(f"no iceberg mapping for spark type {name}")
 
 
+def _iceberg_spark_type(t) -> str:
+    """Iceberg primitive type (schema JSON form) -> Spark SQL type string,
+    for null-filling columns added to the schema after a data file was
+    written. Nested types can't need a fill from THIS reader (the writer
+    assigns ids top-down, so an added nested field arrives as a whole new
+    top-level column of primitive-composed type we can cast to)."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "list":
+            return f"array<{_iceberg_spark_type(t['element'])}>"
+        if k == "map":
+            return (
+                f"map<{_iceberg_spark_type(t['key'])},"
+                f"{_iceberg_spark_type(t['value'])}>"
+            )
+        if k == "struct":
+            inner = ",".join(
+                f"{f['name']}:{_iceberg_spark_type(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        raise ValueError(f"unsupported iceberg type {t!r}")
+    if t.startswith("decimal"):
+        return t
+    if t.startswith("fixed"):
+        return "binary"
+    prim = {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "binary": "binary",
+        "date": "date",
+        "time": "bigint",
+        "timestamp": "timestamp_ntz",
+        "timestamptz": "timestamp",
+        "uuid": "string",
+    }
+    if t in prim:
+        return prim[t]
+    raise ValueError(f"unsupported iceberg type {t!r}")
+
+
 def iceberg_schema(spark_schema) -> dict:
     """Iceberg schema JSON with spec-compliant sequential field ids."""
     counter = {"id": 0}
@@ -798,8 +843,19 @@ def read_iceberg(
     manifest-sized broadcast lookup, then LEFT ANTI-joined against the
     data scan's (_metadata.file_path, _metadata.row_index). The delete
     frame is small relative to the data and broadcasts; the data side
-    never shuffles. Equality deletes (content=2) are rejected loudly
-    rather than silently misread.
+    never shuffles. EQUALITY DELETES (content=2) are applied by field-id
+    with the strict sequence rule (see below).
+
+    SCHEMA EVOLUTION on read (spec §Schemas / Column Projection): data
+    file columns resolve against the CURRENT schema by parquet field_id
+    — a column renamed after a file was written still reads (old
+    physical name, current output name), and a column added after a
+    file was written null-fills. Files without field_id metadata (e.g.
+    this repo's own writer) fall back to name matching, which is the
+    identity mapping for an unevolved table. Footer schemas are read
+    once per file at plan time (the same footers any engine's planner
+    reads); files sharing a resolution group scan together, so the
+    unevolved fast path is a single multi-file scan.
 
     ``with_metadata=True`` keeps the physical address columns
     (_file_path normalized to the manifest's path form, _row_index) —
@@ -849,24 +905,79 @@ def read_iceberg(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType([]))
-    df = (
-        spark.read.option("basePath", os.path.join(path, "data"))
-        .option("mergeSchema", "true")
-        .parquet(*[p for p, _ in files])
-    )
     need_addr = bool(del_files) or with_metadata
     need_fseq = bool(eq_files)
-    if need_fseq:
-        fseq_map = F.create_map(
-            *[x for p, s in files for x in (F.lit(p), F.lit(s))]
-        )
-        df = df.withColumn(
-            "_data_seq", fseq_map[fs_path_col(F.col("_metadata.file_path"))]
-        )
-    if need_addr:
-        df = df.withColumn(
-            "_file_path", fs_path_col(F.col("_metadata.file_path"))
-        ).withColumn("_row_index", F.col("_metadata.row_index"))
+
+    # -- field-id column resolution (spec §Column Projection) -------------
+    cur_schema_fields = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )["fields"]
+
+    def _file_resolution(p: str) -> tuple:
+        """Per current-schema field: the file's physical column name, or
+        None (null-fill). field_id metadata wins; name match is the
+        fallback for files written without ids."""
+        import pyarrow.parquet as papq
+
+        fid2col: dict[int, str] = {}
+        names: set[str] = set()
+        for fld in papq.read_schema(p):
+            names.add(fld.name)
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                fid2col[int(fid)] = fld.name
+        out = []
+        for f in cur_schema_fields:
+            if fid2col:
+                out.append(fid2col.get(f["id"]))
+            else:
+                out.append(f["name"] if f["name"] in names else None)
+        return tuple(out)
+
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for p, s in files:
+        groups.setdefault(_file_resolution(p), []).append((p, s))
+
+    def _scan_group(res: tuple, members: list[tuple[str, int]]):
+        sub = spark.read.option(
+            "basePath", os.path.join(path, "data")
+        ).parquet(*[p for p, _ in members])
+        sel = []
+        for f, phys in zip(cur_schema_fields, res):
+            if phys is not None:
+                sel.append(F.col(phys).alias(f["name"]))
+            elif f["name"] in sub.columns:
+                # identity-partition column: materialized by Spark from
+                # the hive-style directory layout (basePath), absent from
+                # the parquet footers by design
+                sel.append(F.col(f["name"]))
+            else:
+                sel.append(
+                    F.lit(None)
+                    .cast(_iceberg_spark_type(f["type"]))
+                    .alias(f["name"])
+                )
+        if need_fseq:
+            fseq_map = F.create_map(
+                *[x for p, s in members for x in (F.lit(p), F.lit(s))]
+            )
+            sel.append(
+                fseq_map[fs_path_col(F.col("_metadata.file_path"))].alias(
+                    "_data_seq"
+                )
+            )
+        if need_addr:
+            sel.append(
+                fs_path_col(F.col("_metadata.file_path")).alias("_file_path")
+            )
+            sel.append(F.col("_metadata.row_index").alias("_row_index"))
+        return sub.select(*sel)
+
+    group_items = list(groups.items())
+    df = _scan_group(*group_items[0])
+    for res, members in group_items[1:]:
+        df = df.unionByName(_scan_group(res, members))
     if del_files:
         dels = spark.read.parquet(*[p for p, _ in del_files])
         # sequence rule: tag each delete FILE with its seq, each data file

@@ -514,3 +514,72 @@ def test_export_after_delete_carries_delete_manifests(spark, tmp_path):
     assert got.where("id < 10").count() == 0
     t = traverse(out)
     assert t["schema_errors"] == []
+
+
+def _current_meta_path(ice):
+    md = os.path.join(ice, "metadata")
+    hint = os.path.join(md, "version-hint.text")
+    v = open(hint).read().strip()
+    return os.path.join(md, f"v{v}.metadata.json")
+
+
+def test_read_resolves_data_columns_by_field_id(spark, tmp_path):
+    """Spec §Column Projection: data-file columns resolve against the
+    current schema by parquet field_id (rename survival), name-match
+    fallback for files without ids (the name-mapping analog), and
+    null-fill for columns added after a file was written."""
+    import glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from redpanda_spark.sources.iceberg_export import read_iceberg
+
+    _lake, ice = _eq_fixture(spark, tmp_path)
+    meta = _json.load(open(_current_meta_path(ice)))
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    ids = {f["name"]: f["id"] for f in cur["fields"]}
+    # simulate an EXTERNAL writer's file: rewrite one data parquet with
+    # field_id metadata and a stale physical name for `user`
+    dfiles = sorted(
+        p
+        for p in glob.glob(os.path.join(ice, "data", "**", "*.parquet"), recursive=True)
+        if "eq-delete" not in p and "delete-" not in os.path.basename(p)
+    )
+    target = dfiles[0]
+    tbl = papq.read_table(target)
+    fields, cols = [], {}
+    for fld in tbl.schema:
+        phys = "user_v1" if fld.name == "user" else fld.name
+        logical = fld.name
+        fields.append(
+            pa.field(
+                phys,
+                fld.type,
+                nullable=True,
+                metadata={b"PARQUET:field_id": str(ids[logical]).encode()},
+            )
+        )
+        cols[phys] = tbl.column(logical)
+    papq.write_table(pa.table(cols, schema=pa.schema(fields)), target)
+    out = read_iceberg(spark, ice)
+    rows = out.collect()
+    assert len(rows) == 12
+    # the rewritten file's users still land in the CURRENT `user` column
+    assert {r["user"] for r in rows} == {"u0", "u1", "u2"}
+    assert all(r["user"] is not None for r in rows)
+    # add-column evolution: a field added after every file was written
+    # null-fills everywhere
+    cur["fields"] = cur["fields"] + [
+        {"id": 999, "name": "added_later", "type": "long", "required": False}
+    ]
+    with open(_current_meta_path(ice), "w") as f:
+        _json.dump(meta, f)
+    out2 = read_iceberg(spark, ice)
+    assert "added_later" in out2.columns
+    got = out2.select("user", "added_later").collect()
+    assert len(got) == 12 and all(r["added_later"] is None for r in got)
+    assert out2.schema["added_later"].dataType.simpleString() == "bigint"
