@@ -35,9 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog order and rotate through the leftover slots in later rounds.
 #
 # ROUND-9 ROTATION (current list, from `tools/rotate_priority.py --slots 50
-# --changed <the 19 decimal-converted queries>`): the 19 queries whose
+# --changed <the 26 decimal-converted queries>`): the 26 queries whose
 # OUTPUT REPRESENTATION changed this round (the r8 decimal-canonicalization
-# red class, now emitting double/string) take the head slots so every fix
+# red class plus 7 same-class conversions that held green r5 rows —
+# events_topk_users, tpch_q6/q10ish/q18/q7ish/q19ish/q15ish — all now
+# emitting double/string) take the head slots so every fix
 # gets a fresh driver row; then the r4-row holders (pipeline_mix/redact/
 # pack) and the oldest r5-row holders up to the 50-slot cutoff. With the
 # catalog at 136 and 50 slots, steady-state worst staleness is
@@ -75,9 +77,9 @@ _PRIORITY = [
     "dedup_ngram",  # r5
     "dedup_minhash",  # r5
     "events_props_extract",  # r5
-    "events_topk_users",  # r5
-    "tpch_q6",  # r5
-    "tpch_q10ish",  # r5
+    "events_topk_users",  # changed
+    "tpch_q6",  # changed
+    "tpch_q10ish",  # changed
     "mm_image_metadata",  # r5
     "mm_frame_sample",  # r5
     "mm_video_metadata",  # r5
@@ -85,13 +87,13 @@ _PRIORITY = [
     "doc_quality",  # r5
     "tpch_q4ish",  # r5
     "tpch_q14",  # r5
-    "tpch_q18",  # r5
+    "tpch_q18",  # changed
     "doc_bpe_tokens",  # r5
-    "tpch_q7ish",  # r5
-    "tpch_q19ish",  # r5
+    "tpch_q7ish",  # changed
+    "tpch_q19ish",  # changed
     "stream_idempotent_dedup",  # r5
     "tpch_q13ish",  # r5
-    "tpch_q15ish",  # r5
+    "tpch_q15ish",  # changed
     "transform_fanout",  # r5
     "datalake_translate_avro",  # r5
     "datalake_translate_proto",  # r5

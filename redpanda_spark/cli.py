@@ -251,20 +251,33 @@ def cmd_maintain(args) -> int:
     eng = _engine(args)
     topics = [args.topic] if args.topic else sorted(eng.list_topics())
     for t in topics:
+        cfg = eng.list_topics()[t]
+        if cfg.configs.get("_read_replica") == "true":
+            # Read replicas hold no local mutable state and must never
+            # touch the source cluster's bucket; cleanup/retention on
+            # them raises, so report and move on instead of aborting
+            # the sweep.
+            print(json.dumps({"topic": t, "skipped": "read replica"}))
+            continue
         before = eng.topic_stats(t)
         eng.run_cleanup(t)
         merged = eng.optimize_segments(t)
-        cfg = eng.list_topics()[t]
         archival = cold_merge = None
         if cfg.remote_write and cfg.local_retention_ms is not None:
             # run_archival raises for compacted topics and for legacy
             # topics without a manifest; one such topic must not abort
-            # the whole sweep — report the skip per-topic instead.
+            # the whole sweep — report the skip per-topic instead. A
+            # cold-merge failure after a successful archival must not
+            # clobber the archival result (segments really moved).
             try:
                 archival = eng.run_archival(t)
-                cold_merge = eng.optimize_archive_segments(t)
             except ValueError as e:
                 archival = {"skipped": str(e)}
+            else:
+                try:
+                    cold_merge = eng.optimize_archive_segments(t)
+                except ValueError as e:
+                    cold_merge = {"skipped": str(e)}
         after = eng.topic_stats(t)
         print(json.dumps({
             "topic": t,

@@ -1808,17 +1808,26 @@ class TopicEngine:
             cold = LOG.delete_records(cold, starts)
         cold = cold.withColumn("_tier", F.lit("a"))
         hot = self._local_log(topic).withColumn("_tier", F.lit("l"))
-        # localCheckpoint, not persist(): the local rewrite deletes the
-        # hot-tier source files before the archive-side pass runs, so a
-        # lost cached partition (executor death) must NOT be recomputable
-        # from the now-deleted inputs. An eager checkpoint severs the
-        # lineage — the surviving rows are durably materialized before the
-        # first tier swap.
-        kept = _filters(cold.unionByName(hot)).localCheckpoint(eager=True)
-        self._rewrite(topic, kept.where(F.col("_tier") == "l").drop("_tier"))
-        self._rewrite_archive(
-            topic, kept.where(F.col("_tier") == "a").drop("_tier")
-        )
+        # Spill the surviving rows to a durable temp dir BEFORE the first
+        # tier swap: the local rewrite deletes the hot-tier source files
+        # before the archive-side pass runs, so the archive pass must not
+        # be recomputable from the now-deleted inputs. Parquet spill (not
+        # localCheckpoint/persist) both survives executor death and is
+        # freed deterministically — a multi-topic sweep would otherwise
+        # stack one block-manager copy per topic until driver GC runs.
+        spill = self._topic_dir(topic) + ".retain.tmp"
+        self._fsio.delete(spill, recursive=True)
+        _filters(cold.unionByName(hot)).write.parquet(spill)
+        try:
+            kept = self.spark.read.parquet(spill)
+            self._rewrite(
+                topic, kept.where(F.col("_tier") == "l").drop("_tier")
+            )
+            self._rewrite_archive(
+                topic, kept.where(F.col("_tier") == "a").drop("_tier")
+            )
+        finally:
+            self._fsio.delete(spill, recursive=True)
 
     @staticmethod
     def _classify_expired(

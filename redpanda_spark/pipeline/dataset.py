@@ -206,17 +206,38 @@ def shuffle_deterministic(
     deterministically, so every run (and every engine) reads documents in
     the same i.i.d.-looking order regardless of crawl/source layout.
 
-    Physically one range-partitioned sort on a uniform 16-byte key —
-    Spark's sort samples split boundaries, so at 100 TB this is the
-    canonical skew-free total order; no driver-side state. The unbounded
-    row_number window runs on the already-range-sorted data (single
-    partition column-free window is avoided by ranking on the sort key
-    itself at scale — for exact dense positions the window stays; for
-    petabyte runs prefer zipWithIndex-free approximate ordering by the
-    key alone, which downstream packing treats identically)."""
+    Physically a BUCKETED two-phase rank, never a single-partition global
+    window: the first two hex chars of the md5 key define 256 buckets
+    whose string order agrees with the full key's order, so
+    global_pos = prefix_offset(bucket) + rank_within_bucket. Bucket
+    counts (≤256 rows) come back to the driver for an exact prefix sum;
+    the ranking window partitions BY BUCKET and runs 256-way parallel.
+    md5 is uniform, so buckets are skew-free at any corpus size."""
     key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc())
-    return df.withColumn(pos_col, F.row_number().over(w))
+    keyed = df.withColumn("_sk", key).withColumn(
+        "_sb", F.substring("_sk", 1, 2)
+    )
+    counts = {
+        r["_sb"]: r["n"]
+        for r in keyed.groupBy("_sb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    off, acc = {}, 0
+    for b in sorted(counts):  # hex-string sort == key-prefix sort
+        off[b] = acc
+        acc += counts[b]
+    if not off:  # empty input: no buckets, no positions to assign
+        return df.withColumn(pos_col, F.lit(None).cast("int"))
+    off_expr = F.create_map(
+        *[x for b, o in off.items() for x in (F.lit(b), F.lit(o))]
+    )
+    w = Window.partitionBy("_sb").orderBy(F.col("_sk").asc())
+    return (
+        keyed.withColumn(
+            pos_col,
+            (off_expr[F.col("_sb")] + F.row_number().over(w)).cast("int"),
+        )
+        .drop("_sk", "_sb")
+    )
 
 
 def chunk_documents(

@@ -3981,10 +3981,11 @@ def q_pipeline_shuffle(spark, sf_dir):
     """Deterministic global shuffle for training order: every document
     gets a stable pseudo-random position keyed by md5(seed || doc_id) —
     breaks source/crawl ordering so a sequential reader sees an i.i.d.
-    stream, reproducible across engines and runs. At scale this is one
-    range-partitioned sort on a 16-byte key (Spark samples split points;
-    no driver collection); the md5 key is uniform so the sort is
-    skew-free by construction."""
+    stream, reproducible across engines and runs. At scale this is a
+    bucketed two-phase rank (256 key-prefix buckets, per-bucket parallel
+    windows + an exact ≤256-row prefix-sum offset) — no single-partition
+    global window at any corpus size; the md5 key is uniform so the
+    buckets are skew-free by construction."""
     from redpanda_spark.pipeline.dataset import shuffle_deterministic
 
     docs = _t(spark, sf_dir, "documents")
@@ -4017,11 +4018,15 @@ def q_bpe_pair_counts(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pc = pair_counts(_init_symbols(word_freqs(docs)))
-    w = Window.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-    return (
-        pc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 30)
-        .select("rank", "a", "b", "cnt")
+    # two-phase top-k: TakeOrderedAndProject reduces the pair table to 30
+    # rows in parallel; the unpartitioned ranking window then runs over
+    # those 30 survivors only — never a single-partition pass over the
+    # full (vocab-sized) pair table
+    order = [F.desc("cnt"), F.asc("a"), F.asc("b")]
+    top = pc.orderBy(*order).limit(30)
+    w = Window.orderBy(*order)
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "a", "b", "cnt"
     )
 
 

@@ -242,6 +242,15 @@ class SaslSession:
         self.principal: str | None = None
 
     def handshake(self, mechanism: str) -> dict:
+        if self.principal is not None:
+            # re-handshake on an authenticated session is out-of-order:
+            # the reference's connection FSM accepts exactly one
+            # handshake→authenticate sequence (sasl_server.h state
+            # machine) — never a mechanism switch with the old identity
+            return {
+                "error": "ILLEGAL_SASL_STATE",
+                "mechanisms": list(self.MECHANISMS),
+            }
         if mechanism not in self.MECHANISMS:
             # reference returns the supported list on mismatch
             return {

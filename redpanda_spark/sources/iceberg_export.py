@@ -37,6 +37,7 @@ on an object store it becomes a server-side copy per file.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 import shutil
@@ -824,6 +825,29 @@ def fs_path_col(col):
     return F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
 
 
+@_functools.lru_cache(maxsize=65536)
+def _footer_field_ids(path: str) -> tuple[tuple[tuple[int, str], ...], frozenset]:
+    """(field_id→physical-name pairs, all physical names) from a parquet
+    footer. Cached by path — Iceberg data/delete files are immutable by
+    spec, so a footer never changes under a given path. A footer pyarrow
+    rejects degrades to empty (ArrowInvalid subclasses ValueError, not
+    OSError) → callers fall back to name matching."""
+    import pyarrow.parquet as papq
+
+    fid2col: dict[int, str] = {}
+    names: set[str] = set()
+    try:
+        for fld in papq.read_schema(path):
+            names.add(fld.name)
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                fid2col[int(fid)] = fld.name
+    except (OSError, ValueError):
+        fid2col, names = {}, set()
+    return tuple(sorted(fid2col.items())), frozenset(names)
+
+
 def read_iceberg(
     spark,
     path: str,
@@ -915,18 +939,12 @@ def read_iceberg(
 
     def _file_resolution(p: str) -> tuple:
         """Per current-schema field: the file's physical column name, or
-        None (null-fill). field_id metadata wins; name match is the
-        fallback for files written without ids."""
-        import pyarrow.parquet as papq
-
-        fid2col: dict[int, str] = {}
-        names: set[str] = set()
-        for fld in papq.read_schema(p):
-            names.add(fld.name)
-            md = fld.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None:
-                fid2col[int(fid)] = fld.name
+        None (null-fill). field_id metadata wins (spec §Column
+        Projection — physical names are arbitrary, even under a single
+        table schema); name match is the fallback for files written
+        without ids."""
+        fid_pairs, names = _footer_field_ids(p)
+        fid2col = dict(fid_pairs)
         out = []
         for f in cur_schema_fields:
             if fid2col:
@@ -935,9 +953,20 @@ def read_iceberg(
                 out.append(f["name"] if f["name"] in names else None)
         return tuple(out)
 
+    # footer reads are pure I/O and per-path cached; fan them out on a
+    # thread pool so plan time is ~one round-trip, not O(files) serial
+    # driver I/O (the same footers any engine's planner reads)
+    from concurrent.futures import ThreadPoolExecutor
+
+    uniq = [p for p, _ in files]
+    if len(uniq) > 1:
+        with ThreadPoolExecutor(max_workers=min(32, len(uniq))) as ex:
+            resolutions = dict(zip(uniq, ex.map(_file_resolution, uniq)))
+    else:
+        resolutions = {p: _file_resolution(p) for p in uniq}
     groups: dict[tuple, list[tuple[str, int]]] = {}
     for p, s in files:
-        groups.setdefault(_file_resolution(p), []).append((p, s))
+        groups.setdefault(resolutions[p], []).append((p, s))
 
     def _scan_group(res: tuple, members: list[tuple[str, int]]):
         sub = spark.read.option(
@@ -1014,18 +1043,9 @@ def read_iceberg(
             # Spec: columns in a delete file resolve by parquet field_id,
             # NOT by name — an external table whose key column was renamed
             # after the delete file was written still reads correctly.
-            # Name match is only the fallback when ids are absent.
-            import pyarrow.parquet as papq
-
-            fid2col: dict[int, str] = {}
-            try:
-                for fld in papq.read_schema(path):
-                    md = fld.metadata or {}
-                    fid = md.get(b"PARQUET:field_id")
-                    if fid is not None:
-                        fid2col[int(fid)] = fld.name
-            except OSError:
-                fid2col = {}
+            # Name match is only the fallback when ids are absent (or the
+            # footer is unreadable — the shared helper degrades to empty).
+            fid2col = dict(_footer_field_ids(path)[0])
             out = []
             for i in ids:
                 if i in fid2col:

@@ -549,6 +549,14 @@ def test_sasl_shim_wired_to_authorizer(tmp_path):
     assert not s.authorize("write", "topic", "orders")
     # unauthenticated session: default deny
     assert not SaslSession(acls).authorize("read", "topic", "orders")
+    # r9 regression (self-review): re-handshake AFTER authentication is
+    # out-of-order too — the reference FSM accepts exactly one
+    # handshake→authenticate sequence; a mechanism switch must not
+    # silently keep the old identity
+    re_hs = s.handshake("SCRAM-SHA-512")
+    assert re_hs["error"] == "ILLEGAL_SASL_STATE"
+    assert s.mechanism == "SCRAM-SHA-256"  # unchanged
+    assert s.principal == "User:alice"  # identity intact, not switched
 
 
 def test_api_versions_lists_new_handlers(admin):

@@ -259,3 +259,41 @@ def test_stale_state_without_crash_is_equivalent(spark, tmp_path):
         if s == 0
     )
     assert existing_rows == 8  # exactly the v1 rows stayed EXISTING
+
+
+def test_footer_field_ids_helper(tmp_path):
+    """r9 regression (self-review): the shared footer reader must (a)
+    degrade to empty on a file pyarrow rejects — ArrowInvalid subclasses
+    ValueError, NOT OSError, so the old `except OSError` never engaged —
+    and (b) return field_id metadata when present, cached by path."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from redpanda_spark.sources.iceberg_export import _footer_field_ids
+
+    _footer_field_ids.cache_clear()
+    # malformed footer → empty fallback, no raise
+    bad = tmp_path / "not_parquet.parquet"
+    bad.write_bytes(b"this is not a parquet file at all")
+    fids, names = _footer_field_ids(str(bad))
+    assert fids == () and names == frozenset()
+    # missing file → empty fallback too
+    fids, names = _footer_field_ids(str(tmp_path / "ghost.parquet"))
+    assert fids == ()
+    # real footer with field_id metadata
+    good = tmp_path / "good.parquet"
+    schema = pa.schema(
+        [
+            pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("v", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("no_id", pa.string()),
+        ]
+    )
+    papq.write_table(
+        pa.table({"k": [1], "v": ["a"], "no_id": ["b"]}, schema=schema),
+        str(good),
+    )
+    fids, names = _footer_field_ids(str(good))
+    assert dict(fids) == {1: "k", 2: "v"}
+    assert names == frozenset({"k", "v", "no_id"})
+    assert _footer_field_ids.cache_info().currsize >= 1

@@ -753,3 +753,87 @@ def test_replica_reopen_and_drop_never_touch_source_bucket(spark, tmp_path):
     rep3 = TopicEngine(spark, str(tmp_path / "replica2"), archive_root=bucket)
     rep3.attach_read_replica("t")
     assert rep3.log("t").count() == 10
+
+
+def test_cmd_maintain_sweeps_past_read_replicas(spark, tmp_path, capsys):
+    """r9 regression (self-review): the nightly sweep must not abort when
+    the topic list contains a read replica (cleanup on a replica raises
+    ProduceError, which the archival-only ValueError guard never caught);
+    topics sorting AFTER the replica must still be maintained, and the
+    replica must be reported as skipped, its bucket untouched."""
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    src_root = str(tmp_path / "source")
+    bucket = str(tmp_path / "bucket")
+    src = TopicEngine(spark, src_root, archive_root=bucket)
+    src.create_topic(
+        "a_src",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=1000),
+    )
+    src.produce(
+        "a_src",
+        [{"partition": 0, "value": b"x", "timestamp": BASE}],
+    )
+    src.run_archival("a_src", now_ms=_ms(BASE + dt.timedelta(hours=1)))
+    n_bucket = len(src._afsio.list_segments(src._archive_dir("a_src")))
+
+    rep_root = str(tmp_path / "replica")
+    rep = TopicEngine(spark, rep_root, archive_root=bucket)
+    rep.attach_read_replica("a_src")
+    # a normal topic that sorts AFTER the replica in the sweep order
+    rep.create_topic("z_local", TopicConfig(partitions=1))
+    rep.produce("z_local", [{"partition": 0, "value": b"y", "timestamp": BASE}])
+    capsys.readouterr()
+    assert (
+        main(["--root", rep_root, "--archive-root", bucket,
+              "maintenance", "run"]) == 0
+    )
+    lines = [
+        _json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    by_topic = {d["topic"]: d for d in lines if "topic" in d}
+    assert by_topic["a_src"] == {"topic": "a_src", "skipped": "read replica"}
+    assert by_topic["z_local"]["rows"]["after"] == 1  # swept past the replica
+    # the replica sweep never touched the source bucket
+    assert len(src._afsio.list_segments(src._archive_dir("a_src"))) == n_bucket
+
+
+def test_cmd_maintain_cold_merge_failure_keeps_archival_result(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """r9 regression (self-review): when archival succeeds but the
+    follow-on cold merge raises, the report must keep the real archival
+    result (segments DID move) and mark only cold_merge as skipped."""
+    import json as _json
+
+    from redpanda_spark import cli as _cli
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "r")
+    eng = TopicEngine(spark, root)
+    eng.create_topic(
+        "t",
+        TopicConfig(partitions=1, remote_write=True, local_retention_ms=1000),
+    )
+    eng.produce("t", [{"partition": 0, "value": b"x", "timestamp": BASE}])
+
+    real_engine = _cli._engine
+
+    def patched_engine(args):
+        e = real_engine(args)
+
+        def boom(topic):
+            raise ValueError("injected cold-merge failure")
+
+        e.optimize_archive_segments = boom
+        return e
+
+    monkeypatch.setattr(_cli, "_engine", patched_engine)
+    capsys.readouterr()
+    assert main(["--root", root, "maintenance", "run", "-t", "t"]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert rec["archival"]["archived"] == 1  # not clobbered by the failure
+    assert rec["cold_merge"] == {"skipped": "injected cold-merge failure"}
+    assert rec["archived_segments"] == 1
