@@ -902,6 +902,7 @@ def read_iceberg(
     files: list[tuple[str, int]] = []  # (path, effective sequence number)
     del_files: list[tuple[str, int]] = []
     eq_files: list[tuple[str, int, tuple[int, ...]]] = []  # (+ equality ids)
+    part_meta: dict[str, dict] = {}  # data file -> manifest partition struct
     for mf in manifests:
         _es, _em, entries = avro_ocf_read(mf["manifest_path"])
         for e in entries:
@@ -925,6 +926,7 @@ def read_iceberg(
                 del_files.append((d["file_path"], int(eff_seq)))
             else:
                 files.append((d["file_path"], int(eff_seq)))
+                part_meta[d["file_path"]] = d.get("partition") or {}
     if not files:
         from pyspark.sql import types as T
 
@@ -936,6 +938,27 @@ def read_iceberg(
     cur_schema_fields = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )["fields"]
+    # identity-transform partition fields: source field id -> partition
+    # struct key. Spec Column Projection rule 2: a field id absent from a
+    # data file resolves from the manifest's partition metadata when an
+    # identity transform exists for it (data files may legitimately omit
+    # the column; hive-style dirs are a layout convention, not the spec).
+    _specs = {s.get("spec-id"): s for s in meta.get("partition-specs", [])}
+    _dspec = _specs.get(meta.get("default-spec-id"), {"fields": []})
+    ident_part = {
+        pf["source-id"]: pf["name"]
+        for pf in _dspec.get("fields", [])
+        if pf.get("transform") == "identity"
+    }
+
+    def _part_value_col(expr, t):
+        """Manifest partition values decode as Avro primitives; give the
+        int encodings of date (days) / timestamp (micros) their types."""
+        if t == "date":
+            return F.date_add(F.lit("1970-01-01").cast("date"), expr.cast("int"))
+        if t in ("timestamp", "timestamptz"):
+            return F.timestamp_micros(expr.cast("long"))
+        return expr.cast(_iceberg_spark_type(t))
 
     def _file_resolution(p: str) -> tuple:
         """Per current-schema field: the file's physical column name, or
@@ -974,12 +997,37 @@ def read_iceberg(
         ).parquet(*[p for p, _ in members])
         sel = []
         for f, phys in zip(cur_schema_fields, res):
+            pn = ident_part.get(f["id"])
+            has_part_val = pn is not None and any(
+                part_meta.get(p, {}).get(pn) is not None for p, _ in members
+            )
             if phys is not None:
                 sel.append(F.col(phys).alias(f["name"]))
+            elif has_part_val:
+                # identity-partition column absent from the data files:
+                # the manifest's partition struct is the authoritative
+                # source (spec Column Projection rule 2) — works for ANY
+                # layout, hive-style dirs or flat
+                pmap = F.create_map(
+                    *[
+                        x
+                        for p, _ in members
+                        for x in (
+                            F.lit(p),
+                            F.lit(part_meta.get(p, {}).get(pn)),
+                        )
+                    ]
+                )
+                sel.append(
+                    _part_value_col(
+                        pmap[fs_path_col(F.col("_metadata.file_path"))],
+                        f["type"],
+                    ).alias(f["name"])
+                )
             elif f["name"] in sub.columns:
-                # identity-partition column: materialized by Spark from
-                # the hive-style directory layout (basePath), absent from
-                # the parquet footers by design
+                # layout fallback: Spark materialized the column from
+                # hive-style dirs (basePath) and the manifest carried no
+                # value for it
                 sel.append(F.col(f["name"]))
             else:
                 sel.append(

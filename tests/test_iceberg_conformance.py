@@ -297,3 +297,68 @@ def test_footer_field_ids_helper(tmp_path):
     assert dict(fids) == {1: "k", 2: "v"}
     assert names == frozenset({"k", "v", "no_id"})
     assert _footer_field_ids.cache_info().currsize >= 1
+
+
+def test_read_flat_layout_resolves_partition_from_manifest(spark, tmp_path):
+    """Spec Column Projection rule 2: an identity-partition column absent
+    from the data files resolves from the MANIFEST's partition struct —
+    hive-style `_hour=` directories are a layout convention, not the
+    spec. Flatten an exported table's layout (move every data file out of
+    its partition dir, patch the manifests) and the reader must still
+    produce the `_hour` values, with partition-pruning-equivalent
+    filters still correct."""
+    import shutil
+
+    from redpanda_spark.sources.iceberg_export import (
+        _current_metadata,
+        avro_ocf_read,
+        avro_ocf_write,
+        read_iceberg,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 6, "2024-03-01 10:00:00")
+    _mk_lake(spark, lake, 6, 10, "2024-03-01 11:00:00")
+    from redpanda_spark.sources.iceberg_export import export_iceberg
+
+    export_iceberg(spark, lake, out)
+    expected = {
+        (r["id"], r["v"], str(r["_hour"]))
+        for r in read_iceberg(spark, out).collect()
+    }
+    assert len(expected) == 10 and len({e[2] for e in expected}) == 2
+
+    # flatten: data/_hour=X/part.parquet -> data/flat-N.parquet
+    meta = _current_metadata(out)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _ls, _lm, manifests = avro_ocf_read(snap["manifest-list"])
+    n = 0
+    for mf in manifests:
+        es, em, entries = avro_ocf_read(mf["manifest_path"])
+        for e in entries:
+            src = e["data_file"]["file_path"]
+            dst = os.path.join(out, "data", f"flat-{n}.parquet")
+            n += 1
+            shutil.move(src, dst)
+            e["data_file"]["file_path"] = dst
+        avro_ocf_write(mf["manifest_path"], es, entries, meta=em)
+    for sub in os.listdir(os.path.join(out, "data")):
+        p = os.path.join(out, "data", sub)
+        if os.path.isdir(p) and not os.listdir(p):
+            os.rmdir(p)
+
+    got_df = read_iceberg(spark, out)
+    got = {(r["id"], r["v"], str(r["_hour"])) for r in got_df.collect()}
+    assert got == expected
+    # a filter on the manifest-derived partition column still works
+    assert (
+        got_df.where(
+            F.col("_hour") == F.to_timestamp(F.lit("2024-03-01 11:00:00"))
+        ).count()
+        == 4
+    )
