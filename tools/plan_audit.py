@@ -70,7 +70,45 @@ EXPECTED = {
     # threshold back onto the scored docs. Same bounded scalar-subquery
     # shape as Q11/Q22/doc_bm25.
     "pipeline_dsir": {"nested-loop-join"},
+    # Curriculum schedule: the cumulative start_token prefix sum runs
+    # over the per-stage aggregate — rows = the configured stage count
+    # (a handful), bounded by construction rather than by a plan-visible
+    # limit. A per-stage window over K stages is scale-safe.
+    "pipeline_curriculum": {"unbounded-global-window"},
 }
+
+
+def _tree_depth(line: str) -> int:
+    m = re.match(r"^((?:[:+\-| ]{3})*)", line)
+    return len(m.group(1)) // 3
+
+
+def window_smells(logical: str) -> list[str]:
+    """Partition-less Window over unbounded input = single-partition
+    global pass (WindowExec moves ALL rows to one task). Bounded = a
+    GlobalLimit/TakeOrderedAndProject in the subtree (the limit-first
+    two-phase top-k shape) — a window over k rows is fine at any scale.
+    Detection: logical `Window [exprs], [part], [order]` prints two
+    bracket groups when the partition spec is empty, three otherwise."""
+    lines = logical.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"(?:^|- )Window (\[.*)$", ln)
+        if not m:
+            continue
+        if m.group(1).count("], [") >= 2:
+            continue  # partitioned: parallel by key
+        d = _tree_depth(ln)
+        bounded = False
+        for nxt in lines[i + 1:]:
+            if _tree_depth(nxt) <= d:
+                break
+            if "GlobalLimit" in nxt or "TakeOrderedAndProject" in nxt:
+                bounded = True
+                break
+        if not bounded:
+            out.append("unbounded-global-window")
+    return out
 
 
 def audit(name: str, df) -> list[str]:
@@ -103,6 +141,12 @@ def audit(name: str, df) -> list[str]:
     # (operators/log.py::fetch).
     if name == "log_fetch" and re.search(r"Sort \[[^\]]*\], true", txt):
         flags.append("SEVERE:fetch-global-sort")
+    try:
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        logical = ""
+    for w in window_smells(logical):
+        flag(w)
     return flags
 
 
