@@ -35,11 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # catalog order and rotate through the leftover slots in later rounds.
 #
 # ROUND-9 ROTATION (current list, from `tools/rotate_priority.py --slots 50
-# --changed <the 26 decimal-converted queries>`): the 26 queries whose
+# --changed <the 27 representation-converted queries>`): the 27 queries whose
 # OUTPUT REPRESENTATION changed this round (the r8 decimal-canonicalization
 # red class plus 7 same-class conversions that held green r5 rows —
 # events_topk_users, tpch_q6/q10ish/q18/q7ish/q19ish/q15ish — all now
-# emitting double/string) take the head slots so every fix
+# emitting double/string, plus pipeline_shuffle's r9 bucketed-rank rewrite
+# with long positions) take the head slots so every fix
 # gets a fresh driver row; then the r4-row holders (pipeline_mix/redact/
 # pack) and the oldest r5-row holders up to the 50-slot cutoff. With the
 # catalog at 136 and 50 slots, steady-state worst staleness is
@@ -71,6 +72,7 @@ _PRIORITY = [
     "dedup_rate_by_source",  # changed
     "doc_bm25",  # changed
     "emb_covariance",  # changed
+    "pipeline_shuffle",  # changed (r9: bucketed rank, pos int->long)
     "pipeline_mix",  # r4
     "pipeline_redact",  # r4
     "pipeline_pack",  # r4
@@ -111,7 +113,6 @@ _PRIORITY = [
     "dedup_cluster",  # r5
     "events_approx_users",  # r5
     "events_quantiles",  # r5
-    "pipeline_shuffle",  # r5
     "bpe_pair_counts",  # r5
     "bpe_train",  # r5
     "curation_dedup",  # r5

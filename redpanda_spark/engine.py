@@ -306,7 +306,12 @@ class TopicEngine:
         if cfg is not None and cfg.configs.get("_read_replica") == "true":
             return
         d = self._topic_dir(topic)
-        for leftover in (d + ".rewrite.tmp", d + ".compact.tmp", d + ".old"):
+        for leftover in (
+            d + ".rewrite.tmp",
+            d + ".compact.tmp",
+            d + ".retain.tmp",  # tiered-retention durable spill
+            d + ".old",
+        ):
             self._fsio.delete(leftover, recursive=True)
         live = self._files.get(topic)
         if live is None:

@@ -213,7 +213,12 @@ def shuffle_deterministic(
     counts (≤256 rows) come back to the driver for an exact prefix sum;
     the ranking window partitions BY BUCKET and runs 256-way parallel.
     md5 is uniform, so buckets are skew-free at any corpus size."""
-    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    # concat_ws, not concat: a NULL id must still produce a (shared,
+    # deterministic) non-null key — the bucket math below cannot place a
+    # null bucket, and the old global-window form ranked null keys too
+    key = F.md5(
+        F.concat_ws("", F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
     keyed = df.withColumn("_sk", key).withColumn(
         "_sb", F.substring("_sk", 1, 2)
     )
@@ -226,15 +231,22 @@ def shuffle_deterministic(
         off[b] = acc
         acc += counts[b]
     if not off:  # empty input: no buckets, no positions to assign
-        return df.withColumn(pos_col, F.lit(None).cast("int"))
+        return df.withColumn(pos_col, F.lit(None).cast("long"))
     off_expr = F.create_map(
-        *[x for b, o in off.items() for x in (F.lit(b), F.lit(o))]
+        # long offsets BEFORE the addition: int32 row_number + int32
+        # offset would wrap past 2^31 documents, then cast-to-long would
+        # keep the wrapped value
+        *[
+            x
+            for b, o in off.items()
+            for x in (F.lit(b), F.lit(o).cast("long"))
+        ]
     )
     w = Window.partitionBy("_sb").orderBy(F.col("_sk").asc())
     return (
         keyed.withColumn(
             pos_col,
-            (off_expr[F.col("_sb")] + F.row_number().over(w)).cast("int"),
+            off_expr[F.col("_sb")] + F.row_number().over(w).cast("long"),
         )
         .drop("_sk", "_sb")
     )

@@ -829,22 +829,21 @@ def fs_path_col(col):
 def _footer_field_ids(path: str) -> tuple[tuple[tuple[int, str], ...], frozenset]:
     """(field_id→physical-name pairs, all physical names) from a parquet
     footer. Cached by path — Iceberg data/delete files are immutable by
-    spec, so a footer never changes under a given path. A footer pyarrow
-    rejects degrades to empty (ArrowInvalid subclasses ValueError, not
-    OSError) → callers fall back to name matching."""
+    spec, so a footer never changes under a given path. Raises on an
+    unreadable footer (OSError for I/O, pyarrow's ArrowInvalid — a
+    ValueError — for malformed bytes): only successes are cached, so a
+    transient I/O blip is never pinned as a wrong empty resolution;
+    callers decide whether malformation may fall back to name matching."""
     import pyarrow.parquet as papq
 
     fid2col: dict[int, str] = {}
     names: set[str] = set()
-    try:
-        for fld in papq.read_schema(path):
-            names.add(fld.name)
-            md = fld.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None:
-                fid2col[int(fid)] = fld.name
-    except (OSError, ValueError):
-        fid2col, names = {}, set()
+    for fld in papq.read_schema(path):
+        names.add(fld.name)
+        md = fld.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            fid2col[int(fid)] = fld.name
     return tuple(sorted(fid2col.items())), frozenset(names)
 
 
@@ -1091,9 +1090,14 @@ def read_iceberg(
             # Spec: columns in a delete file resolve by parquet field_id,
             # NOT by name — an external table whose key column was renamed
             # after the delete file was written still reads correctly.
-            # Name match is only the fallback when ids are absent (or the
-            # footer is unreadable — the shared helper degrades to empty).
-            fid2col = dict(_footer_field_ids(path)[0])
+            # Name match is the fallback when ids are absent or the footer
+            # is deterministically malformed (ArrowInvalid/ValueError);
+            # transient I/O errors (OSError) propagate — a silent name
+            # fallback there could apply deletes against the wrong column.
+            try:
+                fid2col = dict(_footer_field_ids(path)[0])
+            except ValueError:
+                fid2col = {}
             out = []
             for i in ids:
                 if i in fid2col:

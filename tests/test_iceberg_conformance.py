@@ -263,23 +263,27 @@ def test_stale_state_without_crash_is_equivalent(spark, tmp_path):
 
 def test_footer_field_ids_helper(tmp_path):
     """r9 regression (self-review): the shared footer reader must (a)
-    degrade to empty on a file pyarrow rejects — ArrowInvalid subclasses
-    ValueError, NOT OSError, so the old `except OSError` never engaged —
-    and (b) return field_id metadata when present, cached by path."""
+    raise on unreadable footers — ArrowInvalid subclasses ValueError, NOT
+    OSError, so callers' malformation fallbacks must catch ValueError —
+    without caching the failure, and (b) return field_id metadata when
+    present, cached by path."""
+    import pytest
     import pyarrow as pa
     import pyarrow.parquet as papq
 
     from redpanda_spark.sources.iceberg_export import _footer_field_ids
 
     _footer_field_ids.cache_clear()
-    # malformed footer → empty fallback, no raise
+    # malformed footer → ArrowInvalid (a ValueError), never silently empty
     bad = tmp_path / "not_parquet.parquet"
     bad.write_bytes(b"this is not a parquet file at all")
-    fids, names = _footer_field_ids(str(bad))
-    assert fids == () and names == frozenset()
-    # missing file → empty fallback too
-    fids, names = _footer_field_ids(str(tmp_path / "ghost.parquet"))
-    assert fids == ()
+    with pytest.raises(ValueError):
+        _footer_field_ids(str(bad))
+    # missing file → I/O error propagates (transient-blip class)
+    with pytest.raises(OSError):
+        _footer_field_ids(str(tmp_path / "ghost.parquet"))
+    # failures are NOT cached: a fixed file reads fine at the same path
+    assert _footer_field_ids.cache_info().currsize == 0
     # real footer with field_id metadata
     good = tmp_path / "good.parquet"
     schema = pa.schema(

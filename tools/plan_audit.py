@@ -89,15 +89,26 @@ def window_smells(logical: str) -> list[str]:
     GlobalLimit/TakeOrderedAndProject in the subtree (the limit-first
     two-phase top-k shape) — a window over k rows is fine at any scale.
     Detection: logical `Window [exprs], [part], [order]` prints two
-    bracket groups when the partition spec is empty, three otherwise."""
+    bracket groups when the partition spec is empty, three otherwise.
+    With exactly two groups the second may be EITHER spec (empty arg
+    lists are omitted): sort specs always carry ASC/DESC markers, so a
+    marker-free second group is a partition spec (partitionBy with no
+    orderBy — parallel by key, not a smell)."""
     lines = logical.splitlines()
     out = []
     for i, ln in enumerate(lines):
         m = re.search(r"(?:^|- )Window (\[.*)$", ln)
         if not m:
             continue
-        if m.group(1).count("], [") >= 2:
-            continue  # partitioned: parallel by key
+        ngroups = m.group(1).count("], [") + 1
+        if ngroups >= 3:
+            continue  # both specs present: partitioned, parallel by key
+        if ngroups == 2:
+            tail = m.group(1).rsplit("], [", 1)[-1]
+            if not re.search(r"\b(ASC|DESC)\b", tail):
+                continue  # lone spec is a partition spec: parallel by key
+        # ngroups == 1 (no specs at all) or an order-only spec: the window
+        # runs unpartitioned — check whether its input is bounded
         d = _tree_depth(ln)
         bounded = False
         for nxt in lines[i + 1:]:
