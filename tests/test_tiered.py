@@ -837,3 +837,43 @@ def test_cmd_maintain_cold_merge_failure_keeps_archival_result(
     assert rec["archival"]["archived"] == 1  # not clobbered by the failure
     assert rec["cold_merge"] == {"skipped": "injected cold-merge failure"}
     assert rec["archived_segments"] == 1
+
+
+def test_crash_after_retention_spill_reclaimed_on_reopen(spark, tmp_path, monkeypatch):
+    """r9 regression: the tiered size-retention fallback spills surviving
+    rows to '<topic>.retain.tmp' before the tier swaps. A crash after the
+    spill but before the rewrites must (a) leave the committed snapshot
+    fully intact and (b) have the orphaned spill dir reclaimed by the
+    reopen-time GC — same recovery contract as '.rewrite.tmp'."""
+    root = str(tmp_path / "r")
+    eng = _build(spark, root)
+    eng.run_archival("t", now_ms=_ms(BASE + dt.timedelta(hours=2)))
+    before = {bytes(r["value"]) for r in eng.log("t").collect()}
+    cfg = eng._require("t")
+    cfg.retention_bytes = 250
+
+    spill_dir = eng._topic_dir("t") + ".retain.tmp"
+    real_rewrite = eng._rewrite
+
+    def crash(topic, df, n_files=None):
+        raise RuntimeError("injected crash after spill, before tier swap")
+
+    monkeypatch.setattr(eng, "_rewrite", crash)
+    try:
+        eng.run_retention("t")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(eng, "_rewrite", real_rewrite)
+    # spill cleaned by the in-process finally; recreate the crash residue
+    # a hard process death would leave, then reopen
+    os.makedirs(spill_dir, exist_ok=True)
+    with open(os.path.join(spill_dir, "part-0.parquet"), "wb") as f:
+        f.write(b"residue")
+    eng2 = TopicEngine(spark, root)
+    assert not os.path.exists(spill_dir)  # reopen GC reclaimed it
+    # the committed snapshot never moved: full log intact
+    assert {bytes(r["value"]) for r in eng2.log("t").collect()} == before
+    # and retention still completes cleanly afterwards
+    eng2._require("t").retention_bytes = 250
+    eng2.run_retention("t")
+    assert 0 < eng2.log("t").count() < 40
