@@ -683,3 +683,33 @@ def test_classify_expired_partitions_the_file_set(entries, cutoff_us):
     for f in untouched:
         e = stats[f]
         assert e[4] > 0 and e[5] >= cutoff_us
+
+
+# -- deterministic shuffle: bucketed two-phase rank ≡ global md5 rank ------
+
+
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True),
+    st.integers(1, 8),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shuffle_deterministic_matches_global_rank(spark, ids, nparts):
+    """The r9 bucketed two-phase rank must equal the definition — the
+    1-based rank of md5(seed ':' id) under a single global sort — and be
+    invariant to the input's physical partitioning (positions depend on
+    the key set only). Positions are a contiguous 1..N permutation."""
+    import hashlib
+
+    from redpanda_spark.pipeline.dataset import shuffle_deterministic
+
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).repartition(nparts)
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, seed="prop").collect()
+    }
+    keys = sorted(ids, key=lambda i: hashlib.md5(f"prop:{i}".encode()).hexdigest())
+    expect = {i: pos for pos, i in enumerate(keys, start=1)}
+    assert got == expect
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))
