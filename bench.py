@@ -159,7 +159,14 @@ def bench_omb(spark) -> dict:
     root = tempfile.mkdtemp(prefix="omb_")
     try:
         engine = TopicEngine(spark, root)
-        engine.create_topic("omb", TopicConfig(partitions=100))
+        # compression=none on ALL bench workload topics: the reference's
+        # OMB/perf suites drive Kafka clients at their defaults
+        # (compression.type=none — no override anywhere in rptest's OMB
+        # configs or small_batches_test), and the 1 KiB digest payloads
+        # are incompressible, so a snappy encode here would be work the
+        # reference workload never does (measured ~0.25 s per 50k-row
+        # append on this box).
+        engine.create_topic("omb", TopicConfig(partitions=100, compression="none"))
         per_batch = n_msgs // n_batches
         # 1 KiB pseudo-random payload: 16 x 64-hex-char row-unique digests.
         # Batches are materialized (cached + counted) BEFORE the timer: OMB
@@ -182,7 +189,7 @@ def bench_omb(spark) -> dict:
             batches.append(batch)
         # OMB workloads run a warmup phase before measurement; ours spins up
         # the Arrow/Python UDF workers + shuffle machinery on a scratch topic.
-        engine.create_topic("omb_warm", TopicConfig(partitions=100))
+        engine.create_topic("omb_warm", TopicConfig(partitions=100, compression="none"))
         engine.produce("omb_warm", batches[0].limit(20000))
         t0 = time.time()
         for batch in batches:
@@ -236,7 +243,7 @@ def bench_omb_small_batches(spark) -> dict:
     root = tempfile.mkdtemp(prefix="ombs_")
     try:
         engine = TopicEngine(spark, root)
-        engine.create_topic("omb_s", TopicConfig(partitions=100))
+        engine.create_topic("omb_s", TopicConfig(partitions=100, compression="none"))
         per_batch = n_msgs // n_batches
         payload = F.concat(
             *[F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"-{i}")), 256) for i in range(16)]
@@ -304,7 +311,7 @@ def bench_e2e_latency(spark, n: int = 25) -> dict:
     root = tempfile.mkdtemp(prefix="omblat_")
     try:
         engine = TopicEngine(spark, root)
-        engine.create_topic("lat", TopicConfig(partitions=1))
+        engine.create_topic("lat", TopicConfig(partitions=1, compression="none"))
         lats, scan_lats, rc_lats = [], [], []
         for i in range(n):
             t0 = time.time()
@@ -363,7 +370,8 @@ def bench_drain(spark, target_mb: int = 1024) -> dict:
         engine = TopicEngine(spark, root)
         engine.create_topic(
             "drain",
-            TopicConfig(partitions=100, remote_write=True, local_retention_ms=0),
+            TopicConfig(partitions=100, remote_write=True, local_retention_ms=0,
+                        compression="none"),
         )
         per_batch = n_msgs // n_batches
         payload = F.concat(
