@@ -122,11 +122,25 @@ class Consumer:
         try:
             code = g.heartbeat(self.member_id, self.generation)
         except CoordinatorError as e:
-            if e.code != "ILLEGAL_GENERATION":
+            if e.code == "UNKNOWN_MEMBER_ID":
+                # session expired / fenced: a Kafka client resets its
+                # member_id and rejoins fresh instead of erroring forever
+                self.member_id = None
+                code = "REBALANCE_IN_PROGRESS"
+            elif e.code == "ILLEGAL_GENERATION":
+                code = "REBALANCE_IN_PROGRESS"
+            else:
                 raise
-            code = "REBALANCE_IN_PROGRESS"
         if code == "REBALANCE_IN_PROGRESS":
             self.subscribe()  # rejoin, new generation + assignment
+        elif not self.assignment:
+            # stable-group straggler: our sync raced the leader's during
+            # the rebalance, but the coordinator holds this member's
+            # final assignment now — fetch it (Kafka followers re-sync)
+            try:
+                self.assignment = g.sync_group(self.member_id, self.generation)
+            except CoordinatorError:
+                pass
         return code
 
     def close(self) -> None:
@@ -140,16 +154,34 @@ class Consumer:
     # -- consumption -------------------------------------------------------
 
     def _start_position(self, topic: str, partition: int) -> int:
-        committed = (
-            self.engine.offset_fetch(self.group_id)
-            .where((F.col("topic") == topic) & (F.col("partition") == partition))
-            .collect()
-        )
-        if committed:
-            return int(committed[0]["committed_offset"])
-        if self.auto_offset_reset == "latest":
-            return self.engine.high_watermarks(topic).get(partition, 0)
-        return self.engine._log_starts(topic).get(partition, 0)
+        self._init_positions([(topic, partition)])
+        return self._positions[(topic, partition)]
+
+    def _init_positions(self, keys: list[tuple[str, int]]) -> None:
+        """Resolve start positions for all ``keys`` with ONE committed-
+        offsets job (the keep-latest aggregation scans the whole commits
+        table regardless of filter, so per-partition fetches would run it
+        |assignment| times) plus one watermark/log-start lookup per
+        topic."""
+        missing = [k for k in keys if k not in self._positions]
+        if not missing:
+            return
+        committed = {
+            (r["topic"], r["partition"]): int(r["committed_offset"])
+            for r in self.engine.offset_fetch(self.group_id).collect()
+        }
+        reset_cache: dict[str, dict[int, int]] = {}
+        for topic, p in missing:
+            if (topic, p) in committed:
+                self._positions[(topic, p)] = committed[(topic, p)]
+                continue
+            if topic not in reset_cache:
+                reset_cache[topic] = (
+                    self.engine.high_watermarks(topic)
+                    if self.auto_offset_reset == "latest"
+                    else self.engine._log_starts(topic)
+                )
+            self._positions[(topic, p)] = reset_cache[topic].get(p, 0)
 
     def poll(
         self,
@@ -168,13 +200,19 @@ class Consumer:
         if not self.assignment:
             raise RuntimeError("not subscribed / empty assignment")
         out: dict[tuple[str, int], list] = {}
+        self._init_positions(
+            [
+                (topic, p)
+                for topic, parts in self.assignment.items()
+                for p in parts
+                if (topic, p) not in self._paused
+            ]
+        )
         for topic, parts in self.assignment.items():
             for p in parts:
                 key = (topic, p)
                 if key in self._paused:
                     continue
-                if key not in self._positions:
-                    self._positions[key] = self._start_position(topic, p)
                 rows = self.engine.fetch_rows(
                     topic, p,
                     offset=self._positions[key],
@@ -230,9 +268,9 @@ class Consumer:
 
     def commit(self) -> None:
         """Commit every polled position (OffsetCommit semantics: the
-        committed offset is the NEXT offset to read)."""
-        for (topic, p), off in self._positions.items():
-            self.engine.offset_commit(self.group_id, topic, p, off)
+        committed offset is the NEXT offset to read) — one append job
+        for the whole assignment, like the single OffsetCommit RPC."""
+        self.engine.offset_commit_batch(self.group_id, dict(self._positions))
 
     def __enter__(self) -> "Consumer":
         self.subscribe()

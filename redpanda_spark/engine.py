@@ -2541,6 +2541,26 @@ class TopicEngine:
         )
         df.write.mode("append").parquet(self._commits_dir())
 
+    def offset_commit_batch(
+        self, group_id: str, offsets: dict[tuple[str, int], int]
+    ) -> None:
+        """Commit many (topic, partition) -> next-offset positions as ONE
+        append (one Spark job), the OffsetCommit-request shape — a client
+        commits its whole assignment in one RPC, not one per partition."""
+        if not offsets:
+            return
+        now = time.time_ns()
+        rows = [
+            (group_id, t, p, off, 0, "", now, False)
+            for (t, p), off in offsets.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "group_id string, topic string, partition int, committed_offset long,"
+            " leader_epoch int, metadata string, commit_seq long, deleted boolean",
+        )
+        df.coalesce(1).write.mode("append").parquet(self._commits_dir())
+
     def offset_delete(self, group_id: str, topic: str, partition: int) -> None:
         self.offset_commit(group_id, topic, partition, -1, deleted=True)
 

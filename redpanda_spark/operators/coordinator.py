@@ -313,13 +313,17 @@ class GroupCoordinator:
         known = self.members.get(member_id)
         if (
             known is not None
-            and self.state == GroupState.STABLE
+            and self.state
+            in (GroupState.STABLE, GroupState.COMPLETING_REBALANCE)
             and known.protocols == protocols
         ):
-            # Kafka's no-op rejoin (group.cc): a known member re-joining a
-            # Stable group with an unchanged subscription gets the CURRENT
-            # generation back — no rebalance churn from heartbeat-path
-            # rejoins
+            # Kafka's no-op rejoin (group.cc): a known member re-joining
+            # Stable OR CompletingRebalance with an unchanged subscription
+            # gets the CURRENT generation back. The Completing case is
+            # load-bearing: restarting the rebalance there lets two
+            # members' alternating join/sync retries bump the generation
+            # forever without anyone ever syncing (livelock); Kafka
+            # answers with current info so the in-flight sync completes.
             known.last_heartbeat = time.monotonic()
             return self._join_response(member_id)
         m = self.members.get(member_id)
@@ -454,9 +458,12 @@ class GroupCoordinator:
                     )
                 if self.protocol == "cooperative-sticky":
                     assignments = self._cooperative_phase(assignments)
-                for mid, a in assignments.items():
-                    if mid in self.members:
-                        self.members[mid].assignment = a
+                # every member gets EXACTLY what the leader assigned —
+                # members omitted from the map get empty (Kafka
+                # GroupCoordinator), never a carried-over stale
+                # assignment that would double-own partitions
+                for mid, m in self.members.items():
+                    m.assignment = assignments.get(mid, {})
                 self.state = GroupState.STABLE
                 # the reference writes the group-metadata record exactly
                 # here: rebalance completed, assignments final
@@ -476,7 +483,13 @@ class GroupCoordinator:
             # reached with no partition ever double-owned
             self._coop_followup = False
             self._start_rebalance()
-        if self.state == GroupState.PREPARING_REBALANCE:
+        if self.state in (
+            GroupState.PREPARING_REBALANCE,
+            GroupState.COMPLETING_REBALANCE,
+        ):
+            # Kafka answers REBALANCE_IN_PROGRESS in BOTH rebalance
+            # states — a follower whose sync raced the leader learns to
+            # re-sync instead of idling on NONE with no assignment
             return "REBALANCE_IN_PROGRESS"
         return "NONE"
 

@@ -42,12 +42,25 @@ def dim_from_topic(
     topic: str,
     decode: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
-    """Keep-latest snapshot of a (compacted or not) topic: one row per
-    (partition, key), latest offset wins — the KTable materialization.
+    """Keep-latest snapshot of a (compacted or not) topic: ONE row per
+    key — the KTable materialization. Within a partition the latest
+    offset wins (exact log order, matching compaction); a key that
+    appears in MULTIPLE partitions (possible after a partition-count or
+    routing change — offsets are not comparable across partitions) is
+    resolved deterministically by (timestamp, partition, offset).
     ``decode`` maps the raw record frame (key/value binary) to typed
     columns; default exposes key/value as-is. Tombstones (null value)
     are dropped — a delete removes the dim row, like compaction would."""
-    latest = compact_keep_latest(engine.log(topic), ["key"], order_col="offset")
+    per_part = compact_keep_latest(
+        engine.log(topic), ["partition", "key"], order_col="offset"
+    )
+    # cross-partition stage runs on one-row-per-(partition,key) — tiny
+    ordered = per_part.withColumn(
+        "_dim_order", F.struct("timestamp", "partition", "offset")
+    )
+    latest = compact_keep_latest(ordered, ["key"], order_col="_dim_order").drop(
+        "_dim_order"
+    )
     latest = latest.where(F.col("value").isNotNull())
     return decode(latest) if decode is not None else latest
 

@@ -70,10 +70,23 @@ def _combine(parts: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") -> int:
+def merge_rollup(
+    store_path: str,
+    batch: DataFrame,
+    window_dur: str = "1 hour",
+    batch_id: int | None = None,
+) -> int:
     """Fold one micro-batch into the rollup store; returns the number of
     touched window-days. Day partitions not touched by the batch are
-    never read or rewritten."""
+    never read or rewritten.
+
+    ``batch_id`` (the foreachBatch epoch) makes the fold IDEMPOTENT under
+    checkpoint replay: each day dir carries an ``_applied_batch`` marker
+    that flips atomically with the data, and a day already stamped with
+    this batch_id is skipped — a crash AFTER a day's os.replace commit
+    but BEFORE Spark's checkpoint records the batch would otherwise
+    double-apply that day's partials on restart. Only the latest batch
+    can replay, so an equality check suffices."""
     spark = batch.sparkSession
     partials = _partials(batch, window_dur).withColumn(
         "window_date", F.to_date("window_start")
@@ -100,6 +113,13 @@ def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") 
             os.replace(old, day_dir)
         shutil.rmtree(tmp, ignore_errors=True)  # stale-crash GC
         shutil.rmtree(old, ignore_errors=True)
+        marker = os.path.join(day_dir, "_applied_batch")
+        if batch_id is not None and os.path.isfile(marker):
+            try:
+                if int(open(marker).read().strip()) == batch_id:
+                    continue  # committed-then-replayed: already folded
+            except ValueError:
+                pass
         new = partials.where(F.col("window_date") == F.lit(day)).drop("window_date")
         if os.path.isdir(day_dir):
             stored = spark.read.parquet(day_dir)
@@ -107,6 +127,12 @@ def merge_rollup(store_path: str, batch: DataFrame, window_dur: str = "1 hour") 
         else:
             new = _combine(new)
         new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            # inside tmp, so the stamp becomes visible in the SAME
+            # os.replace that commits the data ("_"-prefixed: invisible
+            # to Spark's file index)
+            with open(os.path.join(tmp, "_applied_batch"), "w") as f:
+                f.write(str(batch_id))
         if os.path.isdir(day_dir):
             os.replace(day_dir, old)
         os.replace(tmp, day_dir)  # atomic visibility flip per day
@@ -137,7 +163,7 @@ def rollup_sink(
 
     src = _tz_aware(events, "ts").withWatermark("ts", watermark)
     writer = src.writeStream.foreachBatch(
-        lambda b, _id: merge_rollup(store_path, b, window_dur)
+        lambda b, _id: merge_rollup(store_path, b, window_dur, batch_id=_id)
     ).option("checkpointLocation", checkpoint)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -81,25 +81,32 @@ def idempotent_dedup_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         epoch, last = state.get if state.exists else (-1, -1)
-        for pdf in pdfs:
-            # Fencing is an *arrival-order* state machine (log order in the
-            # reference) — replay rows by offset, not by (epoch, seq).
-            if "offset" in pdf.columns:
-                pdf = pdf.sort_values("offset")
-            evals = pdf["producer_epoch"].to_numpy()
-            svals = pdf[seq_col].to_numpy()
-            keep = np.zeros(len(pdf), dtype=bool)
-            for i in range(len(pdf)):
-                e, s = int(evals[i]), int(svals[i])
-                if e < epoch:
-                    continue  # fenced: stale producer epoch
-                if e > epoch:
-                    epoch, last = e, -1  # epoch bump resets the seq window
-                if s > last:
-                    last = s
-                    keep[i] = True
-            if keep.any():
-                yield pdf.loc[keep, out_cols]
+        # Fencing is an *arrival-order* state machine (log order in the
+        # reference) — replay rows by offset, not by (epoch, seq). The
+        # iterator delivers a group LARGER than one Arrow batch as
+        # multiple chunks in shuffle order, so the sort must happen over
+        # the CONCATENATED group: sorting each chunk independently would
+        # process offset 15000 before offset 5 and wrongly drop the
+        # latter as a sequence regression. Group size = one producer's
+        # records into one partition per micro-batch — bounded by the
+        # batch, safe to materialize.
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if "offset" in whole.columns:
+            whole = whole.sort_values("offset")
+        evals = whole["producer_epoch"].to_numpy()
+        svals = whole[seq_col].to_numpy()
+        keep = np.zeros(len(whole), dtype=bool)
+        for i in range(len(whole)):
+            e, s = int(evals[i]), int(svals[i])
+            if e < epoch:
+                continue  # fenced: stale producer epoch
+            if e > epoch:
+                epoch, last = e, -1  # epoch bump resets the seq window
+            if s > last:
+                last = s
+                keep[i] = True
+        if keep.any():
+            yield whole.loc[keep, out_cols]
         state.update((epoch, last))
 
     return records.groupBy("producer_id", "partition").applyInPandasWithState(

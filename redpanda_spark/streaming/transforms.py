@@ -141,13 +141,36 @@ class TransformProcessor:
         return with_headers.drop("out_topic", "error")
 
     def _route(self, out: DataFrame) -> dict[str, dict[int, int]]:
-        results: dict[str, dict[int, int]] = {}
-        for t in self._sinks():
-            sub = out.where(F.col("out_topic") == t)
-            if sub.isEmpty():
-                continue
-            results[t] = self.engine.produce(t, self._to_records(sub))
-        return results
+        sinks = self._sinks()
+        # persist: the emptiness probe plus one produce per sink would
+        # otherwise re-execute the user fn over the full input once per
+        # sink (side-effecting fns would re-fire; compute multiplies)
+        out = out.persist()
+        try:
+            stray = (
+                out.where(
+                    F.col("out_topic").isNull()
+                    | ~F.col("out_topic").isin(sinks)
+                )
+                .select("out_topic")
+                .first()
+            )
+            if stray is not None:
+                # the reference SDK fails a transform writing to an
+                # undeclared output topic — never silently drops records
+                raise ValueError(
+                    f"transform routed records to undeclared topic "
+                    f"{stray['out_topic']!r} (declared sinks: {sinks})"
+                )
+            results: dict[str, dict[int, int]] = {}
+            for t in sinks:
+                sub = out.where(F.col("out_topic") == t)
+                if sub.isEmpty():
+                    continue
+                results[t] = self.engine.produce(t, self._to_records(sub))
+            return results
+        finally:
+            out.unpersist()
 
     def start_stream(self, trigger_available_now: bool = True):
         """Continuous execution via Structured Streaming file source."""
@@ -161,10 +184,9 @@ class TransformProcessor:
         out = self._apply(src)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            for t in self._sinks():
-                sub = batch_df.where(F.col("out_topic") == t)
-                if not sub.isEmpty():
-                    self.engine.produce(t, self._to_records(sub))
+            # same routing as batch mode: persisted once, undeclared
+            # topics fail the query instead of silently dropping records
+            self._route(batch_df)
 
         writer = out.writeStream.foreachBatch(sink).queryName(self.name)
         if self.checkpoint_dir:

@@ -262,3 +262,60 @@ def test_consumer_poll_hot_tail_zero_jobs_and_byte_budget(spark, tmp_path):
     finally:
         sc.setJobGroup("", "")
     assert list(sc.statusTracker().getJobIdsForGroup("consumer-hot")) == []
+
+
+def test_unknown_member_heartbeat_rejoins_fresh(spark, tmp_path):
+    """r9 regression: a consumer swept out by session expiry gets
+    UNKNOWN_MEMBER_ID on its next heartbeat — a Kafka client resets its
+    member_id and rejoins instead of erroring forever."""
+    engine, mgr = _setup(spark, tmp_path)
+    c = Consumer(engine, mgr, "g", ["t"])
+    c.subscribe()
+    old_member = c.member_id
+    # coordinator-side session expiry sweeps the member
+    g = mgr.get("g")
+    g.members[old_member].last_heartbeat -= 10_000
+    g.expire_members()
+    assert old_member not in g.members
+    code = c.heartbeat()  # must rejoin, not raise
+    assert code == "REBALANCE_IN_PROGRESS"
+    assert c.member_id is not None and c.member_id != old_member
+    assert sorted(p for ps in c.assignment.values() for p in ps) == [0, 1, 2, 3]
+    assert len(_drain(c)) == 40
+
+
+def test_raced_follower_recovers_assignment_via_heartbeat(spark, tmp_path):
+    """r9 regression: a follower whose sync raced the leader's during the
+    rebalance holds an empty client-side assignment after the group goes
+    Stable; its next heartbeat must fetch the coordinator-held
+    assignment instead of idling on NONE with poll() erroring."""
+    engine, mgr = _setup(spark, tmp_path)
+    a = Consumer(engine, mgr, "g", ["t"])
+    b = Consumer(engine, mgr, "g", ["t"])
+    a.subscribe()
+    b.subscribe()      # group now rebalancing for 2 members
+    a.subscribe()      # a rejoins; generation completes; a is leader+synced
+    if not b.assignment:
+        # b's earlier sync raced: client-side empty while group is Stable
+        code = b.heartbeat()
+        assert b.assignment, f"heartbeat ({code}) must recover the assignment"
+    got = sorted(
+        p for c in (a, b) for ps in c.assignment.values() for p in ps
+    )
+    assert got == [0, 1, 2, 3]
+    assert len(_drain(a)) + len(_drain(b)) == 40
+
+
+def test_batched_commit_roundtrip(spark, tmp_path):
+    """commit() writes the whole assignment as one append; positions
+    resume exactly across a new member (single-job offset init path)."""
+    engine, mgr = _setup(spark, tmp_path)
+    c = Consumer(engine, mgr, "g", ["t"])
+    c.subscribe()
+    got = _drain(c)
+    assert len(got) == 40
+    c.commit()
+    c.close()
+    c2 = Consumer(engine, mgr, "g", ["t"])
+    c2.subscribe()
+    assert _drain(c2) == []  # committed positions: nothing left

@@ -437,3 +437,54 @@ def test_cooperative_followup_survives_restart():
     g2 = GroupCoordinator.restore(store["snap"].snapshot(), {"t": 2}, persist=persist)
     # the pending follow-up was persisted: first heartbeat re-triggers it
     assert g2._coop_followup is True
+
+
+def test_rejoin_during_completing_is_noop_no_livelock():
+    """r9 regression: a known member re-joining with unchanged protocols
+    while the group is COMPLETING_REBALANCE must get the CURRENT
+    generation back (Kafka's no-op rejoin) — restarting the rebalance
+    there lets two members' alternating join/sync retries bump the
+    generation forever without anyone syncing."""
+    g = GroupCoordinator("g", TP)
+    r1 = g.join_group(None, {"range": ["t1"]})
+    m1 = r1["member_id"]
+    r2 = g.join_group(None, {"range": ["t1"]})
+    m2 = r2["member_id"]
+    # m1 rejoins to complete the bumped generation
+    r1b = g.join_group(m1, {"range": ["t1"]})
+    gen = r1b["generation"]
+    assert g.state is GroupState.COMPLETING_REBALANCE
+    # follower sync races ahead of the leader: told to retry
+    with pytest.raises(CoordinatorError, match="REBALANCE_IN_PROGRESS"):
+        g.sync_group(m2, gen)
+    # the follower's retry loop re-joins — must NOT restart the rebalance
+    r2b = g.join_group(m2, {"range": ["t1"]})
+    assert r2b["generation"] == gen
+    assert g.state is GroupState.COMPLETING_REBALANCE
+    # heartbeats during COMPLETING say rebalance (Kafka), not NONE
+    assert g.heartbeat(m1, gen) == "REBALANCE_IN_PROGRESS"
+    # leader syncs; the raced follower then syncs and gets its partitions
+    a1 = g.sync_group(m1 if r1b["is_leader"] else m2, gen)
+    a2 = g.sync_group(m2 if r1b["is_leader"] else m1, gen)
+    assert g.state is GroupState.STABLE
+    got = sorted(a1.get("t1", []) + a2.get("t1", []))
+    assert got == list(range(TP["t1"]))
+
+
+def test_sync_omitted_member_gets_empty_assignment():
+    """r9 regression: a member the leader's assignment map omits must end
+    the generation with an EMPTY assignment (Kafka), never a stale
+    carried-over one that double-owns partitions."""
+    g = GroupCoordinator("g", TP)
+    m1 = g.join_group(None, {"range": ["t1"]})["member_id"]
+    gen = g.join_group(m1, {"range": ["t1"]})["generation"]
+    g.sync_group(m1, gen)
+    # second member joins; both rejoin; leader assigns EVERYTHING to
+    # itself, omitting the follower from the map
+    m2 = g.join_group(None, {"range": ["t1"]})["member_id"]
+    gen = g.join_group(m1, {"range": ["t1"]})["generation"]
+    g.join_group(m2, {"range": ["t1"]})
+    all_parts = {"t1": list(range(TP["t1"]))}
+    a1 = g.sync_group(m1, gen, assignments={m1: all_parts})
+    assert a1 == all_parts
+    assert g.sync_group(m2, gen) == {}  # not the stale previous split

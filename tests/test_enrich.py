@@ -162,3 +162,34 @@ def test_stream_stream_join_within_skew(engine, spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {("u1", "c1", "v1")}
+
+
+def test_dim_cross_partition_key_resolves_deterministically(engine, spark):
+    """r9 regression: offsets only order WITHIN a partition. A key that
+    lives in two partitions (routing change) must resolve by
+    (timestamp, partition, offset) — the later-timestamped write wins
+    even when the other partition holds a higher offset."""
+    import datetime as dt
+
+    engine.create_topic("dim", TopicConfig(partitions=2))
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        # partition 0: u1 written repeatedly -> high offsets, OLD times
+        *[
+            Row(partition=0, key=b"u1", value=f"old{i}".encode(),
+                timestamp=base + dt.timedelta(seconds=i))
+            for i in range(5)
+        ],
+        # partition 1: single NEWER write of u1 at offset 0
+        Row(partition=1, key=b"u1", value=b"new",
+            timestamp=base + dt.timedelta(hours=1)),
+    ]
+    engine.produce(
+        "dim",
+        spark.createDataFrame(
+            rows, "partition int, key binary, value binary, timestamp timestamp"
+        ),
+    )
+    dim = dim_from_topic(engine, "dim", decode=_decode)
+    got = {r["user"]: r["segment"] for r in dim.collect()}
+    assert got == {"u1": "new"}  # p1's later timestamp beats p0's offset 4

@@ -472,3 +472,62 @@ def test_rollup_gate_cache_invalidated_on_fixture_rewrite(spark, tmp_path):
     write_events(7)  # regenerate in place
     [r] = QUERIES["events_rollup"](spark, sf).collect()
     assert r["n"] == 7  # stale path-keyed cache would still say 4
+
+
+def test_idempotent_dedup_group_spanning_arrow_chunks(spark, tmp_path):
+    """r9 regression: a (producer, partition) group larger than one Arrow
+    batch reaches the state fn as MULTIPLE chunks in shuffle order; the
+    offset sort must span the concatenated group, or a low-offset record
+    in a later chunk is wrongly dropped as a sequence regression."""
+    rows = [
+        # written in REVERSED offset order so chunking yields the
+        # high-offset records first
+        (1, 0, s, 0, s, None, f"v{s}".encode())
+        for s in range(9, -1, -1)
+    ]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(rows, RECORD_SCHEMA).coalesce(1).write.parquet(src_dir)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src_dir)
+        out = idempotent_dedup_stream(stream)
+        got = _run_stream(out, spark, _mem_name())
+        vals = sorted(bytes(r["value"]).decode() for r in got.collect())
+        assert vals == sorted(f"v{s}" for s in range(10))  # ALL admitted
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_rollup_replay_same_batch_id_is_idempotent(spark, tmp_path):
+    """r9 regression: foreachBatch replay after a committed day swap must
+    not double-apply — the day's _applied_batch stamp (atomic with the
+    data) makes re-merging batch N a no-op, while batch N+1 still folds."""
+    import os
+
+    from redpanda_spark.streaming.rollup import merge_rollup, read_rollup
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", "click", 2.0)],
+        "event_id long, ts_s string, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    merge_rollup(store, df, batch_id=7)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 1
+    # checkpoint-replay of the SAME batch: no double count
+    merge_rollup(store, df, batch_id=7)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 1
+    # the next batch folds normally
+    merge_rollup(store, df, batch_id=8)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 2
+    # unguarded manual calls keep the old always-fold behavior
+    merge_rollup(store, df)
+    [r] = read_rollup(spark, store).collect()
+    assert r["n"] == 3

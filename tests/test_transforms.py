@@ -211,3 +211,23 @@ def test_dlq_streaming_poison_does_not_stall(engine, spark, tmp_path):
     q.awaitTermination(120)
     assert values(engine, "sout2") == ["x"]
     assert values(engine, "sdlq2") == ["BOOM"]
+
+
+def test_undeclared_output_topic_fails_loudly(engine, spark):
+    """r9 regression: records the fn routes to a topic missing from
+    output_topics (and not the DLQ) must FAIL the transform — the
+    reference SDK rejects writes to undeclared topics; silently dropping
+    them loses data."""
+    engine.create_topic("in", TopicConfig(partitions=1))
+    engine.create_topic("out", TopicConfig(partitions=1))
+    engine.create_topic("elsewhere", TopicConfig(partitions=1))
+    produce_strs(engine, spark, "in", [("a", "1"), ("b", "2")])
+
+    def fn(rec):
+        # routes half its records somewhere undeclared
+        t = "out" if rec["value"] == b"1" else "elsewhere"
+        yield t, rec
+
+    tp = TransformProcessor(engine, "in", fn, ["out"])
+    with pytest.raises(ValueError, match="undeclared topic 'elsewhere'"):
+        tp.run_once_batch()
