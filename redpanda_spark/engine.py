@@ -494,7 +494,16 @@ class TopicEngine:
         cols = batch.columns
         df = batch.withColumn("_seq", F.monotonically_increasing_id())
         if "partition" in cols:
-            part = F.col("partition").cast("int")
+            # null partition in a mixed batch = unrouted record: fall
+            # back to round-robin. (Not the murmur2 UDF: a Python UDF in
+            # the plan executes for EVERY row regardless of the coalesce,
+            # adding a python-worker stage to all explicit-partition
+            # produces for a rare edge. Mixed REST batches take
+            # _produce_local, which does full key-hash routing.)
+            part = F.coalesce(
+                F.col("partition").cast("int"),
+                F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int"),
+            )
         else:
             # Arrow-batched murmur2 kernel. (A pure-JVM murmur2 expression
             # exists — functions.hashes.murmur2_partition_expr — but its
@@ -766,17 +775,25 @@ class TopicEngine:
         # -- routing (byte-compat murmur2 / explicit / round-robin) -------
         from redpanda_spark.functions.hashes import murmur2_partition
 
+        def _route(i: int, r) -> int:
+            k = r["key"] if "key" in cols else None
+            return (
+                murmur2_partition(bytes(k), n_parts)
+                if k is not None
+                else i % n_parts
+            )
+
         if "partition" in cols:
-            parts = [int(r["partition"]) for r in rows]
+            # Kafka ProduceRequest shape: each record either names a
+            # partition or the partitioner routes it — a null partition
+            # in a mixed batch falls back to key-hash / round-robin,
+            # never silently partition 0
+            parts = [
+                int(r["partition"]) if r["partition"] is not None else _route(i, r)
+                for i, r in enumerate(rows)
+            ]
         else:
-            parts = []
-            for i, r in enumerate(rows):
-                k = r["key"] if "key" in cols else None
-                parts.append(
-                    murmur2_partition(bytes(k), n_parts)
-                    if k is not None
-                    else i % n_parts
-                )
+            parts = [_route(i, r) for i, r in enumerate(rows)]
 
         def val(r, name, default=None):
             return r[name] if name in cols else default

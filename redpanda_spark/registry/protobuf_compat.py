@@ -47,7 +47,9 @@ _SCALARS = {
     "double": "double",
 }
 
-_TOKEN = re.compile(r'[\w.]+|"[^"]*"|[{}<>=;,\[\]\-]')
+# negative numbers tokenize as ONE token ('-1', not '-','1') so
+# negative enum constants parse; bare '-' still matches last
+_TOKEN = re.compile(r'-\d[\w.]*|[\w.]+|"[^"]*"|[{}<>=;,\[\]\-]')
 
 
 @dataclass

@@ -191,7 +191,11 @@ class SchemaRegistry:
             self._next_id += 1
         ver = SchemaVersion(
             subject=subject,
-            version=(live[-1].version + 1) if live else 1,
+            # max EVER assigned + 1, soft-deleted included: Confluent
+            # never reuses a (subject, version) coordinate — reviving a
+            # deleted subject at v1 would silently change what cached
+            # clients think v1 means
+            version=(max(v.version for v in versions) + 1) if versions else 1,
             id=sid,
             type=schema_type,
             schema=schema,
@@ -482,6 +486,21 @@ def _avro_resolve(reader, writer) -> tuple[bool, str]:
         return _avro_resolve(reader["items"], writer["items"])
     if rt == "map" and wt == "map":
         return _avro_resolve(reader["values"], writer["values"])
+    if rt == "fixed" and wt == "fixed":
+        # Avro spec schema-resolution: fixed matches only with the SAME
+        # size (and unqualified name); falling through to rt == wt would
+        # accept a size change that corrupts every decoded value
+        if reader.get("size") != writer.get("size"):
+            return False, (
+                f"fixed size mismatch reader={reader.get('size')} "
+                f"writer={writer.get('size')}"
+            )
+        if reader.get("name") != writer.get("name"):
+            return False, (
+                f"fixed name mismatch reader={reader.get('name')!r} "
+                f"writer={writer.get('name')!r}"
+            )
+        return True, ""
     if rt == "enum" and wt == "enum":
         missing = set(writer.get("symbols", [])) - set(reader.get("symbols", []))
         if missing:

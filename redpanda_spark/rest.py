@@ -33,8 +33,20 @@ import re
 
 
 from redpanda_spark.admin import AdminClient
-from redpanda_spark.engine import TopicConfig, TopicEngine
+from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+from redpanda_spark.operators.coordinator import CoordinatorError
 from redpanda_spark.registry import CompatibilityError, ModeError, SchemaRegistry
+
+_BROKER_ERRORS = (ProduceError, CoordinatorError)
+
+
+def _req(body: dict, field: str):
+    """Required body field: absence is a 422 malformed-request (never a
+    KeyError -> 404 'not found', which misleads clients into re-creating
+    state)."""
+    if field not in body:
+        raise ValueError(f"missing required body field '{field}'")
+    return body[field]
 
 
 def _b64e(b):
@@ -133,6 +145,11 @@ class RestApp:
                     return 422, {"error_code": 42205, "message": str(e)}
                 except ValueError as e:
                     return 422, {"error_code": 422, "message": str(e)}
+                except _BROKER_ERRORS as e:
+                    # routine broker-side rejections (MESSAGE_TOO_LARGE,
+                    # group FSM errors) keep the JSON error contract —
+                    # never an HTML 500 traceback out of the WSGI app
+                    return 422, {"error_code": 42202, "message": str(e)}
         return 404, {"error_code": 404, "message": f"no route {method} {path}"}
 
     def __call__(self, environ, start_response):
@@ -150,6 +167,11 @@ class RestApp:
         except (ValueError, json.JSONDecodeError):
             body = None
         status, payload = self.handle(method, path, body, query)
+        if status == 204:
+            # RFC 9110: 204 has no body — a stray payload desynchronizes
+            # keep-alive response framing
+            start_response("204 No Content", [])
+            return []
         data = json.dumps(payload).encode()
         start_response(
             f"{status} {'OK' if status < 400 else 'ERR'}",
@@ -184,8 +206,15 @@ class RestApp:
         # throttle contract — 429 + throttle_time_ms; the client backs
         # off and retries (the broker never sleeps a request thread)
         client = query.get("client_id", body.get("client_id", "anonymous"))
+        decoded = [
+            {"key": _b64d(r.get("key")), "value": _b64d(r.get("value"))}
+            for r in recs
+        ]
+        # charge the DECODED bytes (what actually lands in the log) —
+        # base64 string lengths would overbill producers ~33% vs the
+        # fetch path, which charges raw key/value bytes
         nbytes = sum(
-            len(r.get("key") or "") + len(r.get("value") or "") for r in recs
+            len(d["key"] or b"") + len(d["value"] or b"") for d in decoded
         )
         delay = self.admin.throttle(client, nbytes)
         if delay > 0:
@@ -198,19 +227,20 @@ class RestApp:
         # these with zero Spark jobs (falls back to a DataFrame produce on
         # URI roots / legacy layouts automatically)
         if any("partition" in r for r in recs):
+            # mixed batches keep per-record semantics: a record without a
+            # partition routes by key-hash / round-robin (partition=None
+            # → the engine's partitioner), never a silent partition 0
             rows = [
                 {
-                    "key": _b64d(r.get("key")),
-                    "value": _b64d(r.get("value")),
-                    "partition": int(r.get("partition", 0)),
+                    **d,
+                    "partition": (
+                        int(r["partition"]) if "partition" in r else None
+                    ),
                 }
-                for r in recs
+                for r, d in zip(recs, decoded)
             ]
         else:
-            rows = [
-                {"key": _b64d(r.get("key")), "value": _b64d(r.get("value"))}
-                for r in recs
-            ]
+            rows = decoded
         bases = self.engine.produce(topic, rows)
         return 200, {
             "offsets": [
@@ -292,11 +322,16 @@ class RestApp:
         from redpanda_spark.consumer import Consumer
 
         slot = self._instance(group, inst)
+        if slot.get("consumer") is not None:
+            # leave the group first: replacing without close() leaks a
+            # phantom member that keeps partitions assigned (and
+            # unpollable) until the session-timeout sweep
+            slot["consumer"].close()
         slot["consumer"] = Consumer(
             self.engine,
             self._get_manager(),
             group,
-            list(body["topics"]),
+            list(_req(body, "topics")),
             auto_offset_reset=slot["reset"],
         )
         slot["consumer"].subscribe()
@@ -350,7 +385,7 @@ class RestApp:
     def _register(self, subject, body, query):
         sid = self.registry.register(
             subject,
-            body["schema"],
+            _req(body, "schema"),
             body.get("schemaType", "AVRO"),
             references=body.get("references"),
         )
@@ -363,7 +398,7 @@ class RestApp:
         from redpanda_spark.registry.store import _canonical
 
         stype = body.get("schemaType", "AVRO")
-        canon = _canonical(body["schema"], stype)
+        canon = _canonical(_req(body, "schema"), stype)
         for ver in self.registry.versions(subject):
             v = self.registry.get_version(subject, ver)
             if v.type == stype and _canonical(v.schema, v.type) == canon:
@@ -439,11 +474,24 @@ class RestApp:
             else self.registry.get_version(subject, int(version))
         )
         level = self.registry.get_compatibility(subject)
-        ok, why = test_compatibility(
-            v.schema,
-            body["schema"],
-            body.get("schemaType", v.type),
-            level.replace("_TRANSITIVE", ""),
+        base = level.replace("_TRANSITIVE", "")
+        cand = _req(body, "schema")
+        # transitive levels test against ALL live versions — the same
+        # rule register enforces; checking only the named version would
+        # report is_compatible=true for schemas the write path rejects
+        targets = (
+            [
+                self.registry.get_version(subject, n)
+                for n in self.registry.versions(subject)
+            ]
+            if level.endswith("_TRANSITIVE")
+            else [v]
+        )
+        ok = all(
+            test_compatibility(
+                t.schema, cand, body.get("schemaType", t.type), base
+            )[0]
+            for t in targets
         )
         return 200, {"is_compatible": bool(ok)}
 
@@ -451,7 +499,7 @@ class RestApp:
         return 200, {"compatibilityLevel": self.registry.get_compatibility()}
 
     def _put_config(self, body, query):
-        self.registry.set_compatibility(body["compatibility"])
+        self.registry.set_compatibility(_req(body, "compatibility"))
         return 200, {"compatibility": body["compatibility"]}
 
     # -- registry mode (api-doc/schema_registry.json /mode) ---------------
@@ -460,14 +508,14 @@ class RestApp:
         return 200, {"mode": self.registry.get_mode()}
 
     def _put_mode(self, body, query):
-        self.registry.set_mode(body["mode"])
+        self.registry.set_mode(_req(body, "mode"))
         return 200, {"mode": body["mode"]}
 
     def _get_mode_subject(self, subject, body, query):
         return 200, {"mode": self.registry.get_mode(subject)}
 
     def _put_mode_subject(self, subject, body, query):
-        self.registry.set_mode(body["mode"], subject)
+        self.registry.set_mode(_req(body, "mode"), subject)
         return 200, {"mode": body["mode"]}
 
     def _delete_mode_subject(self, subject, body, query):

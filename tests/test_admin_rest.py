@@ -569,3 +569,87 @@ def test_api_versions_lists_new_handlers(admin):
         "ListPartitionReassignments",
     ):
         assert vs[op] == 1
+
+
+def test_rest_mixed_batch_routes_unpartitioned_records(engine, spark):
+    """r9 regression: in a mixed produce batch, records WITHOUT a
+    partition must route by key-hash (engine partitioner), never be
+    forced to partition 0."""
+    from redpanda_spark.functions.hashes import murmur2_partition
+
+    app = RestApp(engine)
+    engine.create_topic("mx", TopicConfig(partitions=8))
+    recs = [
+        {"partition": 5, "value": b64("explicit")},
+        {"key": b64("affinity-key"), "value": b64("routed")},
+    ]
+    assert app.handle("POST", "/topics/mx", {"records": recs})[0] == 200
+    rows = {
+        bytes(r["value"]).decode(): r["partition"]
+        for r in engine.log("mx").collect()
+    }
+    assert rows["explicit"] == 5
+    assert rows["routed"] == murmur2_partition(b"affinity-key", 8)  # not 0
+
+
+def test_rest_broker_errors_are_json_not_500(engine, spark):
+    """r9 regression: ProduceError (e.g. MESSAGE_TOO_LARGE) keeps the
+    JSON error contract instead of escaping as an unhandled exception."""
+    app = RestApp(engine)
+    engine.create_topic("lim", TopicConfig(partitions=1, max_message_bytes=4))
+    status, payload = app.handle(
+        "POST", "/topics/lim", {"records": [{"value": b64("way too large")}]}
+    )
+    assert status == 422 and "MESSAGE_TOO_LARGE" in payload["message"]
+
+
+def test_rest_missing_body_fields_are_422_not_404(engine):
+    app = RestApp(engine)
+    status, payload = app.handle("POST", "/subjects/s/versions", {})
+    assert status == 422 and "schema" in payload["message"]
+    assert app.handle("PUT", "/config", {})[0] == 422
+    assert app.handle("PUT", "/mode", {})[0] == 422
+
+
+def test_rest_resubscribe_replaces_member_without_phantom(engine, spark):
+    """r9 regression: re-subscribing an instance must close the previous
+    Consumer — otherwise the old member keeps partitions assigned (and
+    unpollable) until session expiry."""
+    app = RestApp(engine)
+    engine.create_topic("ph", TopicConfig(partitions=2))
+    app.handle("POST", "/topics/ph", {"records": [
+        {"partition": p, "value": b64(f"v{p}")} for p in (0, 1)]})
+    app.handle("POST", "/consumers/pg", {"name": "i1"})
+    sub = {"topics": ["ph"]}
+    assert app.handle("POST", "/consumers/pg/instances/i1/subscription", sub)[0] == 204
+    assert app.handle("POST", "/consumers/pg/instances/i1/subscription", sub)[0] == 204
+    g = app._get_manager().get("pg")
+    assert len(g.members) == 1  # old member left, no phantom
+    status, rows = app.handle("GET", "/consumers/pg/instances/i1/records")
+    assert status == 200 and len(rows) == 2  # ALL partitions pollable
+
+
+def test_rest_transitive_compat_check_matches_register(engine):
+    """r9 regression: under BACKWARD_TRANSITIVE the pre-flight
+    /compatibility endpoint must test ALL live versions like register
+    does — not just the named one."""
+    app = RestApp(engine)
+    f = lambda fields: __import__("json").dumps(
+        {"type": "record", "name": "R", "fields": fields}
+    )
+    v1 = f([{"name": "a", "type": "string"}])
+    v2 = f([{"name": "a", "type": "string"}, {"name": "b", "type": "string", "default": ""}])
+    # candidate drops 'a' entirely and adds defaulted c: readable against
+    # v2? no wait — compatible with NEITHER... build one compatible with
+    # v2 only: v2 reader must read v1 data; candidate reads v2 data but
+    # not v1: candidate requires field 'b' (no default) — v1 lacks b.
+    cand = f([{"name": "b", "type": "string"}])
+    app.handle("POST", "/subjects/t/versions", {"schema": v1})
+    app.handle("POST", "/subjects/t/versions", {"schema": v2})
+    app.handle("PUT", "/config", {"compatibility": "BACKWARD_TRANSITIVE"})
+    status, res = app.handle(
+        "POST", "/compatibility/subjects/t/versions/latest", {"schema": cand}
+    )
+    assert status == 200 and res["is_compatible"] is False
+    # and register agrees (409)
+    assert app.handle("POST", "/subjects/t/versions", {"schema": cand})[0] == 409

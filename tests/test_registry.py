@@ -587,3 +587,54 @@ def test_store_save_is_atomic_under_crash(tmp_path, monkeypatch):
     assert open(path).read() == before
     reloaded = SchemaRegistry(path)
     assert reloaded.get_latest("s-value").schema == '{"type": "string"}'
+
+
+def test_fixed_size_change_rejected():
+    """r9 regression: Avro resolution matches fixed only with the SAME
+    name and size — a size change passed the old rt==wt fallthrough and
+    would corrupt every decoded value."""
+    import json
+
+    import pytest
+
+    from redpanda_spark.registry import CompatibilityError, SchemaRegistry
+
+    r = SchemaRegistry()
+    f16 = json.dumps({"type": "fixed", "name": "F", "size": 16})
+    f8 = json.dumps({"type": "fixed", "name": "F", "size": 8})
+    r.register("s", f16)
+    with pytest.raises(CompatibilityError, match="size mismatch"):
+        r.register("s", f8)
+    r.register("s", f16)  # identical re-register still fine
+
+
+def test_versions_never_reused_after_soft_delete():
+    """r9 regression: (subject, version) coordinates are permanent — a
+    re-created subject continues numbering past the deleted versions
+    (Confluent semantics), so cached 'v1' never silently changes."""
+    import json
+
+    from redpanda_spark.registry import SchemaRegistry
+
+    r = SchemaRegistry()
+    mk = lambda n: json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "a", "type": "string"},
+                    {"name": n, "type": "string", "default": ""}]}
+    )
+    r.register("s", mk("b"))   # v1
+    r.register("s", mk("c"))   # v2
+    r.delete_subject("s")      # soft delete both
+    r.register("s", mk("d"))
+    assert r.versions("s") == [3]  # NOT a recycled v1
+
+
+def test_proto_negative_enum_constant_parses():
+    """r9 regression: '-' tokenized separately from digits, silently
+    dropping negative enum constants from the symbol table."""
+    from redpanda_spark.registry.protobuf_compat import parse_proto
+
+    schema = parse_proto(
+        "syntax = \"proto3\"; enum E { UNKNOWN = 0; ERR = -1; OK = 2; }"
+    )
+    assert schema.enums["E"] == {0: "UNKNOWN", -1: "ERR", 2: "OK"}
