@@ -546,8 +546,11 @@ def main():
     omb = max(omb_passes, key=lambda o: o["produce_mb_s"])
     print(f"# omb (best of {len(omb_passes)}): {omb}", file=sys.stderr)
     # best-of like the other workloads (first pass carries cold-JIT cost);
-    # every pass is persisted so a noisy round stays visible as such
-    omb_small_passes = [bench_omb_small_batches(spark) for _ in range(max(runs, 2))]
+    # every pass is persisted so a noisy round stays visible as such.
+    # 3 passes, not 2: measured isolated-curve plateau is 35-38k msg/s
+    # from pass 3 on (JIT+allocator warm-up) — best-of-2 reports the
+    # warm-up slope (~27-32k), not engine capacity; each pass is ~3 s.
+    omb_small_passes = [bench_omb_small_batches(spark) for _ in range(max(runs, 3))]
     omb_small = max(omb_small_passes, key=lambda o: o["produce_msg_s"])
     print(f"# omb_small (best of {len(omb_small_passes)}): {omb_small}", file=sys.stderr)
     drain = bench_drain(spark)
