@@ -28,8 +28,13 @@ def idempotent_dedup(log: DataFrame, key_cols: list[str] | None = None) -> DataF
     untouched. Keep-first = min_by(offset) aggregation over the sequence key.
     """
     keys = key_cols or IDEMPOTENT_KEY
-    idem = log.where(F.col("producer_id") >= 0)
-    passthrough = log.where(F.col("producer_id") < 0)
+    # sequence-keyed rows only: transactional records produced without a
+    # client sequence carry base_sequence=-1 (engine default) — grouping
+    # those under one (pid, epoch, -1) key would collapse a producer's
+    # whole partition stream to its first record
+    seq_keyed = (F.col("producer_id") >= 0) & (F.col("base_sequence") >= 0)
+    idem = log.where(seq_keyed)
+    passthrough = log.where(~seq_keyed)
     value_cols = [c for c in log.columns if c not in keys]
     packed = F.min_by(F.struct(*value_cols), F.col("offset"))
     first = (

@@ -141,6 +141,15 @@ class TxCoordinator:
         self._save()
         return st.producer_id, st.producer_epoch
 
+    @staticmethod
+    def _check_epoch(st: TxState, producer_epoch: int | None) -> None:
+        """Zombie fencing: a caller presenting an epoch older than the
+        current incarnation's is a fenced producer (tm_stm answers
+        INVALID_PRODUCER_EPOCH). Callers that omit the epoch (legacy
+        single-incarnation drivers) skip the check."""
+        if producer_epoch is not None and producer_epoch != st.producer_epoch:
+            raise TxError("INVALID_PRODUCER_EPOCH")
+
     def expire_transactions(self, now_ms: int | None = None) -> list[str]:
         """Abort every Ongoing transaction older than its
         transaction.timeout.ms — tm_stm's periodic expiry (the reference's
@@ -161,11 +170,24 @@ class TxCoordinator:
         ]
         for tid in expired:
             self._end(tid, commit=False)
+            # bump the epoch so the timed-out incarnation is FENCED on
+            # its next request instead of silently starting (and maybe
+            # half-committing) a fresh transaction — Kafka's abort-on-
+            # expiry bumps the epoch for exactly this reason
+            self._txs[tid].producer_epoch += 1
+        if expired:
+            self._save()
         return expired
 
     # -- transactional produce (AddPartitionsToTxn 24 + Produce) ---------
 
-    def produce(self, transactional_id: str, topic: str, batch) -> dict[int, int]:
+    def produce(
+        self,
+        transactional_id: str,
+        topic: str,
+        batch,
+        producer_epoch: int | None = None,
+    ) -> dict[int, int]:
         """Append a batch under the transaction's scope. The partition set
         joins the transaction implicitly (AddPartitionsToTxn), and the
         written offset ranges are recorded for the eventual marker.
@@ -175,8 +197,7 @@ class TxCoordinator:
         driver-side produce path, so interactive transactional producers
         get the same hot-path latency as plain ones."""
         st = self._require(transactional_id)
-        if st.status not in ("Empty", "Committed", "Aborted", "Ongoing"):
-            raise TxError("INVALID_TXN_STATE")
+        self._check_epoch(st, producer_epoch)
         if isinstance(batch, (list, tuple)):
             recs = [
                 dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
@@ -246,24 +267,52 @@ class TxCoordinator:
     # -- TxnOffsetCommit (28) / AddOffsetsToTxn (25) ---------------------
 
     def txn_offset_commit(
-        self, transactional_id: str, group_id: str, topic: str, partition: int, offset: int
+        self,
+        transactional_id: str,
+        group_id: str,
+        topic: str,
+        partition: int,
+        offset: int,
+        producer_epoch: int | None = None,
     ) -> None:
         st = self._require(transactional_id)
-        if st.status != "Ongoing":
+        self._check_epoch(st, producer_epoch)
+        if st.status not in ("Ongoing", "Empty", "Committed", "Aborted"):
             raise TxError("INVALID_TXN_STATE")
+        if st.status != "Ongoing":
+            # offsets-only (consume-only) transactions are legal: Kafka's
+            # AddOffsetsToTxn starts the transaction exactly like
+            # AddPartitionsToTxn — requiring a prior produce would force
+            # dummy data writes
+            import time as _time
+
+            st.status = "Ongoing"
+            st.partitions = {}
+            st.staged_offsets = {}
+            st.started_at_ms = int(_time.time() * 1000)
         st.staged_offsets[(group_id, topic, partition)] = offset
         self._save()
 
     # -- EndTxn (26) ------------------------------------------------------
 
-    def commit(self, transactional_id: str) -> None:
-        self._end(transactional_id, commit=True)
+    def commit(
+        self, transactional_id: str, producer_epoch: int | None = None
+    ) -> None:
+        self._end(transactional_id, commit=True, producer_epoch=producer_epoch)
 
-    def abort(self, transactional_id: str) -> None:
-        self._end(transactional_id, commit=False)
+    def abort(
+        self, transactional_id: str, producer_epoch: int | None = None
+    ) -> None:
+        self._end(transactional_id, commit=False, producer_epoch=producer_epoch)
 
-    def _end(self, transactional_id: str, commit: bool) -> None:
+    def _end(
+        self,
+        transactional_id: str,
+        commit: bool,
+        producer_epoch: int | None = None,
+    ) -> None:
         st = self._require(transactional_id)
+        self._check_epoch(st, producer_epoch)
         if st.status != "Ongoing":
             if st.status in ("Committed", "Aborted"):
                 return  # idempotent EndTxn
@@ -286,8 +335,14 @@ class TxCoordinator:
                 self.spark.createDataFrame(rows, TX_RANGE_SCHEMA)
             )
         if commit:
+            by_group: dict[str, dict] = {}
             for (group, topic, part), off in st.staged_offsets.items():
-                self.engine.offset_commit(group, topic, part, off)
+                by_group.setdefault(group, {})[(topic, part)] = off
+            for group, offs in by_group.items():
+                # one append per group (the OffsetCommit-request shape) —
+                # a per-partition loop was one Spark job each and widened
+                # the partial-forwarding crash window
+                self.engine.offset_commit_batch(group, offs)
         st.status = "Committed" if commit else "Aborted"
         st.staged_offsets = {}
         self._save()

@@ -515,3 +515,73 @@ def test_record_produce_missing_value_field_is_invalid(spark, engine):
     assert ei.value.code == "INVALID_RECORD"
     # and nothing was committed
     assert engine.high_watermarks("t") == {0: 0}
+
+
+def test_expired_zombie_is_fenced_not_half_committed(spark, engine):
+    """r9 regression: after a timeout abort the coordinator bumps the
+    epoch, so the unaware (zombie) incarnation presenting its old epoch
+    is fenced on produce AND commit — it can never commit the second
+    half of a transaction whose first half was aborted."""
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    pid, epoch = tc.init_producer_id("txA", transaction_timeout_ms=1)
+    tc.produce("txA", "t", _batch(spark, ["half1"]), producer_epoch=epoch)
+    import time
+
+    time.sleep(0.01)
+    assert tc.expire_transactions() == ["txA"]
+    # zombie continues with its OLD epoch: every request fenced
+    with pytest.raises(TxError, match="INVALID_PRODUCER_EPOCH"):
+        tc.produce("txA", "t", _batch(spark, ["half2"]), producer_epoch=epoch)
+    with pytest.raises(TxError, match="INVALID_PRODUCER_EPOCH"):
+        tc.commit("txA", producer_epoch=epoch)
+    with pytest.raises(TxError, match="INVALID_PRODUCER_EPOCH"):
+        tc.txn_offset_commit("txA", "g", "t", 0, 1, producer_epoch=epoch)
+    assert _committed_values(engine, "t") == []  # nothing half-committed
+
+
+def test_offsets_only_transaction(spark, engine):
+    """r9 regression: a consume-only transaction (offsets, no produce)
+    is legal — AddOffsetsToTxn starts the transaction in Kafka; the
+    offsets land atomically at commit."""
+    engine.create_topic("t", TopicConfig(partitions=1))
+    tc = TxCoordinator(engine)
+    tc.init_producer_id("txO")
+    tc.txn_offset_commit("txO", "g1", "t", 0, 7)  # no prior produce
+    fetched = {
+        (r["topic"], r["partition"]): r["committed_offset"]
+        for r in engine.offset_fetch("g1").collect()
+    }
+    assert fetched == {}  # staged only, not visible pre-commit
+    tc.commit("txO")
+    fetched = {
+        (r["topic"], r["partition"]): r["committed_offset"]
+        for r in engine.offset_fetch("g1").collect()
+    }
+    assert fetched == {("t", 0): 7}
+
+
+def test_idempotent_dedup_passes_unsequenced_tx_records(spark):
+    """r9 regression: coordinator-produced transactional records carry
+    base_sequence=-1 — they must pass through dedup untouched, not
+    collapse to one record per (pid, epoch)."""
+    from redpanda_spark.operators.transactions import idempotent_dedup
+
+    rows = [
+        # unsequenced transactional records from one producer
+        (0, 10, 0, -1, 0, b"t1"),
+        (0, 10, 0, -1, 1, b"t2"),
+        (0, 10, 0, -1, 2, b"t3"),
+        # sequenced records: duplicate seq collapses
+        (0, 11, 0, 5, 3, b"s"),
+        (0, 11, 0, 5, 4, b"s-dup"),
+        # plain producer
+        (0, -1, -1, -1, 5, b"p"),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "partition int, producer_id long, producer_epoch int,"
+        " base_sequence long, offset long, value binary",
+    )
+    vals = sorted(bytes(r["value"]).decode() for r in idempotent_dedup(log).collect())
+    assert vals == ["p", "s", "t1", "t2", "t3"]
