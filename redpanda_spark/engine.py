@@ -494,16 +494,26 @@ class TopicEngine:
         cols = batch.columns
         df = batch.withColumn("_seq", F.monotonically_increasing_id())
         if "partition" in cols:
-            # null partition in a mixed batch = unrouted record: fall
-            # back to round-robin. (Not the murmur2 UDF: a Python UDF in
-            # the plan executes for EVERY row regardless of the coalesce,
-            # adding a python-worker stage to all explicit-partition
-            # produces for a rare edge. Mixed REST batches take
-            # _produce_local, which does full key-hash routing.)
-            part = F.coalesce(
-                F.col("partition").cast("int"),
-                F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int"),
+            # null partition in a mixed batch = unrouted record. A keyed
+            # row must keep murmur2 affinity (Kafka's default partitioner
+            # guarantees per-key ordering even in mixed batches); only
+            # truly key-less rows round-robin. The Arrow UDF stage this
+            # adds applies only to batches carrying BOTH partition and key
+            # columns — already the rare DataFrame fallback (mixed REST
+            # batches take _produce_local, which key-hash routes without
+            # any Spark job).
+            rr = F.pmod(F.col("_seq"), F.lit(n_parts)).cast("int")
+            unrouted = (
+                F.when(
+                    F.col("key").isNotNull(),
+                    # cast: string keys are tolerated in the DF path; their
+                    # UTF-8 bytes hash like Kafka's StringSerializer
+                    murmur2_partition_udf(n_parts)(F.col("key").cast("binary")),
+                ).otherwise(rr)
+                if "key" in cols
+                else rr
             )
+            part = F.coalesce(F.col("partition").cast("int"), unrouted)
         else:
             # Arrow-batched murmur2 kernel. (A pure-JVM murmur2 expression
             # exists — functions.hashes.murmur2_partition_expr — but its
@@ -516,7 +526,7 @@ class TopicEngine:
             part = (
                 F.when(
                     F.col("key").isNotNull(),
-                    murmur2_partition_udf(n_parts)(F.col("key")),
+                    murmur2_partition_udf(n_parts)(F.col("key").cast("binary")),
                 ).otherwise(rr)
                 if "key" in cols
                 else rr

@@ -1712,6 +1712,55 @@ ORACLES.update(
 )
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval self-join (streaming/joins.py):
+    click→purchase attribution pairs per user within ±5 minutes, both
+    sides event-time-bounded so buffered state evicts with the watermark
+    (bounded memory at any rate). Inner-join semantics are exactly the
+    batch interval join, which is the oracle. ±4h on the synthetic
+    corpus yields a few hundred pairs — a meaty value hash."""
+    from redpanda_spark.streaming.joins import stream_stream_join
+
+    ev = _stream_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = stream_stream_join(
+        clicks,
+        buys,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        watermark="8 hours",
+        max_skew="4 hours",
+    )
+    out = joined.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        (F.unix_timestamp("ts_r") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("delta_s"),
+    )
+    return _drain(spark, out, mode="append")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+       CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT) AS delta_s
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+  AND r.ts >= l.ts - INTERVAL 4 HOUR
+  AND r.ts <= l.ts + INTERVAL 4 HOUR
+"""
+
+QUERIES.update({"stream_stream_join": q_stream_stream_join})
+ORACLES.update({"stream_stream_join": SQL_STREAM_STREAM_JOIN})
+
+
 # --------------------------------------------------------------------------
 # Catalog 5: BPE-ish token counting (the second mandated tokenizer)
 # --------------------------------------------------------------------------
@@ -4052,10 +4101,13 @@ FROM pc ORDER BY cnt DESC, a, b LIMIT 30
 
 
 def q_bpe_train(spark, sf_dir):
-    """Full BPE training, 8 merges (iterative driver-looped algorithm —
-    rows-only driver check by design; the trainer is pinned value-for-value
-    against a pure-Python reference implementation in unit tests, and its
-    distributed inner loop is the hash-checked bpe_pair_counts gate)."""
+    """Full BPE training, 8 merges (iterative driver-looped algorithm).
+    Oracle-paired since r10: the SQL-unrolled trainer below (see
+    `_bpe_train_sql`) replays all 8 merge iterations in DuckDB, so the
+    driver hash-checks values, not just row counts. The trainer is also
+    pinned value-for-value against a pure-Python reference implementation
+    in unit tests, and its distributed inner loop is the hash-checked
+    bpe_pair_counts gate."""
     from redpanda_spark.functions.bpe import train_bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -4066,10 +4118,65 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
+def _bpe_train_sql(n_merges: int = 8) -> str:
+    """SQL-unrolled BPE trainer (the `emb_kmeans` Lloyd-oracle pattern):
+    the fixed merge count unrolls as chained CTEs — per iteration a pair
+    count, an argmax, and the merge application. The greedy left-to-right
+    merge fold is EXACTLY leftmost non-overlapping string replace over a
+    control-char-wrapped symbol string: each symbol is \\x1E<sym>\\x1F, so
+    pattern \\x1E a \\x1F\\x1E b \\x1F -> \\x1E ab \\x1F can neither match a
+    partial symbol nor consume a delimiter a following match needs (both
+    engines verified char-identical on the corpus, which contains no
+    \\x1E/\\x1F bytes)."""
+    A, B, SEP = r"e'\x1E'", r"e'\x1F'", r"e'\x1F\x1E'"
+    parts = [
+        r"""WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS word
+  FROM documents),
+wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+sym0 AS (
+  SELECT freq, """
+        + A
+        + r""" || array_to_string(
+    list_transform(string_split(word, ''),
+      (c, i) -> CASE WHEN i = len(string_split(word, '')) THEN c || '</w>' ELSE c END),
+    """
+        + SEP
+        + r""") || """
+        + B
+        + r""" AS s
+  FROM wf)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""lst{i} AS (
+  SELECT freq, string_split(substr(s, 2, len(s) - 2), {SEP}) AS l FROM sym{i}),
+idx{i} AS (
+  SELECT freq, l, unnest(generate_series(1, len(l) - 1)) AS i
+  FROM lst{i} WHERE len(l) >= 2),
+pc{i} AS (
+  SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM idx{i} GROUP BY l[i], l[i + 1]),
+best{i} AS (SELECT a, b, cnt FROM pc{i} ORDER BY cnt DESC, a, b LIMIT 1),
+sym{i + 1} AS (
+  SELECT freq, replace(s, {A} || a || {SEP} || b || {B}, {A} || a || b || {B}) AS s
+  FROM sym{i}, best{i})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INT) AS rank, a, b, cnt FROM best{i}"
+        for i in range(n_merges)
+    )
+    return ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
+SQL_BPE_TRAIN = _bpe_train_sql(8)
+
 QUERIES.update(
     {"bpe_pair_counts": q_bpe_pair_counts, "bpe_train": q_bpe_train}
 )
-ORACLES.update({"bpe_pair_counts": SQL_BPE_PAIR_COUNTS})
+ORACLES.update(
+    {"bpe_pair_counts": SQL_BPE_PAIR_COUNTS, "bpe_train": SQL_BPE_TRAIN}
+)
 
 
 # -- Curation with cluster-level dedup (keep one per near-dup cluster) -------

@@ -143,7 +143,9 @@ class RestApp:
                 except ModeError as e:
                     # Confluent/reference mode-violation contract: 42205
                     return 422, {"error_code": 42205, "message": str(e)}
-                except ValueError as e:
+                except (ValueError, TypeError) as e:
+                    # TypeError covers malformed JSON shapes (e.g. a list
+                    # where an object is required) — same 422 contract
                     return 422, {"error_code": 422, "message": str(e)}
                 except _BROKER_ERRORS as e:
                     # routine broker-side rejections (MESSAGE_TOO_LARGE,
@@ -234,7 +236,9 @@ class RestApp:
                 {
                     **d,
                     "partition": (
-                        int(r["partition"]) if "partition" in r else None
+                        int(r["partition"])
+                        if r.get("partition") is not None
+                        else None
                     ),
                 }
                 for r, d in zip(recs, decoded)

@@ -826,25 +826,46 @@ def fs_path_col(col):
 
 
 @_functools.lru_cache(maxsize=65536)
-def _footer_field_ids(path: str) -> tuple[tuple[tuple[int, str], ...], frozenset]:
-    """(field_id→physical-name pairs, all physical names) from a parquet
-    footer. Cached by path — Iceberg data/delete files are immutable by
-    spec, so a footer never changes under a given path. Raises on an
-    unreadable footer (OSError for I/O, pyarrow's ArrowInvalid — a
-    ValueError — for malformed bytes): only successes are cached, so a
-    transient I/O blip is never pinned as a wrong empty resolution;
-    callers decide whether malformation may fall back to name matching."""
+def _footer_field_ids_cached(
+    path: str, mtime_ns: int, size: int
+) -> tuple[tuple[tuple[int, str], ...], frozenset, tuple[tuple[str, str], ...]]:
     import pyarrow.parquet as papq
 
     fid2col: dict[int, str] = {}
-    names: set[str] = set()
+    names: dict[str, str] = {}
     for fld in papq.read_schema(path):
-        names.add(fld.name)
+        names[fld.name] = str(fld.type)
         md = fld.metadata or {}
         fid = md.get(b"PARQUET:field_id")
         if fid is not None:
             fid2col[int(fid)] = fld.name
-    return tuple(sorted(fid2col.items())), frozenset(names)
+    return (
+        tuple(sorted(fid2col.items())),
+        frozenset(names),
+        tuple(sorted(names.items())),
+    )
+
+
+def _footer_field_ids(
+    path: str,
+) -> tuple[tuple[tuple[int, str], ...], frozenset, tuple[tuple[str, str], ...]]:
+    """(field_id→physical-name pairs, all physical names, (name, physical
+    type) pairs) from a parquet footer. Cached by (path, mtime, size) —
+    Iceberg data/delete files are immutable by spec, but a table rewritten
+    in place at the same path within one driver process (tests, external
+    writers) must not serve a stale mapping, so the stat fingerprint keys
+    the cache. Raises on an unreadable footer (OSError for I/O, pyarrow's
+    ArrowInvalid — a ValueError — for malformed bytes): only successes are
+    cached, so a transient I/O blip is never pinned as a wrong empty
+    resolution; callers decide whether malformation may fall back to name
+    matching."""
+    st = os.stat(path)
+    return _footer_field_ids_cached(path, st.st_mtime_ns, st.st_size)
+
+
+# test/maintenance hooks keep the pre-wrapper API
+_footer_field_ids.cache_clear = _footer_field_ids_cached.cache_clear
+_footer_field_ids.cache_info = _footer_field_ids_cached.cache_info
 
 
 def read_iceberg(
@@ -965,14 +986,20 @@ def read_iceberg(
         Projection — physical names are arbitrary, even under a single
         table schema); name match is the fallback for files written
         without ids."""
-        fid_pairs, names = _footer_field_ids(p)
+        fid_pairs, names, type_pairs = _footer_field_ids(p)
         fid2col = dict(fid_pairs)
+        col2type = dict(type_pairs)
         out = []
         for f in cur_schema_fields:
             if fid2col:
-                out.append(fid2col.get(f["id"]))
+                phys = fid2col.get(f["id"])
             else:
-                out.append(f["name"] if f["name"] in names else None)
+                phys = f["name"] if f["name"] in names else None
+            # the PHYSICAL type rides along in the group key: files that
+            # differ only by spec type promotion (int->long, float->double)
+            # on the same column name must scan in separate groups — a
+            # single inferred footer schema would misread the other file
+            out.append((phys, col2type.get(phys) if phys else None))
         return tuple(out)
 
     # footer reads are pure I/O and per-path cached; fan them out on a
@@ -995,13 +1022,20 @@ def read_iceberg(
             "basePath", os.path.join(path, "data")
         ).parquet(*[p for p, _ in members])
         sel = []
-        for f, phys in zip(cur_schema_fields, res):
+        for f, (phys, _ptype) in zip(cur_schema_fields, res):
             pn = ident_part.get(f["id"])
             has_part_val = pn is not None and any(
                 part_meta.get(p, {}).get(pn) is not None for p, _ in members
             )
             if phys is not None:
-                sel.append(F.col(phys).alias(f["name"]))
+                # cast to the CURRENT schema type so a pre-promotion group
+                # (file written as int, schema since promoted to long)
+                # unions cleanly with post-promotion groups
+                sel.append(
+                    F.col(phys)
+                    .cast(_iceberg_spark_type(f["type"]))
+                    .alias(f["name"])
+                )
             elif has_part_val:
                 # identity-partition column absent from the data files:
                 # the manifest's partition struct is the authoritative

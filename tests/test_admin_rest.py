@@ -653,3 +653,36 @@ def test_rest_transitive_compat_check_matches_register(engine):
     assert status == 200 and res["is_compatible"] is False
     # and register agrees (409)
     assert app.handle("POST", "/subjects/t/versions", {"schema": cand})[0] == 409
+
+
+def test_rest_produce_explicit_null_partition_routes_by_key(engine, spark):
+    """ADVICE r9 (medium): a record with explicit JSON "partition": null is
+    legal in the Kafka REST proxy and means 'unset' — it must route through
+    the partitioner (key-hash), never raise int(None) TypeError into a
+    non-JSON 500. Mixed with an explicit-partition record so the mixed-batch
+    branch is the one exercised."""
+    from redpanda_spark.functions.hashes import murmur2_partition
+
+    app = RestApp(engine)
+    engine.create_topic("t", TopicConfig(partitions=4))
+    status, resp = app.handle(
+        "POST",
+        "/topics/t",
+        {
+            "records": [
+                {"partition": 2, "key": b64("explicit"), "value": b64("a")},
+                {"partition": None, "key": b64("routed"), "value": b64("b")},
+            ]
+        },
+    )
+    assert status == 200, resp
+    expect_p = murmur2_partition(b"routed", 4)
+    got = {}
+    for p in range(4):
+        _, recs = app.handle(
+            "GET", f"/topics/t/partitions/{p}/records", query={"offset": "0"}
+        )
+        for r in recs:
+            got[base64.b64decode(r["value"]).decode()] = p
+    assert got["a"] == 2
+    assert got["b"] == expect_p

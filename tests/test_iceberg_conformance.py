@@ -297,10 +297,25 @@ def test_footer_field_ids_helper(tmp_path):
         pa.table({"k": [1], "v": ["a"], "no_id": ["b"]}, schema=schema),
         str(good),
     )
-    fids, names = _footer_field_ids(str(good))
+    fids, names, type_pairs = _footer_field_ids(str(good))
     assert dict(fids) == {1: "k", 2: "v"}
     assert names == frozenset({"k", "v", "no_id"})
+    assert dict(type_pairs)["k"] == "int64"
     assert _footer_field_ids.cache_info().currsize >= 1
+    # rewrite-in-place at the SAME path must not serve the stale mapping
+    # (ADVICE r9: cache is keyed by (path, mtime, size), not path alone)
+    import os as _os_mod
+    import time as _time_mod
+
+    schema2 = pa.schema(
+        [pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"7"})]
+    )
+    papq.write_table(pa.table({"k": [9]}, schema=schema2), str(good))
+    st = _os_mod.stat(str(good))
+    _os_mod.utime(str(good), ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    fids2, names2, _ = _footer_field_ids(str(good))
+    assert dict(fids2) == {7: "k"}
+    assert names2 == frozenset({"k"})
 
 
 def test_read_flat_layout_resolves_partition_from_manifest(spark, tmp_path):
@@ -366,3 +381,61 @@ def test_read_flat_layout_resolves_partition_from_manifest(spark, tmp_path):
         ).count()
         == 4
     )
+
+
+def test_type_promoted_files_scan_in_separate_groups(spark, tmp_path):
+    """Iceberg spec type promotion (int->long): a table can hold data
+    files written BEFORE a promotion (physical int32) alongside files
+    written after (int64) under the same column name and field id. The
+    reader must not lump them into one scan group keyed by names alone —
+    a single inferred footer schema would misread the other file — and
+    each group must cast up to the CURRENT schema type so the union is
+    type-stable (ADVICE r9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from redpanda_spark.sources.iceberg_export import (
+        _current_metadata,
+        avro_ocf_read,
+        export_iceberg,
+        read_iceberg,
+    )
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "ice")
+    _mk_lake(spark, lake, 0, 4, "2024-03-01 10:00:00")
+    _mk_lake(spark, lake, 4, 8, "2024-03-01 11:00:00")
+    export_iceberg(spark, lake, out)
+    expected = {
+        (r["id"], r["v"]) for r in read_iceberg(spark, out).collect()
+    }
+    assert len(expected) == 8
+
+    # demote ONE data file's physical columns to int32 (a pre-promotion
+    # file), keeping the field_id metadata the reader resolves by
+    meta = _current_metadata(out)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _ls, _lm, manifests = avro_ocf_read(snap["manifest-list"])
+    paths = []
+    for mf in manifests:
+        _es, _em, entries = avro_ocf_read(mf["manifest_path"])
+        paths.extend(e["data_file"]["file_path"] for e in entries)
+    victim = sorted(paths)[0]
+    tbl = papq.read_table(victim)
+    demoted_fields = []
+    for fld in tbl.schema:
+        t = pa.int32() if pa.types.is_int64(fld.type) else fld.type
+        demoted_fields.append(
+            pa.field(fld.name, t, fld.nullable, fld.metadata)
+        )
+    demoted = tbl.cast(pa.schema(demoted_fields, tbl.schema.metadata))
+    papq.write_table(demoted, victim)
+
+    got_df = read_iceberg(spark, out)
+    assert dict(got_df.dtypes)["id"] == "bigint"
+    got = {(r["id"], r["v"]) for r in got_df.collect()}
+    assert got == expected

@@ -226,6 +226,10 @@ class _StubEngine:
     def offset_commit(self, group, topic, partition, offset):
         self.committed_offsets.append((group, topic, partition, offset))
 
+    def offset_commit_batch(self, group, offsets):
+        for (topic, partition), offset in offsets.items():
+            self.committed_offsets.append((group, topic, partition, offset))
+
 
 _tx_ops = st.lists(
     st.sampled_from(["init", "produce", "stage_offset", "commit", "abort"]),
@@ -713,3 +717,35 @@ def test_shuffle_deterministic_matches_global_rank(spark, ids, nparts):
     expect = {i: pos for pos, i in enumerate(keys, start=1)}
     assert got == expect
     assert sorted(got.values()) == list(range(1, len(ids) + 1))
+    # width invariance (r10: prefix width is sized to the input; the
+    # hex-order-equals-key-order property must hold at EVERY width,
+    # including >3 chars where the broadcast-join offsets path replaces
+    # the create_map literal)
+    for width in (1, 3, 4):
+        got_w = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in shuffle_deterministic(
+                df, seed="prop", prefix_chars=width
+            ).collect()
+        }
+        assert got_w == expect, f"width {width} diverged from global rank"
+
+
+def test_shuffle_deterministic_broadcast_offsets_path(spark):
+    """Deterministic (non-hypothesis) check of the wide-fan-out branch:
+    enough rows that the populated-bucket count exceeds the 1024
+    create_map cutoff, so prefix offsets arrive via the broadcast join.
+    Must still be the exact global md5 rank."""
+    import hashlib
+
+    from redpanda_spark.pipeline.dataset import shuffle_deterministic
+
+    ids = list(range(3000))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(7)
+    got = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in shuffle_deterministic(df, seed="wide", prefix_chars=3).collect()
+    }
+    keys = sorted(ids, key=lambda i: hashlib.md5(f"wide:{i}".encode()).hexdigest())
+    expect = {i: pos for pos, i in enumerate(keys, start=1)}
+    assert got == expect
