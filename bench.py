@@ -444,6 +444,56 @@ SF1_QUERIES = [
 ]
 
 
+# sf10 probe (r9 verdict item 5): one decade beyond sf1 — the 10 most
+# expensive sf1 queries plus the scale-behavior probes (AQE skew split,
+# NSW shard growth, the input-sized shuffle fan-out). Runs ONLY when the
+# fixtures already exist on disk (generation is ~100x sf0.1 and belongs
+# to `python tools/make_sf1.py .fixtures/sf10 --copies=100`, not to the
+# per-round bench budget).
+SF10_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q9ish",
+    "dedup_minhash",
+    "dedup_cluster",
+    "dedup_incremental",
+    "doc_bm25",
+    "doc_ngram_topk",
+    "decontaminate",
+    "doc_tfidf_terms",
+    "events_skew_join",
+    "ann_nsw",
+    "pipeline_shuffle",
+]
+
+
+def bench_sf10(spark) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SF10", "1") == "0":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR", os.path.join(here, ".fixtures", "sf10")
+    )
+    if not os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
+        print("# sf10 fixtures absent — skipping sf10 block", file=sys.stderr)
+        return None
+    timings: dict[str, float] = {}
+    for name in SF10_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        n = QUERIES[name](spark, sf10_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        print(f"# sf10 {name}: {n} rows in {dt}s", file=sys.stderr)
+        spark.catalog.clearCache()
+    return {
+        "sf": 10.0,
+        "suite_wall_s": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+
+
 def bench_sf1(spark) -> dict | None:
     """One timed pass at sf1 (10x the gate SF), generating the fixtures on
     first use (tools/make_sf1.py — deterministic 10x scale-up of sf0.1).
@@ -559,6 +609,7 @@ def main():
     print(f"# drain: {drain}", file=sys.stderr)
 
     sf1 = bench_sf1(spark)
+    sf10 = bench_sf10(spark)
 
     detail = {
         "metric": "bench_detail",
@@ -571,6 +622,7 @@ def main():
         "drain_1gb": drain,
         "e2e_latency": e2e,
         "sf1": sf1,
+        "sf10": sf10,
         "trend": _trend(total, omb),
     }
     # full per-pass record: an EARLIER stdout line + a file, so the driver's
@@ -604,6 +656,12 @@ def main():
         }
         if sf1
         else None,
+        "sf10": {
+            "suite_wall_s": sf10.get("suite_wall_s"),
+            "queries": {k: round(v, 1) for k, v in sf10.get("queries", {}).items()},
+        }
+        if sf10
+        else None,
         "trend": {
             r: [v.get("suite_wall_s"), v.get("produce_mb_s")]
             for r, v in _trend(total, omb)["prior_rounds"].items()
@@ -611,6 +669,12 @@ def main():
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # stay under the driver's 2000-char tail capture
+        # drop sf10 per-query detail first (fully recorded in
+        # bench_detail.json), the headline query map only as a last resort
+        if compact.get("sf10"):
+            compact["sf10"] = {"suite_wall_s": compact["sf10"]["suite_wall_s"]}
+            line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:
         compact.pop("queries", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

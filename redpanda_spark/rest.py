@@ -58,15 +58,41 @@ def _b64d(s):
 
 
 class RestApp:
-    def __init__(self, engine: TopicEngine, registry: SchemaRegistry | None = None):
+    def __init__(
+        self,
+        engine: TopicEngine,
+        registry: SchemaRegistry | None = None,
+        acls=None,
+        audit=None,
+    ):
         self.engine = engine
         self.admin = AdminClient(engine)
         self.registry = registry or SchemaRegistry()
+        # optional authN/authZ (SURVEY §2 rows 32-35 end-to-end): when an
+        # AclStore is supplied, topic produce/fetch require a principal
+        # established through the SASL session routes, and every decision
+        # flows through audited_authorize when an audit manager is given
+        self.acls = acls
+        if acls is not None and audit is not None:
+            from redpanda_spark.audit import audited_authorize
+
+            self._authorize = audited_authorize(acls, audit)
+        elif acls is not None:
+            self._authorize = (
+                lambda principal, op, rtype, rname, host=None: acls.authorize(
+                    principal, op, rtype, rname, host
+                )
+            )
+        else:
+            self._authorize = None
+        self._sasl_sessions: dict[str, object] = {}
         # consumer-group state (lazy): shared coordinator + live instances
         self._manager = None
         self._instances: dict[tuple[str, str], object] = {}
         self._next_instance = 0
         self.routes = [
+            ("POST", r"^/sasl/handshake$", self._sasl_handshake),
+            ("POST", r"^/sasl/authenticate$", self._sasl_authenticate),
             ("GET", r"^/topics$", self._list_topics),
             ("GET", r"^/topics/([^/]+)$", self._topic_meta),
             ("POST", r"^/topics/([^/]+)$", self._produce),
@@ -127,13 +153,39 @@ class RestApp:
 
     # -- dispatch ---------------------------------------------------------
 
-    def handle(self, method: str, path: str, body: dict | None = None, query: dict | None = None):
-        """(status, payload) — the testable core."""
+    def handle(
+        self,
+        method: str,
+        path: str,
+        body: dict | None = None,
+        query: dict | None = None,
+        headers: dict | None = None,
+    ):
+        """(status, payload) — the testable core. ``headers`` carries the
+        Authorization bearer token (a SASL session id) when auth is on."""
         for m, pat, fn in self.routes:
             if m != method:
                 continue
             match = re.match(pat, path)
             if match:
+                if self.acls is not None and fn in (self._produce, self._fetch):
+                    # data-plane gate: principal from the SASL session,
+                    # decision through the real ACL algebra (audited)
+                    op = "write" if fn is self._produce else "read"
+                    principal = self._principal_of(headers)
+                    if principal is None:
+                        return 401, {
+                            "error_code": 40101,
+                            "message": "no authenticated SASL session",
+                        }
+                    if not self._authorize(
+                        principal, op, "topic", match.group(1)
+                    ):
+                        return 403, {
+                            "error_code": 40301,
+                            "message": f"{principal} is not authorized to "
+                            f"{op} topic {match.group(1)}",
+                        }
                 try:
                     return fn(*match.groups(), body=body or {}, query=query or {})
                 except KeyError as e:
@@ -168,7 +220,10 @@ class RestApp:
                 body = json.loads(environ["wsgi.input"].read(length))
         except (ValueError, json.JSONDecodeError):
             body = None
-        status, payload = self.handle(method, path, body, query)
+        headers = {}
+        if environ.get("HTTP_AUTHORIZATION"):
+            headers["authorization"] = environ["HTTP_AUTHORIZATION"]
+        status, payload = self.handle(method, path, body, query, headers)
         if status == 204:
             # RFC 9110: 204 has no body — a stray payload desynchronizes
             # keep-alive response framing
@@ -198,6 +253,46 @@ class RestApp:
             "configs": self.admin.describe_configs(topic),
             "offsets": meta["partitions"],
         }
+
+    # -- SASL session routes (handshake -> authenticate -> bearer) --------
+
+    def _principal_of(self, headers: dict | None) -> str | None:
+        tok = (headers or {}).get("authorization", "")
+        if not tok.startswith("Bearer "):
+            return None
+        sess = self._sasl_sessions.get(tok[len("Bearer ") :])
+        return sess.principal if sess is not None else None
+
+    def _sasl_handshake(self, body, query):
+        """Open a SASL session; returns the session id the client passes
+        as `Authorization: Bearer <id>` (the HTTP analog of the
+        connection the reference's sasl_server FSM rides on)."""
+        import uuid as _uuid
+
+        from redpanda_spark.security import SaslSession
+
+        sess = SaslSession(self.acls)
+        res = sess.handshake(str(_req(body, "mechanism")))
+        if res["error"]:
+            return 422, {
+                "error_code": 42210,
+                "message": res["error"],
+                "mechanisms": res["mechanisms"],
+            }
+        sid = _uuid.uuid4().hex
+        self._sasl_sessions[sid] = sess
+        return 200, {"session_id": sid, "mechanisms": res["mechanisms"]}
+
+    def _sasl_authenticate(self, body, query):
+        sess = self._sasl_sessions.get(str(_req(body, "session_id")))
+        if sess is None:
+            raise KeyError("unknown SASL session")
+        res = sess.authenticate(
+            str(_req(body, "username")), str(body.get("password", ""))
+        )
+        if res["error"]:
+            return 422, {"error_code": 42210, "message": res["error"]}
+        return 200, {"principal": res["principal"]}
 
     def _produce(self, topic, body, query):
         recs = body.get("records", [])

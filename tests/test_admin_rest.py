@@ -686,3 +686,90 @@ def test_rest_produce_explicit_null_partition_routes_by_key(engine, spark):
             got[base64.b64decode(r["value"]).decode()] = p
     assert got["a"] == 2
     assert got["b"] == expect_p
+
+
+def test_rest_sasl_end_to_end(engine):
+    """r9 verdict item 6: the SASL shim wired into the REST proxy session
+    path — a WSGI-driven handshake→authenticate flow yields a bearer
+    session whose principal flows into audited_authorize for topic
+    produce/fetch; no session → 401, no ACL → 403 (and the denial is
+    audited), ACL granted → 200."""
+    import io
+
+    from redpanda_spark.audit import AuditLogManager
+    from redpanda_spark.security import AclBinding, AclStore
+
+    acls = AclStore()
+    audit = AuditLogManager(engine)
+    app = RestApp(engine, acls=acls, audit=audit)
+    engine.create_topic("sec", TopicConfig(partitions=1))
+
+    def call(method, path, payload=None, auth=None):
+        body = json.dumps(payload).encode() if payload is not None else b""
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": "offset=0" if method == "GET" else "",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        if auth:
+            environ["HTTP_AUTHORIZATION"] = f"Bearer {auth}"
+        captured = {}
+        out = b"".join(app(environ, lambda s, h: captured.update(status=s)))
+        return int(captured["status"].split()[0]), json.loads(out or b"null")
+
+    rec = {"records": [{"key": None, "value": b64("x")}]}
+    # no session at all -> 401 JSON (never a traceback)
+    status, resp = call("POST", "/topics/sec", rec)
+    assert status == 401 and resp["error_code"] == 40101
+
+    # authenticate out of order (no handshake session) -> 404 unknown session
+    status, _ = call("POST", "/sasl/authenticate",
+                     {"session_id": "ghost", "username": "alice"})
+    assert status == 404
+
+    # handshake: unsupported mechanism rejected with the supported list
+    status, resp = call("POST", "/sasl/handshake", {"mechanism": "GSSAPI"})
+    assert status == 422 and "SCRAM-SHA-256" in resp["mechanisms"]
+
+    status, resp = call("POST", "/sasl/handshake", {"mechanism": "SCRAM-SHA-256"})
+    assert status == 200
+    sid = resp["session_id"]
+
+    # bearer session exists but is not yet authenticated -> still 401
+    status, _ = call("POST", "/topics/sec", rec, auth=sid)
+    assert status == 401
+
+    status, resp = call("POST", "/sasl/authenticate",
+                        {"session_id": sid, "username": "alice", "password": "pw"})
+    assert status == 200 and resp["principal"] == "User:alice"
+
+    # authenticated but no ACL -> 403, and the denial is in the audit buffer
+    status, resp = call("POST", "/topics/sec", rec, auth=sid)
+    assert status == 403 and resp["error_code"] == 40301
+    denies = [e for e in audit._buffer.values()
+              if e["principal"] == "User:alice" and e["outcome"] == "denied"]
+    assert denies
+
+    # grant write+read -> produce and fetch succeed, decisions audited
+    acls.create(AclBinding("User:alice", "topic", "sec", "literal", "write", "allow"))
+    acls.create(AclBinding("User:alice", "topic", "sec", "literal", "read", "allow"))
+    status, resp = call("POST", "/topics/sec", rec, auth=sid)
+    assert status == 200 and resp["offsets"][0]["base_offset"] == 0
+    status, recs = call("GET", "/topics/sec/partitions/0/records", auth=sid)
+    assert status == 200 and len(recs) == 1
+    allows = [e for e in audit._buffer.values()
+              if e["principal"] == "User:alice" and e["outcome"] == "allowed"]
+    assert allows
+
+    # a DIFFERENT principal on a fresh session is still denied
+    _, h2 = call("POST", "/sasl/handshake", {"mechanism": "PLAIN"})
+    call("POST", "/sasl/authenticate",
+         {"session_id": h2["session_id"], "username": "mallory"})
+    status, _ = call("POST", "/topics/sec", rec, auth=h2["session_id"])
+    assert status == 403
+
+    # auth off (no acls) keeps the open behavior for existing users
+    open_app = RestApp(engine)
+    assert open_app.handle("POST", "/topics/sec", rec)[0] == 200

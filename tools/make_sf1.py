@@ -51,6 +51,19 @@ def _base(con, table, col):
 
 
 def make_sf1(out_dir: str) -> None:
+    """10x scale-up of sf0.1 (sf1)."""
+    make_scale(out_dir, COPIES)
+
+
+def make_sf10(out_dir: str) -> None:
+    """100x scale-up of sf0.1 (sf10): 60M lineitem rows / 500k documents —
+    one measured decade beyond sf1, so spill behavior, AQE skew splits,
+    and NSW shard counts are data, not extrapolation (r9 verdict item 5).
+    Same FK-consistent scaling; pure function of (row, k) as for sf1."""
+    make_scale(out_dir, 100)
+
+
+def make_scale(out_dir: str, copies: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -62,13 +75,13 @@ def make_sf1(out_dir: str) -> None:
     b_user = _base(con, "events", "user_id")
     b_vec = _base(con, "embeddings", "vec_id")
 
-    copies = f"(SELECT unnest(range({COPIES})) AS k)"
+    copies_rel = f"(SELECT unnest(range({copies})) AS k)"
 
     def gen(table: str, select: str) -> None:
         dst = os.path.join(out_dir, f"{table}.parquet")
         con.execute(
             f"COPY (SELECT {select} FROM read_parquet('{SRC}/{table}.parquet'),"
-            f" {copies}) TO '{dst}' (FORMAT PARQUET)"
+            f" {copies_rel}) TO '{dst}' (FORMAT PARQUET)"
         )
         print(f"  {table}: wrote {dst}")
 
@@ -96,17 +109,21 @@ def make_sf1(out_dir: str) -> None:
         " l_returnflag, l_linestatus, l_shipdate")
     gen("events", f"event_id + k*{b_evt} AS event_id, ts,"
         f" user_id + k*{b_user} AS user_id, event_type, value, props")
-    # roll the vector by k: list_concat(tail, head); k=0 is identity
+    # roll the vector by k mod dim: list_concat(tail, head); roll 0 is
+    # identity (k mod dim, not k: at 100 copies a raw k past the 64-dim
+    # length would clamp the slices and silently emit the UNROLLED vector,
+    # planting cross-copy exact twins in embedding space)
     gen("embeddings", f"vec_id + k*{b_vec} AS vec_id,"
-        " CASE WHEN k = 0 THEN embedding ELSE"
-        "   list_concat(embedding[k+1:len(embedding)], embedding[1:k])"
+        " CASE WHEN k % len(embedding) = 0 THEN embedding ELSE"
+        "   list_concat(embedding[(k % len(embedding))+1:len(embedding)],"
+        "               embedding[1:(k % len(embedding))])"
         " END AS embedding, label")
 
-    _gen_documents(out_dir)
-    print(f"sf1 fixtures ready under {out_dir}")
+    _gen_documents(out_dir, copies)
+    print(f"x{copies} fixtures ready under {out_dir}")
 
 
-def _gen_documents(out_dir: str) -> None:
+def _gen_documents(out_dir: str, copies: int = COPIES) -> None:
     b_doc = duckdb.connect().execute(
         f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
@@ -117,7 +134,7 @@ def _gen_documents(out_dir: str) -> None:
     source = t.column("source").to_pylist()
     n_chars = t.column("n_chars").to_pylist()
     ids, txts, langs, srcs, ncs = [], [], [], [], []
-    for k in range(COPIES):
+    for k in range(copies):
         for i in range(len(doc_id)):
             ids.append(doc_id[i] + k * b_doc)
             if k == 0:
@@ -148,7 +165,12 @@ def _gen_documents(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if not a.startswith("--copies")]
+    copies = COPIES
+    for a in sys.argv[1:]:
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+    out = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF1_DIR", "/root/repo/.fixtures/sf1"
     )
-    make_sf1(out)
+    make_scale(out, copies)
