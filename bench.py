@@ -478,19 +478,35 @@ def bench_sf10(spark) -> dict | None:
         print("# sf10 fixtures absent — skipping sf10 block", file=sys.stderr)
         return None
     timings: dict[str, float] = {}
+    cold_build: dict[str, float] = {}
+    # same cold-store split as bench_sf1: ann_nsw's first pass builds the
+    # fingerprint-keyed persisted NSW index (~7s at sf10) — recorded
+    # separately so the serve trend isn't polluted by a one-time build
+    store_building = {"ann_nsw"}
     for name in SF10_QUERIES:
         if name not in QUERIES:
             continue
+        if name in store_building:
+            t0 = time.time()
+            QUERIES[name](spark, sf10_dir).count()
+            cold_build[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
         t0 = time.time()
         n = QUERIES[name](spark, sf10_dir).count()
         dt = round(time.time() - t0, 3)
         timings[name] = dt
-        print(f"# sf10 {name}: {n} rows in {dt}s", file=sys.stderr)
+        build = (
+            f" (cold store build+serve {cold_build[name]}s)"
+            if name in cold_build
+            else ""
+        )
+        print(f"# sf10 {name}: {n} rows in {dt}s{build}", file=sys.stderr)
         spark.catalog.clearCache()
     return {
         "sf": 10.0,
         "suite_wall_s": round(sum(timings.values()), 3),
         "queries": timings,
+        "cold_build_s": cold_build,
     }
 
 

@@ -961,3 +961,26 @@ def test_dataframe_produce_without_key_column(spark, tmp_path):
     # (same note as null-keyed rows); only validity is contractual
     assert all(0 <= r["partition"] < 4 for r in rows)
     assert sum(eng.high_watermarks("nk").values()) == 40
+
+
+def test_mixed_batch_null_partition_keeps_key_affinity(engine, spark):
+    """ADVICE r9: on the DataFrame produce path, a mixed batch's
+    null-partition rows must route by murmur2 when they carry a key
+    (Kafka default-partitioner affinity), round-robin only when key-less;
+    explicit partitions stay untouched. repartition(3) defeats the
+    local-relation fast path so the distributed branch is the one under
+    test."""
+    engine.create_topic("mx", TopicConfig(partitions=4))
+    rows = [
+        Row(partition=2, key=b"explicit", value=b"a"),
+        Row(partition=None, key=b"affinity-key", value=b"b"),
+        Row(partition=None, key=None, value=b"c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "partition int, key binary, value binary"
+    ).repartition(3)
+    engine.produce("mx", df)
+    got = {bytes(r["value"]): r["partition"] for r in engine.log("mx").collect()}
+    assert got[b"a"] == 2
+    assert got[b"b"] == murmur2_partition(b"affinity-key", 4)
+    assert 0 <= got[b"c"] <= 3
