@@ -86,6 +86,15 @@ class RestApp:
         else:
             self._authorize = None
         self._sasl_sessions: dict[str, object] = {}
+        self._guards = {
+            self._produce: ("write", "topic"),
+            self._fetch: ("read", "topic"),
+            self._consumer_create: ("read", "group"),
+            self._consumer_subscribe: ("read", "group"),
+            self._consumer_records: ("read", "group"),
+            self._consumer_commit: ("read", "group"),
+            self._consumer_delete: ("read", "group"),
+        }
         # consumer-group state (lazy): shared coordinator + live instances
         self._manager = None
         self._instances: dict[tuple[str, str], object] = {}
@@ -168,23 +177,42 @@ class RestApp:
                 continue
             match = re.match(pat, path)
             if match:
-                if self.acls is not None and fn in (self._produce, self._fetch):
+                guard = self._guards.get(fn) if self.acls is not None else None
+                if guard is not None:
                     # data-plane gate: principal from the SASL session,
-                    # decision through the real ACL algebra (audited)
-                    op = "write" if fn is self._produce else "read"
+                    # decision through the real ACL algebra (audited).
+                    # Kafka shape: produce = WRITE on topic, fetch = READ
+                    # on topic, every consumer-group route = READ on the
+                    # group (JoinGroup/OffsetCommit/etc. authorize against
+                    # the group resource), and subscribe additionally
+                    # pre-checks READ on each topic so denial lands at
+                    # subscribe time, not first poll.
+                    op, rtype = guard
                     principal = self._principal_of(headers)
                     if principal is None:
                         return 401, {
                             "error_code": 40101,
                             "message": "no authenticated SASL session",
                         }
+                    denied = None
                     if not self._authorize(
-                        principal, op, "topic", match.group(1)
+                        principal, op, rtype, match.group(1)
                     ):
+                        denied = (op, rtype, match.group(1))
+                    # == not `is`: each attribute access creates a fresh
+                    # bound-method object; identity is always False here
+                    elif fn == self._consumer_subscribe:
+                        for t in (body or {}).get("topics", []):
+                            if not self._authorize(
+                                principal, "read", "topic", str(t)
+                            ):
+                                denied = ("read", "topic", str(t))
+                                break
+                    if denied is not None:
                         return 403, {
                             "error_code": 40301,
                             "message": f"{principal} is not authorized to "
-                            f"{op} topic {match.group(1)}",
+                            f"{denied[0]} {denied[1]} {denied[2]}",
                         }
                 try:
                     return fn(*match.groups(), body=body or {}, query=query or {})

@@ -773,3 +773,56 @@ def test_rest_sasl_end_to_end(engine):
     # auth off (no acls) keeps the open behavior for existing users
     open_app = RestApp(engine)
     assert open_app.handle("POST", "/topics/sec", rec)[0] == 200
+
+
+def test_rest_sasl_consumer_group_authorization(engine, spark):
+    """Consumer-group REST routes under auth: every /consumers route
+    authorizes READ on the GROUP resource; subscribe additionally
+    pre-checks READ on each requested topic (denial at subscribe time,
+    not first poll). Kafka resource mapping per the reference's
+    group_authorizer."""
+    from redpanda_spark.security import AclBinding, AclStore
+
+    acls = AclStore()
+    app = RestApp(engine, acls=acls)
+    engine.create_topic("ct", TopicConfig(partitions=1))
+    engine.produce("ct", [{"key": b"k", "value": b"v"}])
+
+    def sasl(user):
+        _, h = app.handle("POST", "/sasl/handshake", {"mechanism": "PLAIN"})
+        sid = h["session_id"]
+        app.handle("POST", "/sasl/authenticate",
+                   {"session_id": sid, "username": user})
+        return {"authorization": f"Bearer {sid}"}
+
+    alice = sasl("alice")
+    # no group ACL -> create denied
+    status, resp = app.handle("POST", "/consumers/g1", {}, headers=alice)
+    assert status == 403 and "group g1" in resp["message"]
+
+    acls.create(AclBinding("User:alice", "group", "g1", "literal", "read", "allow"))
+    status, resp = app.handle("POST", "/consumers/g1", {}, headers=alice)
+    assert status == 200
+    inst = resp["instance_id"]
+
+    # group allowed but topic read missing -> subscribe denied, names the topic
+    status, resp = app.handle(
+        "POST", f"/consumers/g1/instances/{inst}/subscription",
+        {"topics": ["ct"]}, headers=alice)
+    assert status == 403 and "topic ct" in resp["message"]
+
+    acls.create(AclBinding("User:alice", "topic", "ct", "literal", "read", "allow"))
+    status, _ = app.handle(
+        "POST", f"/consumers/g1/instances/{inst}/subscription",
+        {"topics": ["ct"]}, headers=alice)
+    assert status == 204
+    status, recs = app.handle(
+        "GET", f"/consumers/g1/instances/{inst}/records", headers=alice)
+    assert status == 200 and len(recs) == 1
+    assert app.handle(
+        "POST", f"/consumers/g1/instances/{inst}/offsets", headers=alice)[0] == 200
+    assert app.handle(
+        "DELETE", f"/consumers/g1/instances/{inst}", headers=alice)[0] == 204
+
+    # no session at all on a consumer route -> 401
+    assert app.handle("POST", "/consumers/g1", {})[0] == 401
