@@ -193,3 +193,92 @@ def test_dim_cross_partition_key_resolves_deterministically(engine, spark):
     dim = dim_from_topic(engine, "dim", decode=_decode)
     got = {r["user"]: r["segment"] for r in dim.collect()}
     assert got == {"u1": "new"}  # p1's later timestamp beats p0's offset 4
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    engine, spark, tmp_path
+):
+    """Outer-join semantics surfaced unchanged from Spark: a left row with
+    no in-skew partner emits null-padded ONCE its window is closed by the
+    other side's watermark advancing (a later-timestamped right row
+    drives the watermark past the window in the same availableNow run)."""
+    import datetime
+
+    from redpanda_spark.streaming.joins import stream_stream_join
+
+    engine.create_topic("lc", TopicConfig(partitions=1))
+    engine.create_topic("rv", TopicConfig(partitions=1))
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(kvs):
+        return spark.createDataFrame(
+            [
+                Row(
+                    key=k.encode(),
+                    value=v.encode(),
+                    timestamp=base + datetime.timedelta(seconds=dt),
+                )
+                for k, v, dt in kvs
+            ],
+            "key binary, value binary, timestamp timestamp",
+        )
+
+    # u1 matches in-skew; u2 never matches; the late u9 right row exists
+    # only to push the right watermark far past u2's join window
+    engine.produce("lc", rows([("u1", "c1", 0), ("u2", "c2", 0)]))
+    engine.produce("rv", rows([("u1", "v1", 2), ("u9", "v9", 600)]))
+
+    def topic_stream(name):
+        return engine.log_stream(name).select(
+            F.col("key").cast("string").alias("user"),
+            F.col("value").cast("string").alias(f"ev_{name}"),
+            F.col("timestamp"),
+        )
+
+    out_dir = str(tmp_path / "oj")
+
+    def run():
+        joined = stream_stream_join(
+            topic_stream("lc"),
+            topic_stream("rv"),
+            on="user",
+            watermark="5 seconds",
+            max_skew="5 seconds",
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ojckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        (r["user"], r["ev_lc"], r["ev_rv_r"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("u1", "c1", "v1") in got  # in-skew pair emits immediately
+
+    # Spark advances the watermark BETWEEN micro-batches, and the GLOBAL
+    # watermark is the MIN across both inputs (multipleWatermarkPolicy
+    # default) — so BOTH sides need late rows: batch 2's starting
+    # watermark (both sides' batch-1 max event time - 5s, min'd) must
+    # pass u2's join window, and batch 2 itself needs data to run.
+    engine.produce("lc", rows([("u7", "c7", 600)]))
+    engine.produce("rv", rows([("u8", "v8", 610)]))
+    run()
+    engine.produce("lc", rows([("u7b", "c7b", 620)]))
+    engine.produce("rv", rows([("u8b", "v8b", 630)]))
+    run()
+    got = {
+        (r["user"], r["ev_lc"], r["ev_rv_r"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert ("u2", "c2", None) in got  # unmatched left emitted null-padded
+    assert not any(u == "u9" for u, _, _ in got)  # right-only never on left side
+    # every emitted row is either an in-skew pair or a closed-window
+    # null-pad — no in-window left row leaks early
+    assert all(v is not None or u in ("u2", "u7") for u, _, v in got)
