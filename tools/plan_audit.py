@@ -114,7 +114,14 @@ def window_smells(logical: str) -> list[str]:
         for nxt in lines[i + 1:]:
             if _tree_depth(nxt) <= d:
                 break
-            if "GlobalLimit" in nxt or "TakeOrderedAndProject" in nxt:
+            # WindowGroupLimit: Spark 4's InferWindowGroupLimit turns a
+            # rank()<=k filter into a per-partition top-k below the window
+            # — bounded input without a visible GlobalLimit
+            if (
+                "GlobalLimit" in nxt
+                or "TakeOrderedAndProject" in nxt
+                or "WindowGroupLimit" in nxt
+            ):
                 bounded = True
                 break
         if not bounded:
