@@ -85,7 +85,11 @@ class RestApp:
             )
         else:
             self._authorize = None
+        # insertion-ordered with a hard cap: a long-lived proxy must not
+        # accumulate abandoned handshakes without bound (the reference
+        # expires SASL sessions); oldest session evicts first
         self._sasl_sessions: dict[str, object] = {}
+        self._max_sasl_sessions = 10_000
         self._guards = {
             self._produce: ("write", "topic"),
             self._fetch: ("read", "topic"),
@@ -308,6 +312,8 @@ class RestApp:
                 "mechanisms": res["mechanisms"],
             }
         sid = _uuid.uuid4().hex
+        while len(self._sasl_sessions) >= self._max_sasl_sessions:
+            self._sasl_sessions.pop(next(iter(self._sasl_sessions)))
         self._sasl_sessions[sid] = sess
         return 200, {"session_id": sid, "mechanisms": res["mechanisms"]}
 

@@ -826,3 +826,26 @@ def test_rest_sasl_consumer_group_authorization(engine, spark):
 
     # no session at all on a consumer route -> 401
     assert app.handle("POST", "/consumers/g1", {})[0] == 401
+
+
+def test_rest_sasl_session_cap_evicts_oldest(engine):
+    """A long-lived proxy must bound SASL session state: past the cap the
+    oldest handshake evicts (its bearer token stops resolving), newest
+    sessions stay valid."""
+    app = RestApp(engine, acls=__import__(
+        "redpanda_spark.security", fromlist=["AclStore"]).AclStore())
+    app._max_sasl_sessions = 3
+    sids = []
+    for i in range(4):
+        _, h = app.handle("POST", "/sasl/handshake", {"mechanism": "PLAIN"})
+        sids.append(h["session_id"])
+    assert len(app._sasl_sessions) == 3
+    assert sids[0] not in app._sasl_sessions  # oldest evicted
+    status, _ = app.handle(
+        "POST", "/sasl/authenticate",
+        {"session_id": sids[0], "username": "x"})
+    assert status == 404  # evicted session is gone, JSON error
+    status, _ = app.handle(
+        "POST", "/sasl/authenticate",
+        {"session_id": sids[3], "username": "x"})
+    assert status == 200

@@ -55,6 +55,13 @@ def main() -> int:
         default="",
         help="comma-separated queries whose code changed this round",
     )
+    ap.add_argument(
+        "--apply",
+        action="store_true",
+        help="splice the generated list into __spark_entry__.py's"
+        " _PRIORITY block (the comment stays mechanical, per the r9"
+        " verdict) instead of printing for manual paste",
+    )
     args = ap.parse_args()
 
     from redpanda_spark.plans.queries import QUERIES
@@ -77,18 +84,35 @@ def main() -> int:
     )
     rotation = new + [q for q in changed if q not in new] + rest
 
-    print(f"# rotation for round {this_round} (catalog {len(catalog)}, "
-          f"slots {args.slots})")
-    print("_PRIORITY = [")
+    body_lines = []
     for i, q in enumerate(rotation):
         tag = "new" if q not in latest else (
             "changed" if q in changed else f"r{latest[q]}"
         )
-        cut = "  # ---- slot cutoff ----" if i == args.slots else ""
-        if cut:
-            print(cut)
-        print(f'    "{q}",  # {tag}')
-    print("]")
+        if i == args.slots:
+            body_lines.append("  # ---- slot cutoff ----")
+        body_lines.append(f'    "{q}",  # {tag}')
+
+    if args.apply:
+        entry_path = os.path.join(REPO, "__spark_entry__.py")
+        src = open(entry_path).read()
+        m = re.search(r"_PRIORITY = \[\n.*?\n\]", src, re.S)
+        if not m:
+            print("error: _PRIORITY block not found", file=sys.stderr)
+            return 2
+        block = "_PRIORITY = [\n" + "\n".join(
+            l for l in body_lines if "slot cutoff" not in l
+        ) + "\n]"
+        open(entry_path, "w").write(src.replace(m.group(0), block))
+        print(f"applied: {len(rotation)} entries written to _PRIORITY "
+              f"(round {this_round}, slots {args.slots})")
+    else:
+        print(f"# rotation for round {this_round} (catalog {len(catalog)}, "
+              f"slots {args.slots})")
+        print("_PRIORITY = [")
+        for l in body_lines:
+            print(l)
+        print("]")
 
     missed = rotation[args.slots:]
     stale = [q for q in missed if q in latest and this_round - latest[q] >= 2]
