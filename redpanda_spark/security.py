@@ -263,6 +263,14 @@ class SaslSession:
     def authenticate(self, username: str, password: str = "") -> dict:
         if self.mechanism is None:
             return {"error": "ILLEGAL_SASL_STATE", "principal": None}
+        if self.principal is not None:
+            # re-authenticate on a live session is out-of-order like
+            # re-handshake: the FSM accepts exactly one
+            # handshake→authenticate sequence — an identity SWITCH on an
+            # established session would bypass every per-principal audit
+            # line written so far (KIP-368 re-authentication negotiates a
+            # fresh session; it never changes the principal in place)
+            return {"error": "ILLEGAL_SASL_STATE", "principal": self.principal}
         # allow-all: any credential is accepted; identity becomes the
         # Kafka-convention principal consumed by the authorizer
         self.principal = f"User:{username}"

@@ -557,6 +557,11 @@ def test_sasl_shim_wired_to_authorizer(tmp_path):
     assert re_hs["error"] == "ILLEGAL_SASL_STATE"
     assert s.mechanism == "SCRAM-SHA-256"  # unchanged
     assert s.principal == "User:alice"  # identity intact, not switched
+    # r10: re-AUTHENTICATE is equally out-of-order — an in-place identity
+    # switch would bypass the audit trail bound to the first principal
+    re_auth = s.authenticate("mallory")
+    assert re_auth["error"] == "ILLEGAL_SASL_STATE"
+    assert s.principal == "User:alice"
 
 
 def test_api_versions_lists_new_handlers(admin):
