@@ -71,6 +71,7 @@ BENCH_QUERIES = [
 # Round-5 additions, timed separately so the headline wall stays
 # comparable with prior rounds' BENCH files.
 BENCH_QUERIES_EXTENDED = [
+    "stream_stream_join",
     "dedup_semantic",
     "events_enrich",
     "events_asof",
