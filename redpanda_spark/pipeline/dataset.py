@@ -289,7 +289,10 @@ def shuffle_deterministic(
         .withColumn(
             pos_col, F.col("_off") + F.row_number().over(w).cast("long")
         )
-        .drop("_sk", "_sb", "_off")
+        # explicit select, not drop: the USING join moved _sb to the
+        # front — both branches must emit the input columns in input
+        # order (+ pos_col) so callers see one schema regardless of width
+        .select(*df.columns, pos_col)
     )
 
 

@@ -1714,7 +1714,7 @@ ORACLES.update(
 
 def q_stream_stream_join(spark, sf_dir):
     """Watermarked stream-stream interval self-join (streaming/joins.py):
-    click→purchase attribution pairs per user within ±5 minutes, both
+    click→purchase attribution pairs per user within ±4 hours, both
     sides event-time-bounded so buffered state evicts with the watermark
     (bounded memory at any rate). Inner-join semantics are exactly the
     batch interval join, which is the oracle. ±4h on the synthetic
