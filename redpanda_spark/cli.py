@@ -557,6 +557,107 @@ def cmd_cluster_info(args) -> int:
     return 0
 
 
+# -- acl (rpk security acl analog, src/go/rpk/pkg/cli/acl/) ------------------
+# Pure-Python path: the ACL store is a JSON file under the engine root —
+# no Spark session spin-up for control-plane edits (rpk talks to the admin
+# API, not the data path). Local roots only, like every pyarrow-direct path.
+
+
+def _acl_store(args):
+    import os
+
+    from redpanda_spark.security import AclStore
+
+    if "://" in args.root:
+        raise SystemExit("acl commands require a local --root")
+    os.makedirs(args.root, exist_ok=True)
+    return AclStore(path=os.path.join(args.root, "_acls.json"))
+
+
+def _acl_resource(args) -> tuple[str, str]:
+    picked = [
+        ("topic", args.topic),
+        ("group", args.group),
+        ("transactional_id", args.transactional_id),
+        ("cluster", "kafka-cluster" if args.cluster else None),
+    ]
+    chosen = [(t, n) for t, n in picked if n is not None]
+    if len(chosen) != 1:
+        raise SystemExit(
+            "exactly one of --topic/--group/--transactional-id/--cluster"
+        )
+    return chosen[0]
+
+
+def cmd_acl_create(args) -> int:
+    from redpanda_spark.security import AclBinding
+
+    rtype, rname = _acl_resource(args)
+    store = _acl_store(args)
+    b = AclBinding(
+        principal=args.principal,
+        resource_type=rtype,
+        resource_name=rname,
+        pattern_type=args.pattern,
+        operation=args.operation,
+        permission=args.permission,
+        host=args.host,
+    )
+    store.create(b)
+    from dataclasses import asdict
+
+    print(json.dumps(asdict(b)))
+    return 0
+
+
+def cmd_acl_list(args) -> int:
+    from dataclasses import asdict
+
+    store = _acl_store(args)
+    for b in store.describe(
+        **({"principal": args.principal} if args.principal else {})
+    ):
+        print(json.dumps(asdict(b)))
+    return 0
+
+
+def cmd_acl_delete(args) -> int:
+    from dataclasses import asdict
+
+    store = _acl_store(args)
+    filters = {}
+    if args.principal:
+        filters["principal"] = args.principal
+    if args.operation:
+        filters["operation"] = args.operation
+    for flag, rtype in (
+        ("topic", "topic"),
+        ("group", "group"),
+        ("transactional_id", "transactional_id"),
+    ):
+        v = getattr(args, flag)
+        if v is not None:
+            filters["resource_type"] = rtype
+            filters["resource_name"] = v
+    if not filters:
+        raise SystemExit("refusing to delete every ACL: give a filter")
+    removed = store.delete(**filters)
+    print(json.dumps({"deleted": [asdict(b) for b in removed]}))
+    return 0
+
+
+def cmd_acl_check(args) -> int:
+    """Authorization dry-run: what would the broker decide? (rpk's
+    `--dry` debugging shape; exit 0 allowed / 1 denied so scripts can
+    gate on it.)"""
+    rtype, rname = _acl_resource(args)
+    store = _acl_store(args)
+    allowed = store.authorize(args.principal, args.operation, rtype, rname)
+    print(json.dumps({"principal": args.principal, "operation": args.operation,
+                      "resource": f"{rtype}:{rname}", "allowed": allowed}))
+    return 0 if allowed else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="redpanda_spark")
     p.add_argument("--root", required=True, help="engine root directory/URI")
@@ -624,6 +725,35 @@ def build_parser() -> argparse.ArgumentParser:
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
+
+    def _acl_resource_flags(sp, required_op: bool):
+        sp.add_argument("--principal", required=True)
+        sp.add_argument("--operation", required=required_op)
+        sp.add_argument("--topic", default=None)
+        sp.add_argument("--group", default=None)
+        sp.add_argument("--transactional-id", dest="transactional_id", default=None)
+        sp.add_argument("--cluster", action="store_true")
+
+    acl = sub.add_parser("acl").add_subparsers(dest="verb", required=True)
+    ac = acl.add_parser("create")
+    _acl_resource_flags(ac, required_op=True)
+    ac.add_argument("--permission", choices=("allow", "deny"), default="allow")
+    ac.add_argument("--pattern", choices=("literal", "prefixed"), default="literal")
+    ac.add_argument("--host", default="*")
+    ac.set_defaults(fn=cmd_acl_create)
+    al = acl.add_parser("list")
+    al.add_argument("--principal", default=None)
+    al.set_defaults(fn=cmd_acl_list)
+    ad = acl.add_parser("delete")
+    ad.add_argument("--principal", default=None)
+    ad.add_argument("--operation", default=None)
+    ad.add_argument("--topic", default=None)
+    ad.add_argument("--group", default=None)
+    ad.add_argument("--transactional-id", dest="transactional_id", default=None)
+    ad.set_defaults(fn=cmd_acl_delete)
+    ak = acl.add_parser("check")
+    _acl_resource_flags(ak, required_op=True)
+    ak.set_defaults(fn=cmd_acl_check)
     reg = sub.add_parser("registry").add_subparsers(dest="verb", required=True)
     rr = reg.add_parser("register")
     rr.add_argument("subject")

@@ -854,3 +854,60 @@ def test_rest_sasl_session_cap_evicts_oldest(engine):
         "POST", "/sasl/authenticate",
         {"session_id": sids[3], "username": "x"})
     assert status == 200
+
+
+def test_cli_acl_lifecycle(tmp_path, capsys):
+    """rpk security acl analog: create -> list -> check (exit 0/1 as the
+    scriptable decision) -> delete, persisted in <root>/_acls.json across
+    CLI invocations, no Spark session needed."""
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "aclroot")
+    assert main([
+        "--root", root, "acl", "create", "--principal", "User:alice",
+        "--operation", "read", "--topic", "orders",
+    ]) == 0
+    created = _json.loads(capsys.readouterr().out)
+    assert created["resource_name"] == "orders"
+    assert created["permission"] == "allow"
+
+    assert main(["--root", root, "acl", "list"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 1 and rows[0]["principal"] == "User:alice"
+
+    # check: read allowed (and DESCRIBE implied by READ), write denied
+    assert main([
+        "--root", root, "acl", "check", "--principal", "User:alice",
+        "--operation", "read", "--topic", "orders",
+    ]) == 0
+    assert _json.loads(capsys.readouterr().out)["allowed"] is True
+    assert main([
+        "--root", root, "acl", "check", "--principal", "User:alice",
+        "--operation", "describe", "--topic", "orders",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "--root", root, "acl", "check", "--principal", "User:alice",
+        "--operation", "write", "--topic", "orders",
+    ]) == 1
+    capsys.readouterr()
+
+    # exactly-one-resource validation
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["--root", root, "acl", "create", "--principal", "User:x",
+              "--operation", "read"])
+    capsys.readouterr()
+
+    # unfiltered delete refused; filtered delete removes and persists
+    with _pytest.raises(SystemExit):
+        main(["--root", root, "acl", "delete"])
+    capsys.readouterr()
+    assert main([
+        "--root", root, "acl", "delete", "--principal", "User:alice",
+    ]) == 0
+    assert len(_json.loads(capsys.readouterr().out)["deleted"]) == 1
+    assert main(["--root", root, "acl", "list"]) == 0
+    assert capsys.readouterr().out.strip() == ""
