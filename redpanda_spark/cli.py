@@ -557,6 +557,16 @@ def cmd_cluster_info(args) -> int:
     return 0
 
 
+def cmd_cluster_logdirs(args) -> int:
+    """rpk cluster logdirs describe: per-topic on-disk bytes/files."""
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    for topic, d in sorted(AdminClient(eng).describe_log_dirs().items()):
+        print(json.dumps({"topic": topic, **d}))
+    return 0
+
+
 # -- acl (rpk security acl analog, src/go/rpk/pkg/cli/acl/) ------------------
 # Pure-Python path: the ACL store is a JSON file under the engine root —
 # no Spark session spin-up for control-plane edits (rpk talks to the admin
@@ -725,6 +735,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
+    cluster.add_parser("logdirs").set_defaults(fn=cmd_cluster_logdirs)
 
     def _acl_resource_flags(sp, required_op: bool):
         sp.add_argument("--principal", required=True)

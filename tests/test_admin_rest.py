@@ -911,3 +911,25 @@ def test_cli_acl_lifecycle(tmp_path, capsys):
     assert len(_json.loads(capsys.readouterr().out)["deleted"]) == 1
     assert main(["--root", root, "acl", "list"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_cluster_logdirs(spark, tmp_path, capsys, monkeypatch):
+    """rpk cluster logdirs describe analog: one JSON line per topic with
+    on-disk bytes/files."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "ld_root")
+    assert main(["--root", root, "topic", "create", "t", "-p", "1"]) == 0
+    capsys.readouterr()
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(_json.dumps({"key": "k", "value": "v"}))
+    )
+    assert main(["--root", root, "topic", "produce", "t"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "cluster", "logdirs"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["topic"] for r in rows] == ["t"]
+    assert rows[0]["size_bytes"] > 0 and rows[0]["n_files"] > 0
