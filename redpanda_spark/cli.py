@@ -243,6 +243,20 @@ def cmd_group_import(args) -> int:
     return 0
 
 
+def cmd_group_delete_offsets(args) -> int:
+    """rpk group offset-delete analog: tombstone committed offsets so the
+    group's lag accounting forgets the topic (KIP-496 OffsetDelete)."""
+    eng = _engine(args)
+    parts = range(eng.list_topics()[args.topic].partitions)
+    if args.partition is not None:
+        parts = [args.partition]
+    for p in parts:
+        eng.offset_delete(args.group, args.topic, p)
+    print(json.dumps({"group": args.group, "topic": args.topic,
+                      "deleted_partitions": list(parts)}))
+    return 0
+
+
 def cmd_maintain(args) -> int:
     """The nightly maintenance tick: per topic run cleanup (dirty-ratio
     gated compaction + retention with the segment fast path) and
@@ -726,6 +740,11 @@ def build_parser() -> argparse.ArgumentParser:
     gs.add_argument("--to", required=True,
                     help="'start', 'end', or an explicit offset")
     gs.set_defaults(fn=cmd_group_seek)
+    gdo = group.add_parser("offset-delete")
+    gdo.add_argument("group")
+    gdo.add_argument("-t", "--topic", required=True)
+    gdo.add_argument("-p", "--partition", type=int, default=None)
+    gdo.set_defaults(fn=cmd_group_delete_offsets)
     ge = group.add_parser("export")
     ge.add_argument("group")
     ge.set_defaults(fn=cmd_group_export)

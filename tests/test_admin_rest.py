@@ -933,3 +933,31 @@ def test_cli_cluster_logdirs(spark, tmp_path, capsys, monkeypatch):
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert [r["topic"] for r in rows] == ["t"]
     assert rows[0]["size_bytes"] > 0 and rows[0]["n_files"] > 0
+
+
+def test_cli_group_offset_delete(spark, tmp_path, capsys, monkeypatch):
+    """rpk group offset-delete analog (KIP-496): after the tombstone the
+    group's committed offsets for the topic disappear from offset_fetch."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "od_root")
+    assert main(["--root", root, "topic", "create", "t", "-p", "2"]) == 0
+    capsys.readouterr()
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO(_json.dumps({"key": "k", "value": "v"}))
+    )
+    assert main(["--root", root, "topic", "produce", "t"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "group", "seek", "g", "-t", "t", "--to", "end"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "group", "describe", "g"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) == 2  # both partitions
+
+    assert main(["--root", root, "group", "offset-delete", "g", "-t", "t"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["deleted_partitions"] == [0, 1]
+    assert main(["--root", root, "group", "describe", "g"]) == 0
+    assert capsys.readouterr().out.strip() == ""  # offsets tombstoned
