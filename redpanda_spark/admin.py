@@ -42,7 +42,17 @@ class AdminClient:
         self._producer_ids = _ProducerIdAllocator(
             os.path.join(engine.root, "_producer_ids.json")
         )
+        # client quotas are DURABLE cluster metadata in the reference
+        # (AlterClientQuotas writes the controller log, client_quotas.cc);
+        # persisted like producer ids so a restarted admin/CLI sees them.
+        # Runtime token-bucket state (_bucket:/_last: keys) never persists.
+        self._quotas_path = os.path.join(engine.root, "_quotas.json")
         self.quotas: dict[str, dict[str, float]] = {}
+        if os.path.exists(self._quotas_path):
+            import json as _json
+
+            with open(self._quotas_path) as f:
+                self.quotas = _json.load(f)
 
     # -- Metadata (api key 3) ---------------------------------------------
 
@@ -251,11 +261,30 @@ class AdminClient:
         q = self.quotas.setdefault(client_id, {})
         if value is None:
             q.pop(key, None)
+            if not any(not k.startswith("_") for k in q):
+                self.quotas.pop(client_id, None)
         else:
             q[key] = value
+        self._save_quotas()
+
+    def _save_quotas(self) -> None:
+        import json as _json
+
+        durable = {
+            c: {k: v for k, v in q.items() if not k.startswith("_")}
+            for c, q in self.quotas.items()
+        }
+        durable = {c: q for c, q in durable.items() if q}
+        tmp = f"{self._quotas_path}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(durable, f)
+        os.replace(tmp, self._quotas_path)
 
     def describe_client_quotas(self) -> dict[str, dict[str, float]]:
-        return {c: dict(q) for c, q in self.quotas.items()}
+        return {
+            c: {k: v for k, v in q.items() if not k.startswith("_")}
+            for c, q in self.quotas.items()
+        }
 
     def throttle(
         self,

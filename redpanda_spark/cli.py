@@ -571,6 +571,28 @@ def cmd_cluster_info(args) -> int:
     return 0
 
 
+def cmd_cluster_quota_alter(args) -> int:
+    """rpk cluster quotas analog: set/unset a client quota (durable —
+    AlterClientQuotas is controller-log metadata in the reference)."""
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    admin = AdminClient(eng)
+    value = None if args.value in (None, "", "none") else float(args.value)
+    admin.alter_client_quota(args.client, args.key, value)
+    print(json.dumps({"client": args.client, "key": args.key, "value": value}))
+    return 0
+
+
+def cmd_cluster_quota_describe(args) -> int:
+    from redpanda_spark.admin import AdminClient
+
+    eng = _engine(args)
+    for client, q in sorted(AdminClient(eng).describe_client_quotas().items()):
+        print(json.dumps({"client": client, **q}))
+    return 0
+
+
 def cmd_cluster_logdirs(args) -> int:
     """rpk cluster logdirs describe: per-topic on-disk bytes/files."""
     from redpanda_spark.admin import AdminClient
@@ -755,6 +777,18 @@ def build_parser() -> argparse.ArgumentParser:
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
     cluster.add_parser("logdirs").set_defaults(fn=cmd_cluster_logdirs)
+    qa = cluster.add_parser("quota-alter")
+    qa.add_argument("--client", required=True)
+    qa.add_argument(
+        "--key",
+        required=True,
+        choices=("producer_byte_rate", "consumer_byte_rate"),
+    )
+    qa.add_argument("--value", default=None, help="bytes/sec; omit to unset")
+    qa.set_defaults(fn=cmd_cluster_quota_alter)
+    cluster.add_parser("quota-describe").set_defaults(
+        fn=cmd_cluster_quota_describe
+    )
 
     def _acl_resource_flags(sp, required_op: bool):
         sp.add_argument("--principal", required=True)

@@ -961,3 +961,36 @@ def test_cli_group_offset_delete(spark, tmp_path, capsys, monkeypatch):
     assert out["deleted_partitions"] == [0, 1]
     assert main(["--root", root, "group", "describe", "g"]) == 0
     assert capsys.readouterr().out.strip() == ""  # offsets tombstoned
+
+
+def test_client_quotas_persist_across_admin_instances(engine, spark):
+    """Reference parity: AlterClientQuotas is durable controller-log
+    metadata (client_quotas.cc) — a fresh AdminClient over the same root
+    sees the quota; runtime bucket state never persists; unsetting the
+    last key removes the client entry from disk."""
+    a1 = AdminClient(engine)
+    a1.alter_client_quota("cA", "producer_byte_rate", 50_000.0)
+    a1.throttle("cA", 10_000)  # creates _bucket/_last runtime keys
+    a2 = AdminClient(engine)
+    assert a2.describe_client_quotas() == {"cA": {"producer_byte_rate": 50_000.0}}
+    a2.alter_client_quota("cA", "producer_byte_rate", None)
+    a3 = AdminClient(engine)
+    assert a3.describe_client_quotas() == {}
+
+
+def test_cli_cluster_quotas(tmp_path, capsys):
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "q_root")
+    assert main(["--root", root, "topic", "create", "t"]) == 0
+    capsys.readouterr()
+    assert main([
+        "--root", root, "cluster", "quota-alter", "--client", "c1",
+        "--key", "producer_byte_rate", "--value", "1000000",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "cluster", "quota-describe"]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows == [{"client": "c1", "producer_byte_rate": 1000000.0}]
