@@ -30,7 +30,7 @@ PAPERS.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -40,15 +40,18 @@ def _symmetrize(e: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges -> for every node, connect its LARGER neighbors to the
-    minimum of the closed neighborhood min(N(u) + {u})."""
+    minimum of the closed neighborhood min(N(u) + {u}).
+
+    The per-node neighborhood minimum is a window min over the node key,
+    not a groupBy + self-join: both shapes co-locate a node's whole
+    neighborhood in one task (same skew profile), but the window does it
+    with ONE shuffle where agg+join needs two — per round that halves the
+    exchange count, and at 100 TB each saved exchange is a full pass of
+    the edge list over the wire."""
     und = _symmetrize(e)
-    mins = (
-        und.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", "u").alias("m"))
-    )
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        und.join(mins, "u")
+        und.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -61,11 +64,21 @@ def _small_star(e: DataFrame) -> DataFrame:
     dire = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = dire.groupBy("u").agg(F.min("v").alias("m"))
+    with_min = dire.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    # every row emits its (v -> m) edge plus the node's (u -> m) edge; the
+    # per-row (u -> m) duplicates collapse map-side in the distinct's
+    # partial aggregate, so this costs no extra shuffle volume while
+    # dropping the separate mins aggregate + union the join shape needed
     return (
-        dire.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select("u", F.col("m").alias("v")))
+        with_min.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u"), F.col("m").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -107,7 +120,11 @@ def connected_components(
     prev = None
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint + checksum = ONE job per round: the checksum
+        # action touches every partition, which is exactly what makes a
+        # non-eager localCheckpoint materialize, so the separate eager
+        # pass the old shape paid is free here
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             converged = True

@@ -62,28 +62,40 @@ def minhash_signature(
 
     @pandas_udf("array<bigint>")
     def sig_udf(texts: pd.Series) -> pd.Series:
-        doc_idx: list[int] = []
+        counts: list[int] = []
         shingles: list[bytes] = []
-        for d, t in enumerate(texts):
+        for t in texts:
             toks = t.split() if t else []
             if len(toks) < shingle_n:
-                sh = [" ".join(toks)]
+                sh = {" ".join(toks)}
             else:
-                sh = [
+                sh = {
                     " ".join(toks[i : i + shingle_n])
                     for i in range(len(toks) - shingle_n + 1)
-                ]
-            for s in set(sh):
-                doc_idx.append(d)
-                shingles.append(s.encode())
+                }
+            counts.append(len(sh))
+            shingles.extend(s.encode() for s in sh)
         n_docs = len(texts)
         acc = np.full((num_hashes, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
         if shingles:
+            # shingles are laid out doc-contiguous (counts[i] per doc, every
+            # doc emits >= 1), so per-doc minima are ONE segmented reduce
+            # over the (k, S) permutation matrix — no ufunc.at scatter,
+            # which is the slow path at ~10x the reduceat cost
             base = murmur2_batch(shingles).astype(np.uint64)
-            idx = np.asarray(doc_idx, dtype=np.int64)
-            for k in range(num_hashes):
-                perm = _splitmix64(base ^ seeds[k])
-                np.minimum.at(acc[k], idx, perm)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            if base.size * num_hashes <= 16_000_000:
+                # one-shot (k, S) permutation matrix; bounded to ~128 MB
+                perm = _splitmix64(base[None, :] ^ seeds[:, None])
+                acc = np.minimum.reduceat(perm, starts, axis=1)
+            else:
+                # long-document batches: per-k passes keep peak memory at
+                # one S-sized row instead of k of them
+                for k in range(num_hashes):
+                    acc[k] = np.minimum.reduceat(
+                        _splitmix64(base ^ seeds[k]), starts
+                    )
         # bigint output: drop the top bit so values fit signed int64
         out = (acc >> np.uint64(1)).astype(np.int64)
         return pd.Series(list(out.T))
