@@ -613,3 +613,45 @@ def test_bm25_topk_truncates_and_orders(spark, sf_dir):
     scores = [float(r["score"]) for r in out]
     assert scores == sorted(scores, reverse=True)
     assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_minhash_kernel_paths_identical():
+    """The signature kernel has two memory regimes (one-shot (k,S) matrix
+    vs per-k segmented passes, minhash.py sig_udf); both must produce the
+    exact minima the scatter-free layout promises. Pure-numpy check so the
+    long-document fallback (never hit at test SF) is still exercised."""
+    import numpy as np
+
+    from redpanda_spark.dedup.minhash import _splitmix64
+    from redpanda_spark.functions.hashes import murmur2_batch
+
+    rng = np.random.default_rng(42)
+    num_hashes = 16
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    counts = rng.integers(1, 40, size=50)
+    shingles = [
+        f"tok{rng.integers(0, 500)} tok{rng.integers(0, 500)}".encode()
+        for _ in range(int(counts.sum()))
+    ]
+    base = murmur2_batch(shingles).astype(np.uint64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    one_shot = np.minimum.reduceat(
+        _splitmix64(base[None, :] ^ seeds[:, None]), starts, axis=1
+    )
+    per_k = np.stack(
+        [
+            np.minimum.reduceat(_splitmix64(base ^ seeds[k]), starts)
+            for k in range(num_hashes)
+        ]
+    )
+    # and both must equal the reference scatter (the pre-optimization shape)
+    scatter = np.full(
+        (num_hashes, len(counts)), np.iinfo(np.uint64).max, dtype=np.uint64
+    )
+    idx = np.repeat(np.arange(len(counts)), counts)
+    for k in range(num_hashes):
+        np.minimum.at(scatter[k], idx, _splitmix64(base ^ seeds[k]))
+    assert np.array_equal(one_shot, per_k)
+    assert np.array_equal(one_shot, scatter)
