@@ -38,6 +38,11 @@ def doc_spans(
     span_tokens: int = 10,
 ) -> DataFrame:
     """(doc_id, span_idx, span) — fixed token-window chunking."""
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    # span hashing is CPU-bound; small corpus parquet arrives as 1-2
+    # splits — spread it first (no-op at scale)
+    docs = parallelize_narrow(docs)
     toks = F.split(F.col(text_col), " ")
     n = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
     return (

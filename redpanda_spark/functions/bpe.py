@@ -35,6 +35,11 @@ _WS = r"\s+"
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over the corpus — the single corpus-sized pass."""
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    # the token explode + count is the corpus-sized pass; spread 1-2
+    # input splits over the cores first (no-op at scale)
+    docs = parallelize_narrow(docs)
     w = F.explode(
         F.filter(F.split(F.trim(F.col(text_col)), _WS), lambda t: t != "")
     ).alias("word")

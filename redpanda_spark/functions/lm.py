@@ -31,6 +31,11 @@ def doc_bigrams(
 ) -> DataFrame:
     """(id, w1, w2) — one row per adjacent token pair; docs with <2
     tokens contribute nothing."""
+    from redpanda_spark.sources.tables import parallelize_narrow
+
+    # the explode + map-side count is CPU-bound and a small corpus
+    # parquet arrives as 1-2 splits — spread it first (no-op at scale)
+    docs = parallelize_narrow(docs)
     toks = tokens(F.col(text_col))
     # arrays_zip of two shifted slices instead of transform+element_at:
     # no lambda expression in the hot path, so the explode stays inside

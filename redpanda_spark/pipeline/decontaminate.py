@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from redpanda_spark.functions.text import tokens, word_shingles
+from redpanda_spark.sources.tables import parallelize_narrow
 
 
 def _gram_udf(n: int):
@@ -62,6 +63,9 @@ def _grams(
     df: DataFrame, n: int, text_col: str, id_col: str, out_id: str,
     use_arrow: bool = True,
 ) -> DataFrame:
+    # the gram kernel is the CPU-bound stage and small corpus parquet
+    # arrives as 1-2 splits — spread before it (no-op at scale)
+    df = parallelize_narrow(df)
     if use_arrow:
         return df.select(
             F.col(id_col).alias(out_id),

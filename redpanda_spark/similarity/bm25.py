@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from redpanda_spark.functions.text import tokens
+from redpanda_spark.sources.tables import parallelize_narrow
 
 
 def bm25_topk(
@@ -51,6 +52,10 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: empty query-term list")
+    # tokenization is the CPU-bound stage and a small corpus parquet
+    # arrives as 1-2 splits — spread it over every core (no-op at scale);
+    # both passes below share the one round-robin exchange (ReusedExchange)
+    docs = parallelize_narrow(docs)
     toks = F.filter(
         F.transform(tokens(F.col(text_col)), F.lower),
         lambda t: t != F.lit(""),
