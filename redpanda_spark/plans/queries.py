@@ -5508,14 +5508,18 @@ def q_doc_ngram_topk(spark, sf_dir):
     # local fixtures arrive as 1-2 splits; the explode is per-row-heavy
     docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
     toks = TXT.tokens("text")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    # arrays_zip of two shifted slices, not transform+element_at: no
+    # lambda in the hot path keeps the explode inside whole-stage codegen
+    # (the lm.doc_bigrams shape — measured ~3x); docs with <2 tokens
+    # contribute nothing, matching the oracle's len >= 2 guard
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
     )
     counts = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("b"))
+        .select(F.concat_ws(" ", F.col("b.w1"), F.col("b.w2")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
