@@ -531,3 +531,40 @@ def test_rollup_replay_same_batch_id_is_idempotent(spark, tmp_path):
     merge_rollup(store, df)
     [r] = read_rollup(spark, store).collect()
     assert r["n"] == 3
+
+
+def test_drain_restores_shuffle_conf_on_failure(spark):
+    """_drain pins spark.sql.shuffle.partitions for the streaming run and
+    must restore the batch conf even when the query dies (a leaked pin
+    would silently shrink every later batch shuffle in the session)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from redpanda_spark.plans.queries import _drain
+
+    import tempfile as _tf
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # a streaming frame that fails in the first micro-batch: the source
+    # has a real row (a rate source under availableNow drains zero rows
+    # and never evaluates anything), so assert_true fires mid-run
+    d = _tf.mkdtemp(prefix="drain_fail_")
+    spark.createDataFrame([(1,)], "value long").write.mode("overwrite").parquet(d)
+    src = spark.readStream.schema("value long").parquet(d)
+    bad = src.select(F.assert_true(F.col("value") < 0).alias("boom"))
+    with _pytest.raises(Exception):
+        _drain(spark, bad, mode="append", state_partitions=3)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_drain_sizes_state_partitions(spark, sf_dir):
+    """The sized drain produces the same rows as an unsized one and
+    leaves the session conf untouched (stream_stream_join gate shape)."""
+    from redpanda_spark.plans.queries import QUERIES, _state_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = _state_partitions(sf_dir)
+    assert 4 <= parts <= 1024
+    n = QUERIES["stream_window_stats"](spark, sf_dir).count()
+    assert n > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
