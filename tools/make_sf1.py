@@ -67,6 +67,16 @@ def make_scale(out_dir: str, copies: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    if copies > 100:
+        # sf100+: an order-preserving COPY materializes the whole cross
+        # join (~100 GB at copies=1000, an OOM); dropping insertion order
+        # lets DuckDB stream row groups to parquet under a bounded memory
+        # cap. Row order within the output changes, which nothing
+        # consumes — every engine query is order-independent and both
+        # engines read the same files — so sf1/sf10 keep the byte-stable
+        # ordered path and only the big scale-ups stream.
+        con.execute("SET preserve_insertion_order = false")
+        con.execute("SET memory_limit = '24GB'")
     b_ord = _base(con, "orders", "o_orderkey")
     b_cust = _base(con, "customer", "c_custkey")
     b_supp = _base(con, "supplier", "s_suppkey")
