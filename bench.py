@@ -511,6 +511,49 @@ def bench_sf10(spark) -> dict | None:
     }
 
 
+# sf100 probe: TWO measured decades beyond sf1 (600M lineitem rows /
+# 5M documents, ~20 GB on disk). Opt-in (SPARK_GRAFT_SF100=1) because a
+# pass is several minutes — it belongs to explicit scale validation, not
+# the per-round bench budget. Fixtures: tools/make_sf1.py <dir> --copies=1000.
+SF100_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "doc_bm25",
+    "doc_ngram_topk",
+    "dedup_minhash",
+    "decontaminate",
+    "events_skew_join",
+    "pipeline_shuffle",
+]
+
+
+def bench_sf100(spark) -> dict | None:
+    if os.environ.get("SPARK_GRAFT_SF100", "0") != "1":
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf100_dir = os.environ.get(
+        "SPARK_GRAFT_SF100_DIR", os.path.join(here, ".fixtures", "sf100")
+    )
+    if not os.path.exists(os.path.join(sf100_dir, "lineitem.parquet")):
+        print("# sf100 fixtures absent — skipping sf100 block", file=sys.stderr)
+        return None
+    timings: dict[str, float] = {}
+    for name in SF100_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        n = QUERIES[name](spark, sf100_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        print(f"# sf100 {name}: {n} rows in {dt}s", file=sys.stderr)
+        spark.catalog.clearCache()
+    return {
+        "sf": 100.0,
+        "suite_wall_s": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+
+
 def bench_sf1(spark) -> dict | None:
     """One timed pass at sf1 (10x the gate SF), generating the fixtures on
     first use (tools/make_sf1.py — deterministic 10x scale-up of sf0.1).
@@ -635,6 +678,7 @@ def main():
 
     sf1 = bench_sf1(spark)
     sf10 = bench_sf10(spark)
+    sf100 = bench_sf100(spark)
 
     detail = {
         "metric": "bench_detail",
@@ -648,6 +692,7 @@ def main():
         "e2e_latency": e2e,
         "sf1": sf1,
         "sf10": sf10,
+        "sf100": sf100,
         "trend": _trend(total, omb),
     }
     # full per-pass record: an EARLIER stdout line + a file, so the driver's
