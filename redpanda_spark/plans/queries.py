@@ -387,7 +387,7 @@ def q_tpch_q1(spark, sf_dir):
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             # decimal arithmetic internally (exact, order-independent sums);
-            # final emit = CAST(ROUND(decimal,6) AS DOUBLE): both engines
+            # final emit = CAST(CAST(ROUND(decimal,6) AS VARCHAR) AS DOUBLE): both engines
             # round the identical exact decimal, then cast to the identical
             # IEEE-754 double. Emitting the decimal itself fails the driver
             # hash (DuckDB .df() renders DECIMAL as float64 while Spark
@@ -406,9 +406,9 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_base_price,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DOUBLE), 6) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -439,7 +439,7 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -476,7 +476,7 @@ def q_tpch_q5ish(spark, sf_dir):
 
 SQL_TPCH_Q5ISH = """
 SELECT r_name, n_name,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE) AS revenue,
   COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -505,7 +505,7 @@ def q_events_daily(spark, sf_dir):
 
 SQL_EVENTS_DAILY = """
 SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type, CAST(ts AS DATE)
 """
@@ -1038,7 +1038,7 @@ def q_events_topk_users(spark, sf_dir):
 
 SQL_EVENTS_TOPK_USERS = """
 SELECT user_id,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_value,
+       CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS total_value,
        COUNT(*) AS n
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id LIMIT 10
@@ -1064,7 +1064,7 @@ def q_tpch_q6(spark, sf_dir):
 
 
 SQL_TPCH_Q6 = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1097,7 +1097,7 @@ def q_tpch_q10ish(spark, sf_dir):
 
 SQL_TPCH_Q10ISH = """
 SELECT c_custkey, c_name, n_name,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue
+  CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1557,7 +1557,7 @@ SQL_TPCH_Q18 = f"""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM (
   SELECT l_orderkey,
-         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty
+         CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
 ) big
 JOIN orders ON big.l_orderkey = o_orderkey
@@ -1858,7 +1858,7 @@ def q_tpch_q7ish(spark, sf_dir):
 
 SQL_TPCH_Q7ISH = f"""
 SELECT supp_nation, cust_nation, l_year,
-       CAST(ROUND(SUM(volume), 6) AS DOUBLE) AS revenue
+       CAST(CAST(ROUND(SUM(volume), 6) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -1898,8 +1898,8 @@ def q_tpch_q19ish(spark, sf_dir):
 
 
 SQL_TPCH_Q19ISH = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
@@ -2039,8 +2039,8 @@ def q_tpch_q15ish(spark, sf_dir):
 SQL_TPCH_Q15ISH = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS DOUBLE)
+         CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 6) AS VARCHAR) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -2906,10 +2906,10 @@ def q_tpch_q9ish(spark, sf_dir):
 
 SQL_TPCH_Q9ISH = """
 SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
              - CAST(0.1 AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))
-                 * CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS profit
+                 * CAST(l_quantity AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2967,7 +2967,7 @@ WITH natsupply AS (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey AND n_name = '{_Q11_NATION}')
 SELECT CAST(l_partkey AS BIGINT) AS partkey,
-       CAST(ROUND(SUM(val), 6) AS DOUBLE) AS total_value
+       CAST(CAST(ROUND(SUM(val), 6) AS VARCHAR) AS DOUBLE) AS total_value
 FROM natsupply GROUP BY 1
 HAVING SUM(val) > (SELECT SUM(val) * {_Q11_FRACTION} FROM natsupply)
 ORDER BY total_value DESC, partkey LIMIT 100
@@ -3200,7 +3200,7 @@ idle AS (
     WHERE o_custkey = c_custkey
       AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'))
 SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 6) AS DOUBLE)
+       CAST(CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE)
          AS totacctbal
 FROM idle GROUP BY 1 ORDER BY 1
 """
@@ -5269,7 +5269,7 @@ def q_events_rollup(spark, sf_dir):
 SQL_EVENTS_ROLLUP = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS win_us,
   event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   ROUND(MIN(value), 6) AS min_value,
   ROUND(MAX(value), 6) AS max_value,
   (CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) * 200 + COUNT(*))
@@ -5370,7 +5370,7 @@ stats AS (
   FROM per_doc),
 scored AS (
   SELECT doc_id,
-    CAST(ROUND({term_sum}, 6) AS DOUBLE) AS score
+    CAST(CAST(ROUND({term_sum}, 6) AS VARCHAR) AS DOUBLE) AS score
   FROM per_doc, stats),
 ranked AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
@@ -5867,7 +5867,7 @@ def q_events_skew_join(spark, sf_dir):
 
 SQL_EVENTS_SKEW_JOIN = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
@@ -6002,7 +6002,7 @@ def q_events_bucketed_join(spark, sf_dir):
 
 SQL_EVENTS_BUCKETED_JOIN = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 ORDER BY c_mktsegment, event_type
@@ -6237,7 +6237,7 @@ stats AS (
   FROM per_doc),
 bm_scored AS (
   SELECT doc_id,
-    CAST(ROUND({term_sum}, 6) AS DOUBLE) AS score
+    CAST(CAST(ROUND({term_sum}, 6) AS VARCHAR) AS DOUBLE) AS score
   FROM per_doc, stats),
 lex AS (
   SELECT doc_id, rank AS lr FROM (
@@ -6594,7 +6594,7 @@ def q_iceberg_delete_read(spark, sf_dir):
 
 SQL_ICEBERG_DELETE_READ = """
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users,
   TRUE AS maintained_ok
 FROM events WHERE event_id % 7 != 0
@@ -6675,7 +6675,7 @@ def q_iceberg_upsert_read(spark, sf_dir):
 
 SQL_ICEBERG_UPSERT_READ = """
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM (
   SELECT event_type, user_id,
@@ -7313,7 +7313,7 @@ WITH live AS (
      OR user_id % 10 != 3                                  -- base: key kept
 )
 SELECT event_type, COUNT(*) AS n,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value,
+  CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 6) AS VARCHAR) AS DOUBLE) AS sum_value,
   COUNT(DISTINCT user_id) AS n_users
 FROM live GROUP BY event_type ORDER BY event_type
 """
