@@ -78,7 +78,15 @@ def bm25_topk(
             "doc_id", F.size("_toks").cast("double").alias("dl"), *tf_cols
         )
 
-    per_doc = per_doc_of(docs)
+    # ONE tokenization pass: the (doc_id, dl, tf_*) frame is numeric and
+    # narrow (5 numbers/doc — spillable at any corpus size), so it is
+    # persisted and serves BOTH the stats aggregate and the scoring pass.
+    # The old shape scanned + tokenized the corpus twice (plus an rlike
+    # candidate prefilter, a third scan) — at 100 TB the corpus scan IS
+    # the cost, and one is enough.
+    from pyspark.storagelevel import StorageLevel
+
+    per_doc = per_doc_of(docs).persist(StorageLevel.MEMORY_AND_DISK)
     # one-row corpus stats: N, avgdl, df per term — map-side combinable
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -90,13 +98,14 @@ def bm25_topk(
             for i in range(len(terms))
         ],
     )
-    # candidate pruning for the scoring pass: a pushed-down substring
-    # pre-filter (superset of token matches — exact tf still decides);
-    # the stats pass above must see every document
-    import re as _re
-
-    pat = "|".join(_re.escape(t) for t in terms)
-    cand = per_doc_of(docs.where(F.lower(F.col(text_col)).rlike(pat)))
+    # candidate pruning for the scoring pass: any tf > 0 on the cached
+    # numeric frame — idf is strictly positive, so score > 0 iff some
+    # term occurs, making this EXACTLY the rows the final filter keeps
+    # (the old rlike substring prefilter was a superset re-scan of text)
+    any_tf = F.col("tf_0") > 0
+    for i in range(1, len(terms)):
+        any_tf = any_tf | (F.col(f"tf_{i}") > 0)
+    cand = per_doc.where(any_tf)
     scored = cand.join(F.broadcast(stats))
     term_scores = []
     for i in range(len(terms)):
@@ -128,6 +137,12 @@ def bm25_topk(
     # survivors with a window over k rows
     top = out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.select(
+    ranked = top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
     )
+    # materialize the k-bounded result so the cached per-doc frame can be
+    # unpersisted HERE instead of leaking blocks across a long session
+    # (the jaccard_pairs hygiene pattern; k rows of 3 scalars)
+    rows = ranked.collect()
+    per_doc.unpersist()
+    return docs.sparkSession.createDataFrame(rows, ranked.schema)
