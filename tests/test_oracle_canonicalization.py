@@ -80,3 +80,31 @@ def test_duckdb_decimal_output_fails_vs_spark_decimal():
     odf2 = con.execute("SELECT CAST(ROUND(CAST(1.5 AS DECIMAL(38,6)), 6) AS DOUBLE) AS v").df()
     (ocell2,) = pdf_rows(odf2)[0]
     assert norm_cell(ocell2) == norm_cell(1.5)
+
+
+def test_duckdb_decimal_double_cast_past_2_53_needs_varchar_roundtrip():
+    """The sf100-exposed class: DuckDB's DECIMAL->DOUBLE cast divides the
+    scaled int128 in floating point, inexact once value*10^scale exceeds
+    2^53; Spark's BigDecimal.doubleValue() is correctly rounded at any
+    magnitude. The oracle convention therefore routes the final cast
+    through VARCHAR (exact digits -> correctly-rounded parse) — this
+    pins both halves: the direct cast IS wrong above the ceiling, and
+    the varchar round-trip matches Python's correctly-rounded
+    str->float at every magnitude (and is bit-identical below it)."""
+    import duckdb
+
+    con = duckdb.connect()
+    big = "2679535128980.000000"  # scaled int 2.68e18 > 2^53
+    direct, via_varchar = con.execute(
+        f"SELECT CAST(CAST({big} AS DECIMAL(38,6)) AS DOUBLE),"
+        f" CAST(CAST(CAST({big} AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+    ).fetchone()
+    assert via_varchar == float(big) == 2679535128980.0
+    assert direct != via_varchar  # the defect the convention avoids
+    # below the ceiling the two paths are bit-identical
+    for small in ("123.456789", "-0.000001", "999999999.999999"):
+        d, v = con.execute(
+            f"SELECT CAST(CAST({small} AS DECIMAL(38,6)) AS DOUBLE),"
+            f" CAST(CAST(CAST({small} AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)"
+        ).fetchone()
+        assert d == v == float(small)
