@@ -538,15 +538,25 @@ def bench_sf100(spark) -> dict | None:
         print("# sf100 fixtures absent — skipping sf100 block", file=sys.stderr)
         return None
     timings: dict[str, float] = {}
-    for name in SF100_QUERIES:
-        if name not in QUERIES:
-            continue
-        t0 = time.time()
-        n = QUERIES[name](spark, sf100_dir).count()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        print(f"# sf100 {name}: {n} rows in {dt}s", file=sys.stderr)
-        spark.catalog.clearCache()
+    # shuffle width sized to the block's data, exactly as a deployment
+    # would: the session's 32 (right for sf0.1) makes the 100x joins and
+    # aggregations build per-partition state 100x too big (measured: the
+    # decontaminate pair aggregation OOMs a 24g heap at width 32, passes
+    # at 256); restored after the block so the trend stays comparable
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        for name in SF100_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            n = QUERIES[name](spark, sf100_dir).count()
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            print(f"# sf100 {name}: {n} rows in {dt}s", file=sys.stderr)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return {
         "sf": 100.0,
         "suite_wall_s": round(sum(timings.values()), 3),
@@ -676,9 +686,18 @@ def main():
     print(f"# e2e latency: {e2e}", file=sys.stderr)
     print(f"# drain: {drain}", file=sys.stderr)
 
-    sf1 = bench_sf1(spark)
-    sf10 = bench_sf10(spark)
-    sf100 = bench_sf100(spark)
+    # each scale block is best-effort: an OOM-wedged JVM in one block
+    # must not lose the whole detail record gathered before it
+    def _block(fn):
+        try:
+            return fn(spark)
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            print(f"# {fn.__name__} failed: {type(e).__name__}", file=sys.stderr)
+            return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    sf1 = _block(bench_sf1)
+    sf10 = _block(bench_sf10)
+    sf100 = _block(bench_sf100)
 
     detail = {
         "metric": "bench_detail",
