@@ -106,6 +106,7 @@ class RestApp:
         self.routes = [
             ("POST", r"^/sasl/handshake$", self._sasl_handshake),
             ("POST", r"^/sasl/authenticate$", self._sasl_authenticate),
+            ("GET", r"^/metrics$", self._metrics),
             ("GET", r"^/topics$", self._list_topics),
             ("GET", r"^/topics/([^/]+)$", self._topic_meta),
             ("POST", r"^/topics/([^/]+)$", self._produce),
@@ -261,13 +262,94 @@ class RestApp:
             # keep-alive response framing
             start_response("204 No Content", [])
             return []
-        data = json.dumps(payload).encode()
+        if isinstance(payload, str):
+            # text routes (/metrics Prometheus exposition) pass through
+            # verbatim — json-encoding would quote the whole body
+            data = payload.encode()
+            ctype = "text/plain; version=0.0.4"
+        else:
+            data = json.dumps(payload).encode()
+            ctype = "application/vnd.kafka.v2+json"
         start_response(
             f"{status} {'OK' if status < 400 else 'ERR'}",
-            [("Content-Type", "application/vnd.kafka.v2+json"),
+            [("Content-Type", ctype),
              ("Content-Length", str(len(data)))],
         )
         return [data]
+
+    # -- metrics (reference /public_metrics analog) ------------------------
+
+    def _metrics(self, body, query):
+        """Prometheus text exposition of the engine's O(1) observability
+        surface (engine.topic_stats — manifest-derived, no Spark job).
+        Mirrors what the reference exports per partition on
+        /public_metrics (partition HWM / log-start, on-disk bytes,
+        segment counts: redpanda_kafka_* / redpanda_storage_* families);
+        names here use the redpanda_spark_ prefix. Unauthenticated, like
+        a scrape port."""
+
+        def esc(v: str) -> str:
+            return (
+                str(v)
+                .replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+            )
+
+        lines: list[str] = []
+
+        def gauge(name: str, help_: str, samples: list[tuple[dict, float]]):
+            if not samples:
+                return
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} gauge")
+            for labels, val in samples:
+                lab = ",".join(f'{k}="{esc(v)}"' for k, v in labels.items())
+                lines.append(f"{name}{{{lab}}} {val}")
+
+        seg, byt, rows, aseg, abyt, prod, dirty = [], [], [], [], [], [], []
+        hwm, starts = [], []
+        for topic in sorted(self.engine.list_topics()):
+            st = self.engine.topic_stats(topic)
+            lb = {"topic": topic}
+            seg.append((lb, st["segments"]))
+            byt.append((lb, st["bytes"]))
+            if st["rows"] is not None:
+                rows.append((lb, st["rows"]))
+            aseg.append((lb, st["archived_segments"]))
+            abyt.append((lb, st["archived_bytes"]))
+            prod.append((lb, st["producers_tracked"]))
+            dirty.append((lb, st["dirty_ratio"]))
+            for p, off in sorted(st["high_watermarks"].items()):
+                hwm.append(({"topic": topic, "partition": str(p)}, off))
+            for p, off in sorted(st["log_starts"].items()):
+                starts.append(({"topic": topic, "partition": str(p)}, off))
+        gauge("redpanda_spark_topic_segments", "live local segments", seg)
+        gauge("redpanda_spark_topic_bytes", "local on-disk bytes", byt)
+        gauge("redpanda_spark_topic_rows", "manifest-stat row count", rows)
+        gauge(
+            "redpanda_spark_topic_archived_segments", "tiered segments", aseg
+        )
+        gauge("redpanda_spark_topic_archived_bytes", "tiered bytes", abyt)
+        gauge(
+            "redpanda_spark_topic_producers_tracked",
+            "idempotent producer states",
+            prod,
+        )
+        gauge(
+            "redpanda_spark_topic_dirty_ratio", "compaction dirty ratio", dirty
+        )
+        gauge(
+            "redpanda_spark_partition_high_watermark",
+            "next offset to be assigned",
+            hwm,
+        )
+        gauge(
+            "redpanda_spark_partition_log_start",
+            "first retained offset",
+            starts,
+        )
+        return 200, "\n".join(lines) + "\n"
 
     # -- topic handlers ---------------------------------------------------
 

@@ -994,3 +994,48 @@ def test_cli_cluster_quotas(tmp_path, capsys):
     assert main(["--root", root, "cluster", "quota-describe"]) == 0
     rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert rows == [{"client": "c1", "producer_byte_rate": 1000000.0}]
+
+
+def test_rest_metrics_prometheus_exposition(engine, spark):
+    """GET /metrics serves the engine's manifest-derived observability
+    (topic_stats) as Prometheus text — the reference /public_metrics
+    analog — through the real WSGI path with text/plain content type."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    engine.create_topic("m", TopicConfig(partitions=2))
+    df = spark.range(10).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.col("id").cast("string").cast("binary").alias("value"),
+    )
+    engine.produce("m", df)
+
+    app = RestApp(engine)
+    environ = {
+        "REQUEST_METHOD": "GET",
+        "PATH_INFO": "/metrics",
+        "QUERY_STRING": "",
+        "CONTENT_LENGTH": "0",
+        "wsgi.input": io.BytesIO(b""),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    out = b"".join(app(environ, start_response)).decode()
+    assert captured["status"].startswith("200")
+    assert captured["headers"]["Content-Type"].startswith("text/plain")
+    assert "# TYPE redpanda_spark_topic_segments gauge" in out
+    assert 'redpanda_spark_topic_rows{topic="m"} 10' in out
+    # per-partition watermarks sum to the produced rows
+    hwms = [
+        float(line.rsplit(" ", 1)[1])
+        for line in out.splitlines()
+        if line.startswith('redpanda_spark_partition_high_watermark{topic="m"')
+    ]
+    assert len(hwms) == 2 and sum(hwms) == 10
+    # still a plain-text body, not JSON
+    assert not out.lstrip().startswith("{")
