@@ -603,6 +603,17 @@ def cmd_cluster_logdirs(args) -> int:
     return 0
 
 
+def cmd_cluster_metrics(args) -> int:
+    """Print the /metrics Prometheus exposition (reference
+    /public_metrics analog) for scripted scrapes without an HTTP
+    server."""
+    from redpanda_spark.rest import RestApp
+
+    status, text = RestApp(_engine(args)).handle("GET", "/metrics")
+    print(text, end="")
+    return 0 if status == 200 else 1
+
+
 # -- acl (rpk security acl analog, src/go/rpk/pkg/cli/acl/) ------------------
 # Pure-Python path: the ACL store is a JSON file under the engine root —
 # no Spark session spin-up for control-plane edits (rpk talks to the admin
@@ -777,6 +788,7 @@ def build_parser() -> argparse.ArgumentParser:
     cluster = sub.add_parser("cluster").add_subparsers(dest="verb", required=True)
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
     cluster.add_parser("logdirs").set_defaults(fn=cmd_cluster_logdirs)
+    cluster.add_parser("metrics").set_defaults(fn=cmd_cluster_metrics)
     qa = cluster.add_parser("quota-alter")
     qa.add_argument("--client", required=True)
     qa.add_argument(

@@ -1039,3 +1039,24 @@ def test_rest_metrics_prometheus_exposition(engine, spark):
     assert len(hwms) == 2 and sum(hwms) == 10
     # still a plain-text body, not JSON
     assert not out.lstrip().startswith("{")
+
+
+def test_cli_cluster_metrics(spark, tmp_path, capsys, monkeypatch):
+    """cluster metrics prints the Prometheus exposition for the root's
+    topics — same body the REST /metrics route serves."""
+    import io
+    import json as _json
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "metrics_root")
+    assert main(["--root", root, "topic", "create", "mt", "-p", "1"]) == 0
+    capsys.readouterr()
+    lines = _json.dumps({"key": "k", "value": "v"})
+    monkeypatch.setattr("sys.stdin", io.StringIO(lines))
+    assert main(["--root", root, "topic", "produce", "mt"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "cluster", "metrics"]) == 0
+    out = capsys.readouterr().out
+    assert "# TYPE redpanda_spark_topic_segments gauge" in out
+    assert 'redpanda_spark_partition_high_watermark{topic="mt",partition="0"} 1' in out
