@@ -122,6 +122,25 @@ class ProduceError(Exception):
         self.code = code
 
 
+class FencedWriterError(Exception):
+    """Raised when this engine's writer epoch for a topic is stale: another
+    engine opened the same root (claiming a higher epoch) after we did, so
+    our commits must be refused to prevent last-writer-wins manifest loss.
+    The reference enforces the same single-appender invariant by raft
+    leadership (`src/v/raft/consensus.cc`) and fences stale producers by
+    epoch (`cluster/rm_stm.h:67-73`); this is the storage-level analog."""
+
+    def __init__(self, topic: str, mine: int, current: int):
+        super().__init__(
+            f"writer fenced for topic {topic!r}: this engine holds epoch "
+            f"{mine} but the root's current writer epoch is {current} — "
+            "another engine claimed the topic; reopen to resume"
+        )
+        self.topic = topic
+        self.mine = mine
+        self.current = current
+
+
 class TopicEngine:
     def __init__(
         self,
@@ -207,6 +226,11 @@ class TopicEngine:
         # `cluster/producer_state.h:46-98`), committed WITH the data in
         # the manifest so dedup state and offsets advance atomically.
         self._producers: dict[str, dict[str, list[int]]] = {}
+        # Writer fencing: per-topic epoch this engine CLAIMED (opening the
+        # root bumps `_writer_epoch_<topic>.json`; each manifest commit
+        # re-reads it and refuses to proceed if another writer advanced
+        # it). See FencedWriterError for the reference mapping.
+        self._writer_epoch: dict[str, int] = {}
         # rows in the log right after the last compaction (manifest-side
         # dirty-ratio bookkeeping; 0 = never compacted => everything dirty)
         self._clean_rows: dict[str, int] = {}
@@ -232,14 +256,58 @@ class TopicEngine:
     def _manifest_path(self, topic: str) -> str:
         return os.path.join(self.root, f"_manifest_{topic}.json")
 
+    def _epoch_path(self, topic: str) -> str:
+        return os.path.join(self.root, f"_writer_epoch_{topic}.json")
+
+    def _read_writer_epoch(self, topic: str) -> int:
+        try:
+            return int(
+                json.loads(self._fsio.read_text(self._epoch_path(topic)))[
+                    "epoch"
+                ]
+            )
+        except Exception:  # absent / legacy root => epoch 0
+            return 0
+
+    def _claim_writer_epoch(self, topic: str) -> int:
+        """Claim topic leadership (caller must hold the root write_lock):
+        bump the durable epoch so any PREVIOUS writer's next commit fails
+        its fence check. The raft leader-election analog — after this, we
+        are the topic's only legal appender until someone else claims."""
+        epoch = self._read_writer_epoch(topic) + 1
+        self._fsio.write_text_atomic(
+            self._epoch_path(topic), json.dumps({"epoch": epoch})
+        )
+        self._writer_epoch[topic] = epoch
+        return epoch
+
+    def _check_writer_fence(self, topic: str) -> None:
+        """Refuse a commit from a stale writer (caller holds write_lock).
+        Topics first committed by this engine (create_topic) claim lazily
+        here, so every commit path is fenced without special-casing."""
+        current = self._read_writer_epoch(topic)
+        mine = self._writer_epoch.get(topic)
+        if mine is None:
+            mine = self._claim_writer_epoch(topic)
+            return
+        if current != mine:
+            raise FencedWriterError(topic, mine, current)
+
     def _commit_manifest(self, topic: str) -> None:
         """THE commit point for all data mutations of a topic: watermarks +
-        live file list become durable in one atomic rename. Everything
-        written before this call is provisional; everything after is
-        cleanup."""
+        live file list become durable in one atomic rename, FENCED by the
+        writer epoch (a stale engine — one whose root another engine has
+        opened since — gets FencedWriterError instead of silently
+        last-writer-winning the manifest). Everything written before this
+        call is provisional; everything after is cleanup."""
         # any manifest flip invalidates the hot tail; the produce paths
         # repopulate it post-commit, every other mutator leaves it cold
         self._tail.pop(topic, None)
+        with self._fsio.write_lock(self.root):
+            self._check_writer_fence(topic)
+            self._write_manifest_locked(topic)
+
+    def _write_manifest_locked(self, topic: str) -> None:
         files = self._files.get(topic)
         stats = self._stats.get(topic, {})
         arch = self._archived.get(topic, [])
@@ -256,6 +324,7 @@ class TopicEngine:
                     "archived": arch,
                     "archived_stats": {p: astats[p] for p in arch if p in astats},
                     "arch_epoch": self._arch_epoch.get(topic, 0),
+                    "writer_epoch": self._writer_epoch.get(topic, 0),
                 }
             ),
         )
@@ -273,20 +342,30 @@ class TopicEngine:
                 ).items()
             }
         for t in self._topics:
-            mp = self._manifest_path(t)
-            if self._fsio.exists(mp):
-                m = json.loads(self._fsio.read_text(mp))
-                self._high[t] = {int(p): o for p, o in m.get("high", {}).items()}
-                self._files[t] = m.get("files")
-                self._stats[t] = m.get("stats", {})
-                self._producers[t] = m.get("producers", {})
-                self._clean_rows[t] = m.get("clean_rows", 0)
-                self._archived[t] = m.get("archived", [])
-                self._archived_stats[t] = m.get("archived_stats", {})
-                self._arch_epoch[t] = m.get("arch_epoch", 0)
-            else:
-                self._high[t] = legacy_high.get(t, {})
-                self._files[t] = None
+            # Read the manifest AND claim the writer epoch inside one
+            # critical section: the state we adopt is the latest committed
+            # one, and from the claim on, the previous writer's commits
+            # are refused — so the _gc_orphans below can only ever delete
+            # segments NO committed manifest references (the split-brain
+            # GC hazard the single-writer model alone did not close).
+            with self._fsio.write_lock(self.root):
+                mp = self._manifest_path(t)
+                if self._fsio.exists(mp):
+                    m = json.loads(self._fsio.read_text(mp))
+                    self._high[t] = {
+                        int(p): o for p, o in m.get("high", {}).items()
+                    }
+                    self._files[t] = m.get("files")
+                    self._stats[t] = m.get("stats", {})
+                    self._producers[t] = m.get("producers", {})
+                    self._clean_rows[t] = m.get("clean_rows", 0)
+                    self._archived[t] = m.get("archived", [])
+                    self._archived_stats[t] = m.get("archived_stats", {})
+                    self._arch_epoch[t] = m.get("arch_epoch", 0)
+                else:
+                    self._high[t] = legacy_high.get(t, {})
+                    self._files[t] = None
+                self._claim_writer_epoch(t)
             self._gc_orphans(t)
 
     def _gc_orphans(self, topic: str) -> None:
@@ -355,6 +434,9 @@ class TopicEngine:
         scopes this state to the partition's raft log, which dies with the
         topic: `cluster/rm_stm`'s state is per-partition)."""
         self._require(topic)
+        # a stale writer must not destroy the current writer's topic
+        with self._fsio.write_lock(self.root):
+            self._check_writer_fence(topic)
         # a read-replica does not OWN its archive tier: the archive_root
         # is the source cluster's bucket. Dropping the replica must only
         # remove local metadata/cache — deleting the archive dir would
@@ -387,6 +469,8 @@ class TopicEngine:
                 if not r.startswith(topic + os.sep)
             }
         self._fsio.delete(self._manifest_path(topic))
+        self._fsio.delete(self._epoch_path(topic))
+        self._writer_epoch.pop(topic, None)
         self._purge_topic_metadata(topic)
         self._save_state()
 

@@ -19,6 +19,12 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
+
+try:  # POSIX only; Windows falls back to optimistic commits
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 
 def for_root(spark, root: str) -> "LocalFS | HadoopFS":
@@ -70,6 +76,26 @@ class LocalFS:
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+
+    @contextmanager
+    def write_lock(self, root: str):
+        """Exclusive advisory lock serializing writer-epoch claims and
+        manifest commits across processes sharing this root (flock on a
+        root-level lock file). This closes the read-check-write window of
+        the engine's optimistic writer fence — the local-disk analog of
+        the reference electing exactly one partition leader via raft
+        (`src/v/raft/consensus.cc`) so only one appender exists."""
+        if fcntl is None:  # pragma: no cover - non-POSIX
+            yield
+            return
+        fd = os.open(
+            os.path.join(root, "_writer.lock"), os.O_CREAT | os.O_RDWR, 0o644
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # close releases the flock
 
     def getsize(self, path: str) -> int:
         return os.path.getsize(path)
@@ -182,6 +208,14 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    @contextmanager
+    def write_lock(self, root: str):
+        """Hadoop FileSystems have no advisory byte-range locks, so the
+        writer fence stays purely optimistic here (epoch re-read before
+        each commit) — the same guarantee level as an Iceberg table commit
+        on an object store without a catalog-side CAS."""
+        yield
 
     def getsize(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._p(path)).getLen())

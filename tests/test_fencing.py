@@ -1,0 +1,137 @@
+"""Writer fencing: two engines over one root must not split-brain the
+manifest. The reference enforces single-appender-per-partition via raft
+leadership (`src/v/raft/consensus.cc`) and fences stale producers by epoch
+(`cluster/rm_stm.h:67-73`); here a durable per-topic writer epoch is
+claimed at open and re-checked under a root write-lock at every manifest
+commit, so a stale engine's commit fails cleanly instead of
+last-writer-winning — and orphan GC can never eat a committed segment."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from redpanda_spark.engine import FencedWriterError, TopicConfig, TopicEngine
+
+
+def _records(spark, kvs):
+    rows = [Row(key=k.encode(), value=v.encode()) for k, v in kvs]
+    return spark.createDataFrame(rows, "key binary, value binary")
+
+
+def _rowset(df):
+    return {
+        (r["partition"], r["offset"], bytes(r["value"]))
+        for r in df.collect()
+    }
+
+
+def test_second_open_fences_first_writer_produce(spark, tmp_path):
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=2))
+    a.produce("t", _records(spark, [("k1", "v1"), ("k2", "v2")]))
+    before = _rowset(a.log("t"))
+
+    b = TopicEngine(spark, root)  # claims a higher writer epoch
+    # everything A committed before the claim is visible to B
+    assert _rowset(b.log("t")) == before
+
+    # A is now a stale leader: its next commit must be REFUSED
+    with pytest.raises(FencedWriterError) as ei:
+        a.produce("t", _records(spark, [("k3", "v3")]))
+    assert ei.value.topic == "t" and ei.value.current > ei.value.mine
+
+    # ... and the refusal changed nothing durable: B still reads `before`,
+    # and B (the current writer) can produce normally
+    assert _rowset(b.log("t")) == before
+    b.produce("t", _records(spark, [("k4", "v4")]))
+    assert len(_rowset(b.log("t"))) == 3
+
+
+def test_fenced_compaction_and_delete_refused(spark, tmp_path):
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("c", TopicConfig(partitions=1, cleanup_policy="compact"))
+    a.produce("c", _records(spark, [("a", "1"), ("a", "2"), ("b", "1")]))
+
+    b = TopicEngine(spark, root)
+    with pytest.raises(FencedWriterError):
+        a.run_compaction("c")
+    with pytest.raises(FencedWriterError):
+        a.delete_topic("c")
+    # the topic and all three records survive the stale writer's attempts
+    assert b.log("c").count() == 3
+
+
+def test_claim_gc_never_deletes_committed_segments(spark, tmp_path):
+    """The split-brain GC hazard: B's open-time orphan GC may only delete
+    segments NO committed manifest references. A's committed segments all
+    survive; a provisional (uncommitted) stray file is collected."""
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    a.produce("t", _records(spark, [("k2", "v2")]))
+    before = _rowset(a.log("t"))
+    committed = {
+        os.path.join(root, p) for p in a._files["t"]
+    }
+    # simulate a produce that died before its manifest commit: a stray
+    # parquet in the topic dir that no manifest references
+    stray = os.path.join(root, "t", "zz-stray-provisional.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"PAR1 not a real segment PAR1")
+
+    b = TopicEngine(spark, root)  # claim + orphan GC
+    assert not os.path.exists(stray), "uncommitted orphan must be GC'd"
+    for p in committed:
+        assert os.path.exists(p), f"committed segment lost: {p}"
+    assert _rowset(b.log("t")) == before
+
+
+def test_fenced_writer_resumes_after_reopen(spark, tmp_path):
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    TopicEngine(spark, root)  # B fences A
+    with pytest.raises(FencedWriterError):
+        a.produce("t", _records(spark, [("k2", "v2")]))
+    # the documented recovery: reopen (re-claim) and retry
+    a2 = TopicEngine(spark, root)
+    a2.produce("t", _records(spark, [("k2", "v2")]))
+    offs = sorted(r["offset"] for r in a2.log("t").collect())
+    assert offs == [0, 1]  # contiguous across the fence + reopen
+
+
+def test_epoch_is_durable_and_monotone(spark, tmp_path):
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k", "v")]))
+    e1 = a._writer_epoch["t"]
+    b = TopicEngine(spark, root)
+    assert b._writer_epoch["t"] == e1 + 1
+    # epoch file and manifest both carry the current claim
+    ep = json.loads(open(os.path.join(root, "_writer_epoch_t.json")).read())
+    assert ep["epoch"] == e1 + 1
+    b.produce("t", _records(spark, [("k2", "v2")]))
+    man = json.loads(open(os.path.join(root, "_manifest_t.json")).read())
+    assert man["writer_epoch"] == e1 + 1
+
+
+def test_delete_topic_clears_epoch_state(spark, tmp_path):
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k", "v")]))
+    a.delete_topic("t")
+    assert not os.path.exists(os.path.join(root, "_writer_epoch_t.json"))
+    # recreating the topic starts a fresh epoch lineage
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k", "v")]))
+    assert a._writer_epoch["t"] >= 1
