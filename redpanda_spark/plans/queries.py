@@ -1629,14 +1629,30 @@ def _state_partitions(sf_dir: str) -> int:
     return max(4, min(sz >> 25, 1024))
 
 
+import threading as _threading
+
+# serializes the save/mutate/restore of the session-wide shuffle width in
+# _drain: two overlapping drains (or a concurrent batch query) on the
+# shared session could otherwise pick up — or restore — the wrong width
+_CONF_LOCK = _threading.Lock()
+
+
 def _drain(spark, out, mode="complete", state_partitions=None):
     """Run a streaming frame to completion (availableNow) into a memory
     sink. ``state_partitions`` scopes spark.sql.shuffle.partitions around
     query START only — streaming fixes its state partitioning at checkpoint
     creation, so this is the one place the width can be set; batch conf is
-    restored immediately after."""
+    restored immediately after (under _CONF_LOCK against overlapping
+    drains)."""
     name = "q" + _uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is None:
+        return _drain_locked(spark, out, mode, name, None, None)
+    with _CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        return _drain_locked(spark, out, mode, name, state_partitions, prev)
+
+
+def _drain_locked(spark, out, mode, name, state_partitions, prev):
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -1648,8 +1664,15 @@ def _drain(spark, out, mode="complete", state_partitions=None):
             .start()
         )
         # micro-batches plan asynchronously after start(), so the conf
-        # must stay pinned until the run drains
-        q.awaitTermination(300)
+        # must stay pinned until the run drains. awaitTermination returns
+        # False on timeout — in that case batches may STILL be planning
+        # when the conf is restored, and spark.table() would silently
+        # return a partially-drained sink: stop and fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow drain of {name} did not terminate in 300s"
+            )
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

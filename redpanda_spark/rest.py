@@ -40,6 +40,16 @@ from redpanda_spark.registry import CompatibilityError, ModeError, SchemaRegistr
 _BROKER_ERRORS = (ProduceError, CoordinatorError)
 
 
+class TextExposition(str):
+    """Explicit marker for handlers whose payload is a verbatim text body
+    (e.g. the /metrics Prometheus exposition). The WSGI layer keys its
+    text-passthrough on THIS type, not on `str`, so a future handler that
+    returns a bare string (say, an error message) still ships through the
+    Kafka JSON error contract instead of silently becoming text/plain."""
+
+    content_type = "text/plain; version=0.0.4"
+
+
 def _req(body: dict, field: str):
     """Required body field: absence is a 422 malformed-request (never a
     KeyError -> 404 'not found', which misleads clients into re-creating
@@ -262,11 +272,12 @@ class RestApp:
             # keep-alive response framing
             start_response("204 No Content", [])
             return []
-        if isinstance(payload, str):
-            # text routes (/metrics Prometheus exposition) pass through
-            # verbatim — json-encoding would quote the whole body
+        if isinstance(payload, TextExposition):
+            # explicitly-marked text routes (/metrics Prometheus
+            # exposition) pass through verbatim — json-encoding would
+            # quote the whole body; a bare str still goes through JSON
             data = payload.encode()
-            ctype = "text/plain; version=0.0.4"
+            ctype = payload.content_type
         else:
             data = json.dumps(payload).encode()
             ctype = "application/vnd.kafka.v2+json"
@@ -349,7 +360,7 @@ class RestApp:
             "first retained offset",
             starts,
         )
-        return 200, "\n".join(lines) + "\n"
+        return 200, TextExposition("\n".join(lines) + "\n")
 
     # -- topic handlers ---------------------------------------------------
 

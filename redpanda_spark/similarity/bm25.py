@@ -140,9 +140,12 @@ def bm25_topk(
     ranked = top.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "score"
     )
-    # materialize the k-bounded result so the cached per-doc frame can be
-    # unpersisted HERE instead of leaking blocks across a long session
-    # (the jaccard_pairs hygiene pattern; k rows of 3 scalars)
-    rows = ranked.collect()
+    # eager localCheckpoint: materializes the k-bounded result as blocks
+    # (k rows of 3 scalars) so the cached per-doc frame can be unpersisted
+    # HERE without leaking blocks across a long session (jaccard_pairs
+    # hygiene pattern) — while the return stays a DataFrame-native plan
+    # (composes with explain(), joins, further transforms) instead of a
+    # driver-side collect + createDataFrame round-trip
+    ranked = ranked.localCheckpoint(eager=True)
     per_doc.unpersist()
-    return docs.sparkSession.createDataFrame(rows, ranked.schema)
+    return ranked

@@ -124,10 +124,19 @@ def pq_encode(
         # and first-min tie-break, ~10x on Arrow-sized batches
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         codes = np.empty((x.shape[0], m), dtype=np.int64)
+        # Row-chunked: the (rows, k, ds) float64 broadcast temporary is
+        # bounded to 512*k*ds*8 bytes (~16 MB at k=256, ds=16) regardless
+        # of Arrow batch size — a full 10k-row batch would transiently
+        # need ~330 MB per subspace per concurrent worker. Chunking (not
+        # the matmul expansion) keeps the arithmetic, and therefore every
+        # argmin tie-break, byte-identical to the reference kernel.
+        step = 512
         for j in range(m):
-            sub = x[:, j * ds : (j + 1) * ds]
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
+            book = books[j][None, :, :]
+            for s in range(0, x.shape[0], step):
+                sub = x[s : s + step, j * ds : (j + 1) * ds]
+                d2 = ((sub[:, None, :] - book) ** 2).sum(axis=2)
+                codes[s : s + step, j] = d2.argmin(axis=1)
         return pd.Series([c.tolist() for c in codes])
 
     return emb.select(F.col(id_col), encode(as_double(vec_col)).alias(code_col))

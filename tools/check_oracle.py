@@ -5,6 +5,11 @@ column names, and order-insensitive values.
 Usage: python tools/check_oracle.py [--plain] [sf_dir] [query ...]
   --plain: use a default-config SparkSession (exactly what the driver's
   gate does) instead of the engine's tuned session.
+
+At sf >= 10 the plain session's default ~1g driver heap OOMs on the
+large-result queries; the real gate only runs at sf <= 0.1 where plain is
+fine. For large-SF plain checks set SPARK_DRIVER_MEM (e.g. `24g`) — the
+plain branch honors it while keeping every other conf at default.
 """
 
 from __future__ import annotations
@@ -90,9 +95,16 @@ def main():
         # on — catches anything that only works under our tuned session
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[32]").appName(
+        b = SparkSession.builder.master("local[32]").appName(
             "oracle-check-plain"
-        ).getOrCreate()
+        )
+        # the one escape hatch from all-default confs: sf>=10 results
+        # overflow the default ~1g driver heap (usage note above)
+        if os.environ.get("SPARK_DRIVER_MEM"):
+            b = b.config(
+                "spark.driver.memory", os.environ["SPARK_DRIVER_MEM"]
+            )
+        spark = b.getOrCreate()
     else:
         spark = get_spark("oracle-check")
     con = duckdb.connect()
