@@ -226,6 +226,13 @@ class TopicEngine:
         # `cluster/producer_state.h:46-98`), committed WITH the data in
         # the manifest so dedup state and offsets advance atomically.
         self._producers: dict[str, dict[str, list[int]]] = {}
+        # Engine-side rate counters per topic (the reference's
+        # /public_metrics rate families: produce/fetch bytes+rows,
+        # request counts, archival uploads, cache outcomes — the
+        # quota/probe instrumentation in `kafka/server/quota_manager.h`).
+        # Process-lifetime monotone, like a broker's counters; exposed as
+        # Prometheus counters in the /metrics exposition.
+        self._counters: dict[str, dict[str, int]] = {}
         # Writer fencing: per-topic epoch this engine CLAIMED (opening the
         # root bumps `_writer_epoch_<topic>.json`; each manifest commit
         # re-reads it and refuses to proceed if another writer advanced
@@ -511,7 +518,48 @@ class TopicEngine:
 
     # -- produce ----------------------------------------------------------
 
+    def _count(self, topic: str, **deltas: int) -> None:
+        c = self._counters.setdefault(topic, {})
+        for k, v in deltas.items():
+            c[k] = c.get(k, 0) + int(v)
+
+    def counters(self, topic: str) -> dict[str, int]:
+        """Monotone engine-side counters for the topic (process-lifetime,
+        reset on restart — broker counter semantics)."""
+        return dict(self._counters.get(topic, {}))
+
+    @staticmethod
+    def _rows_bytes(rows) -> int:
+        """Wire-size estimate of fetched rows (the 16-byte overhead + key
+        + value accounting the byte-budget path uses)."""
+        return sum(
+            16
+            + (len(r["key"]) if r["key"] else 0)
+            + (len(r["value"]) if r["value"] else 0)
+            for r in rows
+        )
+
     def produce(self, topic: str, batch: DataFrame) -> dict[int, int]:
+        """Instrumented produce: counts appended rows/bytes around
+        :meth:`_produce_impl` (which holds the full semantics docstring).
+        Byte accounting reads back only the files THIS batch appended —
+        O(batch files), never O(log)."""
+        files0 = len(self._files.get(topic) or [])
+        hw0 = sum(self._high.get(topic, {}).values())
+        bases = self._produce_impl(topic, batch)
+        new_files = (self._files.get(topic) or [])[files0:]
+        self._count(
+            topic,
+            produce_requests=1,
+            produced_rows=sum(self._high.get(topic, {}).values()) - hw0,
+            produced_bytes=sum(
+                self._fsio.getsize(os.path.join(self.root, f))
+                for f in new_files
+            ),
+        )
+        return bases
+
+    def _produce_impl(self, topic: str, batch: DataFrame) -> dict[int, int]:
         """Append a batch of records; returns {partition: base_offset}.
 
         ``batch`` columns: key binary (nullable), value binary (nullable),
@@ -1171,6 +1219,7 @@ class TopicEngine:
         the same order the relational path applies them."""
         rows = self._tail_fetch(topic, partition, offset, isolation)
         if rows is None:
+            self._count(topic, tail_cache_misses=1)
             rows = self.fetch(
                 topic,
                 partition,
@@ -1180,7 +1229,13 @@ class TopicEngine:
                 isolation=isolation,
             ).collect()
             rows.sort(key=lambda r: r["offset"])
+            self._count(
+                topic,
+                fetched_rows=len(rows),
+                fetched_bytes=self._rows_bytes(rows),
+            )
             return rows
+        self._count(topic, tail_cache_hits=1)
         if max_bytes is not None:
             kept, cum = [], 0
             for r in rows:  # first record always returns (broker contract)
@@ -1195,6 +1250,9 @@ class TopicEngine:
             rows = kept
         if max_records is not None:
             rows = rows[:max_records]
+        self._count(
+            topic, fetched_rows=len(rows), fetched_bytes=self._rows_bytes(rows)
+        )
         return rows
 
     def _tx_ranges_local(self) -> list[dict]:
@@ -1551,7 +1609,7 @@ class TopicEngine:
                 p = os.path.join(dirpath, n)
                 self._cold_lru[os.path.relpath(p, cache_dir)] = os.path.getsize(p)
 
-    def _cold_paths(self, archived: list[str]) -> list[str]:
+    def _cold_paths(self, topic: str, archived: list[str]) -> list[str]:
         """Map archived relpaths to readable paths — through the local
         cache when enabled (copy-once + LRU evict), else the archive
         root directly. Only the (pruned) files a read actually touches
@@ -1560,12 +1618,15 @@ class TopicEngine:
             return [os.path.join(self.archive_root, f) for f in archived]
         pinned = set(archived)  # the scan being assembled needs ALL of these
         misses = []
+        hits = 0
         for rel in archived:
             local = os.path.join(self._cold_cache_dir, rel)
             if rel in self._cold_lru and os.path.exists(local):
                 self._cold_lru[rel] = self._cold_lru.pop(rel)  # touch: move to MRU
+                hits += 1
             else:
                 misses.append((rel, local))
+        self._count(topic, cold_cache_hits=hits, cold_cache_misses=len(misses))
         if misses:
             # concurrent fills (cache_service downloads in parallel): each
             # is tmp+rename, so a racing or crashed fill never leaves a
@@ -1615,7 +1676,7 @@ class TopicEngine:
         one Spark job, file-level parallelism across tiers."""
         if not archived:
             return self._scan(topic, files)
-        arch_abs = self._cold_paths(archived)
+        arch_abs = self._cold_paths(topic, archived)
         if files is None:
             # legacy dir-scan hot tier + explicit cold list
             return self._scan(topic, None).unionByName(self._scan_paths(arch_abs))
@@ -1746,6 +1807,9 @@ class TopicEngine:
         max_bytes: int | None = None,
     ) -> DataFrame:
         self._require(topic)
+        # the relational path returns a lazy plan, so rows/bytes can't be
+        # counted here without forcing a job — requests are
+        self._count(topic, fetch_requests=1)
         # manifest-level pruning: only segments whose stats overlap the
         # requested (partition, offset-range) reach the Spark scan —
         # applied per tier, so hot fetches never open cold segments
@@ -2285,6 +2349,13 @@ class TopicEngine:
         gone = set(move)
         self._files[topic] = [f for f in files if f not in gone]
         self._commit_manifest(topic)  # atomic tier flip; then local delete
+        self._count(
+            topic,
+            archival_uploads=len(move),
+            archival_bytes=sum(
+                self._afsio.getsize(d) for d in dsts
+            ),
+        )
         for f in move:
             self._fsio.delete(os.path.join(self.root, f))
         return {"archived": len(move), "remaining_local": len(self._files[topic])}

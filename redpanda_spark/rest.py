@@ -360,6 +360,43 @@ class RestApp:
             "first retained offset",
             starts,
         )
+
+        # rate counters (reference /public_metrics rate families —
+        # produce/fetch bytes+rows, request counts, archival uploads,
+        # cache outcomes): process-lifetime monotone, O(topics) to emit
+        def counter(name: str, help_: str, samples: list[tuple[dict, float]]):
+            if not samples:
+                return
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} counter")
+            for labels, val in samples:
+                lab = ",".join(f'{k}="{esc(v)}"' for k, v in labels.items())
+                lines.append(f"{name}{{{lab}}} {val}")
+
+        families = {
+            "produce_requests": "produce calls",
+            "produced_rows": "rows appended",
+            "produced_bytes": "segment bytes appended",
+            "fetch_requests": "relational fetch plans built",
+            "fetched_rows": "rows served via row-level fetch",
+            "fetched_bytes": "wire-size bytes served via row-level fetch",
+            "tail_cache_hits": "fetches served from the hot tail",
+            "tail_cache_misses": "row fetches that needed the parquet path",
+            "archival_uploads": "segments uploaded to the archive tier",
+            "archival_bytes": "bytes uploaded to the archive tier",
+            "cold_cache_hits": "cold reads served from the local cache",
+            "cold_cache_misses": "cold reads that filled the local cache",
+        }
+        per_family: dict[str, list[tuple[dict, float]]] = {
+            k: [] for k in families
+        }
+        for topic in sorted(self.engine.list_topics()):
+            cts = self.engine.counters(topic)
+            for k, v in cts.items():
+                if k in per_family:
+                    per_family[k].append(({"topic": topic}, v))
+        for k, help_ in families.items():
+            counter(f"redpanda_spark_{k}_total", help_, per_family[k])
         return 200, TextExposition("\n".join(lines) + "\n")
 
     # -- topic handlers ---------------------------------------------------

@@ -1060,3 +1060,96 @@ def test_cli_cluster_metrics(spark, tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "# TYPE redpanda_spark_topic_segments gauge" in out
     assert 'redpanda_spark_partition_high_watermark{topic="mt",partition="0"} 1' in out
+
+
+def test_rest_metrics_rate_counters(engine, spark):
+    """The exposition also carries the engine's rate counters (reference
+    /public_metrics rate families): produce/fetch rows+bytes, request
+    counts, tail-cache outcomes — accumulated engine-side, O(topics) to
+    emit, monotone across scrapes."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    engine.create_topic("c", TopicConfig(partitions=1))
+    df = spark.range(7).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.col("id").cast("string").cast("binary").alias("value"),
+    )
+    engine.produce("c", df)
+    engine.fetch_rows("c", 0, offset=0)  # parquet path (cold tail)
+    engine.fetch_rows("c", 0, offset=0)  # second read may hit the tail
+
+    def scrape():
+        app = RestApp(engine)
+        environ = {
+            "REQUEST_METHOD": "GET",
+            "PATH_INFO": "/metrics",
+            "QUERY_STRING": "",
+            "CONTENT_LENGTH": "0",
+            "wsgi.input": io.BytesIO(b""),
+        }
+        return b"".join(app(environ, lambda s, h: None)).decode()
+
+    out = scrape()
+    assert "# TYPE redpanda_spark_produced_rows_total counter" in out
+    assert 'redpanda_spark_produced_rows_total{topic="c"} 7' in out
+    assert 'redpanda_spark_produce_requests_total{topic="c"} 1' in out
+    assert 'redpanda_spark_fetched_rows_total{topic="c"} 14' in out
+    assert 'redpanda_spark_tail_cache_misses_total{topic="c"}' in out
+    bytes_line = [
+        l for l in out.splitlines()
+        if l.startswith('redpanda_spark_produced_bytes_total{topic="c"}')
+    ]
+    assert bytes_line and float(bytes_line[0].rsplit(" ", 1)[1]) > 0
+    # counters are monotone: another produce+fetch strictly increases them
+    engine.produce("c", df)
+    engine.fetch_rows("c", 0, offset=0)
+    out2 = scrape()
+    assert 'redpanda_spark_produced_rows_total{topic="c"} 14' in out2
+    assert 'redpanda_spark_fetched_rows_total{topic="c"} 28' in out2
+    # a driver-local produce (record-dict shape) populates the hot tail;
+    # the next row fetch is a zero-job tail serve and counts a hit
+    engine.produce("c", [{"key": b"k", "value": b"v"}])
+    # the tail covers [tail_start, hwm); fetch FROM the tail start so the
+    # serve needs no parquet segment
+    engine.fetch_rows("c", 0, offset=14)
+    out3 = scrape()
+    assert 'redpanda_spark_tail_cache_hits_total{topic="c"} 1' in out3
+
+
+def test_cold_cache_counters(spark, tmp_path):
+    """Cold-tier reads through the LRU cache count hits and misses."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "cold_root")
+    eng = TopicEngine(spark, root)
+    eng.create_topic(
+        "t",
+        TopicConfig(
+            partitions=1,
+            remote_write=True,
+            local_retention_ms=60_000,
+            retention_ms=None,
+        ),
+    )
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    eng.produce(
+        "t",
+        [{"value": b"x", "timestamp": base, "partition": 0} for _ in range(4)],
+    )
+    eng.run_archival(
+        "t", now_ms=int((base + dt.timedelta(hours=2)).timestamp() * 1000)
+    )
+    assert eng.counters("t")["archival_uploads"] >= 1
+    assert eng.counters("t")["archival_bytes"] > 0
+    eng.cold_cache_bytes = 1 << 30
+    eng._cold_cache_dir = str(tmp_path / "cc")
+    eng.fetch("t", 0, offset=0).count()  # first read fills the cache
+    c1 = eng.counters("t")
+    assert c1.get("cold_cache_misses", 0) >= 1
+    eng.fetch("t", 0, offset=0).count()  # second read hits
+    c2 = eng.counters("t")
+    assert c2.get("cold_cache_hits", 0) >= 1
