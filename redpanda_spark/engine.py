@@ -37,7 +37,13 @@ Commit protocol (single-writer per topic, like a partition leader): every
 mutation — produce append, compaction/retention rewrite, segment merge —
 commits by atomically replacing the topic's manifest
 (``root/_manifest_<topic>.json``), which records the per-partition high
-watermarks AND the list of live segment files in one ``os.replace``. Data
+watermarks AND the list of live segment files in one ``os.replace``. The
+single-writer invariant is ENFORCED, not assumed: opening a root claims a
+durable per-topic writer epoch, and every commit re-checks it (under a
+root flock on local disk; optimistically on Hadoop roots), so a stale
+writer gets FencedWriterError instead of last-writer-winning — the
+leadership fencing raft gives the reference (`src/v/raft/consensus.cc`,
+`cluster/rm_stm.h:67-73`). Data
 files are written first under unique names; until the manifest swap they
 are invisible orphans, and a crash between data write and manifest commit
 is healed on the next engine open by deleting unreferenced files. This is
@@ -418,6 +424,11 @@ class TopicEngine:
             self._afsio.delete(f)
 
     def _save_state(self) -> None:
+        # Topic CONFIG metadata stays last-writer-wins: the reference
+        # funnels it through the single controller raft group
+        # (`cluster/topics_frontend`), and this engine's analog is "one
+        # admin at a time". DATA cannot be lost to this — every data
+        # mutation commits through the epoch-fenced manifest path.
         self._fsio.write_text_atomic(
             self._meta_path, json.dumps({t: vars(c) for t, c in self._topics.items()})
         )

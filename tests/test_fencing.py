@@ -135,3 +135,20 @@ def test_delete_topic_clears_epoch_state(spark, tmp_path):
     a.create_topic("t", TopicConfig(partitions=1))
     a.produce("t", _records(spark, [("k", "v")]))
     assert a._writer_epoch["t"] >= 1
+
+
+def test_fencing_on_uri_root_optimistic(spark, tmp_path):
+    """A URI root goes through HadoopFS, which has no flock — the fence
+    must still hold via the optimistic epoch re-read at commit time."""
+    root = "file://" + str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    from redpanda_spark.fsio import HadoopFS
+
+    assert isinstance(a._fsio, HadoopFS)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    b = TopicEngine(spark, root)
+    with pytest.raises(FencedWriterError):
+        a.produce("t", _records(spark, [("k2", "v2")]))
+    b.produce("t", _records(spark, [("k2", "v2")]))
+    assert b.log("t").count() == 2
