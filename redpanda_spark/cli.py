@@ -29,7 +29,10 @@ import sys
 from pyspark.sql import Row
 
 
-def _engine(args):
+def _engine(args, read_only: bool = False):
+    """read_only=True for observer commands (list/describe/consume/
+    metrics): the engine then does NOT claim the writer epoch, so a
+    scrape or an interactive consumer never fences a live producer."""
     from redpanda_spark.engine import TopicEngine
     from redpanda_spark.session import get_spark
 
@@ -40,7 +43,10 @@ def _engine(args):
     spark = get_spark("redpanda-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     return TopicEngine(
-        spark, args.root, archive_root=getattr(args, "archive_root", None)
+        spark,
+        args.root,
+        archive_root=getattr(args, "archive_root", None),
+        read_only=read_only,
     )
 
 
@@ -66,7 +72,7 @@ def cmd_topic_create(args) -> int:
 
 
 def cmd_topic_list(args) -> int:
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     for t, cfg in sorted(eng.list_topics().items()):
         print(json.dumps({"topic": t, "partitions": cfg.partitions,
                           "cleanup_policy": cfg.cleanup_policy}))
@@ -82,7 +88,7 @@ def cmd_topic_delete(args) -> int:
 def cmd_topic_describe(args) -> int:
     from redpanda_spark.admin import AdminClient
 
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     admin = AdminClient(eng)
     meta = admin.metadata([args.topic])["topics"][args.topic]
     out = {
@@ -134,7 +140,7 @@ def cmd_topic_produce(args) -> int:
 
 
 def cmd_topic_consume(args) -> int:
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     df = eng.fetch(
         args.topic, args.partition, offset=args.offset,
         max_records=args.num, isolation=args.isolation,
@@ -189,14 +195,14 @@ def cmd_group_seek(args) -> int:
 
 
 def cmd_group_list(args) -> int:
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     for r in eng.offset_fetch().select("group_id").distinct().collect():
         print(json.dumps({"group": r["group_id"]}))
     return 0
 
 
 def cmd_group_describe(args) -> int:
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     rows = eng.offset_fetch(args.group).collect()
     for r in sorted(rows, key=lambda x: (x["topic"], x["partition"])):
         hwm = eng.high_watermarks(r["topic"]).get(r["partition"], 0)
@@ -212,7 +218,7 @@ def cmd_group_describe(args) -> int:
 
 def cmd_group_export(args) -> int:
     """rpk-style offsets backup: committed offsets as JSON lines."""
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     for r in sorted(
         eng.offset_fetch(args.group).collect(),
         key=lambda x: (x["topic"], x["partition"]),
@@ -565,7 +571,7 @@ def cmd_datalake_register_iceberg(args) -> int:
 def cmd_cluster_info(args) -> int:
     from redpanda_spark.admin import AdminClient
 
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     meta = AdminClient(eng).metadata()
     print(json.dumps(meta, default=str))
     return 0
@@ -597,7 +603,7 @@ def cmd_cluster_logdirs(args) -> int:
     """rpk cluster logdirs describe: per-topic on-disk bytes/files."""
     from redpanda_spark.admin import AdminClient
 
-    eng = _engine(args)
+    eng = _engine(args, read_only=True)
     for topic, d in sorted(AdminClient(eng).describe_log_dirs().items()):
         print(json.dumps({"topic": topic, **d}))
     return 0
@@ -609,7 +615,7 @@ def cmd_cluster_metrics(args) -> int:
     server."""
     from redpanda_spark.rest import RestApp
 
-    status, text = RestApp(_engine(args)).handle("GET", "/metrics")
+    status, text = RestApp(_engine(args, read_only=True)).handle("GET", "/metrics")
     print(text, end="")
     return 0 if status == 200 else 1
 

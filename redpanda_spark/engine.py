@@ -67,6 +67,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import nullcontext as _nullcontext
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,9 +155,17 @@ class TopicEngine:
         root: str,
         registry=None,
         archive_root: str | None = None,
+        read_only: bool = False,
     ):
+        """``read_only=True`` opens the root WITHOUT claiming the writer
+        epoch (and without orphan GC, which requires ownership): an
+        observer — metrics scrape, topic describe, a consumer — must
+        never fence a live producer, exactly as a reference follower
+        serves metadata without disturbing the partition leader. A
+        read-only engine refuses every mutation with a clear error."""
         self.spark = spark
         self.root = root
+        self.read_only = bool(read_only)
         self.registry = registry  # SchemaRegistry, for schema-id validation
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # min/max statistics, which would blind the manifest's timestamp
@@ -294,10 +303,18 @@ class TopicEngine:
         self._writer_epoch[topic] = epoch
         return epoch
 
+    def _refuse_read_only(self) -> None:
+        if self.read_only:
+            raise ValueError(
+                "engine opened read_only=True: mutations are refused "
+                "(reopen without read_only to claim the writer epoch)"
+            )
+
     def _check_writer_fence(self, topic: str) -> None:
         """Refuse a commit from a stale writer (caller holds write_lock).
         Topics first committed by this engine (create_topic) claim lazily
         here, so every commit path is fenced without special-casing."""
+        self._refuse_read_only()
         current = self._read_writer_epoch(topic)
         mine = self._writer_epoch.get(topic)
         if mine is None:
@@ -361,7 +378,13 @@ class TopicEngine:
             # are refused — so the _gc_orphans below can only ever delete
             # segments NO committed manifest references (the split-brain
             # GC hazard the single-writer model alone did not close).
-            with self._fsio.write_lock(self.root):
+            # A read-only open skips the claim AND the GC (observers must
+            # not fence a live producer, and GC requires ownership); the
+            # manifest read itself needs no lock — the atomic replace
+            # means a reader sees the old or the new snapshot, never a
+            # torn one.
+            with self._fsio.write_lock(self.root) if not self.read_only \
+                    else _nullcontext():
                 mp = self._manifest_path(t)
                 if self._fsio.exists(mp):
                     m = json.loads(self._fsio.read_text(mp))
@@ -378,8 +401,10 @@ class TopicEngine:
                 else:
                     self._high[t] = legacy_high.get(t, {})
                     self._files[t] = None
-                self._claim_writer_epoch(t)
-            self._gc_orphans(t)
+                if not self.read_only:
+                    self._claim_writer_epoch(t)
+            if not self.read_only:
+                self._gc_orphans(t)
 
     def _gc_orphans(self, topic: str) -> None:
         """Crash recovery: delete segment files not referenced by the
@@ -424,6 +449,7 @@ class TopicEngine:
             self._afsio.delete(f)
 
     def _save_state(self) -> None:
+        self._refuse_read_only()
         # Topic CONFIG metadata stays last-writer-wins: the reference
         # funnels it through the single controller raft group
         # (`cluster/topics_frontend`), and this engine's analog is "one

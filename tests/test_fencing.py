@@ -152,3 +152,61 @@ def test_fencing_on_uri_root_optimistic(spark, tmp_path):
         a.produce("t", _records(spark, [("k2", "v2")]))
     b.produce("t", _records(spark, [("k2", "v2")]))
     assert b.log("t").count() == 2
+
+
+def test_read_only_open_does_not_fence_the_writer(spark, tmp_path):
+    """Observers (metrics scrape, topic describe, a consumer) open with
+    read_only=True: no epoch claim, no orphan GC — the live producer
+    keeps its leadership and keeps producing."""
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+
+    ro = TopicEngine(spark, root, read_only=True)
+    assert ro.log("t").count() == 1
+    assert ro.topic_stats("t")["segments"] >= 1
+    # the writer is NOT fenced by the observer's open
+    a.produce("t", _records(spark, [("k2", "v2")]))
+    assert a.log("t").count() == 2
+    # and the observer refuses every mutation class with a clear error
+    with pytest.raises(ValueError, match="read_only"):
+        ro.produce("t", _records(spark, [("k3", "v3")]))
+    with pytest.raises(ValueError, match="read_only"):
+        ro.create_topic("u", TopicConfig(partitions=1))
+    with pytest.raises(ValueError, match="read_only"):
+        ro.delete_topic("t")
+
+
+def test_read_only_open_leaves_orphans_alone(spark, tmp_path):
+    """Orphan GC requires ownership: a read-only open must not delete a
+    live writer's provisional (not-yet-committed) segment files."""
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    stray = os.path.join(root, "t", "zz-in-flight.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"provisional")
+    TopicEngine(spark, root, read_only=True)
+    assert os.path.exists(stray), "observer must not GC the writer's files"
+    # a WRITER open still collects it
+    TopicEngine(spark, root)
+    assert not os.path.exists(stray)
+
+
+def test_cli_metrics_does_not_fence_producer(spark, tmp_path, capsys):
+    """`cluster metrics` (and the other observer commands) go through a
+    read-only engine — scraping must never steal topic leadership."""
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "root")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    assert main(["--root", root, "cluster", "metrics"]) == 0
+    capsys.readouterr()
+    assert main(["--root", root, "topic", "describe", "t"]) == 0
+    capsys.readouterr()
+    a.produce("t", _records(spark, [("k2", "v2")]))  # still the leader
+    assert a.log("t").count() == 2
