@@ -5700,7 +5700,9 @@ def q_log_segments(spark, sf_dir):
             ]
             eng.produce("seg", recs)
         open(marker, "w").write("1")
-    eng = TopicEngine(spark, root)
+    # read_only: a stats read must not claim the fixture root's writer
+    # epoch (and skips the claim-file write per bench iteration)
+    eng = TopicEngine(spark, root, read_only=True)
     stats = eng._stats["seg"]
     out = [
         (i, s[0], s[1], s[2], s[3], s[4], s[5], s[6])
@@ -6885,7 +6887,9 @@ def _tiered_engine(spark, sf_dir: str, retained: bool):
         open(marker, "w").write("1")
     from redpanda_spark.engine import TopicEngine as _TE
 
-    return _TE(spark, root)
+    # read_only: the tiered fetch/timequery queries only READ the cached
+    # fixture — don't claim its writer epoch on every bench iteration
+    return _TE(spark, root, read_only=True)
 
 
 _TIER_SIM_CTE = f"""sim AS (
