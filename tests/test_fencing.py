@@ -210,3 +210,47 @@ def test_cli_metrics_does_not_fence_producer(spark, tmp_path, capsys):
     capsys.readouterr()
     a.produce("t", _records(spark, [("k2", "v2")]))  # still the leader
     assert a.log("t").count() == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(["a_produce", "b_produce", "reopen_a", "reopen_b"]),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_OPS)
+def test_interleaved_writers_never_lose_committed_rows(spark, tmp_path_factory, ops):
+    """Adversarial interleaving of two engines over one root: every op
+    either succeeds or raises FencedWriterError, and the visible log is
+    EXACTLY the union of the successful produces — a fenced attempt
+    contributes nothing, a committed row never disappears."""
+    root = str(tmp_path_factory.mktemp("contend") / "topics")
+    engines = {"a": TopicEngine(spark, root)}
+    engines["a"].create_topic("t", TopicConfig(partitions=1))
+    engines["b"] = TopicEngine(spark, root)  # fences a
+    committed: set[bytes] = set()
+    seq = 0
+    for op in ops:
+        seq += 1
+        val = f"v{seq}".encode()
+        if op == "reopen_a":
+            engines["a"] = TopicEngine(spark, root)
+        elif op == "reopen_b":
+            engines["b"] = TopicEngine(spark, root)
+        else:
+            eng = engines[op[0]]
+            try:
+                eng.produce("t", [{"key": b"k", "value": val}])
+                committed.add(val)
+            except FencedWriterError:
+                pass  # fenced: must contribute nothing
+        reader = TopicEngine(spark, root, read_only=True)
+        visible = {bytes(r["value"]) for r in reader.log("t").collect()}
+        assert visible == committed, (
+            f"after {op} (#{seq}): visible={visible} committed={committed}"
+        )
