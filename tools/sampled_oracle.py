@@ -275,6 +275,18 @@ def main():
 
     spark = get_spark("sampled-oracle")
     con = duckdb.connect()
+    # Large-SF knobs: the shared shingle table is Theta(corpus tokens) —
+    # at sf100 that exceeds RAM, so give DuckDB a spill dir and a bounded
+    # memory budget (insertion order is irrelevant to set-compares).
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("SAMPLED_DUCKDB_MEM"):
+        con.execute(
+            f"SET memory_limit='{os.environ['SAMPLED_DUCKDB_MEM']}'"
+        )
+    if os.environ.get("SAMPLED_DUCKDB_TMP"):
+        con.execute(
+            f"SET temp_directory='{os.environ['SAMPLED_DUCKDB_TMP']}'"
+        )
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
