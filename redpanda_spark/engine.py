@@ -556,6 +556,9 @@ class TopicEngine:
     # -- produce ----------------------------------------------------------
 
     def _count(self, topic: str, **deltas: int) -> None:
+        # unsynchronized read-modify-write: concurrent callers can lose
+        # an increment — acceptable for monotone observability counters
+        # (broker probes make the same trade), never used for correctness
         c = self._counters.setdefault(topic, {})
         for k, v in deltas.items():
             c[k] = c.get(k, 0) + int(v)

@@ -223,3 +223,91 @@ def test_stream_stream_join_survives_restart(spark, tmp_path, events):
         "no pair straddles the restart — the split point proves nothing; "
         "move the split"
     )
+
+
+def test_session_windows_merge_across_restart(spark, tmp_path, events):
+    """stream_sessionize shape across a restart: session_window state is
+    the hardest to recover (sessions MERGE as events arrive), so the
+    split point is placed INSIDE a multi-event session — its stage-2
+    events must extend the stage-1 open session from the recovered state,
+    or the union shows a torn session and fails the set compare."""
+    from pyspark.sql import Window
+
+    from redpanda_spark.streaming.stateful import streaming_sessionize
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess_rows = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    ).withColumn("sid", F.sum("new_sess").over(wsum))
+    want = sess_rows.groupBy("user_id", "sid").agg(
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        (F.unix_timestamp(F.max("ts")) + 1800).alias("end_s"),
+        F.count("*").alias("n_events"),
+    ).select("user_id", "start_s", "end_s", "n_events")
+
+    # split inside a multi-event session: t_split = its second event's ts
+    straddle = (
+        sess_rows.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("rn") == 2)
+        .orderBy("ts")
+        .select("ts")
+        .first()
+    )
+    assert straddle is not None, "fixture has no multi-event session"
+    t_split = straddle["ts"]
+    first = events.where(F.col("ts") < F.lit(t_split))
+    second = events.where(F.col("ts") >= F.lit(t_split))
+    # sentinel: one far-future event for a user id outside the corpus —
+    # pushes the watermark past every real session end so append mode
+    # releases them; its own (never-closing) session is filtered out
+    flush = events.orderBy(F.col("ts").desc()).limit(1).select(
+        F.col("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+
+    def build(stream):
+        return streaming_sessionize(
+            stream, ts_col="ts", user_col="user_id", gap="30 minutes"
+        ).select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("start_s"),
+            F.unix_timestamp("session_end").alias("end_s"),
+            "n_events",
+        )
+
+    got = _staged_drain(spark, tmp_path, [first, second, flush], build)
+    got = got.where(F.col("user_id") >= 0)
+    assert _rowset(got) == _rowset(want)
+    # the split really landed inside a session: some emitted session
+    # starts before the split and ends (events) at/after it
+    split_s = want.where(
+        (F.col("start_s") < F.unix_timestamp(F.lit(t_split)))
+        & (F.col("end_s") - 1800 >= F.unix_timestamp(F.lit(t_split)))
+    )
+    assert split_s.count() > 0, "no session straddles the restart"
