@@ -349,6 +349,22 @@ def cmd_topic_recover(args) -> int:
     return 0
 
 
+def cmd_topic_unmount(args) -> int:
+    """Tiered-storage migration step 1: flush the topic fully to the
+    archive tier, leave a self-describing bucket manifest, detach here."""
+    eng = _engine(args)
+    print(json.dumps(eng.unmount_topic(args.name)))
+    return 0
+
+
+def cmd_topic_mount(args) -> int:
+    """Tiered-storage migration step 2: adopt the bucket's topic as a
+    writable tiered topic (pass the bucket via --archive-root)."""
+    eng = _engine(args)
+    print(json.dumps(eng.mount_topic(args.name), default=str))
+    return 0
+
+
 def cmd_topic_refresh_replica(args) -> int:
     eng = _engine(args)
     print(json.dumps({"topic": args.name, **eng.refresh_read_replica(args.name)}))
@@ -924,6 +940,12 @@ def build_parser() -> argparse.ArgumentParser:
     rec = topic.add_parser("recover")
     rec.add_argument("name")
     rec.set_defaults(fn=cmd_topic_recover)
+    um = topic.add_parser("unmount")
+    um.add_argument("name")
+    um.set_defaults(fn=cmd_topic_unmount)
+    mo = topic.add_parser("mount")
+    mo.add_argument("name")
+    mo.set_defaults(fn=cmd_topic_mount)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

@@ -2480,6 +2480,158 @@ class TopicEngine:
             "high_watermarks": dict(self._high[topic]),
         }
 
+    def unmount_topic(self, topic: str) -> dict:
+        """Unmount (tiered-storage migration, step 1): flush every local
+        segment to the archive tier, write a self-describing topic
+        manifest INTO the bucket, and detach the topic from this cluster.
+        The bucket alone then carries the topic — config, watermarks,
+        pruning index, data — ready for :meth:`mount_topic` on any
+        cluster sharing the archive root. This is the reference's
+        unmount-then-mount migration flow
+        (`cloud_storage/topic_mount_handler.h`,
+        `cluster/data_migration_backend.cc:523`). Group offsets and tx
+        ranges are cluster-local and are purged, matching the reference
+        (consumer-offset migration is a separate opt-in step there)."""
+        cfg = self._require(topic)
+        self._refuse_replica_mutation(topic)
+        with self._fsio.write_lock(self.root):
+            # a stale writer must not migrate the topic away
+            self._check_writer_fence(topic)
+        if not cfg.remote_write:
+            raise ValueError(
+                f"topic {topic}: unmount requires remote_write=True"
+            )
+        if "compact" in cfg.cleanup_policy:
+            raise ValueError("unmount supports cleanup.policy=delete only")
+        files = self._files.get(topic)
+        if files is None:
+            raise ValueError("topic has no manifest file list (legacy state)")
+        stats = self._stats.get(topic, {})
+        if any(f not in stats for f in files):
+            raise ValueError(
+                "some segments lack footer stats; run maintenance first"
+            )
+        ad = self._archive_dir(topic)
+        self._afsio.mkdirs(ad)
+        epoch = self._arch_epoch.get(topic, 0)
+        dsts = [
+            os.path.join(ad, f"e{epoch:06d}_{i:05d}.parquet")
+            for i in range(len(files))
+        ]
+        if files:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _upload(pair):
+                src_rel, dst = pair
+                fsio.copy_file(
+                    self._fsio,
+                    os.path.join(self.root, src_rel),
+                    self._afsio,
+                    dst,
+                )
+
+            workers = min(8, len(files))
+            if workers > 1:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(_upload, zip(files, dsts)))
+            else:
+                _upload((files[0], dsts[0]))
+        astats = self._archived_stats.setdefault(topic, {})
+        new_rel = []
+        for f, dst in zip(files, dsts):
+            rel = os.path.relpath(dst, self.archive_root)
+            new_rel.append(rel)
+            astats[rel] = stats[f]
+        archived = self._archived.get(topic, []) + new_rel
+        self._count(
+            topic,
+            archival_uploads=len(new_rel),
+            archival_bytes=sum(self._afsio.getsize(d) for d in dsts),
+        )
+        # Bucket-side topic manifest: the commit point of the migration.
+        # Mount reads it for O(1) metadata adoption — exact config and
+        # watermarks even for partitions that never got a row (footer
+        # inference cannot know those exist).
+        self._afsio.write_text_atomic(
+            os.path.join(ad, "_topic_manifest.json"),
+            json.dumps(
+                {
+                    "config": vars(cfg),
+                    "high": self._high.get(topic, {}),
+                    "archived": archived,
+                    "archived_stats": {
+                        r: astats[r] for r in archived if r in astats
+                    },
+                    "arch_epoch": epoch + 1,
+                }
+            ),
+        )
+        # detach locally — everything EXCEPT the archive tier
+        for f in files:
+            self._fsio.delete(os.path.join(self.root, f))
+        del self._topics[topic]
+        for d in (
+            self._high,
+            self._files,
+            self._stats,
+            self._tail,
+            self._producers,
+            self._archived,
+            self._archived_stats,
+            self._arch_epoch,
+            self._clean_rows,
+        ):
+            d.pop(topic, None)
+        self._fsio.delete(self._topic_dir(topic), recursive=True)
+        self._fsio.delete(self._manifest_path(topic))
+        self._fsio.delete(self._epoch_path(topic))
+        self._writer_epoch.pop(topic, None)
+        self._purge_topic_metadata(topic)
+        self._save_state()
+        return {
+            "unmounted": topic,
+            "segments": len(archived),
+            "archive_dir": ad,
+        }
+
+    def mount_topic(
+        self, topic: str, config: "TopicConfig | None" = None
+    ) -> dict:
+        """Mount (tiered-storage migration, step 2): adopt a topic living
+        entirely in the archive tier — written by unmount_topic on this
+        or ANOTHER cluster sharing the bucket — as a WRITABLE tiered
+        topic. With the bucket manifest present this is O(1) metadata
+        (config, watermarks and pruning index adopted directly; no footer
+        scan; empty partitions keep their slots); without it, falls back
+        to footer recovery (recover_topic_from_archive — the DR path).
+        The bucket manifest is consumed on success, so the topic exists
+        in exactly one place at a time (the reference's migrated-resource
+        lifecycle); the local commit claims the writer epoch as usual."""
+        if topic in self._topics:
+            raise ValueError(f"topic {topic} already exists")
+        ad = self._archive_dir(topic)
+        mp = os.path.join(ad, "_topic_manifest.json")
+        if not self._afsio.exists(mp):
+            return self.recover_topic_from_archive(topic, config)
+        m = json.loads(self._afsio.read_text(mp))
+        cfg = config or TopicConfig(**m["config"])
+        self._topics[topic] = cfg
+        self._files[topic] = []
+        self._stats[topic] = {}
+        self._archived[topic] = list(m["archived"])
+        self._archived_stats[topic] = dict(m["archived_stats"])
+        self._high[topic] = {int(p): int(o) for p, o in m["high"].items()}
+        self._arch_epoch[topic] = int(m.get("arch_epoch", 0))
+        self._fsio.mkdirs(self._topic_dir(topic))
+        self._save_state()
+        self._commit_manifest(topic)  # claims the writer epoch
+        self._afsio.delete(mp)  # consume: one owner at a time
+        return {
+            "mounted": topic,
+            "segments": len(self._archived[topic]),
+            "high_watermarks": dict(self._high[topic]),
+        }
+
     def refresh_read_replica(self, topic: str) -> dict:
         """Pick up segments the source archived since attach/last refresh:
         O(new files) — footers read only for the additions, watermarks

@@ -1,0 +1,176 @@
+"""Topic unmount/mount — tiered-storage migration between clusters (the
+reference's `cloud_storage/topic_mount_handler.h` +
+`cluster/data_migration_backend.cc` flow): unmount flushes everything to
+the bucket and detaches; mount adopts the bucket topic, writable, on any
+cluster sharing the archive root."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from redpanda_spark.engine import FencedWriterError, TopicConfig, TopicEngine
+
+BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _mk_engine(spark, tmp_path, name, cold):
+    return TopicEngine(
+        spark, str(tmp_path / name), archive_root=str(cold)
+    )
+
+
+def _produce(eng, topic, vals, partition=0):
+    eng.produce(
+        topic,
+        [
+            {"value": v.encode(), "timestamp": BASE, "partition": partition}
+            for v in vals
+        ],
+    )
+
+
+def _cfg(**kw):
+    kw.setdefault("partitions", 2)
+    kw.setdefault("remote_write", True)
+    kw.setdefault("local_retention_ms", 60_000)
+    return TopicConfig(**kw)
+
+
+def _rowset(df):
+    return {
+        (r["partition"], r["offset"], bytes(r["value"])) for r in df.collect()
+    }
+
+
+def test_unmount_then_mount_same_cluster(spark, tmp_path):
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg())
+    _produce(a, "t", ["v1", "v2"], partition=0)
+    _produce(a, "t", ["v3"], partition=1)
+    before = _rowset(a.log("t"))
+    hwm = a.high_watermarks("t")
+
+    res = a.unmount_topic("t")
+    assert res["segments"] >= 1
+    assert "t" not in a.list_topics()
+    # the bucket is self-describing: data + topic manifest
+    man = json.loads(
+        open(os.path.join(res["archive_dir"], "_topic_manifest.json")).read()
+    )
+    assert man["config"]["partitions"] == 2
+
+    res2 = a.mount_topic("t")
+    assert res2["high_watermarks"] == {int(k): v for k, v in hwm.items()}
+    assert _rowset(a.log("t")) == before
+    # manifest consumed: topic exists in exactly one place
+    assert not os.path.exists(
+        os.path.join(res["archive_dir"], "_topic_manifest.json")
+    )
+
+
+def test_migration_to_second_cluster_continues_offsets(spark, tmp_path):
+    """The real migration: cluster A unmounts, cluster B (different root,
+    same bucket) mounts — rows identical, offsets continue contiguously,
+    the mounted topic is fully writable and tiered."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    # partition 1 stays EMPTY: only the bucket manifest can preserve its
+    # existence (footer inference cannot see a partition with no rows)
+    a.create_topic("t", _cfg(partitions=3))
+    _produce(a, "t", ["v1", "v2"], partition=0)
+    _produce(a, "t", ["v3"], partition=2)
+    before = _rowset(a.log("t"))
+    a.unmount_topic("t")
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    res = b.mount_topic("t")
+    assert res["segments"] >= 1
+    cfg = b.list_topics()["t"]
+    assert cfg.partitions == 3  # empty partition slot preserved
+    assert _rowset(b.log("t")) == before
+    # offsets continue where A left off
+    _produce(b, "t", ["v4"], partition=0)
+    offs = sorted(
+        r["offset"]
+        for r in b.log("t").where("partition = 0").collect()
+    )
+    assert offs == [0, 1, 2]
+    # and the mounted topic is a normal tiered topic: archival works
+    b.run_archival(
+        "t", now_ms=int((BASE + dt.timedelta(hours=2)).timestamp() * 1000)
+    )
+    assert _rowset(b.log("t")) == before | {(0, 2, b"v4")}
+
+
+def test_unmount_guards(spark, tmp_path):
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("plain", TopicConfig(partitions=1))
+    _produce(a, "plain", ["v"])
+    with pytest.raises(ValueError, match="remote_write"):
+        a.unmount_topic("plain")
+    a.create_topic(
+        "cmp",
+        _cfg(partitions=1, cleanup_policy="compact"),
+    )
+    with pytest.raises(ValueError, match="delete only"):
+        a.unmount_topic("cmp")
+    # a fenced (stale) writer cannot migrate the topic away
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v"])
+    TopicEngine(spark, str(tmp_path / "a"), archive_root=str(cold))
+    with pytest.raises(FencedWriterError):
+        a.unmount_topic("t")
+
+
+def test_mount_without_manifest_falls_back_to_recovery(spark, tmp_path):
+    """A bucket with data but no topic manifest (e.g. the origin cluster
+    died before unmounting) still mounts via footer recovery — the DR
+    path — losing only what footers can't know (empty partitions)."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    a.run_archival(
+        "t", now_ms=int((BASE + dt.timedelta(hours=2)).timestamp() * 1000)
+    )
+    before = _rowset(a.log("t"))
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    assert _rowset(b.log("t")) == before
+
+
+def test_mount_existing_topic_refused(spark, tmp_path):
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    with pytest.raises(ValueError, match="exists"):
+        a.mount_topic("t")
+
+
+def test_cli_unmount_mount_roundtrip(spark, tmp_path, capsys):
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "root")
+    cold = str(tmp_path / "bucket")
+    eng = TopicEngine(spark, root, archive_root=cold)
+    eng.create_topic("t", _cfg(partitions=1))
+    _produce(eng, "t", ["v1"])
+    assert (
+        main(["--root", root, "--archive-root", cold, "topic", "unmount", "t"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert out["unmounted"] == "t"
+    assert (
+        main(["--root", root, "--archive-root", cold, "topic", "mount", "t"])
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert out["mounted"] == "t"
