@@ -174,3 +174,38 @@ def test_cli_unmount_mount_roundtrip(spark, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out)
     assert out["mounted"] == "t"
+
+
+def test_migration_carries_consumer_offsets_via_export_import(spark, tmp_path):
+    """The reference migrates consumer offsets as an opt-in step next to
+    the topic data; here the same composition: offsets exported on A stay
+    VALID after mount on B (offsets are preserved by the migration), so
+    group import resumes consumption at the exact lag."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2", "v3"])
+    a.offset_commit("g1", "t", 0, 2)  # consumed v1, v2
+    exported = [
+        {
+            "group": "g1",
+            "topic": r["topic"],
+            "partition": r["partition"],
+            "offset": r["committed_offset"],
+        }
+        for r in a.offset_fetch("g1").collect()
+    ]
+    a.unmount_topic("t")
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    for rec in exported:
+        b.offset_commit("g1", rec["topic"], rec["partition"], rec["offset"])
+    committed = {
+        (r["topic"], r["partition"]): r["committed_offset"]
+        for r in b.offset_fetch("g1").collect()
+    }
+    assert committed == {("t", 0): 2}
+    # resuming at the committed offset yields exactly the unread tail
+    rows = b.fetch_rows("t", 0, offset=2)
+    assert [bytes(r["value"]) for r in rows] == [b"v3"]
