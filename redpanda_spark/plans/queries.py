@@ -5735,6 +5735,101 @@ QUERIES.update({"log_segments": q_log_segments})
 ORACLES.update({"log_segments": SQL_LOG_SEGMENTS})
 
 
+def q_log_mount_migration(spark, sf_dir):
+    """Tiered-storage migration, value-for-value: a real topic is built
+    on 'cluster A' from three deterministic record batches, UNMOUNTED
+    (full flush to the shared bucket + self-describing manifest +
+    detach), MOUNTED on 'cluster B' (a different root over the same
+    bucket), and the fourth batch is produced post-migration. The log
+    read from B must equal the oracle's pure-SQL replay of the routing
+    and offset assignment — rows AND offsets survive the migration
+    byte-for-byte and continue contiguously on the new cluster
+    (reference `cloud_storage/topic_mount_handler.h`,
+    `cluster/data_migration_backend.cc`). Cached by input fingerprint;
+    the migrated topic is read with a read_only open."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from redpanda_spark.engine import TopicConfig, TopicEngine
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_migration",
+        hashlib.md5(
+            f"{sf_dir}|{_events_fingerprint(sf_dir)}".encode()
+        ).hexdigest(),
+    )
+    root_a, root_b = os.path.join(base, "a"), os.path.join(base, "b")
+    cold = os.path.join(base, "bucket")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 400_000)
+        rows = (
+            ev.select(
+                "event_id",
+                F.pmod(F.col("user_id"), F.lit(NUM_PARTITIONS))
+                .cast("int")
+                .alias("p"),
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        a = TopicEngine(spark, root_a, archive_root=cold)
+        a.create_topic(
+            "mig",
+            TopicConfig(
+                partitions=NUM_PARTITIONS,
+                remote_write=True,
+                local_retention_ms=60_000,
+            ),
+        )
+
+        def _batch(b):
+            return [
+                {"partition": r["p"], "value": str(r["event_id"]).encode()}
+                for r in rows
+                if r["event_id"] % 4 == b
+            ]
+
+        for b in range(3):
+            a.produce("mig", _batch(b))
+        a.unmount_topic("mig")
+        b_eng = TopicEngine(spark, root_b, archive_root=cold)
+        b_eng.mount_topic("mig")
+        b_eng.produce("mig", _batch(3))
+        open(marker, "w").write("1")
+    eng = TopicEngine(spark, root_b, archive_root=cold, read_only=True)
+    return (
+        eng.log("mig")
+        .select(
+            F.col("partition").cast("int").alias("partition"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("value").cast("string").cast("int").alias("event_id"),
+            (F.col("value").cast("string").cast("int") % 4 != 3).alias(
+                "from_origin"
+            ),
+        )
+        .orderBy("partition", "offset")
+    )
+
+
+SQL_LOG_MOUNT_MIGRATION = f"""
+SELECT CAST(user_id % {NUM_PARTITIONS} AS INTEGER) AS partition,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY user_id % {NUM_PARTITIONS}
+    ORDER BY event_id % 4, event_id) - 1 AS BIGINT) AS "offset",
+  CAST(event_id AS INTEGER) AS event_id,
+  event_id % 4 <> 3 AS from_origin
+FROM events WHERE event_id < 400000
+ORDER BY partition, "offset"
+"""
+
+QUERIES.update({"log_mount_migration": q_log_mount_migration})
+ORACLES.update({"log_mount_migration": SQL_LOG_MOUNT_MIGRATION})
+
+
 # -- Graph ANN: per-segment NSW, the HNSW deployment shape (round 7) ----------
 
 
