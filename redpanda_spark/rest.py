@@ -102,6 +102,8 @@ class RestApp:
         self._max_sasl_sessions = 10_000
         self._guards = {
             self._produce: ("write", "topic"),
+            self._unmount: ("alter", "topic"),
+            self._mount: ("alter", "topic"),
             self._fetch: ("read", "topic"),
             self._consumer_create: ("read", "group"),
             self._consumer_subscribe: ("read", "group"),
@@ -120,6 +122,8 @@ class RestApp:
             ("GET", r"^/topics$", self._list_topics),
             ("GET", r"^/topics/([^/]+)$", self._topic_meta),
             ("POST", r"^/topics/([^/]+)$", self._produce),
+            ("POST", r"^/topics/([^/]+)/unmount$", self._unmount),
+            ("POST", r"^/topics/([^/]+)/mount$", self._mount),
             ("GET", r"^/topics/([^/]+)/partitions/(\d+)/records$", self._fetch),
             ("POST", r"^/consumers/([^/]+)$", self._consumer_create),
             (
@@ -457,6 +461,28 @@ class RestApp:
         if res["error"]:
             return 422, {"error_code": 42210, "message": res["error"]}
         return 200, {"principal": res["principal"]}
+
+    def _unmount(self, topic, body, query):
+        """Tiered-storage migration, admin surface (the reference exposes
+        mount/unmount on the admin API — `cluster/data_migration_frontend`);
+        ACL-gated on topic ALTER."""
+        try:
+            return 200, self.engine.unmount_topic(topic)
+        except ValueError as e:
+            return 409, {"error_code": 40902, "message": str(e)}
+
+    def _mount(self, topic, body, query):
+        try:
+            res = self.engine.mount_topic(topic)
+        except ValueError as e:
+            return 409, {"error_code": 40902, "message": str(e)}
+        return 200, {
+            "mounted": res["mounted"],
+            "segments": res["segments"],
+            "high_watermarks": {
+                str(p): o for p, o in res["high_watermarks"].items()
+            },
+        }
 
     def _produce(self, topic, body, query):
         recs = body.get("records", [])

@@ -209,3 +209,29 @@ def test_migration_carries_consumer_offsets_via_export_import(spark, tmp_path):
     # resuming at the committed offset yields exactly the unread tail
     rows = b.fetch_rows("t", 0, offset=2)
     assert [bytes(r["value"]) for r in rows] == [b"v3"]
+
+
+def test_rest_unmount_mount_routes(spark, tmp_path):
+    """The admin-surface analog (reference data_migration_frontend on the
+    admin API): POST /topics/<t>/unmount then /mount over the WSGI path,
+    including the 409 contract for invalid migrations."""
+    from redpanda_spark.rest import RestApp
+
+    cold = tmp_path / "bucket"
+    eng = _mk_engine(spark, tmp_path, "a", cold)
+    eng.create_topic("t", _cfg(partitions=1))
+    _produce(eng, "t", ["v1", "v2"])
+    app = RestApp(eng)
+    status, out = app.handle("POST", "/topics/t/unmount")
+    assert status == 200 and out["unmounted"] == "t"
+    assert "t" not in eng.list_topics()
+    status, out = app.handle("POST", "/topics/t/mount")
+    assert status == 200 and out["mounted"] == "t"
+    assert out["high_watermarks"] == {"0": 2}
+    # invalid: mounting an existing topic is a 409, not a 500
+    status, out = app.handle("POST", "/topics/t/mount")
+    assert status == 409 and out["error_code"] == 40902
+    # invalid: unmounting a non-tiered topic is a 409
+    eng.create_topic("plain", TopicConfig(partitions=1))
+    status, out = app.handle("POST", "/topics/plain/unmount")
+    assert status == 409
