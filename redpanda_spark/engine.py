@@ -466,6 +466,12 @@ class TopicEngine:
         self._high[topic] = {p: 0 for p in range(self._topics[topic].partitions)}
         self._files[topic] = []
         self._fsio.mkdirs(self._topic_dir(topic))
+        # a crashed delete/unmount of an earlier same-named topic may
+        # have left per-topic debris after its catalog removal committed;
+        # a reopen between now and our first manifest commit must not
+        # resurrect that state
+        self._fsio.delete(self._manifest_path(topic))
+        self._fsio.delete(self._epoch_path(topic))
         self._save_state()
         self._commit_manifest(topic)
 
@@ -2548,27 +2554,28 @@ class TopicEngine:
             archival_uploads=len(new_rel),
             archival_bytes=sum(self._afsio.getsize(d) for d in dsts),
         )
-        # Bucket-side topic manifest: the commit point of the migration.
-        # Mount reads it for O(1) metadata adoption — exact config and
-        # watermarks even for partitions that never got a row (footer
-        # inference cannot know those exist).
-        self._afsio.write_text_atomic(
-            os.path.join(ad, "_topic_manifest.json"),
-            json.dumps(
-                {
-                    "config": vars(cfg),
-                    "high": self._high.get(topic, {}),
-                    "archived": archived,
-                    "archived_stats": {
-                        r: astats[r] for r in archived if r in astats
-                    },
-                    "arch_epoch": epoch + 1,
-                }
-            ),
-        )
-        # detach locally — everything EXCEPT the archive tier
+        # Phase 1 COMMIT: flip every segment to the archived list and
+        # commit the LOCAL manifest. A crash anywhere before here undoes
+        # the unmount cleanly (uploaded copies are unreferenced orphans,
+        # collected at reopen); a crash after leaves a normal,
+        # fully-tiered, still-locally-owned topic — unmount is simply
+        # retried. Only after this flip are the hot files deletable.
+        self._archived[topic] = archived
+        self._files[topic] = []
+        self._stats[topic] = {}
+        self._arch_epoch[topic] = epoch + 1
+        high = dict(self._high.get(topic, {}))
+        self._commit_manifest(topic)
         for f in files:
             self._fsio.delete(os.path.join(self.root, f))
+        # Phase 2: local detach (no data deletes — the hot list is empty).
+        # The _save_state write is the detach commit point: dropping the
+        # topic from the catalog first means a crash mid-cleanup leaves
+        # only unreferenced debris, never a half-loaded topic. A crash
+        # between phase 2 and 3 leaves the data solely in the bucket with
+        # NO manifest: recover_topic_from_archive (the DR path) still
+        # restores it; crucially, no state ever allows TWO clusters to
+        # own the topic at once.
         del self._topics[topic]
         for d in (
             self._high,
@@ -2582,12 +2589,29 @@ class TopicEngine:
             self._clean_rows,
         ):
             d.pop(topic, None)
+        self._save_state()
         self._fsio.delete(self._topic_dir(topic), recursive=True)
         self._fsio.delete(self._manifest_path(topic))
         self._fsio.delete(self._epoch_path(topic))
         self._writer_epoch.pop(topic, None)
         self._purge_topic_metadata(topic)
-        self._save_state()
+        # Phase 3: bucket-side topic manifest — the handoff token. Mount
+        # reads it for O(1) metadata adoption (exact config + watermarks
+        # even for partitions that never got a row) and consumes it.
+        self._afsio.write_text_atomic(
+            os.path.join(ad, "_topic_manifest.json"),
+            json.dumps(
+                {
+                    "config": vars(cfg),
+                    "high": high,
+                    "archived": archived,
+                    "archived_stats": {
+                        r: astats[r] for r in archived if r in astats
+                    },
+                    "arch_epoch": epoch + 1,
+                }
+            ),
+        )
         return {
             "unmounted": topic,
             "segments": len(archived),

@@ -235,3 +235,84 @@ def test_rest_unmount_mount_routes(spark, tmp_path):
     eng.create_topic("plain", TopicConfig(partitions=1))
     status, out = app.handle("POST", "/topics/plain/unmount")
     assert status == 409
+
+
+def test_unmount_crash_before_tier_flip_is_clean_undo(spark, tmp_path):
+    """Crash before the phase-1 manifest commit: the uploaded copies are
+    unreferenced orphans (collected at reopen) and the topic is exactly
+    as before — unmount simply didn't happen."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    before = _rowset(a.log("t"))
+
+    def power_cut(topic):
+        raise RuntimeError("power cut")
+
+    a._commit_manifest = power_cut
+    with pytest.raises(RuntimeError):
+        a.unmount_topic("t")
+    a2 = _mk_engine(spark, tmp_path, "a", cold)
+    assert _rowset(a2.log("t")) == before
+    # ... and the retried unmount migrates cleanly
+    a2.unmount_topic("t")
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    assert _rowset(b.log("t")) == before
+
+
+def test_unmount_crash_after_tier_flip_leaves_tiered_topic(spark, tmp_path):
+    """Crash after phase 1 (tier flip committed) but before the detach:
+    the topic is a normal fully-tiered, still-locally-owned topic — rows
+    intact, unmount retryable."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    before = _rowset(a.log("t"))
+
+    def crash_detach():
+        raise RuntimeError("power cut mid-detach")
+
+    a._save_state = crash_detach
+    with pytest.raises(RuntimeError):
+        a.unmount_topic("t")
+    a2 = _mk_engine(spark, tmp_path, "a", cold)
+    assert _rowset(a2.log("t")) == before
+    assert a2.topic_stats("t")["segments"] == 0  # fully tiered
+    assert a2.topic_stats("t")["archived_segments"] >= 1
+    a2.unmount_topic("t")  # retry completes the migration
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    assert _rowset(b.log("t")) == before
+
+
+def test_unmount_crash_before_bucket_manifest_is_dr_recoverable(
+    spark, tmp_path
+):
+    """Crash between the local detach and the bucket-manifest write: the
+    topic is gone locally and the bucket has data but no handoff token —
+    the DR path (mount falls back to footer recovery) restores every
+    row, and no state ever had two owners."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    before = _rowset(a.log("t"))
+
+    real_write = a._afsio.write_text_atomic
+
+    def crash_on_manifest(path, text):
+        if path.endswith("_topic_manifest.json"):
+            raise RuntimeError("power cut before handoff")
+        return real_write(path, text)
+
+    a._afsio.write_text_atomic = crash_on_manifest
+    with pytest.raises(RuntimeError):
+        a.unmount_topic("t")
+    a2 = _mk_engine(spark, tmp_path, "a", cold)
+    assert "t" not in a2.list_topics()  # detach committed
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")  # footer-recovery fallback
+    assert _rowset(b.log("t")) == before
