@@ -636,6 +636,45 @@ def cmd_cluster_metrics(args) -> int:
     return 0 if status == 200 else 1
 
 
+def cmd_cluster_debug_bundle(args) -> int:
+    """rpk debug bundle analog (reference `debug_bundle_service.h:35` —
+    collect the cluster's observable state for a support handoff): topic
+    catalog + configs, per-topic manifest stats and rate counters, raw
+    manifests, the Prometheus exposition, and the root's side files, in
+    one zip. Collection is READ-ONLY — it never claims the writer epoch,
+    so bundling a live cluster never disturbs the producer."""
+    import os as _os
+    import time as _time
+    import zipfile
+
+    from redpanda_spark.rest import RestApp
+
+    eng = _engine(args, read_only=True)
+    out = args.out or f"debug_bundle_{int(_time.time())}.zip"
+    _status, metrics = RestApp(eng).handle("GET", "/metrics")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        topics = {
+            t: {
+                "config": vars(cfg),
+                "stats": eng.topic_stats(t),
+                "counters": eng.counters(t),
+            }
+            for t, cfg in sorted(eng.list_topics().items())
+        }
+        z.writestr("topics.json", json.dumps(topics, indent=2, default=str))
+        z.writestr("metrics.prom", str(metrics))
+        for t in sorted(eng.list_topics()):
+            mp = eng._manifest_path(t)
+            if eng._fsio.exists(mp):
+                z.writestr(f"manifests/{t}.json", eng._fsio.read_text(mp))
+        for side in ("_topics.json", "_quotas.json", "_acls.json"):
+            p = _os.path.join(eng.root, side)
+            if eng._fsio.exists(p):
+                z.writestr(f"root/{side}", eng._fsio.read_text(p))
+    print(json.dumps({"bundle": out, "topics": len(eng.list_topics())}))
+    return 0
+
+
 # -- acl (rpk security acl analog, src/go/rpk/pkg/cli/acl/) ------------------
 # Pure-Python path: the ACL store is a JSON file under the engine root —
 # no Spark session spin-up for control-plane edits (rpk talks to the admin
@@ -811,6 +850,9 @@ def build_parser() -> argparse.ArgumentParser:
     cluster.add_parser("info").set_defaults(fn=cmd_cluster_info)
     cluster.add_parser("logdirs").set_defaults(fn=cmd_cluster_logdirs)
     cluster.add_parser("metrics").set_defaults(fn=cmd_cluster_metrics)
+    db = cluster.add_parser("debug-bundle")
+    db.add_argument("--out", default=None)
+    db.set_defaults(fn=cmd_cluster_debug_bundle)
     qa = cluster.add_parser("quota-alter")
     qa.add_argument("--client", required=True)
     qa.add_argument(

@@ -254,3 +254,35 @@ def test_interleaved_writers_never_lose_committed_rows(spark, tmp_path_factory, 
         assert visible == committed, (
             f"after {op} (#{seq}): visible={visible} committed={committed}"
         )
+
+
+def test_cli_debug_bundle_collects_state_read_only(spark, tmp_path, capsys):
+    """`cluster debug-bundle` (rpk debug bundle analog) zips the
+    observable state without claiming the writer epoch — support
+    collection on a live cluster never fences the producer."""
+    import zipfile
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "root")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1"), ("k2", "v2")]))
+    out = str(tmp_path / "bundle.zip")
+    assert main(["--root", root, "cluster", "debug-bundle", "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["bundle"] == out and rep["topics"] == 1
+    with zipfile.ZipFile(out) as z:
+        names = set(z.namelist())
+        assert {"topics.json", "metrics.prom", "manifests/t.json"} <= names
+        topics = json.loads(z.read("topics.json"))
+        assert topics["t"]["stats"]["rows"] == 2
+        # counters are process-lifetime (broker semantics): the CLI's
+        # fresh engine reports its own — empty — counter set
+        assert topics["t"]["counters"] == {}
+        assert b"redpanda_spark_partition_high_watermark" in z.read(
+            "metrics.prom"
+        )
+    # the bundling did not fence the live producer
+    a.produce("t", _records(spark, [("k3", "v3")]))
+    assert a.log("t").count() == 3
