@@ -2517,6 +2517,21 @@ class TopicEngine:
             raise ValueError(
                 "some segments lack footer stats; run maintenance first"
             )
+        # Transaction metadata travels WITH the topic: aborted ranges are
+        # what keeps read_committed honest on the target cluster (the
+        # reference carries tx markers inside the log itself, so its
+        # migration moves them for free; our side-table design must do it
+        # explicitly). An OPEN transaction means the topic isn't
+        # quiesced — refuse, exactly as leadership transfer waits for
+        # in-flight transactions.
+        tx_rows = [
+            dict(r) for r in self._tx_ranges_local() if r["topic"] == topic
+        ]
+        if any(r["outcome"] == "open" for r in tx_rows):
+            raise ValueError(
+                f"topic {topic}: open transaction in flight — "
+                "commit/abort before unmount"
+            )
         ad = self._archive_dir(topic)
         self._afsio.mkdirs(ad)
         epoch = self._arch_epoch.get(topic, 0)
@@ -2609,6 +2624,7 @@ class TopicEngine:
                         r: astats[r] for r in archived if r in astats
                     },
                     "arch_epoch": epoch + 1,
+                    "tx_ranges": tx_rows,
                 }
             ),
         )
@@ -2649,6 +2665,14 @@ class TopicEngine:
         self._fsio.mkdirs(self._topic_dir(topic))
         self._save_state()
         self._commit_manifest(topic)  # claims the writer epoch
+        if m.get("tx_ranges"):
+            # restore the migrated aborted/committed ranges so
+            # read_committed filters identically on the target cluster
+            from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+            self.append_tx_ranges(
+                self.spark.createDataFrame(m["tx_ranges"], TX_RANGE_SCHEMA)
+            )
         self._afsio.delete(mp)  # consume: one owner at a time
         return {
             "mounted": topic,

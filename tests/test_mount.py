@@ -316,3 +316,90 @@ def test_unmount_crash_before_bucket_manifest_is_dr_recoverable(
     b = _mk_engine(spark, tmp_path, "b", cold)
     b.mount_topic("t")  # footer-recovery fallback
     assert _rowset(b.log("t")) == before
+
+
+def test_migration_preserves_aborted_tx_ranges(spark, tmp_path):
+    """read_committed must filter identically on the target cluster: the
+    aborted ranges (side-table metadata here; in-log markers in the
+    reference) travel inside the bucket handoff manifest."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v0"])
+    # a transactional batch that will be ABORTED (offsets 1-2)
+    a.produce(
+        "t",
+        [
+            {
+                "value": v.encode(),
+                "timestamp": BASE,
+                "partition": 0,
+                "producer_id": 7,
+                "producer_epoch": 0,
+                "base_sequence": i,
+                "is_transactional": True,
+            }
+            for i, v in enumerate(["v1", "v2"])
+        ],
+    )
+    _produce(a, "t", ["v3"])
+    a.append_tx_ranges(
+        spark.createDataFrame(
+            [
+                Row(
+                    topic="t",
+                    partition=0,
+                    producer_id=7,
+                    first_offset=1,
+                    last_offset=2,
+                    outcome="aborted",
+                )
+            ],
+            TX_RANGE_SCHEMA,
+        )
+    )
+
+    def rc(eng):
+        return sorted(
+            bytes(r["value"])
+            for r in eng.fetch("t", 0, isolation="read_committed").collect()
+        )
+
+    assert rc(a) == [b"v0", b"v3"]
+    a.unmount_topic("t")
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    assert rc(b) == [b"v0", b"v3"]  # aborted rows stay invisible
+    assert b.log("t").count() == 4  # ... but the data itself migrated
+
+
+def test_unmount_refuses_open_transaction(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v0", "v1"])
+    a.append_tx_ranges(
+        spark.createDataFrame(
+            [
+                Row(
+                    topic="t",
+                    partition=0,
+                    producer_id=9,
+                    first_offset=1,
+                    last_offset=None,
+                    outcome="open",
+                )
+            ],
+            TX_RANGE_SCHEMA,
+        )
+    )
+    with pytest.raises(ValueError, match="open transaction"):
+        a.unmount_topic("t")
