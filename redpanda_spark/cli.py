@@ -351,17 +351,29 @@ def cmd_topic_recover(args) -> int:
 
 def cmd_topic_unmount(args) -> int:
     """Tiered-storage migration step 1: flush the topic fully to the
-    archive tier, leave a self-describing bucket manifest, detach here."""
+    archive tier, leave a self-describing bucket manifest, detach here.
+    --with-groups rides the named groups' committed offsets (or all of
+    them, with no names) in the handoff manifest."""
     eng = _engine(args)
-    print(json.dumps(eng.unmount_topic(args.name)))
+    groups: list | bool | None = None
+    if args.with_groups is not None:
+        groups = args.with_groups if args.with_groups else True
+    print(json.dumps(eng.unmount_topic(args.name, with_groups=groups)))
     return 0
 
 
 def cmd_topic_mount(args) -> int:
     """Tiered-storage migration step 2: adopt the bucket's topic as a
-    writable tiered topic (pass the bucket via --archive-root)."""
+    writable tiered topic (pass the bucket via --archive-root).
+    --resume-claim recovers a mount that crashed between its claim and
+    adopt phases (operator asserts no cluster owns the topic)."""
     eng = _engine(args)
-    print(json.dumps(eng.mount_topic(args.name), default=str))
+    print(
+        json.dumps(
+            eng.mount_topic(args.name, resume_claim=args.resume_claim),
+            default=str,
+        )
+    )
     return 0
 
 
@@ -984,9 +996,16 @@ def build_parser() -> argparse.ArgumentParser:
     rec.set_defaults(fn=cmd_topic_recover)
     um = topic.add_parser("unmount")
     um.add_argument("name")
+    um.add_argument(
+        "--with-groups",
+        nargs="*",
+        default=None,
+        help="migrate these groups' committed offsets (no names = all)",
+    )
     um.set_defaults(fn=cmd_topic_unmount)
     mo = topic.add_parser("mount")
     mo.add_argument("name")
+    mo.add_argument("--resume-claim", action="store_true")
     mo.set_defaults(fn=cmd_topic_mount)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)

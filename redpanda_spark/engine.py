@@ -279,9 +279,29 @@ class TopicEngine:
         return os.path.join(self.root, f"_manifest_{topic}.json")
 
     def _epoch_path(self, topic: str) -> str:
+        # legacy (pre-claim-chain) single-file epoch — read-only fallback
         return os.path.join(self.root, f"_writer_epoch_{topic}.json")
 
+    def _epoch_dir(self, topic: str) -> str:
+        return os.path.join(self.root, f"_epoch_{topic}")
+
     def _read_writer_epoch(self, topic: str) -> int:
+        """Current writer epoch = highest claim in the topic's epoch-chain
+        dir (a handful of tiny files — the winner GCs superseded claims,
+        so the listing stays O(1)); legacy single-file roots fall back to
+        the old json. The chain is NEVER reset across topic delete/create
+        (epochs are monotone for the lifetime of the root), which is what
+        makes the fence ABA-proof: a stale engine's epoch can never become
+        current again via a delete+recreate cycle."""
+        best = 0
+        for name in self._fsio.list_names(self._epoch_dir(topic)):
+            if name.endswith(".claim"):
+                try:
+                    best = max(best, int(name[:-6]))
+                except ValueError:
+                    pass
+        if best:
+            return best
         try:
             return int(
                 json.loads(self._fsio.read_text(self._epoch_path(topic)))[
@@ -291,17 +311,52 @@ class TopicEngine:
         except Exception:  # absent / legacy root => epoch 0
             return 0
 
+    def _manifest_writer_epoch(self, topic: str) -> int:
+        try:
+            return int(
+                json.loads(
+                    self._fsio.read_text(self._manifest_path(topic))
+                ).get("writer_epoch", 0)
+            )
+        except Exception:
+            return 0
+
     def _claim_writer_epoch(self, topic: str) -> int:
-        """Claim topic leadership (caller must hold the root write_lock):
-        bump the durable epoch so any PREVIOUS writer's next commit fails
-        its fence check. The raft leader-election analog — after this, we
-        are the topic's only legal appender until someone else claims."""
-        epoch = self._read_writer_epoch(topic) + 1
-        self._fsio.write_text_atomic(
-            self._epoch_path(topic), json.dumps({"epoch": epoch})
-        )
-        self._writer_epoch[topic] = epoch
-        return epoch
+        """Claim topic leadership by CREATE-EXCLUSIVE of the next epoch's
+        claim file: the filesystem arbitrates, so two engines racing the
+        same epoch number can never both win — real mutual exclusion on
+        HDFS and local roots without any lock (the raft leader-election
+        analog: at most one leader per term, `src/v/raft/consensus.cc`).
+        A loser retries one epoch higher, becoming the newest writer. The
+        claim floor includes the last committed manifest's writer_epoch,
+        so even a hand-truncated chain can't rewind below a committed
+        claim (stale-leader fencing, `cluster/rm_stm.h:67-73`)."""
+        d = self._epoch_dir(topic)
+        self._fsio.mkdirs(d)
+        floor = self._manifest_writer_epoch(topic)
+        while True:
+            target = max(self._read_writer_epoch(topic), floor) + 1
+            if self._fsio.create_exclusive(
+                os.path.join(d, f"{target:020d}.claim"),
+                json.dumps(
+                    {"epoch": target, "ts_ms": int(time.time() * 1000)}
+                ),
+            ):
+                self._writer_epoch[topic] = target
+                # superseded claims (and the legacy file) are dead weight:
+                # any fence check now reads max >= target regardless
+                for name in self._fsio.list_names(d):
+                    if name.endswith(".claim"):
+                        try:
+                            n = int(name[:-6])
+                        except ValueError:
+                            continue
+                        if n < target:
+                            self._fsio.delete(os.path.join(d, name))
+                self._fsio.delete(self._epoch_path(topic))
+                return target
+            # lost the create-exclusive race — another engine owns this
+            # epoch number; claim above it (we fence them, never share)
 
     def _refuse_read_only(self) -> None:
         if self.read_only:
@@ -469,9 +524,11 @@ class TopicEngine:
         # a crashed delete/unmount of an earlier same-named topic may
         # have left per-topic debris after its catalog removal committed;
         # a reopen between now and our first manifest commit must not
-        # resurrect that state
+        # resurrect that state. The writer-epoch chain is deliberately
+        # NOT reset: epochs stay monotone across delete/recreate, so an
+        # engine fenced on the old incarnation can never pass the fence
+        # on the new one (the ABA hazard a restarted lineage would open).
         self._fsio.delete(self._manifest_path(topic))
-        self._fsio.delete(self._epoch_path(topic))
         self._save_state()
         self._commit_manifest(topic)
 
@@ -484,45 +541,54 @@ class TopicEngine:
         scopes this state to the partition's raft log, which dies with the
         topic: `cluster/rm_stm`'s state is per-partition)."""
         self._require(topic)
-        # a stale writer must not destroy the current writer's topic
+        # a stale writer must not destroy the current writer's topic —
+        # and the fence must hold THROUGH the destructive sequence, not
+        # just at entry: the root write_lock is held across the deletes
+        # (local roots; URI roots keep the narrower optimistic window of
+        # a re-check immediately before the first irreversible step).
+        # Deletes are rare admin ops, so holding the per-root lock for
+        # the duration doesn't cost the produce path anything.
         with self._fsio.write_lock(self.root):
             self._check_writer_fence(topic)
-        # a read-replica does not OWN its archive tier: the archive_root
-        # is the source cluster's bucket. Dropping the replica must only
-        # remove local metadata/cache — deleting the archive dir would
-        # destroy the source's live archived segments (reference: remote-
-        # read topics never delete bucket data on replica drop).
-        is_replica = (
-            self._topics[topic].configs.get("_read_replica") == "true"
-        )
-        del self._topics[topic]
-        self._high.pop(topic, None)
-        self._files.pop(topic, None)
-        self._stats.pop(topic, None)
-        self._tail.pop(topic, None)
-        self._producers.pop(topic, None)
-        self._archived.pop(topic, None)
-        self._archived_stats.pop(topic, None)
-        self._arch_epoch.pop(topic, None)
-        self._fsio.delete(self._topic_dir(topic), recursive=True)
-        if not is_replica:
-            self._afsio.delete(self._archive_dir(topic), recursive=True)
-        if self._cold_cache_dir is not None:
-            import shutil as _shutil
-
-            _shutil.rmtree(
-                os.path.join(self._cold_cache_dir, topic), ignore_errors=True
+            # a read-replica does not OWN its archive tier: the
+            # archive_root is the source cluster's bucket. Dropping the
+            # replica must only remove local metadata/cache — deleting
+            # the archive dir would destroy the source's live archived
+            # segments (reference: remote-read topics never delete
+            # bucket data on replica drop).
+            is_replica = (
+                self._topics[topic].configs.get("_read_replica") == "true"
             )
-            self._cold_lru = {
-                r: s
-                for r, s in self._cold_lru.items()
-                if not r.startswith(topic + os.sep)
-            }
-        self._fsio.delete(self._manifest_path(topic))
-        self._fsio.delete(self._epoch_path(topic))
-        self._writer_epoch.pop(topic, None)
-        self._purge_topic_metadata(topic)
-        self._save_state()
+            del self._topics[topic]
+            self._high.pop(topic, None)
+            self._files.pop(topic, None)
+            self._stats.pop(topic, None)
+            self._tail.pop(topic, None)
+            self._producers.pop(topic, None)
+            self._archived.pop(topic, None)
+            self._archived_stats.pop(topic, None)
+            self._arch_epoch.pop(topic, None)
+            self._fsio.delete(self._topic_dir(topic), recursive=True)
+            if not is_replica:
+                self._afsio.delete(self._archive_dir(topic), recursive=True)
+            if self._cold_cache_dir is not None:
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    os.path.join(self._cold_cache_dir, topic),
+                    ignore_errors=True,
+                )
+                self._cold_lru = {
+                    r: s
+                    for r, s in self._cold_lru.items()
+                    if not r.startswith(topic + os.sep)
+                }
+            self._fsio.delete(self._manifest_path(topic))
+            # the epoch CHAIN survives the topic (monotone lineage — see
+            # create_topic); only our in-memory claim is dropped
+            self._writer_epoch.pop(topic, None)
+            self._purge_topic_metadata(topic)
+            self._save_state()
 
     def _purge_topic_metadata(self, topic: str) -> None:
         """Rewrite _tx_ranges and _consumer_offsets dropping the topic's rows."""
@@ -2486,7 +2552,12 @@ class TopicEngine:
             "high_watermarks": dict(self._high[topic]),
         }
 
-    def unmount_topic(self, topic: str) -> dict:
+    def unmount_topic(
+        self,
+        topic: str,
+        with_groups: "list[str] | bool | None" = None,
+        now_ms: int | None = None,
+    ) -> dict:
         """Unmount (tiered-storage migration, step 1): flush every local
         segment to the archive tier, write a self-describing topic
         manifest INTO the bucket, and detach the topic from this cluster.
@@ -2495,9 +2566,21 @@ class TopicEngine:
         cluster sharing the archive root. This is the reference's
         unmount-then-mount migration flow
         (`cloud_storage/topic_mount_handler.h`,
-        `cluster/data_migration_backend.cc:523`). Group offsets and tx
-        ranges are cluster-local and are purged, matching the reference
-        (consumer-offset migration is a separate opt-in step there)."""
+        `cluster/data_migration_backend.cc:523`).
+
+        ``with_groups`` opts consumer-offset migration INTO the handoff
+        (the reference's migration object carries ``groups`` first-class,
+        `cluster/data_migration_types.h:184,231`): a list of group ids —
+        or True for every group with commits on this topic — whose
+        committed offsets ride in the bucket manifest and are replayed by
+        mount, so a consumer resumes at its exact position on the target
+        cluster with no manual export/import. Omitted groups stay
+        cluster-local and are purged as before.
+
+        Compacted topics migrate too (the reference has no policy
+        restriction): one FINAL keep-latest compaction runs first
+        (tombstone grace honored, ``now_ms`` passed through), so the
+        bucket carries exactly the compacted view."""
         cfg = self._require(topic)
         self._refuse_replica_mutation(topic)
         with self._fsio.write_lock(self.root):
@@ -2507,8 +2590,10 @@ class TopicEngine:
             raise ValueError(
                 f"topic {topic}: unmount requires remote_write=True"
             )
-        if "compact" in cfg.cleanup_policy:
-            raise ValueError("unmount supports cleanup.policy=delete only")
+        if "compact" in cfg.cleanup_policy and self._files.get(topic):
+            # (skipped on a retry after a phase-1 crash: the log is then
+            # fully archived already, and it was compacted before upload)
+            self.run_compaction(topic, now_ms=now_ms)
         files = self._files.get(topic)
         if files is None:
             raise ValueError("topic has no manifest file list (legacy state)")
@@ -2532,6 +2617,24 @@ class TopicEngine:
                 f"topic {topic}: open transaction in flight — "
                 "commit/abort before unmount"
             )
+        group_rows: list[dict] = []
+        if with_groups:
+            wanted = (
+                None if with_groups is True else set(with_groups)
+            )
+            for r in (
+                self.offset_fetch()
+                .where(F.col("topic") == topic)
+                .collect()
+            ):
+                if wanted is None or r["group_id"] in wanted:
+                    group_rows.append(
+                        {
+                            "group": r["group_id"],
+                            "partition": int(r["partition"]),
+                            "offset": int(r["committed_offset"]),
+                        }
+                    )
         ad = self._archive_dir(topic)
         self._afsio.mkdirs(ad)
         epoch = self._arch_epoch.get(topic, 0)
@@ -2590,26 +2693,32 @@ class TopicEngine:
         # between phase 2 and 3 leaves the data solely in the bucket with
         # NO manifest: recover_topic_from_archive (the DR path) still
         # restores it; crucially, no state ever allows TWO clusters to
-        # own the topic at once.
-        del self._topics[topic]
-        for d in (
-            self._high,
-            self._files,
-            self._stats,
-            self._tail,
-            self._producers,
-            self._archived,
-            self._archived_stats,
-            self._arch_epoch,
-            self._clean_rows,
-        ):
-            d.pop(topic, None)
-        self._save_state()
-        self._fsio.delete(self._topic_dir(topic), recursive=True)
-        self._fsio.delete(self._manifest_path(topic))
-        self._fsio.delete(self._epoch_path(topic))
-        self._writer_epoch.pop(topic, None)
-        self._purge_topic_metadata(topic)
+        # own the topic at once. The fence is RE-checked here, under the
+        # root lock held through the detach: a writer that claimed the
+        # topic after our phase-1 commit adopted a fully-tiered topic and
+        # must not have it destroyed by us (the stale migrator) — we
+        # abort instead, leaving the topic theirs.
+        with self._fsio.write_lock(self.root):
+            self._check_writer_fence(topic)
+            del self._topics[topic]
+            for d in (
+                self._high,
+                self._files,
+                self._stats,
+                self._tail,
+                self._producers,
+                self._archived,
+                self._archived_stats,
+                self._arch_epoch,
+                self._clean_rows,
+            ):
+                d.pop(topic, None)
+            self._save_state()
+            self._fsio.delete(self._topic_dir(topic), recursive=True)
+            self._fsio.delete(self._manifest_path(topic))
+            # epoch chain survives (monotone lineage across mount cycles)
+            self._writer_epoch.pop(topic, None)
+            self._purge_topic_metadata(topic)
         # Phase 3: bucket-side topic manifest — the handoff token. Mount
         # reads it for O(1) metadata adoption (exact config + watermarks
         # even for partitions that never got a row) and consumes it.
@@ -2625,6 +2734,7 @@ class TopicEngine:
                     },
                     "arch_epoch": epoch + 1,
                     "tx_ranges": tx_rows,
+                    "groups": group_rows,
                 }
             ),
         )
@@ -2635,7 +2745,10 @@ class TopicEngine:
         }
 
     def mount_topic(
-        self, topic: str, config: "TopicConfig | None" = None
+        self,
+        topic: str,
+        config: "TopicConfig | None" = None,
+        resume_claim: bool = False,
     ) -> dict:
         """Mount (tiered-storage migration, step 2): adopt a topic living
         entirely in the archive tier — written by unmount_topic on this
@@ -2644,36 +2757,105 @@ class TopicEngine:
         (config, watermarks and pruning index adopted directly; no footer
         scan; empty partitions keep their slots); without it, falls back
         to footer recovery (recover_topic_from_archive — the DR path).
-        The bucket manifest is consumed on success, so the topic exists
-        in exactly one place at a time (the reference's migrated-resource
-        lifecycle); the local commit claims the writer epoch as usual."""
+
+        Mirror of unmount's phase discipline, CLAIM-first so two clusters
+        sharing the bucket can never both adopt (the reference's
+        migrated-resource lifecycle, `cluster/data_migration_backend.cc`):
+
+        - Phase A (claim): atomically rename the bucket manifest to its
+          claimed name — the handoff token; exactly one cluster wins the
+          rename. A crash here leaves the topic mounted NOWHERE (safe),
+          recoverable via ``resume_claim=True``.
+        - Phase B (adopt): commit the topic locally from the claimed
+          manifest; any failure rolls the local state back and returns
+          the token, so the mount is retryable anywhere.
+        - Phase C (consume): delete the claimed token. A crash before
+          this leaves debris in the bucket but the plain manifest name is
+          gone, so no other cluster's mount can double-adopt.
+
+        ``resume_claim=True`` adopts from an orphaned claimed token (a
+        mount that crashed between phases A and B); the operator asserts
+        no cluster completed that mount — the same trust level as the DR
+        recovery path."""
         if topic in self._topics:
             raise ValueError(f"topic {topic} already exists")
         ad = self._archive_dir(topic)
         mp = os.path.join(ad, "_topic_manifest.json")
-        if not self._afsio.exists(mp):
-            return self.recover_topic_from_archive(topic, config)
-        m = json.loads(self._afsio.read_text(mp))
+        claimed = os.path.join(ad, "_topic_manifest.claimed.json")
+        if resume_claim:
+            if not self._afsio.exists(claimed):
+                raise ValueError(
+                    f"topic {topic}: no claimed manifest to resume"
+                )
+        else:
+            if not self._afsio.exists(mp):
+                if self._afsio.exists(claimed):
+                    raise ValueError(
+                        f"topic {topic}: a mount is in progress or "
+                        "crashed mid-claim on some cluster; if no "
+                        "cluster owns the topic, retry with "
+                        "resume_claim=True"
+                    )
+                return self.recover_topic_from_archive(topic, config)
+            try:
+                self._afsio.rename(mp, claimed)  # Phase A: the handoff
+            except OSError as e:
+                raise ValueError(
+                    f"topic {topic}: lost the mount claim race "
+                    f"(another cluster took the manifest): {e}"
+                ) from None
+        m = json.loads(self._afsio.read_text(claimed))
         cfg = config or TopicConfig(**m["config"])
-        self._topics[topic] = cfg
-        self._files[topic] = []
-        self._stats[topic] = {}
-        self._archived[topic] = list(m["archived"])
-        self._archived_stats[topic] = dict(m["archived_stats"])
-        self._high[topic] = {int(p): int(o) for p, o in m["high"].items()}
-        self._arch_epoch[topic] = int(m.get("arch_epoch", 0))
-        self._fsio.mkdirs(self._topic_dir(topic))
-        self._save_state()
-        self._commit_manifest(topic)  # claims the writer epoch
-        if m.get("tx_ranges"):
-            # restore the migrated aborted/committed ranges so
-            # read_committed filters identically on the target cluster
-            from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+        try:
+            # Phase B: adopt locally (catalog + fenced manifest commit)
+            self._topics[topic] = cfg
+            self._files[topic] = []
+            self._stats[topic] = {}
+            self._archived[topic] = list(m["archived"])
+            self._archived_stats[topic] = dict(m["archived_stats"])
+            self._high[topic] = {
+                int(p): int(o) for p, o in m["high"].items()
+            }
+            self._arch_epoch[topic] = int(m.get("arch_epoch", 0))
+            self._fsio.mkdirs(self._topic_dir(topic))
+            self._save_state()
+            self._commit_manifest(topic)  # claims the writer epoch
+            if m.get("tx_ranges"):
+                # restore the migrated aborted/committed ranges so
+                # read_committed filters identically on the target cluster
+                from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
 
-            self.append_tx_ranges(
-                self.spark.createDataFrame(m["tx_ranges"], TX_RANGE_SCHEMA)
-            )
-        self._afsio.delete(mp)  # consume: one owner at a time
+                self.append_tx_ranges(
+                    self.spark.createDataFrame(
+                        m["tx_ranges"], TX_RANGE_SCHEMA
+                    )
+                )
+            for g in m.get("groups", []):
+                # first-class consumer-offset migration (opt-in at
+                # unmount): resume at the exact committed position
+                self.offset_commit(
+                    g["group"], topic, int(g["partition"]), int(g["offset"])
+                )
+        except BaseException:
+            # roll back and RETURN the token: the bucket stays mountable
+            self._topics.pop(topic, None)
+            for d in (
+                self._high,
+                self._files,
+                self._stats,
+                self._archived,
+                self._archived_stats,
+                self._arch_epoch,
+            ):
+                d.pop(topic, None)
+            self._fsio.delete(self._manifest_path(topic))
+            self._save_state()
+            try:
+                self._afsio.rename(claimed, mp)
+            except OSError:
+                pass  # token stays claimed; resume_claim recovers
+            raise
+        self._afsio.delete(claimed)  # Phase C: consume — one owner
         return {
             "mounted": topic,
             "segments": len(self._archived[topic]),

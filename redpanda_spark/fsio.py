@@ -58,6 +58,29 @@ class LocalFS:
             f.write(text)
         os.replace(tmp, path)
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """First-writer-wins creation: create ``path`` only if it does not
+        already exist, atomically (O_CREAT|O_EXCL — the kernel arbitrates).
+        Returns False when another writer got there first. The engine's
+        writer-epoch claims ride on this: two engines racing the same
+        epoch number can never both win (the reference gets the same
+        uniqueness from raft electing at most one leader per term,
+        `src/v/raft/consensus.cc`)."""
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
+    def list_names(self, d: str) -> list[str]:
+        """Plain file names directly under ``d`` ([] if absent)."""
+        try:
+            return [e.name for e in os.scandir(d) if e.is_file()]
+        except OSError:
+            return []
+
     def delete(self, path: str, recursive: bool = False) -> None:
         """Remove a file or (with recursive) a directory; quiet on absence."""
         try:
@@ -190,6 +213,57 @@ class HadoopFS:
             self._fs.delete(dst, False)
         self._fs.rename(self._p(tmp), dst)
 
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """First-writer-wins creation. ``file:`` URIs use the kernel's
+        O_CREAT|O_EXCL directly (Hadoop's RawLocalFileSystem implements
+        create(overwrite=false) as exists-then-create — NOT atomic — so
+        the POSIX primitive is the correct arbiter there). Every other
+        scheme goes through ``FileSystem.create(path, overwrite=false)``:
+        atomic on HDFS (the namenode arbitrates, two racers can never
+        both succeed) and on stores with conditional-create semantics;
+        on plain S3 the pre-create existence check narrows but does not
+        close the window — the same residual optimism as any catalog-less
+        object-store commit protocol, and strictly stronger than the
+        read-increment-write it replaces."""
+        p = self._p(path)
+        norm = p.toString()
+        if norm.startswith("file:"):
+            import re
+
+            local = re.sub(r"^file:/+", "/", norm)
+            try:
+                fd = os.open(
+                    local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            return True
+        try:
+            out = self._fs.create(p, False)
+        except Exception:
+            # create(overwrite=false) throws FileAlreadyExistsException
+            # when we lost the race; anything else is a real IO error
+            if self._fs.exists(p):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    def list_names(self, d: str) -> list[str]:
+        try:
+            return [
+                st.getPath().getName()
+                for st in self._fs.listStatus(self._p(d))
+                if st.isFile()
+            ]
+        except Exception:
+            return []
+
     def delete(self, path: str, recursive: bool = False) -> None:
         try:
             self._fs.delete(self._p(path), bool(recursive))
@@ -211,10 +285,11 @@ class HadoopFS:
 
     @contextmanager
     def write_lock(self, root: str):
-        """Hadoop FileSystems have no advisory byte-range locks, so the
-        writer fence stays purely optimistic here (epoch re-read before
-        each commit) — the same guarantee level as an Iceberg table commit
-        on an object store without a catalog-side CAS."""
+        """Hadoop FileSystems have no advisory locks; mutual exclusion on
+        URI roots instead comes from the create-exclusive epoch-claim
+        chain (see ``create_exclusive``): epoch numbers are unique by
+        construction, so the commit-time epoch re-read alone fences stale
+        writers — no lock needed for safety, only the claim retry loop."""
         yield
 
     def getsize(self, path: str) -> int:

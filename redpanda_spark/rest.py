@@ -33,7 +33,12 @@ import re
 
 
 from redpanda_spark.admin import AdminClient
-from redpanda_spark.engine import ProduceError, TopicConfig, TopicEngine
+from redpanda_spark.engine import (
+    FencedWriterError,
+    ProduceError,
+    TopicConfig,
+    TopicEngine,
+)
 from redpanda_spark.operators.coordinator import CoordinatorError
 from redpanda_spark.registry import CompatibilityError, ModeError, SchemaRegistry
 
@@ -242,6 +247,11 @@ class RestApp:
                 except ModeError as e:
                     # Confluent/reference mode-violation contract: 42205
                     return 422, {"error_code": 42205, "message": str(e)}
+                except FencedWriterError as e:
+                    # a stale-writer rejection is a conflict, not a crash:
+                    # keep the JSON error contract (the reference returns
+                    # NOT_LEADER-class errors for the same condition)
+                    return 409, {"error_code": 40903, "message": str(e)}
                 except (ValueError, TypeError) as e:
                     # TypeError covers malformed JSON shapes (e.g. a list
                     # where an object is required) — same 422 contract
@@ -465,15 +475,20 @@ class RestApp:
     def _unmount(self, topic, body, query):
         """Tiered-storage migration, admin surface (the reference exposes
         mount/unmount on the admin API — `cluster/data_migration_frontend`);
-        ACL-gated on topic ALTER."""
+        ACL-gated on topic ALTER. Body ``{"with_groups": [...]}`` (or
+        true) opts consumer-offset migration into the handoff."""
         try:
-            return 200, self.engine.unmount_topic(topic)
+            return 200, self.engine.unmount_topic(
+                topic, with_groups=(body or {}).get("with_groups")
+            )
         except ValueError as e:
             return 409, {"error_code": 40902, "message": str(e)}
 
     def _mount(self, topic, body, query):
         try:
-            res = self.engine.mount_topic(topic)
+            res = self.engine.mount_topic(
+                topic, resume_claim=bool((body or {}).get("resume_claim"))
+            )
         except ValueError as e:
             return 409, {"error_code": 40902, "message": str(e)}
         return 200, {

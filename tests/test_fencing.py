@@ -108,6 +108,15 @@ def test_fenced_writer_resumes_after_reopen(spark, tmp_path):
     assert offs == [0, 1]  # contiguous across the fence + reopen
 
 
+def _chain_epochs(root, topic):
+    d = os.path.join(root, f"_epoch_{topic}")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[:-6]) for n in os.listdir(d) if n.endswith(".claim")
+    )
+
+
 def test_epoch_is_durable_and_monotone(spark, tmp_path):
     root = str(tmp_path / "topics")
     a = TopicEngine(spark, root)
@@ -116,25 +125,59 @@ def test_epoch_is_durable_and_monotone(spark, tmp_path):
     e1 = a._writer_epoch["t"]
     b = TopicEngine(spark, root)
     assert b._writer_epoch["t"] == e1 + 1
-    # epoch file and manifest both carry the current claim
-    ep = json.loads(open(os.path.join(root, "_writer_epoch_t.json")).read())
-    assert ep["epoch"] == e1 + 1
+    # the claim chain and manifest both carry the current claim (the
+    # winner GC'd superseded claims, so the chain holds exactly the max)
+    assert _chain_epochs(root, "t") == [e1 + 1]
     b.produce("t", _records(spark, [("k2", "v2")]))
     man = json.loads(open(os.path.join(root, "_manifest_t.json")).read())
     assert man["writer_epoch"] == e1 + 1
 
 
-def test_delete_topic_clears_epoch_state(spark, tmp_path):
+def test_legacy_epoch_file_migrates_into_claim_chain(spark, tmp_path):
+    """A root written by the pre-claim-chain engine (single json epoch
+    file) is adopted: the first claim lands ABOVE the legacy epoch and
+    the legacy file is retired."""
     root = str(tmp_path / "topics")
     a = TopicEngine(spark, root)
     a.create_topic("t", TopicConfig(partitions=1))
     a.produce("t", _records(spark, [("k", "v")]))
-    a.delete_topic("t")
+    # simulate the legacy layout: epoch 7 in the old json, no chain
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "_epoch_t"))
+    with open(os.path.join(root, "_writer_epoch_t.json"), "w") as f:
+        f.write(json.dumps({"epoch": 7}))
+    b = TopicEngine(spark, root)
+    assert b._writer_epoch["t"] > 7
     assert not os.path.exists(os.path.join(root, "_writer_epoch_t.json"))
-    # recreating the topic starts a fresh epoch lineage
+    b.produce("t", _records(spark, [("k2", "v2")]))
+    assert b.log("t").count() == 2
+
+
+def test_delete_recreate_keeps_epoch_lineage_monotone(spark, tmp_path):
+    """The ABA hazard: delete_topic + create_topic must NOT restart the
+    epoch lineage at 1 — a stale engine still holding the old topic's
+    epoch would then pass the fence and commit its stale manifest over
+    the new topic. The chain survives the lifecycle, so the stale writer
+    stays fenced forever."""
+    root = str(tmp_path / "topics")
+    a = TopicEngine(spark, root)
     a.create_topic("t", TopicConfig(partitions=1))
     a.produce("t", _records(spark, [("k", "v")]))
-    assert a._writer_epoch["t"] >= 1
+    b = TopicEngine(spark, root)  # fences a (b epoch = a epoch + 1)
+    stale_epoch = a._writer_epoch["t"]
+    b.delete_topic("t")
+    b.create_topic("t", TopicConfig(partitions=1))
+    b.produce("t", _records(spark, [("new", "data")]))
+    # lineage continued: the new incarnation's epoch is above every claim
+    # the old incarnation ever made
+    assert b._writer_epoch["t"] > stale_epoch
+    # the stale engine's commit is REFUSED (pre-fix it passed: the delete
+    # reset the lineage and epoch 1 matched again)
+    with pytest.raises(FencedWriterError):
+        a.produce("t", _records(spark, [("stale", "overwrite")]))
+    vals = {bytes(r["value"]) for r in b.log("t").collect()}
+    assert vals == {b"data"}
 
 
 def test_fencing_on_uri_root_optimistic(spark, tmp_path):
@@ -152,6 +195,81 @@ def test_fencing_on_uri_root_optimistic(spark, tmp_path):
         a.produce("t", _records(spark, [("k2", "v2")]))
     b.produce("t", _records(spark, [("k2", "v2")]))
     assert b.log("t").count() == 2
+
+
+def test_create_exclusive_race_exactly_one_winner_hadoop(spark, tmp_path):
+    """The claim primitive on a URI root (HadoopFS code path): N threads
+    race ``create(path, overwrite=false)`` for the SAME file — the
+    filesystem arbitrates and EXACTLY one wins. This is what makes two
+    engines unable to share an epoch number without any lock."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, "file://" + str(tmp_path))
+    assert isinstance(fs, fsio.HadoopFS)
+    path = "file://" + str(tmp_path / "claim-target")
+    import threading
+
+    results = []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        results.append((i, fs.create_exclusive(path, f"writer-{i}")))
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [i for i, won in results if won]
+    assert len(winners) == 1, f"expected one winner, got {winners}"
+    assert len(results) == 8
+
+
+def test_concurrent_claims_on_uri_root_never_share_an_epoch(spark, tmp_path):
+    """Two engines race the writer-epoch claim itself on a file:// root
+    (no flock — the create-exclusive chain is the ONLY protection):
+    every claimed epoch is distinct, the durable chain max equals the
+    highest claim, and exactly one engine is the final unfenced writer.
+    Pre-fix, the read-increment-write bump let both engines claim N+1 and
+    NEITHER fenced the other."""
+    root = "file://" + str(tmp_path / "topics")
+    setup = TopicEngine(spark, root)
+    setup.create_topic("t", TopicConfig(partitions=1))
+    setup.produce("t", _records(spark, [("k0", "v0")]))
+
+    import threading
+
+    engines: dict[int, TopicEngine] = {}
+    barrier = threading.Barrier(4)
+    errors = []
+
+    def opener(i):
+        barrier.wait()
+        try:
+            engines[i] = TopicEngine(spark, root)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [threading.Thread(target=opener, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    epochs = [e._writer_epoch["t"] for e in engines.values()]
+    assert len(set(epochs)) == len(epochs), f"shared epoch: {epochs}"
+    # the engine holding the max epoch is the one true writer; everyone
+    # else is fenced on their next commit
+    top = max(engines.values(), key=lambda e: e._writer_epoch["t"])
+    losers = [e for e in engines.values() if e is not top]
+    for e in losers:
+        with pytest.raises(FencedWriterError):
+            e.produce("t", _records(spark, [("x", "stale")]))
+    top.produce("t", _records(spark, [("k1", "v1")]))
+    reader = TopicEngine(spark, root, read_only=True)
+    vals = {bytes(r["value"]) for r in reader.log("t").collect()}
+    assert vals == {b"v0", b"v1"}
 
 
 def test_read_only_open_does_not_fence_the_writer(spark, tmp_path):

@@ -114,12 +114,6 @@ def test_unmount_guards(spark, tmp_path):
     _produce(a, "plain", ["v"])
     with pytest.raises(ValueError, match="remote_write"):
         a.unmount_topic("plain")
-    a.create_topic(
-        "cmp",
-        _cfg(partitions=1, cleanup_policy="compact"),
-    )
-    with pytest.raises(ValueError, match="delete only"):
-        a.unmount_topic("cmp")
     # a fenced (stale) writer cannot migrate the topic away
     a.create_topic("t", _cfg(partitions=1))
     _produce(a, "t", ["v"])
@@ -480,3 +474,212 @@ def test_crash_sweep_unmount_never_loses_rows(spark, tmp_path):
         if completed:
             break
     assert crashes >= 5, f"sweep only crashed {crashes} times — injector unwired?"
+
+
+def test_compacted_topic_migrates_with_keep_latest(spark, tmp_path):
+    """Compacted-topic migration (the reference migrates any topic —
+    `cluster/data_migration_backend.cc` has no policy restriction):
+    unmount runs one FINAL keep-latest compaction, the bucket carries
+    the compacted view, and mount on a second cluster preserves exactly
+    latest-per-key — including a fresh tombstone still inside its grace
+    window."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic(
+        "c",
+        _cfg(partitions=1, cleanup_policy="compact", delete_retention_ms=10_000),
+    )
+    now = BASE + dt.timedelta(minutes=1)
+    a.produce(
+        "c",
+        [
+            {"key": b"k1", "value": b"old1", "timestamp": BASE, "partition": 0},
+            {"key": b"k2", "value": b"old2", "timestamp": BASE, "partition": 0},
+            {"key": b"k1", "value": b"new1", "timestamp": BASE, "partition": 0},
+            # fresh tombstone for k2: inside delete.retention grace at
+            # unmount time, so it must survive the final compaction
+            {"key": b"k2", "value": None, "timestamp": now, "partition": 0},
+        ],
+    )
+    res = a.unmount_topic("c", now_ms=int(now.timestamp() * 1000))
+    assert res["unmounted"] == "c"
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("c")
+    assert b.list_topics()["c"].cleanup_policy == "compact"
+    rows = {
+        bytes(r["key"]): (None if r["value"] is None else bytes(r["value"]))
+        for r in b.log("c").collect()
+    }
+    # keep-latest intact: old1/old2 compacted away, tombstone retained
+    assert rows == {b"k1": b"new1", b"k2": None}
+
+
+def test_unmount_with_groups_migrates_consumer_offsets(spark, tmp_path):
+    """First-class consumer-offset migration (reference:
+    `cluster/data_migration_types.h:184,231` carries `groups` in the
+    migration object): unmount(with_groups=[...]) rides the committed
+    offsets in the bucket manifest; mount replays them — the consumer
+    resumes at its exact position on the target cluster with NO manual
+    export/import. Groups not opted in stay behind."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2", "v3"])
+    a.offset_commit("g1", "t", 0, 2)  # consumed v1, v2
+    a.offset_commit("g2", "t", 0, 1)  # NOT migrated
+    a.unmount_topic("t", with_groups=["g1"])
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    committed = {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in b.offset_fetch().where("topic = 't'").collect()
+    }
+    assert committed == {("g1", 0): 2}
+    # resuming at the committed offset yields exactly the unread tail
+    rows = b.fetch_rows("t", 0, offset=2)
+    assert [bytes(r["value"]) for r in rows] == [b"v3"]
+
+
+def test_unmount_with_groups_true_migrates_every_group(spark, tmp_path):
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=2))
+    _produce(a, "t", ["v1", "v2"], partition=0)
+    _produce(a, "t", ["v3"], partition=1)
+    a.offset_commit("g1", "t", 0, 1)
+    a.offset_commit("g2", "t", 1, 1)
+    a.unmount_topic("t", with_groups=True)
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t")
+    committed = {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in b.offset_fetch().where("topic = 't'").collect()
+    }
+    assert committed == {("g1", 0): 1, ("g2", 1): 1}
+
+
+def test_mount_claim_is_first_winner_only(spark, tmp_path):
+    """The ADVICE double-mount hazard: mount must CLAIM the bucket
+    manifest (atomic rename to the handoff-token name) BEFORE adopting
+    locally, so a crash mid-mount — or a concurrent mount on another
+    cluster — can never leave the topic owned twice."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1"])
+    res = a.unmount_topic("t")
+    ad = res["archive_dir"]
+
+    # simulate a mount that crashed between claim and adopt: the token
+    # exists under its claimed name, the plain manifest is gone
+    os.rename(
+        os.path.join(ad, "_topic_manifest.json"),
+        os.path.join(ad, "_topic_manifest.claimed.json"),
+    )
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    with pytest.raises(ValueError, match="resume_claim"):
+        b.mount_topic("t")
+    assert "t" not in b.list_topics()
+    # operator-driven recovery: resume from the orphaned token
+    b.mount_topic("t", resume_claim=True)
+    assert [bytes(r["value"]) for r in b.fetch_rows("t", 0)] == [b"v1"]
+    # token consumed — a third cluster can no longer claim-mount
+    assert not os.path.exists(os.path.join(ad, "_topic_manifest.claimed.json"))
+    c = _mk_engine(spark, tmp_path, "c", cold)
+    with pytest.raises(ValueError, match="no claimed manifest"):
+        c.mount_topic("t", resume_claim=True)
+
+
+def test_mount_adopt_failure_rolls_back_and_returns_token(spark, tmp_path):
+    """A failure DURING adoption (here: the tx-range restore) must undo
+    the local commit and put the bucket manifest back under its plain
+    name, so the mount is retryable — on this or any other cluster.
+    Pre-fix the topic stayed half-mounted locally while the bucket
+    manifest survived, mountable by a second cluster: two owners."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    # give the manifest a tx_ranges payload so the restore step runs
+    a.produce(
+        "t",
+        [
+            {
+                "value": b"aborted",
+                "timestamp": BASE,
+                "partition": 0,
+                "producer_id": 7,
+                "producer_epoch": 0,
+                "base_sequence": 0,
+                "is_transactional": True,
+            }
+        ],
+    )
+    a.append_tx_ranges(
+        spark.createDataFrame(
+            [
+                Row(
+                    topic="t",
+                    partition=0,
+                    producer_id=7,
+                    first_offset=2,
+                    last_offset=2,
+                    outcome="aborted",
+                )
+            ],
+            TX_RANGE_SCHEMA,
+        )
+    )
+    res = a.unmount_topic("t")
+    ad = res["archive_dir"]
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    real_append = b.append_tx_ranges
+    b.append_tx_ranges = lambda df: (_ for _ in ()).throw(
+        RuntimeError("injected adopt failure")
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        b.mount_topic("t")
+    # rolled back locally...
+    assert "t" not in b.list_topics()
+    assert "t" not in TopicEngine(
+        spark, str(tmp_path / "b"), archive_root=str(cold), read_only=True
+    ).list_topics()
+    # ...and the token returned to its plain name: retry succeeds
+    assert os.path.exists(os.path.join(ad, "_topic_manifest.json"))
+    b.append_tx_ranges = real_append
+    b.mount_topic("t")
+    vals = {
+        bytes(r["value"])
+        for r in b.fetch("t", 0, isolation="read_committed").collect()
+    }
+    assert vals == {b"v1", b"v2"}  # the aborted row stays filtered
+
+
+def test_rest_fenced_writer_maps_to_409(spark, tmp_path):
+    """A fenced REST mutation keeps the JSON error contract (409 with a
+    fenced-writer error code) instead of escaping as an HTML 500 — the
+    reference returns NOT_LEADER-class errors for the same condition."""
+    from redpanda_spark.rest import RestApp
+
+    cold = tmp_path / "bucket"
+    eng = _mk_engine(spark, tmp_path, "a", cold)
+    eng.create_topic("t", _cfg(partitions=1))
+    _produce(eng, "t", ["v1"])
+    app = RestApp(eng)
+    # a second engine claims the topic: eng is now a stale writer
+    _mk_engine(spark, tmp_path, "a", cold)
+    status, out = app.handle(
+        "POST",
+        "/topics/t",
+        {"records": [{"value": "djI="}]},
+    )
+    assert status == 409, out
+    assert out["error_code"] == 40903
+    assert "fenced" in out["message"]
