@@ -1814,6 +1814,118 @@ QUERIES.update({"stream_stream_join": q_stream_stream_join})
 ORACLES.update({"stream_stream_join": SQL_STREAM_STREAM_JOIN})
 
 
+def q_stream_restart_join(spark, sf_dir):
+    """Stream-stream join SURVIVING a checkpoint restart, as a gate row:
+    the click→purchase ±4h attribution join is drained in TWO staged
+    availableNow runs over ONE checkpoint — the source split by event
+    time, the query STOPPED and a fresh query started between stages —
+    into a parquet sink whose file-commit log makes the union
+    exactly-once. Pairs whose click and purchase live in different
+    stages can only exist if the restarted query rebuilt the first
+    run's join buffers from the checkpoint, so the result equals the
+    batch interval join (the oracle) ONLY when state recovery is
+    correct (the reference's crash-consistent commit batcher,
+    `transform/commit_batcher.cc`; pytest twin:
+    tests/test_streaming_restart.py). Built once per input fingerprint
+    (staged drains are seconds-scale), then served from the sink."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_restart_join",
+        hashlib.md5(
+            f"{sf_dir}|{_events_fingerprint(sf_dir)}".encode()
+        ).hexdigest(),
+    )
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        from redpanda_spark.streaming.joins import stream_stream_join
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        # time-contiguous halves: stage 2 is never behind the recovered
+        # watermark, so restart recovery — not late-data drop — is what
+        # the staged drains exercise
+        t_split = ev.selectExpr(
+            "percentile_approx(ts, 0.5, 10000) AS t"
+        ).collect()[0]["t"]
+        stages = [
+            ev.where(F.col("ts") < F.lit(t_split)),
+            ev.where(F.col("ts") >= F.lit(t_split)),
+        ]
+        schema = None
+        for stage_df in stages:
+            stage_df.write.mode("append").parquet(src)
+            schema = schema or spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            clicks = stream.where(F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id"
+            )
+            buys = stream.where(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id"
+            )
+            joined = stream_stream_join(
+                clicks,
+                buys,
+                on="user_id",
+                left_time="ts",
+                right_time="ts",
+                watermark="8 hours",
+                max_skew="4 hours",
+            ).select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("event_id_r").alias("purchase_id"),
+                (F.unix_timestamp("ts_r") - F.unix_timestamp("ts"))
+                .cast("bigint")
+                .alias("delta_s"),
+            )
+            # state width pinned around START only (state partitioning is
+            # fixed at checkpoint creation), same discipline as _drain
+            with _CONF_LOCK:
+                prev = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(_state_partitions(sf_dir)),
+                )
+                try:
+                    q = (
+                        joined.writeStream.format("parquet")
+                        .option("path", sink)
+                        .option("checkpointLocation", ckpt)
+                        .outputMode("append")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    if not q.awaitTermination(300):
+                        q.stop()
+                        raise TimeoutError(
+                            "staged restart-join drain did not terminate"
+                        )
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+        open(marker, "w").write("1")
+    return spark.read.parquet(sink).select(
+        "user_id", "click_id", "purchase_id", "delta_s"
+    )
+
+
+# the union across the restart must equal the batch interval join — same
+# oracle as the one-shot drain, restart-invariance being the claim
+SQL_STREAM_RESTART_JOIN = SQL_STREAM_STREAM_JOIN
+
+QUERIES.update({"stream_restart_join": q_stream_restart_join})
+ORACLES.update({"stream_restart_join": SQL_STREAM_RESTART_JOIN})
+
+
 # --------------------------------------------------------------------------
 # Catalog 5: BPE-ish token counting (the second mandated tokenizer)
 # --------------------------------------------------------------------------
