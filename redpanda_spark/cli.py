@@ -310,9 +310,11 @@ def cmd_maintain(args) -> int:
             "cold_merge": cold_merge,
             "producers_expired": eng.expire_producers(t),
         }))
+    snap = eng.snapshot_counters_history()
     print(json.dumps({
         "offsets_expired": eng.expire_offsets(),
         "offsets_log": eng.compact_offsets(),
+        "counters_snapshot_ts_ms": snap["ts_ms"],
     }))
     return 0
 
@@ -679,7 +681,12 @@ def cmd_cluster_debug_bundle(args) -> int:
             mp = eng._manifest_path(t)
             if eng._fsio.exists(mp):
                 z.writestr(f"manifests/{t}.json", eng._fsio.read_text(mp))
-        for side in ("_topics.json", "_quotas.json", "_acls.json"):
+        for side in (
+            "_topics.json",
+            "_quotas.json",
+            "_acls.json",
+            "_counters_history.jsonl",  # maintenance-tick time series
+        ):
             p = _os.path.join(eng.root, side)
             if eng._fsio.exists(p):
                 z.writestr(f"root/{side}", eng._fsio.read_text(p))

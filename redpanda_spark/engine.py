@@ -640,6 +640,38 @@ class TopicEngine:
         reset on restart — broker counter semantics)."""
         return dict(self._counters.get(topic, {}))
 
+    def snapshot_counters_history(self, max_entries: int = 500) -> dict:
+        """Append a timestamped counters + manifest-stats snapshot to the
+        root-side history log (``_counters_history.jsonl``, ring-bounded
+        to ``max_entries``). The maintenance tick calls this, so the
+        debug bundle carries a TIME SERIES of the observability surface —
+        a regression is diagnosable post-hoc from the bundle alone, not
+        just from the point-in-time state (the reference's debug bundle
+        ships metrics samples alongside state,
+        `debug_bundle_service.h:35`). O(topics) manifest math + one tiny
+        file rewrite; never a Spark job."""
+        self._refuse_read_only()
+        path = os.path.join(self.root, "_counters_history.jsonl")
+        keep = ("rows", "segments", "bytes", "archived_segments")
+        entry = {
+            "ts_ms": int(time.time() * 1000),
+            "counters": {t: self.counters(t) for t in sorted(self._topics)},
+            "stats": {
+                t: {k: self.topic_stats(t).get(k) for k in keep}
+                for t in sorted(self._topics)
+            },
+        }
+        lines: list[str] = []
+        if self._fsio.exists(path):
+            lines = [
+                ln for ln in self._fsio.read_text(path).splitlines() if ln
+            ]
+        lines.append(json.dumps(entry))
+        self._fsio.write_text_atomic(
+            path, "\n".join(lines[-max_entries:]) + "\n"
+        )
+        return entry
+
     @staticmethod
     def _rows_bytes(rows) -> int:
         """Wire-size estimate of fetched rows (the 16-byte overhead + key

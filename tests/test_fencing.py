@@ -404,3 +404,71 @@ def test_cli_debug_bundle_collects_state_read_only(spark, tmp_path, capsys):
     # the bundling did not fence the live producer
     a.produce("t", _records(spark, [("k3", "v3")]))
     assert a.log("t").count() == 3
+
+
+def test_debug_bundle_carries_counters_time_series(spark, tmp_path, capsys):
+    """The maintenance tick appends a counters+stats snapshot to the
+    root-side history log; the debug bundle ships that TIME SERIES, so a
+    throughput regression is diagnosable from the bundle alone (r11
+    verdict #7 — the point-in-time bundle couldn't show trends)."""
+    import zipfile
+
+    from redpanda_spark.cli import main
+
+    root = str(tmp_path / "root")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+    s1 = a.snapshot_counters_history()
+    a.produce("t", _records(spark, [("k2", "v2")]))
+    s2 = a.snapshot_counters_history()
+    assert s2["ts_ms"] >= s1["ts_ms"]
+    # counters are monotone across snapshots
+    assert (
+        s2["counters"]["t"]["produced_rows"]
+        > s1["counters"]["t"]["produced_rows"]
+    )
+    # the maintenance CLI takes a snapshot too (its own engine, so its
+    # counters are empty — but the stats series still advances)
+    assert main(["--root", root, "maintenance", "run"]) == 0
+    out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert "counters_snapshot_ts_ms" in out[-1]
+
+    out_zip = str(tmp_path / "bundle.zip")
+    assert main(
+        ["--root", root, "cluster", "debug-bundle", "--out", out_zip]
+    ) == 0
+    capsys.readouterr()
+    with zipfile.ZipFile(out_zip) as z:
+        names = set(z.namelist())
+        assert "root/_counters_history.jsonl" in names
+        series = [
+            json.loads(ln)
+            for ln in z.read("root/_counters_history.jsonl")
+            .decode()
+            .splitlines()
+            if ln
+        ]
+    assert len(series) >= 3  # two manual snapshots + the maintenance tick
+    ts = [e["ts_ms"] for e in series]
+    assert ts == sorted(ts)
+    assert series[0]["stats"]["t"]["rows"] == 1
+    assert series[1]["stats"]["t"]["rows"] == 2
+
+
+def test_counters_history_is_ring_bounded(spark, tmp_path):
+    root = str(tmp_path / "root")
+    a = TopicEngine(spark, root)
+    a.create_topic("t", TopicConfig(partitions=1))
+    for _ in range(7):
+        a.snapshot_counters_history(max_entries=5)
+    import os as _os
+
+    lines = [
+        ln
+        for ln in open(_os.path.join(root, "_counters_history.jsonl"))
+        .read()
+        .splitlines()
+        if ln
+    ]
+    assert len(lines) == 5

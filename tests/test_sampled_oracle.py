@@ -31,10 +31,14 @@ def con():
     "check",
     ["dedup_minhash", "dedup_incremental", "dedup_cluster", "doc_ngram_topk"],
 )
-def test_sampled_exact(spark, con, check):
+@pytest.mark.parametrize("backend", ["CHECKS", "NP_CHECKS"])
+def test_sampled_exact(spark, con, check, backend):
+    """Both backends (DuckDB pair join; numpy postings — the sf100 scale
+    path) must independently agree with the engine, which also cross-
+    validates the two oracles against each other."""
     import sampled_oracle
 
-    n = sampled_oracle.CHECKS[check](spark, con, SF_DIR)
+    n = getattr(sampled_oracle, backend)[check](spark, con, SF_DIR)
     assert n > 0, f"{check}: empty sample proves nothing — widen the stratum"
 
 

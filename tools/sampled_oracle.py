@@ -25,11 +25,32 @@ query semantics:
                     the full corpus, and no bigram in a hash stratum may
                     beat the 20th (count desc, bigram asc tie-break).
 
-Usage: python tools/sampled_oracle.py [sf_dir] [check ...]
-  (defaults: /root/testdata/sf0.01, all four checks)
+Usage: python tools/sampled_oracle.py [sf_dir] [check ...] [--numpy] [--mod N]
+  (defaults: /root/testdata/sf0.01, all four checks, DuckDB backend)
 
 Pass-criterion per check: exact set equality (or exact bound) — same
 strictness as tools/check_oracle.py, on the sampled stratum.
+
+Backends. The DuckDB backend joins shingle postings (sh x sh), whose
+intermediate is Theta(sum over shingles of c_sampled*c_full) — on this
+synthetic corpus the shingle vocabulary is tiny (~30k distinct at any
+SF) and every posting list is huge, so the join intermediate grows
+quadratically in SF and dies around sf100 (r11: 51 GB spill / 55-min
+compute). The --numpy backend computes the SAME exact math by inverted-
+index counting: DuckDB still builds the shared shingle table (the one
+tokenization convention), numpy turns it into postings arrays, and each
+sampled doc's exact intersection counts against the FULL corpus come
+from one concatenate+unique over its own postings — O(sum of the
+sampled docs' posting lists) total, no pair materialization. Both
+backends are CI-pinned to agree with the engine at sf0.01
+(tests/test_sampled_oracle.py), which also cross-validates them against
+each other; --numpy is the scale path (sf100 in minutes).
+
+--mod N widens/narrows the stratum (default 16). At sf100 the checked
+stratum uses --mod 256 for minhash/incremental (posting lists are ~10x
+sf10's, so 1/256 of docs keeps the scan in minutes while still checking
+~20k docs exactly); cluster keeps --mod 16 (its cost is per MEMBER of
+the sampled clusters — tiny at any SF with the numpy backend).
 """
 
 from __future__ import annotations
@@ -41,6 +62,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 from redpanda_spark.plans.queries import _INC_SPLIT, QUERIES
 
@@ -55,7 +77,19 @@ def _sampled(ids):
     return ((ids * 2654435761) % 4294967296) % MOD == RESIDUE
 
 
-SQL_SAMPLED = f"((({{col}}) * 2654435761) % 4294967296) % {MOD} = {RESIDUE}"
+def _sql_sampled(col: str) -> str:
+    return f"((({col}) * 2654435761) % 4294967296) % {MOD} = {RESIDUE}"
+
+
+class _FmtSampled:
+    """Keeps the historical `SQL_SAMPLED.format(col=...)` call sites while
+    MOD stays runtime-adjustable (--mod)."""
+
+    def format(self, col: str) -> str:
+        return _sql_sampled(col)
+
+
+SQL_SAMPLED = _FmtSampled()
 
 # Shared shingle base: 3-gram shingles (the dedup/minhash.py convention;
 # docs under 3 tokens contribute their whole text) + per-doc distinct.
@@ -259,6 +293,189 @@ def check_ngram_topk(spark, con, sf_dir):
     return len(claimed)
 
 
+# -- numpy postings backend (the scale path) --------------------------------
+
+
+class _PostingsIndex:
+    """Exact inverted index over the SAME shared shingle table the DuckDB
+    checks use (one tokenization convention, two executors). Holds, per
+    shingle code, the sorted doc-id posting list; per doc, its shingle
+    codes; and every doc's distinct-shingle count. `partners(d)` returns
+    the EXACT jaccard of d against every corpus doc sharing >= 1 shingle
+    — one concatenate + unique over d's posting lists, never a pair
+    join."""
+
+    def __init__(self, con):
+        _ensure_shingles(con)
+        con.execute(
+            "CREATE TEMP TABLE IF NOT EXISTS shdict AS "
+            "SELECT s, row_number() OVER () - 1 AS code "
+            "FROM (SELECT DISTINCT s FROM sh)"
+        )
+        tbl = con.execute(
+            "SELECT sh.id AS id, d.code AS code FROM sh JOIN shdict d USING (s)"
+        ).arrow()
+        ids = tbl["id"].to_numpy().astype(np.int64)
+        codes = tbl["code"].to_numpy().astype(np.int64)
+        self.n_docs_slot = int(ids.max()) + 1
+        # doc sizes (distinct shingles per doc — sh is per-doc distinct)
+        self.sizes = np.bincount(ids, minlength=self.n_docs_slot)
+        # postings: ids sorted by code
+        order = np.argsort(codes, kind="stable")
+        self.post_ids = ids[order]
+        post_codes = codes[order]
+        n_codes = int(codes.max()) + 1
+        counts = np.bincount(post_codes, minlength=n_codes)
+        self.post_off = np.concatenate(([0], np.cumsum(counts)))
+        # doc -> its shingle codes
+        order = np.argsort(ids, kind="stable")
+        self.doc_codes = codes[order]
+        doc_counts = np.bincount(ids[order], minlength=self.n_docs_slot)
+        self.doc_off = np.concatenate(([0], np.cumsum(doc_counts)))
+
+    def partners(self, d: int):
+        """(partner_ids, jaccard) for every doc sharing >= 1 shingle with
+        d, exact, d itself excluded."""
+        if d + 1 >= len(self.doc_off):  # doc id beyond the shingled range
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cs = self.doc_codes[self.doc_off[d] : self.doc_off[d + 1]]
+        if not len(cs):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        cand = np.concatenate(
+            [self.post_ids[self.post_off[c] : self.post_off[c + 1]] for c in cs]
+        )
+        uniq, inter = np.unique(cand, return_counts=True)
+        keep = uniq != d
+        uniq, inter = uniq[keep], inter[keep]
+        union = self.sizes[uniq] + len(cs) - inter
+        return uniq, inter / union
+
+
+_IDX_CACHE: dict[int, _PostingsIndex] = {}
+
+
+def _index(con) -> _PostingsIndex:
+    key = id(con)
+    if key not in _IDX_CACHE:
+        t0 = time.time()
+        _IDX_CACHE[key] = _PostingsIndex(con)
+        print(f"# postings index built in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    return _IDX_CACHE[key]
+
+
+def _doc_ids(con) -> np.ndarray:
+    """All corpus doc ids (from the documents table, not the shingle
+    index — a zero-shingle doc still exists, can never be killed, and
+    must count as a survivor exactly as in the SQL oracle)."""
+    return np.array(
+        [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()],
+        dtype=np.int64,
+    )
+
+
+def check_minhash_np(spark, con, sf_dir):
+    """Same stratum + commuting argument as check_minhash (pair
+    membership is pairwise, restriction on the MIN id commutes); the
+    exact-jaccard pair set comes from the postings index."""
+    eng = QUERIES["dedup_minhash"](spark, sf_dir).toPandas()
+    eng = eng[_sampled(eng["id_a"])]
+    got = {
+        (int(a), int(b), round(float(j), 6))
+        for a, b, j in zip(eng["id_a"], eng["id_b"], eng["jaccard"])
+    }
+    idx = _index(con)
+    doc_ids = _doc_ids(con)
+    sample = doc_ids[_sampled(doc_ids)]
+    want = set()
+    for a in sample:
+        ids, j = idx.partners(int(a))
+        hit = (ids > a) & (j >= 0.5)
+        for b, jj in zip(ids[hit], j[hit]):
+            want.add((int(a), int(b), round(float(jj), 6)))
+    assert got == want, (
+        f"minhash sampled pairs differ: engine-only={got - want} "
+        f"oracle-only={want - got}"
+    )
+    return len(got)
+
+
+def check_incremental_np(spark, con, sf_dir):
+    """Same stratum + commuting argument as check_incremental (for each
+    sampled d the killer scan runs against the FULL corpus)."""
+    eng = QUERIES["dedup_incremental"](spark, sf_dir).toPandas()
+    got = {int(d) for d in eng["doc_id"] if _sampled(int(d))}
+    idx = _index(con)
+    doc_ids = _doc_ids(con)
+    sample = doc_ids[(doc_ids >= _INC_SPLIT) & _sampled(doc_ids)]
+    want = set()
+    for d in sample:
+        ids, j = idx.partners(int(d))
+        if not np.any((ids < d) & (j >= 0.5)):
+            want.add(int(d))
+    assert got == want, (
+        f"incremental sampled survivors differ: engine-only={got - want} "
+        f"oracle-only={want - got}"
+    )
+    return len(got)
+
+
+def check_cluster_np(spark, con, sf_dir):
+    """Same stratum + closure argument as check_cluster: every exact-
+    jaccard edge incident to a member of a sampled cluster is recomputed
+    against the FULL corpus (no edge may leave the member set), and a
+    union-find transitive closure over those edges must reproduce the
+    engine's partition (canonical = min id) and sizes."""
+    eng = QUERIES["dedup_cluster"](spark, sf_dir).toPandas()
+    sample = eng[_sampled(eng["canonical_id"])]
+    members = {int(i) for i in sample["id"]}
+    if not members:
+        raise AssertionError("cluster sample is empty — lower MOD")
+    engine_map = {
+        int(i): (int(c), int(n))
+        for i, c, n in zip(
+            sample["id"], sample["canonical_id"], sample["cluster_size"]
+        )
+    }
+    idx = _index(con)
+    edges = []
+    for u in sorted(members):
+        ids, j = idx.partners(u)
+        hit = j >= 0.5
+        leaks = [int(v) for v in ids[hit] if int(v) not in members]
+        assert not leaks, (
+            f"cluster closure violated: edges leave the sampled clusters: "
+            f"{[(u, v) for v in leaks[:10]]}"
+        )
+        edges.extend((u, int(v)) for v in ids[hit])
+    parent = {u: u for u in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp: dict[int, list[int]] = {}
+    for u in members:
+        comp.setdefault(find(u), []).append(u)
+    oracle_map = {
+        u: (root, len(us))
+        for root, us in comp.items()
+        for u in us
+    }
+    assert engine_map == oracle_map, (
+        "sampled clusters differ: "
+        f"engine-only={dict(set(engine_map.items()) - set(oracle_map.items()))} "
+        f"oracle-only={dict(set(oracle_map.items()) - set(engine_map.items()))}"
+    )
+    return len(engine_map)
+
+
 CHECKS = {
     "dedup_minhash": check_minhash,
     "dedup_incremental": check_incremental,
@@ -266,11 +483,26 @@ CHECKS = {
     "doc_ngram_topk": check_ngram_topk,
 }
 
+NP_CHECKS = {
+    "dedup_minhash": check_minhash_np,
+    "dedup_incremental": check_incremental_np,
+    "dedup_cluster": check_cluster_np,
+    "doc_ngram_topk": check_ngram_topk,  # linear oracle: DuckDB fine at sf100
+}
+
 
 def main():
     args = sys.argv[1:]
+    use_np = "--numpy" in args
+    if use_np:
+        args.remove("--numpy")
+    if "--mod" in args:
+        i = args.index("--mod")
+        globals()["MOD"] = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:]) or set(CHECKS)
+    checks = NP_CHECKS if use_np else CHECKS
+    only = set(args[1:]) or set(checks)
     from redpanda_spark.session import get_spark
 
     spark = get_spark("sampled-oracle")
@@ -291,7 +523,7 @@ def main():
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
     )
     n_fail = 0
-    for name, fn in CHECKS.items():
+    for name, fn in checks.items():
         if name not in only:
             continue
         t0 = time.time()
