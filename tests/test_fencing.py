@@ -334,7 +334,16 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _OPS = st.lists(
-    st.sampled_from(["a_produce", "b_produce", "reopen_a", "reopen_b"]),
+    st.sampled_from(
+        [
+            "a_produce",
+            "b_produce",
+            "reopen_a",
+            "reopen_b",
+            "a_recreate",
+            "b_recreate",
+        ]
+    ),
     min_size=3,
     max_size=7,
 )
@@ -360,6 +369,18 @@ def test_interleaved_writers_never_lose_committed_rows(spark, tmp_path_factory, 
             engines["a"] = TopicEngine(spark, root)
         elif op == "reopen_b":
             engines["b"] = TopicEngine(spark, root)
+        elif op.endswith("_recreate"):
+            # the ABA edge in adversarial form: a delete+recreate must
+            # fence every pre-delete writer (monotone epoch lineage) —
+            # a fenced engine's recreate attempt must change NOTHING
+            eng = engines[op[0]]
+            try:
+                eng.delete_topic("t")
+            except FencedWriterError:
+                pass  # fenced: the topic (and committed set) survive
+            else:
+                eng.create_topic("t", TopicConfig(partitions=1))
+                committed = set()
         else:
             eng = engines[op[0]]
             try:
