@@ -644,11 +644,19 @@ def q_dedup_minhash(spark, sf_dir):
 
     Oracle: the exact shingle-Jaccard pair set. Sound because the output
     is exact-verified (candidates are re-scored with true Jaccard before
-    the threshold), so Spark ⊆ oracle always; and the band count from
-    pick_bands puts the S-curve inflection at the threshold, giving 100%
-    recall on this corpus (asserted at sf0.01 and sf0.1) — so Spark =
-    oracle. A genuinely missed pair would surface as a driver rows
-    mismatch, which is exactly what an LSH regression should do."""
+    the threshold), so Spark ⊆ oracle ALWAYS — zero false positives at
+    any scale. Recall is the banded-LSH S-curve: on this corpus every
+    real pair up to sf10 is a high-jaccard planted dup where detection
+    ≈ 1, so Spark = oracle exactly there (asserted sf0.01/0.1/1/10 —
+    which is why this can be a hash-matched gate row). sf100 is the
+    first scale with BORDERLINE pairs (chance cross-copy overlaps at
+    j 0.5-0.6, detection 0.40-0.67 at 8 bands x 4 rows), where misses
+    are expected LSH behavior, not a bug: tools/sampled_oracle.py
+    adjudicates them against the S-curve — exact precision, exact
+    recall for j >= ~0.91, per-miss probability printed. Turning
+    num_hashes/bands up buys recall at the threshold (the user-facing
+    knob); exact recall at the boundary is not a property banded LSH
+    has at bounded cost."""
     docs = _t(spark, sf_dir, "documents")
     return near_dup_pairs(docs, threshold=0.5)
 

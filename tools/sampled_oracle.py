@@ -295,6 +295,88 @@ def check_ngram_topk(spark, con, sf_dir):
 
 # -- numpy postings backend (the scale path) --------------------------------
 
+# LSH S-curve adjudication. dedup_minhash/incremental/cluster generate
+# candidates with banded MinHash-LSH (32 hashes, bands=pick_bands(32,0.5)
+# => 8 bands x 4 rows) and exact-verify every candidate, so they can have
+# FALSE NEGATIVES only, and only with the S-curve's miss probability
+# (1-j^r)^b — near 0 for strong pairs, material right at the threshold.
+# Below sf100 every real pair on this corpus is a high-jaccard planted
+# dup and the engine's output equals the exact oracle outright (asserted
+# at sf0.01/0.1/1/10). sf100 is the first scale with BORDERLINE pairs
+# (chance cross-copy overlaps at j 0.5-0.6, found by this oracle in r12),
+# where exact recall is not a property banded LSH has at any bounded
+# cost. The scale checks therefore verify the three invariants a correct
+# LSH implementation actually guarantees:
+#   1. PRECISION, exactly: every engine pair/kill is a true >=t pair
+#      (engine - oracle must be empty for pairs; a survivor the oracle
+#      keeps must never be dropped by the engine).
+#   2. RECALL in the certain region, exactly: every oracle pair with
+#      j >= J_CERTAIN (miss probability <= 1e-4 per pair) must be found.
+#   3. Boundary misses consistent with theory: each miss must lie in
+#      [t, J_CERTAIN) and carry a non-negligible S-curve miss
+#      probability; every miss is PRINTED with its jaccard and miss
+#      probability so the record shows exactly what was not found.
+# Any systematic regression (a missed strong pair, a false positive, a
+# false drop) still fails loudly; at <= sf10 the boundary region is
+# empty on this corpus, so these checks degrade to the old exact
+# equality there (CI-pinned at sf0.01).
+
+_LSH_HASHES = 32
+_LSH_THRESHOLD = 0.5
+
+
+def _lsh_params() -> tuple[int, int]:
+    from redpanda_spark.dedup.minhash import pick_bands
+
+    bands = pick_bands(_LSH_HASHES, _LSH_THRESHOLD)
+    return bands, _LSH_HASHES // bands
+
+
+def _miss_probability(j: float) -> float:
+    bands, rows = _lsh_params()
+    return (1.0 - j**rows) ** bands
+
+
+def _j_certain(eps: float = 1e-4) -> float:
+    """Smallest jaccard whose per-pair miss probability is <= eps."""
+    bands, rows = _lsh_params()
+    return (1.0 - eps ** (1.0 / bands)) ** (1.0 / rows)
+
+
+_MISS_PROB_FLOOR = 1e-4  # a "boundary" miss must be at least this likely
+
+
+def _adjudicate_misses(kind: str, missed: list[tuple], n_found: int) -> None:
+    """missed: [(what, jaccard, miss_probability), ...] — every engine
+    miss, with the probability LSH theory assigns to exactly that miss
+    (the S-curve term for a pair; the product over all killers for a
+    surviving doc). Fails unless each miss is a genuine boundary event;
+    prints the full miss list either way (the record must show what was
+    missed)."""
+    jc = _j_certain()
+    for what, j, prob in sorted(missed):
+        print(
+            f"# {kind}: boundary miss {what} j={j:.6f} "
+            f"miss_prob={prob:.4f}",
+            file=sys.stderr,
+        )
+    bad = [
+        (what, j, prob)
+        for what, j, prob in missed
+        if j >= jc or prob < _MISS_PROB_FLOOR
+    ]
+    assert not bad, (
+        f"{kind}: misses outside the S-curve boundary region "
+        f"(j_certain={jc:.3f}): {bad} — a real recall regression, not "
+        "LSH probability"
+    )
+    # a flood of boundary misses is a regression even if each is
+    # individually plausible: bound by the worst-case boundary miss rate
+    assert len(missed) <= max(5, (n_found + len(missed)) // 2), (
+        f"{kind}: {len(missed)} misses vs {n_found} found — "
+        "beyond any plausible S-curve miss rate"
+    )
+
 
 class _PostingsIndex:
     """Exact inverted index over the SAME shared shingle table the DuckDB
@@ -377,7 +459,9 @@ def _doc_ids(con) -> np.ndarray:
 def check_minhash_np(spark, con, sf_dir):
     """Same stratum + commuting argument as check_minhash (pair
     membership is pairwise, restriction on the MIN id commutes); the
-    exact-jaccard pair set comes from the postings index."""
+    exact-jaccard pair set comes from the postings index. PRECISION and
+    certain-region recall are exact; boundary misses are adjudicated
+    against the S-curve (see the adjudication note above)."""
     eng = QUERIES["dedup_minhash"](spark, sf_dir).toPandas()
     eng = eng[_sampled(eng["id_a"])]
     got = {
@@ -393,9 +477,14 @@ def check_minhash_np(spark, con, sf_dir):
         hit = (ids > a) & (j >= 0.5)
         for b, jj in zip(ids[hit], j[hit]):
             want.add((int(a), int(b), round(float(jj), 6)))
-    assert got == want, (
-        f"minhash sampled pairs differ: engine-only={got - want} "
-        f"oracle-only={want - got}"
+    false_pos = got - want
+    assert not false_pos, (
+        f"minhash FALSE POSITIVES (precision break): {false_pos}"
+    )
+    _adjudicate_misses(
+        "dedup_minhash",
+        [((a, b), j, _miss_probability(j)) for a, b, j in want - got],
+        len(got),
     )
     return len(got)
 
@@ -409,45 +498,32 @@ def check_incremental_np(spark, con, sf_dir):
     doc_ids = _doc_ids(con)
     sample = doc_ids[(doc_ids >= _INC_SPLIT) & _sampled(doc_ids)]
     want = set()
+    killer_j: dict[int, np.ndarray] = {}
     for d in sample:
         ids, j = idx.partners(int(d))
-        if not np.any((ids < d) & (j >= 0.5)):
+        kill = (ids < d) & (j >= 0.5)
+        if not np.any(kill):
             want.add(int(d))
-    assert got == want, (
-        f"incremental sampled survivors differ: engine-only={got - want} "
-        f"oracle-only={want - got}"
+        else:
+            killer_j[int(d)] = j[kill]
+    false_drops = want - got
+    assert not false_drops, (
+        f"incremental FALSE DROPS (precision break — the engine killed "
+        f"docs with no true >=0.5 killer): {false_drops}"
     )
+    # an engine-only survivor means EVERY one of its true killers was an
+    # LSH miss: the event's probability is the product of the per-killer
+    # S-curve terms
+    missed = []
+    for d in got - want:
+        js = killer_j[d]
+        prob = float(np.prod([_miss_probability(float(x)) for x in js]))
+        missed.append((d, float(js.max()), prob))
+    _adjudicate_misses("dedup_incremental", missed, len(got & want))
     return len(got)
 
 
-def check_cluster_np(spark, con, sf_dir):
-    """Same stratum + closure argument as check_cluster: every exact-
-    jaccard edge incident to a member of a sampled cluster is recomputed
-    against the FULL corpus (no edge may leave the member set), and a
-    union-find transitive closure over those edges must reproduce the
-    engine's partition (canonical = min id) and sizes."""
-    eng = QUERIES["dedup_cluster"](spark, sf_dir).toPandas()
-    sample = eng[_sampled(eng["canonical_id"])]
-    members = {int(i) for i in sample["id"]}
-    if not members:
-        raise AssertionError("cluster sample is empty — lower MOD")
-    engine_map = {
-        int(i): (int(c), int(n))
-        for i, c, n in zip(
-            sample["id"], sample["canonical_id"], sample["cluster_size"]
-        )
-    }
-    idx = _index(con)
-    edges = []
-    for u in sorted(members):
-        ids, j = idx.partners(u)
-        hit = j >= 0.5
-        leaks = [int(v) for v in ids[hit] if int(v) not in members]
-        assert not leaks, (
-            f"cluster closure violated: edges leave the sampled clusters: "
-            f"{[(u, v) for v in leaks[:10]]}"
-        )
-        edges.extend((u, int(v)) for v in ids[hit])
+def _union_find(members, edges):
     parent = {u: u for u in members}
 
     def find(x):
@@ -460,19 +536,84 @@ def check_cluster_np(spark, con, sf_dir):
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
-    comp: dict[int, list[int]] = {}
-    for u in members:
-        comp.setdefault(find(u), []).append(u)
-    oracle_map = {
-        u: (root, len(us))
-        for root, us in comp.items()
-        for u in us
+    return {u: find(u) for u in members}
+
+
+def check_cluster_np(spark, con, sf_dir):
+    """Same stratum + closure argument as check_cluster, with the edge
+    set split by the S-curve: every exact-jaccard edge incident to a
+    member of a sampled cluster is recomputed against the FULL corpus.
+    The engine partition must be SANDWICHED between the closure of the
+    certain edges (j >= J_CERTAIN: the engine must have merged these —
+    a certain edge crossing engine clusters, or leaving the member set,
+    is a hard failure) and the closure of ALL true edges (the engine
+    must never merge what the oracle doesn't connect). Boundary edges
+    the engine didn't realize are adjudicated and printed. Canonical
+    (min member) and sizes are checked within every engine cluster.
+    At <= sf10 no boundary edges exist, so this is the old exact
+    partition equality."""
+    eng = QUERIES["dedup_cluster"](spark, sf_dir).toPandas()
+    sample = eng[_sampled(eng["canonical_id"])]
+    members = {int(i) for i in sample["id"]}
+    if not members:
+        raise AssertionError("cluster sample is empty — lower MOD")
+    engine_map = {
+        int(i): (int(c), int(n))
+        for i, c, n in zip(
+            sample["id"], sample["canonical_id"], sample["cluster_size"]
+        )
     }
-    assert engine_map == oracle_map, (
-        "sampled clusters differ: "
-        f"engine-only={dict(set(engine_map.items()) - set(oracle_map.items()))} "
-        f"oracle-only={dict(set(oracle_map.items()) - set(engine_map.items()))}"
-    )
+    # internal consistency: canonical = min member, size = member count
+    by_can: dict[int, list[int]] = {}
+    for i, (c, n) in engine_map.items():
+        by_can.setdefault(c, []).append(i)
+    for c, us in by_can.items():
+        assert c == min(us), f"canonical {c} is not the min of {sorted(us)}"
+        sizes = {engine_map[u][1] for u in us}
+        assert sizes == {len(us)}, (
+            f"cluster {c}: size field {sizes} != member count {len(us)}"
+        )
+    jc = _j_certain()
+    idx = _index(con)
+    all_edges, certain_edges, boundary_miss = [], [], []
+    for u in sorted(members):
+        ids, j = idx.partners(u)
+        hit = j >= 0.5
+        for v, jj in zip(ids[hit], j[hit]):
+            v, jj = int(v), float(jj)
+            if v not in members:
+                # an edge leaving the sampled clusters: certain => the
+                # engine failed closure outright; boundary => a missed
+                # merge with an unsampled cluster, adjudicated below
+                assert jj < jc, (
+                    f"cluster closure violated by a CERTAIN edge "
+                    f"({u}, {v}, j={jj:.6f})"
+                )
+                boundary_miss.append(
+                    ((u, v), jj, _miss_probability(jj))
+                )
+                continue
+            all_edges.append((u, v, jj))
+            if jj >= jc:
+                certain_edges.append((u, v))
+    root_all = _union_find(members, [(u, v) for u, v, _ in all_edges])
+    root_cert = _union_find(members, certain_edges)
+    for u in members:
+        cu = engine_map[u][0]
+        # lower bound: certain edges must all be realized
+        assert engine_map[root_cert[u]][0] == cu, (
+            f"certain edge chain {u}~{root_cert[u]} crosses engine "
+            f"clusters {engine_map[root_cert[u]][0]} vs {cu}"
+        )
+        # upper bound: the engine may never merge beyond the true edges
+        assert root_all[u] == root_all[cu], (
+            f"engine merged {u} into {cu} with no true edge path"
+        )
+    # engine clusters that split a true component = missed boundary edges
+    for u, v, jj in all_edges:
+        if u < v and engine_map[u][0] != engine_map[v][0]:
+            boundary_miss.append(((u, v), jj, _miss_probability(jj)))
+    _adjudicate_misses("dedup_cluster", boundary_miss, len(engine_map))
     return len(engine_map)
 
 
