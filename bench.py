@@ -44,7 +44,33 @@ def _load_context() -> dict:
     except OSError:  # pragma: no cover
         ctx["mem_available_gb"] = None
     ctx["cpus"] = os.cpu_count()
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:9]))
+        ctx["cpu_jiffies"] = dict(
+            zip(
+                ["user", "nice", "system", "idle", "iowait", "irq",
+                 "softirq", "steal"],
+                vals,
+            )
+        )
+    except OSError:  # pragma: no cover
+        ctx["cpu_jiffies"] = None
     return ctx
+
+
+def _cpu_mix(before: dict, after: dict) -> dict | None:
+    """CPU composition ACROSS the run (delta of cumulative jiffies):
+    steal% > 0 here means a noisy VM neighbor ate cycles DURING the
+    bench — the r12 adjudication found the same code swinging 17.3 to
+    21.2 s across back-to-back quiet-box runs, which loadavg alone
+    cannot explain; this is the counter that names the thief."""
+    a, b = before.get("cpu_jiffies"), after.get("cpu_jiffies")
+    if not a or not b:
+        return None
+    d = {k: b[k] - a[k] for k in a}
+    total = sum(d.values()) or 1
+    return {k: round(100.0 * v / total, 2) for k, v in d.items()}
 
 
 def _warm_python_runtime(spark):
@@ -740,7 +766,11 @@ def main():
         "metric": "bench_detail",
         "queries": timings,
         "query_runs": query_runs,
-        "load_context": {"before": load_before, "after": load_after},
+        "load_context": {
+            "before": load_before,
+            "after": load_after,
+            "cpu_mix_pct": _cpu_mix(load_before, load_after),
+        },
         "queries_extended": extended,
         "omb_passes": omb_passes,
         "omb_small_passes": omb_small_passes,
@@ -778,6 +808,9 @@ def main():
                 (load_after.get("loadavg") or [None])[0],
                 load_after.get("mem_available_gb"),
             ],
+            "steal_pct": ((_cpu_mix(load_before, load_after) or {}).get(
+                "steal"
+            )),
         },
         "extended_wall_s": round(sum(extended.values()), 2),
         "gates": {
