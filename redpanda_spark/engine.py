@@ -529,6 +529,13 @@ class TopicEngine:
         # engine fenced on the old incarnation can never pass the fence
         # on the new one (the ABA hazard a restarted lineage would open).
         self._fsio.delete(self._manifest_path(topic))
+        # a crashed MOUNT may have left replayed tx ranges for this name
+        # (its catalog commit never landed, so delete_topic's purge never
+        # ran) — stale aborted ranges would hide this fresh topic's rows
+        # at the reused offsets. The check is the driver-side pyarrow
+        # cache (zero Spark jobs); the purge runs only on a hit.
+        if any(r["topic"] == topic for r in self._tx_ranges_local()):
+            self._purge_topic_metadata(topic)
         self._save_state()
         self._commit_manifest(topic)
 
@@ -2839,7 +2846,15 @@ class TopicEngine:
         m = json.loads(self._afsio.read_text(claimed))
         cfg = config or TopicConfig(**m["config"])
         try:
-            # Phase B: adopt locally (catalog + fenced manifest commit)
+            # Phase B: adopt. Durable writes land manifest-first,
+            # CATALOG-LAST: the _save_state at the end is the adoption
+            # commit point, so a crash anywhere before it leaves the
+            # topic mounted NOWHERE (token claimed; debris = an orphan
+            # manifest + replayed side-table rows, all overwritten or
+            # idempotent under resume_claim) — never a cataloged topic
+            # that reads empty because its manifest is missing (the
+            # kill-point sweep caught exactly that with the old
+            # catalog-first order).
             self._topics[topic] = cfg
             self._files[topic] = []
             self._stats[topic] = {}
@@ -2850,11 +2865,12 @@ class TopicEngine:
             }
             self._arch_epoch[topic] = int(m.get("arch_epoch", 0))
             self._fsio.mkdirs(self._topic_dir(topic))
-            self._save_state()
             self._commit_manifest(topic)  # claims the writer epoch
             if m.get("tx_ranges"):
                 # restore the migrated aborted/committed ranges so
-                # read_committed filters identically on the target cluster
+                # read_committed filters identically on the target
+                # cluster (duplicate rows from a resumed mount are
+                # harmless: range filtering is idempotent per row)
                 from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
 
                 self.append_tx_ranges(
@@ -2868,8 +2884,12 @@ class TopicEngine:
                 self.offset_commit(
                     g["group"], topic, int(g["partition"]), int(g["offset"])
                 )
+            self._save_state()  # ADOPTION COMMIT POINT
         except BaseException:
-            # roll back and RETURN the token: the bucket stays mountable
+            # roll back and RETURN the token: the bucket stays
+            # mountable. Every step is best-effort — whatever fails,
+            # the token return is still attempted, and a token stuck
+            # under its claimed name remains resume_claim-recoverable.
             self._topics.pop(topic, None)
             for d in (
                 self._high,
@@ -2880,8 +2900,13 @@ class TopicEngine:
                 self._arch_epoch,
             ):
                 d.pop(topic, None)
-            self._fsio.delete(self._manifest_path(topic))
-            self._save_state()
+            self._writer_epoch.pop(topic, None)
+            try:
+                self._fsio.delete(self._manifest_path(topic))
+                self._purge_topic_metadata(topic)  # replayed side rows
+                self._save_state()
+            except BaseException:
+                pass  # reopen-time GC / resume_claim cover the debris
             try:
                 self._afsio.rename(claimed, mp)
             except OSError:

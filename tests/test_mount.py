@@ -683,3 +683,92 @@ def test_rest_fenced_writer_maps_to_409(spark, tmp_path):
     assert status == 409, out
     assert out["error_code"] == 40903
     assert "fenced" in out["message"]
+
+
+def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
+    """Kill-point sweep over mount's mutations on BOTH filesystems:
+    whatever mutation the crash lands on, the topic is owned by AT MOST
+    one cluster, the full row set stays reachable (retry, resume_claim,
+    or the already-mounted topic), and a second cluster can never adopt
+    a topic someone else completed (the claim token is gone)."""
+
+    class _Crash(Exception):
+        pass
+
+    class _Inject:
+        _MUTATORS = {
+            "write_text_atomic",
+            "write_bytes_atomic",
+            "rename",
+            "delete",
+            "mkdirs",
+            "delete_dir_if_empty",
+            "create_exclusive",
+        }
+
+        def __init__(self, budget):
+            self.budget = budget
+            self.mutations = 0
+
+        def wrap(self, inner):
+            counter = self
+
+            class _FS:
+                def __getattr__(self, name):
+                    attr = getattr(inner, name)
+                    if name not in counter._MUTATORS or not callable(attr):
+                        return attr
+
+                    def guarded(*a, **kw):
+                        counter.mutations += 1
+                        if counter.mutations >= counter.budget:
+                            raise _Crash(f"mutation #{counter.mutations}: {name}")
+                        return attr(*a, **kw)
+
+                    return guarded
+
+            return _FS()
+
+    crashes = 0
+    for budget in range(1, 25):
+        cold = str(tmp_path / f"m{budget}" / "bucket")
+        a = TopicEngine(
+            spark, str(tmp_path / f"m{budget}" / "a"), archive_root=cold
+        )
+        a.create_topic("t", _cfg(partitions=2))
+        _produce(a, "t", ["v1", "v2"], partition=0)
+        _produce(a, "t", ["v3"], partition=1)
+        expected = _rowset(a.log("t"))
+        a.unmount_topic("t")
+
+        root_b = str(tmp_path / f"m{budget}" / "b")
+        b = TopicEngine(spark, root_b, archive_root=cold)
+        inj = _Inject(budget)
+        b._fsio = inj.wrap(b._fsio)
+        b._afsio = inj.wrap(b._afsio)
+        try:
+            b.mount_topic("t")
+            completed = True
+        except _Crash:
+            completed = False
+            crashes += 1
+
+        rec = TopicEngine(spark, root_b, archive_root=cold)
+        if "t" in rec.list_topics():
+            # mounted here: the token must be consumed or consumable by
+            # NO other cluster (no plain manifest left in the bucket)
+            assert not os.path.exists(
+                os.path.join(cold, "t", "_topic_manifest.json")
+            ), f"budget {budget}: mounted AND still claimable — two owners"
+            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
+        else:
+            # not mounted: recover via retry or the resume path
+            try:
+                rec.mount_topic("t")
+            except ValueError as e:
+                assert "resume_claim" in str(e), f"budget {budget}: {e}"
+                rec.mount_topic("t", resume_claim=True)
+            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
+        if completed:
+            break
+    assert crashes >= 4, f"sweep only crashed {crashes} times — injector unwired?"
