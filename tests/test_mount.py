@@ -772,3 +772,53 @@ def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
         if completed:
             break
     assert crashes >= 4, f"sweep only crashed {crashes} times — injector unwired?"
+
+
+def test_rest_and_cli_group_migration_surfaces(spark, tmp_path, capsys):
+    """The with_groups opt-in rides through both admin surfaces: REST
+    body {"with_groups": [...]} and CLI --with-groups."""
+    from redpanda_spark.cli import main
+    from redpanda_spark.rest import RestApp
+
+    # REST: unmount with groups, mount, offsets present on the target
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    a.offset_commit("g1", "t", 0, 1)
+    app = RestApp(a)
+    status, out = app.handle(
+        "POST", "/topics/t/unmount", {"with_groups": ["g1"]}
+    )
+    assert status == 200 and out["unmounted"] == "t"
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    RestApp(b).handle("POST", "/topics/t/mount")
+    committed = {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in b.offset_fetch().where("topic = 't'").collect()
+    }
+    assert committed == {("g1", 0): 1}
+
+    # CLI: --with-groups with no names migrates every group
+    root = str(tmp_path / "c")
+    cold2 = str(tmp_path / "bucket2")
+    eng = TopicEngine(spark, root, archive_root=cold2)
+    eng.create_topic("u", _cfg(partitions=1))
+    _produce(eng, "u", ["x"])
+    eng.offset_commit("g2", "u", 0, 1)
+    assert main([
+        "--root", root, "--archive-root", cold2,
+        "topic", "unmount", "u", "--with-groups",
+    ]) == 0
+    capsys.readouterr()
+    root_d = str(tmp_path / "d")
+    assert main([
+        "--root", root_d, "--archive-root", cold2, "topic", "mount", "u",
+    ]) == 0
+    capsys.readouterr()
+    d = TopicEngine(spark, root_d, archive_root=cold2, read_only=True)
+    committed = {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in d.offset_fetch().where("topic = 'u'").collect()
+    }
+    assert committed == {("g2", 0): 1}
