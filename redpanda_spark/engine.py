@@ -271,6 +271,16 @@ class TopicEngine:
         # the dir's file listing — lets the hot tail serve read_committed
         # with zero Spark jobs (LSO bound + aborted filter in-process)
         self._tx_local_cache: tuple[tuple[str, ...], list[dict]] | None = None
+        # Engine-instance nonce, written into every epoch-claim file. On
+        # stores whose create is NOT arbitrated (plain S3 without
+        # conditional writes), two engines racing the same epoch number
+        # can both believe they created the claim — but the store keeps
+        # exactly ONE content (last PUT wins), so comparing the claim's
+        # owner nonce at commit time converges the double-win: the loser
+        # is fenced at its next commit, before it can publish a manifest.
+        import uuid as _uuid
+
+        self._engine_nonce = _uuid.uuid4().hex
         self._load_state()
 
     # -- catalog / manifest -----------------------------------------------
@@ -339,7 +349,11 @@ class TopicEngine:
             if self._fsio.create_exclusive(
                 os.path.join(d, f"{target:020d}.claim"),
                 json.dumps(
-                    {"epoch": target, "ts_ms": int(time.time() * 1000)}
+                    {
+                        "epoch": target,
+                        "ts_ms": int(time.time() * 1000),
+                        "owner": self._engine_nonce,
+                    }
                 ),
             ):
                 self._writer_epoch[topic] = target
@@ -377,6 +391,26 @@ class TopicEngine:
             return
         if current != mine:
             raise FencedWriterError(topic, mine, current)
+        if not getattr(self._fsio, "arbitrated_create", True):
+            # Optimistic-create store (plain S3 without conditional
+            # writes): the epoch NUMBER matching is not enough — another
+            # engine may have "won" the same claim file and its PUT
+            # landed last. The file carries exactly one owner nonce;
+            # if it isn't ours, we are the double-win loser and must be
+            # fenced BEFORE publishing a manifest. One tiny extra read
+            # per commit, only on non-arbitrated schemes.
+            try:
+                owner = json.loads(
+                    self._fsio.read_text(
+                        os.path.join(
+                            self._epoch_dir(topic), f"{mine:020d}.claim"
+                        )
+                    )
+                ).get("owner")
+            except Exception:
+                owner = None  # legacy/absent claim: number check stands
+            if owner is not None and owner != self._engine_nonce:
+                raise FencedWriterError(topic, mine, current)
 
     def _commit_manifest(self, topic: str) -> None:
         """THE commit point for all data mutations of a topic: watermarks +
@@ -460,6 +494,14 @@ class TopicEngine:
                     self._claim_writer_epoch(t)
             if not self.read_only:
                 self._gc_orphans(t)
+        if not self.read_only:
+            # a purge (delete_topic/unmount/create-debris) may have
+            # crashed mid-swap: roll the side tables to a whole copy
+            # BEFORE anything probes them (a half-swapped table reads as
+            # absent, which would hide rows from the create_topic debris
+            # probes — and strand them for a later purge to resurrect)
+            for d in (self._tx_ranges_dir(), self._commits_dir()):
+                self._recover_side_table_swap(d)
 
     def _gc_orphans(self, topic: str) -> None:
         """Crash recovery: delete segment files not referenced by the
@@ -529,12 +571,18 @@ class TopicEngine:
         # engine fenced on the old incarnation can never pass the fence
         # on the new one (the ABA hazard a restarted lineage would open).
         self._fsio.delete(self._manifest_path(topic))
-        # a crashed MOUNT may have left replayed tx ranges for this name
-        # (its catalog commit never landed, so delete_topic's purge never
-        # ran) — stale aborted ranges would hide this fresh topic's rows
-        # at the reused offsets. The check is the driver-side pyarrow
-        # cache (zero Spark jobs); the purge runs only on a hit.
-        if any(r["topic"] == topic for r in self._tx_ranges_local()):
+        # a crashed MOUNT may have left replayed tx ranges AND/OR consumer
+        # offsets for this name (its catalog commit never landed, so
+        # delete_topic's purge never ran) — stale aborted ranges would
+        # hide this fresh topic's rows at the reused offsets, and stale
+        # committed offsets would make consumers skip them (mount Phase B
+        # replays groups AFTER tx ranges, so offsets-only debris is a real
+        # crash shape). Both probes are driver-side pyarrow (zero Spark
+        # jobs); the purge runs only on a hit in either side table.
+        if (
+            any(r["topic"] == topic for r in self._tx_ranges_local())
+            or self._offsets_topic_present(topic)
+        ):
             self._purge_topic_metadata(topic)
         self._save_state()
         self._commit_manifest(topic)
@@ -597,9 +645,31 @@ class TopicEngine:
             self._purge_topic_metadata(topic)
             self._save_state()
 
+    def _recover_side_table_swap(self, d: str) -> None:
+        """Roll a crashed side-table swap (see _purge_topic_metadata)
+        forward or backward from whichever copy survived: ``d.old``
+        alongside ``d`` is debris from after the new copy landed (delete
+        it); ``d.old`` WITHOUT ``d`` means the crash hit between the two
+        renames — restore the original so no rows are stranded invisible
+        in ``.old`` (where a LATER purge of a different topic would
+        resurrect them after this topic's name was reused). Runs at
+        engine open and before every purge; the delete-topic kill-point
+        sweep drives every interleaving."""
+        old = d + ".old"
+        if self._fsio.exists(old):
+            if self._fsio.exists(d):
+                self._fsio.delete(old, recursive=True)
+            else:
+                self._fsio.rename(old, d)
+        self._fsio.delete(d + ".purge.tmp", recursive=True)
+
     def _purge_topic_metadata(self, topic: str) -> None:
-        """Rewrite _tx_ranges and _consumer_offsets dropping the topic's rows."""
+        """Rewrite _tx_ranges and _consumer_offsets dropping the topic's
+        rows. Crash-idempotent: write-tmp → rename(d→old) → rename(tmp→d)
+        → delete(old), with a half-done swap first rolled forward/backward
+        from whichever copy survived."""
         for d in (self._tx_ranges_dir(), self._commits_dir()):
+            self._recover_side_table_swap(d)
             try:
                 df = self.spark.read.parquet(d)
             except Exception:
@@ -668,15 +738,20 @@ class TopicEngine:
                 for t in sorted(self._topics)
             },
         }
-        lines: list[str] = []
-        if self._fsio.exists(path):
-            lines = [
-                ln for ln in self._fsio.read_text(path).splitlines() if ln
-            ]
-        lines.append(json.dumps(entry))
-        self._fsio.write_text_atomic(
-            path, "\n".join(lines[-max_entries:]) + "\n"
-        )
+        # the read-append-rewrite is a RMW: two maintenance ticks from
+        # processes sharing the root would otherwise interleave and drop
+        # history entries (observability-only, but free to close — the
+        # same root lock every manifest commit already takes)
+        with self._fsio.write_lock(self.root):
+            lines: list[str] = []
+            if self._fsio.exists(path):
+                lines = [
+                    ln for ln in self._fsio.read_text(path).splitlines() if ln
+                ]
+            lines.append(json.dumps(entry))
+            self._fsio.write_text_atomic(
+                path, "\n".join(lines[-max_entries:]) + "\n"
+            )
         return entry
 
     @staticmethod
@@ -1405,6 +1480,30 @@ class TopicEngine:
             topic, fetched_rows=len(rows), fetched_bytes=self._rows_bytes(rows)
         )
         return rows
+
+    def _offsets_topic_present(self, topic: str) -> bool:
+        """Driver-side (zero Spark jobs) probe: does the consumer-offsets
+        side table hold any row for ``topic``? Reads only the ``topic``
+        column via pyarrow — the table is tiny (one row per commit), and
+        the probe runs only on the rare create/delete admin paths. Mirrors
+        ``_tx_ranges_local``'s local-dir assumption: on a URI root the
+        listdir fails and the probe degrades to False (same fallback)."""
+        d = self._commits_dir()
+        try:
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        except OSError:
+            return False
+        if not files:
+            return False
+        import pyarrow.parquet as _pq
+
+        for f in files:
+            col = _pq.read_table(
+                os.path.join(d, f), columns=["topic"]
+            ).column("topic")
+            if topic in col.to_pylist():
+                return True
+        return False
 
     def _tx_ranges_local(self) -> list[dict]:
         """Driver-side (zero Spark jobs) replica of ``tx_ranges()``'s live
@@ -2725,18 +2824,50 @@ class TopicEngine:
         self._commit_manifest(topic)
         for f in files:
             self._fsio.delete(os.path.join(self.root, f))
-        # Phase 2: local detach (no data deletes — the hot list is empty).
+        # Phase 2a: STAGE the bucket handoff manifest under a
+        # NON-MOUNTABLE name BEFORE anything local is purged. Phase 2b
+        # durably purges the topic's tx-range and consumer-offset side
+        # rows; the bucket manifest is the only other durable carrier of
+        # that metadata, so it must exist (staged) before the purge — a
+        # crash between the old phase 2 and 3 silently lost aborted
+        # ranges and migrated group offsets forever (a read_committed
+        # consumer on the recovered topic would then SEE previously-
+        # aborted rows). The pending name is not mountable, so staging
+        # never enables double-ownership; publish is the phase-3 rename
+        # (rename-as-commit, the same discipline mount's claim uses).
+        # The reference carries groups/tx state transactionally through
+        # its migration state machine (`cluster/data_migration_backend.cc`,
+        # `cluster/data_migration_types.h:184,231`).
+        pending = os.path.join(ad, "_topic_manifest.pending.json")
+        self._afsio.write_text_atomic(
+            pending,
+            json.dumps(
+                {
+                    "config": vars(cfg),
+                    "high": high,
+                    "archived": archived,
+                    "archived_stats": {
+                        r: astats[r] for r in archived if r in astats
+                    },
+                    "arch_epoch": epoch + 1,
+                    "tx_ranges": tx_rows,
+                    "groups": group_rows,
+                }
+            ),
+        )
+        # Phase 2b: local detach (no data deletes — the hot list is empty).
         # The _save_state write is the detach commit point: dropping the
         # topic from the catalog first means a crash mid-cleanup leaves
         # only unreferenced debris, never a half-loaded topic. A crash
         # between phase 2 and 3 leaves the data solely in the bucket with
-        # NO manifest: recover_topic_from_archive (the DR path) still
-        # restores it; crucially, no state ever allows TWO clusters to
-        # own the topic at once. The fence is RE-checked here, under the
-        # root lock held through the detach: a writer that claimed the
-        # topic after our phase-1 commit adopted a fully-tiered topic and
-        # must not have it destroyed by us (the stale migrator) — we
-        # abort instead, leaving the topic theirs.
+        # the STAGED manifest: mount_topic(resume_claim=True) adopts it
+        # with full tx/group metadata (recover_topic_from_archive remains
+        # the rows-only DR fallback); crucially, no state ever allows TWO
+        # clusters to own the topic at once. The fence is RE-checked
+        # here, under the root lock held through the detach: a writer
+        # that claimed the topic after our phase-1 commit adopted a
+        # fully-tiered topic and must not have it destroyed by us (the
+        # stale migrator) — we abort instead, leaving the topic theirs.
         with self._fsio.write_lock(self.root):
             self._check_writer_fence(topic)
             del self._topics[topic]
@@ -2758,24 +2889,12 @@ class TopicEngine:
             # epoch chain survives (monotone lineage across mount cycles)
             self._writer_epoch.pop(topic, None)
             self._purge_topic_metadata(topic)
-        # Phase 3: bucket-side topic manifest — the handoff token. Mount
-        # reads it for O(1) metadata adoption (exact config + watermarks
-        # even for partitions that never got a row) and consumes it.
-        self._afsio.write_text_atomic(
-            os.path.join(ad, "_topic_manifest.json"),
-            json.dumps(
-                {
-                    "config": vars(cfg),
-                    "high": high,
-                    "archived": archived,
-                    "archived_stats": {
-                        r: astats[r] for r in archived if r in astats
-                    },
-                    "arch_epoch": epoch + 1,
-                    "tx_ranges": tx_rows,
-                    "groups": group_rows,
-                }
-            ),
+        # Phase 3: PUBLISH the handoff token by atomic rename of the
+        # staged manifest to its mountable name. Mount reads it for O(1)
+        # metadata adoption (exact config + watermarks even for
+        # partitions that never got a row) and consumes it.
+        self._afsio.rename(
+            pending, os.path.join(ad, "_topic_manifest.json")
         )
         return {
             "unmounted": topic,
@@ -2801,31 +2920,56 @@ class TopicEngine:
         sharing the bucket can never both adopt (the reference's
         migrated-resource lifecycle, `cluster/data_migration_backend.cc`):
 
-        - Phase A (claim): atomically rename the bucket manifest to its
-          claimed name — the handoff token; exactly one cluster wins the
-          rename. A crash here leaves the topic mounted NOWHERE (safe),
-          recoverable via ``resume_claim=True``.
+        - Phase A (claim): CREATE-EXCLUSIVE the claimed token (carrying
+          the manifest's content), then delete the plain manifest —
+          exactly one cluster wins the create, with the same arbitration
+          story as the writer-epoch chain (kernel/namenode-arbitrated on
+          local/``file:``/HDFS; narrowed-optimistic on plain S3, where a
+          bare rename would be copy+delete and two racers could BOTH
+          succeed — the ADVICE hazard this ordering closes; LocalFS
+          os.rename silently overwrites, same hazard). A crash here
+          leaves the topic mounted NOWHERE (safe), recoverable via
+          ``resume_claim=True``.
         - Phase B (adopt): commit the topic locally from the claimed
           manifest; any failure rolls the local state back and returns
           the token, so the mount is retryable anywhere.
-        - Phase C (consume): delete the claimed token. A crash before
-          this leaves debris in the bucket but the plain manifest name is
-          gone, so no other cluster's mount can double-adopt.
+        - Phase C (consume): delete plain-then-claimed (plain first, so
+          no interleaving ever exposes a mounted topic alongside a
+          mountable manifest). A crash before this leaves debris in the
+          bucket but the claimed token blocks any other cluster's claim.
 
         ``resume_claim=True`` adopts from an orphaned claimed token (a
-        mount that crashed between phases A and B); the operator asserts
-        no cluster completed that mount — the same trust level as the DR
-        recovery path."""
+        mount that crashed between phases A and B) — or, when only the
+        STAGED ``.pending`` manifest exists, from an unmount that crashed
+        between its detach commit and the handoff publish (the stage is
+        promoted to a claim first). Either way the operator asserts no
+        cluster owns the topic — the same trust level as the DR recovery
+        path."""
         if topic in self._topics:
             raise ValueError(f"topic {topic} already exists")
         ad = self._archive_dir(topic)
         mp = os.path.join(ad, "_topic_manifest.json")
         claimed = os.path.join(ad, "_topic_manifest.claimed.json")
+        pending = os.path.join(ad, "_topic_manifest.pending.json")
         if resume_claim:
             if not self._afsio.exists(claimed):
-                raise ValueError(
-                    f"topic {topic}: no claimed manifest to resume"
-                )
+                if self._afsio.exists(pending):
+                    # crashed UNMOUNT: detach committed, publish rename
+                    # never ran. Promote the stage to a claim with the
+                    # same create-exclusive discipline as Phase A.
+                    if not self._afsio.create_exclusive(
+                        claimed, self._afsio.read_text(pending)
+                    ):
+                        raise ValueError(
+                            f"topic {topic}: lost the resume race "
+                            "(another cluster claimed the staged "
+                            "manifest)"
+                        )
+                    self._afsio.delete(pending)
+                else:
+                    raise ValueError(
+                        f"topic {topic}: no claimed manifest to resume"
+                    )
         else:
             if not self._afsio.exists(mp):
                 if self._afsio.exists(claimed):
@@ -2835,14 +2979,29 @@ class TopicEngine:
                         "cluster owns the topic, retry with "
                         "resume_claim=True"
                     )
+                if self._afsio.exists(pending):
+                    raise ValueError(
+                        f"topic {topic}: an unmount crashed mid-handoff "
+                        "(staged manifest present, never published); if "
+                        "the source cluster no longer owns the topic, "
+                        "retry with resume_claim=True (falling back to "
+                        "footer recovery would silently drop the staged "
+                        "tx/group metadata)"
+                    )
                 return self.recover_topic_from_archive(topic, config)
-            try:
-                self._afsio.rename(mp, claimed)  # Phase A: the handoff
-            except OSError as e:
+            # Phase A: the handoff — first-writer-wins claim creation,
+            # then retire the mountable name
+            if not self._afsio.create_exclusive(
+                claimed, self._afsio.read_text(mp)
+            ):
                 raise ValueError(
-                    f"topic {topic}: lost the mount claim race "
-                    f"(another cluster took the manifest): {e}"
-                ) from None
+                    f"topic {topic}: lost the mount claim race (another "
+                    "cluster holds the claimed token); if that was THIS "
+                    "cluster's mount crashing between claim and adopt "
+                    "and no other cluster is mounting, retry with "
+                    "resume_claim=True"
+                )
+            self._afsio.delete(mp)
         m = json.loads(self._afsio.read_text(claimed))
         cfg = config or TopicConfig(**m["config"])
         try:
@@ -2908,11 +3067,22 @@ class TopicEngine:
             except BaseException:
                 pass  # reopen-time GC / resume_claim cover the debris
             try:
-                self._afsio.rename(claimed, mp)
+                if self._afsio.exists(mp):
+                    # Phase A crashed mid-claim earlier (plain name never
+                    # retired): dropping our token re-exposes the plain
+                    # manifest as the single mountable copy
+                    self._afsio.delete(claimed)
+                else:
+                    self._afsio.rename(claimed, mp)
             except OSError:
                 pass  # token stays claimed; resume_claim recovers
             raise
-        self._afsio.delete(claimed)  # Phase C: consume — one owner
+        # Phase C: consume — one owner. Plain name first (a resumed
+        # claim may have left it behind), then the token, then any
+        # staged-manifest debris from a promoted unmount resume.
+        self._afsio.delete(mp)
+        self._afsio.delete(claimed)
+        self._afsio.delete(pending)
         return {
             "mounted": topic,
             "segments": len(self._archived[topic]),

@@ -27,6 +27,22 @@ except ImportError:  # pragma: no cover
     fcntl = None  # type: ignore[assignment]
 
 
+def _is_not_found(e: Exception) -> bool:
+    """True when a py4j-wrapped Hadoop exception is a file/dir-not-found
+    (listStatus on an absent path throws FileNotFoundException). Used to
+    distinguish "absent, return empty" from real IO errors that must
+    propagate to the caller."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            name = je.getClass().getName()
+        except Exception:
+            name = ""
+        if "FileNotFound" in name or "PathNotFound" in name:
+            return True
+    return "FileNotFound" in str(e) or "does not exist" in str(e)
+
+
 def for_root(spark, root: str) -> "LocalFS | HadoopFS":
     """Pick the implementation for a storage root. Anything with a URI
     scheme routes through Hadoop; bare paths stay on os/shutil."""
@@ -38,6 +54,10 @@ def for_root(spark, root: str) -> "LocalFS | HadoopFS":
 
 class LocalFS:
     is_local = True
+    # O_CREAT|O_EXCL: the kernel arbitrates create_exclusive — two racers
+    # can never both win, so the engine's epoch-number fence alone is
+    # sufficient (no per-commit owner-nonce read needed)
+    arbitrated_create = True
 
     def normalize(self, path: str) -> str:
         return path
@@ -177,6 +197,32 @@ class HadoopFS:
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._jvm = jvm
         self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        scheme = root.split(":", 1)[0].lower() if ":" in root else ""
+        # Which schemes give create_exclusive REAL mutual exclusion:
+        # file: takes the kernel O_EXCL path below; hdfs/viewfs/webhdfs
+        # funnel create(overwrite=false) through the namenode, which
+        # arbitrates. Everything else (s3a, gs, abfss, …) is optimistic
+        # unless/until a conditional create is proven to work (see
+        # create_exclusive) — _conditional_create is a tri-state: None =
+        # untried, True = store enforced a conditional PUT at least once,
+        # False = connector rejected the option (stop retrying it).
+        self._native_arbitrated = scheme in (
+            "file",
+            "hdfs",
+            "viewfs",
+            "webhdfs",
+        )
+        self._conditional_create: bool | None = (
+            False if self._native_arbitrated else None
+        )
+
+    @property
+    def arbitrated_create(self) -> bool:
+        """True when create_exclusive on this store is known to be
+        first-writer-wins by ARBITRATION (kernel, namenode, or a store-
+        enforced conditional PUT) rather than optimism. The engine adds a
+        per-commit owner-nonce check only when this is False."""
+        return self._native_arbitrated or self._conditional_create is True
 
     def _p(self, path: str):
         return self._Path(path)
@@ -217,14 +263,23 @@ class HadoopFS:
         """First-writer-wins creation. ``file:`` URIs use the kernel's
         O_CREAT|O_EXCL directly (Hadoop's RawLocalFileSystem implements
         create(overwrite=false) as exists-then-create — NOT atomic — so
-        the POSIX primitive is the correct arbiter there). Every other
-        scheme goes through ``FileSystem.create(path, overwrite=false)``:
-        atomic on HDFS (the namenode arbitrates, two racers can never
-        both succeed) and on stores with conditional-create semantics;
-        on plain S3 the pre-create existence check narrows but does not
-        close the window — the same residual optimism as any catalog-less
-        object-store commit protocol, and strictly stronger than the
-        read-increment-write it replaces."""
+        the POSIX primitive is the correct arbiter there). Namenode-
+        backed schemes (hdfs/viewfs/webhdfs) go through
+        ``FileSystem.create(path, overwrite=false)``: atomic, two racers
+        can never both succeed. Object-store schemes FIRST try a
+        STORE-ARBITRATED conditional create where the connector exposes
+        one — S3 has supported conditional writes (``If-None-Match: *``
+        on PUT) since late 2024, surfaced by Hadoop's createFile builder
+        option ``fs.option.create.conditional.overwrite`` (HADOOP-19256);
+        GCS/ABFS generation/ETag preconditions ride the same contract —
+        and remember the outcome (tri-state ``_conditional_create``).
+        Where the connector rejects the option, the plain
+        ``create(path, overwrite=false)`` fallback is exists-then-create:
+        the window is narrowed, NOT closed, ``arbitrated_create`` stays
+        False, and the engine compensates with a per-commit owner-nonce
+        check that converges a double-win at the loser's next commit
+        (see ``TopicEngine._check_writer_fence``; the two-engine
+        convergence test in tests/test_fencing.py drives it)."""
         p = self._p(path)
         norm = p.toString()
         if norm.startswith("file:"):
@@ -240,6 +295,33 @@ class HadoopFS:
             with os.fdopen(fd, "w") as f:
                 f.write(text)
             return True
+        if not self._native_arbitrated and self._conditional_create is not False:
+            try:
+                b = self._fs.createFile(p)
+                b.must("fs.option.create.conditional.overwrite", False)
+                out = b.build()
+                try:
+                    out.write(bytearray(text.encode("utf-8")))
+                finally:
+                    out.close()  # the conditional PUT commits here
+                self._conditional_create = True
+                return True
+            except Exception as e:
+                msg = str(e)
+                if (
+                    "FileAlreadyExists" in msg
+                    or "PreconditionFailed" in msg
+                    or "RemoteFileChanged" in msg
+                    or "412" in msg
+                ):
+                    # the store ENFORCED the precondition: we lost the
+                    # race, and conditional create provably works here
+                    self._conditional_create = True
+                    return False
+                # connector too old / option unsupported (or a transient
+                # IO error — the optimistic path below retries the write
+                # and surfaces real failures): stop paying for the probe
+                self._conditional_create = False
         try:
             out = self._fs.create(p, False)
         except Exception:
@@ -255,14 +337,22 @@ class HadoopFS:
         return True
 
     def list_names(self, d: str) -> list[str]:
+        """Plain file names directly under ``d``. [] ONLY for an absent
+        directory; any other IO failure propagates. Swallowing transient
+        listStatus errors here would make ``_read_writer_epoch`` see an
+        empty claim chain and fall back to epoch 0 — spuriously fencing
+        the LIVE writer at its next commit (and inside the claim retry
+        loop, busy-spinning on a constant target)."""
         try:
             return [
                 st.getPath().getName()
                 for st in self._fs.listStatus(self._p(d))
                 if st.isFile()
             ]
-        except Exception:
-            return []
+        except Exception as e:
+            if _is_not_found(e):
+                return []
+            raise
 
     def delete(self, path: str, recursive: bool = False) -> None:
         try:

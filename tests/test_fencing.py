@@ -226,6 +226,30 @@ def test_create_exclusive_race_exactly_one_winner_hadoop(spark, tmp_path):
     assert len(results) == 8
 
 
+def test_list_names_propagates_non_notfound_errors(spark, tmp_path):
+    """list_names returns [] ONLY for an absent dir. Swallowing other IO
+    errors to [] made _read_writer_epoch see an empty claim chain and
+    fall back to epoch 0 — spuriously fencing the LIVE writer at its
+    next commit (and busy-spinning the claim retry loop at a constant
+    target on a flaky store)."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, "file://" + str(tmp_path))
+    assert fs.list_names("file://" + str(tmp_path / "absent")) == []
+
+    class _Boom:
+        def listStatus(self, p):
+            raise RuntimeError("connection reset by peer")
+
+    real = fs._fs
+    fs._fs = _Boom()
+    try:
+        with pytest.raises(RuntimeError, match="connection reset"):
+            fs.list_names("file://" + str(tmp_path))
+    finally:
+        fs._fs = real
+
+
 def test_concurrent_claims_on_uri_root_never_share_an_epoch(spark, tmp_path):
     """Two engines race the writer-epoch claim itself on a file:// root
     (no flock — the create-exclusive chain is the ONLY protection):
@@ -493,3 +517,55 @@ def test_counters_history_is_ring_bounded(spark, tmp_path):
         if ln
     ]
     assert len(lines) == 5
+
+
+def test_optimistic_double_claim_converges_without_row_loss(spark, tmp_path):
+    """The plain-S3 residual window (SURVEY §4 fencing row): where
+    create_exclusive is OPTIMISTIC (exists-then-create, no store
+    arbitration), two engines racing the same epoch number can BOTH
+    believe they created the claim file — but the store keeps exactly
+    one content (last PUT wins). The owner-nonce check at commit time
+    must converge the double-win: the engine whose PUT lost is fenced at
+    its NEXT commit, before it can publish a manifest, and no committed
+    row is lost. Simulated on LocalFS by declaring the store
+    non-arbitrated and landing engine B's claim content last."""
+    root = str(tmp_path / "r")
+    a = TopicEngine(spark, root)
+    a._fsio.arbitrated_create = False  # pretend: plain-S3-style store
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))  # committed, epoch 1
+    before = _rowset(a.log("t"))
+
+    b = TopicEngine(spark, root)
+    b._fsio.arbitrated_create = False
+    # Simulate the double-win: B raced A for epoch 1 and B's PUT landed
+    # last — both engines hold epoch number 1; the claim file carries
+    # B's nonce. (B's real open claimed epoch 2 via the arbitrated local
+    # path; rewind it to the raced state.)
+    ed = os.path.join(root, "_epoch_t")
+    for n in os.listdir(ed):
+        os.remove(os.path.join(ed, n))
+    with open(os.path.join(ed, f"{1:020d}.claim"), "w") as f:
+        json.dump({"epoch": 1, "owner": b._engine_nonce}, f)
+    b._writer_epoch["t"] = 1
+    # A's manifest was committed at writer_epoch 1; rewrite is not needed
+    # — the claim floor (max of chain, manifest epoch) is still 1.
+
+    # the loser (A) is fenced by NONCE at its next commit — same epoch
+    # NUMBER, different owner — before any manifest write happens
+    with pytest.raises(FencedWriterError):
+        a.produce("t", _records(spark, [("k2", "v2")]))
+
+    # ...and nothing A committed before the race is lost: the winner
+    # reads the full history and continues the log
+    assert _rowset(b.log("t")) == before
+    b.produce("t", _records(spark, [("k3", "v3")]))
+    vals = sorted(bytes(r["value"]) for r in b.log("t").collect())
+    assert vals == [b"v1", b"v3"]
+
+    # a reopened engine (fresh arbitrated claim, epoch 2) fences B too:
+    # normal monotone-epoch convergence resumes above the raced number
+    c = TopicEngine(spark, root)
+    with pytest.raises(FencedWriterError):
+        b.produce("t", _records(spark, [("k4", "v4")]))
+    assert len(_rowset(c.log("t"))) == 2

@@ -282,34 +282,65 @@ def test_unmount_crash_after_tier_flip_leaves_tiered_topic(spark, tmp_path):
     assert _rowset(b.log("t")) == before
 
 
-def test_unmount_crash_before_bucket_manifest_is_dr_recoverable(
+def test_unmount_crash_before_handoff_publish_is_resumable(
     spark, tmp_path
 ):
-    """Crash between the local detach and the bucket-manifest write: the
-    topic is gone locally and the bucket has data but no handoff token —
-    the DR path (mount falls back to footer recovery) restores every
-    row, and no state ever had two owners."""
+    """Crash between the local detach and the phase-3 publish rename:
+    the topic is gone locally and the bucket has data plus the STAGED
+    (non-mountable) manifest. A plain mount refuses — silently falling
+    back to footer recovery would drop the staged tx/group metadata —
+    and resume_claim adopts the stage with every row intact; no state
+    ever had two owners. With the stage deleted too (pre-staging bucket
+    layout), footer recovery remains the rows-only DR fallback."""
     cold = tmp_path / "bucket"
     a = _mk_engine(spark, tmp_path, "a", cold)
     a.create_topic("t", _cfg(partitions=1))
     _produce(a, "t", ["v1", "v2"])
     before = _rowset(a.log("t"))
 
-    real_write = a._afsio.write_text_atomic
+    real_rename = a._afsio.rename
 
-    def crash_on_manifest(path, text):
-        if path.endswith("_topic_manifest.json"):
-            raise RuntimeError("power cut before handoff")
-        return real_write(path, text)
+    def crash_on_publish(src, dst):
+        if dst.endswith("_topic_manifest.json"):
+            raise RuntimeError("power cut before handoff publish")
+        return real_rename(src, dst)
 
-    a._afsio.write_text_atomic = crash_on_manifest
+    a._afsio.rename = crash_on_publish
     with pytest.raises(RuntimeError):
         a.unmount_topic("t")
     a2 = _mk_engine(spark, tmp_path, "a", cold)
     assert "t" not in a2.list_topics()  # detach committed
     b = _mk_engine(spark, tmp_path, "b", cold)
-    b.mount_topic("t")  # footer-recovery fallback
+    with pytest.raises(ValueError, match="resume_claim"):
+        b.mount_topic("t")  # stage present: refuse the lossy fallback
+    b.mount_topic("t", resume_claim=True)
     assert _rowset(b.log("t")) == before
+    # bucket fully consumed: no manifest debris under any name
+    ad = str(cold / "t")
+    for n in (
+        "_topic_manifest.json",
+        "_topic_manifest.claimed.json",
+        "_topic_manifest.pending.json",
+    ):
+        assert not os.path.exists(os.path.join(ad, n)), n
+
+    # pre-staging layout (no pending at all): rows-only DR fallback
+    cold2 = tmp_path / "bucket2"
+    c = _mk_engine(spark, tmp_path, "c", cold2)
+    c.create_topic("t", _cfg(partitions=1))
+    _produce(c, "t", ["v1", "v2"])
+    before2 = _rowset(c.log("t"))
+    c._afsio.rename = (
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("power cut"))
+        if d.endswith("_topic_manifest.json")
+        else real_rename(s, d)
+    )
+    with pytest.raises(RuntimeError):
+        c.unmount_topic("t")
+    os.remove(os.path.join(str(cold2 / "t"), "_topic_manifest.pending.json"))
+    d = _mk_engine(spark, tmp_path, "d", cold2)
+    d.mount_topic("t")  # footer-recovery fallback
+    assert _rowset(d.log("t")) == before2
 
 
 def test_migration_preserves_aborted_tx_ranges(spark, tmp_path):
@@ -399,81 +430,198 @@ def test_unmount_refuses_open_transaction(spark, tmp_path):
         a.unmount_topic("t")
 
 
-def test_crash_sweep_unmount_never_loses_rows(spark, tmp_path):
-    """Kill-point sweep over unmount's metadata mutations on BOTH
-    filesystems (engine root and bucket): whatever mutation the crash
-    lands on, recovery finds one of unmount's three documented
-    consistent states — topic intact locally, fully-tiered locally, or
-    detached-and-mountable (handoff manifest or DR fallback) — and the
-    full row set is always readable. Zero row loss at every kill-point."""
+class _Crash(Exception):
+    pass
+
+
+class _Inject:
+    """Kill-point injector: one shared FS-mutation budget across both
+    filesystems (engine root and bucket). Crashing at mutation #budget
+    and sweeping budget upward visits every durable-write interleaving
+    of the operation under test."""
+
+    _MUTATORS = {
+        "write_text_atomic",
+        "write_bytes_atomic",
+        "rename",
+        "delete",
+        "mkdirs",
+        "delete_dir_if_empty",
+        "create_exclusive",
+    }
+
+    def __init__(self, budget):
+        self.budget = budget
+        self.mutations = 0
+
+    def wrap(self, inner):
+        counter = self
+
+        class _FS:
+            def __getattr__(self, name):
+                attr = getattr(inner, name)
+                if name not in counter._MUTATORS or not callable(attr):
+                    return attr
+
+                def guarded(*a, **kw):
+                    counter.mutations += 1
+                    if counter.mutations >= counter.budget:
+                        raise _Crash(f"mutation #{counter.mutations}: {name}")
+                    return attr(*a, **kw)
+
+                return guarded
+
+        return _FS()
+
+
+def _seed_metadata(spark, eng, topic):
+    """Side-table metadata a migration/delete must handle: one ABORTED
+    transactional row (its tx range is what keeps read_committed honest)
+    and one committed consumer-group offset. Returns the expected
+    (tx_rows, group_offsets) snapshots for post-crash assertions."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+    eng.produce(
+        topic,
+        [
+            {
+                "value": b"aborted",
+                "timestamp": BASE,
+                "partition": 0,
+                "producer_id": 7,
+                "producer_epoch": 0,
+                "base_sequence": 0,
+                "is_transactional": True,
+            }
+        ],
+    )
+    aborted_at = eng.high_watermarks(topic)[0] - 1
+    eng.append_tx_ranges(
+        spark.createDataFrame(
+            [
+                Row(
+                    topic=topic,
+                    partition=0,
+                    producer_id=7,
+                    first_offset=aborted_at,
+                    last_offset=aborted_at,
+                    outcome="aborted",
+                )
+            ],
+            TX_RANGE_SCHEMA,
+        )
+    )
+    eng.offset_commit("g1", topic, 0, 1)
+    return _tx_rows_for(eng, topic), _group_offsets_for(eng, topic)
+
+
+def _tx_rows_for(eng, topic):
+    return {
+        (
+            r["partition"],
+            r["producer_id"],
+            r["first_offset"],
+            r["last_offset"],
+            r["outcome"],
+        )
+        for r in eng._tx_ranges_local()
+        if r["topic"] == topic
+    }
+
+
+def _group_offsets_for(eng, topic):
+    return {
+        (r["group_id"], r["partition"]): r["committed_offset"]
+        for r in eng.offset_fetch()
+        .where(f"topic = '{topic}'")
+        .collect()
+    }
+
+
+def _kill_point_sweep(make_engine, op, recover, max_budget, min_crashes):
+    """Shared sweep driver (mount / unmount / delete): run ``op`` under
+    the injector at every budget until it completes crash-free, calling
+    ``recover(budget)`` to re-establish and assert invariants after each
+    run. Asserts BOTH that enough kill-points actually fired AND that the
+    operation completed within the budget — so added FS mutations can
+    never silently push tail kill-points past the sweep's end."""
+    crashes = 0
+    completed = False
+    for budget in range(1, max_budget):
+        eng = make_engine(budget)
+        inj = _Inject(budget)
+        eng._fsio = inj.wrap(eng._fsio)
+        eng._afsio = inj.wrap(eng._afsio)
+        try:
+            op(eng)
+            completed = True
+        except _Crash:
+            crashes += 1
+        recover(budget)
+        if completed:
+            break
+    assert completed, (
+        f"operation never completed within {max_budget} mutations — "
+        "raise the sweep budget"
+    )
+    assert crashes >= min_crashes, (
+        f"sweep only crashed {crashes} times — injector unwired?"
+    )
+
+
+def test_crash_sweep_unmount_never_loses_rows_or_metadata(spark, tmp_path):
+    """Kill-point sweep over unmount's mutations on BOTH filesystems:
+    whatever mutation the crash lands on, recovery finds one of
+    unmount's documented consistent states — topic intact locally,
+    fully-tiered locally, or detached-and-resumable (staged/published
+    handoff manifest) — and the full row set AND the side-table metadata
+    (aborted tx range, migrated group offset) survive. The metadata
+    assertion is what catches the phase-2→3 loss window the rows-only
+    sweep was blind to: tx/group rows were durably purged before the
+    bucket manifest carrying them was written."""
     from redpanda_spark.engine import TopicEngine
 
-    class _Crash(Exception):
-        pass
+    state = {}
 
-    class _Inject:
-        """Shared mutation budget across the two filesystems."""
-
-        _MUTATORS = {
-            "write_text_atomic",
-            "write_bytes_atomic",
-            "rename",
-            "delete",
-            "mkdirs",
-            "delete_dir_if_empty",
-        }
-
-        def __init__(self, budget):
-            self.budget = budget
-            self.mutations = 0
-
-        def wrap(self, inner):
-            counter = self
-
-            class _FS:
-                def __getattr__(self, name):
-                    attr = getattr(inner, name)
-                    if name not in counter._MUTATORS or not callable(attr):
-                        return attr
-
-                    def guarded(*a, **kw):
-                        counter.mutations += 1
-                        if counter.mutations >= counter.budget:
-                            raise _Crash(f"mutation #{counter.mutations}: {name}")
-                        return attr(*a, **kw)
-
-                    return guarded
-
-            return _FS()
-
-    crashes = 0
-    for budget in range(1, 30):
+    def make_engine(budget):
         root = str(tmp_path / f"b{budget}" / "root")
         cold = str(tmp_path / f"b{budget}" / "bucket")
         a = TopicEngine(spark, root, archive_root=cold)
         a.create_topic("t", _cfg(partitions=2))
         _produce(a, "t", ["v1", "v2"], partition=0)
         _produce(a, "t", ["v3"], partition=1)
-        expected = _rowset(a.log("t"))
-        inj = _Inject(budget)
-        a._fsio = inj.wrap(a._fsio)
-        a._afsio = inj.wrap(a._afsio)
-        try:
-            a.unmount_topic("t")
-            completed = True
-        except _Crash:
-            completed = False
-            crashes += 1
-        rec = TopicEngine(spark, root, archive_root=cold)
-        if "t" in rec.list_topics():
-            assert not completed, f"budget {budget}: completed but not detached"
-            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
-        else:
-            rec.mount_topic("t")  # handoff manifest, or DR footer fallback
-            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
-        if completed:
-            break
-    assert crashes >= 5, f"sweep only crashed {crashes} times — injector unwired?"
+        tx, groups = _seed_metadata(spark, a, "t")
+        state.update(
+            root=root, cold=cold, expected=_rowset(a.log("t")),
+            tx=tx, groups=groups,
+        )
+        return a
+
+    def recover(budget):
+        rec = TopicEngine(
+            spark, state["root"], archive_root=state["cold"]
+        )
+        if "t" not in rec.list_topics():
+            try:
+                rec.mount_topic("t")  # published handoff manifest
+            except ValueError as e:
+                assert "resume_claim" in str(e), f"budget {budget}: {e}"
+                rec.mount_topic("t", resume_claim=True)  # staged
+        assert _rowset(rec.log("t")) == state["expected"], f"budget {budget}"
+        assert _tx_rows_for(rec, "t") == state["tx"], f"budget {budget}"
+        assert (
+            _group_offsets_for(rec, "t") == state["groups"]
+        ), f"budget {budget}"
+
+    _kill_point_sweep(
+        make_engine,
+        lambda eng: eng.unmount_topic("t", with_groups=True),
+        recover,
+        max_budget=40,
+        min_crashes=5,
+    )
 
 
 def test_compacted_topic_migrates_with_keep_latest(spark, tmp_path):
@@ -688,49 +836,14 @@ def test_rest_fenced_writer_maps_to_409(spark, tmp_path):
 def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
     """Kill-point sweep over mount's mutations on BOTH filesystems:
     whatever mutation the crash lands on, the topic is owned by AT MOST
-    one cluster, the full row set stays reachable (retry, resume_claim,
+    one cluster, the full row set AND the migrated side-table metadata
+    (aborted tx range, group offset) stay reachable (retry, resume_claim,
     or the already-mounted topic), and a second cluster can never adopt
-    a topic someone else completed (the claim token is gone)."""
+    a topic someone else completed (claimed token or retired plain name
+    blocks it)."""
+    state = {}
 
-    class _Crash(Exception):
-        pass
-
-    class _Inject:
-        _MUTATORS = {
-            "write_text_atomic",
-            "write_bytes_atomic",
-            "rename",
-            "delete",
-            "mkdirs",
-            "delete_dir_if_empty",
-            "create_exclusive",
-        }
-
-        def __init__(self, budget):
-            self.budget = budget
-            self.mutations = 0
-
-        def wrap(self, inner):
-            counter = self
-
-            class _FS:
-                def __getattr__(self, name):
-                    attr = getattr(inner, name)
-                    if name not in counter._MUTATORS or not callable(attr):
-                        return attr
-
-                    def guarded(*a, **kw):
-                        counter.mutations += 1
-                        if counter.mutations >= counter.budget:
-                            raise _Crash(f"mutation #{counter.mutations}: {name}")
-                        return attr(*a, **kw)
-
-                    return guarded
-
-            return _FS()
-
-    crashes = 0
-    for budget in range(1, 25):
+    def make_engine(budget):
         cold = str(tmp_path / f"m{budget}" / "bucket")
         a = TopicEngine(
             spark, str(tmp_path / f"m{budget}" / "a"), archive_root=cold
@@ -738,29 +851,25 @@ def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
         a.create_topic("t", _cfg(partitions=2))
         _produce(a, "t", ["v1", "v2"], partition=0)
         _produce(a, "t", ["v3"], partition=1)
-        expected = _rowset(a.log("t"))
-        a.unmount_topic("t")
-
+        tx, groups = _seed_metadata(spark, a, "t")
+        state.update(
+            cold=cold, expected=_rowset(a.log("t")), tx=tx, groups=groups
+        )
+        a.unmount_topic("t", with_groups=True)
         root_b = str(tmp_path / f"m{budget}" / "b")
-        b = TopicEngine(spark, root_b, archive_root=cold)
-        inj = _Inject(budget)
-        b._fsio = inj.wrap(b._fsio)
-        b._afsio = inj.wrap(b._afsio)
-        try:
-            b.mount_topic("t")
-            completed = True
-        except _Crash:
-            completed = False
-            crashes += 1
+        state["root_b"] = root_b
+        return TopicEngine(spark, root_b, archive_root=cold)
 
-        rec = TopicEngine(spark, root_b, archive_root=cold)
+    def recover(budget):
+        rec = TopicEngine(
+            spark, state["root_b"], archive_root=state["cold"]
+        )
         if "t" in rec.list_topics():
             # mounted here: the token must be consumed or consumable by
             # NO other cluster (no plain manifest left in the bucket)
             assert not os.path.exists(
-                os.path.join(cold, "t", "_topic_manifest.json")
+                os.path.join(state["cold"], "t", "_topic_manifest.json")
             ), f"budget {budget}: mounted AND still claimable — two owners"
-            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
         else:
             # not mounted: recover via retry or the resume path
             try:
@@ -768,10 +877,70 @@ def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
             except ValueError as e:
                 assert "resume_claim" in str(e), f"budget {budget}: {e}"
                 rec.mount_topic("t", resume_claim=True)
-            assert _rowset(rec.log("t")) == expected, f"budget {budget}"
-        if completed:
-            break
-    assert crashes >= 4, f"sweep only crashed {crashes} times — injector unwired?"
+        assert _rowset(rec.log("t")) == state["expected"], f"budget {budget}"
+        assert _tx_rows_for(rec, "t") == state["tx"], f"budget {budget}"
+        assert (
+            _group_offsets_for(rec, "t") == state["groups"]
+        ), f"budget {budget}"
+
+    _kill_point_sweep(
+        make_engine,
+        lambda eng: eng.mount_topic("t"),
+        recover,
+        max_budget=30,
+        min_crashes=4,
+    )
+
+
+def test_crash_sweep_delete_topic_never_resurrects_metadata(
+    spark, tmp_path
+):
+    """Kill-point sweep over delete_topic's destructive sequence (tx
+    purge + offsets purge + segment/manifest deletes under one lock):
+    whatever mutation the crash lands on, retrying the delete and
+    recreating the same-named topic must find NO stale side-table
+    metadata — a leftover aborted range would hide the fresh topic's
+    rows at the reused offsets from read_committed consumers, and a
+    stale committed offset would make a resuming consumer skip them
+    (the `create_topic` purge-on-hit guard, both tables)."""
+    from redpanda_spark.engine import TopicEngine
+
+    state = {}
+
+    def make_engine(budget):
+        root = str(tmp_path / f"d{budget}" / "root")
+        a = TopicEngine(spark, root)
+        a.create_topic("t", TopicConfig(partitions=1))
+        _produce(a, "t", ["v1", "v2"])
+        _seed_metadata(spark, a, "t")
+        state["root"] = root
+        return a
+
+    def recover(budget):
+        rec = TopicEngine(spark, state["root"])
+        if "t" in rec.list_topics():
+            rec.delete_topic("t")  # finish the crashed delete
+        rec.create_topic("t", TopicConfig(partitions=1))
+        assert _tx_rows_for(rec, "t") == set(), f"budget {budget}"
+        assert _group_offsets_for(rec, "t") == {}, f"budget {budget}"
+        _produce(rec, "t", ["fresh1", "fresh2"])
+        vals = [
+            bytes(r["value"])
+            for r in rec.fetch("t", 0, isolation="read_committed")
+            .orderBy("offset")
+            .collect()
+        ]
+        # offsets 0..1 are REUSED by the fresh topic: a resurrected
+        # aborted range would hide them here
+        assert vals == [b"fresh1", b"fresh2"], f"budget {budget}"
+
+    _kill_point_sweep(
+        make_engine,
+        lambda eng: eng.delete_topic("t"),
+        recover,
+        max_budget=30,
+        min_crashes=4,
+    )
 
 
 def test_rest_and_cli_group_migration_surfaces(spark, tmp_path, capsys):
