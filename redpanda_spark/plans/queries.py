@@ -1934,6 +1934,114 @@ QUERIES.update({"stream_restart_join": q_stream_restart_join})
 ORACLES.update({"stream_restart_join": SQL_STREAM_RESTART_JOIN})
 
 
+def q_stream_restart_sessionize(spark, sf_dir):
+    """Session-window MERGE surviving a checkpoint restart, as a gate
+    row (the flatMapGroupsWithState-style-recovery companion to
+    q_stream_restart_join, which covers join buffers): per-user
+    30-min-gap sessions drain in TWO staged availableNow runs over ONE
+    checkpoint — the source split at the median event time, the query
+    stopped and a fresh one started between stages — into a parquet
+    sink. Sessions still OPEN at the end of stage 1 (last event inside
+    watermark+gap of the split) exist in the output only if the
+    restarted query rebuilt the open-session state from the checkpoint,
+    so the union equals the batch lag()-sessionize oracle ONLY when
+    state recovery is correct (the reference resumes transforms from
+    committed offsets the same way, `transform/commit_batcher.cc`;
+    pytest twin: tests/test_streaming_restart.py). A far-future
+    sentinel row appended to stage 2 advances the final watermark past
+    every real session end so append mode emits them all; the
+    sentinel's own still-open session never emits and its user is
+    filtered. Built once per input fingerprint, then served from the
+    sink."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "redpanda_spark_restart_sessionize",
+        hashlib.md5(
+            f"{sf_dir}|{_events_fingerprint(sf_dir)}".encode()
+        ).hexdigest(),
+    )
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        from redpanda_spark.streaming.stateful import streaming_sessionize
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        t_split = ev.selectExpr(
+            "percentile_approx(ts, 0.5, 10000) AS t"
+        ).collect()[0]["t"]
+        mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            (F.lit(mx) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        )
+        stages = [
+            # time-contiguous halves (stage 2 never behind the recovered
+            # watermark: restart recovery, not late-data drop, is what
+            # the staged drains exercise), sentinel rides stage 2
+            ev.where(F.col("ts") < F.lit(t_split)),
+            ev.where(F.col("ts") >= F.lit(t_split)).unionByName(sentinel),
+        ]
+        schema = None
+        for stage_df in stages:
+            stage_df.write.mode("append").parquet(src)
+            schema = schema or spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            out = streaming_sessionize(
+                stream, ts_col="ts", user_col="user_id", gap="30 minutes"
+            )
+            with _CONF_LOCK:
+                prev = spark.conf.get("spark.sql.shuffle.partitions")
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(_state_partitions(sf_dir)),
+                )
+                try:
+                    q = (
+                        out.writeStream.format("parquet")
+                        .option("path", sink)
+                        .option("checkpointLocation", ckpt)
+                        .outputMode("append")
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    if not q.awaitTermination(300):
+                        q.stop()
+                        raise TimeoutError(
+                            "staged restart-sessionize drain did not "
+                            "terminate"
+                        )
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", prev)
+        open(marker, "w").write("1")
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("start_s"),
+            F.unix_timestamp("session_end").alias("end_s"),
+            "n_events",
+        )
+    )
+
+
+# restart-invariance IS the claim: the union across the restart must
+# equal the one-shot batch sessionize — same oracle as stream_sessionize
+SQL_STREAM_RESTART_SESSIONIZE = SQL_STREAM_SESSIONIZE
+
+QUERIES.update({"stream_restart_sessionize": q_stream_restart_sessionize})
+ORACLES.update({"stream_restart_sessionize": SQL_STREAM_RESTART_SESSIONIZE})
+
+
 # --------------------------------------------------------------------------
 # Catalog 5: BPE-ish token counting (the second mandated tokenizer)
 # --------------------------------------------------------------------------
