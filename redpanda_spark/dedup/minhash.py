@@ -225,7 +225,13 @@ def pick_bands(num_hashes: int, threshold: float) -> int:
     """Bands b (rows r = k/b) whose LSH S-curve inflection (1/b)^(1/r) is
     closest to the verify threshold (MMDS ch.3 rule): fewer bands would
     miss near-threshold pairs, more bands would flood the bucket join with
-    sub-threshold candidates the verify step then has to discard."""
+    sub-threshold candidates the verify step then has to discard.
+
+    Recall in the boundary region just above the threshold scales with
+    num_hashes (more bands at the same inflection point) — measured
+    sf100 numbers for the 32-vs-256-hash trade are in README's dedup
+    section; `tools/sampled_oracle.py` prints the per-pair miss
+    probability for any boundary pair it finds."""
     best_b, best_d = num_hashes, float("inf")
     for r in range(1, num_hashes + 1):
         if num_hashes % r:
