@@ -364,6 +364,16 @@ def cmd_topic_unmount(args) -> int:
     return 0
 
 
+def cmd_topic_migration_status(args) -> int:
+    """Observer view of a topic's migration/handoff state (mounted /
+    mountable / claim_in_progress / handoff_staged / recoverable /
+    absent) — tells the operator which recovery verb applies after a
+    crashed mount or unmount."""
+    eng = _engine(args, read_only=True)
+    print(json.dumps(eng.migration_status(args.name)))
+    return 0
+
+
 def cmd_topic_mount(args) -> int:
     """Tiered-storage migration step 2: adopt the bucket's topic as a
     writable tiered topic (pass the bucket via --archive-root).
@@ -1014,6 +1024,9 @@ def build_parser() -> argparse.ArgumentParser:
     mo.add_argument("name")
     mo.add_argument("--resume-claim", action="store_true")
     mo.set_defaults(fn=cmd_topic_mount)
+    ms = topic.add_parser("migration-status")
+    ms.add_argument("name")
+    ms.set_defaults(fn=cmd_topic_migration_status)
 
     mt = sub.add_parser("maintenance").add_subparsers(dest="verb", required=True)
     mr = mt.add_parser("run")

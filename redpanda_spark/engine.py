@@ -2685,6 +2685,14 @@ class TopicEngine:
         self._arch_epoch[topic] = max_epoch + 1
         self._save_state()
         self._commit_manifest(topic)
+        # DR takes OWNERSHIP: consume any staged handoff manifest left by
+        # a crashed unmount of the pre-loss incarnation — a later
+        # resume_claim promoting that stale stage would double-own the
+        # topic against this recovery (the operator chose the rows-only
+        # path; the stage's tx/group metadata is superseded with it)
+        self._afsio.delete(
+            os.path.join(ad, "_topic_manifest.pending.json")
+        )
         return {
             "segments": len(rels),
             "high_watermarks": dict(self._high[topic]),
@@ -2868,27 +2876,36 @@ class TopicEngine:
         # that claimed the topic after our phase-1 commit adopted a
         # fully-tiered topic and must not have it destroyed by us (the
         # stale migrator) — we abort instead, leaving the topic theirs.
-        with self._fsio.write_lock(self.root):
-            self._check_writer_fence(topic)
-            del self._topics[topic]
-            for d in (
-                self._high,
-                self._files,
-                self._stats,
-                self._tail,
-                self._producers,
-                self._archived,
-                self._archived_stats,
-                self._arch_epoch,
-                self._clean_rows,
-            ):
-                d.pop(topic, None)
-            self._save_state()
-            self._fsio.delete(self._topic_dir(topic), recursive=True)
-            self._fsio.delete(self._manifest_path(topic))
-            # epoch chain survives (monotone lineage across mount cycles)
-            self._writer_epoch.pop(topic, None)
-            self._purge_topic_metadata(topic)
+        try:
+            with self._fsio.write_lock(self.root):
+                self._check_writer_fence(topic)
+                del self._topics[topic]
+                for d in (
+                    self._high,
+                    self._files,
+                    self._stats,
+                    self._tail,
+                    self._producers,
+                    self._archived,
+                    self._archived_stats,
+                    self._arch_epoch,
+                    self._clean_rows,
+                ):
+                    d.pop(topic, None)
+                self._save_state()
+                self._fsio.delete(self._topic_dir(topic), recursive=True)
+                self._fsio.delete(self._manifest_path(topic))
+                # epoch chain survives (monotone lineage across mounts)
+                self._writer_epoch.pop(topic, None)
+                self._purge_topic_metadata(topic)
+        except FencedWriterError:
+            # we are the STALE migrator: a new writer adopted the topic
+            # after our phase-1 commit. The topic is theirs — retract the
+            # stage we wrote above, or an operator reading
+            # "handoff_staged" might resume_claim it against the live
+            # owner (the stale-debris inverse of mount's token return)
+            self._afsio.delete(pending)
+            raise
         # Phase 3: PUBLISH the handoff token by atomic rename of the
         # staged manifest to its mountable name. Mount reads it for O(1)
         # metadata adoption (exact config + watermarks even for
@@ -3088,6 +3105,67 @@ class TopicEngine:
             "segments": len(self._archived[topic]),
             "high_watermarks": dict(self._high[topic]),
         }
+
+    def migration_status(self, topic: str) -> dict:
+        """Observer view of a topic's migration/handoff state — the
+        reference exposes the migration state machine's status the same
+        way (`cluster/data_migration_backend.cc`,
+        `data_migration_types.h` state enum). Read-only (safe from a
+        ``read_only`` engine): inspects the local catalog and the bucket
+        token names, never mutates. States:
+
+        - ``mounted``        — owned by THIS cluster (``read_replica``
+          flagged separately)
+        - ``mountable``      — published handoff manifest in the bucket;
+          ``mount_topic`` adopts it
+        - ``claim_in_progress`` — claimed token present: a mount is
+          running or crashed between claim and adopt
+          (``resume_claim=True`` recovers)
+        - ``handoff_staged`` — staged ``.pending`` manifest: an unmount
+          crashed between its detach commit and the publish rename
+          (``resume_claim=True`` adopts it, metadata intact)
+        - ``recoverable``    — archived segments but no token. Ambiguous
+          by construction: either ANOTHER cluster owns the topic (these
+          segments are its live cold tier — a completed mount consumes
+          every token) or the owner is lost. The DR path
+          (``recover_topic_from_archive``, rows only) applies ONLY under
+          the operator's assertion that no cluster owns the topic — the
+          same trust level as ``resume_claim``.
+        - ``absent``         — nothing local, nothing in the bucket
+        """
+        if topic in self._topics:
+            return {
+                "topic": topic,
+                "state": "mounted",
+                "read_replica": self._topics[topic].configs.get(
+                    "_read_replica"
+                )
+                == "true",
+                "segments": len(self._files.get(topic) or [])
+                + len(self._archived.get(topic, [])),
+            }
+        ad = self._archive_dir(topic)
+        names = {
+            "_topic_manifest.json": "mountable",
+            "_topic_manifest.claimed.json": "claim_in_progress",
+            "_topic_manifest.pending.json": "handoff_staged",
+        }
+        for name, state in names.items():
+            p = os.path.join(ad, name)
+            if self._afsio.exists(p):
+                try:
+                    m = json.loads(self._afsio.read_text(p))
+                    extra = {
+                        "segments": len(m.get("archived", [])),
+                        "carries_tx_ranges": bool(m.get("tx_ranges")),
+                        "carries_groups": bool(m.get("groups")),
+                    }
+                except Exception:
+                    extra = {}
+                return {"topic": topic, "state": state, **extra}
+        if self._afsio.list_segments(ad):
+            return {"topic": topic, "state": "recoverable"}
+        return {"topic": topic, "state": "absent"}
 
     def refresh_read_replica(self, topic: str) -> dict:
         """Pick up segments the source archived since attach/last refresh:

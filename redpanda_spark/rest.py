@@ -129,6 +129,11 @@ class RestApp:
             ("POST", r"^/topics/([^/]+)$", self._produce),
             ("POST", r"^/topics/([^/]+)/unmount$", self._unmount),
             ("POST", r"^/topics/([^/]+)/mount$", self._mount),
+            (
+                "GET",
+                r"^/topics/([^/]+)/migration$",
+                self._migration_status,
+            ),
             ("GET", r"^/topics/([^/]+)/partitions/(\d+)/records$", self._fetch),
             ("POST", r"^/consumers/([^/]+)$", self._consumer_create),
             (
@@ -483,6 +488,14 @@ class RestApp:
             )
         except ValueError as e:
             return 409, {"error_code": 40902, "message": str(e)}
+
+    def _migration_status(self, topic, body, query):
+        """Observer view of the topic's migration/handoff state — which
+        recovery verb applies after a crashed mount/unmount (the
+        reference's migration status RPCs,
+        `cluster/data_migration_frontend`). Read-only, no ACL mutation
+        gate (DESCRIBE-level, like topic metadata)."""
+        return 200, self.engine.migration_status(topic)
 
     def _mount(self, topic, body, query):
         try:

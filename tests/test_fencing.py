@@ -226,6 +226,60 @@ def test_create_exclusive_race_exactly_one_winner_hadoop(spark, tmp_path):
     assert len(results) == 8
 
 
+def test_conditional_create_probe_classification(spark, tmp_path):
+    """The object-store conditional-create probe is tri-state: a
+    connector that rejects the builder option downgrades to the
+    optimistic path permanently (arbitrated_create stays False, so the
+    engine adds the owner-nonce commit check); a store that ENFORCES the
+    precondition proves arbitration (arbitrated_create flips True) and a
+    conflict maps to lost-the-race False, not an error."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, "file://" + str(tmp_path))
+    fs._native_arbitrated = False  # pretend: s3a-style scheme
+    fs._conditional_create = None
+
+    class _Unsupported:
+        def createFile(self, p):
+            raise RuntimeError("Unsupported mandatory key")
+
+        def create(self, p, overwrite):
+            return _Out()
+
+        def exists(self, p):
+            return False
+
+    class _Out:
+        def write(self, b):
+            pass
+
+        def close(self):
+            pass
+
+    real = fs._fs
+    try:
+        fs._fs = _Unsupported()
+        assert fs.create_exclusive("s3a://bkt/x", "v") is True  # fallback
+        assert fs._conditional_create is False  # probe never retried
+        assert fs.arbitrated_create is False  # nonce check stays on
+
+        class _Enforcing:
+            def createFile(self, p):
+                raise RuntimeError(
+                    "org.apache.hadoop.fs.FileAlreadyExistsException: 412 "
+                    "PreconditionFailed"
+                )
+
+        fs._conditional_create = None
+        fs._fs = _Enforcing()
+        # the store ENFORCED If-None-Match: lost race, arbitration proven
+        assert fs.create_exclusive("s3a://bkt/x", "v") is False
+        assert fs._conditional_create is True
+        assert fs.arbitrated_create is True
+    finally:
+        fs._fs = real
+
+
 def test_list_names_propagates_non_notfound_errors(spark, tmp_path):
     """list_names returns [] ONLY for an absent dir. Swallowing other IO
     errors to [] made _read_writer_epoch see an empty claim chain and
@@ -366,6 +420,8 @@ _OPS = st.lists(
             "reopen_b",
             "a_recreate",
             "b_recreate",
+            "a_migrate",
+            "b_migrate",
         ]
     ),
     min_size=3,
@@ -379,10 +435,13 @@ def test_interleaved_writers_never_lose_committed_rows(spark, tmp_path_factory, 
     """Adversarial interleaving of two engines over one root: every op
     either succeeds or raises FencedWriterError, and the visible log is
     EXACTLY the union of the successful produces — a fenced attempt
-    contributes nothing, a committed row never disappears."""
+    contributes nothing, a committed row never disappears. ``migrate``
+    is a full unmount→mount round trip (staged handoff manifest, claim
+    token, consume), which must also preserve the committed set."""
     root = str(tmp_path_factory.mktemp("contend") / "topics")
+    _cfg = lambda: TopicConfig(partitions=1, remote_write=True)  # noqa: E731
     engines = {"a": TopicEngine(spark, root)}
-    engines["a"].create_topic("t", TopicConfig(partitions=1))
+    engines["a"].create_topic("t", _cfg())
     engines["b"] = TopicEngine(spark, root)  # fences a
     committed: set[bytes] = set()
     seq = 0
@@ -403,8 +462,16 @@ def test_interleaved_writers_never_lose_committed_rows(spark, tmp_path_factory, 
             except FencedWriterError:
                 pass  # fenced: the topic (and committed set) survive
             else:
-                eng.create_topic("t", TopicConfig(partitions=1))
+                eng.create_topic("t", _cfg())
                 committed = set()
+        elif op.endswith("_migrate"):
+            eng = engines[op[0]]
+            try:
+                eng.unmount_topic("t")
+            except FencedWriterError:
+                pass  # fenced migrator: changes nothing (incl. bucket)
+            else:
+                eng.mount_topic("t")
         else:
             eng = engines[op[0]]
             try:

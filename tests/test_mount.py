@@ -810,6 +810,38 @@ def test_mount_adopt_failure_rolls_back_and_returns_token(spark, tmp_path):
     assert vals == {b"v1", b"v2"}  # the aborted row stays filtered
 
 
+def test_mount_adopt_failure_retracts_replayed_group_offsets(
+    spark, tmp_path
+):
+    """Adopt failure AFTER the consumer-offset replay landed: the
+    rollback purge must retract the replayed rows (both side tables),
+    and the returned token makes the retry adopt fully — offsets
+    included. Companion to the tx-range rollback test above, covering
+    the second side table mount Phase B replays."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    a.offset_commit("g1", "t", 0, 2)
+    a.unmount_topic("t", with_groups=True)
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    real_commit = b.offset_commit
+
+    def replay_then_fail(group, topic, p, off, **kw):
+        real_commit(group, topic, p, off, **kw)  # the replay LANDS...
+        raise RuntimeError("injected failure after group replay")
+
+    b.offset_commit = replay_then_fail
+    with pytest.raises(RuntimeError, match="after group replay"):
+        b.mount_topic("t")
+    assert "t" not in b.list_topics()
+    assert _group_offsets_for(b, "t") == {}  # ...and is retracted
+    b.offset_commit = real_commit
+    b.mount_topic("t")
+    assert _group_offsets_for(b, "t") == {("g1", 0): 2}
+
+
 def test_rest_fenced_writer_maps_to_409(spark, tmp_path):
     """A fenced REST mutation keeps the JSON error contract (409 with a
     fenced-writer error code) instead of escaping as an HTML 500 — the
@@ -890,6 +922,115 @@ def test_crash_sweep_mount_never_double_owns_or_loses_rows(spark, tmp_path):
         max_budget=30,
         min_crashes=4,
     )
+
+
+def test_resume_from_staged_manifest_single_consumer(spark, tmp_path):
+    """Token lifecycle of the staged-manifest resume: after one cluster
+    resumes a crashed unmount, every bucket token (pending, claimed,
+    plain) is consumed — a second resume_claim finds nothing to adopt
+    and the topic has exactly one owner. Concurrent PROMOTIONS are
+    arbitrated by create_exclusive; resuming from an already-claimed
+    token stays operator-asserted (same trust as DR recovery)."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    real = a._afsio.rename
+    a._afsio.rename = (
+        lambda s, d: (_ for _ in ()).throw(RuntimeError("crash"))
+        if d.endswith("_topic_manifest.json")
+        else real(s, d)
+    )
+    with pytest.raises(RuntimeError):
+        a.unmount_topic("t")
+
+    b = _mk_engine(spark, tmp_path, "b", cold)
+    b.mount_topic("t", resume_claim=True)
+    assert [bytes(r["value"]) for r in b.fetch_rows("t", 0)] == [b"v1", b"v2"]
+    ad = str(cold / "t")
+    for n in (
+        "_topic_manifest.json",
+        "_topic_manifest.claimed.json",
+        "_topic_manifest.pending.json",
+    ):
+        assert not os.path.exists(os.path.join(ad, n)), n
+    c = _mk_engine(spark, tmp_path, "c", cold)
+    with pytest.raises(ValueError, match="no claimed manifest"):
+        c.mount_topic("t", resume_claim=True)
+    assert "t" in b.list_topics() and "t" not in c.list_topics()
+
+
+def test_fenced_unmount_retracts_staged_manifest(spark, tmp_path):
+    """A STALE migrator — fenced at unmount's phase-2 detach because a
+    new writer claimed the topic after its phase-1 commit — must retract
+    the staged bucket manifest it wrote: leaving it would read as
+    "handoff_staged" and invite a resume_claim against the live owner."""
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1"])
+
+    real_write = a._afsio.write_text_atomic
+
+    def write_then_lose_leadership(path, text):
+        real_write(path, text)
+        if path.endswith("_topic_manifest.pending.json"):
+            # a new writer opens the root (claims a higher epoch) in the
+            # window between A's stage write and its phase-2 fence check
+            _mk_engine(spark, tmp_path, "a", cold)
+
+    a._afsio.write_text_atomic = write_then_lose_leadership
+    with pytest.raises(FencedWriterError):
+        a.unmount_topic("t")
+    # stage retracted; the topic stays the new writer's, fully intact
+    assert not os.path.exists(
+        str(cold / "t" / "_topic_manifest.pending.json")
+    )
+    b = _mk_engine(spark, tmp_path, "a", cold)
+    assert b.migration_status("t")["state"] == "mounted"
+    assert [bytes(r["value"]) for r in b.fetch_rows("t", 0)] == [b"v1"]
+
+
+def test_migration_status_reports_every_handoff_state(spark, tmp_path):
+    """migration_status tells the operator which recovery verb applies:
+    mounted → mountable (published token) → claim_in_progress (crashed
+    mount) / handoff_staged (crashed unmount) → absent after adoption;
+    segments-without-token reads recoverable (DR). Exposed read-only via
+    CLI `topic migration-status` and REST GET /topics/{t}/migration."""
+    from redpanda_spark.rest import RestApp
+
+    cold = tmp_path / "bucket"
+    a = _mk_engine(spark, tmp_path, "a", cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1"])
+    a.offset_commit("g1", "t", 0, 1)
+    assert a.migration_status("t")["state"] == "mounted"
+    assert a.migration_status("nope")["state"] == "absent"
+
+    a.unmount_topic("t", with_groups=True)
+    st = a.migration_status("t")
+    assert st["state"] == "mountable"
+    assert st["carries_groups"] is True
+    # REST surface, via a read-only observer engine
+    ro = TopicEngine(
+        spark, str(tmp_path / "a"), archive_root=str(cold), read_only=True
+    )
+    status, out = RestApp(ro).handle("GET", "/topics/t/migration")
+    assert status == 200 and out["state"] == "mountable"
+
+    ad = str(cold / "t")
+    os.rename(
+        os.path.join(ad, "_topic_manifest.json"),
+        os.path.join(ad, "_topic_manifest.claimed.json"),
+    )
+    assert a.migration_status("t")["state"] == "claim_in_progress"
+    os.rename(
+        os.path.join(ad, "_topic_manifest.claimed.json"),
+        os.path.join(ad, "_topic_manifest.pending.json"),
+    )
+    assert a.migration_status("t")["state"] == "handoff_staged"
+    os.remove(os.path.join(ad, "_topic_manifest.pending.json"))
+    assert a.migration_status("t")["state"] == "recoverable"
 
 
 def test_crash_sweep_delete_topic_never_resurrects_metadata(
@@ -991,3 +1132,18 @@ def test_rest_and_cli_group_migration_surfaces(spark, tmp_path, capsys):
         for r in d.offset_fetch().where("topic = 'u'").collect()
     }
     assert committed == {("g2", 0): 1}
+
+    # CLI observer: migration-status (read-only engine open)
+    assert main([
+        "--root", root_d, "--archive-root", cold2,
+        "topic", "migration-status", "u",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out)["state"] == "mounted"
+    assert main([
+        "--root", root, "--archive-root", cold2,
+        "topic", "migration-status", "u",
+    ]) == 0
+    # the source cluster: topic gone locally, every token consumed, but
+    # the segments remain (they are d's live cold tier now) — the status
+    # is the documented-ambiguous "recoverable", NOT "absent"
+    assert json.loads(capsys.readouterr().out)["state"] == "recoverable"
