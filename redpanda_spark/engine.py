@@ -276,8 +276,13 @@ class TopicEngine:
         # conditional writes), two engines racing the same epoch number
         # can both believe they created the claim — but the store keeps
         # exactly ONE content (last PUT wins), so comparing the claim's
-        # owner nonce at commit time converges the double-win: the loser
-        # is fenced at its next commit, before it can publish a manifest.
+        # owner nonce at commit time converges the double-win ONCE the
+        # rival's PUT has landed: from then on one nonce is current and
+        # the other engine fences at its next commit. A racer that
+        # commits BEFORE the rival's slower PUT lands is not caught —
+        # that residual window is narrowed, not closed, and closes only
+        # with store-side conditional writes (see fsio.HadoopFS
+        # .trust_conditional_create).
         import uuid as _uuid
 
         self._engine_nonce = _uuid.uuid4().hex
@@ -395,10 +400,13 @@ class TopicEngine:
             # Optimistic-create store (plain S3 without conditional
             # writes): the epoch NUMBER matching is not enough — another
             # engine may have "won" the same claim file and its PUT
-            # landed last. The file carries exactly one owner nonce;
-            # if it isn't ours, we are the double-win loser and must be
-            # fenced BEFORE publishing a manifest. One tiny extra read
-            # per commit, only on non-arbitrated schemes.
+            # landed last. The file carries exactly one owner nonce; if
+            # it isn't ours, we are the double-win loser and fence here
+            # instead of publishing. This converges the split once the
+            # rival's PUT is visible; a commit that sneaks in BEFORE the
+            # rival's slower PUT lands is the documented residual window
+            # (closed only by store-side conditional writes). One tiny
+            # extra read per commit, only on non-arbitrated schemes.
             try:
                 owner = json.loads(
                     self._fsio.read_text(
@@ -499,9 +507,14 @@ class TopicEngine:
             # crashed mid-swap: roll the side tables to a whole copy
             # BEFORE anything probes them (a half-swapped table reads as
             # absent, which would hide rows from the create_topic debris
-            # probes — and strand them for a later purge to resurrect)
-            for d in (self._tx_ranges_dir(), self._commits_dir()):
-                self._recover_side_table_swap(d)
+            # probes — and strand them for a later purge to resurrect).
+            # Under the root lock: another engine may be mid-purge RIGHT
+            # NOW, and "rolling back" its in-flight swap would make its
+            # rename(tmp→d) collide (local roots; URI roots rely on the
+            # single-writer fence as everywhere else).
+            with self._fsio.write_lock(self.root):
+                for d in (self._tx_ranges_dir(), self._commits_dir()):
+                    self._recover_side_table_swap(d)
 
     def _gc_orphans(self, topic: str) -> None:
         """Crash recovery: delete segment files not referenced by the
@@ -583,7 +596,10 @@ class TopicEngine:
             any(r["topic"] == topic for r in self._tx_ranges_local())
             or self._offsets_topic_present(topic)
         ):
-            self._purge_topic_metadata(topic)
+            # under the root lock, like every other purge call site: the
+            # swap must not interleave with another engine's purge
+            with self._fsio.write_lock(self.root):
+                self._purge_topic_metadata(topic)
         self._save_state()
         self._commit_manifest(topic)
 
@@ -667,7 +683,10 @@ class TopicEngine:
         """Rewrite _tx_ranges and _consumer_offsets dropping the topic's
         rows. Crash-idempotent: write-tmp → rename(d→old) → rename(tmp→d)
         → delete(old), with a half-done swap first rolled forward/backward
-        from whichever copy survived."""
+        from whichever copy survived. Caller must hold the root
+        write_lock (every call site does): the roll-back of a crashed
+        swap must never race another engine's IN-FLIGHT swap, whose
+        rename(tmp→d) would then collide mid-sequence."""
         for d in (self._tx_ranges_dir(), self._commits_dir()):
             self._recover_side_table_swap(d)
             try:
@@ -1481,26 +1500,50 @@ class TopicEngine:
         )
         return rows
 
+    def _side_table_files(self, d: str) -> list[str]:
+        """Sorted parquet part names of a side-table dir, via the root's
+        filesystem: POSIX scandir locally, Hadoop listStatus on URI roots
+        — so the driver-side mirrors below see the SAME table everywhere
+        (an earlier os.listdir-only version silently read [] on URI
+        roots, which made hot-tail read_committed skip aborted filtering
+        and unmount's handoff carry no tx metadata there)."""
+        if getattr(self._fsio, "is_local", True):
+            try:
+                return sorted(
+                    f for f in os.listdir(d) if f.endswith(".parquet")
+                )
+            except OSError:
+                return []
+        return sorted(
+            f for f in self._fsio.list_names(d) if f.endswith(".parquet")
+        )
+
+    def _read_side_table_file(self, d: str, name: str, columns=None):
+        """One side-table part as a pyarrow table — direct-path locally,
+        bytes-through-the-driver on URI roots (parts are tiny: one row
+        per tx outcome / group commit, keep-latest compacted)."""
+        import pyarrow.parquet as _pq
+
+        if getattr(self._fsio, "is_local", True):
+            return _pq.read_table(os.path.join(d, name), columns=columns)
+        import io as _io
+
+        return _pq.read_table(
+            _io.BytesIO(self._fsio.read_bytes(os.path.join(d, name))),
+            columns=columns,
+        )
+
     def _offsets_topic_present(self, topic: str) -> bool:
         """Driver-side (zero Spark jobs) probe: does the consumer-offsets
         side table hold any row for ``topic``? Reads only the ``topic``
-        column via pyarrow — the table is tiny (one row per commit), and
-        the probe runs only on the rare create/delete admin paths. Mirrors
-        ``_tx_ranges_local``'s local-dir assumption: on a URI root the
-        listdir fails and the probe degrades to False (same fallback)."""
+        column via pyarrow — the table is tiny (one row per commit,
+        keep-latest compacted by maintenance), and the probe runs only on
+        the rare create/delete admin paths."""
         d = self._commits_dir()
-        try:
-            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        except OSError:
-            return False
-        if not files:
-            return False
-        import pyarrow.parquet as _pq
-
-        for f in files:
-            col = _pq.read_table(
-                os.path.join(d, f), columns=["topic"]
-            ).column("topic")
+        for f in self._side_table_files(d):
+            col = self._read_side_table_file(d, f, columns=["topic"]).column(
+                "topic"
+            )
             if topic in col.to_pylist():
                 return True
         return False
@@ -1510,23 +1553,16 @@ class TopicEngine:
         view: final rows + open rows not superseded by a final row for the
         same (topic, partition, producer, first_offset). The side table is
         tiny by design (one row per transaction outcome), read via pyarrow
-        and cached on the dir's file listing — an os.listdir per poll, a
+        and cached on the dir's file listing — one directory listing per
+        poll (POSIX scandir locally, Hadoop listStatus on URI roots), a
         re-parse only when EndTxn/purge actually changed the table."""
         d = self._tx_ranges_dir()
-        try:
-            files = tuple(
-                sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-            )
-        except OSError:
-            return []
+        files = tuple(self._side_table_files(d))
         if self._tx_local_cache is not None and self._tx_local_cache[0] == files:
             return self._tx_local_cache[1]
         rows: list[dict] = []
-        if files:
-            import pyarrow.parquet as _pq
-
-            for f in files:
-                rows.extend(_pq.read_table(os.path.join(d, f)).to_pylist())
+        for f in files:
+            rows.extend(self._read_side_table_file(d, f).to_pylist())
         final = [r for r in rows if r["outcome"] != "open"]
         fkeys = {
             (r["topic"], r["partition"], r["producer_id"], r["first_offset"])
@@ -2903,8 +2939,20 @@ class TopicEngine:
             # after our phase-1 commit. The topic is theirs — retract the
             # stage we wrote above, or an operator reading
             # "handoff_staged" might resume_claim it against the live
-            # owner (the stale-debris inverse of mount's token return)
+            # owner (the stale-debris inverse of mount's token return).
+            # fsio.delete is quiet-on-failure, so VERIFY: stale debris
+            # here is an operator trap, not mere litter.
             self._afsio.delete(pending)
+            if self._afsio.exists(pending):
+                import warnings
+
+                warnings.warn(
+                    f"fenced unmount of {topic!r} could not retract the "
+                    f"staged bucket manifest {pending} — delete it "
+                    "manually; do NOT resume_claim it (the topic is "
+                    "owned by the newer writer)",
+                    stacklevel=2,
+                )
             raise
         # Phase 3: PUBLISH the handoff token by atomic rename of the
         # staged manifest to its mountable name. Mount reads it for O(1)
@@ -3079,7 +3127,8 @@ class TopicEngine:
             self._writer_epoch.pop(topic, None)
             try:
                 self._fsio.delete(self._manifest_path(topic))
-                self._purge_topic_metadata(topic)  # replayed side rows
+                with self._fsio.write_lock(self.root):  # purge discipline
+                    self._purge_topic_metadata(topic)  # replayed side rows
                 self._save_state()
             except BaseException:
                 pass  # reopen-time GC / resume_claim cover the debris
@@ -3145,9 +3194,14 @@ class TopicEngine:
                 + len(self._archived.get(topic, [])),
             }
         ad = self._archive_dir(topic)
+        # precedence matters: a mount that crashed between its claim
+        # create and the plain-name delete leaves BOTH tokens — a plain
+        # mount of that state deterministically loses the (already-won)
+        # claim race, so the correct verb is resume_claim and the
+        # claimed token must win the report
         names = {
-            "_topic_manifest.json": "mountable",
             "_topic_manifest.claimed.json": "claim_in_progress",
+            "_topic_manifest.json": "mountable",
             "_topic_manifest.pending.json": "handoff_staged",
         }
         for name, state in names.items():

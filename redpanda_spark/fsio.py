@@ -27,6 +27,23 @@ except ImportError:  # pragma: no cover
     fcntl = None  # type: ignore[assignment]
 
 
+def _exception_names_any(e: Exception, class_names: tuple[str, ...]) -> bool:
+    """True when a py4j-wrapped Java exception's CLASS NAME (or, for
+    wrapped causes flattened into the message, a class-name token in the
+    text) matches one of ``class_names``. Class names only — bare
+    substrings like '412' would misclassify request ids / byte counts
+    in unrelated error text."""
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            name = je.getClass().getName()
+            if any(c in name for c in class_names):
+                return True
+        except Exception:
+            pass
+    return any(c in str(e) for c in class_names)
+
+
 def _is_not_found(e: Exception) -> bool:
     """True when a py4j-wrapped Hadoop exception is a file/dir-not-found
     (listStatus on an absent path throws FileNotFoundException). Used to
@@ -201,11 +218,16 @@ class HadoopFS:
         # Which schemes give create_exclusive REAL mutual exclusion:
         # file: takes the kernel O_EXCL path below; hdfs/viewfs/webhdfs
         # funnel create(overwrite=false) through the namenode, which
-        # arbitrates. Everything else (s3a, gs, abfss, …) is optimistic
-        # unless/until a conditional create is proven to work (see
-        # create_exclusive) — _conditional_create is a tri-state: None =
-        # untried, True = store enforced a conditional PUT at least once,
-        # False = connector rejected the option (stop retrying it).
+        # arbitrates. Everything else (s3a, gs, abfss, …) is optimistic;
+        # create_exclusive additionally ASKS the connector for a
+        # server-side conditional create (see there) — _conditional_create
+        # is a tri-state: None = untried, True = the builder option was
+        # accepted at least once (keep using it), False = connector
+        # rejected it (stop paying for the probe). Acceptance is NOT
+        # treated as proof of enforcement: an S3-compatible store can
+        # accept and ignore precondition headers, so arbitrated_create
+        # never flips on its own — an operator who has verified their
+        # store honors If-None-Match can set trust_conditional_create.
         self._native_arbitrated = scheme in (
             "file",
             "hdfs",
@@ -215,14 +237,16 @@ class HadoopFS:
         self._conditional_create: bool | None = (
             False if self._native_arbitrated else None
         )
+        self.trust_conditional_create = False
 
     @property
     def arbitrated_create(self) -> bool:
         """True when create_exclusive on this store is known to be
-        first-writer-wins by ARBITRATION (kernel, namenode, or a store-
-        enforced conditional PUT) rather than optimism. The engine adds a
-        per-commit owner-nonce check only when this is False."""
-        return self._native_arbitrated or self._conditional_create is True
+        first-writer-wins by ARBITRATION (kernel, namenode, or an
+        operator-attested conditional PUT) rather than optimism. The
+        engine adds a per-commit owner-nonce check only when this is
+        False."""
+        return self._native_arbitrated or self.trust_conditional_create
 
     def _p(self, path: str):
         return self._Path(path)
@@ -267,19 +291,24 @@ class HadoopFS:
         backed schemes (hdfs/viewfs/webhdfs) go through
         ``FileSystem.create(path, overwrite=false)``: atomic, two racers
         can never both succeed. Object-store schemes FIRST try a
-        STORE-ARBITRATED conditional create where the connector exposes
-        one — S3 has supported conditional writes (``If-None-Match: *``
-        on PUT) since late 2024, surfaced by Hadoop's createFile builder
-        option ``fs.option.create.conditional.overwrite`` (HADOOP-19256);
+        conditional create through the connector — S3 has supported
+        conditional writes (``If-None-Match: *`` on PUT) since late
+        2024, surfaced by Hadoop's createFile builder option
+        ``fs.option.create.conditional.overwrite`` (HADOOP-19256);
         GCS/ABFS generation/ETag preconditions ride the same contract —
-        and remember the outcome (tri-state ``_conditional_create``).
-        Where the connector rejects the option, the plain
-        ``create(path, overwrite=false)`` fallback is exists-then-create:
-        the window is narrowed, NOT closed, ``arbitrated_create`` stays
-        False, and the engine compensates with a per-commit owner-nonce
-        check that converges a double-win at the loser's next commit
-        (see ``TopicEngine._check_writer_fence``; the two-engine
-        convergence test in tests/test_fencing.py drives it)."""
+        remembering only whether the OPTION was accepted (tri-state
+        ``_conditional_create``), never inferring enforcement from it
+        (an S3-compatible store can accept and ignore precondition
+        headers). Where the connector rejects the option, the plain
+        ``create(path, overwrite=false)`` fallback is exists-then-create.
+        Either way the window on an untrusted object store is narrowed,
+        NOT closed: ``arbitrated_create`` stays False unless the
+        operator sets ``trust_conditional_create``, and the engine
+        compensates with a per-commit owner-nonce check that converges a
+        double-win once the rival's PUT has landed (see
+        ``TopicEngine._check_writer_fence`` for the exact residual
+        window; the two-engine convergence test in tests/test_fencing.py
+        drives the landed-PUT interleaving)."""
         p = self._p(path)
         norm = p.toString()
         if norm.startswith("file:"):
@@ -297,25 +326,36 @@ class HadoopFS:
             return True
         if not self._native_arbitrated and self._conditional_create is not False:
             try:
+                # createFile builder contract (verified against the
+                # bundled hadoop-client-api 3.4.2 bytecode): a create or
+                # overwrite flag is MANDATORY — build() throws without
+                # one — so ask for create + no-overwrite, and request the
+                # server-side precondition via the HADOOP-19256 option
+                # key (Options.CreateFileOptionKeys
+                # .FS_OPTION_CREATE_CONDITIONAL_OVERWRITE).
                 b = self._fs.createFile(p)
-                b.must("fs.option.create.conditional.overwrite", False)
+                b.create()
+                b.overwrite(False)
+                b.recursive()
+                b.must("fs.option.create.conditional.overwrite", True)
                 out = b.build()
                 try:
                     out.write(bytearray(text.encode("utf-8")))
                 finally:
-                    out.close()  # the conditional PUT commits here
+                    out.close()  # an S3A conditional PUT commits here
                 self._conditional_create = True
                 return True
             except Exception as e:
-                msg = str(e)
-                if (
-                    "FileAlreadyExists" in msg
-                    or "PreconditionFailed" in msg
-                    or "RemoteFileChanged" in msg
-                    or "412" in msg
+                if _exception_names_any(
+                    e,
+                    (
+                        "FileAlreadyExistsException",
+                        "RemoteFileChangedException",
+                    ),
                 ):
-                    # the store ENFORCED the precondition: we lost the
-                    # race, and conditional create provably works here
+                    # lost the race (client- or server-side check — only
+                    # the operator's trust_conditional_create attests
+                    # which; see __init__)
                     self._conditional_create = True
                     return False
                 # connector too old / option unsupported (or a transient

@@ -229,10 +229,12 @@ def test_create_exclusive_race_exactly_one_winner_hadoop(spark, tmp_path):
 def test_conditional_create_probe_classification(spark, tmp_path):
     """The object-store conditional-create probe is tri-state: a
     connector that rejects the builder option downgrades to the
-    optimistic path permanently (arbitrated_create stays False, so the
-    engine adds the owner-nonce commit check); a store that ENFORCES the
-    precondition proves arbitration (arbitrated_create flips True) and a
-    conflict maps to lost-the-race False, not an error."""
+    optimistic path permanently (stop paying for the probe); a create
+    conflict maps to lost-the-race False by exception CLASS NAME (bare
+    substrings like '412' would misclassify request ids). Acceptance is
+    never treated as proof of enforcement — arbitrated_create (which
+    gates the owner-nonce commit check) flips ONLY via the operator's
+    trust_conditional_create attestation."""
     from redpanda_spark import fsio
 
     fs = fsio.for_root(spark, "file://" + str(tmp_path))
@@ -263,21 +265,77 @@ def test_conditional_create_probe_classification(spark, tmp_path):
         assert fs._conditional_create is False  # probe never retried
         assert fs.arbitrated_create is False  # nonce check stays on
 
-        class _Enforcing:
+        class _Conflict:
             def createFile(self, p):
                 raise RuntimeError(
-                    "org.apache.hadoop.fs.FileAlreadyExistsException: 412 "
-                    "PreconditionFailed"
+                    "org.apache.hadoop.fs.FileAlreadyExistsException: "
+                    "target exists"
                 )
 
         fs._conditional_create = None
-        fs._fs = _Enforcing()
-        # the store ENFORCED If-None-Match: lost race, arbitration proven
+        fs._fs = _Conflict()
+        # conflict: lost the race — but acceptance proves nothing about
+        # server-side enforcement, so the nonce check stays on
         assert fs.create_exclusive("s3a://bkt/x", "v") is False
         assert fs._conditional_create is True
+        assert fs.arbitrated_create is False
+
+        class _TransientWith412:
+            def createFile(self, p):
+                raise RuntimeError(
+                    "request failed: req-id 8412aa, status unknown"
+                )
+
+            def create(self, p, overwrite):
+                return _Out()
+
+            def exists(self, p):
+                return False
+
+        fs._conditional_create = None
+        fs._fs = _TransientWith412()
+        # '412' inside unrelated text must NOT read as a conflict: the
+        # probe downgrades and the optimistic path completes the write
+        assert fs.create_exclusive("s3a://bkt/x", "v") is True
+        assert fs._conditional_create is False
+
+        # the operator attestation is the only arbitration upgrade
+        fs.trust_conditional_create = True
         assert fs.arbitrated_create is True
     finally:
         fs._fs = real
+        fs.trust_conditional_create = False
+
+
+def test_conditional_create_builder_flags_against_real_hadoop(
+    spark, tmp_path
+):
+    """The probe's builder call sequence against the REAL Hadoop
+    FileSystem builder (local scheme): a create/overwrite flag is
+    mandatory — an earlier version omitted them and build() threw
+    'Must specify either create, overwrite or append' on EVERY probe,
+    silently pinning the conditional path off. The real builder must
+    either honor the sequence or reject the option with the
+    unsupported-key error our classification downgrades on — never the
+    missing-flag error."""
+    from redpanda_spark import fsio
+
+    fs = fsio.for_root(spark, "file://" + str(tmp_path))
+    p = fs._p("file://" + str(tmp_path / "builder-target"))
+    b = fs._fs.createFile(p)
+    b.create()
+    b.overwrite(False)
+    b.recursive()
+    b.must("fs.option.create.conditional.overwrite", True)
+    try:
+        out = b.build()
+        out.write(bytearray(b"x"))
+        out.close()
+        assert fs.read_text("file://" + str(tmp_path / "builder-target")) == "x"
+    except Exception as e:
+        msg = str(e)
+        assert "Must specify" not in msg, f"builder flags wrong: {msg}"
+        assert "Unsupported" in msg or "key" in msg.lower(), msg
 
 
 def test_list_names_propagates_non_notfound_errors(spark, tmp_path):
@@ -592,10 +650,13 @@ def test_optimistic_double_claim_converges_without_row_loss(spark, tmp_path):
     arbitration), two engines racing the same epoch number can BOTH
     believe they created the claim file — but the store keeps exactly
     one content (last PUT wins). The owner-nonce check at commit time
-    must converge the double-win: the engine whose PUT lost is fenced at
-    its NEXT commit, before it can publish a manifest, and no committed
-    row is lost. Simulated on LocalFS by declaring the store
-    non-arbitrated and landing engine B's claim content last."""
+    converges the double-win for the interleaving where the rival's PUT
+    has LANDED before the loser's next commit (driven here): the loser
+    fences instead of publishing, and no committed row is lost. A racer
+    committing before the rival's slower PUT lands remains the
+    documented residual window, closed only by store-side conditional
+    writes. Simulated on LocalFS by declaring the store non-arbitrated
+    and landing engine B's claim content last."""
     root = str(tmp_path / "r")
     a = TopicEngine(spark, root)
     a._fsio.arbitrated_create = False  # pretend: plain-S3-style store

@@ -960,6 +960,77 @@ def test_resume_from_staged_manifest_single_consumer(spark, tmp_path):
     assert "t" in b.list_topics() and "t" not in c.list_topics()
 
 
+def test_uri_root_tx_mirror_serves_read_committed_and_migration(
+    spark, tmp_path
+):
+    """The driver-side tx mirror must see the side tables on URI
+    (HadoopFS) roots too: hot-tail read_committed filters the aborted
+    row with ZERO Spark jobs, and unmount's handoff manifest carries the
+    tx ranges. Pre-fix, os.listdir on the URI path silently read [] —
+    aborted rows were VISIBLE from the tail, and migration dropped the
+    metadata this round's staging work exists to preserve."""
+    from pyspark.sql import Row
+
+    from redpanda_spark.operators.txcoord import TX_RANGE_SCHEMA
+
+    root = "file://" + str(tmp_path / "topics")
+    cold = "file://" + str(tmp_path / "bucket")
+    a = TopicEngine(spark, root, archive_root=cold)
+    a.create_topic("t", _cfg(partitions=1))
+    _produce(a, "t", ["v1", "v2"])
+    a.produce(
+        "t",
+        [
+            {
+                "value": b"aborted",
+                "timestamp": BASE,
+                "partition": 0,
+                "producer_id": 7,
+                "producer_epoch": 0,
+                "base_sequence": 0,
+                "is_transactional": True,
+            }
+        ],
+    )
+    a.append_tx_ranges(
+        spark.createDataFrame(
+            [
+                Row(
+                    topic="t",
+                    partition=0,
+                    producer_id=7,
+                    first_offset=2,
+                    last_offset=2,
+                    outcome="aborted",
+                )
+            ],
+            TX_RANGE_SCHEMA,
+        )
+    )
+    # the mirror reads through HadoopFS, not os.listdir
+    assert len(_tx_rows_for(a, "t")) == 1
+    # hot-tail read_committed (tail populated by the produces above)
+    vals = [
+        bytes(r["value"])
+        for r in a.fetch_rows("t", 0, isolation="read_committed")
+    ]
+    assert vals == [b"v1", b"v2"]  # aborted row filtered, from the tail
+    # migration carries the metadata across a URI bucket
+    a.offset_commit("g1", "t", 0, 2)
+    a.unmount_topic("t", with_groups=True)
+    b = TopicEngine(
+        spark, "file://" + str(tmp_path / "b"), archive_root=cold
+    )
+    b.mount_topic("t")
+    assert len(_tx_rows_for(b, "t")) == 1
+    assert _group_offsets_for(b, "t") == {("g1", 0): 2}
+    vals = [
+        bytes(r["value"])
+        for r in b.fetch_rows("t", 0, isolation="read_committed")
+    ]
+    assert vals == [b"v1", b"v2"]
+
+
 def test_fenced_unmount_retracts_staged_manifest(spark, tmp_path):
     """A STALE migrator — fenced at unmount's phase-2 detach because a
     new writer claimed the topic after its phase-1 commit — must retract
@@ -1019,10 +1090,17 @@ def test_migration_status_reports_every_handoff_state(spark, tmp_path):
     assert status == 200 and out["state"] == "mountable"
 
     ad = str(cold / "t")
-    os.rename(
+    # a mount crashed between claim-create and plain-delete: BOTH tokens
+    # exist, a plain mount deterministically loses the claim race — the
+    # claimed token must take precedence in the report
+    import shutil as _sh
+
+    _sh.copyfile(
         os.path.join(ad, "_topic_manifest.json"),
         os.path.join(ad, "_topic_manifest.claimed.json"),
     )
+    assert a.migration_status("t")["state"] == "claim_in_progress"
+    os.remove(os.path.join(ad, "_topic_manifest.json"))
     assert a.migration_status("t")["state"] == "claim_in_progress"
     os.rename(
         os.path.join(ad, "_topic_manifest.claimed.json"),
