@@ -39,8 +39,13 @@ _BOOL_CONFIGS = {"redpanda.remote.write"}
 class AdminClient:
     def __init__(self, engine: TopicEngine):
         self.engine = engine
+        # both side stores ride the engine's filesystem abstraction so
+        # admin metadata lives next to the data on URI / object-store
+        # roots too (raw os IO reads nothing and crashes at save there)
+        self._fsio = engine._fsio
         self._producer_ids = _ProducerIdAllocator(
-            os.path.join(engine.root, "_producer_ids.json")
+            os.path.join(engine.root, "_producer_ids.json"),
+            fsio=engine._fsio,
         )
         # client quotas are DURABLE cluster metadata in the reference
         # (AlterClientQuotas writes the controller log, client_quotas.cc);
@@ -48,11 +53,10 @@ class AdminClient:
         # Runtime token-bucket state (_bucket:/_last: keys) never persists.
         self._quotas_path = os.path.join(engine.root, "_quotas.json")
         self.quotas: dict[str, dict[str, float]] = {}
-        if os.path.exists(self._quotas_path):
+        if self._fsio.exists(self._quotas_path):
             import json as _json
 
-            with open(self._quotas_path) as f:
-                self.quotas = _json.load(f)
+            self.quotas = _json.loads(self._fsio.read_text(self._quotas_path))
 
     # -- Metadata (api key 3) ---------------------------------------------
 
@@ -275,10 +279,8 @@ class AdminClient:
             for c, q in self.quotas.items()
         }
         durable = {c: q for c, q in durable.items() if q}
-        tmp = f"{self._quotas_path}.tmp"
-        with open(tmp, "w") as f:
-            _json.dump(durable, f)
-        os.replace(tmp, self._quotas_path)
+        # tmp + rename locally, same contract through Hadoop on URI roots
+        self._fsio.write_text_atomic(self._quotas_path, _json.dumps(durable))
 
     def describe_client_quotas(self) -> dict[str, dict[str, float]]:
         return {
@@ -324,13 +326,18 @@ class _ProducerIdAllocator:
     path: str
     next_id: int = 0
     tx_ids: dict[str, tuple[int, int]] = field(default_factory=dict)
+    # filesystem abstraction (engine._fsio); default = plain local paths
+    fsio: object | None = None
 
     def __post_init__(self):
         import json
 
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                raw = json.load(f)
+        if self.fsio is None:
+            from redpanda_spark.fsio import LocalFS
+
+            self.fsio = LocalFS()
+        if self.fsio.exists(self.path):
+            raw = json.loads(self.fsio.read_text(self.path))
             self.next_id = raw["next_id"]
             self.tx_ids = {k: tuple(v) for k, v in raw["tx_ids"].items()}
 
@@ -351,11 +358,9 @@ class _ProducerIdAllocator:
 
     def _save(self):
         import json
-        import os
 
         # tmp + rename: producer-id state survives a crash mid-write
         # (losing it would reissue pids and break epoch fencing)
-        tmp = f"{self.path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump({"next_id": self.next_id, "tx_ids": self.tx_ids}, f)
-        os.replace(tmp, self.path)
+        self.fsio.write_text_atomic(
+            self.path, json.dumps({"next_id": self.next_id, "tx_ids": self.tx_ids})
+        )

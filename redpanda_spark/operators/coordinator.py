@@ -696,3 +696,106 @@ class GroupManager:
             self.engine.group_metadata_append(
                 {"group_id": group_id, "state": "Dead", "deleted": True}
             )
+
+
+# --------------------------------------------------------------------------
+# Bulk assignment audit — the assignor algebra as a data-plane operator
+# --------------------------------------------------------------------------
+
+
+def bulk_range_assignment(subscriptions, topic_partitions):
+    """Kafka RangeAssignor semantics (`range_assign` above; upstream
+    RangeAssignor.java) evaluated for MANY groups in one Spark plan:
+    given a subscription table (group_id, member_id, topic) and a
+    partition-count table (topic, n_partitions), emit one row per
+    assigned (group_id, topic, member_id, partition).
+
+    The fleet-audit re-expression of the coordinator's per-group driver
+    computation: per (group, topic), members sort and the partition space
+    splits into contiguous ranges, first members taking the remainder.
+    Scale shape: ONE shuffle (the member-rank window); the tiny
+    partition-count table broadcasts; each member row expands to exactly
+    its assigned range via sequence(), so the plan is linear in output
+    size — no member x partition blowup. Parity with the driver-side
+    `range_assign` is pinned by a property test."""
+    from pyspark.sql import Window, functions as F
+
+    subs = subscriptions.select("group_id", "member_id", "topic").distinct()
+    w = Window.partitionBy("group_id", "topic").orderBy("member_id")
+    ranked = subs.withColumn("midx", F.row_number().over(w) - F.lit(1)).withColumn(
+        "n_subs",
+        F.count(F.lit(1)).over(Window.partitionBy("group_id", "topic")),
+    )
+    j = ranked.join(F.broadcast(topic_partitions), "topic")
+    per = (F.col("n_partitions") / F.col("n_subs")).cast("int")
+    extra = F.col("n_partitions") % F.col("n_subs")
+    start = F.col("midx") * per + F.least(F.col("midx"), extra)
+    cnt = per + F.when(F.col("midx") < extra, F.lit(1)).otherwise(F.lit(0))
+    return (
+        j.withColumn("start", start)
+        .withColumn("cnt", cnt)
+        .where(F.col("cnt") > 0)
+        .select(
+            "group_id",
+            "topic",
+            "member_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.col("cnt") - 1)
+            ).alias("partition"),
+        )
+    )
+
+
+def bulk_roundrobin_assignment(group_topics, group_members, topic_partitions):
+    """Kafka RoundRobinAssignor for the uniform-subscription case (every
+    member of a group subscribes the group's whole topic set — the
+    common deployment), evaluated for many groups in one plan: all
+    (topic, partition) pairs of the group sort globally and deal one at
+    a time to members in member-sorted order.
+
+    Inputs: group_topics (group_id, topic), group_members (group_id,
+    member_id), topic_partitions (topic, n_partitions). The general
+    per-member-subscription case has a stateful skip rule and stays
+    driver-side in `roundrobin_assign`. Scale shape: pairs expand
+    linearly (one row per assigned partition), two window shuffles on
+    group_id; parity with `roundrobin_assign` pinned by a property
+    test."""
+    from pyspark.sql import Window, functions as F
+
+    pairs = (
+        group_topics.distinct()
+        .join(F.broadcast(topic_partitions), "topic")
+        .select(
+            "group_id",
+            "topic",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_partitions") - 1)
+            ).alias("partition"),
+        )
+        .withColumn(
+            "deal_idx",
+            F.row_number().over(
+                Window.partitionBy("group_id").orderBy("topic", "partition")
+            )
+            - F.lit(1),
+        )
+    )
+    members = group_members.distinct().withColumn(
+        "midx",
+        F.row_number().over(
+            Window.partitionBy("group_id").orderBy("member_id")
+        )
+        - F.lit(1),
+    )
+    counts = members.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    # equi-join on the computed member index, NOT a members x pairs
+    # expansion filtered after the fact — the plan stays linear in the
+    # number of assigned partitions
+    dealt = (
+        pairs.join(counts, "group_id")
+        .withColumn("midx", F.col("deal_idx") % F.col("n_members"))
+        .join(members, ["group_id", "midx"])
+    )
+    return dealt.select("group_id", "topic", "member_id", "partition")

@@ -71,15 +71,19 @@ class TxCoordinator:
         self.spark = engine.spark
         self._txs: dict[str, TxState] = {}
         self._next_pid = 1000
+        # persistence rides the engine's filesystem abstraction so the
+        # coordinator state lives NEXT TO the data it fences on URI /
+        # object-store roots too (raw os IO would read nothing at load
+        # and crash at save on a file:/s3a: root)
+        self._fsio = engine._fsio
         self._path = os.path.join(engine.root, "_tx_coordinator.json")
         self._load()
 
     # -- persistence (tm_stm's raft-replicated map → json snapshot) -------
 
     def _load(self):
-        if os.path.exists(self._path):
-            with open(self._path) as f:
-                d = json.load(f)
+        if self._fsio.exists(self._path):
+            d = json.loads(self._fsio.read_text(self._path))
             self._next_pid = d["next_pid"]
             for tid, s in d["txs"].items():
                 st = TxState(s["producer_id"], s["producer_epoch"], s["status"])
@@ -112,10 +116,8 @@ class TxCoordinator:
                 for tid, s in self._txs.items()
             },
         }
-        tmp = self._path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(d, f)
-        os.replace(tmp, self._path)
+        # tmp + rename locally, same contract through Hadoop on URI roots
+        self._fsio.write_text_atomic(self._path, json.dumps(d))
 
     # -- InitProducerId (22) ---------------------------------------------
 

@@ -7670,3 +7670,263 @@ FROM live GROUP BY event_type ORDER BY event_type
 
 QUERIES.update({"iceberg_eq_delete_read": q_iceberg_eq_delete_read})
 ORACLES.update({"iceberg_eq_delete_read": SQL_ICEBERG_EQ_DELETE_READ})
+
+
+# --------------------------------------------------------------------------
+# Coordination algebra as data-plane gate rows (SURVEY.md §2.1 rows 8-15,
+# 32-35): the assignor and authorizer semantics, previously unit-only,
+# hash-checked against independent SQL re-derivations.
+# --------------------------------------------------------------------------
+
+
+def q_group_bulk_assignment(spark, sf_dir):
+    """Bulk consumer-group assignment audit (Kafka RangeAssignor +
+    RoundRobinAssignor semantics, reference `group.cc:562-612` leader
+    assignment; assignors mirrored from the upstream client): groups,
+    members, topic partition counts and subscriptions all derived
+    deterministically from customer x nation, assignments computed by
+    the Spark bulk operators (operators/coordinator.py — one window
+    shuffle, broadcast partition counts, output-linear expansion)."""
+    from redpanda_spark.operators.coordinator import (
+        bulk_range_assignment,
+        bulk_roundrobin_assignment,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    members = cust.select(
+        F.col("c_nationkey").alias("gkey"),
+        (F.col("c_custkey") % 8).alias("mnum"),
+    ).distinct()
+    topics = nat.select(
+        F.col("n_name").alias("topic"),
+        F.col("n_nationkey"),
+        (F.col("n_nationkey") % 7 + 1).cast("int").alias("n_partitions"),
+    )
+    gid = F.concat(F.lit("g"), F.col("gkey").cast("string")).alias("group_id")
+    mid = F.concat(F.lit("m"), F.col("mnum").cast("string")).alias("member_id")
+    subs = members.join(
+        topics, (F.col("mnum") + F.col("n_nationkey")) % 3 != 0
+    ).select(gid, mid, "topic")
+    tp = topics.select("topic", "n_partitions")
+    rng = bulk_range_assignment(subs, tp).withColumn(
+        "strategy", F.lit("range")
+    )
+    gt = (
+        members.select("gkey")
+        .distinct()
+        .join(topics, (F.col("gkey") + F.col("n_nationkey")) % 4 != 0)
+        .select(gid, "topic")
+    )
+    gm = members.select(gid, mid)
+    rr = bulk_roundrobin_assignment(gt, gm, tp).withColumn(
+        "strategy", F.lit("roundrobin")
+    )
+    return rng.unionByName(rr).select(
+        "strategy",
+        "group_id",
+        "topic",
+        "member_id",
+        F.col("partition").cast("int").alias("partition"),
+    )
+
+
+SQL_GROUP_BULK_ASSIGNMENT = """
+WITH members AS (
+  SELECT DISTINCT c_nationkey AS gkey, c_custkey % 8 AS mnum FROM customer
+), topics AS (
+  SELECT n_name AS topic, n_nationkey,
+         CAST(n_nationkey % 7 + 1 AS INTEGER) AS n_partitions
+  FROM nation
+), subs AS (
+  SELECT 'g' || gkey AS group_id, 'm' || mnum AS member_id,
+         topic, n_partitions
+  FROM members JOIN topics ON (mnum + n_nationkey) % 3 <> 0
+), ranked AS (
+  SELECT group_id, topic, member_id, n_partitions,
+         ROW_NUMBER() OVER (PARTITION BY group_id, topic ORDER BY member_id) - 1 AS midx,
+         COUNT(*) OVER (PARTITION BY group_id, topic) AS n_subs
+  FROM subs
+), rng AS (
+  SELECT group_id, topic, member_id, midx,
+         n_partitions // n_subs AS per, n_partitions % n_subs AS extra
+  FROM ranked
+), range_out AS (
+  SELECT 'range' AS strategy, group_id, topic, member_id,
+         UNNEST(range(midx * per + LEAST(midx, extra),
+                      midx * per + LEAST(midx, extra) + per
+                        + CASE WHEN midx < extra THEN 1 ELSE 0 END)) AS partition
+  FROM rng
+), rr_topics AS (
+  SELECT 'g' || gkey AS group_id, topic, n_partitions
+  FROM (SELECT DISTINCT gkey FROM members) g
+  JOIN topics ON (gkey + n_nationkey) % 4 <> 0
+), rr_pairs AS (
+  SELECT group_id, topic, UNNEST(range(n_partitions)) AS partition
+  FROM rr_topics
+), rr_dealt AS (
+  SELECT group_id, topic, partition,
+         ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY topic, partition) - 1 AS deal_idx
+  FROM rr_pairs
+), rr_members AS (
+  SELECT 'g' || gkey AS group_id, 'm' || mnum AS member_id,
+         ROW_NUMBER() OVER (PARTITION BY gkey ORDER BY 'm' || mnum) - 1 AS midx,
+         COUNT(*) OVER (PARTITION BY gkey) AS n_members
+  FROM members
+), rr_out AS (
+  SELECT 'roundrobin' AS strategy, d.group_id, d.topic, m.member_id, d.partition
+  FROM rr_dealt d
+  JOIN rr_members m
+    ON d.group_id = m.group_id AND d.deal_idx % m.n_members = m.midx
+)
+SELECT strategy, group_id, topic, member_id, CAST(partition AS INTEGER) AS partition
+FROM (SELECT * FROM range_out UNION ALL SELECT * FROM rr_out)
+"""
+
+
+# One literal bindings table feeds BOTH the Spark query and the generated
+# DuckDB VALUES clause — a single source of truth, like the reference
+# keeps bindings in one controller store (`security/acl_store.h`).
+_ACL_AUDIT_BINDINGS = [
+    # (principal, resource_type, resource_name, pattern_type, operation, permission, host)
+    ("*", "topic", "click", "literal", "read", "allow", "*"),
+    ("*", "topic", "view", "literal", "read", "allow", "*"),
+    ("User:u1", "topic", "*", "literal", "write", "allow", "*"),
+    ("User:u2", "topic", "purchase", "literal", "all", "allow", "*"),
+    ("User:u2", "topic", "error", "literal", "all", "deny", "*"),
+    ("User:u3", "topic", "s", "prefixed", "read", "allow", "*"),
+    ("User:u3", "topic", "sign", "prefixed", "write", "deny", "*"),
+    ("User:u4", "topic", "p", "prefixed", "alter", "allow", "*"),
+    ("User:u5", "topic", "click", "literal", "write", "allow", "h1"),
+    ("*", "topic", "error", "literal", "describe", "allow", "h2"),
+    ("User:u6", "topic", "*", "literal", "read", "deny", "*"),
+    ("User:u6", "topic", "view", "literal", "all", "allow", "*"),
+]
+
+
+def q_acl_authorize(spark, sf_dir):
+    """Authorization audit (Kafka ACL algebra, reference
+    `security/acl_store.h` + upstream AclAuthorizer): the events table
+    replayed as a request log — principal/operation/host derived
+    deterministically per event, resource = event_type — decided by the
+    Spark `authorize_audit` operator (security.py: broadcast bindings,
+    pattern match map-side, one aggregation shuffle), then rolled up to
+    decision counts. Exercises DENY precedence, implied DESCRIBE,
+    prefixed patterns, host scoping, and the super-user bypass."""
+    from redpanda_spark.security import authorize_audit
+
+    ev = _t(spark, sf_dir, "events")
+    req = ev.select(
+        F.concat(F.lit("User:u"), (F.col("user_id") % 7).cast("string")).alias(
+            "principal"
+        ),
+        F.element_at(
+            F.array(
+                F.lit("read"), F.lit("write"), F.lit("describe"), F.lit("alter")
+            ),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("operation"),
+        F.lit("topic").alias("resource_type"),
+        F.col("event_type").alias("resource_name"),
+        F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")).alias(
+            "host"
+        ),
+    )
+    bdf = spark.createDataFrame(
+        _ACL_AUDIT_BINDINGS,
+        "principal string, resource_type string, resource_name string,"
+        " pattern_type string, operation string, permission string,"
+        " host string",
+    )
+    # scale shape: the decision is a pure function of (principal,
+    # operation, resource, host), so the 100-TB-sized request log
+    # collapses to its distinct decision tuples FIRST (one map-side-
+    # combined shuffle); the authorizer then evaluates a tiny table
+    distinct_req = req.groupBy(
+        "principal", "operation", "resource_type", "resource_name", "host"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    decided = authorize_audit(distinct_req, bdf, superusers=("User:u0",))
+    return decided.groupBy(
+        F.col("principal"),
+        F.col("operation"),
+        F.col("resource_name").alias("resource"),
+    ).agg(
+        F.max(F.col("allowed").cast("int")).alias("allowed"),
+        F.sum("n").cast("long").alias("n_requests"),
+    )
+
+
+def _acl_bindings_values_sql() -> str:
+    rows = ",\n    ".join(
+        "(" + ", ".join(f"'{v}'" for v in b) + ")" for b in _ACL_AUDIT_BINDINGS
+    )
+    return rows
+
+
+SQL_ACL_AUTHORIZE = f"""
+WITH bindings(principal, resource_type, resource_name, pattern_type,
+              operation, permission, host) AS (
+  VALUES
+    {_acl_bindings_values_sql()}
+), req AS (
+  SELECT 'User:u' || (user_id % 7) AS principal,
+         CASE event_id % 4 WHEN 0 THEN 'read' WHEN 1 THEN 'write'
+                           WHEN 2 THEN 'describe' ELSE 'alter' END AS operation,
+         'topic' AS resource_type,
+         event_type AS resource_name,
+         'h' || (user_id % 3) AS host
+  FROM events
+), distinct_req AS (
+  SELECT principal, operation, resource_type, resource_name, host,
+         COUNT(*) AS n
+  FROM req GROUP BY 1, 2, 3, 4, 5
+), flags AS (
+  SELECT r.principal, r.operation, r.resource_name, r.host, r.n,
+    MAX(CASE WHEN (b.principal = '*' OR b.principal = r.principal)
+              AND (b.host = '*' OR b.host = r.host)
+              AND b.permission = 'deny'
+              AND (b.operation = 'all' OR b.operation = r.operation)
+         THEN 1 ELSE 0 END) AS any_deny,
+    MAX(CASE WHEN (b.principal = '*' OR b.principal = r.principal)
+              AND (b.host = '*' OR b.host = r.host)
+              AND b.permission = 'allow'
+              AND (b.operation = 'all' OR b.operation = r.operation
+                   OR (r.operation = 'describe'
+                       AND b.operation IN ('read', 'write', 'delete', 'alter'))
+                   OR (r.operation = 'describe_configs'
+                       AND b.operation = 'alter_configs'))
+         THEN 1 ELSE 0 END) AS any_allow
+  FROM distinct_req r
+  LEFT JOIN bindings b
+    ON b.resource_type = r.resource_type
+   AND ((b.pattern_type = 'literal'
+         AND (b.resource_name = '*' OR b.resource_name = r.resource_name))
+     OR (b.pattern_type = 'prefixed'
+         AND r.resource_name LIKE b.resource_name || '%'))
+  GROUP BY r.principal, r.operation, r.resource_name, r.host, r.n
+), decided AS (
+  SELECT principal, operation, resource_name, n,
+         CASE WHEN principal = 'User:u0' THEN 1
+              WHEN any_deny = 1 THEN 0
+              WHEN any_allow = 1 THEN 1
+              ELSE 0 END AS allowed
+  FROM flags
+)
+SELECT principal, operation, resource_name AS resource,
+       CAST(MAX(allowed) AS INTEGER) AS allowed,
+       CAST(SUM(n) AS BIGINT) AS n_requests
+FROM decided GROUP BY 1, 2, 3
+"""
+
+QUERIES.update(
+    {
+        "group_bulk_assignment": q_group_bulk_assignment,
+        "acl_authorize": q_acl_authorize,
+    }
+)
+ORACLES.update(
+    {
+        "group_bulk_assignment": SQL_GROUP_BULK_ASSIGNMENT,
+        "acl_authorize": SQL_ACL_AUTHORIZE,
+    }
+)

@@ -18,7 +18,6 @@ added reader fields need defaults, type promotions int→long→float→double.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass
 from typing import Any
 
@@ -70,8 +69,16 @@ class SchemaVersion:
 
 
 class SchemaRegistry:
-    def __init__(self, path: str | None = None):
+    def __init__(self, path: str | None = None, fsio=None):
         self._path = path
+        # optional filesystem abstraction (pass engine._fsio to persist
+        # the registry under a URI / object-store root); default = plain
+        # local paths, byte-identical to the previous raw-os behavior
+        if fsio is None:
+            from redpanda_spark.fsio import LocalFS
+
+            fsio = LocalFS()
+        self._fsio = fsio
         self._subjects: dict[str, list[SchemaVersion]] = {}
         self._by_id: dict[int, SchemaVersion] = {}
         self._compat: dict[str, str] = {}
@@ -81,14 +88,13 @@ class SchemaRegistry:
         self._mode: dict[str, str] = {}
         self._global_mode = "READWRITE"
         self._next_id = 1
-        if path and os.path.exists(path):
+        if path and self._fsio.exists(path):
             self._load()
 
     # -- persistence ------------------------------------------------------
 
     def _load(self) -> None:
-        with open(self._path) as f:
-            raw = json.load(f)
+        raw = json.loads(self._fsio.read_text(self._path))
         self._subjects = {
             s: [SchemaVersion(**v) for v in vs] for s, vs in raw["subjects"].items()
         }
@@ -105,9 +111,9 @@ class SchemaRegistry:
         # tmp + rename: the registry is the whole cluster's schema state;
         # a crash mid-write must never truncate it (the reference keeps it
         # in a compacted topic, crash-safe by append — `_schemas`)
-        tmp = f"{self._path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self._fsio.write_text_atomic(
+            self._path,
+            json.dumps(
                 {
                     "subjects": {
                         s: [asdict(v) for v in vs] for s, vs in self._subjects.items()
@@ -117,10 +123,9 @@ class SchemaRegistry:
                     "mode": self._mode,
                     "global_mode": self._global_mode,
                     "next_id": self._next_id,
-                },
-                f,
-            )
-        os.replace(tmp, self._path)
+                }
+            ),
+        )
 
     # -- registration -----------------------------------------------------
 

@@ -22,7 +22,6 @@ snapshot persistence, exposed as a DataFrame for introspection queries.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import asdict, dataclass
 
 RESOURCE_TYPES = ("topic", "group", "cluster", "transactional_id")
@@ -124,21 +123,29 @@ class AclStore:
         path: str | None = None,
         superusers: set[str] | None = None,
         allow_everyone_if_no_acl: bool = False,
+        fsio=None,
     ):
         self._bindings: list[AclBinding] = []
         self._path = path
+        # optional filesystem abstraction (pass engine._fsio to persist
+        # under a URI / object-store root); default = plain local paths
+        if fsio is None:
+            from redpanda_spark.fsio import LocalFS
+
+            fsio = LocalFS()
+        self._fsio = fsio
         self.superusers = set(superusers or ())
         self.allow_everyone_if_no_acl = allow_everyone_if_no_acl
-        if path and os.path.exists(path):
-            with open(path) as f:
-                self._bindings = [AclBinding(**b) for b in json.load(f)]
+        if path and self._fsio.exists(path):
+            self._bindings = [
+                AclBinding(**b) for b in json.loads(self._fsio.read_text(path))
+            ]
 
     def _save(self):
         if self._path:
-            tmp = self._path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump([asdict(b) for b in self._bindings], f)
-            os.replace(tmp, self._path)
+            self._fsio.write_text_atomic(
+                self._path, json.dumps([asdict(b) for b in self._bindings])
+            )
 
     def create(self, binding: AclBinding) -> None:
         if binding not in self._bindings:
@@ -293,3 +300,93 @@ class SaslSession:
         return self.acls.authorize(
             self.principal, operation, resource_type, resource_name, host
         )
+
+
+# --------------------------------------------------------------------------
+# Authorization audit — the ACL algebra as a data-plane operator
+# --------------------------------------------------------------------------
+
+
+def authorize_audit(
+    requests,
+    bindings,
+    superusers: tuple[str, ...] = (),
+    allow_everyone_if_no_acl: bool = False,
+):
+    """Evaluate Kafka's authorization algebra (`AclStore.authorize`
+    above — super-user bypass, DENY precedence, ALLOW with implied
+    operations, allow-everyone fallback, default deny) over a REQUEST
+    LOG as one Spark plan: per request row, the decision the authorizer
+    would have made. The fleet-audit re-expression of the per-RPC
+    driver check — "which principals would lose access if this binding
+    landed" over a day of traffic is one query, not a loop.
+
+    ``requests``: DataFrame with principal, operation, resource_type,
+    resource_name (+ optional host, + any carried columns).
+    ``bindings``: DataFrame with AclBinding's columns. Returns the
+    request columns + an ``allowed`` boolean.
+
+    Scale shape: the bindings table is tiny and BROADCASTS; pattern
+    matching happens map-side in the join; one shuffle aggregates the
+    per-binding match flags back to per-request. Parity with
+    `AclStore.authorize` is pinned by a property test."""
+    from pyspark.sql import functions as F
+
+    b = bindings.select(
+        *[F.col(c).alias("b_" + c) for c in bindings.columns]
+    )
+    req = requests.withColumn("_rid", F.monotonically_increasing_id())
+    host_expr = (
+        F.col("host") if "host" in requests.columns else F.lit(None).cast("string")
+    )
+    # join on the PATTERN match only (resource_type + name/prefix);
+    # principal/host/operation coverage become projected flags, so the
+    # same join also feeds the allow-everyone "any binding matches this
+    # resource at all" probe (`matches_resource`)
+    pattern = (F.col("b_resource_type") == F.col("resource_type")) & (
+        (
+            (F.col("b_pattern_type") == "literal")
+            & (
+                (F.col("b_resource_name") == "*")
+                | (F.col("b_resource_name") == F.col("resource_name"))
+            )
+        )
+        | (
+            (F.col("b_pattern_type") == "prefixed")
+            & F.col("resource_name").startswith(F.col("b_resource_name"))
+        )
+    )
+    j = req.join(F.broadcast(b), pattern, "left")
+    ph = (
+        (F.col("b_principal") == "*") | (F.col("b_principal") == F.col("principal"))
+    ) & (
+        (F.col("b_host") == "*")
+        | (host_expr.isNotNull() & (F.col("b_host") == host_expr))
+    )
+    covers = (F.col("b_operation") == "all") | (
+        F.col("b_operation") == F.col("operation")
+    )
+    implied = covers
+    for op, srcs in _IMPLIED_BY.items():
+        implied = implied | (
+            (F.col("operation") == op) & F.col("b_operation").isin(*srcs)
+        )
+    deny = ph & (F.col("b_permission") == "deny") & covers
+    allow = ph & (F.col("b_permission") == "allow") & implied
+    carried = list(requests.columns)
+    agg = j.groupBy("_rid").agg(
+        *[F.first(c).alias(c) for c in carried],
+        F.max(F.coalesce(deny, F.lit(False)).cast("int")).alias("_deny"),
+        F.max(F.coalesce(allow, F.lit(False)).cast("int")).alias("_allow"),
+        F.max(F.col("b_permission").isNotNull().cast("int")).alias("_hit"),
+    )
+    allowed = (
+        F.col("principal").isin(*superusers) if superusers else F.lit(False)
+    ) | (
+        (F.col("_deny") == 0)
+        & (
+            (F.col("_allow") == 1)
+            | (F.lit(allow_everyone_if_no_acl) & (F.col("_hit") == 0))
+        )
+    )
+    return agg.withColumn("allowed", allowed).select(*carried, "allowed")

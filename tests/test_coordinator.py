@@ -488,3 +488,93 @@ def test_sync_omitted_member_gets_empty_assignment():
     a1 = g.sync_group(m1, gen, assignments={m1: all_parts})
     assert a1 == all_parts
     assert g.sync_group(m2, gen) == {}  # not the stale previous split
+
+
+def test_bulk_range_assignment_matches_driver_assignor(spark):
+    """The Spark bulk range assignor must equal `range_assign` (the
+    coordinator's driver-side computation) on randomized multi-group
+    configurations — members, topic sets, partition counts, and partial
+    subscriptions all varied under a fixed seed."""
+    import random
+
+    from redpanda_spark.operators.coordinator import (
+        bulk_range_assignment,
+        range_assign,
+    )
+
+    rng = random.Random(1337)
+    topics = {f"t{i}": rng.randint(1, 9) for i in range(6)}
+    groups = {}
+    for g in range(8):
+        members = {
+            f"m{j:02d}": sorted(
+                t for t in topics if rng.random() < 0.7
+            )
+            for j in range(rng.randint(1, 7))
+        }
+        groups[f"g{g}"] = {m: ts for m, ts in members.items() if ts}
+    expected = set()
+    for gid, members in groups.items():
+        if not members:
+            continue
+        for m, per_topic in range_assign(members, topics).items():
+            for t, parts in per_topic.items():
+                for p in parts:
+                    expected.add((gid, t, m, p))
+    subs = spark.createDataFrame(
+        [
+            (gid, m, t)
+            for gid, members in groups.items()
+            for m, ts in members.items()
+            for t in ts
+        ],
+        "group_id string, member_id string, topic string",
+    )
+    tp = spark.createDataFrame(
+        list(topics.items()), "topic string, n_partitions int"
+    )
+    got = {
+        (r["group_id"], r["topic"], r["member_id"], r["partition"])
+        for r in bulk_range_assignment(subs, tp).collect()
+    }
+    assert got == expected
+
+
+def test_bulk_roundrobin_assignment_matches_driver_assignor(spark):
+    """The Spark bulk roundrobin assignor must equal `roundrobin_assign`
+    for its declared scope: uniform subscription (every member of a
+    group subscribes the group's whole topic set)."""
+    import random
+
+    from redpanda_spark.operators.coordinator import (
+        bulk_roundrobin_assignment,
+        roundrobin_assign,
+    )
+
+    rng = random.Random(4242)
+    topics = {f"t{i}": rng.randint(1, 8) for i in range(5)}
+    expected = set()
+    gt_rows, gm_rows = [], []
+    for g in range(7):
+        gid = f"g{g}"
+        gtopics = sorted(t for t in topics if rng.random() < 0.8) or ["t0"]
+        members = [f"m{j}" for j in range(rng.randint(1, 6))]
+        gt_rows += [(gid, t) for t in gtopics]
+        gm_rows += [(gid, m) for m in members]
+        uniform = {m: gtopics for m in members}
+        gparts = {t: topics[t] for t in gtopics}
+        for m, per_topic in roundrobin_assign(uniform, gparts).items():
+            for t, parts in per_topic.items():
+                for p in parts:
+                    expected.add((gid, t, m, p))
+    got = {
+        (r["group_id"], r["topic"], r["member_id"], r["partition"])
+        for r in bulk_roundrobin_assignment(
+            spark.createDataFrame(gt_rows, "group_id string, topic string"),
+            spark.createDataFrame(gm_rows, "group_id string, member_id string"),
+            spark.createDataFrame(
+                list(topics.items()), "topic string, n_partitions int"
+            ),
+        ).collect()
+    }
+    assert got == expected

@@ -576,12 +576,14 @@ def test_store_save_is_atomic_under_crash(tmp_path, monkeypatch):
     def boom(src, dst):
         raise OSError("simulated crash before rename")
 
-    monkeypatch.setattr("redpanda_spark.registry.store.os.replace", boom)
+    # persistence now routes through the filesystem abstraction; the
+    # atomic rename to crash lives in fsio (LocalFS.write_text_atomic)
+    monkeypatch.setattr("redpanda_spark.fsio.os.replace", boom)
     try:
         reg.register("s2-value", '{"type": "int"}', "AVRO")
     except OSError:
         pass
-    monkeypatch.setattr("redpanda_spark.registry.store.os.replace", real_replace)
+    monkeypatch.setattr("redpanda_spark.fsio.os.replace", real_replace)
 
     # the durable file still holds the pre-crash state, parseable
     assert open(path).read() == before

@@ -585,3 +585,130 @@ def test_idempotent_dedup_passes_unsequenced_tx_records(spark):
     )
     vals = sorted(bytes(r["value"]).decode() for r in idempotent_dedup(log).collect())
     assert vals == ["p", "s", "t1", "t2", "t3"]
+
+
+def test_metadata_stores_persist_on_uri_root(spark, tmp_path):
+    """Every driver-side metadata store — tx coordinator, client quotas,
+    producer ids, ACLs, schema registry — must persist through the
+    root's filesystem abstraction, so a file:/s3a: root works like a
+    plain path. Pre-fix, raw os IO read nothing at load and crashed at
+    save on exactly the object-store deployments the engine targets."""
+    from redpanda_spark.admin import AdminClient
+    from redpanda_spark.registry.store import SchemaRegistry
+
+    root = "file://" + str(tmp_path / "topics")
+    eng = TopicEngine(spark, root)
+    eng.create_topic("t", TopicConfig(partitions=1))
+
+    # tx coordinator: full begin→produce→commit cycle, state durable
+    tc = TxCoordinator(eng)
+    tc.init_producer_id("txA")
+    tc.produce("txA", "t", _batch(spark, ["a", "b"]))
+    tc.commit("txA")
+    assert _committed_values(eng, "t") == ["a", "b"]
+
+    # quotas + producer ids through the admin surface
+    admin = AdminClient(eng)
+    admin.alter_client_quota("client-1", "producer_byte_rate", 1024.0)
+    pid_plain, _ = admin.init_producer_id(None)
+
+    # ACLs + schema registry opt into the engine's fsio
+    acls = AclStore(
+        path=root + "/_acls.json", fsio=eng._fsio, superusers={"User:root"}
+    )
+    acls.create(
+        AclBinding("User:alice", "topic", "t", "literal", "read", "allow")
+    )
+    reg = SchemaRegistry(root + "/_schema_registry.json", fsio=eng._fsio)
+    sid = reg.register("t-value", '"string"', "AVRO")
+
+    # a fresh engine + stores over the same URI root see all of it
+    eng2 = TopicEngine(spark, root)
+    tc2 = TxCoordinator(eng2)
+    pid_a, epoch_a = tc2.init_producer_id("txA")
+    assert epoch_a >= 1  # bumped over the persisted incarnation
+    admin2 = AdminClient(eng2)
+    assert (
+        admin2.describe_client_quotas()["client-1"]["producer_byte_rate"]
+        == 1024.0
+    )
+    pid_plain2, _ = admin2.init_producer_id(None)
+    assert pid_plain2 > pid_plain  # allocator state survived
+    acls2 = AclStore(path=root + "/_acls.json", fsio=eng2._fsio)
+    assert acls2.authorize("User:alice", "read", "topic", "t")
+    reg2 = SchemaRegistry(root + "/_schema_registry.json", fsio=eng2._fsio)
+    assert reg2.get_by_id(sid).schema == '"string"'
+
+
+def test_authorize_audit_matches_acl_store(spark):
+    """The Spark authorization-audit operator must equal
+    `AclStore.authorize` row for row on randomized bindings and request
+    logs — principals, hosts, literal/prefixed patterns, implied
+    operations, DENY precedence, super-users, and the allow-everyone
+    fallback all exercised under a fixed seed."""
+    import random
+
+    from redpanda_spark.security import authorize_audit
+
+    rng = random.Random(2024)
+    ops = ["read", "write", "describe", "alter", "describe_configs", "all"]
+    req_ops = ["read", "write", "describe", "alter", "describe_configs"]
+    bindings = []
+    for _ in range(30):
+        bindings.append(
+            AclBinding(
+                principal=rng.choice(["*", "User:a", "User:b", "User:c"]),
+                resource_type=rng.choice(["topic", "group"]),
+                resource_name=rng.choice(["*", "t1", "t2", "orders", "ord"]),
+                pattern_type=rng.choice(["literal", "prefixed"]),
+                operation=rng.choice(ops),
+                permission=rng.choice(["allow", "allow", "deny"]),
+                host=rng.choice(["*", "h1", "h2"]),
+            )
+        )
+    requests = [
+        (
+            rng.choice(["User:a", "User:b", "User:c", "User:root"]),
+            rng.choice(req_ops),
+            rng.choice(["topic", "group"]),
+            rng.choice(["t1", "t2", "orders", "orders-eu", "other"]),
+            rng.choice(["h1", "h2", "h3", None]),
+        )
+        for _ in range(300)
+    ]
+    for allow_everyone in (False, True):
+        store = AclStore(
+            superusers={"User:root"},
+            allow_everyone_if_no_acl=allow_everyone,
+        )
+        for b in bindings:
+            store.create(b)
+        expected = [
+            store.authorize(p, op, rt, rn, host=h)
+            for (p, op, rt, rn, h) in requests
+        ]
+        from dataclasses import asdict
+
+        bdf = spark.createDataFrame([asdict(b) for b in bindings])
+        rdf = spark.createDataFrame(
+            [
+                (i, p, op, rt, rn, h)
+                for i, (p, op, rt, rn, h) in enumerate(requests)
+            ],
+            "req_no long, principal string, operation string,"
+            " resource_type string, resource_name string, host string",
+        )
+        out = {
+            r["req_no"]: r["allowed"]
+            for r in authorize_audit(
+                rdf,
+                bdf,
+                superusers=("User:root",),
+                allow_everyone_if_no_acl=allow_everyone,
+            ).collect()
+        }
+        got = [out[i] for i in range(len(requests))]
+        assert got == expected, (
+            f"allow_everyone={allow_everyone}: "
+            f"{[i for i,(g,e) in enumerate(zip(got,expected)) if g!=e][:5]}"
+        )
