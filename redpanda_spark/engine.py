@@ -415,8 +415,19 @@ class TopicEngine:
                         )
                     )
                 ).get("owner")
-            except Exception:
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
                 owner = None  # legacy/absent claim: number check stands
+            except Exception as e:
+                # a TRANSIENT read error must not silently pass the fence
+                # (that would disable the exact convergence this check
+                # provides — the same swallow-to-default class fixed in
+                # HadoopFS.list_names); only a genuinely absent claim is
+                # "legacy", everything else propagates to the caller
+                from redpanda_spark.fsio import _is_not_found
+
+                if not _is_not_found(e):
+                    raise
+                owner = None
             if owner is not None and owner != self._engine_nonce:
                 raise FencedWriterError(topic, mine, current)
 
@@ -749,13 +760,14 @@ class TopicEngine:
         self._refuse_read_only()
         path = os.path.join(self.root, "_counters_history.jsonl")
         keep = ("rows", "segments", "bytes", "archived_segments")
+        def _kept(t: str) -> dict:
+            st = self.topic_stats(t)  # once per topic: it getsizes every
+            return {k: st.get(k) for k in keep}  # segment (RPCs on URIs)
+
         entry = {
             "ts_ms": int(time.time() * 1000),
             "counters": {t: self.counters(t) for t in sorted(self._topics)},
-            "stats": {
-                t: {k: self.topic_stats(t).get(k) for k in keep}
-                for t in sorted(self._topics)
-            },
+            "stats": {t: _kept(t) for t in sorted(self._topics)},
         }
         # the read-append-rewrite is a RMW: two maintenance ticks from
         # processes sharing the root would otherwise interleave and drop
@@ -1502,18 +1514,11 @@ class TopicEngine:
 
     def _side_table_files(self, d: str) -> list[str]:
         """Sorted parquet part names of a side-table dir, via the root's
-        filesystem: POSIX scandir locally, Hadoop listStatus on URI roots
-        — so the driver-side mirrors below see the SAME table everywhere
-        (an earlier os.listdir-only version silently read [] on URI
-        roots, which made hot-tail read_committed skip aborted filtering
-        and unmount's handoff carry no tx metadata there)."""
-        if getattr(self._fsio, "is_local", True):
-            try:
-                return sorted(
-                    f for f in os.listdir(d) if f.endswith(".parquet")
-                )
-            except OSError:
-                return []
+        filesystem (POSIX scandir locally, Hadoop listStatus on URI
+        roots) — so the driver-side mirrors below see the SAME table
+        everywhere (an earlier os.listdir-only version silently read []
+        on URI roots, which made hot-tail read_committed skip aborted
+        filtering and unmount's handoff carry no tx metadata there)."""
         return sorted(
             f for f in self._fsio.list_names(d) if f.endswith(".parquet")
         )
@@ -2721,14 +2726,20 @@ class TopicEngine:
         self._arch_epoch[topic] = max_epoch + 1
         self._save_state()
         self._commit_manifest(topic)
-        # DR takes OWNERSHIP: consume any staged handoff manifest left by
-        # a crashed unmount of the pre-loss incarnation — a later
-        # resume_claim promoting that stale stage would double-own the
-        # topic against this recovery (the operator chose the rows-only
-        # path; the stage's tx/group metadata is superseded with it)
-        self._afsio.delete(
-            os.path.join(ad, "_topic_manifest.pending.json")
-        )
+        # DR takes OWNERSHIP: consume EVERY handoff token left by the
+        # pre-loss incarnation — a staged manifest (crashed unmount), a
+        # published mountable manifest (completed unmount, target lost
+        # before mounting), or a claimed token (crashed mount). Any of
+        # them surviving would let a later mount / resume_claim on
+        # another cluster double-own the topic against this recovery
+        # (the operator chose the rows-only path; the tokens' tx/group
+        # metadata is superseded with it)
+        for name in (
+            "_topic_manifest.pending.json",
+            "_topic_manifest.json",
+            "_topic_manifest.claimed.json",
+        ):
+            self._afsio.delete(os.path.join(ad, name))
         return {
             "segments": len(rels),
             "high_watermarks": dict(self._high[topic]),
@@ -2868,92 +2879,99 @@ class TopicEngine:
         self._commit_manifest(topic)
         for f in files:
             self._fsio.delete(os.path.join(self.root, f))
-        # Phase 2a: STAGE the bucket handoff manifest under a
-        # NON-MOUNTABLE name BEFORE anything local is purged. Phase 2b
-        # durably purges the topic's tx-range and consumer-offset side
-        # rows; the bucket manifest is the only other durable carrier of
-        # that metadata, so it must exist (staged) before the purge — a
-        # crash between the old phase 2 and 3 silently lost aborted
-        # ranges and migrated group offsets forever (a read_committed
-        # consumer on the recovered topic would then SEE previously-
-        # aborted rows). The pending name is not mountable, so staging
-        # never enables double-ownership; publish is the phase-3 rename
-        # (rename-as-commit, the same discipline mount's claim uses).
+        # Phase 2: local detach, then STAGE the bucket handoff manifest,
+        # then purge — ALL under the root lock, in exactly that order:
+        #
+        #   fence check .. _save_state   detach commit point. The fence
+        #                                is re-checked here: a writer
+        #                                that claimed the topic after
+        #                                our phase-1 commit adopted a
+        #                                fully-tiered topic and must not
+        #                                have it destroyed by us (the
+        #                                stale migrator) — we abort,
+        #                                leaving the topic theirs, and
+        #                                since the stage is written only
+        #                                AFTER this point, a fenced
+        #                                unmount leaves no bucket debris
+        #                                to retract.
+        #   stage write (pending name)   the bucket becomes the durable
+        #                                carrier of the tx-range and
+        #                                group-offset metadata BEFORE
+        #                                the purge erases it locally (the
+        #                                r12 phase-2→3 loss window). The
+        #                                stage existing IMPLIES the
+        #                                detach committed — staging
+        #                                before the detach would let a
+        #                                crash in between present
+        #                                "handoff_staged" for a topic the
+        #                                source still fully owns, and a
+        #                                resume_claim on another cluster
+        #                                would then double-own it.
+        #   purge + local deletes        cleanup; every piece is now
+        #                                durable in the bucket.
+        #
+        # Crash states: before _save_state → topic still owned (retry
+        # unmount); between detach and stage write → detached with NO
+        # token, but nothing was purged — the side-table rows are intact
+        # under this root, so a plain mount here falls back to footer
+        # recovery and still sees full tx/group metadata; after the
+        # stage → mount_topic(resume_claim=True) adopts with metadata
+        # intact. No state allows TWO clusters to own the topic at once.
         # The reference carries groups/tx state transactionally through
         # its migration state machine (`cluster/data_migration_backend.cc`,
         # `cluster/data_migration_types.h:184,231`).
         pending = os.path.join(ad, "_topic_manifest.pending.json")
-        self._afsio.write_text_atomic(
-            pending,
-            json.dumps(
-                {
-                    "config": vars(cfg),
-                    "high": high,
-                    "archived": archived,
-                    "archived_stats": {
-                        r: astats[r] for r in archived if r in astats
-                    },
-                    "arch_epoch": epoch + 1,
-                    "tx_ranges": tx_rows,
-                    "groups": group_rows,
-                }
-            ),
-        )
-        # Phase 2b: local detach (no data deletes — the hot list is empty).
-        # The _save_state write is the detach commit point: dropping the
-        # topic from the catalog first means a crash mid-cleanup leaves
-        # only unreferenced debris, never a half-loaded topic. A crash
-        # between phase 2 and 3 leaves the data solely in the bucket with
-        # the STAGED manifest: mount_topic(resume_claim=True) adopts it
-        # with full tx/group metadata (recover_topic_from_archive remains
-        # the rows-only DR fallback); crucially, no state ever allows TWO
-        # clusters to own the topic at once. The fence is RE-checked
-        # here, under the root lock held through the detach: a writer
-        # that claimed the topic after our phase-1 commit adopted a
-        # fully-tiered topic and must not have it destroyed by us (the
-        # stale migrator) — we abort instead, leaving the topic theirs.
-        try:
-            with self._fsio.write_lock(self.root):
-                self._check_writer_fence(topic)
-                del self._topics[topic]
-                for d in (
-                    self._high,
-                    self._files,
-                    self._stats,
-                    self._tail,
-                    self._producers,
-                    self._archived,
-                    self._archived_stats,
-                    self._arch_epoch,
-                    self._clean_rows,
-                ):
-                    d.pop(topic, None)
-                self._save_state()
-                self._fsio.delete(self._topic_dir(topic), recursive=True)
-                self._fsio.delete(self._manifest_path(topic))
-                # epoch chain survives (monotone lineage across mounts)
-                self._writer_epoch.pop(topic, None)
-                self._purge_topic_metadata(topic)
-        except FencedWriterError:
-            # we are the STALE migrator: a new writer adopted the topic
-            # after our phase-1 commit. The topic is theirs — retract the
-            # stage we wrote above, or an operator reading
-            # "handoff_staged" might resume_claim it against the live
-            # owner (the stale-debris inverse of mount's token return).
-            # fsio.delete is quiet-on-failure, so VERIFY: stale debris
-            # here is an operator trap, not mere litter.
-            self._afsio.delete(pending)
-            if self._afsio.exists(pending):
-                import warnings
-
-                warnings.warn(
-                    f"fenced unmount of {topic!r} could not retract the "
-                    f"staged bucket manifest {pending} — delete it "
-                    "manually; do NOT resume_claim it (the topic is "
-                    "owned by the newer writer)",
-                    stacklevel=2,
+        with self._fsio.write_lock(self.root):
+            self._check_writer_fence(topic)
+            del self._topics[topic]
+            for d in (
+                self._high,
+                self._files,
+                self._stats,
+                self._tail,
+                self._producers,
+                self._archived,
+                self._archived_stats,
+                self._arch_epoch,
+                self._clean_rows,
+            ):
+                d.pop(topic, None)
+            self._save_state()
+            try:
+                self._afsio.write_text_atomic(
+                    pending,
+                    json.dumps(
+                        {
+                            "config": vars(cfg),
+                            "high": high,
+                            "archived": archived,
+                            "archived_stats": {
+                                r: astats[r] for r in archived if r in astats
+                            },
+                            "arch_epoch": epoch + 1,
+                            "tx_ranges": tx_rows,
+                            "groups": group_rows,
+                        }
+                    ),
                 )
-            raise
+            except Exception as e:
+                # topic is detached but no handoff token exists; nothing
+                # was purged — tell the operator exactly how to recover
+                e.add_note(
+                    f"unmount of {topic!r} failed writing the staged "
+                    "handoff manifest AFTER the local detach committed: "
+                    "the topic is detached, side-table metadata is "
+                    "intact under this root — run "
+                    "recover_topic_from_archive (or retry once the "
+                    "bucket is reachable: mount here, then unmount "
+                    "again)"
+                )
+                raise
+            self._fsio.delete(self._topic_dir(topic), recursive=True)
+            self._fsio.delete(self._manifest_path(topic))
+            # epoch chain survives (monotone lineage across mounts)
+            self._writer_epoch.pop(topic, None)
+            self._purge_topic_metadata(topic)
         # Phase 3: PUBLISH the handoff token by atomic rename of the
         # staged manifest to its mountable name. Mount reads it for O(1)
         # metadata adoption (exact config + watermarks even for
@@ -3021,9 +3039,25 @@ class TopicEngine:
                 if self._afsio.exists(pending):
                     # crashed UNMOUNT: detach committed, publish rename
                     # never ran. Promote the stage to a claim with the
-                    # same create-exclusive discipline as Phase A.
+                    # same create-exclusive discipline as Phase A. The
+                    # read can lose a race too: a rival's promotion
+                    # consumes the stage between our exists check and
+                    # this read — map not-found to the clean race error,
+                    # not a raw FileNotFound crash.
+                    try:
+                        stage_token = self._afsio.read_text(pending)
+                    except Exception as e:
+                        from redpanda_spark.fsio import _is_not_found
+
+                        if isinstance(e, FileNotFoundError) or _is_not_found(e):
+                            raise ValueError(
+                                f"topic {topic}: lost the resume race "
+                                "(another cluster claimed the staged "
+                                "manifest)"
+                            ) from None
+                        raise
                     if not self._afsio.create_exclusive(
-                        claimed, self._afsio.read_text(pending)
+                        claimed, stage_token
                     ):
                         raise ValueError(
                             f"topic {topic}: lost the resume race "
@@ -3055,9 +3089,21 @@ class TopicEngine:
                     )
                 return self.recover_topic_from_archive(topic, config)
             # Phase A: the handoff — first-writer-wins claim creation,
-            # then retire the mountable name
-            if not self._afsio.create_exclusive(
-                claimed, self._afsio.read_text(mp)
+            # then retire the mountable name. The read itself can lose
+            # the race (a rival claims and deletes the plain manifest
+            # between our exists check and this read): map not-found to
+            # the same clean race error, not a raw FileNotFound crash.
+            try:
+                mount_token = self._afsio.read_text(mp)
+            except Exception as e:
+                from redpanda_spark.fsio import _is_not_found
+
+                if isinstance(e, FileNotFoundError) or _is_not_found(e):
+                    mount_token = None
+                else:
+                    raise
+            if mount_token is None or not self._afsio.create_exclusive(
+                claimed, mount_token
             ):
                 raise ValueError(
                     f"topic {topic}: lost the mount claim race (another "
@@ -3102,12 +3148,19 @@ class TopicEngine:
                         m["tx_ranges"], TX_RANGE_SCHEMA
                     )
                 )
+            # first-class consumer-offset migration (opt-in at unmount):
+            # resume at the exact committed positions. Batched per group
+            # (offset_commit_batch, the OffsetCommit-request shape): one
+            # append job per GROUP, not one per (group, partition) row —
+            # 50 groups x 8 partitions is 50 jobs, not 400, and 8x fewer
+            # tiny side-table part files for compaction to fold later
+            by_group: dict[str, dict[tuple[str, int], int]] = {}
             for g in m.get("groups", []):
-                # first-class consumer-offset migration (opt-in at
-                # unmount): resume at the exact committed position
-                self.offset_commit(
-                    g["group"], topic, int(g["partition"]), int(g["offset"])
-                )
+                by_group.setdefault(g["group"], {})[
+                    (topic, int(g["partition"]))
+                ] = int(g["offset"])
+            for gid, offsets in by_group.items():
+                self.offset_commit_batch(gid, offsets)
             self._save_state()  # ADOPTION COMMIT POINT
         except BaseException:
             # roll back and RETURN the token: the bucket stays

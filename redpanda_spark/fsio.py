@@ -49,15 +49,19 @@ def _is_not_found(e: Exception) -> bool:
     (listStatus on an absent path throws FileNotFoundException). Used to
     distinguish "absent, return empty" from real IO errors that must
     propagate to the caller."""
-    je = getattr(e, "java_exception", None)
-    if je is not None:
-        try:
-            name = je.getClass().getName()
-        except Exception:
-            name = ""
-        if "FileNotFound" in name or "PathNotFound" in name:
-            return True
-    return "FileNotFound" in str(e) or "does not exist" in str(e)
+    return _exception_names_any(
+        e, ("FileNotFoundException", "PathNotFoundException")
+    ) or "does not exist" in str(e)
+
+
+def has_scheme(path: str) -> bool:
+    """True when ``path`` carries a URI scheme (``file:``, ``s3a:``,
+    ``hdfs:``, …) — including Hadoop's normalized single-slash form
+    (``file:/x``), which a naive ``"://" in path`` check misses."""
+    scheme = path.split(":", 1)[0] if ":" in path else ""
+    return bool(scheme) and not (
+        len(scheme) == 1 and path[1:3] in (":\\", ":/")
+    )
 
 
 def for_root(spark, root: str) -> "LocalFS | HadoopFS":
@@ -204,6 +208,13 @@ class LocalFS:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
+
+    def stat_fingerprint(self, path: str) -> tuple[int, int]:
+        """(mtime_ns, size) — cache key for immutable-by-spec files that
+        may still be rewritten in place at the same path (tests, external
+        writers)."""
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
 
 
 class HadoopFS:
@@ -486,6 +497,13 @@ class HadoopFS:
         if self._fs.exists(dst):
             self._fs.delete(dst, False)
         self._fs.rename(self._p(tmp), dst)
+
+    def stat_fingerprint(self, path: str) -> tuple[int, int]:
+        """(mtime_ns, size) via FileStatus — modification time is
+        millisecond-granular on Hadoop filesystems, scaled to ns so the
+        fingerprint shape matches LocalFS."""
+        st = self._fs.getFileStatus(self._p(path))
+        return (int(st.getModificationTime()) * 1_000_000, int(st.getLen()))
 
 
 def copy_file(src_fs, src: str, dst_fs, dst: str) -> None:

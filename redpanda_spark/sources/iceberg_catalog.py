@@ -34,16 +34,21 @@ class CatalogError(Exception):
     pass
 
 
-def _metadata_location(table_path: str) -> str:
+def _metadata_location(table_path: str, fs=None) -> str:
     """Current committed metadata file per the filesystem-catalog
-    convention (version-hint.text names the live version)."""
+    convention (version-hint.text names the live version). ``fs``: the
+    table root's fsio handle for URI roots (plain local by default)."""
+    if fs is None:
+        from redpanda_spark.fsio import LocalFS
+
+        fs = LocalFS()
     meta_dir = os.path.join(table_path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
-    if not os.path.exists(hint):
+    if not fs.exists(hint):
         raise CatalogError(f"no version-hint.text under {meta_dir}")
-    version = int(open(hint).read().strip())
+    version = int(fs.read_text(hint).strip())
     loc = os.path.join(meta_dir, f"v{version}.metadata.json")
-    if not os.path.exists(loc):
+    if not fs.exists(loc):
         raise CatalogError(f"version-hint names missing file {loc}")
     return loc
 
@@ -56,6 +61,7 @@ def register_table(
     token: str | None = None,
     dry_run: bool = False,
     timeout_s: float = 30.0,
+    fs=None,
 ) -> dict:
     """Register the exported table's CURRENT metadata with a REST catalog.
 
@@ -65,7 +71,7 @@ def register_table(
     catalog at the existing metadata-location, per the spec's
     RegisterTableRequest.
     """
-    metadata_location = _metadata_location(table_path)
+    metadata_location = _metadata_location(table_path, fs=fs)
     base = catalog_uri.rstrip("/")
     ns_levels = namespace.split(".")
     requests = [

@@ -40,7 +40,6 @@ from __future__ import annotations
 import functools as _functools
 import json
 import os
-import shutil
 import struct
 import uuid
 from typing import Any
@@ -62,8 +61,26 @@ _OCF_MAGIC = b"Obj\x01"
 _META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
+def _fs_or_local(fs):
+    """Default filesystem for the Iceberg helpers: plain local paths.
+    Callers on a URI table root pass the root's fsio handle, making
+    every metadata read/write (Avro manifests, metadata.json, hints,
+    state) work identically on object stores — the deployment the
+    reference's Iceberg committer actually targets
+    (`datalake/coordinator/iceberg_file_committer.cc`)."""
+    if fs is not None:
+        return fs
+    from redpanda_spark.fsio import LocalFS
+
+    return LocalFS()
+
+
 def avro_ocf_write(
-    path: str, schema: dict, records: list[dict], meta: dict[str, bytes] | None = None
+    path: str,
+    schema: dict,
+    records: list[dict],
+    meta: dict[str, bytes] | None = None,
+    fs=None,
 ) -> None:
     """One-block Avro OCF with null codec — metadata-scale record counts."""
     resolved = resolve_names(schema)
@@ -80,13 +97,12 @@ def avro_ocf_write(
     _write_long(out, len(block))
     out += block
     out += sync
-    with open(path, "wb") as f:
-        f.write(out)
+    _fs_or_local(fs).write_bytes_atomic(path, bytes(out))
 
 
-def avro_ocf_read(path: str) -> tuple[dict, dict, list[Any]]:
+def avro_ocf_read(path: str, fs=None) -> tuple[dict, dict, list[Any]]:
     """(schema, metadata, records) — the verification-side reader."""
-    buf = open(path, "rb").read()
+    buf = _fs_or_local(fs).read_bytes(path)
     if buf[:4] != _OCF_MAGIC:
         raise ValueError("not an Avro object container file")
     md, pos = decode_datum(resolve_names(_META_SCHEMA), buf, 4)
@@ -389,7 +405,7 @@ def _hour_to_micros(hour_dir_value: str) -> int | None:
         return None
 
 
-def _rebuild_state(prior: dict, data_dir: str) -> dict:
+def _rebuild_state(prior: dict, data_dir: str, fs=None) -> dict:
     """Recover the file -> [added_snapshot_id, sequence] map from the
     committed manifest chain (current snapshot's manifest list -> manifest
     entries). Used whenever ``_export_state.json`` is missing or stamped
@@ -403,17 +419,19 @@ def _rebuild_state(prior: dict, data_dir: str) -> dict:
         if s["snapshot-id"] == prior["current-snapshot-id"]
     )
     state: dict[str, list] = {}
-    _, _, manifests = avro_ocf_read(snap["manifest-list"])
+    _, _, manifests = avro_ocf_read(snap["manifest-list"], fs=fs)
     for mf in manifests:
         if mf.get("content") == 1:
             continue  # delete manifests are not export state
-        _, _, entries = avro_ocf_read(mf["manifest_path"])
+        _, _, entries = avro_ocf_read(mf["manifest_path"], fs=fs)
         for e in entries:
             if e["status"] == 2:  # DELETED: not live
                 continue
             if e["data_file"].get("content", 0) != 0:
                 continue  # position/equality delete files: not data state
-            rel = os.path.relpath(e["data_file"]["file_path"], data_dir)
+            rel = os.path.relpath(
+                e["data_file"]["file_path"], _data_path_form(data_dir)
+            )
             e_snap = e.get("snapshot_id")
             if e_snap is None:
                 e_snap = mf["added_snapshot_id"]
@@ -424,13 +442,35 @@ def _rebuild_state(prior: dict, data_dir: str) -> dict:
     return state
 
 
-def _write_atomic(path: str, data: str) -> None:
+def _write_atomic(path: str, data: str, fs=None) -> None:
     """tmp + rename: a crashed write can never leave a truncated commit
     file (metadata.json / state / version-hint)."""
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        f.write(data)
-    os.replace(tmp, path)
+    _fs_or_local(fs).write_text_atomic(path, data)
+
+
+def _data_path_form(p: str) -> str:
+    """file_path as stored in manifests: plain filesystem form for
+    local / ``file:`` tables (identical to Spark's
+    `_metadata.file_path` after :func:`fs_path_col` normalization, and
+    directly readable by `spark.read.parquet`), the full URI for true
+    object-store schemes (where Spark's metadata column carries the
+    same URI form)."""
+    import re
+
+    return re.sub(r"^file:(//)?", "", p)
+
+
+def _pq_file(fs, path: str):
+    """pyarrow ParquetFile over either filesystem: direct path locally
+    (and for ``file:`` URIs, whose plain form is a local path), bytes
+    through the driver otherwise — footer-stats reads at export/maintain
+    time, the same per-file metadata any Iceberg committer collects."""
+    local = _data_path_form(path)
+    if getattr(fs, "is_local", True) or local != path or os.path.exists(local):
+        return pq.ParquetFile(local)
+    import io
+
+    return pq.ParquetFile(io.BytesIO(fs.read_bytes(path)))
 
 
 def export_iceberg(
@@ -484,20 +524,28 @@ def export_iceberg(
     if m.get("format", "parquet") != "parquet":
         raise ValueError("iceberg export requires parquet data files")
 
-    out_abs = os.path.abspath(out_path)
+    # the table root's filesystem: plain local paths stay on the POSIX
+    # fast path; URI roots (file:/hdfs:/s3a:/...) ride the Hadoop
+    # FileSystem of the live JVM, like every engine metadata path
+    ofs = fsio.for_root(spark, out_path)
+    out_abs = (
+        ofs.normalize(out_path)
+        if fsio.has_scheme(out_path)
+        else os.path.abspath(out_path)
+    )
     data_dir = os.path.join(out_abs, "data")
     meta_dir = os.path.join(out_abs, "metadata")
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(meta_dir, exist_ok=True)
+    ofs.mkdirs(data_dir)
+    ofs.mkdirs(meta_dir)
 
     # incremental: pick up the prior table state when one exists
     prior = None
     state: dict[str, list] = {}  # rel path -> [added_snapshot_id, seq]
     state_path = os.path.join(meta_dir, "_export_state.json")
-    if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
-        prior = _current_metadata(out_abs)
+    if ofs.exists(os.path.join(meta_dir, "version-hint.text")):
+        prior = _current_metadata(out_abs, fs=ofs)
         hint_version = int(
-            open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+            ofs.read_text(os.path.join(meta_dir, "version-hint.text")).strip()
         )
         # the state file is a CACHE keyed to the committed hint version: a
         # crash between the state write and the hint flip (or a rolled-back
@@ -506,12 +554,12 @@ def export_iceberg(
         # table never committed (a spec violation the conformance reader
         # now checks). On any mismatch, rebuild from the committed manifest
         # chain, which is authoritative by definition.
-        if os.path.exists(state_path):
-            raw = json.load(open(state_path))
+        if ofs.exists(state_path):
+            raw = json.loads(ofs.read_text(state_path))
             if raw.pop("_hint_version", None) == hint_version:
                 state = raw
         if not state:
-            state = _rebuild_state(prior, data_dir)
+            state = _rebuild_state(prior, data_dir, fs=ofs)
         done = {s["snapshot-id"] for s in prior.get("snapshots", [])}
         if int(snap["id"]) in done:  # idempotent re-export
             return {
@@ -520,8 +568,7 @@ def export_iceberg(
                 "n_files": len(snap["files"]),
                 "n_rows": None,
                 "metadata_path": os.path.join(
-                    meta_dir,
-                    f"v{open(os.path.join(meta_dir, 'version-hint.text')).read().strip()}.metadata.json",
+                    meta_dir, f"v{hint_version}.metadata.json"
                 ),
             }
 
@@ -571,15 +618,13 @@ def export_iceberg(
     for rel in snap["files"]:
         src = os.path.join(src_root, rel)
         dst = os.path.join(data_dir, rel)
-        if not os.path.exists(dst):
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            # tmp + rename: dst is either absent or complete — a crash
-            # mid-copy must not leave a truncated parquet that the retry's
-            # exists-check would then trust
-            tmp_dst = f"{dst}.tmp"
-            shutil.copyfile(src, tmp_dst)
-            os.replace(tmp_dst, dst)
-        md = pq.ParquetFile(dst).metadata
+        if not ofs.exists(dst):
+            ofs.mkdirs(os.path.dirname(dst))
+            # tmp + rename (fsio.copy_file): dst is either absent or
+            # complete — a crash mid-copy must not leave a truncated
+            # parquet that the retry's exists-check would then trust
+            fsio.copy_file(fs, src, ofs, dst)
+        md = _pq_file(ofs, dst).metadata
         total_rows += md.num_rows
         part_val = None
         if part_fields and "_hour=" in rel:
@@ -602,11 +647,11 @@ def export_iceberg(
                 "file_sequence_number": e_seq,
                 "data_file": {
                     "content": 0,  # DATA
-                    "file_path": dst,
+                    "file_path": _data_path_form(dst),
                     "file_format": "PARQUET",
                     "partition": {"_hour": part_val} if part_fields else {},
                     "record_count": int(md.num_rows),
-                    "file_size_in_bytes": int(os.path.getsize(dst)),
+                    "file_size_in_bytes": int(ofs.getsize(dst)),
                 },
             }
         )
@@ -624,6 +669,7 @@ def export_iceberg(
         manifest_path,
         entry_schema,
         entries,
+        fs=ofs,
         meta={
             "schema": json.dumps(schema).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
@@ -662,7 +708,7 @@ def export_iceberg(
     mlist_records = [
         {
             "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
+            "manifest_length": ofs.getsize(manifest_path),
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": seq,
@@ -694,19 +740,23 @@ def export_iceberg(
             None,
         )
         if prior_snap is not None:
-            _pls, _plm, prior_mfs = avro_ocf_read(prior_snap["manifest-list"])
+            _pls, _plm, prior_mfs = avro_ocf_read(
+                prior_snap["manifest-list"], fs=ofs
+            )
             for pmf in prior_mfs:
                 if pmf.get("content") == 1:  # delete manifest
                     mlist_records.append(dict(pmf))
     mlist_path = os.path.join(
         meta_dir, f"snap-{snap_id}-{seq}-{uuid.uuid4()}.avro"
     )
-    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist_records)
+    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, mlist_records, fs=ofs)
 
     # table metadata (v2 spec §Table Metadata) + filesystem-catalog pointer
     if prior:
         version = int(
-            open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+            ofs.read_text(
+                os.path.join(meta_dir, "version-hint.text")
+            ).strip()
         ) + 1
         schemas = list(prior["schemas"])
         cur = next(
@@ -772,13 +822,17 @@ def export_iceberg(
         "metadata-log": metadata_log,
     }
     metadata_path = os.path.join(meta_dir, f"v{version}.metadata.json")
-    _write_atomic(metadata_path, json.dumps(metadata, indent=1))
+    _write_atomic(metadata_path, json.dumps(metadata, indent=1), fs=ofs)
     # state is stamped with the version it belongs to; a crash before the
     # hint flip leaves the stamp != hint, and the next export rebuilds
     # from the committed manifests instead of trusting this file
-    _write_atomic(state_path, json.dumps({**state, "_hint_version": version}))
+    _write_atomic(
+        state_path, json.dumps({**state, "_hint_version": version}), fs=ofs
+    )
     # hint last: the commit point (readers resolve metadata through it)
-    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
+    _write_atomic(
+        os.path.join(meta_dir, "version-hint.text"), str(version), fs=ofs
+    )
     return {
         "table_uuid": table_uuid,
         "snapshot_id": snap_id,
@@ -793,25 +847,28 @@ def export_iceberg(
 # ---------------------------------------------------------------------------
 
 
-def _current_metadata(path: str) -> dict:
+def _current_metadata(path: str, fs=None) -> dict:
     """Resolve the live vN.metadata.json via the filesystem-catalog
     convention (version-hint.text; falls back to the highest vN present —
     `filesystem_catalog.cc` resolution order)."""
+    fs = _fs_or_local(fs)
     meta_dir = os.path.join(path, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        v = open(hint).read().strip()
+    if fs.exists(hint):
+        v = fs.read_text(hint).strip()
         p = os.path.join(meta_dir, f"v{v}.metadata.json")
-        if os.path.exists(p):
-            return json.load(open(p))
+        if fs.exists(p):
+            return json.loads(fs.read_text(p))
     vs = sorted(
         int(f[1:].split(".")[0])
-        for f in os.listdir(meta_dir)
+        for f in fs.list_names(meta_dir)
         if f.startswith("v") and f.endswith(".metadata.json")
     )
     if not vs:
         raise ValueError(f"no vN.metadata.json under {meta_dir}")
-    return json.load(open(os.path.join(meta_dir, f"v{vs[-1]}.metadata.json")))
+    return json.loads(
+        fs.read_text(os.path.join(meta_dir, f"v{vs[-1]}.metadata.json"))
+    )
 
 
 def fs_path_col(col):
@@ -825,15 +882,10 @@ def fs_path_col(col):
     return F.url_decode(F.regexp_replace(col, "^file:(//)?", ""))
 
 
-@_functools.lru_cache(maxsize=65536)
-def _footer_field_ids_cached(
-    path: str, mtime_ns: int, size: int
-) -> tuple[tuple[tuple[int, str], ...], frozenset, tuple[tuple[str, str], ...]]:
-    import pyarrow.parquet as papq
-
+def _extract_footer_field_ids(pa_schema):
     fid2col: dict[int, str] = {}
     names: dict[str, str] = {}
-    for fld in papq.read_schema(path):
+    for fld in pa_schema:
         names[fld.name] = str(fld.type)
         md = fld.metadata or {}
         fid = md.get(b"PARQUET:field_id")
@@ -846,8 +898,23 @@ def _footer_field_ids_cached(
     )
 
 
+@_functools.lru_cache(maxsize=65536)
+def _footer_field_ids_cached(
+    path: str, mtime_ns: int, size: int
+) -> tuple[tuple[tuple[int, str], ...], frozenset, tuple[tuple[str, str], ...]]:
+    import pyarrow.parquet as papq
+
+    return _extract_footer_field_ids(papq.read_schema(path))
+
+
+# URI-scheme footer cache: same (path, fingerprint) keying, bytes read
+# through the table root's filesystem (pyarrow has no handle for the
+# JVM's Hadoop connectors). Bounded like the lru above.
+_REMOTE_FOOTER_CACHE: dict[tuple, tuple] = {}
+
+
 def _footer_field_ids(
-    path: str,
+    path: str, fs=None
 ) -> tuple[tuple[tuple[int, str], ...], frozenset, tuple[tuple[str, str], ...]]:
     """(field_id→physical-name pairs, all physical names, (name, physical
     type) pairs) from a parquet footer. Cached by (path, mtime, size) —
@@ -859,8 +926,26 @@ def _footer_field_ids(
     cached, so a transient I/O blip is never pinned as a wrong empty
     resolution; callers decide whether malformation may fall back to name
     matching."""
-    st = os.stat(path)
-    return _footer_field_ids_cached(path, st.st_mtime_ns, st.st_size)
+    from redpanda_spark.fsio import has_scheme as _has_scheme
+
+    if not _has_scheme(path):
+        st = os.stat(path)
+        return _footer_field_ids_cached(path, st.st_mtime_ns, st.st_size)
+    fs = _fs_or_local(fs)
+    key = (path, *fs.stat_fingerprint(path))
+    hit = _REMOTE_FOOTER_CACHE.get(key)
+    if hit is None:
+        import io
+
+        import pyarrow.parquet as papq
+
+        hit = _extract_footer_field_ids(
+            papq.read_schema(io.BytesIO(fs.read_bytes(path)))
+        )
+        if len(_REMOTE_FOOTER_CACHE) >= 65536:
+            _REMOTE_FOOTER_CACHE.clear()
+        _REMOTE_FOOTER_CACHE[key] = hit
+    return hit
 
 
 # test/maintenance hooks keep the pre-wrapper API
@@ -911,20 +996,26 @@ def read_iceberg(
     snapshot's file set in the reference."""
     from pyspark.sql import functions as F
 
-    meta = _current_metadata(path)
+    ofs = None
+    from redpanda_spark import fsio as _fsio
+
+    if _fsio.has_scheme(path):
+        ofs = _fsio.for_root(spark, path)
+        path = ofs.normalize(path)
+    meta = _current_metadata(path, fs=ofs)
     if meta.get("format-version") != 2:
         raise ValueError(f"unsupported iceberg format-version {meta.get('format-version')}")
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in table metadata")
-    _schema, _md, manifests = avro_ocf_read(snaps[sid]["manifest-list"])
+    _schema, _md, manifests = avro_ocf_read(snaps[sid]["manifest-list"], fs=ofs)
     files: list[tuple[str, int]] = []  # (path, effective sequence number)
     del_files: list[tuple[str, int]] = []
     eq_files: list[tuple[str, int, tuple[int, ...]]] = []  # (+ equality ids)
     part_meta: dict[str, dict] = {}  # data file -> manifest partition struct
     for mf in manifests:
-        _es, _em, entries = avro_ocf_read(mf["manifest_path"])
+        _es, _em, entries = avro_ocf_read(mf["manifest_path"], fs=ofs)
         for e in entries:
             if e["status"] == 2:  # DELETED
                 continue
@@ -986,7 +1077,7 @@ def read_iceberg(
         Projection — physical names are arbitrary, even under a single
         table schema); name match is the fallback for files written
         without ids."""
-        fid_pairs, names, type_pairs = _footer_field_ids(p)
+        fid_pairs, names, type_pairs = _footer_field_ids(p, fs=ofs)
         fid2col = dict(fid_pairs)
         col2type = dict(type_pairs)
         out = []
@@ -1129,7 +1220,7 @@ def read_iceberg(
             # transient I/O errors (OSError) propagate — a silent name
             # fallback there could apply deletes against the wrong column.
             try:
-                fid2col = dict(_footer_field_ids(path)[0])
+                fid2col = dict(_footer_field_ids(path, fs=ofs)[0])
             except ValueError:
                 fid2col = {}
             out = []

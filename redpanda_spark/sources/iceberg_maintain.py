@@ -56,7 +56,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import struct
 import time
 import uuid
@@ -64,11 +63,60 @@ import uuid
 from redpanda_spark.sources.iceberg_export import (
     _MANIFEST_FILE_SCHEMA,
     _current_metadata,
+    _data_path_form,
+    _fs_or_local,
     _manifest_entry_schema,
+    _pq_file,
     _write_atomic,
     avro_ocf_read,
     avro_ocf_write,
 )
+
+
+def _resolve_table(spark, table_path: str):
+    """(normalized table path, fsio handle or None): plain local paths
+    stay on the POSIX fast path (fs None -> raw-local helpers); URI
+    roots get the Hadoop FileSystem of the live JVM, so every
+    maintenance commit works on object stores like the exporter."""
+    from redpanda_spark import fsio as _fsio
+
+    if _fsio.has_scheme(table_path):
+        ofs = _fsio.for_root(spark, table_path)
+        return ofs.normalize(table_path), ofs
+    return os.path.abspath(table_path), None
+
+
+def _walk_parquet(fs, d: str) -> list[str]:
+    """Parquet part files under ``d`` (any depth) — os.walk locally,
+    recursive listStatus on URI roots. Used to collect Spark's
+    partitionBy() output from a staging dir before renaming the parts
+    into the table layout."""
+    if fs is None or getattr(fs, "is_local", True):
+        out = []
+        for dirpath, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.append(os.path.join(dirpath, fn))
+        return out
+    return [p for p in fs.list_files_recursive(d) if p.endswith(".parquet")]
+
+
+def _pq_write_atomic(fs, path: str, tbl) -> None:
+    """Spec-schema parquet write (delete files): tmp+rename locally,
+    bytes-through-the-driver + atomic rename on URI roots (delete files
+    are bounded: one row per deleted position/key)."""
+    import pyarrow.parquet as papq
+
+    if fs is None or getattr(fs, "is_local", True):
+        tmp = f"{path}.tmp"
+        papq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return
+    import io
+
+    buf = io.BytesIO()
+    papq.write_table(tbl, buf)
+    fs.write_bytes_atomic(path, buf.getvalue())
 
 # Iceberg spec: reserved field ids for position-delete file columns.
 _DEL_FILE_PATH_FID = 2147483546
@@ -85,7 +133,7 @@ def _snapshot(meta: dict, snapshot_id: int | None = None) -> dict:
     return next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
 
 
-def live_entries(meta: dict, snapshot_id: int | None = None):
+def live_entries(meta: dict, snapshot_id: int | None = None, fs=None):
     """(data_entries, delete_entries) for a snapshot, with spec
     inheritance resolved: a null snapshot_id / sequence_number on an
     ADDED entry inherits from the manifest-list record. Entries are the
@@ -93,9 +141,9 @@ def live_entries(meta: dict, snapshot_id: int | None = None):
     DELETED (status 2) entries are skipped."""
     snap = _snapshot(meta, snapshot_id)
     data, dels = [], []
-    _, _, manifests = avro_ocf_read(snap["manifest-list"])
+    _, _, manifests = avro_ocf_read(snap["manifest-list"], fs=fs)
     for mf in manifests:
-        _, _, entries = avro_ocf_read(mf["manifest_path"])
+        _, _, entries = avro_ocf_read(mf["manifest_path"], fs=fs)
         for e in entries:
             if e["status"] == 2:
                 continue
@@ -150,6 +198,7 @@ def _write_manifest(
     part_fields: list[dict],
     schema: dict,
     content: str,
+    fs=None,
 ) -> str:
     path = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     for e in entries:  # older entries predate the equality_ids field
@@ -158,6 +207,7 @@ def _write_manifest(
         path,
         _manifest_entry_schema(part_fields),
         entries,
+        fs=fs,
         meta={
             "schema": json.dumps(schema).encode(),
             "partition-spec": json.dumps(
@@ -186,12 +236,13 @@ def _manifest_file_record(
     seq: int,
     snap_id: int,
     part_fields: list[dict],
+    fs=None,
 ) -> dict:
     added = [e for e in entries if e["status"] == 1]
     existing = [e for e in entries if e["status"] == 0]
     return {
         "manifest_path": path,
-        "manifest_length": os.path.getsize(path),
+        "manifest_length": _fs_or_local(fs).getsize(path),
         "partition_spec_id": 0,
         "content": content,
         "sequence_number": seq,
@@ -218,15 +269,25 @@ def _commit_snapshot(
     operation: str,
     summary_extra: dict[str, str],
     schema_id: int,
+    fs=None,
 ) -> dict:
     """Write the manifest list + next vN.metadata.json and flip the hint.
     Returns the new metadata dict."""
-    meta_dir = os.path.join(os.path.abspath(table_path), "metadata")
+    from redpanda_spark.fsio import has_scheme as _has_scheme_c
+
+    meta_dir = os.path.join(
+        table_path
+        if _has_scheme_c(table_path)
+        else os.path.abspath(table_path),
+        "metadata",
+    )
     now_ms = int(time.time() * 1000)
     mlist_path = os.path.join(meta_dir, f"snap-{snap_id}-{seq}-{uuid.uuid4()}.avro")
-    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, manifest_records)
+    avro_ocf_write(mlist_path, _MANIFEST_FILE_SCHEMA, manifest_records, fs=fs)
     version = int(
-        open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+        _fs_or_local(fs)
+        .read_text(os.path.join(meta_dir, "version-hint.text"))
+        .strip()
     ) + 1
     snapshots = list(meta["snapshots"]) + [
         {
@@ -259,9 +320,12 @@ def _commit_snapshot(
     _write_atomic(
         os.path.join(meta_dir, f"v{version}.metadata.json"),
         json.dumps(new_meta, indent=1),
+        fs=fs,
     )
     # hint flips LAST — the commit point
-    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
+    _write_atomic(
+        os.path.join(meta_dir, "version-hint.text"), str(version), fs=fs
+    )
     return new_meta
 
 
@@ -284,7 +348,7 @@ def _strip_scheme(col):
     return fs_path_col(col)
 
 
-def _write_delete_file(table_path: str, hits) -> str:
+def _write_delete_file(table_path: str, hits, fs=None) -> str:
     """Write one spec-schema position-delete parquet (reserved field-ids,
     sorted by file_path then pos) under data/ and return its path.
     ``hits`` are rows/tuples of (file_path, pos), already sorted."""
@@ -315,9 +379,7 @@ def _write_delete_file(table_path: str, hits) -> str:
         },
         schema=schema,
     )
-    tmp = f"{dfile}.tmp"
-    papq.write_table(tbl, tmp)
-    os.replace(tmp, dfile)
+    _pq_write_atomic(fs, dfile, tbl)
     return dfile
 
 
@@ -337,8 +399,8 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
 
     from redpanda_spark.sources.iceberg_export import read_iceberg
 
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
+    table_path, ofs = _resolve_table(spark, table_path)
+    meta = _current_metadata(table_path, fs=ofs)
     # read through the normal merge-on-read path so already-deleted rows
     # can't be deleted twice (their positions would duplicate), keeping
     # the row's physical address columns
@@ -357,10 +419,10 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
     if not hits:
         return {"deleted_rows": 0, "snapshot_id": None}
 
-    data_entries, del_entries = live_entries(meta)
+    data_entries, del_entries = live_entries(meta, fs=ofs)
     part_fields = _part_fields_of(meta)
     snap_id, seq = _next_ids(meta)
-    dfile = _write_delete_file(table_path, hits)
+    dfile = _write_delete_file(table_path, hits, fs=ofs)
 
     meta_dir = os.path.join(table_path, "metadata")
     table_schema = next(
@@ -384,11 +446,11 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
         "file_sequence_number": seq,
         "data_file": {
             "content": 1,  # POSITION_DELETES
-            "file_path": dfile,
+            "file_path": _data_path_form(dfile),
             "file_format": "PARQUET",
             "partition": {p["name"]: None for p in part_fields},
             "record_count": len(hits),
-            "file_size_in_bytes": os.path.getsize(dfile),
+            "file_size_in_bytes": _fs_or_local(ofs).getsize(dfile),
         },
     }
     dm = _write_manifest(
@@ -397,17 +459,21 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
         part_fields,
         table_schema,
         "deletes",
+        fs=ofs,
     )
     dmf = _manifest_file_record(
-        dm, del_existing + [new_del_entry], 1, seq, snap_id, part_fields
+        dm, del_existing + [new_del_entry], 1, seq, snap_id, part_fields, fs=ofs
     )
     records = [dmf]
     if data_existing:
         datam = _write_manifest(
-            meta_dir, data_existing, part_fields, table_schema, "data"
+            meta_dir, data_existing, part_fields, table_schema, "data", fs=ofs
         )
         records.insert(
-            0, _manifest_file_record(datam, data_existing, 0, seq, snap_id, part_fields)
+            0,
+            _manifest_file_record(
+                datam, data_existing, 0, seq, snap_id, part_fields, fs=ofs
+            ),
         )
     total = sum(e["data_file"]["record_count"] for e in data_entries)
     prior_del = sum(e["data_file"]["record_count"] for e in del_entries)
@@ -426,6 +492,7 @@ def delete_where(spark, table_path: str, predicate: str) -> dict:
             "total-data-files": str(len(data_entries)),
         },
         meta["current-schema-id"],
+        fs=ofs,
     )
     return {"deleted_rows": len(hits), "snapshot_id": snap_id}
 
@@ -460,8 +527,8 @@ def equality_delete(
 
     if not keys:
         return {"deleted_keys": 0, "snapshot_id": None}
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
+    table_path, ofs = _resolve_table(spark, table_path)
+    meta = _current_metadata(table_path, fs=ofs)
     table_schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
@@ -487,11 +554,9 @@ def equality_delete(
     tbl = pa.table(
         {c: [k.get(c) for k in keys] for c in key_cols}, schema=pa.schema(pa_fields)
     )
-    tmp = f"{dfile}.tmp"
-    papq.write_table(tbl, tmp)
-    os.replace(tmp, dfile)
+    _pq_write_atomic(ofs, dfile, tbl)
 
-    data_entries, del_entries = live_entries(meta)
+    data_entries, del_entries = live_entries(meta, fs=ofs)
     part_fields = _part_fields_of(meta)
     snap_id, seq = _next_ids(meta)
     meta_dir = os.path.join(table_path, "metadata")
@@ -510,30 +575,35 @@ def equality_delete(
         "file_sequence_number": seq,
         "data_file": {
             "content": 2,  # EQUALITY_DELETES
-            "file_path": dfile,
+            "file_path": _data_path_form(dfile),
             "file_format": "PARQUET",
             "partition": {p["name"]: None for p in part_fields},
             "record_count": len(keys),
-            "file_size_in_bytes": os.path.getsize(dfile),
+            "file_size_in_bytes": _fs_or_local(ofs).getsize(dfile),
             "equality_ids": ids,
         },
     }
     dm = _write_manifest(
-        meta_dir, del_existing + [new_entry], part_fields, table_schema, "deletes"
+        meta_dir,
+        del_existing + [new_entry],
+        part_fields,
+        table_schema,
+        "deletes",
+        fs=ofs,
     )
     records = [
         _manifest_file_record(
-            dm, del_existing + [new_entry], 1, seq, snap_id, part_fields
+            dm, del_existing + [new_entry], 1, seq, snap_id, part_fields, fs=ofs
         )
     ]
     if data_existing:
         datam = _write_manifest(
-            meta_dir, data_existing, part_fields, table_schema, "data"
+            meta_dir, data_existing, part_fields, table_schema, "data", fs=ofs
         )
         records.insert(
             0,
             _manifest_file_record(
-                datam, data_existing, 0, seq, snap_id, part_fields
+                datam, data_existing, 0, seq, snap_id, part_fields, fs=ofs
             ),
         )
     total = sum(e["data_file"]["record_count"] for e in data_entries)
@@ -551,6 +621,7 @@ def equality_delete(
             "total-data-files": str(len(data_entries)),
         },
         meta["current-schema-id"],
+        fs=ofs,
     )
     return {"deleted_keys": len(keys), "snapshot_id": snap_id}
 
@@ -575,12 +646,11 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
     stream into the lakehouse: Structured Streaming micro-batches call
     this per batch, giving exactly-once upsert semantics through the
     snapshot commit point (hint flip)."""
-    import pyarrow.parquet as papq
     from pyspark.sql import functions as F
 
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
-    data_entries, del_entries = live_entries(meta)
+    table_path, ofs = _resolve_table(spark, table_path)
+    meta = _current_metadata(table_path, fs=ofs)
+    data_entries, del_entries = live_entries(meta, fs=ofs)
     part_fields = _part_fields_of(meta)
     snap_id, seq = _next_ids(meta)
 
@@ -611,47 +681,46 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
     w.parquet(tmpd)
     new_entries: list[dict] = []
     added_rows = 0
-    for dirpath, _dirs, files in os.walk(tmpd):
-        for fn in sorted(files):
-            if not fn.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(dirpath, tmpd)
-            dst_dir = (
-                os.path.join(table_path, "data")
-                if rel_dir == "."
-                else os.path.join(table_path, "data", rel_dir)
-            )
-            os.makedirs(dst_dir, exist_ok=True)
-            dst = os.path.join(dst_dir, f"upsert-{uuid.uuid4()}.parquet")
-            os.replace(os.path.join(dirpath, fn), dst)
-            md = papq.ParquetFile(dst).metadata
-            part_val = {}
-            if part_names and f"{part_names[0]}=" in rel_dir:
-                part_val = {
-                    part_names[0]: _hour_to_micros(
-                        rel_dir.split(f"{part_names[0]}=", 1)[1].split(os.sep, 1)[0]
-                    )
-                }
-            elif part_names:
-                part_val = {part_names[0]: None}
-            added_rows += md.num_rows
-            new_entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": snap_id,
-                    "sequence_number": seq,
-                    "file_sequence_number": seq,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": dst,
-                        "file_format": "PARQUET",
-                        "partition": part_val,
-                        "record_count": int(md.num_rows),
-                        "file_size_in_bytes": int(os.path.getsize(dst)),
-                    },
-                }
-            )
-    shutil.rmtree(tmpd, ignore_errors=True)
+    mfs = _fs_or_local(ofs)
+    for src_file in sorted(_walk_parquet(ofs, tmpd)):
+        dirpath = os.path.dirname(src_file)
+        rel_dir = os.path.relpath(dirpath, tmpd)
+        dst_dir = (
+            os.path.join(table_path, "data")
+            if rel_dir == "."
+            else os.path.join(table_path, "data", rel_dir)
+        )
+        mfs.mkdirs(dst_dir)
+        dst = os.path.join(dst_dir, f"upsert-{uuid.uuid4()}.parquet")
+        mfs.rename(src_file, dst)
+        md = _pq_file(mfs, dst).metadata
+        part_val = {}
+        if part_names and f"{part_names[0]}=" in rel_dir:
+            part_val = {
+                part_names[0]: _hour_to_micros(
+                    rel_dir.split(f"{part_names[0]}=", 1)[1].split(os.sep, 1)[0]
+                )
+            }
+        elif part_names:
+            part_val = {part_names[0]: None}
+        added_rows += md.num_rows
+        new_entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": _data_path_form(dst),
+                    "file_format": "PARQUET",
+                    "partition": part_val,
+                    "record_count": int(md.num_rows),
+                    "file_size_in_bytes": int(mfs.getsize(dst)),
+                },
+            }
+        )
+    mfs.delete(tmpd, recursive=True)
     if not new_entries and not hits:
         return {"matched_rows": 0, "inserted_rows": 0, "snapshot_id": None}
 
@@ -663,17 +732,20 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
     data_all = [{**e, "status": 0} for e in data_entries] + new_entries
     records = [
         _manifest_file_record(
-            _write_manifest(meta_dir, data_all, part_fields, table_schema, "data"),
+            _write_manifest(
+                meta_dir, data_all, part_fields, table_schema, "data", fs=ofs
+            ),
             data_all,
             0,
             seq,
             snap_id,
             part_fields,
+            fs=ofs,
         )
     ]
     del_all = [{**e, "status": 0} for e in del_entries]
     if hits:
-        dfile = _write_delete_file(table_path, hits)
+        dfile = _write_delete_file(table_path, hits, fs=ofs)
         del_all.append(
             {
                 "status": 1,
@@ -682,11 +754,11 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": 1,
-                    "file_path": dfile,
+                    "file_path": _data_path_form(dfile),
                     "file_format": "PARQUET",
                     "partition": {p["name"]: None for p in part_fields},
                     "record_count": len(hits),
-                    "file_size_in_bytes": os.path.getsize(dfile),
+                    "file_size_in_bytes": mfs.getsize(dfile),
                 },
             }
         )
@@ -694,13 +766,14 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
         records.append(
             _manifest_file_record(
                 _write_manifest(
-                    meta_dir, del_all, part_fields, table_schema, "deletes"
+                    meta_dir, del_all, part_fields, table_schema, "deletes", fs=ofs
                 ),
                 del_all,
                 1,
                 seq,
                 snap_id,
                 part_fields,
+                fs=ofs,
             )
         )
     _commit_snapshot(
@@ -720,6 +793,7 @@ def merge_upsert(spark, table_path: str, updates, key_cols: list[str]) -> dict:
             ),
         },
         meta["current-schema-id"],
+        fs=ofs,
     )
     return {
         "matched_rows": len(hits),
@@ -746,12 +820,12 @@ def compact_data_files(
     rewrite (the rewritten data is clean); delete files whose every
     target was rewritten are dropped from the new snapshot. Commits one
     REPLACE snapshot; a table with nothing to compact is a no-op."""
-    import pyarrow.parquet as papq
     from pyspark.sql import functions as F
 
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
-    data_entries, del_entries = live_entries(meta)
+    table_path, ofs = _resolve_table(spark, table_path)
+    mfs = _fs_or_local(ofs)
+    meta = _current_metadata(table_path, fs=ofs)
+    data_entries, del_entries = live_entries(meta, fs=ofs)
     part_fields = _part_fields_of(meta)
     small = small_bytes if small_bytes is not None else target_bytes // 2
 
@@ -817,12 +891,10 @@ def compact_data_files(
         out = os.path.join(out_dir, f"compact-{uuid.uuid4()}.parquet")
         tmpd = os.path.join(table_path, f"_compact_tmp_{uuid.uuid4()}")
         df.coalesce(1).write.mode("overwrite").parquet(tmpd)
-        part = next(
-            f for f in os.listdir(tmpd) if f.endswith(".parquet")
-        )
-        os.replace(os.path.join(tmpd, part), out)
-        shutil.rmtree(tmpd, ignore_errors=True)
-        md = papq.ParquetFile(out).metadata
+        part = next(iter(_walk_parquet(ofs, tmpd)))
+        mfs.rename(part, out)
+        mfs.delete(tmpd, recursive=True)
+        md = _pq_file(mfs, out).metadata
         new_entries.append(
             {
                 "status": 1,
@@ -831,11 +903,11 @@ def compact_data_files(
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": 0,
-                    "file_path": out,
+                    "file_path": _data_path_form(out),
                     "file_format": "PARQUET",
                     "partition": dict(b[0]["data_file"]["partition"]),
                     "record_count": int(md.num_rows),
-                    "file_size_in_bytes": int(os.path.getsize(out)),
+                    "file_size_in_bytes": int(mfs.getsize(out)),
                 },
             }
         )
@@ -844,7 +916,8 @@ def compact_data_files(
     kept_dels = []
     for e in del_entries:
         targets = set(
-            papq.read_table(e["data_file"]["file_path"], columns=["file_path"])
+            _pq_file(mfs, e["data_file"]["file_path"])
+            .read(columns=["file_path"])
             .column("file_path")
             .to_pylist()
         )
@@ -863,24 +936,30 @@ def compact_data_files(
     entries = survivors + new_entries
     records = [
         _manifest_file_record(
-            _write_manifest(meta_dir, entries, part_fields, table_schema, "data"),
+            _write_manifest(
+                meta_dir, entries, part_fields, table_schema, "data", fs=ofs
+            ),
             entries,
             0,
             seq,
             snap_id,
             part_fields,
+            fs=ofs,
         )
     ]
     if kept_dels:
         kd = [{**e, "status": 0} for e in kept_dels]
         records.append(
             _manifest_file_record(
-                _write_manifest(meta_dir, kd, part_fields, table_schema, "deletes"),
+                _write_manifest(
+                    meta_dir, kd, part_fields, table_schema, "deletes", fs=ofs
+                ),
                 kd,
                 1,
                 seq,
                 snap_id,
                 part_fields,
+                fs=ofs,
             )
         )
     _commit_snapshot(
@@ -899,6 +978,7 @@ def compact_data_files(
             ),
         },
         meta["current-schema-id"],
+        fs=ofs,
     )
     return {
         "rewritten_files": len(rewritten),
@@ -912,7 +992,9 @@ def compact_data_files(
 # ---------------------------------------------------------------------------
 
 
-def _referenced_files(meta: dict, snapshot_ids: set[int]) -> set[str]:
+def _referenced_files(
+    meta: dict, snapshot_ids: set[int], fs=None
+) -> set[str]:
     """Every path (manifest list, manifest, data/delete file) a set of
     snapshots can reach."""
     refs: set[str] = set()
@@ -920,10 +1002,10 @@ def _referenced_files(meta: dict, snapshot_ids: set[int]) -> set[str]:
         if s["snapshot-id"] not in snapshot_ids:
             continue
         refs.add(s["manifest-list"])
-        _, _, manifests = avro_ocf_read(s["manifest-list"])
+        _, _, manifests = avro_ocf_read(s["manifest-list"], fs=fs)
         for mf in manifests:
             refs.add(mf["manifest_path"])
-            _, _, entries = avro_ocf_read(mf["manifest_path"])
+            _, _, entries = avro_ocf_read(mf["manifest_path"], fs=fs)
             for e in entries:
                 if e["status"] != 2:
                     refs.add(e["data_file"]["file_path"])
@@ -934,13 +1016,26 @@ def expire_snapshots(
     table_path: str,
     keep_last: int | None = None,
     older_than_ms: int | None = None,
+    spark=None,
 ) -> dict:
     """Expire snapshots (always keeping the current one), then GC every
     file only they referenced. The metadata trim commits first (hint
     flip); GC runs after, so a crash leaves orphans — never a broken
-    table — and the next expiry's reachability sweep collects them."""
-    table_path = os.path.abspath(table_path)
-    meta = _current_metadata(table_path)
+    table — and the next expiry's reachability sweep collects them.
+    URI table roots need ``spark`` (the Hadoop FileSystem lives in the
+    JVM); plain local paths don't."""
+    from redpanda_spark.fsio import has_scheme as _has_scheme_e
+
+    if _has_scheme_e(table_path):
+        if spark is None:
+            raise ValueError(
+                "expire_snapshots on a URI table root needs spark="
+            )
+        table_path, ofs = _resolve_table(spark, table_path)
+    else:
+        table_path, ofs = os.path.abspath(table_path), None
+    mfs = _fs_or_local(ofs)
+    meta = _current_metadata(table_path, fs=ofs)
     snaps = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
     cur = meta["current-snapshot-id"]
     keep_ids = {cur}
@@ -958,7 +1053,7 @@ def expire_snapshots(
 
     meta_dir = os.path.join(table_path, "metadata")
     version = int(
-        open(os.path.join(meta_dir, "version-hint.text")).read().strip()
+        mfs.read_text(os.path.join(meta_dir, "version-hint.text")).strip()
     ) + 1
     now_ms = int(time.time() * 1000)
     kept_snaps = [s for s in snaps if s["snapshot-id"] in keep_ids]
@@ -999,17 +1094,28 @@ def expire_snapshots(
     _write_atomic(
         os.path.join(meta_dir, f"v{version}.metadata.json"),
         json.dumps(new_meta, indent=1),
+        fs=ofs,
     )
-    _write_atomic(os.path.join(meta_dir, "version-hint.text"), str(version))
+    _write_atomic(
+        os.path.join(meta_dir, "version-hint.text"), str(version), fs=ofs
+    )
 
     # GC: reachable-from-kept minus reachable-from-expired
-    kept_refs = _referenced_files(meta, keep_ids)
-    dead = _referenced_files(meta, {s["snapshot-id"] for s in expired}) - kept_refs
+    kept_refs = _referenced_files(meta, keep_ids, fs=ofs)
+    dead = (
+        _referenced_files(meta, {s["snapshot-id"] for s in expired}, fs=ofs)
+        - kept_refs
+    )
     n = 0
     for p in sorted(dead):
-        try:
-            os.remove(p)
-            n += 1
-        except FileNotFoundError:
-            pass
+        if ofs is None:
+            try:
+                os.remove(p)
+                n += 1
+            except FileNotFoundError:
+                pass
+        else:
+            if mfs.exists(p):
+                mfs.delete(p)
+                n += 1
     return {"expired": len(expired), "files_deleted": n}

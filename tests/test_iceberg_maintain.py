@@ -583,3 +583,66 @@ def test_read_resolves_data_columns_by_field_id(spark, tmp_path):
     got = out2.select("user", "added_later").collect()
     assert len(got) == 12 and all(r["added_later"] is None for r in got)
     assert out2.schema["added_later"].dataType.simpleString() == "bigint"
+
+
+def test_maintenance_lifecycle_on_uri_root(spark, tmp_path):
+    """The FULL maintenance lifecycle on a URI (Hadoop FileSystem) table
+    root — position delete, equality delete, upsert, compaction, expiry
+    with GC — committing and reading back correctly at every step.
+    Driven on file:// so the JVM path is real; this is the object-store
+    deployment every real Iceberg table lives on."""
+    from redpanda_spark.sources.datalake import write_datalake
+    from redpanda_spark.sources.iceberg_maintain import (
+        equality_delete,
+        merge_upsert,
+    )
+
+    lake = "file://" + str(tmp_path / "lake")
+    out = "file://" + str(tmp_path / "ice")
+    df = spark.range(0, 40).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.when(F.col("id") % 2 == 0, F.to_timestamp(F.lit("2024-03-01 10:00:00")))
+        .otherwise(F.to_timestamp(F.lit("2024-03-01 11:00:00")))
+        .alias("_hour"),
+    ).repartition(4)
+    write_datalake(df, lake)
+    export_iceberg(spark, lake, out)
+
+    # position delete
+    res = delete_where(spark, out, "id >= 36")
+    assert res["deleted_rows"] == 4
+    assert {r["id"] for r in read_iceberg(spark, out).collect()} == set(range(36))
+
+    # upsert: replace v for ids 2..5, insert 100..103
+    upd = spark.range(0, 8).select(
+        (F.when(F.col("id") < 4, F.col("id") + 2).otherwise(F.col("id") + 96)).alias(
+            "id"
+        ),
+        F.lit(-1).cast("long").alias("v"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("_hour"),
+    )
+    res = merge_upsert(spark, out, upd, ["id"])
+    assert res["matched_rows"] == 4 and res["inserted_rows"] == 4
+    rows = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert all(rows[i] == -1 for i in (2, 3, 4, 5, 100, 101, 102, 103))
+    assert len(rows) == 40  # 0..35 plus the four inserts
+
+    # compaction: everything is small, so bins form; rows unchanged
+    res = compact_data_files(spark, out, target_bytes=1 << 30, small_bytes=1 << 30)
+    assert res["new_files"] >= 1
+    rows2 = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert rows2 == rows
+
+    # equality delete (by key, no positions) — after compaction, which
+    # by design refuses tables carrying equality deletes
+    res = equality_delete(spark, out, ["id"], [{"id": 0}, {"id": 1}])
+    assert res["deleted_keys"] == 2
+    rows_eq = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert set(rows_eq) == set(rows) - {0, 1}
+
+    # expiry: keep only the latest snapshot; GC must delete real files
+    res = expire_snapshots(out, keep_last=1, spark=spark)
+    assert res["expired"] >= 3 and res["files_deleted"] > 0
+    rows3 = {r["id"]: r["v"] for r in read_iceberg(spark, out).collect()}
+    assert rows3 == rows_eq

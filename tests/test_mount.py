@@ -603,12 +603,23 @@ def test_crash_sweep_unmount_never_loses_rows_or_metadata(spark, tmp_path):
         rec = TopicEngine(
             spark, state["root"], archive_root=state["cold"]
         )
+        pending = os.path.join(
+            state["cold"], "t", "_topic_manifest.pending.json"
+        )
         if "t" not in rec.list_topics():
             try:
                 rec.mount_topic("t")  # published handoff manifest
             except ValueError as e:
                 assert "resume_claim" in str(e), f"budget {budget}: {e}"
                 rec.mount_topic("t", resume_claim=True)  # staged
+        else:
+            # ownership invariant: a staged handoff manifest EXISTING
+            # implies the detach committed — it must never coexist with
+            # a topic the source still owns (a resume_claim promoting it
+            # would double-own the topic against the live source)
+            assert not os.path.exists(pending), (
+                f"budget {budget}: stage present while source owns"
+            )
         assert _rowset(rec.log("t")) == state["expected"], f"budget {budget}"
         assert _tx_rows_for(rec, "t") == state["tx"], f"budget {budget}"
         assert (
@@ -826,18 +837,19 @@ def test_mount_adopt_failure_retracts_replayed_group_offsets(
     a.unmount_topic("t", with_groups=True)
 
     b = _mk_engine(spark, tmp_path, "b", cold)
-    real_commit = b.offset_commit
+    # mount replays offsets via offset_commit_batch (one job per group)
+    real_commit = b.offset_commit_batch
 
-    def replay_then_fail(group, topic, p, off, **kw):
-        real_commit(group, topic, p, off, **kw)  # the replay LANDS...
+    def replay_then_fail(group, offsets):
+        real_commit(group, offsets)  # the replay LANDS...
         raise RuntimeError("injected failure after group replay")
 
-    b.offset_commit = replay_then_fail
+    b.offset_commit_batch = replay_then_fail
     with pytest.raises(RuntimeError, match="after group replay"):
         b.mount_topic("t")
     assert "t" not in b.list_topics()
     assert _group_offsets_for(b, "t") == {}  # ...and is retracted
-    b.offset_commit = real_commit
+    b.offset_commit_batch = real_commit
     b.mount_topic("t")
     assert _group_offsets_for(b, "t") == {("g1", 0): 2}
 
@@ -1031,29 +1043,37 @@ def test_uri_root_tx_mirror_serves_read_committed_and_migration(
     assert vals == [b"v1", b"v2"]
 
 
-def test_fenced_unmount_retracts_staged_manifest(spark, tmp_path):
+def test_fenced_unmount_writes_no_stage(spark, tmp_path):
     """A STALE migrator — fenced at unmount's phase-2 detach because a
-    new writer claimed the topic after its phase-1 commit — must retract
-    the staged bucket manifest it wrote: leaving it would read as
-    "handoff_staged" and invite a resume_claim against the live owner."""
+    new writer claimed the topic after its phase-1 commit — must abort
+    BEFORE writing the staged bucket manifest: the stage is written only
+    after the fence check (and after the detach commit), so a fenced
+    unmount leaves zero bucket debris. Stale-stage debris would read as
+    "handoff_staged" and invite a resume_claim against the live owner —
+    worse, a stage written before the detach commit would present that
+    trap for a topic the source still fully owns."""
     cold = tmp_path / "bucket"
     a = _mk_engine(spark, tmp_path, "a", cold)
     a.create_topic("t", _cfg(partitions=1))
     _produce(a, "t", ["v1"])
 
-    real_write = a._afsio.write_text_atomic
+    real_delete = a._fsio.delete
+    fired = []
 
-    def write_then_lose_leadership(path, text):
-        real_write(path, text)
-        if path.endswith("_topic_manifest.pending.json"):
+    def delete_then_lose_leadership(path, recursive=False):
+        real_delete(path, recursive=recursive)
+        if path.endswith(".parquet") and not fired:
             # a new writer opens the root (claims a higher epoch) in the
-            # window between A's stage write and its phase-2 fence check
+            # window between A's phase-1 hot-file cleanup and its
+            # phase-2 fence check
+            fired.append(path)
             _mk_engine(spark, tmp_path, "a", cold)
 
-    a._afsio.write_text_atomic = write_then_lose_leadership
+    a._fsio.delete = delete_then_lose_leadership
     with pytest.raises(FencedWriterError):
         a.unmount_topic("t")
-    # stage retracted; the topic stays the new writer's, fully intact
+    assert fired, "injection never fired — unmount stopped deleting hot files?"
+    # no stage was ever written; the topic stays the new writer's, intact
     assert not os.path.exists(
         str(cold / "t" / "_topic_manifest.pending.json")
     )
