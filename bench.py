@@ -182,6 +182,8 @@ BENCH_QUERIES_EXTENDED = [
     "pipeline_curriculum",
     "log_replica_fetch",
     "iceberg_eq_delete_read",
+    "group_bulk_assignment",
+    "acl_authorize",
 ]
 
 

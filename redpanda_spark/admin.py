@@ -262,14 +262,26 @@ class AdminClient:
     # -- Client quotas (48, 49) -------------------------------------------
 
     def alter_client_quota(self, client_id: str, key: str, value: float | None) -> None:
-        q = self.quotas.setdefault(client_id, {})
-        if value is None:
-            q.pop(key, None)
-            if not any(not k.startswith("_") for k in q):
-                self.quotas.pop(client_id, None)
-        else:
-            q[key] = value
-        self._save_quotas()
+        import json as _json
+
+        # reload-merge-save under the root write lock: quota CRUD can
+        # come from several processes (CLI + engine + REST); an unlocked
+        # RMW would drop a concurrent alter of a DIFFERENT client
+        with self._fsio.write_lock(self.engine.root):
+            if self._fsio.exists(self._quotas_path):
+                durable = _json.loads(self._fsio.read_text(self._quotas_path))
+                for c, q in durable.items():
+                    mine = self.quotas.setdefault(c, {})
+                    for k, v in q.items():
+                        mine.setdefault(k, v)
+            q = self.quotas.setdefault(client_id, {})
+            if value is None:
+                q.pop(key, None)
+                if not any(not k.startswith("_") for k in q):
+                    self.quotas.pop(client_id, None)
+            else:
+                q[key] = value
+            self._save_quotas()
 
     def _save_quotas(self) -> None:
         import json as _json
@@ -328,33 +340,49 @@ class _ProducerIdAllocator:
     tx_ids: dict[str, tuple[int, int]] = field(default_factory=dict)
     # filesystem abstraction (engine._fsio); default = plain local paths
     fsio: object | None = None
+    # root whose write_lock serializes allocations across processes
+    # (defaults to the store file's directory)
+    lock_root: str | None = None
 
     def __post_init__(self):
-        import json
-
         if self.fsio is None:
             from redpanda_spark.fsio import LocalFS
 
             self.fsio = LocalFS()
+        if self.lock_root is None:
+            self.lock_root = os.path.dirname(self.path)
+        self._reload()
+
+    def _reload(self):
+        import json
+
         if self.fsio.exists(self.path):
             raw = json.loads(self.fsio.read_text(self.path))
             self.next_id = raw["next_id"]
             self.tx_ids = {k: tuple(v) for k, v in raw["tx_ids"].items()}
 
     def allocate(self, transactional_id: str | None) -> tuple[int, int]:
-        if transactional_id is None:
-            pid = self.next_id
-            self.next_id += 1
+        # RELOAD + mutate + save under the root write lock: the store
+        # file is shared by every process on the root (engine, CLI,
+        # REST), and an in-memory-only bump would reissue a pid another
+        # process already allocated — breaking the idempotence window
+        # and epoch fencing that key on pid uniqueness (the reference
+        # serializes this through the id_allocator_stm raft group).
+        with self.fsio.write_lock(self.lock_root):
+            self._reload()
+            if transactional_id is None:
+                pid = self.next_id
+                self.next_id += 1
+                self._save()
+                return pid, 0
+            if transactional_id in self.tx_ids:
+                pid, epoch = self.tx_ids[transactional_id]
+                self.tx_ids[transactional_id] = (pid, epoch + 1)
+            else:
+                self.tx_ids[transactional_id] = (self.next_id, 0)
+                self.next_id += 1
             self._save()
-            return pid, 0
-        if transactional_id in self.tx_ids:
-            pid, epoch = self.tx_ids[transactional_id]
-            self.tx_ids[transactional_id] = (pid, epoch + 1)
-        else:
-            self.tx_ids[transactional_id] = (self.next_id, 0)
-            self.next_id += 1
-        self._save()
-        return self.tx_ids[transactional_id]
+            return self.tx_ids[transactional_id]
 
     def _save(self):
         import json

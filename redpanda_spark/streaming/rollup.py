@@ -94,7 +94,14 @@ def merge_rollup(
     days = [r["window_date"] for r in partials.select("window_date").distinct().collect()]
     if not days:
         return 0
-    import shutil
+    # the store's filesystem: plain local paths stay raw-POSIX, URI
+    # roots (the shared-storage sink a streaming rollup actually feeds)
+    # ride the JVM's Hadoop FileSystem — dir renames are atomic on
+    # HDFS/local per the FileSystem contract, and the single-writer
+    # foreachBatch loop is what makes the swap safe on S3-style stores
+    from redpanda_spark import fsio as _fsio
+
+    fs = _fsio.for_root(spark, store_path)
 
     for day in days:  # touched days only: O(batch), not O(rollup)
         day_dir = os.path.join(store_path, f"window_date={day.isoformat()}")
@@ -103,25 +110,25 @@ def merge_rollup(
         # half-merged rows (or a bogus partition value) to read_rollup
         tmp = os.path.join(store_path, f"_merge_tmp_{day.isoformat()}")
         old = os.path.join(store_path, f"_merge_old_{day.isoformat()}")
-        # Crash recovery BEFORE any GC: a crash between the two os.replace
-        # calls below leaves the day's only committed copy in `old` (and
-        # the merged copy in `tmp`) with day_dir missing — restore `old`
-        # as the visible day (roll BACK, never promote tmp: the
-        # interrupted batch re-merges via checkpoint replay, and a
-        # promoted tmp would double-apply it).
-        if not os.path.isdir(day_dir) and os.path.isdir(old):
-            os.replace(old, day_dir)
-        shutil.rmtree(tmp, ignore_errors=True)  # stale-crash GC
-        shutil.rmtree(old, ignore_errors=True)
+        # Crash recovery BEFORE any GC: a crash between the two renames
+        # below leaves the day's only committed copy in `old` (and the
+        # merged copy in `tmp`) with day_dir missing — restore `old` as
+        # the visible day (roll BACK, never promote tmp: the interrupted
+        # batch re-merges via checkpoint replay, and a promoted tmp
+        # would double-apply it).
+        if not fs.exists(day_dir) and fs.exists(old):
+            fs.rename(old, day_dir)
+        fs.delete(tmp, recursive=True)  # stale-crash GC
+        fs.delete(old, recursive=True)
         marker = os.path.join(day_dir, "_applied_batch")
-        if batch_id is not None and os.path.isfile(marker):
+        if batch_id is not None and fs.exists(marker):
             try:
-                if int(open(marker).read().strip()) == batch_id:
+                if int(fs.read_text(marker).strip()) == batch_id:
                     continue  # committed-then-replayed: already folded
             except ValueError:
                 pass
         new = partials.where(F.col("window_date") == F.lit(day)).drop("window_date")
-        if os.path.isdir(day_dir):
+        if fs.exists(day_dir):
             stored = spark.read.parquet(day_dir)
             new = _combine(stored.unionByName(new))
         else:
@@ -129,14 +136,13 @@ def merge_rollup(
         new.coalesce(1).write.mode("overwrite").parquet(tmp)
         if batch_id is not None:
             # inside tmp, so the stamp becomes visible in the SAME
-            # os.replace that commits the data ("_"-prefixed: invisible
-            # to Spark's file index)
-            with open(os.path.join(tmp, "_applied_batch"), "w") as f:
-                f.write(str(batch_id))
-        if os.path.isdir(day_dir):
-            os.replace(day_dir, old)
-        os.replace(tmp, day_dir)  # atomic visibility flip per day
-        shutil.rmtree(old, ignore_errors=True)
+            # rename that commits the data ("_"-prefixed: invisible to
+            # Spark's file index)
+            fs.write_text_atomic(os.path.join(tmp, "_applied_batch"), str(batch_id))
+        if fs.exists(day_dir):
+            fs.rename(day_dir, old)
+        fs.rename(tmp, day_dir)  # atomic visibility flip per day
+        fs.delete(old, recursive=True)
     return len(days)
 
 

@@ -1153,3 +1153,40 @@ def test_cold_cache_counters(spark, tmp_path):
     eng.fetch("t", 0, offset=0).count()  # second read hits
     c2 = eng.counters("t")
     assert c2.get("cold_cache_hits", 0) >= 1
+
+
+def test_producer_id_allocation_never_reissues_across_instances(engine):
+    """Producer-id allocation is serialized across admin INSTANCES (and
+    thus processes) sharing a root: each allocate reloads the durable
+    store under the root write lock before bumping. Pre-fix, two
+    AdminClients constructed before either allocated would both start at
+    the same next_id and reissue identical pids — breaking the
+    idempotence window and epoch fencing that key on pid uniqueness
+    (the reference serializes through id_allocator_stm)."""
+    a1 = AdminClient(engine)
+    a2 = AdminClient(engine)  # constructed BEFORE a1 allocates anything
+    pids = []
+    for _ in range(3):
+        pids.append(a1.init_producer_id(None)[0])
+        pids.append(a2.init_producer_id(None)[0])
+    assert len(set(pids)) == 6, pids
+    # transactional identity: the epoch chain continues across instances
+    p1, e1 = a1.init_producer_id("tx-shared")
+    p2, e2 = a2.init_producer_id("tx-shared")
+    assert (p2, e2) == (p1, e1 + 1)
+
+
+def test_quota_alters_merge_across_instances(engine):
+    """Concurrent quota CRUD from different admin instances must not
+    lose each other's clients: alter reload-merges the durable table
+    under the root lock before saving. Pre-fix, an instance constructed
+    before another's alter would overwrite the whole file with its
+    stale view, silently dropping the other client's quota."""
+    a1 = AdminClient(engine)
+    a2 = AdminClient(engine)  # stale view: constructed before a1's alter
+    a1.alter_client_quota("c1", "producer_byte_rate", 1000.0)
+    a2.alter_client_quota("c2", "producer_byte_rate", 2000.0)
+    fresh = AdminClient(engine)
+    got = fresh.describe_client_quotas()
+    assert got["c1"]["producer_byte_rate"] == 1000.0
+    assert got["c2"]["producer_byte_rate"] == 2000.0

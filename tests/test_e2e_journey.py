@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -50,8 +52,13 @@ def _validate_transform(out_topic: str):
     return fn
 
 
-def test_day1_pipeline_composes(spark, tmp_path):
-    engine = TopicEngine(spark, str(tmp_path / "topics"))
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_day1_pipeline_composes(spark, tmp_path, scheme):
+    """scheme='file://' runs the SAME day-1 pipeline with every root —
+    engine, lake, Iceberg table, rollup store — on the JVM's Hadoop
+    FileSystem, the object-store deployment shape. A stage that only
+    works on raw local paths breaks the parametrized leg."""
+    engine = TopicEngine(spark, scheme + str(tmp_path / "topics"))
     engine.create_topic("raw", TopicConfig(partitions=3))
     engine.create_topic("clean", TopicConfig(partitions=3))
     engine.create_topic("dlq", TopicConfig(partitions=1))
@@ -91,16 +98,19 @@ def test_day1_pipeline_composes(spark, tmp_path):
 
     # -- 4. typed translation + snapshot datalake write ---------------------
     translated = translate_json_topic(engine.log("clean"), VALUE_SCHEMA)
-    lake = str(tmp_path / "lake")
+    lake = scheme + str(tmp_path / "lake")
     write_datalake(translated, lake)
     lake_df = spark.read.parquet(f"{lake}/*/*.parquet")
     assert lake_df.count() == N_VALID
 
     # -- 5. Iceberg export, read back through BOTH readers ------------------
-    ice = str(tmp_path / "ice")
+    ice = scheme + str(tmp_path / "ice")
     summary = export_iceberg(spark, lake, ice)
     assert summary["n_rows"] == N_VALID
-    conf = traverse(ice)  # the independent from-spec reader
+    # the independent from-spec reader is deliberately raw-local (no
+    # shared fsio code); on the file:// leg it reads the same bytes at
+    # their physical path
+    conf = traverse(str(tmp_path / "ice"))
     assert conf["schema_errors"] == []
     assert conf["live_record_count"] == N_VALID
     back = read_iceberg(spark, ice)
@@ -109,7 +119,7 @@ def test_day1_pipeline_composes(spark, tmp_path):
     assert abs(got_amount - expected_amount) < 1e-9
 
     # -- 6. continuous rollup over the translated rows ----------------------
-    store = str(tmp_path / "rollup")
+    store = scheme + str(tmp_path / "rollup")
     events = translated.select(
         F.col("redpanda.timestamp").alias("ts"),
         "event_type",

@@ -697,3 +697,45 @@ def test_optimistic_double_claim_converges_without_row_loss(spark, tmp_path):
     with pytest.raises(FencedWriterError):
         b.produce("t", _records(spark, [("k4", "v4")]))
     assert len(_rowset(c.log("t"))) == 2
+
+
+def test_nonce_fence_read_error_propagates_not_swallowed(spark, tmp_path):
+    """A TRANSIENT store error reading the claim file during the
+    owner-nonce commit check must PROPAGATE, not silently pass the
+    fence: treating an unreadable claim as 'legacy/absent' would
+    disable exactly the double-win convergence the check provides (the
+    same swallow-to-default class fixed in HadoopFS.list_names). Only a
+    genuinely ABSENT claim may pass on the epoch number alone."""
+    root = str(tmp_path / "r")
+    a = TopicEngine(spark, root)
+    a._fsio.arbitrated_create = False  # nonce check active at commit
+    a.create_topic("t", TopicConfig(partitions=1))
+    a.produce("t", _records(spark, [("k1", "v1")]))
+
+    real_read = a._fsio.read_text
+
+    def flaky_read(path):
+        if path.endswith(".claim"):
+            raise OSError("connection reset by store")
+        return real_read(path)
+
+    a._fsio.read_text = flaky_read
+    with pytest.raises(OSError, match="connection reset"):
+        a.produce("t", _records(spark, [("k2", "v2")]))
+    a._fsio.read_text = real_read
+
+    # a genuinely ABSENT claim is the legacy case: number check stands
+    def absent_read(path):
+        if path.endswith(".claim"):
+            raise FileNotFoundError(path)
+        return real_read(path)
+
+    a._fsio.read_text = absent_read
+    a.produce("t", _records(spark, [("k3", "v3")]))
+    a._fsio.read_text = real_read
+    vals = sorted(bytes(r["value"]) for r in a.log("t").collect())
+    # v2 appears too: its append had staged before the failed commit and
+    # the next successful commit published it — the ack-lost
+    # at-least-once shape every log has (idempotence dedups on retry);
+    # the POINT is the error was raised, not silently swallowed
+    assert vals == [b"v1", b"v2", b"v3"]

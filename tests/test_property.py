@@ -205,9 +205,12 @@ class _StubEngine:
     def __init__(self, root):
         import os
 
+        from redpanda_spark.fsio import LocalFS
+
         self.root = str(root)
         os.makedirs(self.root, exist_ok=True)
         self.spark = self._Spark()
+        self._fsio = LocalFS()  # txcoord persists through the engine's fsio
         self.high = {}
         self.tx_rows = []
         self.committed_offsets = []

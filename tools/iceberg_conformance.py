@@ -139,11 +139,23 @@ def _decode(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
 _FILE_META_SCHEMA = {"type": "map", "values": "bytes"}
 
 
+def _local_path(p: str) -> str:
+    """Map a ``file:`` URI to its local filesystem path (single- or
+    double-slash form). Iceberg metadata legitimately stores URIs; a
+    filesystem reader follows ``file:`` links locally — the same mapping
+    every independent engine (DuckDB/Trino) applies. Non-file schemes
+    pass through untouched (and will fail loudly on open, which is
+    correct for a local-only verification reader)."""
+    import re
+
+    return re.sub(r"^file:(//)?", "", p)
+
+
 def read_ocf(path: str) -> tuple[dict, dict, list[Any]]:
     """(writer_schema_json, file_metadata, records) — spec framing:
     magic Obj\\x01, file metadata map, 16-byte sync marker, then
     (count, size, data, sync) blocks until EOF."""
-    buf = open(path, "rb").read()
+    buf = open(_local_path(path), "rb").read()
     if buf[:4] != b"Obj\x01":
         raise AvroDecodeError("bad OCF magic")
     meta, pos = _decode(_FILE_META_SCHEMA, buf, 4)

@@ -75,6 +75,20 @@ EXPECTED = {
     # (a handful), bounded by construction rather than by a plan-visible
     # limit. A per-stage window over K stages is scale-safe.
     "pipeline_curriculum": {"unbounded-global-window"},
+    # ACL audit: the pattern-match join (literal/prefixed resource names)
+    # is inherently non-equi, so Spark runs a BroadcastNestedLoopJoin —
+    # against the BINDINGS table, which is tiny by nature (tens to
+    # thousands of rows, controller metadata in the reference). Bounded
+    # build side broadcast against the request scan: scale-safe, and the
+    # gate query additionally collapses requests to distinct decision
+    # tuples before the join.
+    "acl_authorize": {"nested-loop-join"},
+    # Bulk assignment: the deterministic subscription derivation joins
+    # members x topics on a modulo predicate (non-equi), with the TOPICS
+    # side broadcast — partition-count metadata (25 rows here; a topic
+    # catalog in production). The assignment computation itself is
+    # window + equi-join, output-linear.
+    "group_bulk_assignment": {"nested-loop-join"},
 }
 
 
