@@ -25,7 +25,11 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.storagelevel import StorageLevel
 
 from redpanda_spark.functions.text import word_shingles
-from redpanda_spark.sources.tables import parallelize_narrow
+from redpanda_spark.sources.tables import (
+    defer_unpersist,
+    drain_deferred_unpersist,
+    parallelize_narrow,
+)
 
 _MAX_LONG = (1 << 63) - 1
 
@@ -181,7 +185,17 @@ def jaccard_pairs(
     pair (semi-join first): LSH keeps the candidate count ~linear, so the
     expensive shingle materialization touches a tiny fraction of the corpus
     — at 100 TB, re-shingling every document here would cost more than the
-    whole LSH pass it follows."""
+    whole LSH pass it follows.
+
+    Caching is LAZY (r13): persist() marks both frames and the caller's
+    single action materializes them — Spark's per-block cache locking
+    guarantees each partition is computed once even with two join sides
+    reading the same cache, so the old eager count() barriers (2 extra
+    jobs per invocation) bought nothing. Cached blocks from the PREVIOUS
+    invocation are unpersisted on entry (bounded leak: at most one
+    invocation's candidate-bounded intermediates stay cached in a
+    long-lived sequential session)."""
+    drain_deferred_unpersist()
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -196,7 +210,6 @@ def jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sets.count()  # eager: both join sides below read the cache, not the expr
     out = (
         pairs.join(sets.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -209,15 +222,8 @@ def jaccard_pairs(
             "id_b",
             F.round(F.col("inter").cast("double") / F.col("union"), 6).alias("jaccard"),
         )
-        # materialize the (small, candidate-bounded) result so the two big
-        # intermediates can be unpersisted HERE instead of leaking cached
-        # blocks across invocations in a long-lived session; `out` holds
-        # only (id, id, double) rows
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out.count()
-    pairs.unpersist()
-    sets.unpersist()
+    defer_unpersist(pairs, sets)
     return out
 
 

@@ -53,6 +53,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     block_docs: int = 1024,
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """(id_a < id_b, jaccard) for all pairs >= threshold, computed exactly.
 
@@ -60,6 +61,12 @@ def ngram_jaccard_pairs(
     (stop-shingle removal) *before* set sizes are taken, matching the
     oracle that applies the same df filter.  ``block_docs`` caps per-task
     memory: each task holds <= 2*block_docs docs and their local vocab.
+
+    ``n_docs_hint`` skips the corpus-count Spark job when the caller
+    already knows (or can cheaply bound) the document count — e.g. from
+    parquet footer metadata. The count only sizes the block grid, and
+    EVERY block pair is computed regardless of the grid size, so an
+    approximate hint changes task granularity, never the output.
     """
     docs = parallelize_narrow(docs)
     if max_df is None:
@@ -86,7 +93,7 @@ def ngram_jaccard_pairs(
             .agg(F.collect_list("h").alias("hs"), F.count("*").alias("sz"))
         )
 
-    n_docs = docs.select(id_col).count()
+    n_docs = n_docs_hint if n_docs_hint is not None else docs.select(id_col).count()
     n_blocks = max(1, math.ceil(n_docs / block_docs))
     feat = feat.withColumn("blk", F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)))
 

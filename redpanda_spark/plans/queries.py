@@ -297,6 +297,11 @@ FROM latest l JOIN ends e USING (partition) WHERE NOT l.deleted
 
 
 def _sim_txlog(spark, sf_dir):
+    # NOT cached (r13 measurement): read_committed consumes the windowed
+    # log 4 ways with different columns pruned per subtree, so the plan
+    # windows the events table 4x — but each re-execution is narrow
+    # (2-3 columns) and caching the full-width window output measured
+    # SLOWER (1.05 s vs 0.90 s at sf0.1) than the pruned recomputes.
     log = (
         topic_view(spark, sf_dir, NUM_PARTITIONS)
         .withColumn("producer_id", F.col("user_id"))
@@ -603,9 +608,31 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 """
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count straight from parquet footers (no Spark job).
+    Used only as a partitioning HINT (block-grid sizing); returns None
+    when the layout is unreadable so callers fall back to counting."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        paths = (
+            [os.path.join(src, f) for f in sorted(os.listdir(src))
+             if f.endswith(".parquet")]
+            if os.path.isdir(src)
+            else [src]
+        )
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+
+
 def q_dedup_ngram(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.3)
+    return ngram_jaccard_pairs(
+        docs, shingle_n=2, threshold=0.3,
+        n_docs_hint=_parquet_rows(sf_dir, "documents"),
+    )
 
 
 SQL_DEDUP_NGRAM = """
@@ -2325,12 +2352,16 @@ def q_transform_fanout(spark, sf_dir):
     from redpanda_spark.streaming.transforms import _OUT_SCHEMA, _flatmap_batches
 
     ev = _t(spark, sf_dir, "events")
+    # key/value only across the Python boundary (guide §4.1): the fanout
+    # fn never reads the timestamp, the emitted timestamp column is
+    # dropped by the final select, and mapInPandas ships every input
+    # column it is given — so the ts column would cross JVM->Python->JVM
+    # twice for nothing.
     recs = ev.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
         .cast("binary")
         .alias("value"),
-        F.col("ts").alias("timestamp"),
     )
 
     def fanout(rec):
@@ -2381,9 +2412,6 @@ ORACLES.update({"transform_fanout": SQL_TRANSFORM_FANOUT})
 # --------------------------------------------------------------------------
 
 
-_CURATION_SCORED_CACHE: dict = {}
-
-
 def _doc_fingerprint(sf_dir: str) -> str:
     """size/mtime fingerprint of the documents parquet (file or dir) —
     the cache-invalidation key (regenerating fixtures in place must not
@@ -2404,50 +2432,52 @@ def q_curation_pipeline(spark, sf_dir):
     """quality >= 0.5 AND identified language → per-language kept-doc count,
     unique-fingerprint count (exact-dedup cardinality) and mean quality.
 
-    Scale note (sf1 profile, round 7): the filter on COMPUTED columns
-    pushes below the scoring projection, so quality/lang (and the token
-    split they share) were evaluated twice — once in the pushed scan
-    filter, once in the projection — making this the sf1 suite's long
-    pole (15.5 s, ~2x the score-once cost). The fix is the textbook
-    score-once-reuse stage: persist the NARROW scored frame (4 columns,
-    ~0.01% of the corpus bytes at 100 TB — doc_id/quality/lang/fp, never
-    the text) and let the filter/agg hit materialized values. The
-    persisted frame is cached per (sf_dir, input fingerprint) and the
-    predecessor is unpersisted, so repeated gate/bench calls don't
-    accumulate storage."""
+    Scale note (r13 optimization, superseding the r7 persist design): the
+    row filter `quality >= 0.5` is exactly the group filter
+    `q_decile >= 5` (quality ∈ [0,1] rounded to 6 dp, decile =
+    floor(quality*10)), and `lang != 'und'` is a filter on a GROUP KEY.
+    Lifting both above the aggregation means the scoring expressions are
+    evaluated exactly ONCE per row in a single map pass feeding one
+    map-side-combinable aggregation — no persisted intermediate, no cache
+    materialization barrier, no double evaluation from filter pushdown
+    (the r7 problem the old persist+module-cache design worked around).
+    sf0.1 measured: 1.76 -> ~0.7 s; at 100 TB this is one corpus pass
+    with no cache pressure instead of a full cache write+read."""
     from redpanda_spark.sources.tables import parallelize_narrow
 
-    key = (sf_dir, _doc_fingerprint(sf_dir))
-    scored = _CURATION_SCORED_CACHE.get(key)
-    if scored is None:
-        for k in [k for k in _CURATION_SCORED_CACHE if k[0] == sf_dir]:
-            _CURATION_SCORED_CACHE.pop(k).unpersist()
-        # the scoring projection is the per-row-heavy stage; a single-split
-        # local parquet file would otherwise evaluate it on one core (no-op
-        # at scale, where the scan has thousands of splits)
-        docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
-        toks = F.col("_toks")
-        scored = (
-            docs.withColumn("_toks", TXT.tokens("text"))
-            .select(
-                "doc_id",
-                TXT.quality_score("text", toks=toks).alias("quality"),
-                TXT.lang_id("text", toks=toks).alias("lang"),
-                TXT.fingerprint("text", toks=toks).cast("long").alias("fp"),
-            )
-            .persist()
-        )
-        _CURATION_SCORED_CACHE[key] = scored
-    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
+    # the scoring projection is the per-row-heavy stage; a single-split
+    # local parquet file would otherwise evaluate it on one core (no-op
+    # at scale, where the scan has thousands of splits)
+    docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    scored = docs.withColumn("_toks", TXT.tokens("text")).select(
+        "doc_id",
+        TXT.quality_score("text", toks=toks).alias("quality"),
+        TXT.lang_id("text", toks=toks).alias("lang"),
+        TXT.fingerprint("text", toks=toks).cast("long").alias("fp"),
+    )
     return (
-        kept.groupBy(
+        scored.groupBy(
             "lang", F.floor(F.col("quality") * 10).cast("int").alias("q_decile")
         )
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("fp").alias("n_unique"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
+            # group-filter helpers DERIVED FROM AGGREGATES, not group
+            # keys: a predicate on a group key gets pushed below the
+            # aggregation (PushPredicateThroughNonJoin), re-evaluating
+            # the full scoring expressions per ROW — measured +0.9 s at
+            # sf0.1, the exact double-evaluation r7 found. min(quality)
+            # >= 0.5 ⟺ q_decile >= 5 (every row in decile d has quality
+            # in [d/10, (d+1)/10)), and max(lang) is the group's key
+            # value verbatim — both filters keep exactly the groups the
+            # row-level filter kept, but cannot be pushed down.
+            F.min("quality").alias("_minq"),
+            F.max("lang").alias("_langv"),
         )
+        .where((F.col("_minq") >= 0.5) & (F.col("_langv") != "und"))
+        .drop("_minq", "_langv")
         .orderBy("lang", "q_decile")
     )
 

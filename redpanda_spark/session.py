@@ -29,6 +29,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # guards allow it (guide §3.1): drops both sort passes from
+        # shuffle joins. The AQE threshold additionally rewrites SMJ to
+        # SHJ at runtime when every post-shuffle partition is under one
+        # scan-split (128 MB) — build sides stay bounded by partition
+        # size at any scale, and SHJ spills gracefully since Spark 3.2.
+        # Measured on the sf0.1 headline heavy set: 14.49 -> 13.08 s
+        # (dedup_minhash -16%, dedup_ngram -28%, tpch_q21ish -15%).
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(128 * 1024 * 1024)))
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -79,13 +79,23 @@ def assign_clusters(
     base = emb.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "_xx", dot(F.col("v"), F.col("v"))
     )
+    # Each centroid enters the plan as ONE array literal (not d
+    # per-component F.lit calls): expression BUILD time is driver-side
+    # py4j round trips, and the per-component form measured ~1 s per
+    # assign_clusters call at d=64, k=8 before a single task ran. The k
+    # candidates stay INLINED per centroid — a `transform` lambda over a
+    # literal matrix was also tried (iteration-invariant plan shape) and
+    # measured ~0.5 s SLOWER end-to-end: higher-order lambdas evaluate
+    # interpreted per element, losing more at runtime than the codegen
+    # cache saved. Same Literal values, same fold order as before — only
+    # the construction path changes.
     cands = []
     for cid in sorted(centroids):
         c = centroids[cid]
         cc = 0.0  # left-to-right fold — the order every engine folds in
         for x in c:
             cc += x * x
-        carr = F.array(*[F.lit(float(x)) for x in c])
+        carr = F.lit([float(x) for x in c])
         d = F.round(F.col("_xx") - 2.0 * dot(F.col("v"), carr) + F.lit(cc), 9)
         cands.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("c")))
     best = F.array_min(F.array(*cands))

@@ -59,6 +59,26 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+# Cache marks owned by the PREVIOUS query invocation, freed on the next
+# one: persist() is lazy, so a query can mark a reused subplan cached and
+# let the caller's single action materialize it — no eager count() barrier
+# — at the cost of at most one invocation's cached blocks outliving their
+# query in a long-lived sequential session (gate/bench/CLI are sequential).
+_DEFERRED_UNPERSIST: list[DataFrame] = []
+
+
+def defer_unpersist(*dfs: DataFrame) -> None:
+    _DEFERRED_UNPERSIST.extend(dfs)
+
+
+def drain_deferred_unpersist() -> None:
+    while _DEFERRED_UNPERSIST:
+        try:
+            _DEFERRED_UNPERSIST.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def parallelize_narrow(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition a too-narrow input so per-row-heavy stages use every core.
 
