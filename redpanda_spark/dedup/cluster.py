@@ -114,6 +114,9 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # eager (r13: re-measured vs lazy 1.50 vs 1.64 s — the eager
+        # materialization overlaps across cores while lazy serializes it
+        # into round 1's already-long critical path)
         .localCheckpoint(eager=True)
     )
     nodes = e.select("u").union(e.select("v")).distinct()
