@@ -5303,7 +5303,8 @@ def q_ann_pq(spark, sf_dir):
     shortlist = {
         r["vec_id"] for r in pq_adc_topk(codes, q, books, k=k_adc).collect()
     }
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -5443,7 +5444,8 @@ def q_ann_ivfpq(spark, sf_dir):
     shortlist = {
         r["vec_id"] for r in pq_adc_topk(cands, q, books, k=k_adc).collect()
     }
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -6168,7 +6170,8 @@ def q_ann_nsw(spark, sf_dir):
     )
     idx = _nsw_full_index(spark, sf_dir)
     shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -6287,7 +6290,8 @@ def q_ann_nsw_incremental(spark, sf_dir):
     )
     idx = nsw_insert(_nsw_index_store(spark, sf_dir, "base80"), inc)
     shortlist = {r["vec_id"] for r in nsw_topk(idx, q, k=50, ef_search=64).collect()}
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -6444,7 +6448,8 @@ def q_ann_nsw_delete(spark, sf_dir):
     shortlist = {r["vec_id"] for r in hits}
     no_deleted_returned = all(r["vec_id"] % 7 != 0 for r in hits)
     survivors = emb.where(F.col("vec_id") % 7 != 0)
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -6520,7 +6525,8 @@ def q_ann_nsw_filtered(spark, sf_dir):
     shortlist = {r["vec_id"] for r in hits}
     matching = emb.where(F.col("label") == 3)
     only_matching = shortlist <= {r["vec_id"] for r in matching.select("vec_id").collect()}
-    qlit = F.array(*[F.lit(float(x)) for x in q])
+    # one array literal, not d per-component F.lit py4j round trips
+    qlit = F.lit([float(x) for x in q])
     dist = F.aggregate(
         F.zip_with(as_double("embedding"), qlit, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
