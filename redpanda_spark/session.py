@@ -29,21 +29,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # guards allow it (guide §3.1): drops both sort passes from
-        # shuffle joins; SHJ spills gracefully since Spark 3.2. Measured
-        # on the sf0.1 headline heavy set: 14.49 -> 13.08 s
-        # (dedup_minhash -16%, dedup_ngram -28%, tpch_q21ish -15%), and
-        # flat at sf1 (dedup_minhash 4.55 vs 4.14 s warm).
-        # NOTE: the companion AQE rewrite
-        # (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m)
-        # was tried and REVERTED: it made sf1 dedup_minhash 51 s vs 4 s
-        # (pathological runtime SMJ->SHJ rewrites on the verify joins) —
-        # it stays at its 0 default unless explicitly overridden.
-        .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "0"))
+        # Join-strategy knobs were EVALUATED and deliberately left at
+        # their defaults (r13 optimization round):
+        # - spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m
+        #   (AQE SMJ->SHJ rewrite, guide §3.1) measured a 12x pathology
+        #   on sf1 dedup_minhash (51 s vs 4 s) — rejected.
+        # - spark.sql.join.preferSortMergeJoin=false: a plan-diff sweep
+        #   (plan_id-normalized explain) over the join-bearing catalog
+        #   queries showed ZERO plan changes — every join is either
+        #   broadcast (dimension/control sides under the 64 MB threshold
+        #   above) or doesn't meet SHJ's build-side conditions — so the
+        #   knob is a no-op here; an apparent A/B win was traced to
+        #   run-order bias and the knob reverted to default.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
