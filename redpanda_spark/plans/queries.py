@@ -2437,52 +2437,53 @@ def q_curation_pipeline(spark, sf_dir):
     """quality >= 0.5 AND identified language → per-language kept-doc count,
     unique-fingerprint count (exact-dedup cardinality) and mean quality.
 
-    Scale note (r13 optimization, superseding the r7 persist design): the
-    row filter `quality >= 0.5` is exactly the group filter
-    `q_decile >= 5` (quality ∈ [0,1] rounded to 6 dp, decile =
-    floor(quality*10)), and `lang != 'und'` is a filter on a GROUP KEY.
-    Lifting both above the aggregation means the scoring expressions are
-    evaluated exactly ONCE per row in a single map pass feeding one
-    map-side-combinable aggregation — no persisted intermediate, no cache
-    materialization barrier, no double evaluation from filter pushdown
-    (the r7 problem the old persist+module-cache design worked around).
-    sf0.1 measured: 1.76 -> ~0.7 s; at 100 TB this is one corpus pass
-    with no cache pressure instead of a full cache write+read."""
-    from redpanda_spark.sources.tables import parallelize_narrow
+    Scale note (r13 optimization, superseding the r7 module-cache
+    design): the NARROW scored frame (doc_id/quality/lang/fp — ~0.01% of
+    the corpus bytes at 100 TB, never the text) is persisted PER CALL
+    with a lazy mark — the caller's single action materializes it, the
+    filter and aggregation read materialized values (no double
+    evaluation from filter pushdown, the r7 problem), and the blocks are
+    freed on the next catalog query via the deferred-unpersist registry.
+    The r7-era module-level cache dict is GONE: under the bench's
+    clearCache-per-query discipline it degraded to recomputing the
+    scoring with the pushdown double-eval every run (measured 1.7-1.9 s
+    at sf0.1 vs 0.70 s for a clean per-call persist). A persist-free
+    one-pass variant (aggregate-derived group filters so nothing pushes
+    below the agg) was also built and measured: equal at sf1, 0.24 s
+    slower at sf0.1 — the cached-narrow-frame shape stays."""
+    from redpanda_spark.sources.tables import (
+        defer_unpersist,
+        drain_deferred_unpersist,
+        parallelize_narrow,
+    )
 
+    drain_deferred_unpersist()
     # the scoring projection is the per-row-heavy stage; a single-split
     # local parquet file would otherwise evaluate it on one core (no-op
     # at scale, where the scan has thousands of splits)
     docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
     toks = F.col("_toks")
-    scored = docs.withColumn("_toks", TXT.tokens("text")).select(
-        "doc_id",
-        TXT.quality_score("text", toks=toks).alias("quality"),
-        TXT.lang_id("text", toks=toks).alias("lang"),
-        TXT.fingerprint("text", toks=toks).cast("long").alias("fp"),
+    scored = (
+        docs.withColumn("_toks", TXT.tokens("text"))
+        .select(
+            "doc_id",
+            TXT.quality_score("text", toks=toks).alias("quality"),
+            TXT.lang_id("text", toks=toks).alias("lang"),
+            TXT.fingerprint("text", toks=toks).cast("long").alias("fp"),
+        )
+        .persist()
     )
+    defer_unpersist(scored)
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang") != "und"))
     return (
-        scored.groupBy(
+        kept.groupBy(
             "lang", F.floor(F.col("quality") * 10).cast("int").alias("q_decile")
         )
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("fp").alias("n_unique"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
-            # group-filter helpers DERIVED FROM AGGREGATES, not group
-            # keys: a predicate on a group key gets pushed below the
-            # aggregation (PushPredicateThroughNonJoin), re-evaluating
-            # the full scoring expressions per ROW — measured +0.9 s at
-            # sf0.1, the exact double-evaluation r7 found. min(quality)
-            # >= 0.5 ⟺ q_decile >= 5 (every row in decile d has quality
-            # in [d/10, (d+1)/10)), and max(lang) is the group's key
-            # value verbatim — both filters keep exactly the groups the
-            # row-level filter kept, but cannot be pushed down.
-            F.min("quality").alias("_minq"),
-            F.max("lang").alias("_langv"),
         )
-        .where((F.col("_minq") >= 0.5) & (F.col("_langv") != "und"))
-        .drop("_minq", "_langv")
         .orderBy("lang", "q_decile")
     )
 
