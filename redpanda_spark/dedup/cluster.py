@@ -84,15 +84,40 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _checksum(e: DataFrame):
-    # bit_xor: order-independent and overflow-free under ANSI mode (the
-    # edge frame is distinct, so xor-cancellation of repeated rows can't
-    # mask a change that count doesn't catch)
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-    ).collect()[0]
-    return (row["n"], row["h"])
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff `e` is a star forest: every node has out-degree <= 1 and
+    no node is both a source and a target.
+
+    Every edge the star steps emit points larger->smaller, so a star
+    forest here is automatically min-rooted, and a star forest is EXACTLY
+    the iteration's fixpoint (one more large+small round maps it to
+    itself — Kiveris et al.'s termination state). Testing for it directly
+    detects convergence ON the converged round, where the old
+    checksum-vs-previous probe needed one further (identical) round to
+    observe equality: one full edge pass over the wire saved per call.
+    Cost: a single aggregation job over skinny (node, flag) rows, which
+    doubles as the action that materializes the round's lazy checkpoint.
+    """
+    per_node = e.select(
+        F.col("u").alias("node"), F.lit(1).alias("outd"), F.lit(0).alias("tgt")
+    ).union(
+        e.select(F.col("v").alias("node"), F.lit(0).alias("outd"), F.lit(1).alias("tgt"))
+    )
+    row = (
+        per_node.groupBy("node")
+        .agg(F.sum("outd").alias("outd"), F.max("tgt").alias("tgt"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("outd") > 1)
+                    | ((F.col("outd") >= 1) & (F.col("tgt") == 1)),
+                    1,
+                ).otherwise(0)
+            ).alias("bad")
+        )
+        .collect()[0]
+    )
+    return not row["bad"]
 
 
 def connected_components(
@@ -106,8 +131,8 @@ def connected_components(
 
     Node ids must be numeric (the star ordering is the id order). Each
     round reads only the current edge frame — nothing proportional to the
-    graph ever reaches the driver; the convergence probe collects two
-    scalars."""
+    graph ever reaches the driver; the convergence probe collects one
+    scalar."""
     e = (
         edges.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -119,20 +144,16 @@ def connected_components(
         # into round 1's already-long critical path)
         .localCheckpoint(eager=True)
     )
-    nodes = e.select("u").union(e.select("v")).distinct()
-    prev = None
     converged = False
     for _ in range(max_rounds):
-        # lazy checkpoint + checksum = ONE job per round: the checksum
-        # action touches every partition, which is exactly what makes a
-        # non-eager localCheckpoint materialize, so the separate eager
-        # pass the old shape paid is free here
+        # lazy checkpoint + star-forest probe = ONE job per round: the
+        # probe's action touches every partition, which is exactly what
+        # makes a non-eager localCheckpoint materialize, so the separate
+        # eager pass the old shape paid is free here
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cur = _checksum(e)
-        if cur == prev:
+        if _is_star_forest(e):
             converged = True
             break
-        prev = cur
     if not converged:
         # never return silently-wrong labels: alternating star converges
         # in O(log^2 n) rounds, so hitting this bound means max_rounds is
@@ -142,11 +163,15 @@ def connected_components(
             "rounds; raise max_rounds"
         )
     # fixpoint is a forest of stars: every non-root points at its
-    # component's minimum id; roots have no outgoing edge.
-    stars = e.groupBy("u").agg(F.min("v").alias("component"))
-    return (
-        nodes.join(stars, "u", "left")
-        .select(F.col("u").alias("id"), F.coalesce("component", "u").alias("component"))
+    # component's minimum id; roots have no outgoing edge. The probe just
+    # proved sources have out-degree exactly 1 and are disjoint from
+    # targets, so the edges ARE the non-root (id, component) map and the
+    # distinct targets are the roots — a union replaces the old shape's
+    # nodes-distinct (2|E| rows) + groupBy(u).min(v) + left join (three
+    # shuffles down to one |E|-row distinct).
+    roots = e.select(F.col("v").alias("id")).distinct()
+    return e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
+        roots.select("id", F.col("id").alias("component"))
     )
 
 

@@ -466,6 +466,33 @@ def test_incremental_dedup_corpus_ids_larger_than_increment(spark):
     assert kept == [101]
 
 
+def test_star_forest_probe_is_exact(spark):
+    # r13: the convergence probe tests for the star-forest fixpoint
+    # directly instead of comparing round checksums; these shapes pin its
+    # decision boundary (false negatives would stop the loop early with
+    # wrong labels, false positives would only waste a round).
+    from redpanda_spark.dedup.cluster import _is_star_forest
+
+    def frame(edges):
+        return spark.createDataFrame([Row(u=u, v=v) for u, v in edges])
+
+    # two min-rooted stars: fixpoint
+    assert _is_star_forest(frame([(3, 1), (2, 1), (9, 7)]))
+    # out-degree 2 (3 points at both 1 and 2): one more round merges
+    assert not _is_star_forest(frame([(3, 1), (3, 2)]))
+    # chain (2 is target and source): not a fixpoint
+    assert not _is_star_forest(frame([(3, 2), (2, 1)]))
+
+
+def test_connected_components_stops_on_converged_star_forest(spark):
+    # an already-star-forest input must converge on round 1 and keep the
+    # same labels as union-find (early stop returns the identical edge
+    # set the old checksum probe returned one round later)
+    edges = [(3, 1), (2, 1), (9, 7), (20, 5)]
+    got = _cc_spark(spark, edges)
+    assert got == _cc_brute(edges)
+
+
 def test_connected_components_raises_on_round_exhaustion(spark):
     import pytest
 
