@@ -615,8 +615,10 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 
 def _parquet_rows(sf_dir: str, name: str) -> int | None:
     """Exact row count straight from parquet footers (no Spark job).
-    Used only as a partitioning HINT (block-grid sizing); returns None
-    when the layout is unreadable so callers fall back to counting."""
+    Footer num_rows is authoritative for the file's contents, so the
+    value is safe anywhere an exact COUNT(*) of the raw table is needed
+    (load_table's type adaptions are row-preserving); returns None when
+    the layout is unreadable so callers fall back to counting."""
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, f"{name}.parquet")
@@ -5292,7 +5294,8 @@ def q_ann_pq(spark, sf_dir):
     from redpanda_spark.sources.tables import parallelize_narrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_emb = emb.count()
+    # footer count, no Spark job (exact — sizes the shortlist budget)
+    n_emb = _parquet_rows(sf_dir, "embeddings") or emb.count()
     books = fit_pq_codebooks(emb)
     q = np.array(
         emb.where(F.col("vec_id") == 1)
@@ -5427,7 +5430,8 @@ def q_ann_ivfpq(spark, sf_dir):
     from redpanda_spark.sources.tables import parallelize_narrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_emb = emb.count()
+    # footer count, no Spark job (exact — sizes the shortlist budget)
+    n_emb = _parquet_rows(sf_dir, "embeddings") or emb.count()
     cents = fit_ivf_centroids(emb, n_cells=16)
     corpus = ivf_assign(parallelize_narrow(emb), cents).select("vec_id", "cell")
     books = fit_pq_codebooks(emb)
@@ -7446,7 +7450,10 @@ def q_doc_tfidf_terms(spark, sf_dir):
     from redpanda_spark.sources.tables import parallelize_narrow
 
     docs = parallelize_narrow(_t(spark, sf_dir, "documents"))
-    n_docs = _t(spark, sf_dir, "documents").count()
+    # footer count, no Spark job (exact — N in the idf formula)
+    n_docs = _parquet_rows(sf_dir, "documents") or _t(
+        spark, sf_dir, "documents"
+    ).count()
     terms = docs.select(
         "doc_id", F.explode(TXT.tokens("text")).alias("tok")
     ).select("doc_id", F.lower("tok").alias("term"))
