@@ -48,9 +48,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from redpanda_spark.functions.vectors import as_double, dot
-from redpanda_spark.sources.tables import parallelize_narrow
+from redpanda_spark.sources.tables import (
+    defer_unpersist,
+    drain_deferred_unpersist,
+    parallelize_narrow,
+)
 
 
 def init_centroids(
@@ -134,12 +139,28 @@ def kmeans_fit(
     ``assign_clusters`` frame; callers that need labels (SemDeDup-style
     within-cluster pruning) use that directly.
     """
-    src = parallelize_narrow(emb)
-    dims = src.select(F.size(as_double(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    cents = init_centroids(src, k, id_col, vec_col)
+    # One narrow (id, v) frame persisted for the whole fit: every Lloyd
+    # pass (and the seed scan) reads the cached post-exchange rows instead
+    # of re-scanning + re-repartitioning the input per job — iters+1 full
+    # jobs share one materialization. Lazy persist, drained on the NEXT
+    # operator invocation (the defer registry pattern), so the caller's
+    # action on the returned frame still finds the cache live. Values are
+    # untouched: persist changes where rows are read from, never what the
+    # per-pass expressions compute.
+    drain_deferred_unpersist()
+    src = (
+        parallelize_narrow(emb)
+        .select(F.col(id_col), as_double(vec_col).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cents = init_centroids(src, k, id_col, "v")
+    # dims straight off the collected seed vectors — the separate
+    # size()-limit(1) probe job bought nothing the seeds don't carry
+    dims = len(next(iter(cents.values())))
     for _ in range(iters - 1):
-        cents = update_centroids(assign_clusters(src, cents, id_col, vec_col), dims)
-    final = assign_clusters(src, cents, id_col, vec_col)
+        cents = update_centroids(assign_clusters(src, cents, id_col, "v"), dims)
+    final = assign_clusters(src, cents, id_col, "v")
+    defer_unpersist(src)
     return (
         final.groupBy("cluster")
         .agg(
