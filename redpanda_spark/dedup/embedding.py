@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from redpanda_spark.functions.vectors import as_double, cosine, dot, norm
+from redpanda_spark.functions.vectors import as_double, dot, norm
 from redpanda_spark.sources.tables import parallelize_narrow
 
 
@@ -25,21 +25,33 @@ def cosine_pairs_exact(
     Use only for ≤ ~10⁵ vectors per blocking group, or as the verify stage
     after LSH blocking (`lsh_near_dup_pairs`).
     """
-    # Normalize once per row (n folds), so each of the O(n²) pairs costs a
-    # single dot fold instead of dot + two norms: 3× less pair work, and the
-    # left side is spread across cores (one-split parquet otherwise serializes
-    # the whole cross product onto one task).
-    unit = F.transform(
-        as_double(vec_col), lambda x: x / norm(as_double(vec_col))
-    )
+    # Per-row norm hoisted as a column, scored dot/(na·nb) per pair — the
+    # oracle's own formula (vs the previous normalize-then-dot, whose
+    # per-element transform lambda re-evaluated the whole norm fold per
+    # element: O(d²) folds per row, d× the work at embedding widths).
+    # One fold per pair either way; the left side is spread across cores
+    # (one-split parquet otherwise serializes the cross product).
     a = parallelize_narrow(
-        emb.select(F.col(id_col).alias("id_a"), unit.alias("va"))
+        emb.select(
+            F.col(id_col).alias("id_a"),
+            as_double(vec_col).alias("va"),
+            norm(as_double(vec_col)).alias("na"),
+        )
     )
-    b = emb.select(F.col(id_col).alias("id_b"), unit.alias("vb"))
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        as_double(vec_col).alias("vb"),
+        norm(as_double(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .where(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
     )
@@ -76,9 +88,13 @@ def lsh_near_dup_pairs(
     """Random-hyperplane LSH blocking + exact cosine verify on candidates."""
     n_bits = len(planes)
     emb = parallelize_narrow(emb)
+    # per-doc norm computed once here and carried through banding (one
+    # extra double per shuffled row) instead of twice per candidate pair
+    # in the verify — same fold, bit-identical rounded cosine
     sk = emb.select(
         F.col(id_col).alias("id"),
         as_double(vec_col).alias("v"),
+        norm(as_double(vec_col)).alias("nv"),
         hyperplane_sketch(as_double(vec_col), planes).alias("sk"),
     )
     n_bands = max(1, n_bits // band_bits)
@@ -86,6 +102,7 @@ def lsh_near_dup_pairs(
     banded = sk.select(
         "id",
         "v",
+        "nv",
         F.posexplode(
             F.array(
                 *[
@@ -95,16 +112,33 @@ def lsh_near_dup_pairs(
             )
         ).alias("band", "band_val"),
     )
-    a = banded.select("band", "band_val", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = banded.select("band", "band_val", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = banded.select(
+        "band",
+        "band_val",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = banded.select(
+        "band",
+        "band_val",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     cand = (
         a.join(b, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "na", "nb")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .where(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
     )

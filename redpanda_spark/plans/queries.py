@@ -28,7 +28,7 @@ from redpanda_spark.dedup.minhash import near_dup_pairs
 from redpanda_spark.dedup.ngram import ngram_jaccard_pairs
 from redpanda_spark.dedup.simhash import simhash_near_dups
 from redpanda_spark.functions import text as TXT
-from redpanda_spark.functions.vectors import as_double, cosine
+from redpanda_spark.functions.vectors import as_double
 from redpanda_spark.operators import log as LOG
 from redpanda_spark.operators.compaction import compact_keep_latest
 from redpanda_spark.operators.groups import group_lag, offset_fetch
@@ -763,7 +763,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 
 
 def q_emb_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact, normalized-once + broadcast)."""
+    """Embedding-cosine near-dup pairs (exact, per-side norms + broadcast)."""
     from redpanda_spark.dedup.embedding import cosine_pairs_exact
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6705,23 +6705,33 @@ def q_decontaminate_semantic(spark, sf_dir):
     map-side pass, exactly `pipeline/decontaminate.py`'s probe shape in
     dense space. Max-per-row, ties irrelevant; cosine rounded 6dp (the
     ann_topk convention) so the verdict boundary is cross-engine exact."""
+    from redpanda_spark.functions.vectors import dot, norm
+    from redpanda_spark.sources.tables import parallelize_narrow
+
     emb = _t(spark, sf_dir, "embeddings")
+    # per-side norms hoisted below the join (the ann.py convention):
+    # computed per (corpus, bench) pair they'd cost 2 of the 3 folds
+    # n·b times instead of n+b; same folds, same dot/(n·n) grouping —
+    # bit-identical rounded score
     bench = emb.where(F.col("vec_id") < 25).select(
-        F.col("vec_id").alias("bench_id"), as_double("embedding").alias("bv")
+        F.col("vec_id").alias("bench_id"),
+        as_double("embedding").alias("bv"),
+        norm(as_double("embedding")).alias("bn"),
     )
     corpus = emb.where(F.col("vec_id") >= 25).select(
-        F.col("vec_id").alias("doc_id"), as_double("embedding").alias("cv")
+        F.col("vec_id").alias("doc_id"),
+        as_double("embedding").alias("cv"),
+        norm(as_double("embedding")).alias("cn"),
     )
-    from redpanda_spark.functions.vectors import cosine
-
-    from redpanda_spark.sources.tables import parallelize_narrow
 
     scored = (
         parallelize_narrow(corpus)
         .join(F.broadcast(bench))
         .select(
             "doc_id",
-            F.round(cosine(F.col("cv"), F.col("bv")), 6).alias("cos"),
+            F.round(
+                dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6
+            ).alias("cos"),
         )
         .groupBy("doc_id")
         .agg(F.max("cos").alias("max_cos"))

@@ -682,3 +682,69 @@ def test_minhash_kernel_paths_identical():
         np.minimum.at(scatter[k], idx, _splitmix64(base ^ seeds[k]))
     assert np.array_equal(one_shot, per_k)
     assert np.array_equal(one_shot, scatter)
+
+
+def test_lsh_near_dup_pairs_matches_pairwise_cosine(spark):
+    """r13 norm hoisting: the LSH verify now scores dot/(na*nb) with per-row
+    norms computed before banding; the pair set and 6dp scores must equal the
+    per-pair cosine() formulation it replaced."""
+    import numpy as np
+
+    from redpanda_spark.dedup.embedding import lsh_near_dup_pairs
+    from redpanda_spark.functions.vectors import cosine
+
+    emb = _planted_corpus(spark)
+    rng = np.random.default_rng(7)
+    planes = rng.normal(size=(16, 8)).tolist()
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_near_dup_pairs(emb, planes, threshold=0.9, band_bits=8).collect()
+    }
+    # reference scores: per-pair cosine() over the full cross product (the
+    # pre-hoist formulation), same 6dp rounding, same threshold
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    }
+    # every LSH-surfaced pair carries the bit-identical rounded cosine
+    assert got
+    for pair, c in got.items():
+        assert ref[pair] == c
+    # exact copies sketch identically -> collide in every band -> always found
+    for j in range(3):
+        assert got[(j, 100 + j)] == 1.0
+
+
+def test_cosine_pairs_exact_matches_pairwise_cosine(spark):
+    """r13: cosine_pairs_exact scores dot/(na*nb) with per-side norm columns
+    (the oracle's own formula) instead of normalize-then-dot with the norm
+    fold re-evaluated per element inside the transform lambda. Pair set and
+    6dp scores must equal the per-pair cosine() reference."""
+    from redpanda_spark.dedup.embedding import cosine_pairs_exact
+    from redpanda_spark.functions.vectors import cosine
+
+    emb = _planted_corpus(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_pairs_exact(emb, threshold=0.9).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert got == ref
+    # planted exact copies score 1.0
+    for j in range(3):
+        assert got[(j, 100 + j)] == 1.0
