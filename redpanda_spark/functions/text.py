@@ -203,12 +203,26 @@ def repetition_metrics(col: Column | str) -> dict[str, Column]:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (space-joined), for MinHash/Jaccard."""
+    """Array of word n-gram shingles (space-joined), for MinHash/Jaccard.
+
+    Built by zipping n shifted views of the token array: every ``toks``
+    reference sits in an ARGUMENT position (zip_with/slice operands),
+    evaluated once per row. The obvious formulation —
+    ``transform(indexes, i -> array_join(slice(toks, i+1, n)))`` — puts
+    the tokenizing split inside the lambda body, and a higher-order
+    function re-evaluates its whole body per element: the full regex
+    split ran once per shingle position, O(words²·len) per document.
+    """
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
-    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+    s = toks
+    for k in range(1, n):
+        # k-th shifted view; zip_with pads the shorter side with null and
+        # concat(x, ' ', null) is null, so the trailing k entries go null
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - F.lit(k), F.lit(0)))
+        s = F.zip_with(s, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # keep the size(toks) - n + 1 complete shingles (drop the null tail)
+    s = F.slice(s, 1, F.greatest(F.size(toks) - F.lit(n) + F.lit(1), F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(s)
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -357,3 +357,29 @@ def test_bpe_train_on_testdata_corpus_matches_reference(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     texts = [r["text"] for r in docs.select("text").collect()]
     assert train_bpe(docs, 8) == _bpe_reference(texts, 8)[0]
+
+
+def test_word_shingles_zipwith_matches_index_formulation(spark):
+    """r13: word_shingles is built from zip_with over shifted token views
+    (operands evaluated once per row) instead of transform-over-indexes
+    (whose lambda re-ran the tokenizing split per element). The output must
+    equal the index formulation on every shape: empty, whitespace-only,
+    shorter than n, exactly n, repeats, multi-space separators."""
+    rows = [
+        ("",), ("   ",), ("one",), ("a b",), ("a b c",), ("a b c d e",),
+        ("x x x x x x",), ("a  b\tc   d",), ("a b a b a c",),
+        (" lead and trail  ",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+
+    def index_shingles(col, n):
+        toks = TXT.tokens(col)
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+        return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    for n in (2, 3, 5):
+        got = df.select(TXT.word_shingles("text", n).alias("s")).collect()
+        want = df.select(index_shingles(F.col("text"), n).alias("s")).collect()
+        assert [r["s"] for r in got] == [r["s"] for r in want], f"n={n}"
