@@ -195,10 +195,18 @@ def repetition_metrics(col: Column | str) -> dict[str, Column]:
     top2, _ = _runs(word_shingles(c, 2))
     _, dup5 = _runs(word_shingles(c, 5))
     dup_tok = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+    def _n_shingles(n: int) -> Column:
+        # size(word_shingles(c, n)) in closed form: the < n fallback is a
+        # single whole-text shingle, otherwise tokens - n + 1 — skips
+        # rebuilding the whole shingle array just to take its length
+        sz = F.size(toks)
+        return F.when(sz < n, F.lit(1)).otherwise(sz - F.lit(n) + F.lit(1))
+
     return {
         "dup_token_frac": dup_tok,
-        "top_2gram_frac": top2.cast("double") / F.size(word_shingles(c, 2)),
-        "dup_5gram_frac": dup5.cast("double") / F.size(word_shingles(c, 5)),
+        "top_2gram_frac": top2.cast("double") / _n_shingles(2),
+        "dup_5gram_frac": dup5.cast("double") / _n_shingles(5),
     }
 
 
@@ -260,9 +268,11 @@ def gopher_rules(
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nz
     )
     sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    stop_hits = F.size(
-        F.filter(sw, lambda s: F.array_contains(F.transform(toks, F.lower), s))
-    )
+    # distinct stopwords present: array_intersect keeps sw's (duplicate-free)
+    # entries found in the lowered tokens — same count as filtering sw by
+    # array_contains, but the token-lowering transform is an ARGUMENT
+    # (evaluated once), not re-run per stopword inside a lambda body
+    stop_hits = F.size(F.array_intersect(sw, F.transform(toks, F.lower)))
     out = {
         "n_words": n.cast("int"),
         "mean_word_len": F.round(mean_len, 6),

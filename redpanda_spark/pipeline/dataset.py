@@ -318,27 +318,30 @@ def chunk_documents(
     stride = stride or window_tokens
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    # chunk starts: 0, stride, 2*stride, … < n (empty docs: no chunks)
+    # chunk starts: 0, stride, 2*stride, … < n (empty docs: no chunks).
+    # The token array is materialized as a column BELOW the explode and the
+    # per-chunk slice references that attribute: the tokenizing split runs
+    # once per document. Slicing inside a transform lambda instead
+    # (transform(starts, s -> slice(toks, …))) re-evaluates the whole
+    # split per chunk start — O(tokens²/stride) per document.
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
-    chunk = F.explode(
-        F.transform(
-            starts,
-            lambda s, i: F.struct(
-                i.cast("int").alias("chunk_idx"),
-                F.slice(toks, s + 1, window_tokens).alias("ctoks"),
-            ),
-        )
-    )
+    ctoks = F.slice(F.col("_toks"), F.col("_s") + 1, window_tokens)
     return (
-        df.select(F.col(id_col), F.size(starts).alias("n_chunks"), chunk.alias("c"))
+        df.select(F.col(id_col), toks.alias("_toks"), starts.alias("_starts"))
         .select(
             id_col,
-            F.col("c.chunk_idx"),
+            "_toks",
+            F.size("_starts").alias("n_chunks"),
+            F.posexplode("_starts").alias("_i", "_s"),
+        )
+        .select(
+            id_col,
+            F.col("_i").cast("int").alias("chunk_idx"),
             "n_chunks",
-            F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"),
-            F.size("c.ctoks").alias("n_tokens"),
+            F.array_join(ctoks, " ").alias("chunk_text"),
+            F.size(ctoks).alias("n_tokens"),
         )
     )
 
