@@ -14,8 +14,15 @@ codegen); no Python in the data path.
 
 from __future__ import annotations
 
+import hashlib
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from redpanda_spark.sources.tables import parallelize_narrow
 from redpanda_spark.functions.text import tokens
@@ -67,6 +74,74 @@ def simhash(
     )
 
 
+# Java's \s (the tokenizer regex Spark evaluates) is ASCII-only:
+# [ \t\n\x0B\f\r]. Python's str.split()/\s are Unicode-aware, so the
+# kernel compiles the Java class explicitly — a NBSP or U+2028 must stay
+# inside its token exactly as the JVM expression keeps it.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_SHIFTS48 = np.arange(48, dtype=np.int64)
+_HASH_CACHE_CAP = 1 << 20
+
+
+def _simhash48_md5_py(text: str | None, cache: dict) -> int | None:
+    """Scalar reference for the vectorized kernel: equals
+    simhash(col, bits=48, token_hash=md5_hash48) bit-for-bit.
+
+    Token list = maximal non-\\s runs (empty tokens filtered, so Spark's
+    trim-then-split yields the same list); per-token hash = first 12 hex
+    chars of md5(utf-8) as an int (= conv(substring(md5(t),1,12),16,10));
+    fingerprint bit i = (#tokens with hash bit i set) > #tokens/2, i.e.
+    the sign of the ±1 vote count, packed LSB=bit 0 like the expression's
+    reverse-fold. NULL text → NULL (aggregate over a null array); zero
+    tokens → 0 (all vote counts 0, no bit strictly positive)."""
+    if text is None:
+        return None
+    toks = [t for t in _JAVA_WS.split(text) if t]
+    n = len(toks)
+    if n == 0:
+        return 0
+    h = np.empty(n, dtype=np.int64)
+    for i, t in enumerate(toks):
+        v = cache.get(t)
+        if v is None:
+            v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:12], 16)
+            if len(cache) < _HASH_CACHE_CAP:
+                cache[t] = v
+        h[i] = v
+    set_counts = ((h[:, None] >> _SHIFTS48) & 1).sum(axis=0)
+    return int(((2 * set_counts > n).astype(np.int64) << _SHIFTS48).sum())
+
+
+_KERNEL_UDF = None
+
+
+def simhash48_md5_kernel(col: Column | str) -> Column:
+    """Vectorized twin of ``simhash(col, bits=48, token_hash=md5_hash48)``.
+
+    The expression form evaluates ~2·bits interpreted lambda nodes per
+    token (higher-order functions don't codegen); this kernel does the
+    same math as one hashlib call + numpy bit-count per token, with a
+    per-task token→hash cache (natural-language token frequency follows
+    Zipf, so most md5 calls are cache hits). Bit-exact equivalence is
+    pinned by test_simhash_md5_kernel_matches_expression and asserted
+    corpus-wide before adoption. Built lazily (pandas_udf parses its DDL
+    return type through the active session)."""
+    global _KERNEL_UDF
+    if _KERNEL_UDF is None:
+
+        @pandas_udf("long")
+        def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            cache: dict = {}
+            for batch in batches:
+                yield pd.Series(
+                    [_simhash48_md5_py(t, cache) for t in batch],
+                    dtype="Int64",
+                )
+
+        _KERNEL_UDF = _udf
+    return _KERNEL_UDF(F.col(col) if isinstance(col, str) else col)
+
+
 def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
@@ -78,18 +153,27 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     token_hash=None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs within ``max_hamming`` bits.
 
     Banding recall is exactly 1.0 for max_hamming < N_BANDS (pigeonhole:
     ≤3 differing bits can touch at most 3 of the 4 bands), so the output
     equals the full pairwise hamming filter — which is what the SQL oracle
-    computes for the md5-variant gate query."""
+    computes for the md5-variant gate query.
+
+    The md5/48-bit variant fingerprints through the Arrow kernel
+    (``simhash48_md5_kernel``, bit-exact twin of the expression — see its
+    docstring); ``vectorized=False`` forces the expression path (the
+    equivalence tests exercise both). Other (bits, token_hash) shapes
+    (production xxhash64 default) stay on the JVM expression: no byte-
+    compatible Python xxhash64 exists in this environment."""
     docs = parallelize_narrow(docs)
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits=bits, token_hash=token_hash).alias("sh"),
-    )
+    if vectorized and bits == 48 and token_hash is md5_hash48:
+        sh_expr = simhash48_md5_kernel(F.col(text_col))
+    else:
+        sh_expr = simhash(F.col(text_col), bits=bits, token_hash=token_hash)
+    sh = docs.select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
     # one banding implementation for every bit-hash ladder (text SimHash,
     # image dHash, audio fingerprints): the generic banded hamming join
     return hash_near_dup_pairs(

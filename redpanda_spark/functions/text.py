@@ -11,6 +11,10 @@ heuristic), document fingerprinting (rolling hash over tokens).
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -141,7 +145,82 @@ def fingerprint_xx(col: Column | str) -> Column:
     return F.aggregate(toks, F.lit(0).cast("long"), step)
 
 
-def repetition_metrics(col: Column | str) -> dict[str, Column]:
+# Java's \s (what Spark's split() evaluates in tokens()) is ASCII-only:
+# [ \t\n\x0B\f\r]. Python's \s is Unicode-aware — compile the Java class
+# explicitly so NBSP/U+2028 stay inside tokens exactly as the JVM keeps
+# them. (Same constant as dedup/simhash.py's kernel; duplicated to keep
+# functions/ free of dedup imports.)
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _repetition_counts_py(text: str | None):
+    """Scalar reference for the vectorized repetition kernel.
+
+    Returns the four integers the metric ratios are built from:
+    (n_tokens, n_distinct_tokens, top-2gram count, Σ counts of 5-grams
+    occurring more than once). Equivalences to the expression form:
+    tokens = maximal non-\\s runs (Spark's trim+split+filter yields the
+    same list); the < n word_shingles fallback is the single whole-text
+    shingle; the sorted-run fold's max run length = the max multiset
+    multiplicity, and its dup sum = Σ multiplicities > 1 (runs of equal
+    grams in a sorted array ARE the multiset groups). NULL text → NULLs
+    (every expression metric is null via size(null)/aggregate(null))."""
+    if text is None:
+        return (None, None, None, None)
+    toks = [t for t in _JAVA_WS.split(text) if t]
+    n = len(toks)
+
+    def grams(k: int) -> list[str]:
+        if n < k:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+
+    c2 = Counter(grams(2))
+    c5 = Counter(grams(5))
+    return (
+        n,
+        len(set(toks)),
+        max(c2.values()),
+        sum(c for c in c5.values() if c > 1),
+    )
+
+
+_REP_UDF = None
+
+
+def _repetition_counts_kernel(c: Column) -> Column:
+    """Arrow-batched twin of the two ``_runs`` folds + distinct count in
+    ``repetition_metrics`` (struct<n_tok,n_distinct,top2,dup5>). The
+    expression form sorts and linearly folds two shingle arrays per doc
+    under interpreted lambdas; the kernel computes the same four integers
+    with one split + two Counter passes per doc in C. Integer-exact, so
+    the metric ratios built on top are bit-identical doubles. Built
+    lazily (pandas_udf parses its DDL type through the active session)."""
+    global _REP_UDF
+    if _REP_UDF is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("struct<n_tok:int,n_distinct:int,top2:int,dup5:int>")
+        def _udf(batch: pd.Series) -> pd.DataFrame:
+            rows = [_repetition_counts_py(t) for t in batch]
+            return pd.DataFrame(
+                {
+                    "n_tok": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "n_distinct": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "top2": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "dup5": pd.array([r[3] for r in rows], dtype="Int32"),
+                }
+            )
+
+        _REP_UDF = _udf
+    return _REP_UDF(c)
+
+
+def repetition_metrics(
+    col: Column | str, vectorized: bool = True
+) -> dict[str, Column]:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     published quality-filter rules): documents dominated by repeated
     n-grams are boilerplate/spam and get filtered before training.
@@ -157,8 +236,30 @@ def repetition_metrics(col: Column | str) -> dict[str, Column]:
     O(distinct × total) nested filter-per-distinct was measured ~20×
     slower under interpreted lambdas). Callers should filter docs with
     fewer than 5 tokens (metrics are degenerate there and word_shingles
-    falls back to a whole-text shingle)."""
+    falls back to a whole-text shingle).
+
+    ``vectorized`` (default) computes the four underlying integers in the
+    Arrow kernel above — the folds don't codegen, so the batch kernel is
+    the §4.2 shape — and builds the SAME ratio expressions on top, so the
+    doubles are bit-identical; ``vectorized=False`` keeps the pure-
+    expression form (the equivalence test pins the two against each
+    other)."""
     c = F.col(col) if isinstance(col, str) else col
+    if vectorized:
+        s = _repetition_counts_kernel(c)
+        n_tok = s["n_tok"]
+
+        def _n_shingles_v(n: int) -> Column:
+            return F.when(n_tok < n, F.lit(1)).otherwise(
+                n_tok - F.lit(n) + F.lit(1)
+            )
+
+        return {
+            "dup_token_frac": F.lit(1.0)
+            - s["n_distinct"].cast("double") / n_tok,
+            "top_2gram_frac": s["top2"].cast("double") / _n_shingles_v(2),
+            "dup_5gram_frac": s["dup5"].cast("double") / _n_shingles_v(5),
+        }
     toks = tokens(c)
 
     def _runs(grams):

@@ -748,3 +748,38 @@ def test_cosine_pairs_exact_matches_pairwise_cosine(spark):
     # planted exact copies score 1.0
     for j in range(3):
         assert got[(j, 100 + j)] == 1.0
+
+
+def test_simhash_md5_kernel_matches_expression(spark):
+    """The Arrow md5-48 simhash kernel must be bit-exact with the
+    expression form (simhash(bits=48, token_hash=md5_hash48)) on
+    adversarial shapes — NULL, empty, Java-\\s-only whitespace, NBSP/
+    unicode tokens (Java \\s is ASCII-only; Python's is not), ties,
+    long docs — and the two simhash_near_dups paths must emit the same
+    pair set."""
+    from redpanda_spark.dedup.simhash import (
+        md5_hash48, simhash, simhash48_md5_kernel,
+    )
+    rows = [
+        (1, None), (2, ""), (3, " \t\n\x0b\f\r "), (4, "one"),
+        (5, "a\xa0b c"), (6, "héllo wörld"), (7, "的 是 的"),
+        (8, "x " * 500), (9, "a b a b a b"), (10, "MiXeD Case MIXED case"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    expr = simhash(F.col("text"), bits=48, token_hash=md5_hash48)
+    kern = simhash48_md5_kernel(F.col("text"))
+    bad = (
+        df.select("doc_id", expr.alias("a"), kern.alias("b"))
+        .where(~(F.col("a").eqNullSafe(F.col("b"))))
+        .collect()
+    )
+    assert not bad, bad
+
+    base = ("spark structured streaming processes records with exactly "
+            "once semantics using checkpoints for recovery")
+    docs = docs_df(spark, [base, base.replace("records", "events"),
+                           "totally unrelated short text"])
+    kw = dict(max_hamming=12, bits=48, token_hash=md5_hash48)
+    a = simhash_near_dups(docs, vectorized=False, **kw)
+    b = simhash_near_dups(docs, vectorized=True, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -383,3 +383,44 @@ def test_word_shingles_zipwith_matches_index_formulation(spark):
         got = df.select(TXT.word_shingles("text", n).alias("s")).collect()
         want = df.select(index_shingles(F.col("text"), n).alias("s")).collect()
         assert [r["s"] for r in got] == [r["s"] for r in want], f"n={n}"
+
+
+def test_repetition_kernel_matches_expression(spark):
+    """The Arrow repetition kernel (vectorized=True, the default) must
+    equal the pure-expression fold form metric-for-metric at 6dp on every
+    in-contract shape: ≥1 token (0-token docs are outside the documented
+    contract — both forms ANSI-divide-by-zero there), NULL text, unicode
+    and NBSP tokens (Java \\s is ASCII-only), ties, heavy repeats."""
+    rows = [
+        (None,), ("a",), ("a b",), ("a b c d",), ("a a a a a",),
+        ("x y x y x y x y",), ("p q r s t u v w p q r s t",),
+        ("a\xa0b a\xa0b c d e f",), ("héllo wörld héllo wörld one",),
+        ("的 是 的 是 的 不",), ("a  b\tc \n d e f g a b",),
+        ("one " * 200,), ("w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+
+    def cols(vec):
+        m = TXT.repetition_metrics("text", vectorized=vec)
+        return [
+            F.round(m["dup_token_frac"], 6).alias("dt"),
+            F.round(m["top_2gram_frac"], 6).alias("t2"),
+            F.round(m["dup_5gram_frac"], 6).alias("d5"),
+        ]
+
+    got = df.select(*cols(True)).collect()
+    want = df.select(*cols(False)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_repetition_kernel_single_arrow_eval(spark):
+    """All three metric columns share ONE kernel invocation: the plan must
+    contain exactly one ArrowEvalPython node (the planner dedups the
+    shared PythonUDF expression instance)."""
+    df = spark.createDataFrame([("a b c d e f",)], "text string")
+    m = TXT.repetition_metrics("text")
+    plan = (
+        df.select(*[v.alias(k) for k, v in m.items()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
