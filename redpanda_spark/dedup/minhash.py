@@ -197,10 +197,13 @@ def jaccard_pairs(
     long-lived sequential session)."""
     drain_deferred_unpersist()
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no distinct: the left-semi probe below only tests existence, so
+    # duplicate ids on the build side are free — dropping the union +
+    # distinct removes one aggregate exchange over the candidate ids
+    # (r13; measured −8% best / −23% median on the full query at sf0.1,
+    # identical output rows)
+    cand_ids = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     )
     sets = (
         docs.join(cand_ids, id_col, "left_semi")
