@@ -4,12 +4,13 @@ Pipeline: word-shingle → k minhashes → band signatures → bucket self-join
 on (band, band_hash) → candidate pairs → exact Jaccard verify.
 
 Performance design (matters at 100 TB):
-- The k-permutation signature is ONE fold over the shingle array: each
-  shingle is hashed k ways (xxhash64 with seed = permutation index) and
-  folded into an elementwise-min accumulator — shingles are materialized
-  once, not re-evaluated per permutation.
-- The signature frame is persisted before banding: the LSH self-join reads
-  it from cache instead of recomputing the signatures for each side.
+- The k-permutation signature is ONE vectorized pass per Arrow batch:
+  shingles are hashed once and the k permutations are splitmix64 mixes
+  folded into per-doc minima with a segmented reduce — shingles are
+  materialized once, not re-evaluated per permutation.
+- Candidate generation is ONE aggregation on (band, band_hash): in-bucket
+  pairs expand JVM-side from the grouped member list — no bucket
+  self-join, no persist barrier, one pipelined pass over the signatures.
 - The only shuffles move (band_hash, id) pairs — never document bodies —
   and the verify join touches candidate pairs only, never O(n²).
 - Pathological buckets (identical boilerplate) are capped by ``max_bucket``.
