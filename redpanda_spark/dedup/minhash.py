@@ -36,12 +36,131 @@ _MAX_LONG = (1 << 63) - 1
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    """Vectorized splitmix64 finalizer (public-domain mixing constants).
+
+    The first add allocates the result; every later step mutates it in
+    place — the historical form re-allocated (and redundantly astype'd)
+    per step, which dominated the per-k permutation loop at ~1M shingles
+    per Arrow batch. Same uint64 wraparound math, same values."""
     with np.errstate(over="ignore"):
-        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
-        return x ^ (x >> np.uint64(31))
+        x = x + np.uint64(0x9E3779B97F4A7C15)  # fresh array; callers' input untouched
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+
+
+def _doc_min_signatures(
+    base: np.ndarray, starts: np.ndarray, seeds: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """(k, n_docs) per-doc minima of the splitmix64 permutations of the
+    doc-contiguous shingle hashes ``base`` (segment d starts at
+    ``starts[d]``; every segment non-empty)."""
+    num_hashes = seeds.size
+    acc = np.full((num_hashes, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if base.size:
+        if base.size * num_hashes <= 16_000_000:
+            # one-shot (k, S) permutation matrix; bounded to ~128 MB
+            perm = _splitmix64(base[None, :] ^ seeds[:, None])
+            acc = np.minimum.reduceat(perm, starts, axis=1)
+        else:
+            # long-document batches: per-k passes keep peak memory at
+            # one S-sized row instead of k of them
+            for k in range(num_hashes):
+                acc[k] = np.minimum.reduceat(_splitmix64(base ^ seeds[k]), starts)
+    return acc
+
+
+def _signature_batch(
+    texts, num_hashes: int, shingle_n: int, seeds: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_hashes) int64 signature matrix for one Arrow batch of
+    text — ZERO per-document Python (r14).
+
+    Same math as the historical per-doc loop, vectorized end to end:
+    tokenize with pyarrow's utf8_split_whitespace (whitespace set equal to
+    Python str.split() — utf8proc includes the bidi-class controls; the
+    boundary-empty tokens it emits are filtered), build every shingle with
+    one binary_join_element_wise over n shifted token takes, hash the
+    shingle bytes straight from the Arrow buffer with murmur2_flat, and
+    fold per-doc minima with the segmented reduce. Shingles are NOT
+    dedup'd: a min over a multiset equals the min over its set, so the
+    signatures are bit-identical to the set-comprehension form (pinned by
+    test_minhash_signature_arrow_matches_python) while skipping the
+    per-doc Python set build entirely.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from redpanda_spark.functions.hashes import (
+        murmur2,
+        murmur2_flat,
+        string_array_bytes_offsets,
+    )
+
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty((0, num_hashes), dtype=np.int64)
+    texts = pc.fill_null(texts, "")
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    # list offsets index the RAW values child (correct under slicing)
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    vals = toks.values
+    _, voff = string_array_bytes_offsets(vals)
+    w0, w1 = off[0], off[-1]
+    keep = (voff[w0 + 1 : w1 + 1] - voff[w0:w1]) > 0  # drop boundary empties
+    csum = np.zeros(keep.size + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    T = csum[off[1:] - w0] - csum[off[:-1] - w0]  # kept tokens per doc
+    kidx = w0 + np.flatnonzero(keep)  # kept-token -> raw-token index
+    kstart = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(T[:-1], out=kstart[1:])
+
+    big = np.flatnonzero(T >= shingle_n)
+    hash_blocks: list[np.ndarray] = []
+    count_blocks: list[np.ndarray] = []
+    order_blocks: list[np.ndarray] = []
+
+    def _join_hash(tok_pos: np.ndarray, width: int) -> np.ndarray:
+        cols = [pc.take(vals, pa.array(kidx[tok_pos + m])) for m in range(width)]
+        joined = cols[0] if width == 1 else pc.binary_join_element_wise(*cols, " ")
+        return murmur2_flat(*string_array_bytes_offsets(joined)).astype(np.uint64)
+
+    if big.size:
+        cb = T[big] - shingle_n + 1
+        cstart = np.zeros(big.size, dtype=np.int64)
+        np.cumsum(cb[:-1], out=cstart[1:])
+        rank = np.arange(int(cb.sum()), dtype=np.int64) - np.repeat(cstart, cb)
+        pos0 = np.repeat(kstart[big], cb) + rank  # kept-index of shingle head
+        hash_blocks.append(_join_hash(pos0, shingle_n))
+        count_blocks.append(cb)
+        order_blocks.append(big)
+    for t in range(shingle_n):  # short docs: one whole-doc shingle each
+        grp = np.flatnonzero(T == t)
+        if not grp.size:
+            continue
+        if t == 0:
+            hb = np.full(grp.size, np.uint64(murmur2(b"")), dtype=np.uint64)
+        else:
+            hb = _join_hash(kstart[grp], t)
+        hash_blocks.append(hb)
+        count_blocks.append(np.ones(grp.size, dtype=np.int64))
+        order_blocks.append(grp)
+
+    base = np.concatenate(hash_blocks)
+    counts = np.concatenate(count_blocks)
+    order = np.concatenate(order_blocks)
+    starts = np.zeros(order.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    acc2 = _doc_min_signatures(base, starts, seeds, order.size)
+    acc = np.empty((num_hashes, n_docs), dtype=np.uint64)
+    acc[:, order] = acc2
+    # bigint output: drop the top bit so values fit signed int64
+    return (acc >> np.uint64(1)).astype(np.int64).T
 
 
 def minhash_signature(
@@ -50,20 +169,45 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    arrow_kernel: bool = True,
 ) -> DataFrame:
     """(id, sig: array<bigint> of length num_hashes) — single pass.
 
     Arrow-batched numpy kernel: per batch, all docs' shingles are hashed in
-    one vectorized murmur2 call (functions/hashes.murmur2_batch), the k
-    permutations are splitmix64 mixes of (hash ^ seed_k), and per-doc minima
-    come from a segmented ``np.minimum.at``. Measured ~4× over the
-    equivalent JVM higher-order-function fold — Catalyst interprets lambda
-    expressions inside aggregate/zip_with, so the "stay JVM-side" rule
-    inverts here; the UDF is the vectorized path.
+    one vectorized murmur2 call, the k permutations are splitmix64 mixes of
+    (hash ^ seed_k), and per-doc minima come from a segmented reduce.
+    Measured ~4× over the equivalent JVM higher-order-function fold —
+    Catalyst interprets lambda expressions inside aggregate/zip_with, so
+    the "stay JVM-side" rule inverts here; the UDF is the vectorized path.
+
+    ``arrow_kernel=True`` (default, r14) runs the fully vectorized batch
+    kernel via mapInArrow — no per-document Python, no pandas string
+    materialization; signatures are bit-identical to the historical
+    per-doc loop (``arrow_kernel=False``, kept for the equivalence test
+    and as a fallback surface).
     """
     from redpanda_spark.functions.hashes import murmur2_batch
 
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    if arrow_kernel:
+        import pyarrow as pa
+
+        id_field = docs.schema[id_col]
+        out_schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<bigint>"
+
+        def gen(batches):
+            for batch in batches:
+                ids = batch.column(0)
+                sig = _signature_batch(batch.column(1), num_hashes, shingle_n, seeds)
+                n, k = sig.shape
+                siglist = pa.ListArray.from_arrays(
+                    np.arange(0, (n + 1) * k, k, dtype=np.int32),
+                    pa.array(sig.reshape(-1), type=pa.int64()),
+                )
+                yield pa.RecordBatch.from_arrays([ids, siglist], [id_col, "sig"])
+
+        return docs.select(id_col, text_col).mapInArrow(gen, out_schema)
 
     @pandas_udf("array<bigint>")
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -81,26 +225,14 @@ def minhash_signature(
             counts.append(len(sh))
             shingles.extend(s.encode() for s in sh)
         n_docs = len(texts)
-        acc = np.full((num_hashes, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if shingles:
-            # shingles are laid out doc-contiguous (counts[i] per doc, every
-            # doc emits >= 1), so per-doc minima are ONE segmented reduce
-            # over the (k, S) permutation matrix — no ufunc.at scatter,
-            # which is the slow path at ~10x the reduceat cost
-            base = murmur2_batch(shingles).astype(np.uint64)
-            starts = np.zeros(n_docs, dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            if base.size * num_hashes <= 16_000_000:
-                # one-shot (k, S) permutation matrix; bounded to ~128 MB
-                perm = _splitmix64(base[None, :] ^ seeds[:, None])
-                acc = np.minimum.reduceat(perm, starts, axis=1)
-            else:
-                # long-document batches: per-k passes keep peak memory at
-                # one S-sized row instead of k of them
-                for k in range(num_hashes):
-                    acc[k] = np.minimum.reduceat(
-                        _splitmix64(base ^ seeds[k]), starts
-                    )
+        base = (
+            murmur2_batch(shingles).astype(np.uint64)
+            if shingles
+            else np.empty(0, dtype=np.uint64)
+        )
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        acc = _doc_min_signatures(base, starts, seeds, n_docs)
         # bigint output: drop the top bit so values fit signed int64
         out = (acc >> np.uint64(1)).astype(np.int64)
         return pd.Series(list(out.T))

@@ -53,6 +53,88 @@ def murmur2_partition(key: bytes, num_partitions: int) -> int:
     return (murmur2(key) & 0x7FFFFFFF) % num_partitions
 
 
+def murmur2_flat(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized murmur2 over CONCATENATED keys (Arrow string/binary
+    layout: one contiguous uint8 buffer + monotone offsets; key i is
+    ``data[offsets[i]:offsets[i+1]]``). Bit-identical to ``murmur2()``.
+
+    Unlike ``murmur2_batch`` (padded (n, maxlen) matrix filled by a
+    per-key Python loop, chunk ops over maxlen for every row), this runs
+    zero per-key Python and does O(total bytes) work: keys are processed
+    longest-first so each 4-byte chunk round touches only the still-live
+    prefix — skewed key lengths never tax the short keys.
+    """
+    starts = np.asarray(offsets[:-1], dtype=np.int64)
+    lens = (np.asarray(offsets[1:], dtype=np.int64) - starts).astype(np.int64)
+    n = lens.size
+    h = (np.uint32(_SEED) ^ lens.astype(np.uint32)).astype(np.uint32)
+    if n == 0:
+        return h
+    if data.size == 0:
+        data = np.zeros(1, dtype=np.uint8)
+    order = np.argsort(-lens, kind="stable")
+    s_starts, s_lens, h = starts[order], lens[order], h[order]
+    maxlen = int(s_lens[0])
+    M = np.uint32(_M)
+    neg_lens = -s_lens  # ascending; prefix with lens >= x ends at searchsorted
+    with np.errstate(over="ignore"):
+        for i in range(0, maxlen - 3 if maxlen >= 4 else 0, 4):
+            na = int(np.searchsorted(neg_lens, -(i + 4), side="right"))
+            idx = s_starts[:na] + i
+            chunk = (
+                data[idx].astype(np.uint32)
+                | (data[idx + 1].astype(np.uint32) << np.uint32(8))
+                | (data[idx + 2].astype(np.uint32) << np.uint32(16))
+                | (data[idx + 3].astype(np.uint32) << np.uint32(24))
+            )
+            k = chunk * M
+            k ^= k >> np.uint32(24)
+            k = k * M
+            h[:na] = (h[:na] * M) ^ k
+
+        rem = (s_lens & 3).astype(np.int64)
+        base = s_starts + (s_lens - rem)
+        safe_max = np.int64(data.size - 1)
+        tail = np.zeros((3, n), dtype=np.uint32)
+        for j in range(3):
+            idx = base + j
+            valid = j < rem
+            tail[j] = np.where(
+                valid, data[np.minimum(idx, safe_max)], 0
+            ).astype(np.uint32)
+
+        h = np.where(rem == 3, h ^ (tail[2] << np.uint32(16)), h).astype(np.uint32)
+        h = np.where(rem >= 2, h ^ (tail[1] << np.uint32(8)), h).astype(np.uint32)
+        h = np.where(rem >= 1, (h ^ tail[0]) * M, h).astype(np.uint32)
+
+        h ^= h >> np.uint32(13)
+        h = h * M
+        h ^= h >> np.uint32(15)
+    out = np.empty(n, dtype=np.uint32)
+    out[order] = h
+    return out
+
+
+def string_array_bytes_offsets(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 data, int64 offsets) view of a pyarrow string/binary array —
+    the zero-copy input shape murmur2_flat consumes. Nulls must be filled
+    by the caller (a null slot's offsets give it length 0)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    off = np.frombuffer(bufs[1], dtype=dt, count=len(arr) + 1, offset=arr.offset * width)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    return data, off.astype(np.int64)
+
+
 def murmur2_batch(keys: list[bytes | None]) -> np.ndarray:
     """Vectorized murmur2 over a batch of byte keys (numpy uint32 math).
 
@@ -179,14 +261,26 @@ def murmur2_partition_expr(key, num_partitions: int):
 
 
 def murmur2_partition_udf(num_partitions: int):
-    """Vectorized key(binary) → partition(int) column function."""
+    """Vectorized key(binary) → partition(int) column function.
+
+    r14: keys go pandas → one Arrow binary array (a single C conversion
+    pass) → murmur2_flat over the contiguous buffer — the padded-matrix
+    path ran a Python loop + np.frombuffer per key, which WAS the produce
+    hot path's per-record cost. Null keys still map to -1 (callers route
+    them round-robin)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     @pandas_udf("int")
     def _udf(keys: pd.Series) -> pd.Series:
-        kl = list(keys)
-        h = murmur2_batch(kl)
-        part = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(num_partitions)).astype(np.int32)
-        part[np.array([k is None for k in kl])] = -1
+        arr = pa.array(keys, type=pa.binary(), from_pandas=True)
+        data, off = string_array_bytes_offsets(arr)
+        h = murmur2_flat(data, off)
+        part = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(num_partitions)).astype(
+            np.int32
+        )
+        if arr.null_count:
+            part[np.asarray(pc.is_null(arr))] = -1
         return pd.Series(part)
 
     return _udf

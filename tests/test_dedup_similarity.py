@@ -783,3 +783,31 @@ def test_simhash_md5_kernel_matches_expression(spark):
     a = simhash_near_dups(docs, vectorized=False, **kw)
     b = simhash_near_dups(docs, vectorized=True, **kw)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_minhash_signature_arrow_matches_python(spark, sf_dir):
+    """The vectorized Arrow signature kernel (mapInArrow, zero per-doc
+    Python, non-dedup'd shingles — min over a multiset equals min over
+    its set) must be BIT-identical to the per-doc pandas_udf path on
+    adversarial shapes (NULL, empty, whitespace-only, bidi-class control
+    whitespace \\x1c, NBSP/unicode, shorter-than-n, repeats, long) and on
+    a real corpus slice, at several (num_hashes, shingle_n) shapes."""
+    from redpanda_spark.dedup.minhash import minhash_signature
+
+    rows = [
+        (1, None), (2, ""), (3, " \t\n\x0b\f\r "), (4, "one"),
+        (5, "one two"), (6, "a\x1cb c d"), (7, "a\xa0b c d"),
+        (8, "héllo wörld ünïcode shingles"), (9, "x " * 500),
+        (10, "same same same same same"), (11, " lead mid trail "),
+    ]
+    adv = spark.createDataFrame(rows, "doc_id int, text string")
+    corpus = load_table(spark, sf_dir, "documents").limit(300)
+    for df in (adv, corpus):
+        for num_hashes, shingle_n in ((32, 3), (8, 2)):
+            kw = dict(num_hashes=num_hashes, shingle_n=shingle_n)
+            a = minhash_signature(df, arrow_kernel=False, **kw).collect()
+            b = minhash_signature(df, arrow_kernel=True, **kw).collect()
+            assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+            sig_a = {r["doc_id"]: r["sig"] for r in a}
+            sig_b = {r["doc_id"]: r["sig"] for r in b}
+            assert sig_a == sig_b, (num_hashes, shingle_n)

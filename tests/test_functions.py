@@ -424,3 +424,35 @@ def test_repetition_kernel_single_arrow_eval(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_murmur2_flat_matches_scalar():
+    """murmur2_flat (Arrow-layout flat buffer + offsets, zero per-key
+    Python) must be bit-identical to the scalar reference across lengths
+    0..70, all byte values, and multi-KB keys."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from redpanda_spark.functions.hashes import (
+        murmur2_flat,
+        string_array_bytes_offsets,
+    )
+
+    random.seed(11)
+    keys = [b"", b"a", bytes(range(256))]
+    keys += [
+        bytes(random.randrange(256) for _ in range(random.randrange(0, 70)))
+        for _ in range(400)
+    ]
+    keys += [
+        bytes(random.randrange(256) for _ in range(random.randrange(1500, 4000)))
+        for _ in range(3)
+    ]
+    data, off = string_array_bytes_offsets(pa.array(keys, type=pa.binary()))
+    got = murmur2_flat(data, off)
+    want = np.array([murmur2(k) for k in keys], dtype=np.uint32)
+    assert (got == want).all()
+    # empty input
+    assert murmur2_flat(np.zeros(0, np.uint8), np.zeros(1, np.int64)).size == 0
