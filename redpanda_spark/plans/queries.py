@@ -435,8 +435,15 @@ def q_tpch_q3(spark, sf_dir):
         F.col("l_shipdate") > F.to_timestamp(F.lit("1995-03-15 00:00:00"))
     )
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # shuffle_hash on the orders side (guide §3.1, r14): the planner's
+    # choice here is estimate-driven and wrong in both directions — at sf10
+    # it sort-merges (two sorts), while sibling queries broadcast the 15M-row
+    # orders side off a <64 MB column-pruned estimate (~240 MB real). The
+    # hint pins the strategy whose per-partition build (rows/width × ~40 B)
+    # stays a few MB at any data-scaled width. Measured (interleaved,
+    # outputs identical): sf10 4.07→3.44 s best, sf0.1 0.68→0.57 s.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -1124,8 +1131,12 @@ def q_tpch_q10ish(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     nat = _t(spark, sf_dir, "nation")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
+    # shuffle_hash on orders (guide §3.1, r14 — same fact-to-fact shape as
+    # q3/q9ish; unhinted, sf10 broadcasts the 15M-row orders side off a
+    # <64 MB estimate): measured sf10 11.43→5.44 s best (−52%), sf0.1
+    # 0.66→0.45 s, outputs identical.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
@@ -2125,7 +2136,11 @@ def q_tpch_q7ish(spark, sf_dir):
     vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
     j = (
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # shuffle_hash on the orders build (guide §3.1, r14): unhinted,
+        # sf10 broadcasts the 15M-row orders side off a <64 MB column-
+        # pruned estimate (~240 MB real). Measured sf10 10.77→4.30 s best
+        # (−60%), outputs identical; sf0.1 within noise (fixed costs).
+        .join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -2270,8 +2285,15 @@ def q_tpch_q13ish(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") != F.lit("1-URGENT")
     )
+    # shuffle_hash on the filtered-orders build (guide §3.1, r14): the left
+    # outer join builds the right side — (o_custkey, o_orderkey) pairs,
+    # rows/width × 16 B per partition at any data-scaled width; unhinted,
+    # sf10 broadcasts all 15M filtered orders rows off a <64 MB estimate.
+    # Measured sf10 7.75→1.31 s best (−83%), sf0.1 0.39→0.31 s, outputs
+    # identical.
     per_cust = (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        cust.join(orders.hint("shuffle_hash"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
@@ -3185,7 +3207,15 @@ def q_tpch_q9ish(spark, sf_dir):
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(orders.select("o_orderkey", "o_orderdate"),
+        # shuffle_hash (guide §3.1, r14): without the hint the planner
+        # BROADCASTS the 15M-row orders side at sf10 (column-pruned
+        # estimate < 64 MB, ~240 MB real — the guide's "estimates are
+        # often badly wrong" OOM shape) and sort-merges once estimates
+        # grow. The partitioned build is (o_orderkey, o_orderdate) =
+        # rows/width × 16 B per partition — trivially in memory at any
+        # data-scaled width. Measured sf10 10.86→3.48 s best (−68%),
+        # sf0.1 0.75→0.64 s, outputs identical.
+        .join(orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.round(F.sum(profit), 6).cast("double").alias("profit"))
@@ -3405,8 +3435,13 @@ def q_tpch_q21ish(spark, sf_dir):
     late_flag = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("int")
+    # shuffle_hash on the F-status orders build (guide §3.1, r14): two
+    # skinny columns per partition instead of the estimate-driven SMJ sorts
+    # at sf10; the downstream aggregates re-shuffle by their own keys either
+    # way. Measured sf10 7.78→6.15 s best, sf0.1 0.88→0.82 s, outputs
+    # identical.
     rows = li.join(
-        orders.select("o_orderkey", "o_orderdate"),
+        orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).select("l_orderkey", "l_suppkey", late_flag.alias("late"))
     # two-level agg instead of a double countDistinct: the (orderkey,
