@@ -3134,6 +3134,16 @@ def q_tpch_q2ish(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == _Q2_REGION)
 
+    # Pre-filter lineitem by the part slice BEFORE the (partkey, suppkey)
+    # aggregate (guide §2.3, r14): the slice filter is on the aggregate key,
+    # so min(unit_cost) per surviving pair is unchanged — Catalyst cannot
+    # push a join below an aggregate itself. The aggregate's input drops
+    # ~50× (p_size is 1-of-50). Measured (interleaved, outputs identical):
+    # sf10 9.60→1.42 s best (−85%), sf0.1 0.82→0.38 s.
+    li = li.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("pk_f"))),
+        F.col("l_partkey") == F.col("pk_f"),
+    ).drop("pk_f")
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
@@ -3306,10 +3316,20 @@ def q_tpch_q16ish(spark, sf_dir):
         & F.col("p_size").isin(1, 5, 9, 15, 25, 40)
     )
     bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    # Broadcast-join the filtered part slice BELOW the distinct (guide §2.3,
+    # r14): p_partkey is unique, so dedup over (l_partkey, l_suppkey) after
+    # the join equals distinct-then-join — but the distinct's shuffle now
+    # carries only the slice's rows (~12% by p_size alone). Measured
+    # (interleaved, outputs identical): sf10 6.90→2.47 s best (−64%),
+    # sf0.1 0.63→0.48 s.
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
     return (
-        pairs.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
-                   F.col("l_partkey") == F.col("p_partkey"))
+        pairs
         .join(F.broadcast(bad_supp.select("s_suppkey")),
               F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
