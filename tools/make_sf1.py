@@ -170,7 +170,13 @@ def _gen_documents(out_dir: str, copies: int = COPIES) -> None:
             "n_chars": pa.array(ncs, pa.int64()),
         }
     )
-    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+    # explicit row groups (guide §6): pyarrow's default writes ONE row
+    # group for 500k docs (sf10), and a Spark scan can't split inside a
+    # row group — 14 nominal splits but a single task reads every row.
+    # 50k rows ≈ 6 MB per group keeps the scan parallel at every scale.
+    pq.write_table(
+        out, os.path.join(out_dir, "documents.parquet"), row_group_size=50_000
+    )
     print(f"  documents: {len(ids)} rows (copy-0 verbatim, k>0 word-shuffled)")
 
 
